@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the semantics Spark's builtins lack
+  * (SURVEY.md §2.3 "custom" rows). All are null-safe unary/binary scalar
+  * expressions; CodegenFallback keeps them inside the generated pipeline as
+  * a single virtual call — fine off the per-row hot path, and the compression
+  * pair operates on whole payloads where JNI cost dominates anyway.
+  */
+
+/** LZ4 block compress with self-describing length header (fixes the
+  * reference's expected-size API wart, crypt.hpp:400-470). Binary→Binary. */
+case class Lz4Compress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GraftCodec.lz4Compress(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Lz4Compress = copy(c)
+}
+
+case class Lz4Decompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GraftCodec.lz4Decompress(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Lz4Decompress = copy(c)
+}
+
+/** Zstd frame compress at a given level (reference bytecode payloads are
+  * zstd frames, bytecode.cpp:130-155). Binary→Binary. */
+case class ZstdCompress(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GraftCodec.zstdCompress(v.asInstanceOf[Array[Byte]], level)
+  override protected def withNewChildInternal(c: Expression): ZstdCompress =
+    copy(child = c)
+}
+
+case class ZstdDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GraftCodec.zstdDecompress(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): ZstdDecompress = copy(c)
+}
+
+/** The reference's `crypt.hash` (djb2 → 16 hex digits, crypt.hpp:346-369),
+  * kept hash-compatible. String→String. */
+case class Djb2Hash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(GraftCodec.djb2Hex(v.asInstanceOf[UTF8String].getBytes))
+  override protected def withNewChildInternal(c: Expression): Djb2Hash = copy(c)
+}
+
+/** Karp-Rabin rolling-hash document fingerprint. String→Long. */
+case class KarpRabinFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftCodec.karpRabin(v.asInstanceOf[UTF8String].getBytes)
+  override protected def withNewChildInternal(c: Expression): KarpRabinFingerprint =
+    copy(c)
+}
+
+/** 64-bit SimHash over a token array: each token FNV-1a-hashed, per-bit
+  * vote, sign → bit. Array[String]→Long. Near-dup distance is then
+  * bit_count(a ^ b) — a builtin. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = GraftCodec.fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** MinHash signature of length n over a pre-hashed shingle array: the i-th
+  * component is min over shingles of the i-th universal hash
+  * a_i*h + b_i (mod 2^64). Array[Long]→Array[Long]. Empty input → MaxValue
+  * rows (no shingle can collide with them). This is the N2 signature stage;
+  * banding happens in plain DataFrame ops on the result.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          // fixed odd multipliers/offsets: deterministic across runs/engines
+          val a = 0x9E3779B97F4A7C15L * (2 * k + 1)
+          val b = 0xBF58476D1CE4E5B9L * (k + 1)
+          val hk = a * h + b
+          if (hk < sig(k)) sig(k) = hk
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** Cosine similarity of two float vectors, accumulated in double in index
+  * order (deterministic). Array[Float]×Array[Float]→Double. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}

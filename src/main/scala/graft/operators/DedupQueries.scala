@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables => T}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** N1/N2 dedup operators over `documents` (SURVEY.md §2.2): exact
+  * content-hash dedup, MinHash+LSH near-dup, SimHash near-dup, exact n-gram
+  * Jaccard. The LSH pipeline is pure groupBy/join on derived keys — no
+  * driver-side state — so the same plan runs at 100 TB: signatures are one
+  * narrow projection, banding multiplies rows ×32 but each band bucket is
+  * tiny, and the exact rescore touches only candidate pairs.
+  *
+  * Reference analogue: content-addressed script identity (getscripthash,
+  * script.hpp:40-133); everything beyond that is the BASELINE.json
+  * north-star LLM-pipeline surface.
+  */
+object DedupQueries {
+
+  /** Distinct 3-gram word shingles of `text` (column must be named text). */
+  def shingles(text: Column): Column = {
+    val toks = split(trim(text), " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws("_",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array(trim(text)))
+  }
+
+  /** (doc_id, sh: array<string>) for all docs. */
+  def docShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select($"doc_id", shingles($"text").as("sh"))
+  }
+
+  /** Exact Jaccard on shingle-set pairs given (a, b) candidate pairs. */
+  private def rescore(s: SparkSession, cand: DataFrame, sets: DataFrame, minJ: Double): DataFrame = {
+    import s.implicits._
+    cand
+      .join(sets.select($"doc_id".as("a"), $"sh".as("sha")), "a")
+      .join(sets.select($"doc_id".as("b"), $"sh".as("shb")), "b")
+      .select($"a", $"b",
+        size(array_intersect($"sha", $"shb")).as("isz"),
+        size($"sha").as("na"), size($"shb").as("nb"))
+      .withColumn("jaccard", $"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz"))
+      .filter($"jaccard" >= minJ)
+      .select($"a", $"b", $"jaccard")
+      .orderBy($"a", $"b")
+  }
+
+  /** The DuckDB-side exact pair query (shared by n2 and n3: the LSH result
+    * must equal the exhaustive one at this threshold). */
+  private val exactPairsSql = """
+    WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM t,
+           unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]) AS u(s)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+    SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    ORDER BY a, b"""
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- N1: exact dedup by content hash — keep min doc_id per hash
+    GraftQuery("n1_exact_dedup", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select($"doc_id", $"n_copies")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY doc_id"""), bench = true),
+
+    // ----- N2: MinHash(128) + LSH (32 bands × 4 rows) + exact rescore.
+    // P(miss) at j=0.8 is (1-0.8^4)^32 ≈ 5e-8, and the corpus has no pairs
+    // in (0.14, 0.8), so the LSH output provably equals the exhaustive
+    // exact-Jaccard pairs ≥ 0.5 that the oracle computes.
+    GraftQuery("n2_minhash_lsh", (s, d) => {
+      import s.implicits._
+      val sets = docShingles(s, d).cache()
+      val sig = sets
+        .withColumn("hashes", transform($"sh", x => xxhash64(x)))
+        .withColumn("sig", minhash_signature($"hashes", 128))
+      val bands = sig.select($"doc_id",
+          posexplode(transform(sequence(lit(0), lit(31)),
+            b => hash(slice($"sig", b * 4 + 1, lit(4))))))
+        .toDF("doc_id", "band_id", "band_hash")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      rescore(s, cand, sets, 0.5)
+    }, Some(exactPairsSql), bench = true),
+
+    // ----- N2 cross-check: exhaustive n-gram Jaccard via shingle equi-join
+    // (the posting-list join form — candidates only where shingles collide)
+    GraftQuery("n3_ngram_jaccard", (s, d) => {
+      import s.implicits._
+      val sets = docShingles(s, d).cache()
+      val ex = sets.select($"doc_id", explode($"sh").as("s"))
+      val cand = ex.as("x").join(ex.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      rescore(s, cand, sets, 0.5)
+    }, Some(exactPairsSql)),
+
+    // ----- N2b: SimHash near-dup (hamming ≤ 8 over 64-bit signatures,
+    // candidates from 4×16-bit chunk banding). Signature function is
+    // engine-specific: rows-only here, exact vectors in GraftExpressionsSpec.
+    GraftQuery("n2_simhash", (s, d) => {
+      import s.implicits._
+      val sig = T.documents(s, d)
+        .select($"doc_id", simhash64(split(trim($"text"), " ")).as("sig"))
+      val chunkArr = array((0 to 3).map(ci =>
+        shiftrightunsigned($"sig", ci * 16).bitwiseAND(lit(0xffffL))): _*)
+      val chunks = sig.select($"doc_id", $"sig", posexplode(chunkArr))
+        .toDF("doc_id", "sig", "chunk_id", "chunk")
+      val cand = chunks.as("x").join(chunks.as("y"),
+          col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 8)
+        .orderBy($"a", $"b")
+      cand
+    }, None)
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.2 W2–W3 (analytic windows, frames), T1–T2 batch-time-window
+  * semantics, S6 topic compaction, J6 as-of join — all over the `events`
+  * table (event_id, ts, user_id, event_type, value, props).
+  *
+  * Scale notes: every query here partitions by user_id (1.5k keys per sf —
+  * millions at 100 TB), so window state stays bounded per key and the single
+  * shuffle is on the natural key. The as-of join is the linear union+window
+  * form (no pairwise blowup), the idiomatic Spark rewrite of the reference's
+  * "latest message per consumer" queue semantics (globals.hpp:71-77).
+  */
+object EventQueries {
+  import Det._
+
+  private val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- W2: lag / lead / first / last
+    GraftQuery("w2_lag_lead", (s, d) => {
+      import s.implicits._
+      val whole = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.events(s, d).select(
+        $"user_id", $"event_id",
+        lag($"event_id", 1).over(byUser).as("prev_event"),
+        lead($"event_id", 1).over(byUser).as("next_event"),
+        first($"event_id").over(whole).as("first_event"),
+        last($"event_id").over(whole).as("last_event"))
+        .orderBy($"user_id", $"event_id")
+    }, Some("""
+      SELECT user_id, event_id,
+        LAG(event_id, 1) OVER w AS prev_event,
+        LEAD(event_id, 1) OVER w AS next_event,
+        FIRST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+        LAST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""")),
+
+    // ----- W3: frames — running sum, moving window, range frame over seconds.
+    // Sums run over exact integer cents so segment-tree vs sequential window
+    // evaluation cannot produce FP drift.
+    GraftQuery("w3_frames", (s, d) => {
+      import s.implicits._
+      val vc = vcents($"value")
+      val bySec = Window.partitionBy($"user_id").orderBy($"sec")
+      T.events(s, d)
+        .withColumn("cents", vc)
+        .withColumn("sec", $"ts".cast(LongType))
+        .select(
+          $"user_id", $"event_id",
+          sum($"cents").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_cents"),
+          sum($"cents").over(byUser.rowsBetween(-2, 0)).as("mov3_cents"),
+          sum($"cents").over(bySec.rangeBetween(-600, 0)).as("last10min_cents"))
+        .orderBy($"user_id", $"event_id")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, ts, ${sql.vcents("value")} AS cents,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+      SELECT user_id, event_id,
+        CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+        CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents,
+        CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY sec
+          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS last10min_cents
+      FROM e ORDER BY user_id, event_id"""), bench = true),
+
+    // ----- T1: event-time tumbling window (batch semantics of the streaming
+    // aggregation; the streaming form is exercised in StreamingQueries)
+    GraftQuery("t1_window_tumbling", (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(vcents($"value")).as("sum_cents"))
+        .select(tsFmt($"w.start").as("w_start"), $"event_type", $"n", $"sum_cents")
+        .orderBy($"w_start", $"event_type")
+    }, Some(s"""
+      SELECT strftime(make_timestamp(CAST(floor(epoch_ms(ts)/300000) AS BIGINT)*300000000),
+               '%Y-%m-%d %H:%M:%S') AS w_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""), bench = true),
+
+    // ----- T1b: sliding window (10 min window, 5 min slide → 2 windows/event)
+    GraftQuery("t1_window_sliding", (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(tsFmt($"w.start").as("w_start"), $"n")
+        .orderBy($"w_start")
+    }, Some("""
+      WITH b AS (SELECT CAST(floor(epoch_ms(ts)/300000) AS BIGINT)*300000000 AS b0 FROM events),
+      w AS (SELECT u.w_us FROM b, unnest([b0, b0 - 300000000]) AS u(w_us))
+      SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n
+      FROM w GROUP BY 1 ORDER BY w_start""")),
+
+    // ----- T2: session windows (10-minute gap), batch semantics
+    GraftQuery("t2_session_window", (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(vcents($"value")).as("sum_cents"))
+        .select($"user_id", tsFmt($"w.start").as("s_start"), $"n", $"sum_cents")
+        .orderBy($"user_id", $"s_start")
+    }, Some(s"""
+      WITH x AS (
+        SELECT user_id, ts, ${sql.vcents("value")} AS cents,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      y AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x)
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""")),
+
+    // ----- S6: topic compaction — latest value per key over the append log.
+    // This is the batch compaction job from BASELINE.json's north star; the
+    // key is user_id, the "offset" order is (ts, event_id).
+    GraftQuery("s6_compaction", (s, d) => {
+      import s.implicits._
+      val latest = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      T.events(s, d)
+        .withColumn("rn", row_number().over(latest))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type",
+          tsFmt($"ts").as("ts_s"), vcents($"value").as("cents"))
+        .orderBy($"user_id")
+    }, Some(s"""
+      SELECT user_id, event_id, event_type, ${sql.tsFmt("ts")} AS ts_s,
+        ${sql.vcents("value")} AS cents
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id"""), bench = true),
+
+    // ----- J6: as-of join — for each purchase, the latest click by the same
+    // user at or before the purchase. Linear union+window form: one shuffle
+    // on user_id, no pairwise candidate blowup, survives 100 TB.
+    GraftQuery("j6_asof_join", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"),
+          lit(null).cast(LongType).as("purchase_id"), lit(0).as("kind"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(null).cast(LongType).as("click_id"),
+          $"event_id".as("purchase_id"), lit(1).as("kind"))
+      // order: ts, then clicks before purchases at equal ts, then id
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"kind", coalesce($"click_id", $"purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+        .filter($"kind" === 1)
+        .select($"purchase_id", $"last_click".as("click_id"))
+        .orderBy($"purchase_id")
+    }, Some("""
+      WITH p AS (SELECT event_id AS pid, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id AS cid, user_id, ts FROM events WHERE event_type = 'click'),
+           j AS (SELECT p.pid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.ts DESC, c.cid DESC) AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      SELECT p.pid AS purchase_id, j.cid AS click_id
+      FROM p LEFT JOIN (SELECT pid, cid FROM j WHERE rn = 1) j ON p.pid = j.pid
+      ORDER BY purchase_id"""), bench = true)
+  )
+}

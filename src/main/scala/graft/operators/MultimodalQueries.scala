@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** N5 multimodal columns: opaque binary payloads + typed metadata, with a
+  * batched per-partition decode/feature-extract stage.
+  *
+  * The payload here is the document text as bytes (the container has no
+  * image/audio codecs — the DECODER IS A DETERMINISTIC STUB, clearly marked
+  * below). The Spark-side plumbing is the real deliverable: binary column +
+  * metadata struct schema, typed Dataset, mapPartitions batch shape (one
+  * decoder init per partition, the pattern a real libjpeg/ffmpeg UDF needs),
+  * and oracle-checked deterministic features.
+  *
+  * Reference analogue: opaque compressed bytecode payloads decoded in a
+  * pipeline stage (script.hpp:135-215, bytecode.cpp:130-155).
+  */
+object MultimodalQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("m1_multimodal_features", (s, d) => {
+      import s.implicits._
+      val media = T.documents(s, d).select(
+        $"doc_id",
+        $"text".cast("binary").as("payload"),
+        struct($"lang", $"n_chars", $"source").as("meta"))
+        .as[MediaRecord]
+      val feats = media.mapPartitions { it =>
+        // STUB: a real pipeline would initialize an image/audio decoder here,
+        // once per partition, then decode each payload batch-wise. The
+        // container ships no codec libs, so features are computed directly
+        // from the bytes — deterministically, so the oracle can check them.
+        val decoder = StubDecoder
+        it.map(m => decoder.features(m))
+      }
+      feats.toDF()
+        .select($"doc_id", $"byte_len", $"n_frames", $"first_byte", $"last_byte", $"lang")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(length(text) AS INT) AS byte_len,
+        CAST(length(text) // 64 AS INT) AS n_frames,
+        ascii(substring(text, 1, 1)) AS first_byte,
+        ascii(substring(text, length(text), 1)) AS last_byte,
+        lang
+      FROM documents ORDER BY doc_id"""))
+  )
+}
+
+/** Binary payload + typed metadata — the multimodal row shape. */
+final case class MediaMeta(lang: String, n_chars: Long, source: String)
+final case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+final case class MediaFeatures(
+    doc_id: Long, byte_len: Int, n_frames: Int,
+    first_byte: Int, last_byte: Int, lang: String)
+
+/** Deterministic fake decoder — stands in for the codec stage. */
+object StubDecoder extends Serializable {
+  def features(m: MediaRecord): MediaFeatures = {
+    val b = m.payload
+    MediaFeatures(
+      doc_id = m.doc_id,
+      byte_len = b.length,
+      n_frames = b.length / 64, // a real decoder would return sampled frames
+      first_byte = if (b.nonEmpty) b(0) & 0xff else -1,
+      last_byte = if (b.nonEmpty) b(b.length - 1) & 0xff else -1,
+      lang = m.meta.lang)
+  }
+}

@@ -1,0 +1,404 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.2 core relational inventory: P1–P7, J1–J5, A1–A4, W1.
+  *
+  * Everything here is declarative DataFrame API — Catalyst handles pushdown,
+  * pruning and join selection; tiny dimensions are broadcast explicitly where
+  * the star shape makes that the right plan at 100 TB (region/nation/supplier
+  * stay small while lineitem scales).
+  */
+object RelationalQueries {
+  import Det._
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- q1: TPC-H Q1-shaped pricing summary (P1 P2 A1 P4; the M1 slice)
+    GraftQuery("q1_pricing_summary", (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val disc = discPrice($"l_extendedprice", $"l_discount")
+      val charge = disc * (one + dec($"l_tax"))
+      li.filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          moneySum($"l_extendedprice").as("sum_base_price"),
+          sum(disc).cast(DoubleType).as("sum_disc_price"),
+          sum(charge).cast(DoubleType).as("sum_charge"),
+          (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+          (moneySum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+          (moneySum($"l_discount") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        SUM(l_quantity) AS sum_qty,
+        ${sql.moneySum("l_extendedprice")} AS sum_base_price,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")} * (1 + ${sql.dec("l_tax")})) AS DOUBLE) AS sum_charge,
+        SUM(l_quantity) / COUNT(*) AS avg_qty,
+        ${sql.moneySum("l_extendedprice")} / COUNT(*) AS avg_price,
+        ${sql.moneySum("l_discount")} / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), bench = true),
+
+    // ----- P1: projection, per-row arithmetic, aliasing
+    GraftQuery("p1_projection", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("disc_price"),
+          concat($"l_returnflag", lit("/"), $"l_linestatus").as("flag_status"),
+          ($"l_quantity" + lit(5)).as("qty_plus5"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+        l_extendedprice * (1.0 - l_discount) AS disc_price,
+        l_returnflag || '/' || l_linestatus AS flag_status,
+        l_quantity + 5 AS qty_plus5
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----- P2: complex predicate (AND/OR/IN/BETWEEN/LIKE/IS NULL)
+    GraftQuery("p2_filter_complex", (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .filter(
+          ($"o_orderstatus".isin("F", "P") &&
+            $"o_totalprice".between(10000, 150000) &&
+            $"o_orderpriority".like("%HIGH%")) ||
+          $"o_orderpriority".isNull ||
+          ($"o_orderstatus" === "O" && $"o_totalprice" < 2000))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE (o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 10000 AND 150000
+             AND o_orderpriority LIKE '%HIGH%')
+         OR o_orderpriority IS NULL
+         OR (o_orderstatus = 'O' AND o_totalprice < 2000)
+      ORDER BY o_orderkey""")),
+
+    // ----- P3: distinct
+    GraftQuery("p3_distinct", (s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .select($"c_mktsegment", $"c_nationkey").distinct()
+        .orderBy($"c_mktsegment", $"c_nationkey")
+    }, Some("""
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      ORDER BY c_mktsegment, c_nationkey""")),
+
+    // ----- P4: multi-key sort with explicit null placement
+    GraftQuery("p4_sort_multi", (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .withColumn("status_or_null", expr("nullif(o_orderstatus, 'O')"))
+        .select($"o_orderkey", $"status_or_null", $"o_totalprice")
+        .orderBy($"status_or_null".asc_nulls_first, $"o_totalprice".desc, $"o_orderkey".asc)
+    }, Some("""
+      SELECT o_orderkey, nullif(o_orderstatus,'O') AS status_or_null, o_totalprice
+      FROM orders
+      ORDER BY status_or_null ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC""")),
+
+    // ----- P5: top-k
+    GraftQuery("p5_topk", (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ----- P6: union all / union distinct / intersect / except
+    GraftQuery("p6_setops", (s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d)
+      val a = c.filter($"c_acctbal" > 5000).select($"c_custkey")
+      val b = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val u  = a.union(b).select(lit("union_all").as("tag"), $"c_custkey")
+      val ud = a.union(b).distinct().select(lit("union_distinct").as("tag"), $"c_custkey")
+      val i  = a.intersect(b).select(lit("intersect").as("tag"), $"c_custkey")
+      val e  = a.except(b).select(lit("except").as("tag"), $"c_custkey")
+      u.union(ud).union(i).union(e).orderBy($"tag", $"c_custkey")
+    }, Some("""
+      WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+           b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      SELECT 'union_all' AS tag, c_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      UNION ALL SELECT 'union_distinct', c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+      UNION ALL SELECT 'intersect', c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL SELECT 'except', c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      ORDER BY tag, c_custkey""")),
+
+    // ----- P7: deterministic key-sampled aggregate (df.sample is seeded
+    // differently per engine, so the oracle-checked variant samples by key)
+    GraftQuery("p7_sample_det", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter(pmod($"l_orderkey", lit(10)) === 0)
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity").as("sum_qty"),
+          moneySum($"l_extendedprice").as("sum_price"))
+    }, Some(s"""
+      SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+        ${sql.moneySum("l_extendedprice")} AS sum_price
+      FROM lineitem WHERE l_orderkey % 10 = 0""")),
+
+    // Bernoulli sample: rows-only (RNG differs across engines by design)
+    GraftQuery("p7_sample_rand", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).sample(withReplacement = false, 0.1, 42L)
+        .agg(count(lit(1)).as("n"))
+    }, None),
+
+    // ----- J1: equi join + aggregate (TPC-H Q3 shape)
+    GraftQuery("j1_join_topk", (s, d) => {
+      import s.implicits._
+      val cut = lit("1996-03-15").cast(TimestampType)
+      val c = T.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = T.orders(s, d).filter($"o_orderdate" < cut)
+      val l = T.lineitem(s, d).filter($"l_shipdate" > cut)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"))
+        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }, Some(s"""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""), bench = true),
+
+    // ----- J2: left outer join with per-key aggregate
+    GraftQuery("j2_left_outer", (s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d)
+      val o = T.orders(s, d)
+      c.join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          coalesce(moneySum($"o_totalprice"), lit(0.0)).as("total_spend"))
+        .orderBy($"c_custkey")
+    }, Some(s"""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(${sql.moneySum("o_totalprice")}, 0.0) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ----- J2b: full outer join
+    GraftQuery("j2_full_outer", (s, d) => {
+      import s.implicits._
+      val n = T.nation(s, d)
+      val cc = T.customer(s, d).groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      n.join(cc, $"n_nationkey" === $"c_nationkey", "full")
+        .select(
+          coalesce($"n_nationkey", $"c_nationkey").as("nk"),
+          $"n_name",
+          coalesce($"n_cust", lit(0L)).as("n_cust"))
+        .orderBy($"nk")
+    }, Some("""
+      SELECT COALESCE(n_nationkey, c_nationkey) AS nk, n_name,
+        COALESCE(n_cust, 0) AS n_cust
+      FROM nation FULL JOIN
+        (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cc
+        ON n_nationkey = c_nationkey
+      ORDER BY nk""")),
+
+    // ----- J3: left semi / left anti (EXISTS / NOT EXISTS)
+    GraftQuery("j3_semi_anti", (s, d) => {
+      import s.implicits._
+      val c = T.customer(s, d)
+      val o = T.orders(s, d)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("with_orders").as("tag"), $"c_custkey")
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), $"c_custkey")
+      semi.union(anti).orderBy($"tag", $"c_custkey")
+    }, Some("""
+      SELECT 'with_orders' AS tag, c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'no_orders', c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY tag, c_custkey""")),
+
+    // ----- J4: star join, dimensions broadcast (the 100 TB plan: fact
+    // scales, dims don't — broadcast avoids shuffling the fact table twice)
+    GraftQuery("j4_broadcast_star", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .join(broadcast(T.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(T.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(T.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    }, Some(s"""
+      SELECT r_name, n_name,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""), bench = true),
+
+    // ----- J5: theta/band join (acctbal within 100 of a richer supplier)
+    GraftQuery("j5_band_join", (s, d) => {
+      import s.implicits._
+      val s1 = T.supplier(s, d).select($"s_suppkey".as("a_key"), $"s_acctbal".as("a_bal"))
+      val s2 = T.supplier(s, d).select($"s_suppkey".as("b_key"), $"s_acctbal".as("b_bal"))
+      s1.join(s2, $"a_bal" < $"b_bal" && $"b_bal" - $"a_bal" < lit(100.0))
+        .select($"a_key", $"b_key")
+        .orderBy($"a_key", $"b_key")
+    }, Some("""
+      SELECT s1.s_suppkey AS a_key, s2.s_suppkey AS b_key
+      FROM supplier s1 JOIN supplier s2
+        ON s1.s_acctbal < s2.s_acctbal AND s2.s_acctbal - s1.s_acctbal < 100
+      ORDER BY a_key, b_key""")),
+
+    // ----- A1: count distinct (exact) + grouped sums
+    GraftQuery("a1_count_distinct", (s, d) => {
+      import s.implicits._
+      T.events(s, d).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(vcents($"value")).as("sum_cents"))
+        .orderBy($"event_type")
+    }, Some(s"""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+        CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----- A2: rollup
+    GraftQuery("a2_rollup", (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      o.join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .rollup($"n_name", $"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("total"),
+          (grouping($"n_name") * 2 + grouping($"c_mktsegment")).cast(IntegerType).as("gid"))
+        .select($"gid", $"n_name", $"c_mktsegment", $"n_orders", $"total")
+        .orderBy($"gid", $"n_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+    }, Some(s"""
+      SELECT CAST(GROUPING(n_name)*2 + GROUPING(c_mktsegment) AS INT) AS gid,
+        n_name, c_mktsegment, COUNT(*) AS n_orders,
+        ${sql.moneySum("o_totalprice")} AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")),
+
+    // ----- A2b: cube
+    GraftQuery("a2_cube", (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), moneySum($"o_totalprice").as("total"),
+          (grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority")).cast(IntegerType).as("gid"))
+        .select($"gid", $"o_orderstatus", $"o_orderpriority", $"n", $"total")
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, Some(s"""
+      SELECT CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid,
+        o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${sql.moneySum("o_totalprice")} AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ----- A2c: grouping sets (SQL surface; Catalyst plans the expand)
+    GraftQuery("a2_grouping_sets", (s, d) => {
+      T.registerAll(s, d)
+      s.sql(s"""
+        SELECT CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid,
+          o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }, Some("""
+      SELECT CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid,
+        o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ----- A3: exact quantiles (linear interpolation, exact on int-valued qty)
+    GraftQuery("a3_quantiles", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- A3b: approx sketches (HLL / KLL differ across engines: rows-only)
+    GraftQuery("a3_approx_sketch", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("approx_price_q"))
+    }, None, bench = true),
+
+    // ----- A4: collect_list / collect_set (sorted for determinism)
+    GraftQuery("a4_collect", (s, d) => {
+      import s.implicits._
+      T.customer(s, d).groupBy($"c_nationkey")
+        .agg(
+          array_sort(collect_list($"c_mktsegment")).as("segments_all"),
+          array_sort(collect_set($"c_mktsegment")).as("segments_distinct"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      SELECT c_nationkey,
+        list_sort(list(c_mktsegment)) AS segments_all,
+        list_sort(list(DISTINCT c_mktsegment)) AS segments_distinct
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ----- W1: ranking window functions
+    GraftQuery("w1_ranking", (s, d) => {
+      import s.implicits._
+      val unique = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      val byBal = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc)
+      T.customer(s, d).select(
+        $"c_nationkey", $"c_custkey", $"c_acctbal",
+        row_number().over(unique).cast(LongType).as("rn"),
+        rank().over(byBal).cast(LongType).as("rk"),
+        dense_rank().over(byBal).cast(LongType).as("drk"),
+        ntile(4).over(unique).cast(LongType).as("quartile"))
+        .orderBy($"c_nationkey", $"c_custkey")
+    }, Some("""
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk,
+        DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk,
+        NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer ORDER BY c_nationkey, c_custkey"""))
+  )
+}

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, Tables => T}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.3 scalar function families, one oracle query per family.
+  * All built-in `org.apache.spark.sql.functions` (whole-stage codegen'd);
+  * the compression family uses the custom Catalyst expressions in
+  * graft.functions (reference analogue: crypt.hpp:400-470, bytecode.cpp:130-155).
+  */
+object ScalarQueries {
+  import Det._
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- strings (reference analogue: Logger::FormatString Logger.hpp:27-53,
+    // tolower use http.hpp:350-365, regex stripper closures.hpp:31-39)
+    GraftQuery("f_string", (s, d) => {
+      import s.implicits._
+      T.part(s, d).select(
+        $"p_partkey",
+        concat($"p_brand", lit("-"), $"p_type").as("brand_type"),
+        substring($"p_name", 1, 5).as("name5"),
+        upper($"p_name").as("name_up"),
+        lower($"p_type").as("type_lo"),
+        length($"p_name").cast(LongType).as("name_len"),
+        trim(lpad($"p_brand", 10, "*")).as("brand_pad"),
+        rpad($"p_type", 12, ".").as("type_pad"),
+        element_at(split($"p_name", " "), 1).as("first_word"),
+        regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("name_novowel"),
+        translate($"p_name", "aeiou", "AEIOU").as("name_upvowel"),
+        format_string("%s:%03d", $"p_brand", $"p_size").as("fmt"),
+        $"p_name".like("%widget%").as("is_widget"))
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+        p_brand || '-' || p_type AS brand_type,
+        substring(p_name, 1, 5) AS name5,
+        upper(p_name) AS name_up,
+        lower(p_type) AS type_lo,
+        length(p_name) AS name_len,
+        trim(lpad(p_brand, 10, '*')) AS brand_pad,
+        rpad(p_type, 12, '.') AS type_pad,
+        str_split(p_name, ' ')[1] AS first_word,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+        translate(p_name, 'aeiou', 'AEIOU') AS name_upvowel,
+        printf('%s:%03d', p_brand, p_size) AS fmt,
+        p_name LIKE '%widget%' AS is_widget
+      FROM part ORDER BY p_partkey""")),
+
+    // ----- codecs (reference: crypt.hpp:72-222 base64, hex in bytecode dumps)
+    GraftQuery("f_codec", (s, d) => {
+      import s.implicits._
+      T.customer(s, d).select(
+        $"c_custkey",
+        base64($"c_name".cast(BinaryType)).as("name_b64"),
+        unbase64(base64($"c_name".cast(BinaryType))).cast(StringType).as("name_rt"),
+        hex($"c_custkey").as("key_hex"),
+        hex($"c_mktsegment".cast(BinaryType)).as("seg_hex"),
+        unhex(hex($"c_mktsegment".cast(BinaryType))).cast(StringType).as("seg_rt"))
+        .orderBy($"c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+        to_base64(encode(c_name)) AS name_b64,
+        decode(from_base64(to_base64(encode(c_name)))) AS name_rt,
+        hex(c_custkey) AS key_hex,
+        hex(c_mktsegment) AS seg_hex,
+        decode(unhex(hex(c_mktsegment))) AS seg_rt
+      FROM customer ORDER BY c_custkey""")),
+
+    // ----- hashes, oracle-checkable subset (reference: CryptLibrary bundle,
+    // crypt.hpp:11-26; md5/sha are the cross-engine-stable ones)
+    GraftQuery("f_hash", (s, d) => {
+      import s.implicits._
+      T.customer(s, d).select(
+        $"c_custkey",
+        md5($"c_name").as("name_md5"),
+        sha2($"c_name", 256).as("name_sha256"))
+        .orderBy($"c_custkey")
+    }, Some("""
+      SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+      FROM customer ORDER BY c_custkey""")),
+
+    // engine-specific hashes + the reference's own djb2 (crypt.hpp:346-369),
+    // reproduced as a custom codegen'd Catalyst expression: rows-only here,
+    // exact test vectors in HashExpressionsSpec.
+    GraftQuery("f_hash_native", (s, d) => {
+      import s.implicits._
+      T.customer(s, d).select(
+        $"c_custkey",
+        xxhash64($"c_name").as("name_xx64"),
+        hash($"c_name").as("name_murmur"),
+        crc32($"c_name".cast(BinaryType)).as("name_crc32"),
+        GraftFunctions.djb2_hash($"c_name").as("name_djb2"))
+        .orderBy($"c_custkey")
+    }, None),
+
+    // ----- math
+    GraftQuery("f_math", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).select(
+        $"l_orderkey", $"l_linenumber",
+        abs($"l_quantity" - 25).as("qty_center"),
+        round($"l_extendedprice" / 7, 2).as("price_div7"),
+        floor($"l_extendedprice").as("price_floor"),
+        ceil($"l_extendedprice").as("price_ceil"),
+        pow(lit(2), $"l_linenumber").as("pow2"),
+        sqrt($"l_quantity").as("qty_sqrt"),
+        round(exp($"l_discount"), 6).as("disc_exp"),
+        round(log($"l_quantity" + 1), 6).as("qty_ln"),
+        pmod($"l_orderkey", lit(7)).as("key_mod7"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+        abs(l_quantity - 25) AS qty_center,
+        round(l_extendedprice / 7, 2) AS price_div7,
+        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        power(2, l_linenumber) AS pow2,
+        sqrt(l_quantity) AS qty_sqrt,
+        round(exp(l_discount), 6) AS disc_exp,
+        round(ln(l_quantity + 1), 6) AS qty_ln,
+        l_orderkey % 7 AS key_mod7
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----- date/time (the reference is nearly date-blind, Logger.hpp:119-125;
+    // full family required by the harness)
+    GraftQuery("f_datetime", (s, d) => {
+      import s.implicits._
+      T.orders(s, d).select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("dom"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        datediff($"o_orderdate".cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"),
+        date_format(date_add($"o_orderdate".cast(DateType), 30), "yyyy-MM-dd").as("due_date"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("iso"),
+        quarter($"o_orderdate").as("q"),
+        (dayofweek($"o_orderdate") - 1).as("dow_sun0"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(month(o_orderdate) AS INT) AS m,
+        CAST(day(o_orderdate) AS INT) AS dom,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+        strftime(o_orderdate, '%Y-%m-%d') AS iso,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ----- arrays incl. higher-order functions (integer folds only: exact)
+    GraftQuery("f_array", (s, d) => {
+      import s.implicits._
+      val toks = split(trim($"text"), " ")
+      T.documents(s, d).select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        array_sort(array_distinct(toks)).as("vocab"),
+        array_contains(toks, "spark").as("has_spark"),
+        slice(toks, 1, 3).as("first3"),
+        transform(toks, t => upper(t)).as("toks_up"),
+        filter(toks, t => length(t) > 4).as("long_toks"),
+        flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("first4"),
+        aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast(LongType).as("char_sum"),
+        zip_with(slice(toks, 1, 3), slice(toks, 4, 3), (a, b) => concat(a, lit("_"), b)).as("zipped"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_tokens,
+        list_sort(list_distinct(toks)) AS vocab,
+        list_contains(toks, 'spark') AS has_spark,
+        toks[1:3] AS first3,
+        list_transform(toks, t -> upper(t)) AS toks_up,
+        list_filter(toks, t -> length(t) > 4) AS long_toks,
+        flatten([toks[1:2], toks[3:4]]) AS first4,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS char_sum,
+        list_transform(range(1, least(3, len(toks) - 3) + 1),
+          i -> toks[i] || '_' || toks[i + 3]) AS zipped
+      FROM t ORDER BY doc_id""")),
+
+    // ----- map + json (reference: nlohmann json over HTTP headers,
+    // http.hpp:164-166; header/cookie maps http.hpp:358-385)
+    GraftQuery("f_map_json", (s, d) => {
+      import s.implicits._
+      val m = from_json($"props", MapType(StringType, IntegerType))
+      T.events(s, d).select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        map_keys(m).as("prop_keys"),
+        map_values(m).as("prop_vals"),
+        element_at(m, "k").as("k_int"),
+        to_json(map(lit("k"), element_at(m, "k"))).as("json_rt"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        json_keys(props) AS prop_keys,
+        [CAST(json_extract_string(props, '$.k') AS INT)] AS prop_vals,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))::VARCHAR AS json_rt
+      FROM events ORDER BY event_id""")),
+
+    // ----- conditionals
+    GraftQuery("f_conditional", (s, d) => {
+      import s.implicits._
+      T.orders(s, d).select(
+        $"o_orderkey",
+        when($"o_orderstatus" === "F", "finished")
+          .when($"o_orderstatus" === "O", "open")
+          .otherwise("pending").as("status_word"),
+        coalesce(expr("nullif(o_orderstatus, 'P')"), lit("was_p")).as("coal"),
+        least($"o_totalprice", lit(50000.0)).as("capped"),
+        greatest($"o_totalprice", lit(1000.0)).as("floored"),
+        when($"o_totalprice" > 100000, $"o_totalprice" * 0.9).otherwise($"o_totalprice").as("discounted"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'F' THEN 'finished'
+             WHEN o_orderstatus = 'O' THEN 'open'
+             ELSE 'pending' END AS status_word,
+        COALESCE(nullif(o_orderstatus, 'P'), 'was_p') AS coal,
+        least(o_totalprice, 50000.0) AS capped,
+        greatest(o_totalprice, 1000.0) AS floored,
+        CASE WHEN o_totalprice > 100000 THEN o_totalprice * 0.9 ELSE o_totalprice END AS discounted
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ----- compression round-trip through the custom Catalyst expressions
+    // (lz4: crypt.hpp:400-470 — framed here, fixing the expected-size wart;
+    // zstd: bytecode.cpp:130-155). Oracle checks decompress∘compress = id.
+    GraftQuery("f_compress_roundtrip", (s, d) => {
+      import s.implicits._
+      val bin = $"text".cast(BinaryType)
+      T.documents(s, d).select(
+        $"doc_id",
+        GraftFunctions.lz4_decompress(GraftFunctions.lz4_compress(bin)).cast(StringType).as("lz4_rt"),
+        GraftFunctions.zstd_decompress(GraftFunctions.zstd_compress(bin, 3)).cast(StringType).as("zstd_rt"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, text AS lz4_rt, text AS zstd_rt
+      FROM documents ORDER BY doc_id""")),
+
+    // compression ratios are codec-version-specific: rows-only
+    GraftQuery("f_compress_ratio", (s, d) => {
+      import s.implicits._
+      val bin = $"text".cast(BinaryType)
+      T.documents(s, d).select(
+        $"doc_id",
+        length(GraftFunctions.lz4_compress(bin)).as("lz4_len"),
+        length(GraftFunctions.zstd_compress(bin, 3)).as("zstd_len"),
+        length(bin).as("raw_len"))
+        .orderBy($"doc_id")
+    }, None)
+  )
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.{Det, GraftQuery, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** The "Pulsar" capability surface (SURVEY.md §2.2 S3/S5, T1–T5) run as real
+  * Structured Streaming queries and verified through the batch oracle: each
+  * entry builds a streaming DataFrame over the events parquet (the file
+  * source is the test stand-in for the Kafka-shaped source at scale), runs it
+  * to completion with a memory sink, and returns the result table. Because
+  * the fixture arrives as a single batch, results are deterministic and the
+  * DuckDB batch SQL is an exact oracle.
+  *
+  * The reference analogue: length-prefixed frames → FIFO queue → tick drain
+  * (server.cpp:77-99, scheduler.cpp:81-108) — upgraded from at-most-once
+  * in-memory to checkpointed exactly-once (restart test in StreamingSpec).
+  */
+object StreamingQueries {
+  import Det._
+
+  /** Streaming view of the events table (schema from the batch reader; the
+    * nanos column arrives as long and is truncated to micros, same as the
+    * batch path in Tables.events). */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = T.eventsRaw(s, d).schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to a memory sink, synchronously, return result. */
+  def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- T1/T3 streaming: watermarked tumbling-window counts
+    GraftQuery("t3_stream_tumbling", (s, d) => {
+      import s.implicits._
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(vcents($"value")).as("sum_cents"))
+      runToMemory(s, agg, OutputMode.Complete())
+        .select(tsFmt($"w.start").as("w_start"), $"event_type", $"n", $"sum_cents")
+        .orderBy($"w_start", $"event_type")
+    }, Some(s"""
+      SELECT strftime(make_timestamp(CAST(floor(epoch_ms(ts)/300000) AS BIGINT)*300000000),
+               '%Y-%m-%d %H:%M:%S') AS w_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ----- T4: stateful per-key processing (mapGroupsWithState) — the
+    // keyed-state analogue of the reference's KV cache (cache.hpp:14-58)
+    GraftQuery("t4_stream_state", (s, d) => {
+      import s.implicits._
+      val src = eventsStream(s, d)
+        .select($"user_id", vcents($"value").as("cents")).as[(Long, Long)]
+      val out = src.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+            val st0 = state.getOption.getOrElse(UserState(0L, 0L))
+            var n = st0.n; var c = st0.cents
+            rows.foreach { r => n += 1; c += r._2 }
+            val st = UserState(n, c)
+            state.update(st)
+            UserTotals(uid, n, c)
+        }
+      runToMemory(s, out.toDF(), OutputMode.Update())
+        .orderBy($"user_id")
+    }, Some(s"""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS cents
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- T5: streaming dedup by key + downstream aggregate
+    GraftQuery("t5_stream_dedup", (s, d) => {
+      import s.implicits._
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"))
+      runToMemory(s, agg, OutputMode.Complete())
+        .orderBy($"event_type")
+    }, Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}
+
+final case class UserState(n: Long, cents: Long)
+final case class UserTotals(user_id: Long, n: Long, cents: Long)
