@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class GraftExpressionsSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  private def oneString(v: String) = {
+    import spark.implicits._
+    Seq(v).toDF("s")
+  }
+
+  test("lz4 round-trips empty, short, and highly-repetitive payloads") {
+    for (s <- Seq("", "x", "abc", "ab" * 10000, "the quick brown fox")) {
+      val got = new String(GraftCodec.lz4Decompress(GraftCodec.lz4Compress(s.getBytes("UTF-8"))), "UTF-8")
+      assert(got == s)
+    }
+    // compression actually compresses repetitive input
+    assert(GraftCodec.lz4Compress(("ab" * 10000).getBytes).length < 1000)
+  }
+
+  test("zstd round-trips and frames carry content size") {
+    for (s <- Seq("", "z", "spark " * 5000)) {
+      val got = new String(GraftCodec.zstdDecompress(GraftCodec.zstdCompress(s.getBytes("UTF-8"), 3)), "UTF-8")
+      assert(got == s)
+    }
+  }
+
+  test("lz4 decompress rejects corrupt input") {
+    intercept[Exception] { GraftCodec.lz4Decompress(Array[Byte](0, 0)) }
+  }
+
+  test("compression expressions are null-safe in a DataFrame plan") {
+    import spark.implicits._
+    val df = Seq(Some("hello"), None).toDF("s")
+      .select(lz4_decompress(lz4_compress($"s".cast(BinaryType))).cast(StringType).as("rt"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("hello", null))
+  }
+
+  test("djb2 matches the reference algorithm's known vectors") {
+    // independently computed: djb2 over bytes, 64-bit wrap, %016x
+    assert(GraftCodec.djb2Hex("abc".getBytes) == "000000000b885c8b")
+    assert(GraftCodec.djb2Hex("".getBytes) == "0000000000001505")
+    val got = oneString("abc").select(djb2_hash(col("s"))).head.getString(0)
+    assert(got == "000000000b885c8b")
+  }
+
+  test("karp-rabin fingerprint matches known vector and is order-sensitive") {
+    assert(GraftCodec.karpRabin("abc".getBytes) == 6432038L)
+    assert(GraftCodec.karpRabin("acb".getBytes) != GraftCodec.karpRabin("abc".getBytes))
+  }
+
+  test("fnv1a64 matches the published test vector") {
+    assert(GraftCodec.fnv1a64("abc".getBytes) == -1792535898324117685L) // 0xe71fa2190541574b
+  }
+
+  test("simhash: identical token sets collide, near sets are close, far sets are far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g", "x")),
+      (4L, Seq("q", "r", "s", "t", "u", "v", "w", "z"))
+    ).toDF("id", "toks").select($"id", simhash64($"toks").as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("minhash signature: identical sets agree; match fraction tracks jaccard") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"s$i")
+    val b = (51 to 150).map(i => s"s$i") // jaccard with a = 50/150 = 1/3
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "sh")
+      .select($"id", minhash_signature(transform($"sh", x => xxhash64(x)), 128).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val matches = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(matches - 1.0 / 3.0) < 0.15, s"minhash estimate $matches too far from 1/3")
+  }
+
+  test("cosine similarity: identity, orthogonality, known value") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 2f, 2f), Seq(2f, 1f, 2f))
+    ).toDF("a", "b").select(cosine_sim($"a", $"b").as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 8.0 / 9.0) < 1e-12)
+  }
+
+  test("custom functions are SQL-registered") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT djb2_hash('abc') AS h, kr_fingerprint('abc') AS k").head()
+    assert(r.getString(0) == "000000000b885c8b" && r.getLong(1) == 6432038L)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables => T}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** T3-T6 streaming semantics the batch oracle can't exercise: multi-batch
+  * state accumulation, watermark late-drop, checkpointed exactly-once
+  * restart (the upgrade over the reference's at-most-once in-memory queue,
+  * scheduler.cpp:92-99). */
+class StreamingSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches (T4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
+          val total = st.getOption.getOrElse(0L) + rows.map(_._2).sum
+          st.update(total)
+          (k, total)
+      }
+    val qn = s"t4_test_${System.nanoTime()}"
+    val q = out.toDF("user", "total").writeStream
+      .format("memory").queryName(qn).outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 10L), (2L, 5L)); q.processAllAvailable()
+      input.addData((1L, 7L)); q.processAllAvailable()
+      val rows = spark.table(qn).collect().map(r => (r.getLong(0), r.getLong(1)))
+      // update-mode memory sink appends each batch's updates; last row per key wins
+      val last = rows.zipWithIndex.groupBy(_._1._1).map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      assert(last(1L) == 17L, s"state did not accumulate: $rows")
+      assert(last(2L) == 5L)
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows in append-mode windowed agg (T3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Timestamp]
+    val agg = input.toDS().toDF("ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "10 seconds")).agg(count(lit(1)).as("n"))
+    val qn = s"t3_test_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      input.addData(ts(5), ts(7)); q.processAllAvailable()      // window [0,10)
+      input.addData(ts(100)); q.processAllAvailable()           // advances watermark to 90
+      input.addData(ts(6)); q.processAllAvailable()             // late: dropped
+      input.addData(ts(200)); q.processAllAvailable()           // closes [100,110)
+      val n = spark.table(qn)
+        .select($"window.start".cast("long"), $"n").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(n(0L) == 2L, s"window [0,10) must contain only the 2 on-time rows, got $n")
+    } finally q.stop()
+  }
+
+  test("checkpointed file sink is exactly-once across restart (T6)") {
+    import spark.implicits._
+    val ckpt = tmp("ckpt")
+    val outDir = tmp("out")
+    val schema = T.eventsRaw(spark, sf).schema
+    def start() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"event_id", $"user_id", $"ts")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start(); q1.awaitTermination(60000); q1.stop()
+    val n1 = spark.read.parquet(outDir).count()
+    // restart against the same checkpoint: no reprocessing, no duplicates
+    val q2 = start(); q2.awaitTermination(60000); q2.stop()
+    val n2 = spark.read.parquet(outDir).count()
+    assert(n1 == 1000L, s"first run wrote $n1 rows")
+    assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
+  }
+
+  test("streaming dedup drops within-stream duplicates across batches (T5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val agg = input.toDS().toDF("id", "v").dropDuplicates("id")
+      .groupBy().agg(count(lit(1)).as("n"))
+    val qn = s"t5_test_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((1L, "a-again"), (3L, "c")); q.processAllAvailable()
+      val n = spark.table(qn).collect().map(_.getLong(0)).max
+      assert(n == 3L, s"dedup state failed across batches: $n")
+    } finally q.stop()
+  }
+}
