@@ -82,6 +82,49 @@ object StreamingQueries {
         CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS cents
       FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ----- J7a: stream-static join — the streaming fact enriched by a
+    // static dimension (broadcast at scale; no state needed on the dim)
+    GraftQuery("j7_stream_static_join", (s, d) => {
+      import s.implicits._
+      val cust = T.customer(s, d)
+      val agg = eventsStream(s, d)
+        .join(cust, expr("user_id = c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(vcents($"value")).as("cents"))
+      runToMemory(s, agg, OutputMode.Complete())
+        .orderBy($"c_mktsegment")
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS cents
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ----- J7b: stream-stream join with watermarks — purchases matched to
+    // clicks by the same user within the preceding 10 minutes (both sides
+    // watermarked so join state is bounded; single-batch fixture makes the
+    // result exact against the batch oracle)
+    GraftQuery("j7_stream_stream_join", (s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 10 MINUTES"))
+        .select($"purchase_id", $"click_id")
+      runToMemory(s, joined, OutputMode.Append())
+        .orderBy($"purchase_id", $"click_id")
+    }, Some("""
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+      ORDER BY purchase_id, click_id""")),
+
     // ----- T5: streaming dedup by key + downstream aggregate
     GraftQuery("t5_stream_dedup", (s, d) => {
       import s.implicits._

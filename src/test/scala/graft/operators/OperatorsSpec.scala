@@ -12,7 +12,8 @@ class OperatorsSpec extends SparkTestBase {
     val mayBeEmpty = Set("n4_embedding_neardup") // no planted pairs below sf0.01
     // the three streaming queries spin up real StreamExecution runs; keep
     // them out of the hot loop here (StreamingSpec covers them)
-    val skip = Set("t3_stream_tumbling", "t4_stream_state", "t5_stream_dedup")
+    val skip = Set("t3_stream_tumbling", "t4_stream_state", "t5_stream_dedup",
+      "j7_stream_static_join", "j7_stream_stream_join")
     SparkEntry.all.filterNot(q => skip(q.name)).foreach { q =>
       val n = q.build(spark, sf).count()
       assert(n > 0 || mayBeEmpty(q.name), s"${q.name} returned 0 rows")
@@ -97,6 +98,13 @@ class OperatorsSpec extends SparkTestBase {
     val exact = SparkEntry.queries("n3_ngram_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"LSH recall/precision mismatch: lsh-only=${lsh -- exact}, missed=${exact -- lsh}")
+  }
+
+  test("scalar UDF registration surface (ref Utils::AddFunction pattern)") {
+    spark.udf.register("graft_double_it", (x: Long) => x * 2)
+    graft.Tables.registerAll(spark, sf)
+    val r = spark.sql("SELECT graft_double_it(c_custkey) AS d FROM customer WHERE c_custkey = 21").head()
+    assert(r.getLong(0) == 42L)
   }
 
   test("catalog cache semantics: cache / isCached / invalidate (ref cache.hpp)") {

@@ -90,6 +90,48 @@ class StreamingSpec extends SparkTestBase {
     assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
   }
 
+  test("socket source ingests line frames (S3, the TCP-server analogue)") {
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      (1 to 5).foreach(i => w.println(s"frame-$i"))
+      Thread.sleep(3000); w.close(); sock.close()
+    })
+    feeder.setDaemon(true); feeder.start()
+    val qn = s"s3_test_${System.nanoTime()}"
+    val q = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port)
+      .load()
+      .writeStream.format("memory").queryName(qn).outputMode(OutputMode.Append()).start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table(qn).count() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val got = spark.table(qn).as[String].collect().toSet
+      assert((1 to 5).map(i => s"frame-$i").toSet.subsetOf(got), s"got $got")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("foreachBatch sink receives every micro-batch (S5, the WebSocket.Send analogue)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], id: Long) =>
+        batch.collect().foreach(v => seen.add(v)); ()
+      }
+      .start()
+    try {
+      input.addData(1L, 2L); q.processAllAvailable()
+      input.addData(3L); q.processAllAvailable()
+      assert(seen.toArray.toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-stream duplicates across batches (T5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
