@@ -133,6 +133,35 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Deterministic byte expansion of a seed to n bytes via a SHA-256 counter
+  * chain — the honest equivalent of the reference's `crypt.derive`
+  * (crypt.hpp:371-398). String→Binary. */
+case class DeriveBytes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = {
+    val seed = v.asInstanceOf[UTF8String].getBytes
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val out = new Array[Byte](n)
+    var filled = 0
+    var ctr = 0
+    while (filled < n) {
+      md.reset()
+      md.update(seed)
+      md.update(Array[Byte](
+        (ctr >>> 24).toByte, (ctr >>> 16).toByte, (ctr >>> 8).toByte, ctr.toByte))
+      val block = md.digest()
+      val take = math.min(block.length, n - filled)
+      System.arraycopy(block, 0, out, filled, take)
+      filled += take
+      ctr += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): DeriveBytes =
+    copy(child = c)
+}
+
 /** Cosine similarity of two float vectors, accumulated in double in index
   * order (deterministic). Array[Float]×Array[Float]→Double. */
 case class CosineSimilarity(left: Expression, right: Expression)

@@ -20,6 +20,7 @@ object GraftFunctions {
     column(MinHashSignature(expression(c), n))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def derive_bytes(c: Column, n: Int): Column = column(DeriveBytes(expression(c), n))
 
   /** Register the scalar functions for SQL texts. */
   def registerAll(spark: SparkSession): Unit = {

@@ -128,12 +128,18 @@ object EventQueries {
     // key is user_id, the "offset" order is (ts, event_id).
     GraftQuery("s6_compaction", (s, d) => {
       import s.implicits._
-      val latest = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      // max_by aggregate, not a row_number window: partial aggregation
+      // combines map-side, so compaction never sorts whole partitions —
+      // the shape that matters when the append log is 100 TB. (ts, event_id)
+      // is a total order, so the kept row is deterministic.
       T.events(s, d)
-        .withColumn("rn", row_number().over(latest))
-        .filter($"rn" === 1)
-        .select($"user_id", $"event_id", $"event_type",
-          tsFmt($"ts").as("ts_s"), vcents($"value").as("cents"))
+        .groupBy($"user_id")
+        .agg(max_by(
+          struct($"event_id", $"event_type", $"ts", vcents($"value").as("cents")),
+          struct($"ts", $"event_id")).as("last"))
+        .select($"user_id", $"last.event_id".as("event_id"),
+          $"last.event_type".as("event_type"),
+          tsFmt($"last.ts").as("ts_s"), $"last.cents".as("cents"))
         .orderBy($"user_id")
     }, Some(s"""
       SELECT user_id, event_id, event_type, ${sql.tsFmt("ts")} AS ts_s,

@@ -192,12 +192,16 @@ object RelationalQueries {
     // ----- J2: left outer join with per-key aggregate
     GraftQuery("j2_left_outer", (s, d) => {
       import s.implicits._
+      // aggregate below the join: orders collapses to one row per custkey
+      // before joining, so the outer join's build side shrinks by the
+      // orders-per-customer factor — the right shape at fact-table scale
       val c = T.customer(s, d)
-      val o = T.orders(s, d)
-      c.join(o, $"c_custkey" === $"o_custkey", "left")
-        .groupBy($"c_custkey")
-        .agg(count($"o_orderkey").as("n_orders"),
-          coalesce(moneySum($"o_totalprice"), lit(0.0)).as("total_spend"))
+      val oAgg = T.orders(s, d).groupBy($"o_custkey")
+        .agg(count($"o_orderkey").as("n_orders0"), moneySum($"o_totalprice").as("spend0"))
+      c.join(oAgg, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey",
+          coalesce($"n_orders0", lit(0L)).as("n_orders"),
+          coalesce($"spend0", lit(0.0)).as("total_spend"))
         .orderBy($"c_custkey")
     }, Some(s"""
       SELECT c_custkey, COUNT(o_orderkey) AS n_orders,

@@ -251,6 +251,32 @@ object ScalarQueries {
       SELECT doc_id, text AS lz4_rt, text AS zstd_rt
       FROM documents ORDER BY doc_id""")),
 
+    // ----- crypto: the reference's crypt.encrypt/decrypt (XOR+IV
+    // obfuscation, crypt.hpp:224-309) realized honestly as AES; ECB keeps
+    // the roundtrip deterministic for the oracle. crypt.derive
+    // (crypt.hpp:371-398) → DeriveBytes; crypt.generatebytes
+    // (crypt.hpp:311-338) → rand-seeded bytes (nondeterministic: no oracle).
+    GraftQuery("f_crypto_roundtrip", (s, d) => {
+      import s.implicits._
+      T.documents(s, d).select(
+        $"doc_id",
+        expr("""cast(aes_decrypt(
+                  aes_encrypt(cast(text as binary), '0123456789abcdef', 'ECB'),
+                  '0123456789abcdef', 'ECB') as string)""").as("aes_rt"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, text AS aes_rt FROM documents ORDER BY doc_id""")),
+
+    // derive (deterministic expansion) + generatebytes (CSPRNG: rows-only)
+    GraftQuery("f_crypto_native", (s, d) => {
+      import s.implicits._
+      T.documents(s, d).select(
+        $"doc_id",
+        hex(GraftFunctions.derive_bytes(concat(lit("seed:"), $"doc_id".cast(StringType)), 16)).as("derived"),
+        base64(GraftFunctions.derive_bytes(rand(42).cast(StringType), 16)).as("gen_bytes"))
+        .orderBy($"doc_id")
+    }, None),
+
     // compression ratios are codec-version-specific: rows-only
     GraftQuery("f_compress_ratio", (s, d) => {
       import s.implicits._
