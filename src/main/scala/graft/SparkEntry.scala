@@ -14,6 +14,7 @@ object SparkEntry {
   lazy val all: Seq[GraftQuery] =
     operators.RelationalQueries.queries ++
     operators.EventQueries.queries ++
+    operators.MessageQueries.queries ++
     operators.TypedAggQueries.queries ++
     operators.ScalarQueries.queries ++
     operators.DedupQueries.queries ++

@@ -45,6 +45,79 @@ object GraftCodec {
     Zstd.decompress(input, size.toInt)
   }
 
+  /** Max ingest frame size — the reference's TCP server cap
+    * (/root/reference/module/internal/misc/server/server.cpp:85). */
+  val MaxFrameBytes: Int = 8 * 1024 * 1024
+
+  /** Length-prefixed wire frame: 4-byte big-endian length + payload — the
+    * reference's ingest wire format (server.cpp:77-98, execute.hpp:30-36). */
+  def frameEncode(payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= MaxFrameBytes, s"frame exceeds $MaxFrameBytes bytes")
+    val out = new Array[Byte](payload.length + 4)
+    out(0) = (payload.length >>> 24).toByte
+    out(1) = (payload.length >>> 16).toByte
+    out(2) = (payload.length >>> 8).toByte
+    out(3) = payload.length.toByte
+    System.arraycopy(payload, 0, out, 4, payload.length)
+    out
+  }
+
+  /** Split a byte stream of concatenated frames back into payloads,
+    * enforcing the 8 MiB cap like the reference server does. */
+  def frameDecode(stream: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i + 4 <= stream.length) {
+      val len = ((stream(i) & 0xff) << 24) | ((stream(i + 1) & 0xff) << 16) |
+        ((stream(i + 2) & 0xff) << 8) | (stream(i + 3) & 0xff)
+      require(len >= 0 && len <= MaxFrameBytes, s"frame length $len out of bounds")
+      require(i + 4 + len <= stream.length, "truncated frame")
+      out += java.util.Arrays.copyOfRange(stream, i + 4, i + 4 + len)
+      i += 4 + len
+    }
+    require(i == stream.length, "trailing garbage after last frame")
+    out.result()
+  }
+
+  private val Rsb1Magic = Array[Byte]('R', 'S', 'B', '1')
+
+  /** Encode a payload in the reference's compressed-bytecode container:
+    * "RSB1" magic, 4-byte little-endian size, zstd frame — all bytes XOR'd
+    * with a rolling mask derived from the magic+size prefix
+    * (decode-only conformance shape from bytecode.cpp:130-155; the encoder
+    * exists so tests can build fixtures). */
+  def rsb1Encode(payload: Array[Byte]): Array[Byte] = {
+    val comp = zstdCompress(payload, 3)
+    val raw = new Array[Byte](8 + comp.length)
+    System.arraycopy(Rsb1Magic, 0, raw, 0, 4)
+    raw(4) = payload.length.toByte
+    raw(5) = (payload.length >>> 8).toByte
+    raw(6) = (payload.length >>> 16).toByte
+    raw(7) = (payload.length >>> 24).toByte
+    System.arraycopy(comp, 0, raw, 8, comp.length)
+    // rolling XOR mask: byte i of the body is masked with prefix(i % 8)
+    val out = raw.clone()
+    var i = 8
+    while (i < out.length) { out(i) = (out(i) ^ raw(i % 8)).toByte; i += 1 }
+    out
+  }
+
+  /** Decode the RSB1 container: unmask, validate magic, zstd-decompress to
+    * exactly the declared size. */
+  def rsb1Decode(input: Array[Byte]): Array[Byte] = {
+    require(input.length >= 8, "rsb1: too short")
+    require(input(0) == 'R' && input(1) == 'S' && input(2) == 'B' && input(3) == '1',
+      "rsb1: bad magic")
+    val size = (input(4) & 0xff) | ((input(5) & 0xff) << 8) |
+      ((input(6) & 0xff) << 16) | ((input(7) & 0xff) << 24)
+    val body = new Array[Byte](input.length - 8)
+    var i = 8
+    while (i < input.length) { body(i - 8) = (input(i) ^ input(i % 8)).toByte; i += 1 }
+    val out = Zstd.decompress(body, size)
+    require(out.length == size, s"rsb1: declared $size got ${out.length}")
+    out
+  }
+
   /** djb2 over the UTF-8 bytes, formatted as 16 hex digits — the exact
     * semantics of the reference's `crypt.hash`
     * (/root/reference/module/internal/env/libs/crypt.hpp:346-369). */

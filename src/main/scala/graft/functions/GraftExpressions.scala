@@ -133,6 +133,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Decode the reference's RSB1 compressed-payload container (XOR-masked
+  * magic+size header, zstd body — bytecode.cpp:130-155). Binary→Binary.
+  * The N5 "opaque payload decode" stage for message values. */
+case class Rsb1Decode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    GraftCodec.rsb1Decode(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Rsb1Decode = copy(c)
+}
+
 /** Deterministic byte expansion of a seed to n bytes via a SHA-256 counter
   * chain — the honest equivalent of the reference's `crypt.derive`
   * (crypt.hpp:371-398). String→Binary. */

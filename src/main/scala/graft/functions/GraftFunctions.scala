@@ -21,6 +21,7 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
   def derive_bytes(c: Column, n: Int): Column = column(DeriveBytes(expression(c), n))
+  def rsb1_decode(c: Column): Column = column(Rsb1Decode(expression(c)))
 
   /** Register the scalar functions for SQL texts. */
   def registerAll(spark: SparkSession): Unit = {
