@@ -72,6 +72,44 @@ object SimilarityQueries {
              FROM e x JOIN e y ON x.vec_id < y.vec_id)
       SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""")),
 
+    // ----- IVF ANN (the other scale path): coarse quantizer over K fixed
+    // centroids (the first K vectors — deterministic, no RNG), each vector
+    // assigned to its nearest centroid cell; queries probe the nprobe
+    // nearest cells and rescore exact cosine inside them. At 100 TB the
+    // cell assignment is a narrow groupBy key and the probe join touches
+    // nprobe/K of the corpus. Probabilistic recall: rows-only (recall floor
+    // asserted against brute force in SimilaritySpec).
+    GraftQuery("n5_ann_ivf", (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+      // assign: nearest centroid per vector (broadcast 16 centroids)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine_sim($"embedding", $"cv"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+      // probe: each query probes its 4 nearest cells
+      val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cent_id")
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", cosine_sim($"qe", $"cv"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter($"rn" <= 4)
+        .select($"qid", $"qe", $"cent_id".as("cell"))
+      val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      assigned.join(probes, "cell")
+        .filter($"qid" =!= $"vec_id")
+        .withColumn("cos", cosine_sim($"qe", $"embedding"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 5)
+        .select($"qid", $"vec_id".as("cid"), round($"cos", 6).as("cos"))
+        .orderBy($"qid", $"cid")
+    }, None),
+
     // ----- LSH-bucketed ANN (the scale path): 8 hyperplane sign bits →
     // bucket join → exact cosine rescore, top-3 per query among candidates.
     // Probabilistic recall: rows-only check; bucketing correctness is
