@@ -19,26 +19,31 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
 
-  /** (doc_id, sh: array<string>) — distinct 3-gram word shingles per doc.
+  /** (doc_id, sh: array<bigint>) — distinct 3-gram word shingles per doc,
+    * as 64-bit hashes.
     *
     * Two-stage projection on purpose: tokenization materializes once as an
     * attribute (CollapseProject won't inline a non-cheap alias used many
     * times), then shingling is a single zip_with pass over three shifted
-    * slices — no per-index element_at, no split re-evaluation inside the
-    * lambda (the original form cost ~10s at sf0.1; this is ~0.3s). */
+    * slices of per-token hashes, composed with xxhash64 — no per-index
+    * element_at, no split re-evaluation, no intermediate shingle strings
+    * (the element_at form cost ~10s at sf0.1). Downstream set ops
+    * (jaccard intersections, posting-list joins) run on longs; a 64-bit
+    * collision among ~260k distinct shingles (p ≈ 2e-9) is the accepted
+    * trade for that. */
   def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = size($"toks")
     T.documents(s, d)
-      .select($"doc_id", split(trim($"text"), " ").as("toks"))
+      .select($"doc_id", transform(split(trim($"text"), " "), t => xxhash64(t)).as("toks"))
       .select($"doc_id",
         when(n >= 3,
           array_distinct(zip_with(
             zip_with(slice($"toks", lit(1), n - 2), slice($"toks", lit(2), n - 2),
-              (a, b) => concat(a, lit("_"), b)),
+              (a, b) => xxhash64(a, b)),
             slice($"toks", lit(3), n - 2),
-            (ab, c) => concat(ab, lit("_"), c))))
-          .otherwise(array(concat_ws(" ", $"toks"))).as("sh"))
+            (ab, c) => xxhash64(ab, c))))
+          .otherwise(array(xxhash64(concat_ws(" ", $"toks")))).as("sh"))
   }
 
   /** Exact Jaccard on shingle-set pairs given (a, b) candidate pairs. */
@@ -91,9 +96,7 @@ object DedupQueries {
     GraftQuery("n2_minhash_lsh", (s, d) => {
       import s.implicits._
       val sets = docShingles(s, d).cache()
-      val sig = sets
-        .withColumn("hashes", transform($"sh", x => xxhash64(x)))
-        .withColumn("sig", minhash_signature($"hashes", 128))
+      val sig = sets.withColumn("sig", minhash_signature($"sh", 128))
       val bands = sig.select($"doc_id",
           posexplode(transform(sequence(lit(0), lit(31)),
             b => hash(slice($"sig", b * 4 + 1, lit(4))))))
