@@ -174,13 +174,29 @@ case class DeriveBytes(child: Expression, n: Int)
 }
 
 /** Cosine similarity of two float vectors, accumulated in double in index
-  * order (deterministic). Array[Float]×Array[Float]→Double. */
+  * order (deterministic). Array[Float]×Array[Float]→Double.
+  *
+  * Implements doGenCode (a static call into [[VectorOps]]) rather than
+  * CodegenFallback: a fallback expression would force the whole containing
+  * stage out of whole-stage codegen, which matters in the ANN cross-join
+  * inner loop. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Static vector kernels callable from generated code. */
+object VectorOps {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -192,6 +208,4 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
-    copy(left = l, right = r)
 }
