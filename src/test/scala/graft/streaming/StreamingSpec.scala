@@ -90,6 +90,35 @@ class StreamingSpec extends SparkTestBase {
     assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
   }
 
+  test("flatMapGroupsWithState emits variable-arity output per key (T4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    // emit one row per NEW per-key maximum observed; state = current max
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
+          var best = st.getOption.getOrElse(Long.MinValue)
+          val emitted = rows.toSeq.sortBy(_._2).flatMap { r =>
+            if (r._2 > best) { best = r._2; Some((k, r._2)) } else None
+          }
+          st.update(best)
+          emitted.iterator
+      }
+    val qn = s"t4b_test_${System.nanoTime()}"
+    val q = out.toDF("k", "newmax").writeStream
+      .format("memory").queryName(qn).outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 5L), (1L, 3L), (1L, 9L)); q.processAllAvailable()
+      input.addData((1L, 7L), (1L, 12L)); q.processAllAvailable()
+      // rows are processed in ascending value order per batch, so batch 1
+      // emits 3,5,9 and batch 2 emits only 12 (7 < 9)
+      val got = spark.table(qn).collect().map(r => r.getLong(1)).sorted.toSeq
+      assert(got == Seq(3L, 5L, 9L, 12L), s"expected new-max stream, got $got")
+    } finally q.stop()
+  }
+
   test("socket source ingests line frames (S3, the TCP-server analogue)") {
     import spark.implicits._
     val server = new java.net.ServerSocket(0)
