@@ -283,6 +283,52 @@ object RelationalQueries {
         ON s1.s_acctbal < s2.s_acctbal AND s2.s_acctbal - s1.s_acctbal < 100
       ORDER BY a_key, b_key""")),
 
+    // ----- composite: conditional aggregation (TPC-H Q12 shape) — CASE
+    // inside SUM, one pass over the join
+    GraftQuery("q12_conditional_agg", (s, d) => {
+      import s.implicits._
+      val l = T.lineitem(s, d).filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType))
+      l.join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- composite: revenue ranking per customer (TPC-H Q10 shape)
+    GraftQuery("q10_revenue_ranking", (s, d) => {
+      import s.implicits._
+      val l = T.lineitem(s, d).filter($"l_returnflag" === "R")
+      val o = T.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1997-01-01").cast(TimestampType))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(T.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }, Some(s"""
+      SELECT c_custkey, c_name, n_name,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""), bench = true),
+
     // ----- A1: count distinct (exact) + grouped sums
     GraftQuery("a1_count_distinct", (s, d) => {
       import s.implicits._
