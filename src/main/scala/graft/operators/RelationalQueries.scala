@@ -431,6 +431,43 @@ object RelationalQueries {
         list_sort(list(DISTINCT c_mktsegment)) AS segments_distinct
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // ----- subqueries: correlated scalar + IN (Catalyst decorrelates both
+    // into joins — the SQL front door of the J3 semi-join surface)
+    GraftQuery("p8_subqueries", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+        ORDER BY o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders o2
+                             WHERE o2.o_custkey = o.o_custkey)
+        AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+      ORDER BY o_orderkey""")),
+
+    // ----- pivot: per-user event-type counts as columns
+    GraftQuery("a6_pivot", (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ----- W1: ranking window functions
     GraftQuery("w1_ranking", (s, d) => {
       import s.implicits._
