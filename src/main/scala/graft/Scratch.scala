@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Scratch audit tool (not part of the driver contract):
   *   runMain graft.Scratch <sfDir> [queryNames...]   → formatted plans
   *   runMain graft.Scratch <sfDir> --time            → cold/warm timings
+  *   runMain graft.Scratch <sfDir> --scale           → replication scaling probe
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -16,6 +17,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "--scale") { scaleProbe(spark, d); spark.stop(); return }
     if (args.length > 1 && args(1) == "--time") {
       SparkEntry.benchNames.foreach { n =>
         def run() = {
@@ -36,5 +38,79 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Replicate the sf0.1 tables in-memory (keys re-salted so cardinality
+    * grows with volume) and time the scale-critical operators at 1×/10×/
+    * 100× events, 1×/4×/16× lineitem — evidence that the chosen plans
+    * scale linearly, not a benchmark. */
+  def scaleProbe(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def time[A](label: String)(f: => A): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def replicate(df: org.apache.spark.sql.DataFrame, k: Int, keyCols: Seq[String]) = {
+      val r = df.withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+      keyCols.foldLeft(r)((acc, c) =>
+        acc.withColumn(c, acc(c) * k + col("__r"))).drop("__r")
+    }
+    for (k <- Seq(1, 10, 100)) {
+      val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id")).cache()
+      val n = ev.count()
+      time(f"events x$k%3d ($n%9d rows) s6-style compaction") {
+        ev.groupBy($"user_id")
+          .agg(max_by(struct($"event_id", $"ts"), struct($"ts", $"event_id")))
+          .count()
+      }
+      time(f"events x$k%3d ($n%9d rows) t1-style window agg") {
+        ev.groupBy(window($"ts", "5 minutes"), $"event_type").count().count()
+      }
+      time(f"events x$k%3d ($n%9d rows) w3-style running window") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        ev.withColumn("rs", sum(round($"value" * 100).cast("long")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .agg(max($"rs")).count()
+      }
+      ev.unpersist()
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val li = replicate(Tables.lineitem(spark, d), k, Seq("l_orderkey")).cache()
+      val n = li.count()
+      time(f"lineitem x$k%2d ($n%9d rows) q1-style aggregate") {
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity"), count(lit(1))).count()
+      }
+      li.unpersist()
+    }
+    for (k <- Seq(1, 5, 20)) {
+      val docs = Tables.documents(spark, d)
+        .withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+        .withColumn("doc_id", $"doc_id" * k + $"__r")
+        // perturb replicated text so near-dup structure doesn't explode
+        .withColumn("text", concat($"text", lit(" rep"), $"__r".cast("string")))
+        .drop("__r")
+      docs.createOrReplaceTempView("documents_scaled")
+      val n = docs.count()
+      time(f"documents x$k%2d ($n%7d rows) minhash-lsh candidates") {
+        val sets = docs.select($"doc_id",
+          transform(split(trim($"text"), " "), t => xxhash64(t)).as("toks"))
+          .select($"doc_id", array_distinct(zip_with(
+            zip_with(slice($"toks", lit(1), size($"toks") - 2),
+              slice($"toks", lit(2), size($"toks") - 2), (a, b) => xxhash64(a, b)),
+            slice($"toks", lit(3), size($"toks") - 2),
+            (ab, c) => xxhash64(ab, c))).as("sh"))
+        val sig = sets.withColumn("sig",
+          graft.functions.GraftFunctions.minhash_signature($"sh", 128))
+        val bands = sig.select($"doc_id",
+          posexplode(transform(sequence(lit(0), lit(31)),
+            b => hash(slice($"sig", b * 4 + 1, lit(4)))))).toDF("doc_id", "bid", "bh")
+        bands.as("x").join(bands.as("y"),
+          col("x.bid") === col("y.bid") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id")).count()
+      }
+    }
   }
 }
