@@ -34,6 +34,17 @@ class SimilarityAndSkewSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("bucketed band join equals the naive theta join") {
+    import spark.implicits._
+    val s1 = graft.Tables.supplier(spark, sf).select($"s_suppkey".as("a_key"), $"s_acctbal".as("a_bal"))
+    val s2 = graft.Tables.supplier(spark, sf).select($"s_suppkey".as("b_key"), $"s_acctbal".as("b_bal"))
+    val naive = s1.join(s2, $"a_bal" < $"b_bal" && $"b_bal" - $"a_bal" < lit(100.0))
+      .select($"a_key", $"b_key").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SkewUtils.bandJoin(s1, "a_bal", s2, "b_bal", 100.0)
+      .select($"a_key", $"b_key").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive, s"missing=${naive -- bucketed}, extra=${bucketed -- naive}")
+  }
+
   test("salted join equals plain join on a skewed fact") {
     import spark.implicits._
     // skewed fact: 90% of rows on one key

@@ -90,6 +90,28 @@ class StreamingSpec extends SparkTestBase {
     assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
   }
 
+  test("session windows work in streaming mode with watermark (T2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDS().toDF("uid", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "30 seconds").as("w"), $"uid")
+      .agg(count(lit(1)).as("n"))
+    val qn = s"t2_test_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      // user 1: events at 0,10,20 (one session), then 120 (second session)
+      input.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(20)), (1L, ts(120)))
+      q.processAllAvailable()
+      val sessions = spark.table(qn).filter($"uid" === 1L)
+        .select($"n").collect().map(_.getLong(0)).sorted.toSeq
+      assert(sessions == Seq(1L, 3L), s"expected sessions of 3 and 1 events, got $sessions")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits variable-arity output per key (T4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
