@@ -52,6 +52,90 @@ object ScalarQueries {
         p_name LIKE '%widget%' AS is_widget
       FROM part ORDER BY p_partkey""")),
 
+    // ----- strings, part 2: positional / generative / distance functions
+    GraftQuery("f_string2", (s, d) => {
+      import s.implicits._
+      T.part(s, d).select(
+        $"p_partkey",
+        instr($"p_name", "e").cast(LongType).as("pos_e"),
+        repeat($"p_brand", 2).as("brand2"),
+        reverse($"p_name").as("name_rev"),
+        ascii($"p_type").as("type_ascii"),
+        chr($"p_size" + 64).as("size_chr"),
+        levenshtein($"p_name", $"p_type").cast(LongType).as("lev"),
+        $"p_name".contains("o").as("has_o"),
+        $"p_name".startsWith("red").as("is_red"),
+        $"p_name".endsWith("t").as("ends_t"),
+        concat_ws("|", $"p_brand", $"p_type", $"p_name").as("joined"))
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+        strpos(p_name, 'e') AS pos_e,
+        repeat(p_brand, 2) AS brand2,
+        reverse(p_name) AS name_rev,
+        ascii(p_type) AS type_ascii,
+        chr(p_size + 64) AS size_chr,
+        levenshtein(p_name, p_type) AS lev,
+        contains(p_name, 'o') AS has_o,
+        starts_with(p_name, 'red') AS is_red,
+        ends_with(p_name, 't') AS ends_t,
+        concat_ws('|', p_brand, p_type, p_name) AS joined
+      FROM part ORDER BY p_partkey""")),
+
+    // ----- datetime, part 2
+    GraftQuery("f_datetime2", (s, d) => {
+      import s.implicits._
+      T.orders(s, d).select(
+        $"o_orderkey",
+        date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
+        weekofyear($"o_orderdate").cast(LongType).as("iso_week"),
+        dayofyear($"o_orderdate").cast(LongType).as("doy"),
+        hour($"o_orderdate").cast(LongType).as("h"),
+        minute($"o_orderdate").cast(LongType).as("mi"),
+        date_format(make_date(year($"o_orderdate"), lit(1), lit(1)), "yyyy-MM-dd").as("year_start"),
+        date_format(date_sub($"o_orderdate".cast(DateType), 7), "yyyy-MM-dd").as("week_before"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        weekofyear(o_orderdate) AS iso_week,
+        dayofyear(o_orderdate) AS doy,
+        hour(o_orderdate) AS h,
+        minute(o_orderdate) AS mi,
+        strftime(make_date(CAST(year(o_orderdate) AS INT), 1, 1), '%Y-%m-%d') AS year_start,
+        strftime(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') AS week_before
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ----- math, part 2: signs, logs, trig (rounded), factorial, bit ops
+    GraftQuery("f_math2", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d).select(
+        $"l_orderkey", $"l_linenumber",
+        signum($"l_quantity" - 25).as("sign_c"),
+        round(log10($"l_extendedprice"), 6).as("lg10"),
+        round(log2($"l_quantity"), 6).as("lg2"),
+        round(sin($"l_discount"), 4).as("sin_d"),
+        round(cos($"l_discount"), 4).as("cos_d"),
+        factorial($"l_linenumber").as("fact_ln"),
+        ($"l_orderkey".bitwiseAND(255)).as("band"),
+        ($"l_orderkey".bitwiseOR(16)).as("bor"),
+        ($"l_orderkey".bitwiseXOR($"l_partkey")).as("bxor"),
+        shiftleft($"l_linenumber", 3).cast(LongType).as("shl"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(sign(l_quantity - 25) AS DOUBLE) AS sign_c,
+        round(log10(l_extendedprice), 6) AS lg10,
+        round(log2(l_quantity), 6) AS lg2,
+        round(sin(l_discount), 4) AS sin_d,
+        round(cos(l_discount), 4) AS cos_d,
+        CAST(factorial(l_linenumber) AS BIGINT) AS fact_ln,
+        l_orderkey & 255 AS band,
+        l_orderkey | 16 AS bor,
+        xor(l_orderkey, l_partkey) AS bxor,
+        CAST(l_linenumber << 3 AS BIGINT) AS shl
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
     // ----- codecs (reference: crypt.hpp:72-222 base64, hex in bytecode dumps)
     GraftQuery("f_codec", (s, d) => {
       import s.implicits._
