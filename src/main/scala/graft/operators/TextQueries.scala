@@ -107,6 +107,71 @@ object TextQueries {
         CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS INT) AS norm_len
       FROM documents ORDER BY doc_id""")),
 
+    // ----- TF-IDF: term frequencies exact, score rounded; ordering is by
+    // (doc_id, term), never by score, so ulp-level ln() differences between
+    // engines can't flip row order
+    GraftQuery("x5_tfidf", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val n = docs.count()
+      val terms = docs.select($"doc_id", explode(split(trim($"text"), " ")).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term")
+        .filter($"tf" >= 3)
+        .select($"doc_id", $"term", $"tf", $"df",
+          round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+        .orderBy($"doc_id", $"term")
+    }, Some("""
+      WITH t AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT doc_id, term, tf, df,
+        round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+      WHERE tf >= 3
+      ORDER BY doc_id, term""")),
+
+    // ----- corpus vocabulary stats (Zipf head)
+    GraftQuery("x6_vocab_stats", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select(explode(split(trim($"text"), " ")).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"term")
+        .limit(20)
+    }, Some("""
+      SELECT term, COUNT(*) AS freq
+      FROM (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents) t
+      GROUP BY term ORDER BY freq DESC, term LIMIT 20""")),
+
+    // ----- embedding norm stats per label: per-row norms fold in index
+    // order (deterministic), aggregated as exact micro-units so partition
+    // order can't drift the mean
+    GraftQuery("x7_embedding_stats", (s, d) => {
+      import s.implicits._
+      val normSq = aggregate($"embedding", lit(0.0d),
+        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+      T.embeddings(s, d)
+        .withColumn("norm_u", round(sqrt(normSq) * 1e6).cast(LongType))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          (sum($"norm_u").cast(DoubleType) / count(lit(1)) / 1e6).as("avg_norm"),
+          min($"norm_u").as("min_norm_u"),
+          max($"norm_u").as("max_norm_u"))
+        .orderBy($"label")
+    }, Some("""
+      WITH e AS (SELECT label,
+        CAST(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * 1e6) AS BIGINT) AS norm_u
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(norm_u) AS DOUBLE) / COUNT(*) / 1e6 AS avg_norm,
+        MIN(norm_u) AS min_norm_u, MAX(norm_u) AS max_norm_u
+      FROM e GROUP BY label ORDER BY label""")),
+
     // rolling-hash + djb2 fingerprints (engine-specific: exact vectors in
     // GraftExpressionsSpec; rows-only here)
     GraftQuery("x4_fingerprint_native", (s, d) => {
