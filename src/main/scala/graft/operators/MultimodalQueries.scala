@@ -44,7 +44,31 @@ object MultimodalQueries {
         ascii(substring(text, 1, 1)) AS first_byte,
         ascii(substring(text, length(text), 1)) AS last_byte,
         lang
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // frame sampling: the payload split into fixed 64-byte frames, every
+    // 2nd frame kept (the video frame-sample shape: stride over an opaque
+    // buffer, per-frame feature = leading byte). Pure column expressions —
+    // the generator runs inside the scan stage, no shuffle until the sort.
+    GraftQuery("m4_frame_sample", (s, d) => {
+      import s.implicits._
+      val nFrames = floor((length($"text") - 1) / 64).cast("int") + 1
+      T.documents(s, d)
+        .select($"doc_id",
+          posexplode(transform(sequence(lit(0), nFrames - 1),
+            i => ascii(substring($"text", i * 64 + 1, lit(1))))))
+        .toDF("doc_id", "frame_id", "lead_byte")
+        .filter(pmod($"frame_id", lit(2)) === 0)
+        .orderBy($"doc_id", $"frame_id")
+    }, Some("""
+      WITH f AS (SELECT doc_id, u.frame_id
+                 FROM documents,
+                      unnest(range(0, CAST((length(text)-1)//64 AS INT) + 1)) AS u(frame_id)),
+      s AS (SELECT d.doc_id, CAST(f.frame_id AS INT) AS frame_id,
+                   ascii(substring(d.text, CAST(f.frame_id*64 + 1 AS INT), 1)) AS lead_byte
+            FROM f JOIN documents d ON f.doc_id = d.doc_id)
+      SELECT doc_id, frame_id, lead_byte FROM s
+      WHERE frame_id % 2 = 0 ORDER BY doc_id, frame_id"""))
   )
 }
 
