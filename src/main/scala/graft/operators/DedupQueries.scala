@@ -97,15 +97,22 @@ object DedupQueries {
       import s.implicits._
       val sets = docShingles(s, d).cache()
       val sig = sets.withColumn("sig", minhash_signature($"sh", 128))
+      // one shuffle: group docs per (band, hash) bucket, expand pairs
+      // inside each bucket (buckets are tiny by construction), then a
+      // cheap distinct over the few thousand candidate pairs — instead of
+      // a two-sided self-join that shuffles the banded rows twice
       val bands = sig.select($"doc_id",
           posexplode(transform(sequence(lit(0), lit(31)),
             b => hash(slice($"sig", b * 4 + 1, lit(4))))))
         .toDF("doc_id", "band_id", "band_hash")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val buckets = bands.groupBy($"band_id", $"band_hash")
+        .agg(collect_list($"doc_id").as("ids"))
+        .filter(size($"ids") > 1)
+      val cand = buckets
+        .select(explode(expr(
+          "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
+          .as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
         .distinct()
       rescore(s, cand, sets, 0.5)
     }, Some(exactPairsSql), bench = true),
