@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Property-based differential fuzz (SURVEY.md §5.5): generate seeded random
+ANSI SQL over the star schema, run the IDENTICAL text in Spark (via
+graft.SqlRunner) and DuckDB, and diff results exactly.
+
+Usage: python3 scripts/fuzz_oracle.py <sfDir> <nQueries> <seed>
+  (writes target/fuzz/queries.json, expects the caller to run SqlRunner,
+   then diffs; or use --full to drive the whole loop via sbt)
+"""
+import json, os, random, subprocess, sys
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+rng = random.Random(seed)
+
+# columns guaranteed FP-exact cross-engine: integer-valued doubles, keys,
+# strings, dates (compared via strftime)
+TABLES = {
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "qty": ["l_quantity"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "qty": [],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "qty": [],
+        "str": ["c_name", "c_mktsegment"],
+        "ts": [],
+    },
+    "events": {
+        "int": ["event_id", "user_id"],
+        "qty": [],
+        "str": ["event_type"],
+        "ts": ["ts"],
+    },
+}
+
+def pred(t):
+    kind = rng.choice(["cmp", "in", "like", "between", "null"])
+    c = TABLES[t]
+    if kind == "cmp" and c["int"]:
+        col = rng.choice(c["int"])
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{col} {op} {rng.randint(0, 2000)}"
+    if kind == "in" and c["str"]:
+        col = rng.choice(c["str"])
+        vals = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"],
+                "o_orderstatus": ["O", "F", "P"],
+                "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"],
+                "c_mktsegment": ["BUILDING", "MACHINERY", "HOUSEHOLD"],
+                "event_type": ["click", "view", "purchase", "error", "signup"],
+                "c_name": ["Customer#000000001"]}.get(col, ["x"])
+        picked = rng.sample(vals, min(len(vals), rng.randint(1, 2)))
+        quoted = ", ".join(f"'{v}'" for v in picked)
+        return f"{col} IN ({quoted})"
+    if kind == "like" and c["str"]:
+        col = rng.choice(c["str"])
+        return f"{col} LIKE '%{rng.choice('AEIOURT')}%'"
+    if kind == "between" and c["int"]:
+        col = rng.choice(c["int"])
+        lo = rng.randint(0, 1000)
+        return f"{col} BETWEEN {lo} AND {lo + rng.randint(1, 1000)}"
+    if kind == "null" and c["str"]:
+        col = rng.choice(c["str"])
+        return f"nullif({col}, 'ZZZ') IS NOT NULL"
+    return "1 = 1"
+
+def gen(i):
+    t = rng.choice(list(TABLES))
+    c = TABLES[t]
+    where = " AND ".join(pred(t) for _ in range(rng.randint(1, 3)))
+    if rng.random() < 0.6 and (c["str"] or c["int"]):
+        # aggregate query
+        gcols = rng.sample(c["str"] + c["int"][:2], rng.randint(1, 2))
+        aggs = ["COUNT(*) AS cnt"]
+        if c["int"]:
+            col = rng.choice(c["int"])
+            aggs.append(f"MIN({col}) AS mn")
+            aggs.append(f"MAX({col}) AS mx")
+            aggs.append(f"COUNT(DISTINCT {col}) AS dc")
+        if c["qty"]:
+            aggs.append(f"SUM({c['qty'][0]}) AS sq")
+        sel = ", ".join(gcols + aggs)
+        order = ", ".join(gcols)
+        return (f"SELECT {sel} FROM {t} WHERE {where} "
+                f"GROUP BY {', '.join(gcols)} ORDER BY {order}")
+    else:
+        # projection query
+        cols = rng.sample(c["int"] + c["str"], min(3, len(c["int"] + c["str"])))
+        sel = ", ".join(cols)
+        order = ", ".join(cols)
+        lim = rng.choice(["", f" LIMIT {rng.randint(5, 100)}"])
+        return (f"SELECT {sel} FROM {t} WHERE {where} ORDER BY {order}{lim}")
+
+queries = {f"fz{i:03d}": gen(i) for i in range(n_q)}
+os.makedirs("target/fuzz", exist_ok=True)
+with open("target/fuzz/queries.json", "w") as f:
+    json.dump(queries, f)
+print(f"wrote {len(queries)} queries to target/fuzz/queries.json")
+
+# run Spark side
+r = subprocess.run(
+    ["sbt", "-batch", f"runMain graft.SqlRunner {sf_dir} target/fuzz/queries.json target/fuzz/out"],
+    capture_output=True, text=True, timeout=1200)
+errs = [l for l in r.stderr.splitlines() if "[sqlrunner]" in l]
+for e in errs:
+    print(e)
+
+# diff vs duckdb
+con = duckdb.connect()
+import glob
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    if name == "events":
+        con.sql(f"CREATE VIEW {name} AS SELECT * EXCLUDE (ts), CAST(ts AS TIMESTAMP) AS ts FROM '{p}'")
+    else:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+n_pass = n_fail = 0
+for name, sql in sorted(queries.items()):
+    try:
+        mine = pd.read_parquet(f"target/fuzz/out/{name}")
+        want = con.sql(sql).fetchdf()
+        a = mine.reindex(sorted(mine.columns), axis=1)
+        b = want.reindex(sorted(want.columns), axis=1)
+        if "LIMIT" not in sql:  # limit-free: sort rows for safety
+            a = a.sort_values(by=list(a.columns), kind="mergesort").reset_index(drop=True)
+            b = b.sort_values(by=list(b.columns), kind="mergesort").reset_index(drop=True)
+        same = a.shape == b.shape and all(
+            (a[c].astype(object).where(~a[c].isna(), None).tolist() ==
+             b[c].astype(object).where(~b[c].isna(), None).tolist())
+            for c in a.columns)
+        if same:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {sql}")
+            print(f"  mine {a.shape} vs duckdb {b.shape}")
+    except Exception as e:
+        n_fail += 1
+        print(f"FAIL {name}: {type(e).__name__}: {e}\n  {sql}")
+
+print(f"\nfuzz: {n_pass} pass, {n_fail} fail (seed={seed})")
+sys.exit(1 if n_fail else 0)
