@@ -274,6 +274,39 @@ object ScalarQueries {
           i -> toks[i] || '_' || toks[i + 3]) AS zipped
       FROM t ORDER BY doc_id""")),
 
+    // ----- arrays, part 2: set algebra and positional ops
+    GraftQuery("f_array2", (s, d) => {
+      import s.implicits._
+      val toks = split(trim($"text"), " ")
+      val first5 = slice(toks, 1, 5)
+      val next5 = slice(toks, 4, 5)
+      T.documents(s, d).select(
+        $"doc_id",
+        array_sort(array_union(first5, next5)).as("u"),
+        array_sort(array_except(first5, next5)).as("ex"),
+        arrays_overlap(first5, next5).as("ov"),
+        array_position(toks, element_at(toks, 3)).cast(LongType).as("pos3"),
+        array_sort(array_remove(first5, element_at(toks, 1))).as("rm"),
+        array_repeat(element_at(toks, 1), 3).as("rep"),
+        array_min(transform(toks, t => length(t))).cast(IntegerType).as("min_len"),
+        array_max(transform(toks, t => length(t))).cast(IntegerType).as("max_len"),
+        reverse(first5).as("rev5"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks, toks[1:5] AS f5, toks[4:8] AS n5 FROM t)
+      SELECT doc_id,
+        list_sort(list_distinct(f5 || n5)) AS u,
+        list_sort(list_filter(list_distinct(f5), x -> NOT list_contains(n5, x))) AS ex,
+        len(list_filter(f5, x -> list_contains(n5, x))) > 0 AS ov,
+        CAST(list_position(toks, toks[3]) AS BIGINT) AS pos3,
+        list_sort(list_filter(f5, x -> x <> toks[1])) AS rm,
+        [toks[1], toks[1], toks[1]] AS rep,
+        CAST(list_min(list_transform(toks, t -> length(t))) AS INT) AS min_len,
+        CAST(list_max(list_transform(toks, t -> length(t))) AS INT) AS max_len,
+        list_reverse(f5) AS rev5
+      FROM s ORDER BY doc_id""")),
+
     // ----- map + json (reference: nlohmann json over HTTP headers,
     // http.hpp:164-166; header/cookie maps http.hpp:358-385)
     GraftQuery("f_map_json", (s, d) => {
