@@ -76,7 +76,42 @@ def pred(t):
         return f"nullif({col}, 'ZZZ') IS NOT NULL"
     return "1 = 1"
 
+def gen_join(i):
+    """random lineitem-orders join with aggregate, or customer-orders outer."""
+    if rng.random() < 0.5:
+        w1, w2 = pred("lineitem"), pred("orders")
+        g = rng.choice(["l_returnflag", "o_orderstatus", "o_orderpriority"])
+        return (f"SELECT {g}, COUNT(*) AS cnt, SUM(l_quantity) AS sq, "
+                f"MIN(l_orderkey) AS mn FROM lineitem JOIN orders "
+                f"ON l_orderkey = o_orderkey WHERE {w1} AND {w2} "
+                f"GROUP BY {g} ORDER BY {g}")
+    else:
+        w = pred("customer")
+        return ("SELECT c_custkey, COUNT(o_orderkey) AS n FROM customer "
+                f"LEFT JOIN orders ON c_custkey = o_custkey WHERE {w} "
+                "GROUP BY c_custkey ORDER BY c_custkey")
+
+def gen_window(i):
+    t = rng.choice(["orders", "events"])
+    if t == "orders":
+        w = pred("orders")
+        return ("SELECT o_orderkey, "
+                "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn, "
+                "RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rk "
+                f"FROM orders WHERE {w} ORDER BY o_orderkey")
+    else:
+        w = pred("events")
+        return ("SELECT event_id, "
+                "LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev, "
+                "COUNT(*) OVER (PARTITION BY user_id) AS n_user "
+                f"FROM events WHERE {w} ORDER BY event_id")
+
 def gen(i):
+    r = rng.random()
+    if r < 0.2:
+        return gen_join(i)
+    if r < 0.35:
+        return gen_window(i)
     t = rng.choice(list(TABLES))
     c = TABLES[t]
     where = " AND ".join(pred(t) for _ in range(rng.randint(1, 3)))

@@ -68,7 +68,28 @@ object MultimodalQueries {
                    ascii(substring(d.text, CAST(f.frame_id*64 + 1 AS INT), 1)) AS lead_byte
             FROM f JOIN documents d ON f.doc_id = d.doc_id)
       SELECT doc_id, frame_id, lead_byte FROM s
-      WHERE frame_id % 2 = 0 ORDER BY doc_id, frame_id"""))
+      WHERE frame_id % 2 = 0 ORDER BY doc_id, frame_id""")),
+
+    // resize: stride-downsample the payload to every 16th byte — the image
+    // thumbnail shape over an opaque buffer (real resize would run in the
+    // stubbed decoder; the stride/offset plumbing is what is verified)
+    GraftQuery("m5_resize", (s, d) => {
+      import s.implicits._
+      val nOut = floor((length($"text") - 1) / 16).cast("int") + 1
+      T.documents(s, d)
+        .select($"doc_id",
+          transform(sequence(lit(0), nOut - 1),
+            i => ascii(substring($"text", i * 16 + 1, lit(1)))).as("thumb"),
+          length($"text").cast("long").as("orig_len"))
+        .withColumn("thumb_len", size($"thumb").cast("long"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+        [ascii(substring(text, CAST(i*16 + 1 AS INT), 1))
+         for i in range(0, CAST((length(text)-1)//16 AS INT) + 1)] AS thumb,
+        length(text) AS orig_len,
+        CAST((length(text)-1)//16 + 1 AS BIGINT) AS thumb_len
+      FROM documents ORDER BY doc_id"""))
   )
 }
 

@@ -269,6 +269,38 @@ object RelationalQueries {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name"""), bench = true),
 
+    // ----- J4b: the full TPC-H Q5 shape — six relations, the
+    // customer-and-supplier-share-a-nation equality that forces the
+    // optimizer to pick a join order through two paths to nation
+    GraftQuery("q5_local_supplier", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(T.supplier(s, d)), $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(T.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(T.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
+        .groupBy($"n_name")
+        .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    }, Some(s"""
+      SELECT n_name,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name"""), bench = true),
+
     // ----- J5: theta/band join (acctbal within 100 of a richer supplier)
     GraftQuery("j5_band_join", (s, d) => {
       import s.implicits._
