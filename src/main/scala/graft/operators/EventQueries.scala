@@ -148,6 +148,56 @@ object EventQueries {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id"""), bench = true),
 
+    // ----- funnel: users who progressed signup → click → purchase in
+    // event-time order; one aggregation pass (min ts per stage), no joins
+    GraftQuery("e1_funnel", (s, d) => {
+      import s.implicits._
+      val stages = T.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+          min(when($"event_type" === "click", $"ts")).as("t_click"),
+          min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+      stages.select(
+        $"user_id",
+        $"t_signup".isNotNull.as("reached_signup"),
+        ($"t_signup" < $"t_click").as("reached_click"),
+        ($"t_signup" < $"t_click" && $"t_click" < $"t_purchase").as("converted"))
+        .orderBy($"user_id")
+    }, Some("""
+      WITH s AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+          MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+        t_signup IS NOT NULL AS reached_signup,
+        t_signup < t_click AS reached_click,
+        t_signup < t_click AND t_click < t_purchase AS converted
+      FROM s ORDER BY user_id""")),
+
+    // ----- cohort retention: first-activity week × activity week matrix
+    GraftQuery("e2_retention", (s, d) => {
+      import s.implicits._
+      val weeks = T.events(s, d)
+        .select($"user_id",
+          floor(($"ts".cast(LongType) - lit(1704067200L)) / 604800).cast(IntegerType).as("wk"))
+      val cohort = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      weeks.distinct()
+        .join(cohort, "user_id")
+        .groupBy($"cohort_wk", $"wk")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_wk", $"wk")
+    }, Some("""
+      WITH w AS (SELECT DISTINCT user_id,
+                   CAST(floor((epoch(ts) - 1704067200) / 604800) AS INT) AS wk
+                 FROM events),
+      c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+      SELECT cohort_wk, wk, COUNT(DISTINCT w.user_id) AS n_users
+      FROM w JOIN c ON w.user_id = c.user_id
+      GROUP BY cohort_wk, wk ORDER BY cohort_wk, wk""")),
+
     // ----- J6: as-of join — for each purchase, the latest click by the same
     // user at or before the purchase. Linear union+window form: one shuffle
     // on user_id, no pairwise candidate blowup, survives 100 TB.
