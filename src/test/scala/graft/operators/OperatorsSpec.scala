@@ -100,6 +100,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == exact, s"LSH recall/precision mismatch: lsh-only=${lsh -- exact}, missed=${exact -- lsh}")
   }
 
+  test("repartitionByRange and sortWithinPartitions shape the plan as declared") {
+    import spark.implicits._
+    val df = T.lineitem(spark, sf)
+      .repartitionByRange(4, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(l_orderkey"), s"no range partitioning:\n$plan")
+    // the within-partition sort must not add another exchange
+    assert(plan.split("Exchange").length == 2, s"extra exchange introduced:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("scalar UDF registration surface (ref Utils::AddFunction pattern)") {
     spark.udf.register("graft_double_it", (x: Long) => x * 2)
     graft.Tables.registerAll(spark, sf)

@@ -90,6 +90,48 @@ class StreamingSpec extends SparkTestBase {
     assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
   }
 
+  test("500ms processing-time trigger drains the queue on ticks (the reference loop cadence)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val qn = s"tick_test_${System.nanoTime()}"
+    val q = input.toDS().toDF("v").writeStream
+      .format("memory").queryName(qn).outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      input.addData(1L, 2L)
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table(qn).count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      input.addData(3L)
+      while (spark.table(qn).count() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(spark.table(qn).count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming payload decode: frames arrive compressed, pipeline decodes and aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the execution-pipeline analogue: enqueue RSB1-compressed payloads,
+    // the stream decodes and processes them (execution.cpp:22-100 shape)
+    val scripts = Seq("print('a')", "local x = 2", "while true do end")
+    val input = MemoryStream[Array[Byte]]
+    val decoded = input.toDS().toDF("payload")
+      .select(graft.functions.GraftFunctions.rsb1_decode($"payload").cast("string").as("src"))
+      .select($"src", length($"src").as("src_len"))
+    val qn = s"decode_test_${System.nanoTime()}"
+    val q = decoded.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(scripts.map(s => graft.functions.GraftCodec.rsb1Encode(s.getBytes("UTF-8"))): _*)
+      q.processAllAvailable()
+      val got = spark.table(qn).collect().map(_.getString(0)).toSet
+      assert(got == scripts.toSet)
+    } finally q.stop()
+  }
+
   test("RocksDB state store backs stateful streaming (the 100 TB state path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
