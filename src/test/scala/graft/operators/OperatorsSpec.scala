@@ -119,6 +119,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getLong(0) == 42L)
   }
 
+  test("catalog registry scan with predicate (ref getinstances/getnilinstances shape)") {
+    import spark.implicits._
+    graft.Tables.registerAll(spark, sf)
+    // listTables as a DataFrame → filter — the "scan interned-object
+    // registry, filter by type/null parent" analogue (instance.hpp:18-104)
+    val tables = spark.catalog.listTables().toDF()
+    val tempViews = tables.filter($"isTemporary" === true && $"name".isin(graft.Tables.names: _*))
+    assert(tempViews.count() == graft.Tables.names.length.toLong)
+    val noDb = tables.filter($"namespace" === Array.empty[String] || size($"namespace") === 0)
+    assert(noDb.count() >= tempViews.count()) // temp views live outside any database
+  }
+
   test("catalog cache semantics: cache / isCached / invalidate (ref cache.hpp)") {
     T.lineitem(spark, sf).createOrReplaceTempView("li_cache_test")
     spark.catalog.cacheTable("li_cache_test")
