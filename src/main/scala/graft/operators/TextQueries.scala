@@ -21,27 +21,46 @@ object TextQueries {
 
   val queries: Seq[GraftQuery] = Seq(
 
-    // ----- language ID: character-bigram evidence score (synthetic corpus is
-    // English-shaped regardless of its lang label; the heuristic is the
-    // deterministic contract, not the label)
+    // ----- language ID: character-bigram profile argmax over three
+    // language profiles (integer evidence counts, deterministic tiebreak;
+    // the synthetic corpus is English-shaped regardless of its lang label —
+    // the classifier contract is what's verified, not the label)
     GraftQuery("x1_langid", (s, d) => {
       import s.implicits._
-      val score = (occ($"text", "th") + occ($"text", "he") +
-        occ($"text", "er") + occ($"text", "an")).cast(IntegerType)
+      def profile(grams: Seq[String]) =
+        grams.map(g => occ($"text", g)).reduce(_ + _).cast(IntegerType)
+      val en = profile(Seq("th", "he", "an", "er", "in"))
+      val es = profile(Seq("de", "la", "os", "ar", "el"))
+      val de = profile(Seq("ch", "ei", "un", "ge", "ie"))
       T.documents(s, d).select(
         $"doc_id", $"lang".as("labeled_lang"),
-        score.as("en_score"),
-        when(score >= 10, "en").otherwise("unk").as("pred_lang"))
+        en.as("en_score"), es.as("es_score"), de.as("de_score"),
+        when(en >= es && en >= de, "en")
+          .when(es >= de, "es")
+          .otherwise("de").as("pred_lang"))
         .orderBy($"doc_id")
     }, Some("""
-      WITH t AS (SELECT doc_id, lang, text,
+      WITH t AS (SELECT doc_id, lang,
         CAST((length(text) - length(replace(text, 'th', ''))) +
              (length(text) - length(replace(text, 'he', ''))) +
+             (length(text) - length(replace(text, 'an', ''))) +
              (length(text) - length(replace(text, 'er', ''))) +
-             (length(text) - length(replace(text, 'an', ''))) AS INT) AS en_score
+             (length(text) - length(replace(text, 'in', ''))) AS INT) AS en_score,
+        CAST((length(text) - length(replace(text, 'de', ''))) +
+             (length(text) - length(replace(text, 'la', ''))) +
+             (length(text) - length(replace(text, 'os', ''))) +
+             (length(text) - length(replace(text, 'ar', ''))) +
+             (length(text) - length(replace(text, 'el', ''))) AS INT) AS es_score,
+        CAST((length(text) - length(replace(text, 'ch', ''))) +
+             (length(text) - length(replace(text, 'ei', ''))) +
+             (length(text) - length(replace(text, 'un', ''))) +
+             (length(text) - length(replace(text, 'ge', ''))) +
+             (length(text) - length(replace(text, 'ie', ''))) AS INT) AS de_score
         FROM documents)
-      SELECT doc_id, lang AS labeled_lang, en_score,
-        CASE WHEN en_score >= 10 THEN 'en' ELSE 'unk' END AS pred_lang
+      SELECT doc_id, lang AS labeled_lang, en_score, es_score, de_score,
+        CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+             WHEN es_score >= de_score THEN 'es'
+             ELSE 'de' END AS pred_lang
       FROM t ORDER BY doc_id""")),
 
     // ----- quality scoring: length/stopword/char-class ratios
