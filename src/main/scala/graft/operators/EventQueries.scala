@@ -148,6 +148,56 @@ object EventQueries {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id"""), bench = true),
 
+    // ----- A7: statistical aggregates with exact arithmetic — sums of
+    // integer cents, variance/stddev from the closed formula, so the result
+    // is bit-identical regardless of partition order (builtin var_samp's
+    // Welford accumulation is order-dependent and cannot hash-match)
+    GraftQuery("a7_stats", (s, d) => {
+      import s.implicits._
+      val vc = vcents($"value")
+      T.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(vc).as("sx"),
+          sum(vc * vc).as("sxx"))
+        .withColumn("mean_cents", $"sx".cast(DoubleType) / $"n")
+        .withColumn("var_cents2",
+          ($"n".cast(DoubleType) * $"sxx" - $"sx".cast(DoubleType) * $"sx") /
+            ($"n".cast(DoubleType) * ($"n" - 1)))
+        .withColumn("stddev_cents", sqrt($"var_cents2"))
+        .select($"event_type", $"n", $"sx", $"sxx",
+          $"mean_cents", $"var_cents2", $"stddev_cents")
+        .orderBy($"event_type")
+    }, Some(s"""
+      WITH t AS (SELECT event_type, ${sql.vcents("value")} AS vc FROM events),
+      a AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(vc) AS BIGINT) AS sx, CAST(SUM(vc*vc) AS BIGINT) AS sxx
+            FROM t GROUP BY event_type)
+      SELECT event_type, n, sx, sxx,
+        CAST(sx AS DOUBLE) / n AS mean_cents,
+        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1)) AS var_cents2,
+        sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_cents
+      FROM a ORDER BY event_type""")),
+
+    // ----- A8: mode (most frequent value, deterministic tiebreak)
+    GraftQuery("a8_mode", (s, d) => {
+      import s.implicits._
+      val counts = T.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"c".desc, $"l_quantity")
+      counts.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"c".as("freq"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+                 FROM lineitem GROUP BY l_returnflag, l_quantity),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                       ORDER BY c DESC, l_quantity) AS rn FROM c)
+      SELECT l_returnflag, l_quantity AS mode_qty, c AS freq
+      FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
     // ----- funnel: users who progressed signup → click → purchase in
     // event-time order; one aggregation pass (min ts per stage), no joins
     GraftQuery("e1_funnel", (s, d) => {

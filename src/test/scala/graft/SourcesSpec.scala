@@ -61,6 +61,19 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(y"), s"partition filter missing:\n$plan")
   }
 
+  test("parquet schema evolution: mergeSchema unifies old and new writers") {
+    import spark.implicits._
+    val dir = tmp("evolve")
+    Tables.region(spark, sf).write.mode("overwrite").parquet(s"$dir/p=1")
+    Tables.region(spark, sf).withColumn("r_extra", lit(42L))
+      .write.mode("overwrite").parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.contains("r_extra"))
+    assert(merged.count() == 10)
+    // rows from the old writer surface the new column as null
+    assert(merged.filter($"r_extra".isNull).count() == 5)
+  }
+
   test("lz4-codec parquet write round-trips") {
     val dir = tmp("lz4")
     Tables.region(spark, sf).write.mode("overwrite")
