@@ -500,6 +500,25 @@ object RelationalQueries {
         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ----- unpivot (melt): the inverse of a6_pivot — wide per-user counts
+    // back to (user_id, event_type, n) long form
+    GraftQuery("a6_unpivot", (s, d) => {
+      import s.implicits._
+      val wide = T.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+      wide.unpivot(
+          Array($"user_id"),
+          Array($"click", $"error", $"purchase", $"signup", $"view"),
+          "etype", "n")
+        .filter($"n" > 0)
+        .orderBy($"user_id", $"etype")
+    }, Some("""
+      SELECT user_id, event_type AS etype, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, etype""")),
+
     // ----- W1: ranking window functions
     GraftQuery("w1_ranking", (s, d) => {
       import s.implicits._
