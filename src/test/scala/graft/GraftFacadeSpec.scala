@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Equivalence: every facade operation must produce the same answers as the
+  * corresponding oracle-checked registry query. */
+class GraftFacadeSpec extends SparkTestBase {
+
+  test("compactLatest equals the s6 compaction query") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val facade = Graft.compactLatest(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .select($"user_id", $"event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gate = SparkEntry.queries("s6_compaction")(spark, sf)
+      .select($"user_id", $"event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(facade == gate)
+  }
+
+  test("dedupExact keeps the same survivors as n1_exact_dedup") {
+    val docs = Tables.documents(spark, sf)
+    val facade = Graft.dedupExact(docs, "text", "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val gate = SparkEntry.queries("n1_exact_dedup")(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(facade == gate)
+  }
+
+  test("minhashLshPairs equals n2_minhash_lsh") {
+    val docs = Tables.documents(spark, sf)
+    val facade = Graft.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gate = SparkEntry.queries("n2_minhash_lsh")(spark, sf)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(facade == gate)
+  }
+
+  test("annTopK equals n5_ann_bruteforce") {
+    val e = Tables.embeddings(spark, sf)
+    val facade = Graft.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gate = SparkEntry.queries("n5_ann_bruteforce")(spark, sf)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(facade == gate)
+  }
+
+  test("asofJoinLatest equals j6_asof_join") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    val facade = Graft.asofJoinLatest(
+        purchases, "ts", "event_id", clicks, "ts", "click_id", "user_id")
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val gate = SparkEntry.queries("j6_asof_join")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(facade == gate)
+  }
+
+  test("sessionize produces the same session count as t2_session_window") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val nFacade = Graft.sessionize(ev, "user_id", "ts", "event_id", 600L)
+      .select($"user_id", $"session_id").distinct().count()
+    val nGate = SparkEntry.queries("t2_session_window")(spark, sf).count()
+    assert(nFacade == nGate)
+  }
+
+  test("fingerprint / tokenCount / qualityScore match the x-query outputs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val facade = docs.select($"doc_id", Graft.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gate = SparkEntry.queries("x4_fingerprint")(spark, sf)
+      .select($"doc_id", $"fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(facade == gate)
+    val q = docs.select(Graft.qualityScore($"text").as("q")).agg(sum($"q")).head.getDouble(0)
+    val qGate = SparkEntry.queries("x2_quality")(spark, sf)
+      .agg(sum(col("quality"))).head.getDouble(0)
+    assert(q == qGate)
+  }
+
+  test("session() builder produces a configured session with registered functions") {
+    val s = Graft.session()
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(s.sql("SELECT djb2_hash('abc')").head.getString(0) == "000000000b885c8b")
+  }
+}
