@@ -71,6 +71,40 @@ object EventQueries {
           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS last10min_cents
       FROM e ORDER BY user_id, event_id"""), bench = true),
 
+    // ----- W1b: distribution window functions (exact rational outputs)
+    GraftQuery("w1_distribution", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      T.events(s, d).select(
+        $"event_type", $"event_id",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy($"event_type", $"event_id")
+    }, Some("""
+      SELECT event_type, event_id,
+        PERCENT_RANK() OVER w AS pr,
+        CUME_DIST() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_type, event_id""")),
+
+    // ----- W2b: nth_value over the full frame
+    GraftQuery("w2_nth_value", (s, d) => {
+      import s.implicits._
+      val whole = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.events(s, d).select(
+        $"user_id", $"event_id",
+        nth_value($"event_id", 2).over(whole).as("second_event"),
+        nth_value($"event_id", 3).over(whole).as("third_event"))
+        .orderBy($"user_id", $"event_id")
+    }, Some("""
+      SELECT user_id, event_id,
+        NTH_VALUE(event_id, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event,
+        NTH_VALUE(event_id, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""")),
+
     // ----- T1: event-time tumbling window (batch semantics of the streaming
     // aggregation; the streaming form is exercised in StreamingQueries)
     GraftQuery("t1_window_tumbling", (s, d) => {

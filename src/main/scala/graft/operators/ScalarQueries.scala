@@ -329,6 +329,22 @@ object ScalarQueries {
         to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))::VARCHAR AS json_rt
       FROM events ORDER BY event_id""")),
 
+    // ----- generators: explode_outer emits a null row for empty input
+    // (UDTF family beyond plain explode)
+    GraftQuery("f_generators", (s, d) => {
+      import s.implicits._
+      val longToks = filter(split(trim($"text"), " "), t => length(t) > 8)
+      T.documents(s, d)
+        .select($"doc_id", explode_outer(longToks).as("long_tok"))
+        .orderBy($"doc_id", $"long_tok".asc_nulls_first)
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(str_split(trim(text), ' '), x -> length(x) > 8) AS lt
+                 FROM documents)
+      SELECT doc_id, u.long_tok
+      FROM t, unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS u(long_tok)
+      ORDER BY doc_id, long_tok NULLS FIRST""")),
+
     // ----- conditionals
     GraftQuery("f_conditional", (s, d) => {
       import s.implicits._
