@@ -519,6 +519,29 @@ object RelationalQueries {
       FROM events GROUP BY user_id, event_type
       ORDER BY user_id, etype""")),
 
+    // ----- A4b: map aggregation — per-nation segment→count map, built from
+    // a sorted entry array so key order (and the JSON rendering) is stable
+    GraftQuery("a4_map_agg", (s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"c_nationkey")
+        .agg(to_json(map_from_entries(
+          array_sort(collect_list(struct($"c_mktsegment", $"cnt"))))).as("seg_counts"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      WITH c AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+                 FROM customer GROUP BY c_nationkey, c_mktsegment),
+      m AS (SELECT c_nationkey,
+              list_sort(list(c_mktsegment)) AS ks,
+              list_sort(list(c_mktsegment || ':' || cnt)) AS kvs
+            FROM c GROUP BY c_nationkey)
+      SELECT c_nationkey,
+        '{' || array_to_string(list_transform(kvs,
+          kv -> '"' || str_split(kv, ':')[1] || '":' || str_split(kv, ':')[2]), ',') || '}' AS seg_counts
+      FROM m ORDER BY c_nationkey""")),
+
     // ----- W1: ranking window functions
     GraftQuery("w1_ranking", (s, d) => {
       import s.implicits._

@@ -100,6 +100,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == exact, s"LSH recall/precision mismatch: lsh-only=${lsh -- exact}, missed=${exact -- lsh}")
   }
 
+  test("approx sketches land within tolerance of exact answers (A3)") {
+    import spark.implicits._
+    val li = T.lineitem(spark, sf)
+    val exact = li.select(countDistinct($"l_partkey")).head.getLong(0).toDouble
+    val approx = li.select(approx_count_distinct($"l_partkey")).head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"HLL off: $approx vs $exact")
+    val med = li.select(expr("approx_percentile(l_quantity, 0.5, 10000)")).head.getDouble(0)
+    val exactMed = li.select(expr("percentile(l_quantity, 0.5D)")).head.getDouble(0)
+    assert(math.abs(med - exactMed) <= 1.0, s"KLL median off: $med vs $exactMed")
+  }
+
   test("repartitionByRange and sortWithinPartitions shape the plan as declared") {
     import spark.implicits._
     val df = T.lineitem(spark, sf)
