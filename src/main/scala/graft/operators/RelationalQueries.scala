@@ -374,6 +374,55 @@ object RelationalQueries {
         CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ----- A1b: HAVING (post-aggregation filter)
+    GraftQuery("a1_having", (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("total"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    }, Some(s"""
+      SELECT o_custkey, COUNT(*) AS n_orders, ${sql.moneySum("o_totalprice")} AS total
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+      ORDER BY o_custkey""")),
+
+    // ----- A9: fixed-width histogram (exact integer bucketing)
+    GraftQuery("a9_histogram", (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .withColumn("bucket", floor($"value" / 25).cast(IntegerType))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"bucket")
+    }, Some("""
+      SELECT event_type, CAST(floor(value / 25) AS INT) AS bucket, COUNT(*) AS n
+      FROM events GROUP BY event_type, bucket
+      ORDER BY event_type, bucket""")),
+
+    // ----- three-valued logic and null-safe equality
+    GraftQuery("f_null_logic", (s, d) => {
+      import s.implicits._
+      val maybe = expr("nullif(o_orderstatus, 'P')")
+      T.orders(s, d).select(
+        $"o_orderkey",
+        ($"o_orderstatus" <=> lit("P")).as("nse_p"),
+        (maybe <=> lit(null)).as("nse_null"),
+        (maybe === lit("O")).as("eq_three_valued"),
+        (maybe.isNull && $"o_totalprice" > 0).as("and_with_null"),
+        (maybe.isNotNull || $"o_totalprice" < 0).as("or_with_null"),
+        expr("ifnull(nullif(o_orderstatus, 'P'), 'replaced')").as("ifnulled"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        o_orderstatus IS NOT DISTINCT FROM 'P' AS nse_p,
+        nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS nse_null,
+        nullif(o_orderstatus, 'P') = 'O' AS eq_three_valued,
+        nullif(o_orderstatus, 'P') IS NULL AND o_totalprice > 0 AS and_with_null,
+        nullif(o_orderstatus, 'P') IS NOT NULL OR o_totalprice < 0 AS or_with_null,
+        ifnull(nullif(o_orderstatus, 'P'), 'replaced') AS ifnulled
+      FROM orders ORDER BY o_orderkey""")),
+
     // ----- A2: rollup
     GraftQuery("a2_rollup", (s, d) => {
       import s.implicits._
