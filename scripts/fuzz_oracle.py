@@ -128,8 +128,9 @@ def gen(i):
             aggs.append(f"SUM({c['qty'][0]}) AS sq")
         sel = ", ".join(gcols + aggs)
         order = ", ".join(gcols)
+        having = f" HAVING COUNT(*) >= {rng.randint(2, 5)}" if rng.random() < 0.3 else ""
         return (f"SELECT {sel} FROM {t} WHERE {where} "
-                f"GROUP BY {', '.join(gcols)} ORDER BY {order}")
+                f"GROUP BY {', '.join(gcols)}{having} ORDER BY {order}")
     else:
         # projection query
         cols = rng.sample(c["int"] + c["str"], min(3, len(c["int"] + c["str"])))
