@@ -140,6 +140,69 @@ object DedupQueries {
         .orderBy($"a", $"b")
     }, Some(exactPairsSql)),
 
+    // ----- N6: near-dup clusters — connected components over the exact
+    // pair graph by iterative min-label propagation (each iteration is one
+    // join + aggregate; converges in diameter steps; all distributed, no
+    // driver-side graph). Output: every document with its cluster id (the
+    // min doc_id of its component; singletons keep their own id) and
+    // whether it is the cluster's keeper.
+    GraftQuery("n6_dedup_clusters", (s, d) => {
+      import s.implicits._
+      val sets = docShingles(s, d).cache()
+      val sz = sets.select($"doc_id", size($"sh").as("n"))
+      val ex = sets.select($"doc_id", explode($"sh").as("shingle"))
+      val inter = ex.as("x").join(ex.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("isz"))
+      val pairs = inter
+        .join(broadcast(sz.select($"doc_id".as("a"), $"n".as("na"))), "a")
+        .join(broadcast(sz.select($"doc_id".as("b"), $"n".as("nb"))), "b")
+        .filter($"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz") >= 0.5)
+        .select($"a", $"b")
+      val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b"))).cache()
+      // min-label propagation to fixpoint
+      var labels = sets.select($"doc_id", $"doc_id".as("lbl")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("lbl", "nlbl"), "b")
+          .groupBy($"a".as("doc_id")).agg(min($"nlbl").as("minn"))
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select($"doc_id", least($"lbl", coalesce($"minn", $"lbl")).as("lbl"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+          .filter($"lbl" =!= $"old").count()
+        labels = next
+        iter += 1
+      }
+      labels
+        .select($"doc_id", $"lbl".as("cluster"), ($"doc_id" === $"lbl").as("is_keeper"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM t,
+             unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]) AS u(s)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      p AS (SELECT a, b FROM inter
+            JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+      e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      rec AS (
+        WITH RECURSIVE reach(d, r) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.d)
+        SELECT d, MIN(r) AS cluster FROM reach GROUP BY d)
+      SELECT doc_id,
+        COALESCE(rec.cluster, doc_id) AS cluster,
+        doc_id = COALESCE(rec.cluster, doc_id) AS is_keeper
+      FROM documents LEFT JOIN rec ON documents.doc_id = rec.d
+      ORDER BY doc_id""")),
+
     // ----- N2b: SimHash near-dup (hamming ≤ 8 over 64-bit signatures,
     // candidates from 4×16-bit chunk banding). Signature function is
     // engine-specific: rows-only here, exact vectors in GraftExpressionsSpec.
