@@ -374,6 +374,44 @@ object RelationalQueries {
         CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ----- Q16 shape: distinct-supplier variety per part brand/type
+    GraftQuery("q16_supplier_variety", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .join(broadcast(T.part(s, d)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type")
+    }, Some("""
+      SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_type
+      ORDER BY supplier_cnt DESC, p_brand, p_type""")),
+
+    // ----- string aggregation (listagg) with deterministic order
+    GraftQuery("a4_string_agg", (s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .select($"c_nationkey", $"c_mktsegment").distinct()
+        .groupBy($"c_nationkey")
+        .agg(array_join(array_sort(collect_list($"c_mktsegment")), ",").as("segments"))
+        .orderBy($"c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) t
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ----- explicit cross join (bounded: two dimension tables)
+    GraftQuery("j8_cross_join", (s, d) => {
+      import s.implicits._
+      T.region(s, d).crossJoin(T.nation(s, d))
+        .select($"r_name", $"n_name", ($"r_regionkey" === $"n_regionkey").as("is_home"))
+        .orderBy($"r_name", $"n_name")
+    }, Some("""
+      SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
+      FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""")),
+
     // ----- A1b: HAVING (post-aggregation filter)
     GraftQuery("a1_having", (s, d) => {
       import s.implicits._
