@@ -102,6 +102,34 @@ object Graft {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Near-dup cluster assignment: connected components over the
+    * `minhashLshPairs` graph via iterative min-label propagation (one
+    * join+aggregate per iteration, distributed; converges in component
+    * diameter steps). Returns (id, cluster, is_keeper) for every row;
+    * keep `is_keeper` rows to deduplicate a corpus. */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    minJaccard: Double): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, minJaccard).select(col("a"), col("b"))
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = df.select(col(idCol).as("__id"), col(idCol).as("__lbl")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("__id", "b").withColumnRenamed("__lbl", "__nl"), "b")
+        .groupBy(col("a").as("__id")).agg(min(col("__nl")).as("__minn"))
+      val next = labels.join(viaNeighbors, Seq("__id"), "left")
+        .select(col("__id"), least(col("__lbl"), coalesce(col("__minn"), col("__lbl"))).as("__lbl"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("__lbl", "__old"), "__id")
+        .filter(col("__lbl") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("__id").as(idCol), col("__lbl").as("cluster"),
+      (col("__id") === col("__lbl")).as("is_keeper"))
+  }
+
   /** SimHash near-dup pairs: (a, b, hamming) with hamming <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val sig = df.select(col(idCol).as("__id"),

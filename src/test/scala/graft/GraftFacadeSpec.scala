@@ -38,6 +38,15 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("dedupClusters equals n6_dedup_clusters") {
+    val docs = Tables.documents(spark, sf)
+    val facade = Graft.dedupClusters(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gate = SparkEntry.queries("n6_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(facade == gate)
+  }
+
   test("annTopK equals n5_ann_bruteforce") {
     val e = Tables.embeddings(spark, sf)
     val facade = Graft.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)

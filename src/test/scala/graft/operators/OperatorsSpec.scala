@@ -33,6 +33,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$plan")
   }
 
+  test("q5 six-relation join broadcasts every dimension") {
+    val plan = SparkEntry.queries("q5_local_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length >= 4,
+      s"expected >=3 broadcast joins for supplier/nation/region:\n$plan")
+  }
+
   test("q1 filter is pushed down to the parquet scan") {
     val plan = SparkEntry.queries("q1_pricing_summary")(spark, sf)
       .queryExecution.executedPlan.toString
