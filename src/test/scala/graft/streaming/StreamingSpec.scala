@@ -90,6 +90,33 @@ class StreamingSpec extends SparkTestBase {
     assert(n2 == n1, s"restart duplicated output: $n1 -> $n2")
   }
 
+  test("streaming consumer + continuous compaction keeps latest-per-key store (north star)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("compact_store") + "/store"
+    val input = MemoryStream[(String, Long, String)] // (key, offset, value)
+    val q = input.toDS().toDF("k", "off", "v")
+      .writeStream
+      .foreachBatch(CompactingSink.upsertCompact(store, Seq("k"), Seq("off")) _)
+      .start()
+    try {
+      input.addData(("k1", 1L, "a"), ("k2", 1L, "b")); q.processAllAvailable()
+      val s1 = spark.read.parquet(store).collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(s1 == Map("k1" -> "a", "k2" -> "b"))
+      input.addData(("k1", 2L, "a2"), ("k3", 1L, "c")); q.processAllAvailable()
+      val s2 = spark.read.parquet(store).collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(s2 == Map("k1" -> "a2", "k2" -> "b", "k3" -> "c"),
+        s"store after batch 2: $s2")
+      // out-of-order late frame must NOT regress the store
+      input.addData(("k1", 1L, "stale")); q.processAllAvailable()
+      val s3 = spark.read.parquet(store).collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(s3("k1") == "a2", s"late frame regressed the store: $s3")
+    } finally q.stop()
+  }
+
   test("500ms processing-time trigger drains the queue on ticks (the reference loop cadence)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
