@@ -329,6 +329,31 @@ object ScalarQueries {
         to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))::VARCHAR AS json_rt
       FROM events ORDER BY event_id""")),
 
+    // ----- json, part 2: multi-field and nested-path extraction over
+    // constructed documents (integer/string fields only: JSON number
+    // rendering of floats is engine-specific)
+    GraftQuery("f_json2", (s, d) => {
+      import s.implicits._
+      val j = to_json(struct($"o_orderkey".as("id"), $"o_orderstatus".as("st"),
+        struct($"o_custkey".as("cust")).as("pay")))
+      T.orders(s, d)
+        .withColumn("j", j)
+        .select(
+          $"o_orderkey",
+          json_tuple($"j", "id", "st").as(Seq("jid", "jst")),
+          get_json_object($"j", "$.pay.cust").as("jcust"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      WITH t AS (SELECT o_orderkey,
+        to_json(struct_pack(id := o_orderkey, st := o_orderstatus,
+                            pay := struct_pack(cust := o_custkey)))::VARCHAR AS j
+        FROM orders)
+      SELECT o_orderkey,
+        json_extract_string(j, '$.id') AS jid,
+        json_extract_string(j, '$.st') AS jst,
+        json_extract_string(j, '$.pay.cust') AS jcust
+      FROM t ORDER BY o_orderkey""")),
+
     // ----- generators: explode_outer emits a null row for empty input
     // (UDTF family beyond plain explode)
     GraftQuery("f_generators", (s, d) => {
