@@ -156,6 +156,26 @@ object RelationalQueries {
         ${sql.moneySum("l_extendedprice")} AS sum_price
       FROM lineitem WHERE l_orderkey % 10 = 0""")),
 
+    // ----- P7b: deterministic stratified sample — N rows per stratum,
+    // selected by hash order (reproducible across engines and runs, unlike
+    // RNG sampleBy; the hash makes the pick pseudo-random but stable)
+    GraftQuery("p7_stratified_sample", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type")
+        .orderBy(md5($"event_id".cast(StringType)), $"event_id")
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20)
+        .select($"event_type", $"event_id")
+        .orderBy($"event_type", $"event_id")
+    }, Some("""
+      SELECT event_type, event_id
+      FROM (SELECT event_type, event_id,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+            FROM events) t
+      WHERE rn <= 20 ORDER BY event_type, event_id""")),
+
     // Bernoulli sample: rows-only (RNG differs across engines by design)
     GraftQuery("p7_sample_rand", (s, d) => {
       import s.implicits._
