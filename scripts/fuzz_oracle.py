@@ -106,12 +106,24 @@ def gen_window(i):
                 "COUNT(*) OVER (PARTITION BY user_id) AS n_user "
                 f"FROM events WHERE {w} ORDER BY event_id")
 
+def gen_setop(i):
+    t = rng.choice(["orders", "customer", "events"])
+    c = TABLES[t]
+    cols = ", ".join(rng.sample(c["int"] + c["str"], 2))
+    w1, w2 = pred(t), pred(t)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    q = (f"SELECT {cols} FROM {t} WHERE {w1} {op} "
+         f"SELECT {cols} FROM {t} WHERE {w2} ORDER BY 1, 2")
+    return q
+
 def gen(i):
     r = rng.random()
-    if r < 0.2:
+    if r < 0.18:
         return gen_join(i)
-    if r < 0.35:
+    if r < 0.32:
         return gen_window(i)
+    if r < 0.45:
+        return gen_setop(i)
     t = rng.choice(list(TABLES))
     c = TABLES[t]
     where = " AND ".join(pred(t) for _ in range(rng.randint(1, 3)))
