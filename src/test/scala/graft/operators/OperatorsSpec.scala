@@ -107,6 +107,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == exact, s"LSH recall/precision mismatch: lsh-only=${lsh -- exact}, missed=${exact -- lsh}")
   }
 
+  test("unionByName with allowMissingColumns tolerates schema drift (P6 edge)") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a")).toDF("id", "x")
+    val v2 = Seq((2L, "b", 9L)).toDF("id", "x", "extra")
+    val u = v1.unionByName(v2, allowMissingColumns = true)
+    assert(u.count() == 2)
+    assert(u.filter($"extra".isNull).count() == 1)
+  }
+
+  test("LSH output is always a subset of exact pairs, even with weak parameters") {
+    import spark.implicits._
+    val docs = T.documents(spark, sf)
+    val exact = SparkEntry.queries("n3_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deliberately weak parameters: recall may drop, precision cannot —
+    // the exact-jaccard rescore guarantees subset semantics
+    val weak = graft.Graft.minhashLshPairs(docs, "doc_id", "text", 0.5, numHashes = 8, bands = 2)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(weak.subsetOf(exact), s"rescore let false positives through: ${weak -- exact}")
+  }
+
+  test("dedup pipeline prunes the document scan to id+text") {
+    val plan = SparkEntry.queries("n1_exact_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lang") && !plan.contains("n_chars"),
+      s"dedup scan reads unused columns:\n$plan")
+  }
+
   test("approx sketches land within tolerance of exact answers (A3)") {
     import spark.implicits._
     val li = T.lineitem(spark, sf)
