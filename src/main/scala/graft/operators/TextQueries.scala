@@ -153,6 +153,36 @@ object TextQueries {
       WHERE tf >= 3
       ORDER BY doc_id, term""")),
 
+    // ----- unigram LM scoring (the CCNet-style quality filter): per-doc
+    // mean token log-probability under the corpus unigram model. Each
+    // token type's log-prob is rounded to integer micro-units once, so the
+    // per-doc sum is exact integer arithmetic — partition order and
+    // engine can't drift it.
+    GraftQuery("x8_unigram_logprob", (s, d) => {
+      import s.implicits._
+      val terms = T.documents(s, d)
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("term"))
+      val freq = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
+      val total = terms.count()
+      val withLp = terms.join(broadcast(freq), "term")
+        .withColumn("lp_u",
+          round(log($"freq".cast(DoubleType) / lit(total.toDouble)) * 1e6).cast(LongType))
+      withLp.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lp_u").as("logprob_u"))
+        .withColumn("mean_logprob", $"logprob_u".cast(DoubleType) / $"n_tokens" / 1e6)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY term),
+      n AS (SELECT COUNT(*) AS total FROM t),
+      lp AS (SELECT t.doc_id,
+               CAST(round(ln(CAST(f.freq AS DOUBLE) / CAST(n.total AS DOUBLE)) * 1e6) AS BIGINT) AS lp_u
+             FROM t JOIN f USING (term), n)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(lp_u) AS BIGINT) AS logprob_u,
+        CAST(SUM(lp_u) AS DOUBLE) / COUNT(*) / 1e6 AS mean_logprob
+      FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
     // ----- corpus vocabulary stats (Zipf head)
     GraftQuery("x6_vocab_stats", (s, d) => {
       import s.implicits._
