@@ -232,6 +232,22 @@ object EventQueries {
       SELECT l_returnflag, l_quantity AS mode_qty, c AS freq
       FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
 
+    // ----- ratio-to-report: each event's share of its type's total value
+    // (exact integer cents divided at the end — deterministic)
+    GraftQuery("e3_value_share", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type")
+      T.events(s, d)
+        .withColumn("cents", vcents($"value"))
+        .select($"event_type", $"event_id",
+          ($"cents".cast(DoubleType) / sum($"cents").over(w)).as("share"))
+        .orderBy($"event_type", $"event_id")
+    }, Some(s"""
+      WITH t AS (SELECT event_type, event_id, ${sql.vcents("value")} AS cents FROM events)
+      SELECT event_type, event_id,
+        CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS share
+      FROM t ORDER BY event_type, event_id""")),
+
     // ----- funnel: users who progressed signup → click → purchase in
     // event-time order; one aggregation pass (min ts per stage), no joins
     GraftQuery("e1_funnel", (s, d) => {

@@ -221,6 +221,27 @@ object TextQueries {
         MIN(norm_u) AS min_norm_u, MAX(norm_u) AS max_norm_u
       FROM e GROUP BY label ORDER BY label""")),
 
+    // ----- cross-modal join: text corpus enriched with its embedding row
+    // (doc_id = vec_id where present) — the text+vector feature table a
+    // training pipeline materializes before filtering
+    GraftQuery("x9_text_embedding_join", (s, d) => {
+      import s.implicits._
+      val normU = round(sqrt(aggregate($"embedding", lit(0.0d),
+        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))) * 1e6).cast(LongType)
+      val emb = T.embeddings(s, d).select($"vec_id", $"label", normU.as("norm_u"))
+      T.documents(s, d)
+        .join(emb, $"doc_id" === $"vec_id", "left")
+        .select($"doc_id", $"lang", length($"text").cast(LongType).as("n_chars2"),
+          $"label", $"norm_u")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH e AS (SELECT vec_id, label,
+        CAST(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) * 1e6) AS BIGINT) AS norm_u
+        FROM embeddings)
+      SELECT doc_id, lang, length(text) AS n_chars2, label, norm_u
+      FROM documents LEFT JOIN e ON doc_id = vec_id
+      ORDER BY doc_id""")),
+
     // rolling-hash + djb2 fingerprints (engine-specific: exact vectors in
     // GraftExpressionsSpec; rows-only here)
     GraftQuery("x4_fingerprint_native", (s, d) => {
