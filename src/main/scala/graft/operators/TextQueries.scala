@@ -242,6 +242,29 @@ object TextQueries {
       FROM documents LEFT JOIN e ON doc_id = vec_id
       ORDER BY doc_id""")),
 
+    // ----- redaction: scrub identifier-like spans before training
+    // (digit runs → <num>, hex-ish ids → <id>); counts what was scrubbed
+    GraftQuery("x10_redaction", (s, d) => {
+      import s.implicits._
+      val step1 = regexp_replace($"text", "[0-9]{3,}", "<num>")
+      val redacted = regexp_replace(step1, "\\b[a-f0-9]{8,}\\b", "<id>")
+      T.documents(s, d).select(
+        $"doc_id",
+        redacted.as("clean_text"),
+        (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast(LongType)
+          .as("digits_seen"),
+        ($"text" =!= redacted).as("was_redacted"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH r AS (SELECT doc_id, text,
+        regexp_replace(regexp_replace(text, '[0-9]{3,}', '<num>', 'g'),
+                       '\b[a-f0-9]{8,}\b', '<id>', 'g') AS clean_text
+        FROM documents)
+      SELECT doc_id, clean_text,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits_seen,
+        text <> clean_text AS was_redacted
+      FROM r ORDER BY doc_id""")),
+
     // rolling-hash + djb2 fingerprints (engine-specific: exact vectors in
     // GraftExpressionsSpec; rows-only here)
     GraftQuery("x4_fingerprint_native", (s, d) => {
