@@ -82,6 +82,26 @@ object ScalarQueries {
         concat_ws('|', p_brand, p_type, p_name) AS joined
       FROM part ORDER BY p_partkey""")),
 
+    // ----- strings, part 3: field splitting and edge slicing
+    GraftQuery("f_string3", (s, d) => {
+      import s.implicits._
+      T.part(s, d).select(
+        $"p_partkey",
+        expr("split_part(p_name, ' ', 1)").as("word1"),
+        expr("split_part(p_name, ' ', 2)").as("word2"),
+        expr("left(p_type, 3)").as("type3"),
+        expr("right(p_brand, 2)").as("brand_tail"),
+        expr("substring_index(p_name, ' ', 1)").as("head_field"))
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+        split_part(p_name, ' ', 1) AS word1,
+        split_part(p_name, ' ', 2) AS word2,
+        left(p_type, 3) AS type3,
+        right(p_brand, 2) AS brand_tail,
+        split_part(p_name, ' ', 1) AS head_field
+      FROM part ORDER BY p_partkey""")),
+
     // ----- datetime, part 2
     GraftQuery("f_datetime2", (s, d) => {
       import s.implicits._

@@ -242,6 +242,28 @@ object TextQueries {
       FROM documents LEFT JOIN e ON doc_id = vec_id
       ORDER BY doc_id""")),
 
+    // ----- stopword removal: the cleaning transform (tokens not in the
+    // stoplist, re-joined; shrinkage reported)
+    GraftQuery("x11_stopword_removal", (s, d) => {
+      import s.implicits._
+      val toks = split(trim($"text"), " ")
+      val kept = filter(toks, t => !t.isin(stopwords: _*))
+      T.documents(s, d).select(
+        $"doc_id",
+        array_join(kept, " ").as("clean_text"),
+        size(toks).cast(LongType).as("n_before"),
+        size(kept).cast(LongType).as("n_after"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents),
+      k AS (SELECT doc_id, toks,
+              list_filter(toks, x -> NOT list_contains(
+                ['the','a','of','and','to','in','is','on'], x)) AS kept
+            FROM t)
+      SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+        len(toks) AS n_before, len(kept) AS n_after
+      FROM k ORDER BY doc_id""")),
+
     // ----- redaction: scrub identifier-like spans before training
     // (digit runs → <num>, hex-ish ids → <id>); counts what was scrubbed
     GraftQuery("x10_redaction", (s, d) => {
