@@ -43,6 +43,15 @@ for name in sorted(oracle):
     try:
         mine = pd.read_parquet(res_path)
         want = con.sql(oracle[name]).fetchdf()
+        # The driver's comparator crashes on top-level array/map columns
+        # (pandas can't sort them). Fail loudly here so local green implies
+        # driver green — don't paper over with tuple conversion.
+        bad = [c for df in (mine, want) for c in df.columns
+               if df[c].dtype == object and len(df) > 0
+               and any(isinstance(v, (list, np.ndarray, dict)) for v in df[c].head(20))]
+        if bad:
+            print(f"FAIL {name}: driver-unhashable array/map columns {sorted(set(bad))}")
+            n_fail += 1; fails.append(name); continue
         a, b = normalize(mine.copy()), normalize(want.copy())
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs oracle {list(b.columns)}")

@@ -79,14 +79,18 @@ object MultimodalQueries {
       T.documents(s, d)
         .select($"doc_id",
           transform(sequence(lit(0), nOut - 1),
-            i => ascii(substring($"text", i * 16 + 1, lit(1)))).as("thumb"),
+            i => ascii(substring($"text", i * 16 + 1, lit(1)))).as("thumb_arr"),
           length($"text").cast("long").as("orig_len"))
-        .withColumn("thumb_len", size($"thumb").cast("long"))
+        .select($"doc_id",
+          // join to a string: the driver comparator can't hash array columns
+          array_join(transform($"thumb_arr", b => b.cast("string")), ",").as("thumb"),
+          $"orig_len",
+          size($"thumb_arr").cast("long").as("thumb_len"))
         .orderBy($"doc_id")
     }, Some("""
       SELECT doc_id,
-        [ascii(substring(text, CAST(i*16 + 1 AS INT), 1))
-         for i in range(0, CAST((length(text)-1)//16 AS INT) + 1)] AS thumb,
+        array_to_string([ascii(substring(text, CAST(i*16 + 1 AS INT), 1))
+         for i in range(0, CAST((length(text)-1)//16 AS INT) + 1)], ',') AS thumb,
         length(text) AS orig_len,
         CAST((length(text)-1)//16 + 1 AS BIGINT) AS thumb_len
       FROM documents ORDER BY doc_id"""))

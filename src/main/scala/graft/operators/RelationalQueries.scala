@@ -536,38 +536,62 @@ object RelationalQueries {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
-    // ----- A3: exact quantiles (linear interpolation, exact on int-valued qty)
+    // ----- A3: exact quantiles (linear interpolation, exact on int-valued
+    // qty). The quantile array is split into scalar columns so the driver's
+    // pandas comparator can sort/hash the output (top-level arrays crash it).
     GraftQuery("a3_quantiles", (s, d) => {
       import s.implicits._
       T.lineitem(s, d).groupBy($"l_returnflag")
         .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
           min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+        .select($"l_returnflag",
+          element_at($"qs", 1).as("q25"),
+          element_at($"qs", 2).as("q50"),
+          element_at($"qs", 3).as("q75"),
+          $"min_qty", $"max_qty")
         .orderBy($"l_returnflag")
     }, Some("""
-      SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75,
         MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // ----- A3b: approx sketches (HLL / KLL differ across engines: rows-only)
+    // ----- A3b: approx sketches. Sketch internals (HLL / KLL) differ across
+    // engines, so the oracle checks an *invariant* instead of raw values: the
+    // Spark query computes both the sketch and the exact answer and emits
+    // pass/fail booleans; the oracle asserts they are all TRUE.
     GraftQuery("a3_approx_sketch", (s, d) => {
       import s.implicits._
       T.lineitem(s, d).agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("approx_price_q"))
-    }, None, bench = true),
+        approx_count_distinct($"l_partkey").as("apx_parts"),
+        countDistinct($"l_partkey").as("ex_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("apx_q"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex_q"))
+      .select(
+        (abs($"apx_parts" - $"ex_parts") <= $"ex_parts" * 0.05).as("parts_ok"),
+        (abs(element_at($"apx_q", 1) - element_at($"ex_q", 1))
+          <= element_at($"ex_q", 1) * 0.05).as("q50_ok"),
+        (abs(element_at($"apx_q", 2) - element_at($"ex_q", 2))
+          <= element_at($"ex_q", 2) * 0.05).as("q95_ok"))
+    }, Some("""
+      SELECT TRUE AS parts_ok, TRUE AS q50_ok, TRUE AS q95_ok"""),
+      bench = true),
 
-    // ----- A4: collect_list / collect_set (sorted for determinism)
+    // ----- A4: collect_list / collect_set (sorted for determinism, joined
+    // to a single string so the driver comparator can hash the row)
     GraftQuery("a4_collect", (s, d) => {
       import s.implicits._
       T.customer(s, d).groupBy($"c_nationkey")
         .agg(
-          array_sort(collect_list($"c_mktsegment")).as("segments_all"),
-          array_sort(collect_set($"c_mktsegment")).as("segments_distinct"))
+          array_join(array_sort(collect_list($"c_mktsegment")), ",").as("segments_all"),
+          array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments_distinct"))
         .orderBy($"c_nationkey")
     }, Some("""
       SELECT c_nationkey,
-        list_sort(list(c_mktsegment)) AS segments_all,
-        list_sort(list(DISTINCT c_mktsegment)) AS segments_distinct
+        array_to_string(list_sort(list(c_mktsegment)), ',') AS segments_all,
+        array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments_distinct
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     // ----- subqueries: correlated scalar + IN (Catalyst decorrelates both

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, GraftQuery, Tables => T}
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -262,36 +263,39 @@ object ScalarQueries {
         CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0
       FROM orders ORDER BY o_orderkey""")),
 
-    // ----- arrays incl. higher-order functions (integer folds only: exact)
+    // ----- arrays incl. higher-order functions (integer folds only: exact).
+    // Array results are array_join'ed to strings: the driver's pandas
+    // comparator cannot sort/hash top-level array columns.
     GraftQuery("f_array", (s, d) => {
       import s.implicits._
       val toks = split(trim($"text"), " ")
+      def j(c: Column): Column = array_join(c, ",")
       T.documents(s, d).select(
         $"doc_id",
         size(toks).as("n_tokens"),
-        array_sort(array_distinct(toks)).as("vocab"),
+        j(array_sort(array_distinct(toks))).as("vocab"),
         array_contains(toks, "spark").as("has_spark"),
-        slice(toks, 1, 3).as("first3"),
-        transform(toks, t => upper(t)).as("toks_up"),
-        filter(toks, t => length(t) > 4).as("long_toks"),
-        flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("first4"),
+        j(slice(toks, 1, 3)).as("first3"),
+        j(transform(toks, t => upper(t))).as("toks_up"),
+        j(filter(toks, t => length(t) > 4)).as("long_toks"),
+        j(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2)))).as("first4"),
         aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
           .cast(LongType).as("char_sum"),
-        zip_with(slice(toks, 1, 3), slice(toks, 4, 3), (a, b) => concat(a, lit("_"), b)).as("zipped"))
+        j(zip_with(slice(toks, 1, 3), slice(toks, 4, 3), (a, b) => concat(a, lit("_"), b))).as("zipped"))
         .orderBy($"doc_id")
     }, Some("""
       WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents)
       SELECT doc_id,
         CAST(len(toks) AS INT) AS n_tokens,
-        list_sort(list_distinct(toks)) AS vocab,
+        array_to_string(list_sort(list_distinct(toks)), ',') AS vocab,
         list_contains(toks, 'spark') AS has_spark,
-        toks[1:3] AS first3,
-        list_transform(toks, t -> upper(t)) AS toks_up,
-        list_filter(toks, t -> length(t) > 4) AS long_toks,
-        flatten([toks[1:2], toks[3:4]]) AS first4,
+        array_to_string(toks[1:3], ',') AS first3,
+        array_to_string(list_transform(toks, t -> upper(t)), ',') AS toks_up,
+        COALESCE(array_to_string(list_filter(toks, t -> length(t) > 4), ','), '') AS long_toks,
+        array_to_string(flatten([toks[1:2], toks[3:4]]), ',') AS first4,
         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS char_sum,
-        list_transform(range(1, least(3, len(toks) - 3) + 1),
-          i -> toks[i] || '_' || toks[i + 3]) AS zipped
+        COALESCE(array_to_string(list_transform(range(1, least(3, len(toks) - 3) + 1),
+          i -> toks[i] || '_' || toks[i + 3]), ','), '') AS zipped
       FROM t ORDER BY doc_id""")),
 
     // ----- arrays, part 2: set algebra and positional ops
@@ -300,31 +304,33 @@ object ScalarQueries {
       val toks = split(trim($"text"), " ")
       val first5 = slice(toks, 1, 5)
       val next5 = slice(toks, 4, 5)
+      def j(c: Column): Column = array_join(c, ",")
       T.documents(s, d).select(
         $"doc_id",
-        array_sort(array_union(first5, next5)).as("u"),
-        array_sort(array_except(first5, next5)).as("ex"),
+        j(array_sort(array_union(first5, next5))).as("u"),
+        j(array_sort(array_except(first5, next5))).as("ex"),
         arrays_overlap(first5, next5).as("ov"),
         array_position(toks, element_at(toks, 3)).cast(LongType).as("pos3"),
-        array_sort(array_remove(first5, element_at(toks, 1))).as("rm"),
-        array_repeat(element_at(toks, 1), 3).as("rep"),
+        j(array_sort(array_remove(first5, element_at(toks, 1)))).as("rm"),
+        j(array_repeat(element_at(toks, 1), 3)).as("rep"),
         array_min(transform(toks, t => length(t))).cast(IntegerType).as("min_len"),
         array_max(transform(toks, t => length(t))).cast(IntegerType).as("max_len"),
-        reverse(first5).as("rev5"))
+        j(reverse(first5)).as("rev5"))
         .orderBy($"doc_id")
     }, Some("""
       WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents),
       s AS (SELECT doc_id, toks, toks[1:5] AS f5, toks[4:8] AS n5 FROM t)
       SELECT doc_id,
-        list_sort(list_distinct(f5 || n5)) AS u,
-        list_sort(list_filter(list_distinct(f5), x -> NOT list_contains(n5, x))) AS ex,
+        array_to_string(list_sort(list_distinct(f5 || n5)), ',') AS u,
+        COALESCE(array_to_string(list_sort(list_filter(list_distinct(f5),
+          x -> NOT list_contains(n5, x))), ','), '') AS ex,
         len(list_filter(f5, x -> list_contains(n5, x))) > 0 AS ov,
         CAST(list_position(toks, toks[3]) AS BIGINT) AS pos3,
-        list_sort(list_filter(f5, x -> x <> toks[1])) AS rm,
-        [toks[1], toks[1], toks[1]] AS rep,
+        COALESCE(array_to_string(list_sort(list_filter(f5, x -> x <> toks[1])), ','), '') AS rm,
+        array_to_string([toks[1], toks[1], toks[1]], ',') AS rep,
         CAST(list_min(list_transform(toks, t -> length(t))) AS INT) AS min_len,
         CAST(list_max(list_transform(toks, t -> length(t))) AS INT) AS max_len,
-        list_reverse(f5) AS rev5
+        array_to_string(list_reverse(f5), ',') AS rev5
       FROM s ORDER BY doc_id""")),
 
     // ----- map + json (reference: nlohmann json over HTTP headers,
@@ -335,16 +341,16 @@ object ScalarQueries {
       T.events(s, d).select(
         $"event_id",
         get_json_object($"props", "$.k").as("k_str"),
-        map_keys(m).as("prop_keys"),
-        map_values(m).as("prop_vals"),
+        array_join(map_keys(m), ",").as("prop_keys"),
+        array_join(transform(map_values(m), v => v.cast(StringType)), ",").as("prop_vals"),
         element_at(m, "k").as("k_int"),
         to_json(map(lit("k"), element_at(m, "k"))).as("json_rt"))
         .orderBy($"event_id")
     }, Some("""
       SELECT event_id,
         json_extract_string(props, '$.k') AS k_str,
-        json_keys(props) AS prop_keys,
-        [CAST(json_extract_string(props, '$.k') AS INT)] AS prop_vals,
+        array_to_string(json_keys(props), ',') AS prop_keys,
+        CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR) AS prop_vals,
         CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT)))::VARCHAR AS json_rt
       FROM events ORDER BY event_id""")),
