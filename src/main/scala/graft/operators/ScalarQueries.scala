@@ -191,18 +191,35 @@ object ScalarQueries {
       FROM customer ORDER BY c_custkey""")),
 
     // engine-specific hashes + the reference's own djb2 (crypt.hpp:346-369),
-    // reproduced as a custom codegen'd Catalyst expression: rows-only here,
-    // exact test vectors in HashExpressionsSpec.
+    // reproduced as a custom codegen'd Catalyst expression. xxhash64/murmur
+    // are Spark-seeded (no DuckDB equivalent → checked by distinctness
+    // invariants + test vectors in HashExpressionsSpec); djb2 and crc32 are
+    // recomputed exactly by the oracle (djb2 via HUGEINT mod-2^64 fold).
     GraftQuery("f_hash_native", (s, d) => {
       import s.implicits._
-      T.customer(s, d).select(
+      val c = T.customer(s, d)
+      c.select(
         $"c_custkey",
-        xxhash64($"c_name").as("name_xx64"),
-        hash($"c_name").as("name_murmur"),
+        xxhash64($"c_name").as("xx64"),
+        hash($"c_name").as("murmur"),
         crc32($"c_name".cast(BinaryType)).as("name_crc32"),
         GraftFunctions.djb2_hash($"c_name").as("name_djb2"))
+        .groupBy($"c_custkey", $"name_crc32", $"name_djb2")
+        .agg(count_distinct($"xx64").as("nxx"), count_distinct($"murmur").as("nmm"))
+        .select($"c_custkey", $"name_crc32", $"name_djb2",
+          ($"nxx" === 1 && $"nmm" === 1).as("native_ok"))
         .orderBy($"c_custkey")
-    }, None),
+    }, Some("""
+      SELECT c_custkey,
+        crc32(c_name) AS name_crc32,
+        lpad(lower(hex(CAST(list_reduce(
+          list_prepend(CAST(5381 AS HUGEINT),
+            list_transform(range(1, length(c_name) + 1),
+              i -> CAST(ascii(substring(c_name, CAST(i AS INT), 1)) AS HUGEINT))),
+          (h, c) -> (h * 33 + c) % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT))),
+          16, '0') AS name_djb2,
+        TRUE AS native_ok
+      FROM customer ORDER BY c_custkey""")),
 
     // ----- math
     GraftQuery("f_math", (s, d) => {
