@@ -27,9 +27,13 @@ object Tables {
 
   /** events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
     * rejects; read nanos as long and truncate to micros (exactly what
-    * DuckDB's reader does, so oracle semantics agree). */
+    * DuckDB's reader does, so oracle semantics agree). The conf is set in
+    * Graft.session / the Bench & Verify builders; the guard below only
+    * covers externally-built sessions, without re-mutating the conf on
+    * every table load. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     load(spark, dir, "events")
   }
 

@@ -81,38 +81,56 @@ object GraftCodec {
 
   private val Rsb1Magic = Array[Byte]('R', 'S', 'B', '1')
 
-  /** Encode a payload in the reference's compressed-bytecode container:
-    * "RSB1" magic, 4-byte little-endian size, zstd frame — all bytes XOR'd
-    * with a rolling mask derived from the magic+size prefix
-    * (decode-only conformance shape from bytecode.cpp:130-155; the encoder
-    * exists so tests can build fixtures). */
+  /** Encode a payload in the reference's compressed-bytecode container,
+    * conformant to bytecode.cpp:130-155 (decompress_bytecode): plaintext is
+    * "RSB1" magic + 4-byte little-endian size + zstd frame; every byte i
+    * (header included) is XOR-masked with key[i%4] + i*41 (uint8
+    * arithmetic) for a 4-byte key. The key never travels separately — the
+    * decoder recovers it from the masked magic (key[i] =
+    * (masked[i] ^ 'RSB1'[i]) - i*41), so any key works; we derive one from
+    * the payload's FNV-1a hash for determinism. */
   def rsb1Encode(payload: Array[Byte]): Array[Byte] = {
     val comp = zstdCompress(payload, 3)
-    val raw = new Array[Byte](8 + comp.length)
-    System.arraycopy(Rsb1Magic, 0, raw, 0, 4)
-    raw(4) = payload.length.toByte
-    raw(5) = (payload.length >>> 8).toByte
-    raw(6) = (payload.length >>> 16).toByte
-    raw(7) = (payload.length >>> 24).toByte
-    System.arraycopy(comp, 0, raw, 8, comp.length)
-    // rolling XOR mask: byte i of the body is masked with prefix(i % 8)
-    val out = raw.clone()
-    var i = 8
-    while (i < out.length) { out(i) = (out(i) ^ raw(i % 8)).toByte; i += 1 }
+    val plain = new Array[Byte](8 + comp.length)
+    System.arraycopy(Rsb1Magic, 0, plain, 0, 4)
+    plain(4) = payload.length.toByte
+    plain(5) = (payload.length >>> 8).toByte
+    plain(6) = (payload.length >>> 16).toByte
+    plain(7) = (payload.length >>> 24).toByte
+    System.arraycopy(comp, 0, plain, 8, comp.length)
+    val kh = fnv1a64(payload)
+    val key = Array.tabulate(4)(i => ((kh >>> (8 * i)) & 0xff).toInt)
+    val out = new Array[Byte](plain.length)
+    var i = 0
+    while (i < plain.length) {
+      out(i) = ((plain(i) & 0xff) ^ ((key(i % 4) + i * 41) & 0xff)).toByte
+      i += 1
+    }
     out
   }
 
-  /** Decode the RSB1 container: unmask, validate magic, zstd-decompress to
-    * exactly the declared size. */
+  /** Decode the reference's RSB1 container exactly as
+    * bytecode.cpp:130-155 does: recover the 4-byte key from the masked
+    * magic (key[i] = (input[i] ^ 'RSB1'[i]) - i*41, uint8 arithmetic),
+    * unmask every byte with key[i%4] + i*41, validate the magic, read the
+    * little-endian size, zstd-decompress the body to exactly that size. */
   def rsb1Decode(input: Array[Byte]): Array[Byte] = {
     require(input.length >= 8, "rsb1: too short")
-    require(input(0) == 'R' && input(1) == 'S' && input(2) == 'B' && input(3) == '1',
-      "rsb1: bad magic")
-    val size = (input(4) & 0xff) | ((input(5) & 0xff) << 8) |
-      ((input(6) & 0xff) << 16) | ((input(7) & 0xff) << 24)
-    val body = new Array[Byte](input.length - 8)
-    var i = 8
-    while (i < input.length) { body(i - 8) = (input(i) ^ input(i % 8)).toByte; i += 1 }
+    val key = Array.tabulate(4) { i =>
+      (((input(i) & 0xff) ^ (Rsb1Magic(i) & 0xff)) - i * 41) & 0xff
+    }
+    val plain = new Array[Byte](input.length)
+    var i = 0
+    while (i < input.length) {
+      plain(i) = ((input(i) & 0xff) ^ ((key(i % 4) + i * 41) & 0xff)).toByte
+      i += 1
+    }
+    require(plain(0) == 'R' && plain(1) == 'S' && plain(2) == 'B' && plain(3) == '1',
+      "rsb1: bad magic after unmask")
+    val size = (plain(4) & 0xff) | ((plain(5) & 0xff) << 8) |
+      ((plain(6) & 0xff) << 16) | ((plain(7) & 0xff) << 24)
+    require(size >= 0, s"rsb1: negative declared size $size")
+    val body = java.util.Arrays.copyOfRange(plain, 8, plain.length)
     val out = Zstd.decompress(body, size)
     require(out.length == size, s"rsb1: declared $size got ${out.length}")
     out

@@ -34,5 +34,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kr_fingerprint", e => KarpRabinFingerprint(e.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", e => CosineSimilarity(e.head, e(1)), "built-in")
+    reg.createOrReplaceTempFunction("rsb1_decode", e => Rsb1Decode(e.head), "built-in")
+    // SQL forms take the size/width as a literal second argument
+    reg.createOrReplaceTempFunction("derive_bytes",
+      e => DeriveBytes(e.head, e(1).eval(null).toString.toInt), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      e => MinHashSignature(e.head, e(1).eval(null).toString.toInt), "built-in")
   }
 }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
 object DedupQueries {
 
   /** (doc_id, sh: array<bigint>) — distinct 3-gram word shingles per doc,
-    * as 64-bit hashes.
+    * as 64-bit hashes. Degenerate docs (< 3 tokens, incl. empty) have no
+    * 3-gram shingles and are pre-filtered — same semantics as the DuckDB
+    * oracle (whose unnest emits nothing for them), and it removes the
+    * scale hazard of every empty doc colliding into one giant LSH band
+    * bucket (quadratic pair expansion among them).
     *
     * Two-stage projection on purpose: tokenization materializes once as an
     * attribute (CollapseProject won't inline a non-cheap alias used many
@@ -36,14 +40,13 @@ object DedupQueries {
     val n = size($"toks")
     T.documents(s, d)
       .select($"doc_id", transform(split(trim($"text"), " "), t => xxhash64(t)).as("toks"))
+      .filter(n >= 3)
       .select($"doc_id",
-        when(n >= 3,
-          array_distinct(zip_with(
-            zip_with(slice($"toks", lit(1), n - 2), slice($"toks", lit(2), n - 2),
-              (a, b) => xxhash64(a, b)),
-            slice($"toks", lit(3), n - 2),
-            (ab, c) => xxhash64(ab, c))))
-          .otherwise(array(xxhash64(concat_ws(" ", $"toks")))).as("sh"))
+        array_distinct(zip_with(
+          zip_with(slice($"toks", lit(1), n - 2), slice($"toks", lit(2), n - 2),
+            (a, b) => xxhash64(a, b)),
+          slice($"toks", lit(3), n - 2),
+          (ab, c) => xxhash64(ab, c))).as("sh"))
   }
 
   /** Exact Jaccard on shingle-set pairs given (a, b) candidate pairs. */
@@ -160,25 +163,15 @@ object DedupQueries {
         .join(broadcast(sz.select($"doc_id".as("b"), $"n".as("nb"))), "b")
         .filter($"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz") >= 0.5)
         .select($"a", $"b")
-      val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b"))).cache()
-      // min-label propagation to fixpoint
-      var labels = sets.select($"doc_id", $"doc_id".as("lbl")).cache()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val viaNeighbors = edges
-          .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("lbl", "nlbl"), "b")
-          .groupBy($"a".as("doc_id")).agg(min($"nlbl").as("minn"))
-        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-          .select($"doc_id", least($"lbl", coalesce($"minn", $"lbl")).as("lbl"))
-          .cache()
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-          .filter($"lbl" =!= $"old").count()
-        labels = next
-        iter += 1
-      }
-      labels
-        .select($"doc_id", $"lbl".as("cluster"), ($"doc_id" === $"lbl").as("is_keeper"))
+      val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true)
+      // min-label propagation to fixpoint: checkpointed, pointer-doubled,
+      // throws rather than returning partial clusters (Graft.scala).
+      // Labels seed from ALL documents (docShingles drops shingle-less
+      // docs, but every doc must appear in the cluster table)
+      val labels0 = T.documents(s, d).select($"doc_id".as("__id"), $"doc_id".as("__lbl"))
+      graft.Graft.propagateMinLabels(labels0, edges)
+        .select($"__id".as("doc_id"), $"__lbl".as("cluster"),
+          ($"__id" === $"__lbl").as("is_keeper"))
         .orderBy($"doc_id")
     }, Some("""
       WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
@@ -203,27 +196,39 @@ object DedupQueries {
       FROM documents LEFT JOIN rec ON documents.doc_id = rec.d
       ORDER BY doc_id""")),
 
-    // ----- N2b: SimHash near-dup (hamming ≤ 8 over 64-bit signatures,
-    // candidates from 4×16-bit chunk banding). Signature function is
-    // engine-specific: rows-only here, exact vectors in GraftExpressionsSpec.
+    // ----- N2b: SimHash near-dup (hamming ≤ 8 over 64-bit signatures).
+    // Production path: Graft.simhashPairs bands into maxHamming+1 = 9
+    // chunks, so recall is exact by pigeonhole — which makes the operator
+    // invariant-checkable: an all-pairs brute-force companion (oracle-check
+    // only — quadratic, never the production path) recomputes the
+    // qualifying pairs and the query emits soundness/completeness booleans
+    // plus the corpus size. The signature itself is engine-specific (exact
+    // vectors in GraftExpressionsSpec), so the oracle asserts the invariants
+    // and recomputes only n_docs.
     GraftQuery("n2_simhash", (s, d) => {
       import s.implicits._
-      val sig = T.documents(s, d)
-        .select($"doc_id", simhash64(split(trim($"text"), " ")).as("sig"))
-      val chunkArr = array((0 to 3).map(ci =>
-        shiftrightunsigned($"sig", ci * 16).bitwiseAND(lit(0xffffL))): _*)
-      val chunks = sig.select($"doc_id", $"sig", posexplode(chunkArr))
-        .toDF("doc_id", "sig", "chunk_id", "chunk")
-      val cand = chunks.as("x").join(chunks.as("y"),
-          col("x.chunk_id") === col("y.chunk_id") &&
-          col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
+      val docs = T.documents(s, d)
+      val lsh = graft.Graft.simhashPairs(docs, "doc_id", "text", 8)
+        .select($"a", $"b", $"hamming".as("h_lsh"))
+      val sig = docs.select($"doc_id", simhash64(split(trim($"text"), " ")).as("sig"))
+      val exact = sig.as("x").crossJoin(sig.as("y"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 8)
-        .orderBy($"a", $"b")
-      cand
-    }, None)
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("h_ex"))
+        .filter($"h_ex" <= 8)
+      lsh.join(exact, Seq("a", "b"), "full_outer")
+        .agg(
+          coalesce(sum(when($"h_ex".isNull, 1).otherwise(0)), lit(0)).as("n_spurious"),
+          coalesce(sum(when($"h_lsh".isNull, 1).otherwise(0)), lit(0)).as("n_missed"),
+          coalesce(sum(when($"h_lsh" =!= $"h_ex", 1).otherwise(0)), lit(0)).as("n_mismatch"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select($"n_docs",
+          ($"n_spurious" === 0).as("sound_ok"),
+          ($"n_missed" === 0).as("complete_ok"),
+          ($"n_mismatch" === 0).as("dist_ok"))
+    }, Some("""
+      SELECT COUNT(*) AS n_docs, TRUE AS sound_ok, TRUE AS complete_ok,
+        TRUE AS dist_ok
+      FROM documents"""))
   )
 }

@@ -71,14 +71,27 @@ object EventQueries {
           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS last10min_cents
       FROM e ORDER BY user_id, event_id"""), bench = true),
 
-    // ----- W1b: distribution window functions (exact rational outputs)
+    // ----- W1b: distribution window functions (exact rational outputs).
+    // event_type has ~5 values, so `over (partition by event_type)` would
+    // hand each reducer a fifth of the dataset (~20 TB at the design
+    // point). Two-pass form instead: range-partitioned distributed
+    // row_number (SkewUtils.rangedRowNumber — largest task holds
+    // N/numPartitions rows) + per-type counts joined back broadcast.
+    // (value, event_id) is a total order per type, so rank = row_number
+    // and cume_dist = rn/n exactly as the windowed form computes them.
     GraftQuery("w1_distribution", (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-      T.events(s, d).select(
-        $"event_type", $"event_id",
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+      val ev = T.events(s, d)
+      val ranked = SkewUtils.rangedRowNumber(
+        ev.select($"event_type", $"event_id", $"value"),
+        key = Seq("event_type"), order = Seq("value", "event_id"),
+        numPartitions = 32, rankCol = "rn")
+      val nPer = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(nPer), "event_type")
+        .select($"event_type", $"event_id",
+          when($"n" === 1, 0.0)
+            .otherwise(($"rn" - 1).cast(DoubleType) / ($"n" - 1)).as("pr"),
+          ($"rn".cast(DoubleType) / $"n").as("cd"))
         .orderBy($"event_type", $"event_id")
     }, Some("""
       SELECT event_type, event_id,
@@ -233,14 +246,18 @@ object EventQueries {
       FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
 
     // ----- ratio-to-report: each event's share of its type's total value
-    // (exact integer cents divided at the end — deterministic)
+    // (exact integer cents divided at the end — deterministic).
+    // groupBy + broadcast-join-back, NOT `sum() over (partition by
+    // event_type)`: a whole-partition window over a ~5-value key puts the
+    // entire dataset on 5 reducers; the aggregate partial-combines
+    // map-side and the 5-row totals broadcast.
     GraftQuery("e3_value_share", (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type")
-      T.events(s, d)
-        .withColumn("cents", vcents($"value"))
+      val ev = T.events(s, d).withColumn("cents", vcents($"value"))
+      val totals = ev.groupBy($"event_type").agg(sum($"cents").as("total"))
+      ev.join(broadcast(totals), "event_type")
         .select($"event_type", $"event_id",
-          ($"cents".cast(DoubleType) / sum($"cents").over(w)).as("share"))
+          ($"cents".cast(DoubleType) / $"total").as("share"))
         .orderBy($"event_type", $"event_id")
     }, Some(s"""
       WITH t AS (SELECT event_type, event_id, ${sql.vcents("value")} AS cents FROM events)

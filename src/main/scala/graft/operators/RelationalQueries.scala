@@ -176,12 +176,21 @@ object RelationalQueries {
             FROM events) t
       WHERE rn <= 20 ORDER BY event_type, event_id""")),
 
-    // Bernoulli sample: rows-only (RNG differs across engines by design)
+    // Bernoulli sample: the draw is engine-seeded so the exact count can't
+    // be mirrored, but the sampler's contract can — the sample size of a
+    // p=0.1 Bernoulli over N rows is Binomial(N, p), so the oracle asserts
+    // |n - Np| <= 6*sqrt(Np(1-p)) (probability of a false failure < 1e-9).
     GraftQuery("p7_sample_rand", (s, d) => {
       import s.implicits._
-      T.lineitem(s, d).sample(withReplacement = false, 0.1, 42L)
-        .agg(count(lit(1)).as("n"))
-    }, None),
+      val li = T.lineitem(s, d)
+      val total = li.agg(count(lit(1)).cast(DoubleType).as("total"))
+      li.sample(withReplacement = false, 0.1, 42L)
+        .agg(count(lit(1)).cast(DoubleType).as("n"))
+        .crossJoin(total)
+        .select(
+          (abs($"n" - $"total" * 0.1) <= sqrt($"total" * 0.1 * 0.9) * 6)
+            .as("binomial_ok"))
+    }, Some("SELECT TRUE AS binomial_ok")),
 
     // ----- J1: equi join + aggregate (TPC-H Q3 shape)
     GraftQuery("j1_join_topk", (s, d) => {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation building blocks for the 100 TB design point (SURVEY.md
@@ -15,6 +16,11 @@ object SkewUtils {
     * re-aggregatable pair (partial, combine) — e.g. (count, sum),
     * (sum, sum), (max, max).
     *
+    * `saltOn` must be a stable row attribute (a value or id column): the
+    * salt is its hash, so a retried task recomputes identical salts —
+    * partition-id/monotonic-id salts would differ across retries and can
+    * double- or drop-count rows when only part of a stage reruns.
+    *
     * At scale: phase 1 shuffles on (key, salt) — `buckets`× more groups, no
     * single reducer receives the whole hot key; phase 2 shuffles only one
     * row per (key, salt).
@@ -25,12 +31,46 @@ object SkewUtils {
       buckets: Int,
       partial: Column => Column,
       valueCol: Column,
-      combine: Column => Column): DataFrame = {
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      combine: Column => Column,
+      saltOn: Column): DataFrame = {
+    df.withColumn("__salt", pmod(xxhash64(saltOn), lit(buckets)))
       .groupBy(key.as("__k"), col("__salt"))
       .agg(partial(valueCol).as("__partial"))
       .groupBy(col("__k"))
       .agg(combine(col("__partial")).as("__agg"))
+  }
+
+  /** Distributed per-key row_number over a total order, without funneling
+    * any single key through one reducer — the two-pass rank that replaces
+    * `row_number()/percent_rank() over (partition by lowCardKey order by
+    * ...)` when a key's row count exceeds one task's memory (a 5-value key
+    * over 100 TB would otherwise hand ~20 TB to each of 5 reducers).
+    *
+    * Pass 1: range-repartition on (key ++ order) — each partition holds a
+    * contiguous slice of the global order, bounded by N/numPartitions —
+    * and rank locally within (partition, key). Pass 2: per-(partition,
+    * key) row counts (a tiny aggregate: numPartitions × |keys| rows) are
+    * prefix-summed into offsets and broadcast back. Global rank = local
+    * rank + offset. `order` must be a total order within each key for a
+    * deterministic result. */
+  def rangedRowNumber(df: DataFrame, key: Seq[String], order: Seq[String],
+                      numPartitions: Int, rankCol: String): DataFrame = {
+    val sortCols = (key ++ order).map(col)
+    val parts = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy((col("__pid") +: key.map(col)): _*)
+      .orderBy(order.map(col): _*)
+    val local = parts.withColumn("__ln", row_number().over(wLocal))
+    val counts = local.groupBy((col("__pid") +: key.map(col)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(key.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select((col("__pid") +: key.map(col)) :+ col("__off"): _*)
+    local.join(broadcast(offsets), "__pid" +: key)
+      .withColumn(rankCol, col("__off") + col("__ln"))
+      .drop("__pid", "__ln", "__off")
   }
 
   /** Band (range) join via bucketing: |left.v - right.v| < width pairs can
@@ -53,17 +93,20 @@ object SkewUtils {
   }
 
   /** Salted join of a skewed fact against a dimension: the fact side gets a
-    * random-ish deterministic salt in [0, buckets); the dim side is
-    * replicated `buckets`× (explode) so every (key, salt) pair finds its
-    * match. Use when one fact key dominates and the dim is too large to
-    * broadcast outright but small enough to replicate `buckets`×.
+    * deterministic salt in [0, buckets) hashed from (key, saltOn); the dim
+    * side is replicated `buckets`× (explode) so every (key, salt) pair
+    * finds its match. Use when one fact key dominates and the dim is too
+    * large to broadcast outright but small enough to replicate `buckets`×.
+    * `saltOn` must be a stable row attribute (see saltedAggregate): salts
+    * derived from partition/monotonic ids change across task retries.
     */
   def saltedJoin(
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
-      buckets: Int): DataFrame = {
+      buckets: Int,
+      saltOn: Column): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(col(factKey), spark_partition_id(), monotonically_increasing_id()), lit(buckets)))
+      pmod(xxhash64(col(factKey), saltOn), lit(buckets)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)))).withColumn("__salt", col("__salt").cast("long"))
     saltedFact.join(replicatedDim,

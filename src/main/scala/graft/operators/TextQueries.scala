@@ -131,16 +131,21 @@ object TextQueries {
     // engines can't flip row order
     GraftQuery("x5_tfidf", (s, d) => {
       import s.implicits._
+      // document-frequency table joins as a plain shuffle join (vocabulary
+      // is unbounded at corpus scale — AQE may still broadcast it when
+      // it's actually small); the corpus size enters as a cross-joined
+      // 1-row aggregate, not a driver-side count()
       val docs = T.documents(s, d)
-      val n = docs.count()
+      val nDocs = docs.agg(count(lit(1)).cast(DoubleType).as("n_corpus"))
       val terms = docs.select($"doc_id", explode(split(trim($"text"), " ")).as("term"))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = terms.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "term")
+      tf.join(df, "term")
         .filter($"tf" >= 3)
+        .crossJoin(broadcast(nDocs))
         .select($"doc_id", $"term", $"tf", $"df",
-          round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+          round($"tf" * log($"n_corpus" / $"df"), 6).as("tfidf"))
         .orderBy($"doc_id", $"term")
     }, Some("""
       WITH t AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
@@ -160,13 +165,17 @@ object TextQueries {
     // engine can't drift it.
     GraftQuery("x8_unigram_logprob", (s, d) => {
       import s.implicits._
+      // frequency table joins as a plain shuffle join (unbounded vocab;
+      // AQE decides broadcast); corpus token total via a cross-joined
+      // 1-row aggregate — no driver-side count()
       val terms = T.documents(s, d)
         .select($"doc_id", explode(split(trim($"text"), " ")).as("term"))
       val freq = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
-      val total = terms.count()
-      val withLp = terms.join(broadcast(freq), "term")
+      val totalDf = terms.agg(count(lit(1)).cast(DoubleType).as("n_total"))
+      val withLp = terms.join(freq, "term")
+        .crossJoin(broadcast(totalDf))
         .withColumn("lp_u",
-          round(log($"freq".cast(DoubleType) / lit(total.toDouble)) * 1e6).cast(LongType))
+          round(log($"freq".cast(DoubleType) / $"n_total") * 1e6).cast(LongType))
       withLp.groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"lp_u").as("logprob_u"))
         .withColumn("mean_logprob", $"logprob_u".cast(DoubleType) / $"n_tokens" / 1e6)
@@ -287,8 +296,11 @@ object TextQueries {
         text <> clean_text AS was_redacted
       FROM r ORDER BY doc_id""")),
 
-    // rolling-hash + djb2 fingerprints (engine-specific: exact vectors in
-    // GraftExpressionsSpec; rows-only here)
+    // rolling-hash + djb2 fingerprints — both are simple byte folds, so the
+    // oracle recomputes them exactly in DuckDB: djb2 as a HUGEINT mod-2^64
+    // fold (same shape as f_hash_native), Karp-Rabin as a fold of
+    // h*257 + byte mod 2^31-1 (GraftCodec.karpRabin). Exact vectors also in
+    // GraftExpressionsSpec.
     GraftQuery("x4_fingerprint_native", (s, d) => {
       import s.implicits._
       T.documents(s, d).select(
@@ -296,6 +308,19 @@ object TextQueries {
         kr_fingerprint($"text").as("kr_fp"),
         djb2_hash($"text").as("djb2_fp"))
         .orderBy($"doc_id")
-    }, None)
+    }, Some("""
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, length(text) + 1),
+              i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS HUGEINT))),
+          (h, c) -> (h * 257 + c) % CAST(2147483647 AS HUGEINT)) AS BIGINT) AS kr_fp,
+        lpad(lower(hex(CAST(list_reduce(
+          list_prepend(CAST(5381 AS HUGEINT),
+            list_transform(range(1, length(text) + 1),
+              i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS HUGEINT))),
+          (h, c) -> (h * 33 + c) % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT))),
+          16, '0') AS djb2_fp
+      FROM documents ORDER BY doc_id"""))
   )
 }

@@ -65,7 +65,7 @@ class GraftFacadeSpec extends SparkTestBase {
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts", $"event_id".as("click_id"))
     val facade = Graft.asofJoinLatest(
-        purchases, "ts", "event_id", clicks, "ts", "click_id", "user_id")
+        purchases, "ts", "event_id", clicks, "ts", "click_id", "user_id", "click_id")
       .collect().map(r => r.getLong(1) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
     val gate = SparkEntry.queries("j6_asof_join")(spark, sf)
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap

@@ -101,4 +101,20 @@ class GraftExpressionsSpec extends SparkTestBase {
     val r = spark.sql("SELECT djb2_hash('abc') AS h, kr_fingerprint('abc') AS k").head()
     assert(r.getString(0) == "000000000b885c8b" && r.getLong(1) == 6432038L)
   }
+
+  test("derive_bytes / rsb1_decode / minhash_signature are SQL-registered") {
+    GraftFunctions.registerAll(spark)
+    val d = spark.sql(
+      "SELECT hex(derive_bytes('seed', 8)) AS h8, hex(derive_bytes('seed', 16)) AS h16").head()
+    assert(d.getString(0).length == 16 && d.getString(1).length == 32)
+    assert(d.getString(1).startsWith(d.getString(0)), "counter-chain prefix property")
+    val enc = GraftCodec.rsb1Encode("sql path".getBytes("UTF-8"))
+    val hexStr = enc.map(b => f"$b%02x").mkString
+    val r = spark.sql(
+      s"SELECT cast(rsb1_decode(unhex('$hexStr')) AS STRING) AS s").head()
+    assert(r.getString(0) == "sql path")
+    val m = spark.sql(
+      "SELECT size(minhash_signature(array(1L, 2L, 3L), 16)) AS n").head()
+    assert(m.getInt(0) == 16)
+  }
 }

@@ -1,26 +1,55 @@
 package graft.operators
 
-import graft.{SparkTestBase, SparkEntry}
+import graft.{Graft, SparkEntry, SparkTestBase}
 import org.apache.spark.sql.functions._
 
 class SimilarityAndSkewSpec extends SparkTestBase {
 
-  test("IVF ANN recall vs brute force is usable (nprobe=4 of 16 cells)") {
+  test("IVF ANN recall vs brute force clears the invariant floor (nprobe=4 of 16 cells)") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
     val exact = SparkEntry.queries("n5_ann_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("n5_ann_ivf")(spark, sf).collect()
+    val ivf = Graft.annIvfTopK(e, q, "vec_id", "embedding", 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall $recall collapsed (found ${ivf.size}, exact ${exact.size})")
+    assert(recall >= 0.75, s"IVF recall $recall below floor (found ${ivf.size}, exact ${exact.size})")
   }
 
-  test("LSH ANN returns a subset-quality result per query") {
-    val lsh = SparkEntry.queries("n5_ann_lsh")(spark, sf).collect()
+  test("LSH ANN top-3: per-query size, score range, recall floor") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val lsh = Graft.annLshTopK(e, q, "vec_id", "embedding", 3).collect()
     assert(lsh.nonEmpty)
-    // every query returns at most 3, all cos in [-1, 1]
     val perQ = lsh.groupBy(_.getLong(0)).map(_._2.length)
     assert(perQ.forall(_ <= 3))
     assert(lsh.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    val exact3 = Graft.annTopK(e, q, "vec_id", "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact3).size.toDouble / exact3.size
+    assert(recall >= 0.70, s"LSH recall@3 $recall below floor")
+  }
+
+  test("cosineNearDupPairs is a subset of the exact pairs with recall floor") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val exact = SparkEntry.queries("n4_embedding_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Graft.cosineNearDupPairs(e, "vec_id", "embedding", 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"rescore let false positives through: ${lsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.70, s"near-dup recall $recall below floor (${lsh.size}/${exact.size})")
+  }
+
+  test("ANN + simhash gate queries emit all-true invariant rows") {
+    for (name <- Seq("n5_ann_lsh", "n5_ann_ivf", "n2_simhash")) {
+      val rows = SparkEntry.queries(name)(spark, sf).collect()
+      assert(rows.length == 1, s"$name should emit one invariant row")
+      val r = rows.head
+      val bools = (0 until r.length).filter(i => r.get(i).isInstanceOf[Boolean])
+      assert(bools.nonEmpty && bools.forall(r.getBoolean), s"$name invariants failed: $r")
+    }
   }
 
   test("salted aggregate equals plain aggregate (count and sum)") {
@@ -29,9 +58,21 @@ class SimilarityAndSkewSpec extends SparkTestBase {
       .select($"user_id", (round($"value" * 100)).cast("long").as("cents"))
     val plain = ev.groupBy($"user_id").agg(sum($"cents").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val salted = SkewUtils.saltedAggregate(ev, $"user_id", 8, sum, $"cents", sum)
+    val salted = SkewUtils.saltedAggregate(ev, $"user_id", 8, sum, $"cents", sum, $"cents")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain)
+  }
+
+  test("salts are content-derived: identical across recomputation and repartitioning (retry safety)") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf).select($"event_id", (round($"value" * 100)).cast("long").as("cents"))
+    def salts(parts: Int): Map[Long, Long] =
+      ev.repartition(parts)
+        .withColumn("__salt", pmod(xxhash64($"cents"), lit(8)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a partition-id- or monotonic-id-derived salt changes with physical
+    // layout; the content hash must not
+    assert(salts(3) == salts(11))
   }
 
   test("bucketed band join equals the naive theta join") {
@@ -52,7 +93,19 @@ class SimilarityAndSkewSpec extends SparkTestBase {
       .toDF("k", "v")
     val dim = (0L to 10L).map(k => (k, s"dim$k")).toDF("dk", "name")
     val plain = fact.join(dim, $"k" === $"dk").count()
-    val salted = SkewUtils.saltedJoin(fact, "k", dim, "dk", 4).count()
+    val salted = SkewUtils.saltedJoin(fact, "k", dim, "dk", 4, $"v").count()
     assert(salted == plain, s"salted $salted vs plain $plain")
+  }
+
+  test("rangedRowNumber equals the windowed row_number") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf).select($"event_type", $"event_id", $"value")
+    val windowed = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"value", $"event_id")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val ranged = SkewUtils.rangedRowNumber(ev, Seq("event_type"), Seq("value", "event_id"), 8, "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3).toInt).toMap
+    assert(ranged == windowed)
   }
 }

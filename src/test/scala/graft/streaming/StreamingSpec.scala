@@ -117,6 +117,97 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  /** (file name → bytes) of every data file under a bucket dir. */
+  private def bucketBytes(dir: java.nio.file.Path): Map[String, Seq[Byte]] = {
+    if (!Files.isDirectory(dir)) return Map.empty
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => dir.relativize(p).toString -> Files.readAllBytes(p).toSeq)
+        .toMap
+    } finally s.close()
+  }
+
+  test("bucketed compacting store rewrites only the touched buckets") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    val store = tmp("bucket_store") + "/store"
+    // find two keys that land in different buckets (hash is stable)
+    val keys = ('a' to 'p').map(_.toString)
+    val bucketOf = keys.map(k => k ->
+      spark.range(1).select(pmod(xxhash64(lit(k)), lit(16L))).head().getLong(0)).toMap
+    val k1 = keys.head
+    val k2 = keys.find(k => bucketOf(k) != bucketOf(k1)).get
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("off"))(
+      Seq((k1, 1L, "a"), (k2, 1L, "b")).toDF("k", "off", "v"), 0L)
+    val k2DirBefore = bucketBytes(Paths.get(s"$store/bucket=${bucketOf(k2)}"))
+    assert(k2DirBefore.nonEmpty)
+    // second batch touches only k1's bucket
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("off"))(
+      Seq((k1, 2L, "a2")).toDF("k", "off", "v"), 1L)
+    val k2DirAfter = bucketBytes(Paths.get(s"$store/bucket=${bucketOf(k2)}"))
+    assert(k2DirAfter == k2DirBefore, "untouched bucket was rewritten")
+    val state = spark.read.parquet(store).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(state == Map(k1 -> "a2", k2 -> "b"), s"store state: $state")
+  }
+
+  test("compacting store recovers from a crash between the two swap moves") {
+    import spark.implicits._
+    import java.nio.file.{Paths, StandardCopyOption}
+    val store = tmp("crash_store") + "/store"
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("off"))(
+      Seq(("k1", 1L, "a"), ("k2", 1L, "b")).toDF("k", "off", "v"), 0L)
+    val before = spark.read.parquet(store).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // simulate the crash window: live bucket moved to _old, new store never
+    // landed (the exact state the old remove-then-move order lost data in)
+    val root = Paths.get(store)
+    val aBucket = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(root)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .find(_.startsWith("bucket=")).get finally s.close()
+    }
+    Files.move(root.resolve(aBucket), root.resolve(s"_old_$aBucket"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // next batch (checkpoint replay) recovers the bucket, then merges
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("off"))(
+      Seq(("k1", 2L, "a2")).toDF("k", "off", "v"), 1L)
+    val after = spark.read.parquet(store).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(after == before + ("k1" -> "a2"), s"crash recovery lost keys: $after")
+  }
+
+  test("maxFilesPerTrigger=1 throttles admission to one frame per micro-batch (S3 rate control)") {
+    // the reference admits one queued script per 500 ms tick
+    // (loader.cpp:11, scheduler.cpp:88-100) and caps frames at 8 MiB
+    // (server.cpp:85); the Spark analogue is source admission control —
+    // maxFilesPerTrigger bounds what each micro-batch ingests
+    import spark.implicits._
+    val dir = tmp("rate_in")
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"payload$i")).toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes += b.count(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    assert(sizes.sum == 4, s"rows lost or duplicated under throttling: $sizes")
+    assert(sizes.filter(_ > 0).forall(_ == 1),
+      s"a micro-batch admitted more than one file: $sizes")
+    assert(sizes.count(_ == 1) == 4, s"expected 4 single-file batches: $sizes")
+  }
+
   test("500ms processing-time trigger drains the queue on ticks (the reference loop cadence)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
