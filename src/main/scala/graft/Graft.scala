@@ -33,6 +33,22 @@ object Graft {
     s
   }
 
+  // ---------- catalog (persistent tables; filesys.hpp workspace analogue) ----------
+
+  /** Persist a DataFrame as a catalog table in the session warehouse
+    * (parquet; codec from the session conf — zstd under [[session]]),
+    * replacing any prior version. Unlike temp views this survives the
+    * session: the table is re-discoverable from the warehouse by any later
+    * session with the same metastore. The catalog analogue of the
+    * reference's sandboxed writefile workspace
+    * (filesys.hpp:107-507). */
+  def saveTable(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+
+  /** Drop a persistent table (delfile/delfolder analogue). */
+  def dropTable(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+
   // ---------- topic / log operations (S6, the "Pulsar" core) ----------
 
   /** Latest row per key over an append log — topic compaction. Aggregation

@@ -47,6 +47,39 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("saveTable persists through the catalog, not just a temp view") {
+    import spark.implicits._
+    val name = s"graft_cat_${System.nanoTime()}"
+    try {
+      Graft.saveTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), name)
+      assert(spark.catalog.tableExists(name))
+      // MANAGED (warehouse-backed), not a TEMPORARY view
+      assert(spark.catalog.listTables().collect()
+        .exists(t => t.name == name && t.tableType == "MANAGED"))
+      // visible to a sibling session sharing the metastore (temp views are not)
+      val sibling = spark.newSession()
+      assert(sibling.table(name).count() == 2)
+      // overwrite replaces content
+      Graft.saveTable(Seq((3L, "c")).toDF("k", "v"), name)
+      assert(spark.table(name).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    } finally Graft.dropTable(spark, name)
+    assert(!spark.catalog.tableExists(name))
+  }
+
+  test("propagateMinLabels converges on a 200-node chain within the cap (pointer doubling)") {
+    import spark.implicits._
+    // a path graph of diameter 199: plain neighbor propagation needs ~199
+    // rounds and would hit the 30-iteration cap (and now throws there);
+    // pointer doubling must close it in O(log n) rounds
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val sym = edges.union(edges.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true)
+    val labels0 = spark.range(200).select($"id".as("__id"), $"id".as("__lbl"))
+    val out = Graft.propagateMinLabels(labels0, sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 200 && out.values.forall(_ == 0L),
+      s"chain did not collapse to one component: ${out.values.toSet}")
+  }
+
   test("annTopK equals n5_ann_bruteforce") {
     val e = Tables.embeddings(spark, sf)
     val facade = Graft.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)

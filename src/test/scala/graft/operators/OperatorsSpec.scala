@@ -128,6 +128,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(weak.subsetOf(exact), s"rescore let false positives through: ${weak -- exact}")
   }
 
+  test("e3_value_share has no whole-partition window (de-skewed shape)") {
+    val qe = SparkEntry.queries("e3_value_share")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Window"), s"low-cardinality-key window survived:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type totals should broadcast-join back:\n$plan")
+  }
+
+  test("w1_distribution ranks via range partitioning, not a per-type window") {
+    val plan = SparkEntry.queries("w1_distribution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only windows allowed are the (partition-id, key)-scoped local rank
+    // and the tiny offsets prefix sum — never partitionBy(event_type) alone
+    assert(!plan.contains("windowspecdefinition(event_type#") ||
+      plan.contains("__pid"),
+      s"whole-type window survived the two-pass rewrite:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"no range partitioning:\n$plan")
+  }
+
+  test("x5_tfidf and x8_unigram_logprob never broadcast the vocabulary side") {
+    for (name <- Seq("x5_tfidf", "x8_unigram_logprob")) {
+      val optimized = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      // the only author-forced broadcast is the 1-row corpus-total aggregate;
+      // the term-frequency join must be left to the planner (AQE decides)
+      val hints = "(?i)broadcast".r.findAllIn(optimized).length
+      assert(hints <= 1, s"$name still hints a vocabulary broadcast:\n$optimized")
+    }
+  }
+
   test("dedup pipeline prunes the document scan to id+text") {
     val plan = SparkEntry.queries("n1_exact_dedup")(spark, sf)
       .queryExecution.executedPlan.toString
