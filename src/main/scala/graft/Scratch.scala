@@ -74,6 +74,22 @@ object Scratch {
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .agg(max($"rs")).count()
       }
+      // the de-skewed e3 shape: per-type totals aggregate (5 rows) joined
+      // back broadcast — must scale linearly where the old 5-reducer
+      // whole-partition window would not
+      time(f"events x$k%3d ($n%9d rows) e3-style agg + broadcast join-back") {
+        val t = ev.groupBy($"event_type")
+          .agg(sum(round($"value" * 100).cast("long")).as("tot"))
+        ev.join(broadcast(t), "event_type")
+          .select(($"value" / $"tot").as("share")).count()
+      }
+      // the de-skewed w1 shape: distributed two-pass rank over a 5-value key
+      time(f"events x$k%3d ($n%9d rows) w1-style ranged row_number") {
+        operators.SkewUtils.rangedRowNumber(
+          ev.select($"event_type", $"event_id", $"value"),
+          Seq("event_type"), Seq("value", "event_id"), 32, "rn")
+          .agg(max($"rn")).count()
+      }
       ev.unpersist()
     }
     for (k <- Seq(1, 4, 16)) {
