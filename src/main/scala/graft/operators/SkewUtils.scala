@@ -73,6 +73,32 @@ object SkewUtils {
       .drop("__pid", "__ln", "__off")
   }
 
+  /** Distributed global prefix sum over a total order — the two-pass
+    * companion of [[rangedRowNumber]] for running totals with NO partition
+    * key at all (`sum() over (order by ...)` puts the whole dataset on one
+    * reducer). Pass 1: range-repartition on the order columns, local
+    * running sum per partition. Pass 2: per-partition totals
+    * (numPartitions rows — the only single-reducer step, bounded by the
+    * partition count, not the data) prefix-summed into offsets, broadcast
+    * back. `order` must be a total order for a deterministic result. */
+  def rangedCumSum(df: DataFrame, order: Seq[String], valueCol: String,
+                   numPartitions: Int, outCol: String): DataFrame = {
+    val parts = df.repartitionByRange(numPartitions, order.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("__lc", sum(col(valueCol)).over(wLocal))
+    val totals = local.groupBy(col("__pid")).agg(sum(col(valueCol)).as("__c"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__lc"))
+      .drop("__pid", "__lc", "__off")
+  }
+
   /** Band (range) join via bucketing: |left.v - right.v| < width pairs can
     * only live in adjacent floor(v/width) buckets, so exploding one side to
     * its three candidate buckets turns the theta join into an equi join —

@@ -296,6 +296,33 @@ object TextQueries {
         text <> clean_text AS was_redacted
       FROM r ORDER BY doc_id""")),
 
+    // ----- sequence packing: assign documents (in stable doc_id order) to
+    // fixed token-budget packs — the batch-construction step of an LLM
+    // training pipeline (contiguous-fill packing: a doc starts the pack its
+    // cumulative-token prefix falls into). The global running sum uses the
+    // two-pass rangedCumSum, NOT `sum() over (order by doc_id)` — an
+    // unpartitioned window would put the entire corpus on one reducer.
+    GraftQuery("x12_seq_packing", (s, d) => {
+      import s.implicits._
+      val budget = 2048
+      val docs = T.documents(s, d).select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast(LongType).as("n_toks"))
+      SkewUtils.rangedCumSum(docs, Seq("doc_id"), "n_toks", 32, "cum_toks")
+        .select($"doc_id", $"n_toks", $"cum_toks",
+          floor(($"cum_toks" - $"n_toks") / budget).cast(LongType).as("pack_id"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+                 FROM documents),
+      c AS (SELECT doc_id, n_toks,
+              CAST(SUM(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+            FROM t)
+      SELECT doc_id, n_toks, cum_toks,
+        CAST(floor((cum_toks - n_toks) / 2048) AS BIGINT) AS pack_id
+      FROM c ORDER BY doc_id""")),
+
     // rolling-hash + djb2 fingerprints — both are simple byte folds, so the
     // oracle recomputes them exactly in DuckDB: djb2 as a HUGEINT mod-2^64
     // fold (same shape as f_hash_native), Karp-Rabin as a fold of

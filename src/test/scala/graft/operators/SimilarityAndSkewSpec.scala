@@ -97,6 +97,20 @@ class SimilarityAndSkewSpec extends SparkTestBase {
     assert(salted == plain, s"salted $salted vs plain $plain")
   }
 
+  test("rangedCumSum equals the single-reducer windowed running sum") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_id", (round($"value" * 100)).cast("long").as("cents"))
+    val windowed = ev.withColumn("cs",
+        sum($"cents").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ranged = SkewUtils.rangedCumSum(ev, Seq("event_id"), "cents", 8, "cs")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ranged == windowed)
+  }
+
   test("rangedRowNumber equals the windowed row_number") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf).select($"event_type", $"event_id", $"value")
