@@ -296,6 +296,81 @@ object TextQueries {
         text <> clean_text AS was_redacted
       FROM r ORDER BY doc_id""")),
 
+    // ----- repetition scoring: fraction of duplicated 3-grams per doc —
+    // the repetitive-content quality filter (boilerplate / template spam).
+    // Spark computes grams as 64-bit hashes, the oracle as strings; the
+    // distinct counts agree (collision odds ~1e-14 per doc).
+    GraftQuery("x13_repetition", (s, d) => {
+      import s.implicits._
+      val toks = split(trim($"text"), " ")
+      val n = size($"toks")
+      val grams = zip_with(
+        zip_with(slice($"toks", lit(1), n - 2), slice($"toks", lit(2), n - 2),
+          (a, b) => xxhash64(a, b)),
+        slice($"toks", lit(3), n - 2),
+        (ab, c) => xxhash64(ab, c))
+      T.documents(s, d)
+        .select($"doc_id", transform(toks, t => xxhash64(t)).as("toks"))
+        .select($"doc_id",
+          when(n >= 3, n - 2).otherwise(0).cast(LongType).as("n_grams"),
+          when(n >= 3, size(array_distinct(grams))).otherwise(0)
+            .cast(LongType).as("n_distinct"))
+        .select($"doc_id", $"n_grams", $"n_distinct",
+          when($"n_grams" > 0,
+            round(lit(1.0) - $"n_distinct".cast(DoubleType) / $"n_grams", 6))
+            .otherwise(0.0).as("rep_ratio"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+              CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_grams,
+              CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
+                [w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]))
+                ELSE 0 END AS BIGINT) AS n_distinct
+            FROM t)
+      SELECT doc_id, n_grams, n_distinct,
+        CASE WHEN n_grams > 0
+             THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+             ELSE 0.0 END AS rep_ratio
+      FROM g ORDER BY doc_id""")),
+
+    // ----- decontamination: flag corpus docs sharing any distinct 8-gram
+    // with a benchmark/eval set (stand-in: doc_id < 10) — the eval-leakage
+    // scrub every training pipeline runs. Posting-list equi-join on gram
+    // hashes: candidates only where grams actually collide, the same
+    // derived-key shape as the dedup pipeline — no pairwise scan.
+    GraftQuery("x14_decontamination", (s, d) => {
+      import s.implicits._
+      val n = size($"toks")
+      val grams8 = when(n >= 8,
+        array_distinct(transform(sequence(lit(1), n - 7),
+          i => xxhash64(concat_ws(" ", slice($"toks", i, lit(8)))))))
+        .otherwise(typedLit(Seq.empty[Long]))
+      val g = T.documents(s, d)
+        .select($"doc_id", split(trim($"text"), " ").as("toks"))
+        .select($"doc_id", explode(grams8).as("gram"))
+      val bench = g.filter($"doc_id" < 10).select($"gram").distinct()
+      val hits = g.filter($"doc_id" >= 10)
+        .join(bench, "gram")
+        .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+      T.documents(s, d).filter($"doc_id" >= 10).select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"hits", lit(0L)).as("n_hits"),
+          $"hits".isNotNull.as("contaminated"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(w) - 6, 1))) AS u(i)),
+      b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+      hits AS (SELECT g.doc_id, COUNT(*) AS hits
+               FROM g JOIN b USING (gram) WHERE g.doc_id >= 10 GROUP BY g.doc_id)
+      SELECT d.doc_id, COALESCE(h.hits, 0) AS n_hits,
+        h.doc_id IS NOT NULL AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+      LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")),
+
     // ----- sequence packing: assign documents (in stable doc_id order) to
     // fixed token-budget packs — the batch-construction step of an LLM
     // training pipeline (contiguous-fill packing: a doc starts the pack its
