@@ -296,6 +296,30 @@ object TextQueries {
         text <> clean_text AS was_redacted
       FROM r ORDER BY doc_id""")),
 
+    // ----- weighted dataset mixing: sample each language at a target rate
+    // (en 50%, es 25%, others 100%) — the source-mixing step that shapes a
+    // training distribution. Selection is a deterministic md5 threshold on
+    // the doc id (identical function in both engines → exact oracle; and
+    // at scale it's a pure map-side filter: no shuffle, no RNG, stable
+    // across retries). The 4-hex-digit prefix gives 16-bit rate granularity.
+    GraftQuery("x15_weighted_mix", (s, d) => {
+      import s.implicits._
+      val keyHex = substring(md5($"doc_id".cast(StringType)), 1, 4)
+      val thresh = when($"lang" === "en", lit("8000"))
+        .when($"lang" === "es", lit("4000"))
+        .otherwise(lit("ffff"))
+      T.documents(s, d)
+        .filter(keyHex < thresh)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE WHEN lang = 'en' THEN '8000'
+             WHEN lang = 'es' THEN '4000'
+             ELSE 'ffff' END
+      ORDER BY doc_id""")),
+
     // ----- repetition scoring: fraction of duplicated 3-grams per doc —
     // the repetitive-content quality filter (boilerplate / template spam).
     // Spark computes grams as 64-bit hashes, the oracle as strings; the
