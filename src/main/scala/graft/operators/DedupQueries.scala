@@ -125,7 +125,9 @@ object DedupQueries {
     GraftQuery("n3_ngram_jaccard", (s, d) => {
       import s.implicits._
       // posting-list form: intersection sizes fall out of the shingle
-      // equi-join (count per pair), set sizes broadcast — no per-pair array
+      // equi-join (count per pair); the per-doc size table joins WITHOUT a
+      // broadcast hint (one row per doc = unbounded at corpus scale — AQE
+      // broadcasts it only while it is actually small); no per-pair array
       // materialization, so the exhaustive pass scales with collision count
       val sets = docShingles(s, d).cache()
       val sz = sets.select($"doc_id", size($"sh").as("n"))
@@ -135,8 +137,8 @@ object DedupQueries {
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("isz"))
       inter
-        .join(broadcast(sz.select($"doc_id".as("a"), $"n".as("na"))), "a")
-        .join(broadcast(sz.select($"doc_id".as("b"), $"n".as("nb"))), "b")
+        .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+        .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
         .withColumn("jaccard", $"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz"))
         .filter($"jaccard" >= 0.5)
         .select($"a", $"b", $"jaccard")
@@ -159,8 +161,8 @@ object DedupQueries {
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("isz"))
       val pairs = inter
-        .join(broadcast(sz.select($"doc_id".as("a"), $"n".as("na"))), "a")
-        .join(broadcast(sz.select($"doc_id".as("b"), $"n".as("nb"))), "b")
+        .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+        .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
         .filter($"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz") >= 0.5)
         .select($"a", $"b")
       val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true)
