@@ -56,7 +56,7 @@ object Graft {
     * sorts whole partitions. `orderCols` must be a total order for a
     * deterministic survivor. */
   def compactLatest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val order = struct(orderCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, order).as("__last"))
@@ -68,7 +68,7 @@ object Graft {
   /** Exact dedup by content: keeps the row with the minimum `keepBy` per
     * distinct content hash. */
   def dedupExact(df: DataFrame, contentCol: String, keepBy: String): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(md5(col(contentCol)).as("__h"))
       .agg(min_by(payload, col(keepBy)).as("__keep"))
       .select(col("__keep.*"))

@@ -54,7 +54,7 @@ object CompactingSink {
     // from the keys (same hash), keeping reader schema = writer schema
     val existing =
       if (existingDirs.nonEmpty)
-        Some(spark.read.parquet(existingDirs: _*).withColumn("bucket", bucketOf(keyCols, buckets)))
+        Some(spark.read.parquet(existingDirs.toIndexedSeq: _*).withColumn("bucket", bucketOf(keyCols, buckets)))
       else None
     val all = existing.map(_.unionByName(withB)).getOrElse(withB)
     val compacted = Graft.compactLatest(all, keyCols, orderCols)
