@@ -52,7 +52,14 @@ object SkewUtils {
     * key) row counts (a tiny aggregate: numPartitions × |keys| rows) are
     * prefix-summed into offsets and broadcast back. Global rank = local
     * rank + offset. `order` must be a total order within each key for a
-    * deterministic result. */
+    * deterministic result.
+    *
+    * Plan note: the local window re-exchanges on hash(__pid) after the
+    * range exchange (Catalyst can't see that rows are already
+    * pid-clustered), so the physical plan carries two linear shuffles.
+    * Both are bounded by N/numPartitions per task — the point is that no
+    * task ever holds a whole key, which is what kills the naive
+    * `over (partition by lowCardKey)` at scale. */
   def rangedRowNumber(df: DataFrame, key: Seq[String], order: Seq[String],
                       numPartitions: Int, rankCol: String): DataFrame = {
     val sortCols = (key ++ order).map(col)
