@@ -181,6 +181,49 @@ class StreamingSpec extends SparkTestBase {
     assert(after == before + ("k1" -> "a2"), s"crash recovery lost keys: $after")
   }
 
+  test("mapGroupsWithState state survives a checkpointed restart (T4+T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("state_ckpt")
+    // versioned state (SURVEY §7 hard part b): the case class is the state
+    // schema contract — the restarted query must decode what the first
+    // instance checkpointed
+    def pipeline(input: MemoryStream[(Long, Long)]) = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long)], st: GroupState[UserState]) =>
+          val s0 = st.getOption.getOrElse(UserState(0L, 0L))
+          var n = s0.n; var c = s0.cents
+          rows.foreach { r => n += 1; c += r._2 }
+          st.update(UserState(n, c))
+          (k, n, c)
+      }.toDF("user", "n", "cents")
+    val results = scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.collect().foreach(r => results(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+    val in1 = MemoryStream[(Long, Long)]
+    val q1 = pipeline(in1).writeStream.foreachBatch(sink _)
+      .outputMode(OutputMode.Update()).option("checkpointLocation", ckpt).start()
+    try {
+      in1.addData((1L, 10L), (1L, 5L), (2L, 7L)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(results(1L) == (2L, 15L) && results(2L) == (1L, 7L))
+    // second query instance, same checkpoint: per-key totals must CONTINUE
+    // from the persisted state, not restart. The new MemoryStream's first
+    // (empty) block occupies the offset range the checkpoint already
+    // committed; the continuation data sits past the committed watermark.
+    results.clear()
+    val in2 = MemoryStream[(Long, Long)]
+    in2.addData()
+    in2.addData((1L, 100L), (3L, 1L))
+    val q2 = pipeline(in2).writeStream.foreachBatch(sink _)
+      .outputMode(OutputMode.Update()).option("checkpointLocation", ckpt).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(results.get(1L).contains((3L, 115L)),
+      s"user 1 state did not carry across restart: $results")
+    assert(results.get(3L).contains((1L, 1L)), s"new key after restart wrong: $results")
+  }
+
   test("maxFilesPerTrigger=1 throttles admission to one frame per micro-batch (S3 rate control)") {
     // the reference admits one queued script per 500 ms tick
     // (loader.cpp:11, scheduler.cpp:88-100) and caps frames at 8 MiB
