@@ -14,6 +14,16 @@ class SourcesSpec extends SparkTestBase {
     d.toString
   }
 
+  test("orc write/read round-trip with zstd codec preserves values") {
+    import spark.implicits._
+    val dir = tmp("orc")
+    val src = Tables.nation(spark, sf).orderBy($"n_nationkey")
+    src.write.mode("overwrite").option("compression", "zstd").orc(dir)
+    val back = spark.read.orc(dir).orderBy($"n_nationkey")
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.toSeq).toSeq == src.collect().map(_.toSeq).toSeq)
+  }
+
   test("csv write/read round-trip preserves rows and schema") {
     import spark.implicits._
     val dir = tmp("csv")
