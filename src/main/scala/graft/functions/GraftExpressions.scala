@@ -51,33 +51,84 @@ case class ZstdDecompress(child: Expression)
 }
 
 /** The reference's `crypt.hash` (djb2 → 16 hex digits, crypt.hpp:346-369),
-  * kept hash-compatible. String→String. */
-case class Djb2Hash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * kept hash-compatible. String→String. doGenCode (a static call into
+  * [[HashOps]]) rather than CodegenFallback: these scalar hashes sit in
+  * per-row projection hot paths and a fallback expression would force the
+  * whole containing stage out of whole-stage codegen. */
+case class Djb2Hash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(GraftCodec.djb2Hex(v.asInstanceOf[UTF8String].getBytes))
+    HashOps.djb2(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.djb2($c)")
   override protected def withNewChildInternal(c: Expression): Djb2Hash = copy(c)
 }
 
-/** Karp-Rabin rolling-hash document fingerprint. String→Long. */
-case class KarpRabinFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Karp-Rabin rolling-hash document fingerprint. String→Long. Codegen'd
+  * via [[HashOps]] like Djb2Hash. */
+case class KarpRabinFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    GraftCodec.karpRabin(v.asInstanceOf[UTF8String].getBytes)
+    HashOps.karpRabin(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.karpRabin($c)")
   override protected def withNewChildInternal(c: Expression): KarpRabinFingerprint =
     copy(c)
 }
 
 /** 64-bit SimHash over a token array: each token FNV-1a-hashed, per-bit
   * vote, sign → bit. Array[String]→Long. Near-dup distance is then
-  * bit_count(a ^ b) — a builtin. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * bit_count(a ^ b) — a builtin. Codegen'd via [[HashOps]]. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    HashOps.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** MinHash signature of length n over a pre-hashed shingle array: the i-th
+  * component is min over shingles of the i-th universal hash
+  * a_i*h + b_i (mod 2^64). Array[Long]→Array[Long]. Empty input → MaxValue
+  * rows (no shingle can collide with them). This is the N2 signature stage;
+  * banding happens in plain DataFrame ops on the result. Codegen'd via
+  * [[HashOps]] so the signature projection stays inside whole-stage
+  * codegen.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashOps.minhash(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** Static hash kernels callable from generated code (the same pattern as
+  * [[VectorOps]] — Scala object methods get static forwarders, so the
+  * generated Java calls them directly). */
+object HashOps {
+  def djb2(s: UTF8String): UTF8String =
+    UTF8String.fromString(GraftCodec.djb2Hex(s.getBytes))
+
+  def karpRabin(s: UTF8String): Long = GraftCodec.karpRabin(s.getBytes)
+
+  def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -96,20 +147,8 @@ case class SimHash64(child: Expression)
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
-}
 
-/** MinHash signature of length n over a pre-hashed shingle array: the i-th
-  * component is min over shingles of the i-th universal hash
-  * a_i*h + b_i (mod 2^64). Array[Long]→Array[Long]. Empty input → MaxValue
-  * rows (no shingle can collide with them). This is the N2 signature stage;
-  * banding happens in plain DataFrame ops on the result.
-  */
-case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
@@ -129,8 +168,6 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSignature =
-    copy(child = c)
 }
 
 /** Decode the reference's RSB1 compressed-payload container (XOR-masked
