@@ -98,8 +98,23 @@ object Graft {
                       minJaccard: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val rows = bands.ensuring(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / rows
-    val sets = df.select(col(idCol).as("__id"), shingleHashes(col(textCol)).as("__sh"))
-      .filter(size(col("__sh")) > 0).cache()
+    // two-stage projection: the hashed token array materializes once as an
+    // attribute before shingling references it three times — inlining
+    // shingleHashes directly would expand the split+transform subtree ~6×
+    // in a projection the HOFs keep out of codegen (same shape as the gate
+    // query's docShingles)
+    val n = size(col("__toks"))
+    val sets = df
+      .select(col(idCol).as("__id"),
+        transform(split(trim(col(textCol)), " "), t => xxhash64(t)).as("__toks"))
+      .filter(n >= 3)
+      .select(col("__id"),
+        array_distinct(zip_with(
+          zip_with(slice(col("__toks"), lit(1), n - 2), slice(col("__toks"), lit(2), n - 2),
+            (a, b) => xxhash64(a, b)),
+          slice(col("__toks"), lit(3), n - 2),
+          (ab, c) => xxhash64(ab, c))).as("__sh"))
+      .cache()
     val sig = sets.withColumn("__sig", GraftFunctions.minhash_signature(col("__sh"), numHashes))
     val banded = sig.select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
