@@ -320,6 +320,26 @@ object TextQueries {
              ELSE 'ffff' END
       ORDER BY doc_id""")),
 
+    // ----- train/val/test split: stable 75/12.5/12.5 assignment by md5
+    // prefix of the doc id — deterministic across engines, runs, retries
+    // and cluster sizes (no RNG, no partition dependence), so the split is
+    // reproducible forever from the id alone. Map-side pure projection.
+    GraftQuery("x16_dataset_split", (s, d) => {
+      import s.implicits._
+      val keyHex = substring(md5($"doc_id".cast(StringType)), 1, 4)
+      T.documents(s, d)
+        .select($"doc_id",
+          when(keyHex < "c000", "train")
+            .when(keyHex < "e000", "val")
+            .otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
     // ----- repetition scoring: fraction of duplicated 3-grams per doc —
     // the repetitive-content quality filter (boilerplate / template spam).
     // Spark computes grams as 64-bit hashes, the oracle as strings; the
