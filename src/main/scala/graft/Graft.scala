@@ -417,6 +417,23 @@ object Graft {
       when(nStop.cast(DoubleType) / nTok > 0.05, 0.5).otherwise(0.0)
   }
 
+  /** Deterministic train/val/test assignment by md5 prefix of `keyCol`:
+    * reproducible across engines, runs, retries and cluster sizes — the
+    * split of a row is a pure function of its key. To prevent near-dup
+    * leakage across splits, pass the cluster id from [[dedupClusters]] as
+    * the key instead of the row id (every member of a near-dup cluster
+    * lands in the same split). 16-bit threshold granularity. */
+  def datasetSplit(df: DataFrame, keyCol: String,
+                   trainFrac: Double = 0.75, valFrac: Double = 0.125): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"bad split fractions: train=$trainFrac val=$valFrac")
+    val t1 = f"${math.round(trainFrac * 65536).toInt}%04x"
+    val t2 = f"${math.round((trainFrac + valFrac) * 65536).toInt}%04x"
+    val keyHex = substring(md5(col(keyCol).cast(StringType)), 1, 4)
+    df.withColumn("split",
+      when(keyHex < t1, "train").when(keyHex < t2, "val").otherwise("test"))
+  }
+
   // ---------- payload codecs (reference crypt/bytecode surface) ----------
 
   def lz4Compress(c: Column): Column = GraftFunctions.lz4_compress(c)

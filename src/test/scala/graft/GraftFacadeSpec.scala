@@ -47,6 +47,23 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("datasetSplit equals x16_dataset_split and is key-deterministic") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val facade = Graft.datasetSplit(docs, "doc_id")
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gate = SparkEntry.queries("x16_dataset_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(facade == gate)
+    // group-keyed variant: all members of a cluster share a split
+    val clustered = Graft.dedupClusters(docs, "doc_id", "text", 0.5)
+    val byCluster = Graft.datasetSplit(clustered, "cluster")
+      .select($"cluster", $"split").distinct()
+      .collect().groupBy(_.getLong(0))
+    assert(byCluster.values.forall(_.length == 1), "a cluster straddled splits")
+  }
+
   test("saveTable persists through the catalog, not just a temp view") {
     import spark.implicits._
     val name = s"graft_cat_${System.nanoTime()}"
