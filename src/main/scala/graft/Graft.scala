@@ -417,6 +417,32 @@ object Graft {
       when(nStop.cast(DoubleType) / nTok > 0.05, 0.5).otherwise(0.0)
   }
 
+  /** n-gram overlap decontamination: ids of `corpus` rows sharing at least
+    * one distinct word n-gram with any `benchmark` row, with the overlap
+    * count — the eval-leakage scrub before training. Posting-list equi-join
+    * on 64-bit gram hashes: candidates only where grams actually collide,
+    * no pairwise scan; the benchmark side is typically small but is NOT
+    * broadcast-hinted (AQE decides). Rows shorter than n tokens have no
+    * n-grams and cannot be flagged. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    def grams(df: DataFrame): DataFrame = {
+      val toks = col("__toks")
+      val sz = size(toks)
+      df.select(col(idCol).as("__id"), split(trim(col(textCol)), " ").as("__toks"))
+        .select(col("__id"),
+          explode(when(sz >= n,
+            array_distinct(transform(sequence(lit(1), sz - (n - 1)),
+              i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))))
+            .otherwise(typedLit(Seq.empty[Long]))).as("__gram"))
+    }
+    val benchGrams = grams(benchmark).select(col("__gram")).distinct()
+    grams(corpus).join(benchGrams, "__gram")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Deterministic train/val/test assignment by md5 prefix of `keyCol`:
     * reproducible across engines, runs, retries and cluster sizes — the
     * split of a row is a pure function of its key. To prevent near-dup

@@ -47,6 +47,18 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("contaminatedIds equals x14_decontamination") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val facade = Graft.contaminatedIds(
+        docs.filter($"doc_id" >= 10), docs.filter($"doc_id" < 10), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gate = SparkEntry.queries("x14_decontamination")(spark, sf)
+      .filter($"contaminated").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(facade == gate)
+  }
+
   test("datasetSplit equals x16_dataset_split and is key-deterministic") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
