@@ -453,8 +453,14 @@ object Graft {
                    trainFrac: Double = 0.75, valFrac: Double = 0.125): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       s"bad split fractions: train=$trainFrac val=$valFrac")
-    val t1 = f"${math.round(trainFrac * 65536).toInt}%04x"
-    val t2 = f"${math.round((trainFrac + valFrac) * 65536).toInt}%04x"
+    // a fraction reaching 1.0 needs a threshold above every 4-hex-digit
+    // string; "g" sorts after "ffff" lexicographically ("10000" would not)
+    def thresh(frac: Double): String = {
+      val t = math.round(frac * 65536).toInt
+      if (t >= 65536) "g" else f"$t%04x"
+    }
+    val t1 = thresh(trainFrac)
+    val t2 = thresh(trainFrac + valFrac)
     val keyHex = substring(md5(col(keyCol).cast(StringType)), 1, 4)
     df.withColumn("split",
       when(keyHex < t1, "train").when(keyHex < t2, "val").otherwise("test"))

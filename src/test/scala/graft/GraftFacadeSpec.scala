@@ -74,6 +74,15 @@ class GraftFacadeSpec extends SparkTestBase {
       .select($"cluster", $"split").distinct()
       .collect().groupBy(_.getLong(0))
     assert(byCluster.values.forall(_.length == 1), "a cluster straddled splits")
+    // boundary fractions: train+val = 1.0 must leave test empty and val
+    // non-empty (the naive "10000" hex threshold would send val to test)
+    val edge = Graft.datasetSplit(docs, "doc_id", trainFrac = 0.75, valFrac = 0.25)
+      .groupBy($"split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!edge.contains("test") && edge.contains("val"), s"boundary split wrong: $edge")
+    // train = 1.0: everything lands in train
+    val allTrain = Graft.datasetSplit(docs, "doc_id", trainFrac = 1.0, valFrac = 0.0)
+      .select($"split").distinct().collect().map(_.getString(0)).toSeq
+    assert(allTrain == Seq("train"), s"trainFrac=1.0 leaked: $allTrain")
   }
 
   test("saveTable persists through the catalog, not just a temp view") {
