@@ -407,6 +407,22 @@ object Graft {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 
+  /** Fraction of duplicated 3-grams in a text column (0 = no repetition;
+    * docs with < 3 tokens score 0) — the boilerplate/template-spam quality
+    * signal, as in the x13 gate query. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = transform(split(trim(text), " "), t => xxhash64(t))
+    val n = size(toks)
+    val grams = zip_with(
+      zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+        (a, b) => xxhash64(a, b)),
+      slice(toks, lit(3), n - 2),
+      (ab, c) => xxhash64(ab, c))
+    when(n >= 3,
+      lit(1.0) - size(array_distinct(grams)).cast(DoubleType) / (n - 2))
+      .otherwise(0.0)
+  }
+
   /** Quality score in [0,1]: length band + stopword-ratio evidence. */
   def qualityScore(text: Column): Column = {
     val toks = split(trim(text), " ")

@@ -47,6 +47,17 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("repetitionRatio equals x13_repetition") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val facade = docs.select($"doc_id", round(Graft.repetitionRatio($"text"), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gate = SparkEntry.queries("x13_repetition")(spark, sf)
+      .select($"doc_id", $"rep_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(facade == gate)
+  }
+
   test("contaminatedIds equals x14_decontamination") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
