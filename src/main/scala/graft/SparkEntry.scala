@@ -19,6 +19,7 @@ object SparkEntry {
     operators.ScalarQueries.queries ++
     operators.DedupQueries.queries ++
     operators.TextQueries.queries ++
+    operators.PipelineQueries.queries ++
     operators.SimilarityQueries.queries ++
     operators.MultimodalQueries.queries ++
     streaming.StreamingQueries.queries

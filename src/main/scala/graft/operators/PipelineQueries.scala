@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-construction operators beyond the per-doc text statistics in
+  * [[TextQueries]]: rule-based quality gating, budget-capped sampling, and
+  * deterministic global shuffling/sharding — the steps that turn a cleaned
+  * corpus into training-ready shards. All are either pure projections or
+  * built on the two-pass SkewUtils primitives, so no operator ever funnels
+  * a whole corpus (or a whole source) through one reducer.
+  *
+  * Reference analogue: none (the reference has no corpus tooling); these
+  * are the BASELINE.json north-star LLM-pipeline surface, same provenance
+  * as TextQueries x12-x16.
+  */
+object PipelineQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- x17: Gopher-style hard quality gate — each rule is a named
+    // boolean so downstream can audit WHY a doc was dropped (the rule-based
+    // companion of the soft score in x2_quality). Rules chosen to actually
+    // vary on the corpus: token-count band, mean-token-length band,
+    // stopword floor, distinct-token-ratio floor. Pure projection: scales
+    // as a parquet scan, no shuffle.
+    GraftQuery("x17_gopher_quality", (s, d) => {
+      import s.implicits._
+      val toks = split(trim($"text"), " ")
+      val n = size(toks)
+      val charSum = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+      val meanLen = round(charSum.cast(DoubleType) / n, 6)
+      val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+      val distinctRatio = round(size(array_distinct(toks)).cast(DoubleType) / n, 6)
+      val rLen = n.between(30, 70)
+      val rMean = meanLen.between(3.0, 7.0)
+      val rStop = nStop >= 2
+      val rDistinct = distinctRatio >= 0.5
+      T.documents(s, d).select(
+        $"doc_id",
+        n.cast(LongType).as("n_tokens"),
+        meanLen.as("mean_tok_len"),
+        nStop.cast(LongType).as("n_stop"),
+        distinctRatio.as("distinct_ratio"),
+        rLen.as("len_ok"), rMean.as("mean_ok"),
+        rStop.as("stop_ok"), rDistinct.as("distinct_ok"),
+        (rLen && rMean && rStop && rDistinct).as("keep"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6) AS mean_tok_len,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['the','a','of','and','to','in','is','on'], t))) AS BIGINT) AS n_stop,
+        round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+        FROM t)
+      SELECT doc_id, n_tokens, mean_tok_len, n_stop, distinct_ratio,
+        n_tokens BETWEEN 30 AND 70 AS len_ok,
+        mean_tok_len BETWEEN 3.0 AND 7.0 AS mean_ok,
+        n_stop >= 2 AS stop_ok,
+        distinct_ratio >= 0.5 AS distinct_ok,
+        (n_tokens BETWEEN 30 AND 70) AND (mean_tok_len BETWEEN 3.0 AND 7.0)
+          AND n_stop >= 2 AND distinct_ratio >= 0.5 AS keep
+      FROM m ORDER BY doc_id""")),
+
+    // ----- x18: per-source token-budget sampling — keep each source's
+    // hash-ordered prefix until the token budget fills (the domain-capped
+    // subsample that shapes a training mix when a source is overrepresented).
+    // Selection order is md5(doc_id): deterministic across engines, runs,
+    // retries and cluster sizes, yet uncorrelated with doc content. The
+    // running total uses rangedCumSumByKey, NOT `sum() over (partition by
+    // source order by ...)` — one dominant source would otherwise hand its
+    // entire row set to a single reducer.
+    GraftQuery("x18_budget_sample", (s, d) => {
+      import s.implicits._
+      val budget = 1000L
+      val docs = T.documents(s, d).select(
+        $"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast(LongType).as("n_toks"),
+        md5($"doc_id".cast(StringType)).as("__hk"))
+      SkewUtils.rangedCumSumByKey(docs, Seq("source"), Seq("__hk", "doc_id"),
+          "n_toks", 32, "cum_toks")
+        .filter($"cum_toks" <= budget)
+        .select($"doc_id", $"source", $"n_toks", $"cum_toks")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
+                   md5(CAST(doc_id AS VARCHAR)) AS hk
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_toks,
+              CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+            FROM t)
+      SELECT doc_id, source, n_toks, cum_toks
+      FROM c WHERE cum_toks <= 1000 ORDER BY doc_id""")),
+
+    // ----- x19: deterministic global shuffle + fixed-size sharding — the
+    // final pre-training step: order the corpus by a salted content-free
+    // hash (reproducible "random" order), then cut it into 64-row shards.
+    // The global rank comes from the two-pass rangedCumSum over a constant
+    // 1 (never `row_number() over (order by ...)`, which is a single
+    // reducer holding the corpus); shard id is a pure function of rank, so
+    // writers can partitionBy(shard) into uniform output files.
+    GraftQuery("x19_global_shuffle", (s, d) => {
+      import s.implicits._
+      val shardSize = 64
+      val keyed = T.documents(s, d).select(
+        $"doc_id",
+        md5(concat($"doc_id".cast(StringType), lit(":42"))).as("shuffle_key"),
+        lit(1L).as("__one"))
+      SkewUtils.rangedCumSum(keyed, Seq("shuffle_key", "doc_id"), "__one", 32, "rk")
+        .select($"doc_id", $"shuffle_key", $"rk",
+          floor(($"rk" - 1) / shardSize).cast(LongType).as("shard"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+                 FROM documents),
+      r AS (SELECT doc_id, shuffle_key,
+              CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS rk
+            FROM t)
+      SELECT doc_id, shuffle_key, rk,
+        CAST(floor((rk - 1) / 64.0) AS BIGINT) AS shard
+      FROM r ORDER BY doc_id"""))
+  )
+}

@@ -344,6 +344,63 @@ object RelationalQueries {
         ON s1.s_acctbal < s2.s_acctbal AND s2.s_acctbal - s1.s_acctbal < 100
       ORDER BY a_key, b_key""")),
 
+    // ----- J9: point-in-interval join — lineitems shipped inside each
+    // urgent order's first week. The naive form (`l_shipdate BETWEEN
+    // o_orderdate AND o_orderdate + 7d`) is a theta join Spark executes as
+    // a broadcast-nested-loop — quadratic when both sides are fact tables.
+    // SkewUtils.pointInIntervalJoin decomposes time into week buckets and
+    // equi-joins on the bucket id (interval side explodes ×2, exact
+    // predicate re-applied), so both sides shuffle once on a
+    // well-distributed key. The oracle runs the naive inequality form;
+    // results are identical.
+    GraftQuery("j9_interval_join", (s, d) => {
+      import s.implicits._
+      val urgent = T.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderdate".as("__start"),
+          ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("__end"))
+      val points = T.lineitem(s, d).select($"l_shipdate", $"l_quantity")
+      SkewUtils.pointInIntervalJoin(points, "l_shipdate", urgent,
+          "__start", "__end", 7L * 86400)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"),
+          sum(dec($"l_quantity")).cast(DoubleType).as("sum_qty"))
+        .orderBy($"o_orderkey")
+    }, Some(s"""
+      SELECT o_orderkey, COUNT(*) AS n_shipped,
+        CAST(SUM(${sql.dec("l_quantity")}) AS DOUBLE) AS sum_qty
+      FROM orders JOIN lineitem
+        ON l_shipdate >= o_orderdate
+        AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // ----- A10: mergeable-sketch rollup — the 100 TB distinct-count
+    // pattern: HLL sketches aggregate once per fine group (nation), then
+    // roll up to coarse groups (region) by sketch UNION, never rescanning
+    // the fact table. At scale this is the only way to serve distinct
+    // counts at multiple granularities from one pass. The gate emits the
+    // exact distinct count (cross-checkable: custkeys are unique, so
+    // per-nation distincts sum to per-region) plus a boolean binding the
+    // merged sketch estimate within 5% of exact.
+    GraftQuery("a10_sketch_merge", (s, d) => {
+      import s.implicits._
+      val perNation = T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_regionkey", $"n_nationkey")
+        .agg(hll_sketch_agg($"c_custkey").as("sk"),
+          countDistinct($"c_custkey").as("nd"))
+      perNation.groupBy($"n_regionkey")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+          sum($"nd").as("n_exact"))
+        .select($"n_regionkey", $"n_exact",
+          (abs($"est" - $"n_exact").cast(DoubleType) / $"n_exact" <= 0.05).as("merge_ok"))
+        .orderBy($"n_regionkey")
+    }, Some("""
+      SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS n_exact, TRUE AS merge_ok
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // ----- composite: conditional aggregation (TPC-H Q12 shape) — CASE
     // inside SUM, one pass over the join
     GraftQuery("q12_conditional_agg", (s, d) => {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Skew-mitigation building blocks for the 100 TB design point (SURVEY.md
   * §4 physical-execution choices). AQE's skew-join split handles most cases
@@ -104,6 +105,66 @@ object SkewUtils {
     local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(outCol, col("__off") + col("__lc"))
       .drop("__pid", "__lc", "__off")
+  }
+
+  /** Keyed variant of [[rangedCumSum]]: running totals per key over a total
+    * order within each key, without handing any whole key to one reducer —
+    * `sum() over (partition by key order by ...)` funnels each key's entire
+    * row set through a single task, which dies when one key holds TBs
+    * (e.g. cumulative token counts per corpus source where one source
+    * dominates). Pass 1: range-repartition on (key ++ order) — each
+    * partition holds a contiguous slice of the (key, order) space — and
+    * sum locally per (partition, key). Pass 2: per-(partition, key) totals
+    * (a numPartitions × |keys-per-partition| aggregate) are prefix-summed
+    * into per-key offsets and broadcast back. `order` must be a total
+    * order within each key for a deterministic result. */
+  def rangedCumSumByKey(df: DataFrame, key: Seq[String], order: Seq[String],
+                        valueCol: String, numPartitions: Int, outCol: String): DataFrame = {
+    val sortCols = (key ++ order).map(col)
+    val parts = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy((col("__pid") +: key.map(col)): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("__lc", sum(col(valueCol)).over(wLocal))
+    val totals = local.groupBy((col("__pid") +: key.map(col)): _*)
+      .agg(sum(col(valueCol)).as("__c"))
+    val wOff = Window.partitionBy(key.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select((col("__pid") +: key.map(col)) :+ col("__off"): _*)
+    local.join(broadcast(offsets), "__pid" +: key)
+      .withColumn(outCol, col("__off") + col("__lc"))
+      .drop("__pid", "__lc", "__off")
+  }
+
+  /** Point-in-interval join via bucket decomposition — the J9 scale path.
+    * `points.pointTs ∈ [intervals.startTs, intervals.endTs)` is a theta
+    * join that Spark can only execute as a broadcast-nested-loop (quadratic
+    * when both sides are fact tables). Decomposing time into fixed
+    * `bucketSeconds` buckets turns it into an equi join: a point lives in
+    * exactly one bucket, an interval of length L covers at most
+    * ceil(L/bucket)+1 buckets, so exploding the interval side by that small
+    * constant and equi-joining on the bucket id shuffles both sides once on
+    * a well-distributed key. The exact predicate is re-applied after the
+    * bucket join, so the result is identical to the naive form. Pick
+    * `bucketSeconds` ≈ the typical interval length: shorter buckets inflate
+    * the interval explosion, longer ones inflate post-filter candidates. */
+  def pointInIntervalJoin(points: DataFrame, pointTs: String,
+                          intervals: DataFrame, startTs: String, endTs: String,
+                          bucketSeconds: Long): DataFrame = {
+    val w = lit(bucketSeconds * 1000000L)
+    // cast handles TIMESTAMP_NTZ inputs (unix_micros only takes TIMESTAMP);
+    // a session-TZ shift would move all buckets uniformly, which is
+    // harmless — the exact predicate below re-filters candidates
+    def micros(c: String) = unix_micros(col(c).cast(TimestampType))
+    val ib = intervals.withColumn("__b", explode(sequence(
+      floor(micros(startTs) / w), floor(micros(endTs) / w))))
+    val pb = points.withColumn("__b", floor(micros(pointTs) / w))
+    pb.join(ib, pb("__b") === ib("__b") &&
+        pb(pointTs) >= ib(startTs) && pb(pointTs) < ib(endTs))
+      .drop("__b")
   }
 
   /** Band (range) join via bucketing: |left.v - right.v| < width pairs can

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{SparkTestBase, SparkEntry, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 primitives: keyed two-pass prefix sum, bucketed interval join,
+  * and the plan shapes of the dataset-construction queries built on them.
+  * Exact values are the oracle's job; these pin equivalence to the naive
+  * forms and the absence of scale anti-patterns in the physical plans. */
+class PipelineSpec extends SparkTestBase {
+
+  test("rangedCumSumByKey equals the naive keyed window cumsum") {
+    import spark.implicits._
+    val df = T.events(spark, sf).select($"event_id", $"event_type",
+      graft.Det.vcents($"value").as("v"))
+    val naive = df.withColumn("cum",
+      sum($"v").over(Window.partitionBy($"event_type").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val twoPass = SkewUtils.rangedCumSumByKey(
+      df, Seq("event_type"), Seq("event_id"), "v", 8, "cum")
+    assert(twoPass.select("event_id", "event_type", "v", "cum")
+      .exceptAll(naive.select("event_id", "event_type", "v", "cum")).isEmpty,
+      "two-pass keyed cumsum diverged from the window form")
+    assert(naive.count() == twoPass.count())
+  }
+
+  test("pointInIntervalJoin equals the naive theta join") {
+    import spark.implicits._
+    val intervals = T.orders(spark, sf).limit(200)
+      .select($"o_orderkey", $"o_orderdate".as("start"),
+        ($"o_orderdate" + expr("INTERVAL 3 DAYS")).as("end"))
+    val points = T.lineitem(spark, sf).select($"l_orderkey", $"l_shipdate")
+    val naive = points.join(intervals,
+      $"l_shipdate" >= $"start" && $"l_shipdate" < $"end")
+      .select($"o_orderkey", $"l_orderkey", $"l_shipdate")
+    val bucketed = SkewUtils.pointInIntervalJoin(
+      points, "l_shipdate", intervals, "start", "end", 86400)
+      .select($"o_orderkey", $"l_orderkey", $"l_shipdate")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "bucketed interval join diverged from the theta join")
+    assert(naive.count() > 0, "degenerate fixture: no interval matches")
+  }
+
+  test("j9 plan is an equi join on buckets, not a broadcast nested loop") {
+    val plan = SparkEntry.queries("j9_interval_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degraded to a quadratic join:\n$plan")
+  }
+
+  test("x18/x19 plans never window the corpus without the range-partition pid") {
+    // every windowspecdefinition in the two-pass plans must be keyed by the
+    // partition id (the contiguous-slice guarantee) — a window over the raw
+    // key alone (x18) or over nothing (x19) is the single-reducer shape the
+    // primitives exist to avoid
+    for (name <- Seq("x18_budget_sample", "x19_global_shuffle")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      val windows = plan.split("windowspecdefinition\\(").drop(1)
+      assert(windows.nonEmpty, s"$name lost its window stages")
+      windows.foreach { w =>
+        assert(w.contains("__pid"),
+          s"$name has a window not keyed by __pid:\nwindowspecdefinition($w")
+      }
+    }
+  }
+
+  test("x18 budget is a per-source prefix: kept docs are closed under the hash order") {
+    import spark.implicits._
+    // for every kept doc, every doc of the same source earlier in the
+    // (md5, id) order is also kept — the greedy-prefix property
+    val kept = SparkEntry.queries("x18_budget_sample")(spark, sf)
+      .select($"doc_id", $"source", md5($"doc_id".cast(StringType)).as("hk"))
+    val all = T.documents(spark, sf)
+      .select($"doc_id", $"source", md5($"doc_id".cast(StringType)).as("hk"))
+    val violations = kept.as("k").join(all.as("a"), "source")
+      .filter(col("a.hk") < col("k.hk") ||
+        (col("a.hk") === col("k.hk") && col("a.doc_id") < col("k.doc_id")))
+      .join(kept.select($"doc_id".as("a_id")),
+        col("a.doc_id") === col("a_id"), "left_anti")
+    assert(violations.isEmpty,
+      "a doc earlier in the selection order was dropped while a later one was kept")
+  }
+
+  test("x19 shards are uniform fixed-size cuts of the shuffled order") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x19_global_shuffle")(spark, sf)
+    val sizes = out.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .orderBy($"shard").collect()
+    sizes.dropRight(1).foreach(r => assert(r.getLong(1) == 64,
+      s"non-final shard ${r.getLong(0)} has ${r.getLong(1)} rows"))
+    assert(sizes.last.getLong(1) <= 64)
+    // rank within a shard must be contiguous
+    val bad = out.groupBy($"shard")
+      .agg((max($"rk") - min($"rk") + 1).as("span"), count(lit(1)).as("n"))
+      .filter($"span" =!= $"n")
+    assert(bad.isEmpty, "shard ranks are not contiguous")
+  }
+}
