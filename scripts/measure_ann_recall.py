@@ -1,30 +1,39 @@
 #!/usr/bin/env python3
 """Reproduce the ANN recall measurements behind the gate-query invariant
-floors (n5_ann_lsh recall@3 >= 0.70, n5_ann_ivf recall@5 >= 0.75, and the
+floors (n5_ann_lsh recall@3 >= 0.70, n5_ann_ivf recall@5 >= 0.60, and the
 cosineNearDupPairs >= 0.70 spec floor).
 
 Reimplements the engine's deterministic constructions independently of
 Spark — FNV-1a-seeded Box-Muller Gaussian hyperplanes (Graft.hyperplane),
 16 tables x 4 planes sign buckets (Graft.annLshTopK defaults), and IVF with
-the first-16-vectors centroids probed at nprobe=4 (Graft.annIvfTopK) — then
-measures recall against exact cosine top-k.
+16 k-means cells (md5-ordered seeds, 2 micro-unit Lloyd rounds) probed at
+nprobe=8 (Graft.annIvfTopK / Graft.kmeansCentroids) — then measures recall
+against exact cosine top-k.
 
 Usage: python3 scripts/measure_ann_recall.py [sfDir ...]
 
 Measured when the floors were chosen (2026-08, seed-42 testdata):
-  sf0.001  LSH recall@3 = 1.000   IVF recall@5 = 0.94   neardup = 1.000
-  sf0.01   LSH recall@3 = 0.900   IVF recall@5 = 0.92   neardup = 0.929
-  sf0.1    LSH recall@3 = 1.000   IVF recall@5 = 1.00   neardup = 0.944
+  sf0.001  LSH recall@3 = 1.000   IVF recall@5 = 0.82   neardup = 1.000
+  sf0.01   LSH recall@3 = 0.900   IVF recall@5 = 0.76   neardup = 0.929
+  sf0.1    LSH recall@3 = 1.000   IVF recall@5 = 0.88   neardup = 0.944
+
+The IVF ceiling is a property of the corpus, not the quantizer: the
+synthetic embeddings are near-uniform on the sphere (no cosine cluster
+structure), so recall ≈ probed fraction (8/16) × a ~1.5 locality factor.
+An earlier revision seeded centroids with the first 16 ids — which overlap
+the 10 query ids — and measured 0.92: query-as-centroid leakage, removed.
 
 Also reproduces the cube-uniform-plane pathology that motivated Gaussian
 planes: pass --cube to see recall collapse to ~0.13-0.23.
 """
+import hashlib
 import sys
 import duckdb
 import numpy as np
 from collections import defaultdict
 
 TABLES, PLANES = 16, 4  # Graft.annLshTopK / cosineNearDupPairs defaults
+CELLS, NPROBE, KM_ITERS = 16, 8, 2  # Graft.annIvfTopK defaults
 
 
 def fnv1a64(b):
@@ -94,12 +103,32 @@ def measure(sf_dir, plane_fn):
                         found.add(tuple(sorted((members[x], members[y]))))
     nd_recall = len(found & neardup_pairs) / len(neardup_pairs) if neardup_pairs else 1.0
 
-    C = norm[:16]
-    sim_c = norm @ C.T
+    # k-means cells, mirroring Graft.kmeansCentroids exactly: seeds are the
+    # CELLS ids with the smallest md5(str(id)); each Lloyd round assigns by
+    # max cosine (ties -> lower cell id) and recomputes the element-wise
+    # mean in integer micro-units, cast to float32
+    Vf = V.astype(np.float32)
+    seed_order = sorted(range(n), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    C = Vf[seed_order[:CELLS]].astype(np.float64)
+    for _ in range(KM_ITERS):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        sim_c = norm @ Cn.T
+        assign = np.argmax(sim_c, axis=1)  # argmax keeps the lowest index on ties
+        newC = np.zeros_like(C)
+        for c in range(CELLS):
+            members = Vf[assign == c]
+            if len(members):
+                s = np.round(members.astype(np.float64) * 1e6).sum(axis=0)
+                newC[c] = (s / len(members) / 1e6).astype(np.float32)
+            else:
+                newC[c] = C[c]
+        C = newC
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sim_c = norm @ Cn.T
     assign = np.argmax(sim_c, axis=1)
     ivf_recalls = []
     for q in range(10):
-        probe = set(np.argsort(-sim_c[q], kind="stable")[:4])
+        probe = set(np.argsort(-sim_c[q], kind="stable")[:NPROBE])
         cand = {i for i in range(n) if assign[i] in probe and i != q}
         got = topk(q, 5, cand) if cand else set()
         ivf_recalls.append(len(got & exact5[q]) / 5)

@@ -303,18 +303,72 @@ object Graft {
       .select(col("qid"), col("cid"), col("cos"))
   }
 
+  /** Deterministic distributed k-means (Lloyd) centroids for an IVF index.
+    * Seeds are the `k` vectors with the smallest md5(id) — hash-spread over
+    * the corpus, reproducible, uncorrelated with insertion order. Each
+    * iteration assigns every vector to its max-cosine centroid (broadcast
+    * join + max_by, partial-combined map-side) and recomputes centroids as
+    * the element-wise mean — summed in integer micro-units so the result
+    * is bit-stable under partition reordering and task retries (a plain
+    * double sum is order-sensitive). Per iteration the big side shuffles
+    * once into k×dim groups; centroids are localCheckpoint'ed so lineage
+    * stays flat. Cells that lose all members drop out (the probe side
+    * simply never routes to them). */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): DataFrame = {
+    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val wSeed = Window.orderBy(col("__hk"), col("__vid"))
+    var cents = v
+      .withColumn("__hk", md5(col("__vid").cast(StringType)))
+      .orderBy(col("__hk"), col("__vid")).limit(k)
+      .withColumn("__cent", (row_number().over(wSeed) - 1).cast(LongType))
+      .select(col("__cent"), col("__v").as("__cv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("__sim", GraftFunctions.cosine_sim(col("__v"), col("__cv")))
+        .groupBy(col("__vid"))
+        .agg(first(col("__v")).as("__v"),
+          max_by(col("__cent"), struct(col("__sim"), -col("__cent"))).as("__cell"))
+      cents = assigned
+        .select(col("__cell"), posexplode(col("__v")))
+        .toDF("__cell", "__pos", "__x")
+        .groupBy(col("__cell"), col("__pos"))
+        .agg(sum(round(col("__x") * 1e6).cast(LongType)).as("__s"),
+          count(lit(1)).as("__n"))
+        .withColumn("__m",
+          (col("__s").cast(DoubleType) / col("__n") / 1e6).cast(FloatType))
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__cv"))
+        .select(col("__cell").as("__cent"), col("__cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Approximate top-k cosine neighbors via IVF: coarse-quantize the corpus
-    * to its `nCells` nearest-centroid cells (centroids = first nCells
-    * vectors by id — deterministic), probe the `nProbe` nearest cells per
-    * query, exact rescore inside them. Assignment is a broadcast join +
-    * max_by aggregate (partial-combines map-side); the probe join touches
-    * ~nProbe/nCells of the corpus. Measures >= 0.9 recall@5 on the test
-    * corpus at every sf with the defaults. */
+    * to its `nCells` nearest-centroid cells (centroids from
+    * [[kmeansCentroids]] — `kmeansIters` deterministic Lloyd rounds; 0
+    * falls back to the raw hash-spread seeds), probe the `nProbe` nearest
+    * cells per query, exact rescore inside them. Assignment is a broadcast
+    * join + max_by aggregate (partial-combines map-side); the probe join
+    * touches ~nProbe/nCells of the corpus.
+    *
+    * Recall honesty note: the synthetic test embeddings are near-uniform on
+    * the sphere (no cosine cluster structure — every k-means cell holds all
+    * 10 labels), so ANY coarse quantizer's recall is bounded by roughly the
+    * probed corpus fraction × a small locality factor (~1.5 measured).
+    * With the defaults (probe 8 of 16 cells) recall@5 measures 0.76-0.88
+    * across sfs. An earlier revision seeded centroids with the first
+    * nCells ids, which overlapped the gate query's query set — the 0.92
+    * recall it measured was query-as-centroid leakage, not quantizer
+    * quality. On a real clustered corpus the locality factor, and hence
+    * recall at small probe fractions, is far higher. */
   def annIvfTopK(candidates: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int,
-                 nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = candidates.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("__cent"), col(vecCol).as("__cv"))
+                 nCells: Int = 16, nProbe: Int = 8, kmeansIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(candidates, idCol, vecCol, nCells, kmeansIters)
     val assigned = candidates.select(col(idCol).as("cid"), col(vecCol).as("__ce"))
       .crossJoin(broadcast(cents))
       .withColumn("__csim", GraftFunctions.cosine_sim(col("__ce"), col("__cv")))
