@@ -513,6 +513,45 @@ object Graft {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-source token-budget sampling: keep each `keyCol` group's prefix —
+    * in deterministic md5(`idCol`) order — until the running `weightCol`
+    * total exceeds `budget` (the domain-capping step that reshapes a
+    * training mix when one source dominates). Selection is a pure function
+    * of ids, so it is reproducible across engines, runs, retries and
+    * cluster sizes. The running total uses the keyed two-pass prefix sum
+    * ([[operators.SkewUtils.rangedCumSumByKey]]): no single reducer ever
+    * holds a whole source. Adds `__cum` (the running total) and keeps only
+    * rows with `__cum <= budget`. */
+  def budgetSample(df: DataFrame, keyCol: String, idCol: String,
+                   weightCol: String, budget: Long,
+                   numPartitions: Int = 32): DataFrame = {
+    val keyed = df.withColumn("__hk", md5(col(idCol).cast(StringType)))
+    operators.SkewUtils.rangedCumSumByKey(keyed, Seq(keyCol), Seq("__hk", idCol),
+        weightCol, numPartitions, "__cum")
+      .filter(col("__cum") <= budget)
+      .drop("__hk")
+  }
+
+  /** Deterministic global shuffle + fixed-size shard assignment: orders
+    * rows by md5(id:salt) (reproducible "random" order, uncorrelated with
+    * content) and cuts the order into `shardSize`-row shards — the final
+    * pre-training materialization step (write with `partitionBy("shard")`
+    * for uniform output files). The global rank is the two-pass
+    * [[operators.SkewUtils.rangedCumSum]] over a constant 1, never a
+    * single-reducer `row_number() over (order by ...)`. Adds
+    * `__shuffle_key`, `__rank` (1-based) and `shard`. */
+  def globalShuffleShards(df: DataFrame, idCol: String, shardSize: Int,
+                          salt: String = "42", numPartitions: Int = 32): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val keyed = df
+      .withColumn("__shuffle_key", md5(concat(col(idCol).cast(StringType), lit(":" + salt))))
+      .withColumn("__one", lit(1L))
+    operators.SkewUtils.rangedCumSum(keyed, Seq("__shuffle_key", idCol), "__one",
+        numPartitions, "__rank")
+      .withColumn("shard", floor((col("__rank") - 1) / shardSize).cast(LongType))
+      .drop("__one")
+  }
+
   /** Deterministic train/val/test assignment by md5 prefix of `keyCol`:
     * reproducible across engines, runs, retries and cluster sizes — the
     * split of a row is a pure function of its key. To prevent near-dup

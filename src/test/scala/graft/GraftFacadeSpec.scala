@@ -70,6 +70,31 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("budgetSample equals x18_budget_sample") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_toks"))
+    val facade = Graft.budgetSample(docs, "source", "doc_id", "n_toks", 1000L)
+      .select($"doc_id", $"__cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gate = SparkEntry.queries("x18_budget_sample")(spark, sf)
+      .select($"doc_id", $"cum_toks").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(facade == gate)
+  }
+
+  test("globalShuffleShards equals x19_global_shuffle") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val facade = Graft.globalShuffleShards(docs, "doc_id", 64)
+      .select($"doc_id", $"__rank", $"shard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val gate = SparkEntry.queries("x19_global_shuffle")(spark, sf)
+      .select($"doc_id", $"rk", $"shard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(facade == gate)
+  }
+
   test("datasetSplit equals x16_dataset_split and is key-deterministic") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
