@@ -265,6 +265,40 @@ object EventQueries {
         CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS share
       FROM t ORDER BY event_type, event_id""")),
 
+    // ----- e4: z-score outlier flagging — per-type mean/std from ONE exact
+    // integer-sum aggregate over cents (count/sum/sum-of-squares all
+    // partial-combine map-side), broadcast-joined back; never a
+    // whole-partition window over the 5-value type key (same de-skew shape
+    // as e3). The z-score derives from exact integer sums with the same
+    // double-op order in both engines, so the rounded values hash-match.
+    GraftQuery("e4_zscore_outliers", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("cents", vcents($"value"))
+      val stats = ev.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"cents").as("s1"),
+        sum($"cents" * $"cents").as("s2"))
+      val mean = $"s1".cast(DoubleType) / $"n"
+      val variance =
+        ($"s2".cast(DoubleType) - $"s1".cast(DoubleType) * $"s1" / $"n") / $"n"
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", round(($"cents".cast(DoubleType) - mean) / sqrt(variance), 4))
+        .filter(abs($"z") >= 2.0)
+        .select($"event_type", $"event_id", $"cents", $"z")
+        .orderBy($"event_type", $"event_id")
+    }, Some(s"""
+      WITH t AS (SELECT event_type, event_id, ${sql.vcents("value")} AS cents FROM events),
+      st AS (SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
+             FROM t GROUP BY event_type),
+      z AS (SELECT t.event_type, event_id, cents,
+              round((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+                    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n), 4) AS z
+            FROM t JOIN st USING (event_type))
+      SELECT event_type, event_id, cents, z FROM z
+      WHERE abs(z) >= 2.0 ORDER BY event_type, event_id""")),
+
     // ----- funnel: users who progressed signup → click → purchase in
     // event-time order; one aggregation pass (min ts per stage), no joins
     GraftQuery("e1_funnel", (s, d) => {

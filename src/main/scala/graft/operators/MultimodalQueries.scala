@@ -93,7 +93,38 @@ object MultimodalQueries {
          for i in range(0, CAST((length(text)-1)//16 AS INT) + 1)], ',') AS thumb,
         length(text) AS orig_len,
         CAST((length(text)-1)//16 + 1 AS BIGINT) AS thumb_len
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // chunk manifest: split each opaque payload into fixed 128-byte chunks
+    // with (offset, length, md5) per chunk — the upload/transfer plan a
+    // blob store needs before moving multimodal payloads (a real pipeline
+    // ships chunks to object storage and keeps this manifest as the
+    // index). Generator runs inside the scan stage; at 100 TB the manifest
+    // is a pure map-side explode, no shuffle until the sort.
+    GraftQuery("m6_chunk_manifest", (s, d) => {
+      import s.implicits._
+      val chunk = 128
+      val nChunks = floor((length($"text") - 1) / chunk).cast("int") + 1
+      T.documents(s, d)
+        .select($"doc_id", posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => struct(
+            (i.cast("long") * chunk).as("chunk_off"),
+            length(substring($"text", i * chunk + 1, lit(chunk))).cast("long").as("chunk_len"),
+            md5(substring($"text", i * chunk + 1, lit(chunk))).as("chunk_md5")))))
+        .toDF("doc_id", "chunk_id", "c")
+        .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+          $"c.chunk_off", $"c.chunk_len", $"c.chunk_md5")
+        .orderBy($"doc_id", $"chunk_id")
+    }, Some("""
+      WITH c AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id
+                 FROM documents,
+                      unnest(range(0, CAST((length(text)-1)//128 AS INT) + 1)) AS u(i))
+      SELECT c.doc_id, chunk_id,
+        CAST(chunk_id * 128 AS BIGINT) AS chunk_off,
+        CAST(length(substring(d.text, CAST(chunk_id*128 + 1 AS INT), 128)) AS BIGINT) AS chunk_len,
+        md5(substring(d.text, CAST(chunk_id*128 + 1 AS INT), 128)) AS chunk_md5
+      FROM c JOIN documents d USING (doc_id)
+      ORDER BY doc_id, chunk_id"""))
   )
 }
 

@@ -420,6 +420,34 @@ object RelationalQueries {
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ----- composite: shipping-priority revenue (TPC-H Q3 shape) — segment
+    // filter below the join, both date filters pushed to the scans, top-10
+    // by exact-decimal revenue (cast to double only at the end)
+    GraftQuery("q3_shipping_priority", (s, d) => {
+      import s.implicits._
+      val cutoff = lit("1998-06-30").cast(TimestampType)
+      val cust = T.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = T.orders(s, d).filter($"o_orderdate" < cutoff)
+      val l = T.lineitem(s, d).filter($"l_shipdate" > cutoff)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", tsFmt($"o_orderdate").as("order_date"), $"revenue")
+    }, Some(s"""
+      SELECT o_orderkey, ${sql.tsFmt("o_orderdate")} AS order_date,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
     // ----- composite: revenue ranking per customer (TPC-H Q10 shape)
     GraftQuery("q10_revenue_ranking", (s, d) => {
       import s.implicits._
