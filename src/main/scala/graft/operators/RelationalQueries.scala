@@ -448,6 +448,42 @@ object RelationalQueries {
       GROUP BY o_orderkey, o_orderdate
       ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
 
+    // ----- composite: large-volume orders (TPC-H Q18 shape) — an
+    // aggregate-derived key set (orders whose total quantity clears a
+    // threshold) semi-joined back into the fact/dim chain. The key set is
+    // produced by a partial+final aggregate and AQE decides whether it
+    // broadcasts; no correlated subquery survives the plan.
+    GraftQuery("q18_large_orders", (s, d) => {
+      import s.implicits._
+      val l = T.lineitem(s, d)
+      val bigKeys = l.groupBy($"l_orderkey")
+        .agg(sum(dec($"l_quantity")).as("q"))
+        .filter($"q" > 150)
+        .select($"l_orderkey".as("__k"))
+      l.join(bigKeys, $"l_orderkey" === $"__k", "left_semi")
+        .join(T.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name", $"o_orderkey",
+          $"o_orderdate", $"o_totalprice")
+        .agg(sum(dec($"l_quantity")).cast(DoubleType).as("total_qty"))
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          tsFmt($"o_orderdate").as("order_date"),
+          dec($"o_totalprice").cast(DoubleType).as("total_price"), $"total_qty")
+        .orderBy($"total_price".desc, $"o_orderkey")
+        .limit(100)
+    }, Some(s"""
+      SELECT c_custkey, c_name, o_orderkey, ${sql.tsFmt("o_orderdate")} AS order_date,
+        CAST(${sql.dec("o_totalprice")} AS DOUBLE) AS total_price,
+        CAST(SUM(${sql.dec("l_quantity")}) AS DOUBLE) AS total_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(${sql.dec("l_quantity")}) > 150)
+      GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY total_price DESC, o_orderkey LIMIT 100""")),
+
     // ----- composite: revenue ranking per customer (TPC-H Q10 shape)
     GraftQuery("q10_revenue_ranking", (s, d) => {
       import s.implicits._

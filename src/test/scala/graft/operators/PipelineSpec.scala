@@ -84,6 +84,26 @@ class PipelineSpec extends SparkTestBase {
       "a doc earlier in the selection order was dropped while a later one was kept")
   }
 
+  test("globalShuffleShards materializes as uniform partitioned output files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = T.documents(spark, sf).select($"doc_id")
+    graft.Graft.globalShuffleShards(docs, "doc_id", 64)
+      .select($"doc_id", $"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // partition-dir values read back with inferred (int) type
+    val sizes = back.groupBy($"shard".cast("long")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.count(_ == 64) >= sizes.size - 1,
+      s"non-uniform shards on disk: $sizes")
+    assert(back.count() == docs.count())
+    // partition pruning reaches the shard directories
+    val plan = back.filter($"shard" === 0).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter not pruning partitions:\n$plan")
+  }
+
   test("x19 shards are uniform fixed-size cuts of the shuffled order") {
     import spark.implicits._
     val out = SparkEntry.queries("x19_global_shuffle")(spark, sf)
