@@ -513,6 +513,28 @@ object Graft {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Gopher-style hard quality gate over a text column: token-count band,
+    * mean-token-length band, stopword floor, distinct-token-ratio floor —
+    * a boolean column (true = keep). Pure projection; pair with
+    * [[qualityScore]] (the soft score) when ranking instead of gating.
+    * Same rules as the x17 gate query. */
+  def gopherKeep(text: Column,
+                 minTokens: Int = 30, maxTokens: Int = 70,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 7.0,
+                 minStopwords: Int = 2, minDistinctRatio: Double = 0.5): Column = {
+    val toks = split(trim(text), " ")
+    val n = size(toks)
+    val charSum = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val meanLen = round(charSum.cast(DoubleType) / n, 6)
+    val nStop = size(filter(toks, t =>
+      t.isin("the", "a", "of", "and", "to", "in", "is", "on")))
+    val distinctRatio = round(size(array_distinct(toks)).cast(DoubleType) / n, 6)
+    n.between(minTokens, maxTokens) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      nStop >= minStopwords &&
+      distinctRatio >= minDistinctRatio
+  }
+
   /** Per-source token-budget sampling: keep each `keyCol` group's prefix —
     * in deterministic md5(`idCol`) order — until the running `weightCol`
     * total exceeds `budget` (the domain-capping step that reshapes a

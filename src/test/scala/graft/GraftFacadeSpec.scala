@@ -70,6 +70,19 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("gopherKeep equals the x17_gopher_quality keep column") {
+    import spark.implicits._
+    val facade = Tables.documents(spark, sf)
+      .select($"doc_id", Graft.gopherKeep($"text").as("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val gate = SparkEntry.queries("x17_gopher_quality")(spark, sf)
+      .select($"doc_id", $"keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(facade == gate)
+    assert(facade.values.exists(identity) && facade.values.exists(!_),
+      "degenerate fixture: gate does not discriminate")
+  }
+
   test("budgetSample equals x18_budget_sample") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select($"doc_id", $"source",

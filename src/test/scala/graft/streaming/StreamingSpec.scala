@@ -431,4 +431,35 @@ class StreamingSpec extends SparkTestBase {
       assert(n == 3L, s"dedup state failed across batches: $n")
     } finally q.stop()
   }
+
+  test("streaming corpus intake: quality gate + content dedup + compacted store (end to end)") {
+    // the training-data intake pipeline as one incremental query: documents
+    // stream in, the Gopher gate drops junk, content-hash dedup drops
+    // repeats across micro-batches, survivors land in the compacted store
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the quality of a stream is the sort of thing a filter is meant to keep around"
+    val good2 = "a table scan of the stream is the kind of work to keep inside a batch job"
+    val junk = "aa bb" // fails the token-count band
+    val input = MemoryStream[(Long, String)]
+    val store = tmp("intake_store")
+    val gated = input.toDS().toDF("doc_id", "text")
+      .filter(graft.Graft.gopherKeep($"text", minTokens = 10, maxTokens = 200))
+      .withColumn("content_h", md5($"text"))
+      .dropDuplicates("content_h")
+    val q = gated.writeStream
+      .option("checkpointLocation", tmp("intake_ckpt"))
+      .foreachBatch(CompactingSink.upsertCompact(store, Seq("content_h"), Seq("doc_id")) _)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, good1), (2L, junk)); q.processAllAvailable()
+      input.addData((3L, good1), (4L, good2)); q.processAllAvailable() // 3 is a dup of 1
+      val rows = spark.read.parquet(store)
+        .select($"doc_id", $"text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 4L),
+        s"expected gate to keep 1 and 4 (junk gated, dup dropped): ${rows.keySet}")
+      assert(rows(1L) == good1 && rows(4L) == good2)
+    } finally q.stop()
+  }
 }
