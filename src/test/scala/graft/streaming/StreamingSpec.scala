@@ -432,6 +432,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState runs a keyed running total (T4, Spark-4 arbitrary-state API)") {
+    // the successor API to mapGroupsWithState: explicit typed state handles
+    // (ValueState here), RocksDB-only state backend — the forward path for
+    // the 100 TB consumer-offset/cache semantics
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val out = input.toDS().groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val qn = s"tws_test_${System.nanoTime()}"
+    val q = out.toDF("user", "total").writeStream
+      .format("memory").queryName(qn).outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("tws_ckpt"))
+      .start()
+    try {
+      input.addData((1L, 10L), (2L, 5L)); q.processAllAvailable()
+      input.addData((1L, 7L)); q.processAllAvailable()
+      val rows = spark.table(qn).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val last = rows.zipWithIndex.groupBy(_._1._1).map { case (k, v) => k -> v.maxBy(_._2)._1._2 }
+      assert(last(1L) == 17L, s"ValueState did not accumulate: ${rows.mkString(",")}")
+      assert(last(2L) == 5L)
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming corpus intake: quality gate + content dedup + compacted store (end to end)") {
     // the training-data intake pipeline as one incremental query: documents
     // stream in, the Gopher gate drops junk, content-hash dedup drops
@@ -461,5 +493,23 @@ class StreamingSpec extends SparkTestBase {
         s"expected gate to keep 1 and 4 (junk gated, dup dropped): ${rows.keySet}")
       assert(rows(1L) == good1 && rows(4L) == good2)
     } finally q.stop()
+  }
+}
+
+/** Keyed running total on the Spark-4 transformWithState API: one typed
+  * ValueState handle per key (the explicit-state successor of the
+  * mapGroupsWithState consumer-offset pattern, cache.hpp analogue). */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var total: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               tv: TimerValues): Iterator[(Long, Long)] = {
+    val t = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+    total.update(t)
+    Iterator((key, t))
   }
 }
