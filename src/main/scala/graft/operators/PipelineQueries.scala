@@ -97,7 +97,7 @@ object PipelineQueries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
             FROM t)
       SELECT doc_id, source, n_toks, cum_toks
-      FROM c WHERE cum_toks <= 1000 ORDER BY doc_id""")),
+      FROM c WHERE cum_toks <= 1000 ORDER BY doc_id"""), bench = true),
 
     // ----- x19: deterministic global shuffle + fixed-size sharding — the
     // final pre-training step: order the corpus by a salted content-free
@@ -126,6 +126,6 @@ object PipelineQueries {
             FROM t)
       SELECT doc_id, shuffle_key, rk,
         CAST(floor((rk - 1) / 64.0) AS BIGINT) AS shard
-      FROM r ORDER BY doc_id"""))
+      FROM r ORDER BY doc_id"""), bench = true)
   )
 }

@@ -353,10 +353,16 @@ object RelationalQueries {
     // predicate re-applied), so both sides shuffle once on a
     // well-distributed key. The oracle runs the naive inequality form;
     // results are identical.
+    // The order set is scoped to one quarter: an interval join's true
+    // cardinality is |points in window| × |overlapping intervals|, so an
+    // unscoped year-spanning probe would measure output volume (~50M pairs
+    // at sf0.1), not the join machinery.
     GraftQuery("j9_interval_join", (s, d) => {
       import s.implicits._
       val urgent = T.orders(s, d)
-        .filter($"o_orderpriority" === "1-URGENT")
+        .filter($"o_orderpriority" === "1-URGENT" &&
+          $"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1996-04-01").cast(TimestampType))
         .select($"o_orderkey", $"o_orderdate".as("__start"),
           ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as("__end"))
       val points = T.lineitem(s, d).select($"l_shipdate", $"l_quantity")
@@ -373,7 +379,9 @@ object RelationalQueries {
         ON l_shipdate >= o_orderdate
         AND l_shipdate < o_orderdate + INTERVAL 7 DAY
       WHERE o_orderpriority = '1-URGENT'
-      GROUP BY o_orderkey ORDER BY o_orderkey""")),
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY o_orderkey ORDER BY o_orderkey"""), bench = true),
 
     // ----- A10: mergeable-sketch rollup — the 100 TB distinct-count
     // pattern: HLL sketches aggregate once per fine group (nation), then
