@@ -90,6 +90,23 @@ object Scratch {
           Seq("event_type"), Seq("value", "event_id"), 32, "rn")
           .agg(max($"rn")).count()
       }
+      // the x18 shape: keyed two-pass prefix sum over a 5-value key
+      time(f"events x$k%3d ($n%9d rows) x18-style keyed ranged cumsum") {
+        operators.SkewUtils.rangedCumSumByKey(
+          ev.select($"event_type", $"event_id",
+            round($"value" * 100).cast("long").as("cents")),
+          Seq("event_type"), Seq("event_id"), "cents", 32, "cum")
+          .agg(max($"cum")).count()
+      }
+      // the j9 shape: point-in-interval bucket join, events as points
+      // against 1-hour user-session intervals derived from the same table
+      time(f"events x$k%3d ($n%9d rows) j9-style bucketed interval join") {
+        val iv = ev.groupBy($"user_id").agg(min($"ts").as("s"))
+          .select($"user_id", $"s", ($"s" + expr("INTERVAL 1 HOUR")).as("e"))
+        operators.SkewUtils.pointInIntervalJoin(
+          ev.select($"ts", $"event_id"), "ts", iv, "s", "e", 3600)
+          .count()
+      }
       ev.unpersist()
     }
     for (k <- Seq(1, 4, 16)) {

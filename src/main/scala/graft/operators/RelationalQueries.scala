@@ -428,6 +428,40 @@ object RelationalQueries {
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ----- A11: heavy hitters via Count-Min sketch — the one-pass frequency
+    // estimator that replaces exact groupBy counting when the key space is
+    // unbounded (at 100 TB the sketch is a fixed-size mergeable aggregate;
+    // the exact companion here exists only to emit the invariant booleans:
+    // CMS never under-estimates, and with eps=0.001/seed=42 the
+    // over-estimate stays within 10·eps·N). The estimate step deserializes
+    // the sketch in a UDF over the 10 result rows — post-aggregation, never
+    // in the scan path.
+    GraftQuery("a11_heavy_hitters", (s, d) => {
+      import s.implicits._
+      val terms = T.documents(s, d)
+        .select(explode(split(trim($"text"), " ")).as("term"))
+      val exact = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"term").limit(10)
+      val sk = terms.agg(
+        expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = udf((bytes: Array[Byte], t: String) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(t))
+      exact.crossJoin(broadcast(sk))
+        .select($"term", $"freq",
+          (est($"sk", $"term") >= $"freq").as("no_underestimate"),
+          (est($"sk", $"term") <= $"freq" + ceil($"n_total" * 0.01))
+            .as("bounded_overestimate"))
+        .orderBy($"freq".desc, $"term")
+    }, Some("""
+      WITH t AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      f AS (SELECT term, COUNT(*) AS freq FROM t
+            GROUP BY term ORDER BY freq DESC, term LIMIT 10)
+      SELECT term, CAST(freq AS BIGINT) AS freq,
+        TRUE AS no_underestimate, TRUE AS bounded_overestimate
+      FROM f ORDER BY freq DESC, term""")),
+
     // ----- composite: shipping-priority revenue (TPC-H Q3 shape) — segment
     // filter below the join, both date filters pushed to the scans, top-10
     // by exact-decimal revenue (cast to double only at the end)
