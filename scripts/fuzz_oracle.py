@@ -116,14 +116,71 @@ def gen_setop(i):
          f"SELECT {cols} FROM {t} WHERE {w2} ORDER BY 1, 2")
     return q
 
+def gen_scalar(i):
+    """scalar-function projections in the common Spark/DuckDB dialect:
+    string, date-part, conditional, integer math — the f-family surface
+    fuzzed cross-engine (CASTs align int-width differences)."""
+    kind = rng.choice(["string", "date", "cond", "math"])
+    if kind == "string":
+        col, t = rng.choice([("c_name", "customer"), ("o_orderpriority", "orders"),
+                             ("event_type", "events"), ("l_returnflag", "lineitem")])
+        key = TABLES[t]["int"][0]
+        exprs = rng.sample([
+            f"upper({col}) AS e1", f"lower({col}) AS e2",
+            f"CAST(length({col}) AS BIGINT) AS e3",
+            f"substring({col}, 1, 3) AS e4",
+            f"concat({col}, '_x') AS e5",
+            f"replace({col}, 'E', '*') AS e6",
+            f"reverse({col}) AS e7",
+        ], 3)
+        return (f"SELECT {key}, {', '.join(exprs)} FROM {t} "
+                f"WHERE {pred(t)} ORDER BY {key}")
+    if kind == "date":
+        t, col = rng.choice([("orders", "o_orderdate"), ("lineitem", "l_shipdate"),
+                             ("events", "ts")])
+        key = TABLES[t]["int"][0]
+        exprs = rng.sample([
+            f"CAST(year({col}) AS BIGINT) AS e1",
+            f"CAST(month({col}) AS BIGINT) AS e2",
+            f"CAST(day({col}) AS BIGINT) AS e3",
+            f"CAST(quarter({col}) AS BIGINT) AS e4",
+            f"CAST(hour({col}) AS BIGINT) AS e5",
+        ], 3)
+        return (f"SELECT {key}, {', '.join(exprs)} FROM {t} "
+                f"WHERE {pred(t)} ORDER BY {key}")
+    if kind == "cond":
+        t = rng.choice(["orders", "customer", "events"])
+        key = TABLES[t]["int"][0]
+        scol = TABLES[t]["str"][0]
+        exprs = [
+            f"CASE WHEN {key} % 2 = 0 THEN 'even' ELSE 'odd' END AS e1",
+            f"coalesce(nullif({scol}, {scol}), 'nulled') AS e2",
+            f"CAST(least({key}, 500) AS BIGINT) AS e3",
+            f"CAST(greatest({key}, 500) AS BIGINT) AS e4",
+        ]
+        return (f"SELECT {key}, {', '.join(rng.sample(exprs, 3))} FROM {t} "
+                f"WHERE {pred(t)} ORDER BY {key}")
+    t = rng.choice(["orders", "lineitem", "customer"])
+    key = TABLES[t]["int"][0]
+    exprs = rng.sample([
+        f"CAST(abs({key} - 1000) AS BIGINT) AS e1",
+        f"CAST({key} % 7 AS BIGINT) AS e2",
+        f"CAST(floor({key} / 3.0) AS BIGINT) AS e3",
+        f"CAST({key} * 2 + 1 AS BIGINT) AS e4",
+    ], 3)
+    return (f"SELECT {key}, {', '.join(exprs)} FROM {t} "
+            f"WHERE {pred(t)} ORDER BY {key}")
+
 def gen(i):
     r = rng.random()
     if r < 0.18:
         return gen_join(i)
-    if r < 0.32:
+    if r < 0.30:
         return gen_window(i)
-    if r < 0.45:
+    if r < 0.42:
         return gen_setop(i)
+    if r < 0.56:
+        return gen_scalar(i)
     t = rng.choice(list(TABLES))
     c = TABLES[t]
     where = " AND ".join(pred(t) for _ in range(rng.randint(1, 3)))
