@@ -106,25 +106,30 @@ def measure(sf_dir, plane_fn):
     # k-means cells, mirroring Graft.kmeansCentroids exactly: seeds are the
     # CELLS ids with the smallest md5(str(id)); each Lloyd round assigns by
     # max cosine (ties -> lower cell id) and recomputes the element-wise
-    # mean in integer micro-units, cast to float32
+    # mean in integer micro-units (HALF_UP like Spark's round(), NOT
+    # np.round's half-even), cast to float32; cells that lose every member
+    # drop out (the Scala groupBy emits no row for them)
+    def round_half_up(x):
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
     Vf = V.astype(np.float32)
     seed_order = sorted(range(n), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
     C = Vf[seed_order[:CELLS]].astype(np.float64)
+    alive = np.ones(len(C), dtype=bool)
     for _ in range(KM_ITERS):
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        sim_c = norm @ Cn.T
+        sim_c = np.where(alive, norm @ Cn.T, -np.inf)
         assign = np.argmax(sim_c, axis=1)  # argmax keeps the lowest index on ties
-        newC = np.zeros_like(C)
+        newC = np.array(C)
         for c in range(CELLS):
-            members = Vf[assign == c]
+            members = Vf[(assign == c) & alive[assign]]
             if len(members):
-                s = np.round(members.astype(np.float64) * 1e6).sum(axis=0)
+                s = round_half_up(members.astype(np.float64) * 1e6).sum(axis=0)
                 newC[c] = (s / len(members) / 1e6).astype(np.float32)
             else:
-                newC[c] = C[c]
+                alive[c] = False
         C = newC
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    sim_c = norm @ Cn.T
+    sim_c = np.where(alive, norm @ Cn.T, -np.inf)
     assign = np.argmax(sim_c, axis=1)
     ivf_recalls = []
     for q in range(10):

@@ -105,12 +105,18 @@ object MultimodalQueries {
       import s.implicits._
       val chunk = 128
       val nChunks = floor((length($"text") - 1) / chunk).cast("int") + 1
-      T.documents(s, d)
-        .select($"doc_id", posexplode(transform(sequence(lit(0), nChunks - 1),
+      // empty payloads produce zero chunks: the when() guard yields null
+      // for them and non-outer posexplode emits no rows — without it,
+      // sequence(0, -1) would produce a descending [0, -1] array and two
+      // spurious manifest rows (the oracle's range(0, 0) emits none)
+      val chunkArr = when(length($"text") > 0,
+        transform(sequence(lit(0), nChunks - 1),
           i => struct(
             (i.cast("long") * chunk).as("chunk_off"),
             length(substring($"text", i * chunk + 1, lit(chunk))).cast("long").as("chunk_len"),
-            md5(substring($"text", i * chunk + 1, lit(chunk))).as("chunk_md5")))))
+            md5(substring($"text", i * chunk + 1, lit(chunk))).as("chunk_md5"))))
+      T.documents(s, d)
+        .select($"doc_id", posexplode(chunkArr))
         .toDF("doc_id", "chunk_id", "c")
         .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
           $"c.chunk_off", $"c.chunk_len", $"c.chunk_md5")

@@ -154,6 +154,10 @@ object SkewUtils {
   def pointInIntervalJoin(points: DataFrame, pointTs: String,
                           intervals: DataFrame, startTs: String, endTs: String,
                           bucketSeconds: Long): DataFrame = {
+    // a non-positive width would silently collapse every row into one
+    // bucket (floor(x/0) saturates) — the all-pairs join this helper exists
+    // to replace — rather than producing wrong answers; fail fast instead
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     val w = lit(bucketSeconds * 1000000L)
     // cast handles TIMESTAMP_NTZ inputs (unix_micros only takes TIMESTAMP);
     // a session-TZ shift would move all buckets uniformly, which is

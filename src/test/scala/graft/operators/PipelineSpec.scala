@@ -104,6 +104,31 @@ class PipelineSpec extends SparkTestBase {
       s"shard filter not pruning partitions:\n$plan")
   }
 
+  test("m6 chunk manifest emits zero chunks for an empty payload") {
+    // regression: sequence(0, -1) yields [0, -1] in Spark, which once
+    // produced two spurious chunks for empty text; the when() guard must
+    // suppress them (oracle's range(0, 0) emits none)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m6fix").toString
+    Seq((1L, "", "en", "src0", 0L), (2L, "abcd", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = SparkEntry.queries("m6_chunk_manifest")(spark, dir).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 2L,
+      s"expected one chunk for doc 2 only: ${out.mkString(",")}")
+    assert(out.head.getLong(3) == 4L) // chunk_len
+  }
+
+  test("pointInIntervalJoin rejects a non-positive bucket width") {
+    import spark.implicits._
+    val df = T.orders(spark, sf).limit(1)
+      .select($"o_orderkey", $"o_orderdate".as("s"),
+        ($"o_orderdate" + expr("INTERVAL 1 DAY")).as("e"))
+    intercept[IllegalArgumentException] {
+      SkewUtils.pointInIntervalJoin(df.select($"s".as("p")), "p", df, "s", "e", 0)
+    }
+  }
+
   test("x19 shards are uniform fixed-size cuts of the shuffled order") {
     import spark.implicits._
     val out = SparkEntry.queries("x19_global_shuffle")(spark, sf)
