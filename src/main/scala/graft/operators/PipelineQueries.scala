@@ -126,6 +126,39 @@ object PipelineQueries {
             FROM t)
       SELECT doc_id, shuffle_key, rk,
         CAST(floor((rk - 1) / 64.0) AS BIGINT) AS shard
-      FROM r ORDER BY doc_id"""), bench = true)
+      FROM r ORDER BY doc_id"""), bench = true),
+
+    // ----- x20: cross-source overlap matrix — shared distinct 8-grams per
+    // source pair, the corpus diagnostic behind contamination triage (which
+    // crawls/data drops duplicate each other, and how badly). Posting-list
+    // equi-join on 64-bit gram hashes: candidates only where grams collide,
+    // the same derived-key shape as x14 decontamination; output is
+    // |sources|² rows, so the matrix stays tiny no matter the corpus size.
+    // Spark grams are hashes, the oracle's are strings; pair counts agree
+    // (collision odds ~1e-11 at this vocabulary).
+    GraftQuery("x20_source_overlap", (s, d) => {
+      import s.implicits._
+      val n = size($"toks")
+      val grams8 = when(n >= 8,
+        array_distinct(transform(sequence(lit(1), n - 7),
+          i => xxhash64(concat_ws(" ", slice($"toks", i, lit(8)))))))
+        .otherwise(typedLit(Seq.empty[Long]))
+      val g = T.documents(s, d)
+        .select($"source", split(trim($"text"), " ").as("toks"))
+        .select($"source", explode(grams8).as("gram"))
+        .distinct()
+      g.as("x").join(g.as("y"),
+          col("x.gram") === col("y.gram") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy($"src_a", $"src_b")
+    }, Some("""
+      WITH t AS (SELECT source, str_split(trim(text), ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT source, array_to_string(w[i:i+7], ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(w) - 6, 1))) AS u(i)),
+      p AS (SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS shared_grams
+            FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+            GROUP BY 1, 2)
+      SELECT src_a, src_b, shared_grams FROM p ORDER BY src_a, src_b"""))
   )
 }
