@@ -13,6 +13,7 @@ object SparkEntry {
   /** All declared queries, in module order. */
   lazy val all: Seq[GraftQuery] =
     operators.RelationalQueries.queries ++
+    operators.SourceQueries.queries ++
     operators.EventQueries.queries ++
     operators.MessageQueries.queries ++
     operators.TypedAggQueries.queries ++

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-checkable gate queries for the source/sink rows that were
+  * previously sbt-only (S2 multi-format scans, S4 partitioned writes):
+  * each query WRITES through the surface under test into a temp dir,
+  * reads its own output back, and emits values the DuckDB oracle can
+  * recompute from the original table — plus booleans binding the on-disk
+  * artifacts (codec-tagged filenames, one dir per partition value) that
+  * SQL alone can't see. Restart/exactly-once behavior (T6) stays
+  * sbt-only by nature (`StreamingSpec`).
+  *
+  * Reference analogue: the sandboxed file workspace (filesys.hpp:107-507)
+  * — write, list, read back, with a format allowlist.
+  */
+object SourceQueries {
+  import Det._
+
+  private def tmpDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- S2: csv / json / orc round-trip — write nation in each format,
+    // read each back (explicit schema for the text formats: inference is a
+    // scan-time behavior, not the semantics under test), emit per-format
+    // row counts and key sums the oracle recomputes from the parquet
+    // original. A format that dropped or mangled rows breaks the hash.
+    GraftQuery("s2_multiformat_roundtrip", (s, d) => {
+      import s.implicits._
+      val nation = T.nation(s, d)
+      val base = tmpDir("s2")
+      val schema = nation.schema
+      nation.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      nation.write.mode("overwrite").json(s"$base/json")
+      nation.write.mode("overwrite").orc(s"$base/orc")
+      val back = Seq(
+        "csv" -> s.read.schema(schema).option("header", "true").csv(s"$base/csv"),
+        "json" -> s.read.schema(schema).json(s"$base/json"),
+        "orc" -> s.read.orc(s"$base/orc"))
+      back.map { case (fmt, df) =>
+        df.agg(
+          lit(fmt).as("format"),
+          count(lit(1)).as("n_rows"),
+          sum($"n_nationkey").cast(LongType).as("sum_key"),
+          sum(length($"n_name")).cast(LongType).as("sum_name_len"))
+          .select($"format", $"n_rows", $"sum_key", $"sum_name_len")
+      }.reduce(_ unionByName _).orderBy($"format")
+    }, Some("""
+      WITH t AS (SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+                   CAST(SUM(length(n_name)) AS BIGINT) AS sum_name_len
+                 FROM nation)
+      SELECT f.format, t.n_rows, t.sum_key, t.sum_name_len
+      FROM (VALUES ('csv'), ('json'), ('orc')) AS f(format), t
+      ORDER BY f.format""")),
+
+    // ----- S4: partitioned zstd write — write a lineitem projection
+    // partitioned by l_returnflag with the zstd codec, read it back, and
+    // emit per-partition counts/sums (oracle-recomputable) plus two
+    // disk-level booleans: every data file carries the .zstd. codec tag in
+    // its name, and the partition-pruned directory count equals the
+    // distinct key count. At 100 TB this is the layout that makes
+    // partition pruning work; the gate proves the writer actually
+    // produces it.
+    GraftQuery("s4_write_partitioned", (s, d) => {
+      import s.implicits._
+      val out = tmpDir("s4")
+      T.lineitem(s, d).select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .option("compression", "zstd").parquet(out)
+      val back = s.read.parquet(out)
+      val files = back.select(input_file_name().as("f")).distinct()
+      val diskOk = files.agg(
+        min($"f".contains(".zstd.")).as("all_zstd"),
+        (size(collect_set(regexp_extract($"f", "l_returnflag=([^/]+)", 1))) ===
+          lit(3)).as("three_partition_dirs"))
+      back.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_quantity")).cast(DoubleType).as("sum_qty"))
+        .crossJoin(broadcast(diskOk))
+        .select($"l_returnflag", $"n", $"sum_qty",
+          $"all_zstd", $"three_partition_dirs")
+        .orderBy($"l_returnflag")
+    }, Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(${sql.dec("l_quantity")}) AS DOUBLE) AS sum_qty,
+        TRUE AS all_zstd, TRUE AS three_partition_dirs
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}
