@@ -597,6 +597,32 @@ object Graft {
       when(keyHex < t1, "train").when(keyHex < t2, "val").otherwise("test"))
   }
 
+  /** End-to-end training-corpus preparation — the composed pipeline every
+    * piece above exists for: quality-gate ([[gopherKeep]]), near-dup
+    * cluster and keep one representative per cluster ([[dedupClusters]]),
+    * assign leakage-safe train/val/test splits by CLUSTER key (near-dups
+    * can never straddle splits, [[datasetSplit]]), then order by a
+    * deterministic global shuffle and cut into fixed-size shards
+    * ([[globalShuffleShards]]). Returns the surviving rows with `cluster`,
+    * `split` and `shard` columns; materialize with
+    * `write.partitionBy("split", "shard")`. Every step is a pure function
+    * of row ids/content, so the whole corpus build is reproducible across
+    * runs, retries and cluster sizes — and every step is a derived-key
+    * groupBy/join or a two-pass rank, so no stage funnels the corpus
+    * through one reducer. */
+  def prepareTrainingCorpus(df: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double = 0.8,
+                            shardSize: Int = 1024): DataFrame = {
+    val gated = df.filter(gopherKeep(col(textCol)))
+    val keepers = gated.join(
+      dedupClusters(gated, idCol, textCol, minJaccard)
+        .filter(col("is_keeper")).select(col(idCol), col("cluster")),
+      Seq(idCol))
+    val split = datasetSplit(keepers, "cluster")
+    globalShuffleShards(split, idCol, shardSize)
+      .drop("__shuffle_key", "__rank")
+  }
+
   // ---------- payload codecs (reference crypt/bytecode surface) ----------
 
   def lz4Compress(c: Column): Column = GraftFunctions.lz4_compress(c)

@@ -70,6 +70,32 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(facade == gate)
   }
 
+  test("prepareTrainingCorpus composes gate, dedup, split and sharding coherently") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = Graft.prepareTrainingCorpus(docs, "doc_id", "text",
+      minJaccard = 0.5, shardSize = 64)
+    val rows = out.select($"doc_id", $"cluster", $"split", $"shard").collect()
+    // one row per surviving doc, and every survivor passes the gate
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val gateIds = docs.filter(Graft.gopherKeep($"text"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(gateIds))
+    // exactly one representative per near-dup cluster
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length,
+      "two rows share a cluster — dedup kept more than the keeper")
+    // deterministic end to end
+    val again = Graft.prepareTrainingCorpus(docs, "doc_id", "text",
+      minJaccard = 0.5, shardSize = 64)
+      .select($"doc_id", $"cluster", $"split", $"shard").collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // all three splits materialize and shards are bounded
+    val splits = rows.map(_.getString(2)).toSet
+    assert(splits.contains("train") && splits.size >= 2, s"splits: $splits")
+    val shardSizes = rows.groupBy(_.getLong(3)).map(_._2.length)
+    assert(shardSizes.forall(_ <= 64))
+  }
+
   test("gopherKeep equals the x17_gopher_quality keep column") {
     import spark.implicits._
     val facade = Tables.documents(spark, sf)
