@@ -121,7 +121,8 @@ def measure(sf_dir, plane_fn):
         assign = np.argmax(sim_c, axis=1)  # argmax keeps the lowest index on ties
         newC = np.array(C)
         for c in range(CELLS):
-            members = Vf[(assign == c) & alive[assign]]
+            # assign never points at dead cells (their sim is -inf)
+            members = Vf[assign == c]
             if len(members):
                 s = round_half_up(members.astype(np.float64) * 1e6).sum(axis=0)
                 newC[c] = (s / len(members) / 1e6).astype(np.float32)

@@ -91,6 +91,18 @@ object Graft {
       .otherwise(typedLit(Seq.empty[Long]))
   }
 
+  /** Distinct word n-gram hashes (64-bit) of a pre-split token array;
+    * rows with fewer than n tokens yield an empty array. The shared gram
+    * construction behind [[contaminatedIds]], the x14 decontamination and
+    * x20 source-overlap gate queries. */
+  def wordGramHashes(toks: Column, n: Int): Column = {
+    val sz = size(toks)
+    when(sz >= n,
+      array_distinct(transform(sequence(lit(1), sz - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .otherwise(typedLit(Seq.empty[Long]))
+  }
+
   /** Near-duplicate pairs by MinHash-LSH with exact-Jaccard rescoring.
     * Returns (a, b, jaccard) with a < b. `numHashes` must be divisible by
     * `bands`. */
@@ -497,16 +509,9 @@ object Graft {
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
                       idCol: String, textCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    def grams(df: DataFrame): DataFrame = {
-      val toks = col("__toks")
-      val sz = size(toks)
+    def grams(df: DataFrame): DataFrame =
       df.select(col(idCol).as("__id"), split(trim(col(textCol)), " ").as("__toks"))
-        .select(col("__id"),
-          explode(when(sz >= n,
-            array_distinct(transform(sequence(lit(1), sz - (n - 1)),
-              i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))))
-            .otherwise(typedLit(Seq.empty[Long]))).as("__gram"))
-    }
+        .select(col("__id"), explode(wordGramHashes(col("__toks"), n)).as("__gram"))
     val benchGrams = grams(benchmark).select(col("__gram")).distinct()
     grams(corpus).join(benchGrams, "__gram")
       .groupBy(col("__id").as(idCol))

@@ -138,14 +138,9 @@ object PipelineQueries {
     // (collision odds ~1e-11 at this vocabulary).
     GraftQuery("x20_source_overlap", (s, d) => {
       import s.implicits._
-      val n = size($"toks")
-      val grams8 = when(n >= 8,
-        array_distinct(transform(sequence(lit(1), n - 7),
-          i => xxhash64(concat_ws(" ", slice($"toks", i, lit(8)))))))
-        .otherwise(typedLit(Seq.empty[Long]))
       val g = T.documents(s, d)
         .select($"source", split(trim($"text"), " ").as("toks"))
-        .select($"source", explode(grams8).as("gram"))
+        .select($"source", explode(graft.Graft.wordGramHashes($"toks", 8)).as("gram"))
         .distinct()
       g.as("x").join(g.as("y"),
           col("x.gram") === col("y.gram") && col("x.source") < col("y.source"))

@@ -449,10 +449,10 @@ object RelationalQueries {
         org.apache.spark.util.sketch.CountMinSketch
           .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(t))
       exact.crossJoin(broadcast(sk))
+        .withColumn("__est", est($"sk", $"term")) // deserialize the sketch once per row
         .select($"term", $"freq",
-          (est($"sk", $"term") >= $"freq").as("no_underestimate"),
-          (est($"sk", $"term") <= $"freq" + ceil($"n_total" * 0.01))
-            .as("bounded_overestimate"))
+          ($"__est" >= $"freq").as("no_underestimate"),
+          ($"__est" <= $"freq" + ceil($"n_total" * 0.01)).as("bounded_overestimate"))
         .orderBy($"freq".desc, $"term")
     }, Some("""
       WITH t AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),

@@ -385,14 +385,9 @@ object TextQueries {
     // derived-key shape as the dedup pipeline — no pairwise scan.
     GraftQuery("x14_decontamination", (s, d) => {
       import s.implicits._
-      val n = size($"toks")
-      val grams8 = when(n >= 8,
-        array_distinct(transform(sequence(lit(1), n - 7),
-          i => xxhash64(concat_ws(" ", slice($"toks", i, lit(8)))))))
-        .otherwise(typedLit(Seq.empty[Long]))
       val g = T.documents(s, d)
         .select($"doc_id", split(trim($"text"), " ").as("toks"))
-        .select($"doc_id", explode(grams8).as("gram"))
+        .select($"doc_id", explode(graft.Graft.wordGramHashes($"toks", 8)).as("gram"))
       val bench = g.filter($"doc_id" < 10).select($"gram").distinct()
       val hits = g.filter($"doc_id" >= 10)
         .join(bench, "gram")
