@@ -516,6 +516,52 @@ object ScalarQueries {
     }, Some("""
       SELECT doc_id, TRUE AS lz4_rt_ok, TRUE AS zstd_rt_ok,
         TRUE AS lz4_bound_ok, TRUE AS zstd_bound_ok
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ----- bitwise family: scalar shifts/masks (codegen'd) + the bit_and/
+    // bit_or/bit_xor aggregates (partial-combine map-side — the flag-fold
+    // shape for merging permission masks or feature bitmaps at scale)
+    GraftQuery("f_bitwise", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag", $"l_orderkey",
+          (shiftleft($"l_partkey", 3).bitwiseOR($"l_suppkey".bitwiseAND(lit(255))))
+            .as("mix"))
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("bit_and(l_orderkey)").as("and_key"),
+          expr("bit_or(l_orderkey)").as("or_key"),
+          expr("bit_xor(l_orderkey)").as("xor_key"),
+          min($"mix").as("min_mix"),
+          max($"mix").as("max_mix"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      WITH t AS (SELECT l_returnflag, l_orderkey,
+                   (l_partkey << 3) | (l_suppkey & 255) AS mix
+                 FROM lineitem)
+      SELECT l_returnflag,
+        CAST(bit_and(l_orderkey) AS BIGINT) AS and_key,
+        CAST(bit_or(l_orderkey) AS BIGINT) AS or_key,
+        CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_key,
+        CAST(MIN(mix) AS BIGINT) AS min_mix,
+        CAST(MAX(mix) AS BIGINT) AS max_mix
+      FROM t GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- edit distance: classic Levenshtein (same unit-cost semantics in
+    // both engines) — the fuzzy-match primitive behind entity resolution
+    GraftQuery("f_editdist", (s, d) => {
+      import s.implicits._
+      T.customer(s, d).select(
+        $"c_custkey",
+        levenshtein($"c_name", lit("Customer#000000001")).as("d_ref"),
+        levenshtein($"c_name", reverse($"c_name")).as("d_rev"),
+        levenshtein($"c_mktsegment", lit("BUILDING")).as("d_seg"))
+        .orderBy($"c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+        CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS d_ref,
+        CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS d_rev,
+        CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS d_seg
+      FROM customer ORDER BY c_custkey"""))
   )
 }
