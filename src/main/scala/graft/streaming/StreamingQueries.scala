@@ -125,6 +125,37 @@ object StreamingQueries {
        AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
       ORDER BY purchase_id, click_id""")),
 
+    // ----- S5/S6 end to end: the north-star pipeline itself as a gate
+    // query — the events stream consumed through foreachBatch into the
+    // bucketed compacting store, then the STORE is read back and must hold
+    // exactly the latest row per key (same oracle as the batch s6
+    // compaction). This driver-checks the store contents, not just the
+    // streaming aggregate: crash-safe swap, bucket layout and upsert
+    // semantics all sit on the verified path.
+    GraftQuery("t6_stream_compaction", (s, d) => {
+      import s.implicits._
+      val store = java.nio.file.Files.createTempDirectory("graft_t6_store").toString
+      val src = eventsStream(s, d)
+        .select($"user_id", $"event_id", $"event_type", $"ts",
+          vcents($"value").as("cents"))
+      val q = src.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_t6_ckpt").toString)
+        .foreachBatch(CompactingSink.upsertCompact(
+          store, Seq("user_id"), Seq("ts", "event_id")) _)
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.read.parquet(store)
+        .select($"user_id", $"event_id", $"event_type",
+          tsFmt($"ts").as("ts_s"), $"cents")
+        .orderBy($"user_id")
+    }, Some(s"""
+      SELECT user_id, event_id, event_type, ${sql.tsFmt("ts")} AS ts_s,
+        ${sql.vcents("value")} AS cents
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id""")),
+
     // ----- T5: streaming dedup by key + downstream aggregate
     GraftQuery("t5_stream_dedup", (s, d) => {
       import s.implicits._

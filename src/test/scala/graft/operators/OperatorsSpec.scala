@@ -13,7 +13,7 @@ class OperatorsSpec extends SparkTestBase {
     // the three streaming queries spin up real StreamExecution runs; keep
     // them out of the hot loop here (StreamingSpec covers them)
     val skip = Set("t3_stream_tumbling", "t4_stream_state", "t5_stream_dedup",
-      "j7_stream_static_join", "j7_stream_stream_join")
+      "t6_stream_compaction", "j7_stream_static_join", "j7_stream_stream_join")
     SparkEntry.all.filterNot(q => skip(q.name)).foreach { q =>
       val n = q.build(spark, sf).count()
       assert(n > 0 || mayBeEmpty(q.name), s"${q.name} returned 0 rows")
