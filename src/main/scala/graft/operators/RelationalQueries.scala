@@ -330,12 +330,20 @@ object RelationalQueries {
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name ORDER BY n_name"""), bench = true),
 
-    // ----- J5: theta/band join (acctbal within 100 of a richer supplier)
+    // ----- J5: theta/band join (acctbal within 100 of a richer supplier).
+    // The naive form (`a_bal < b_bal && b_bal - a_bal < 100`) is a pure
+    // theta join Spark can only run as a broadcast-nested-loop — quadratic
+    // when both sides are fact tables. SkewUtils.bandJoin buckets each value
+    // into floor(v/width) cells, explodes the left side to its three
+    // candidate cells, and equi-joins on the cell id before re-applying the
+    // exact predicate — identical result, one well-distributed shuffle.
+    // The oracle runs the naive inequality form; a no-BNLJ plan guard plus
+    // a naive-equivalence check live in PipelineSpec (the j9 treatment).
     GraftQuery("j5_band_join", (s, d) => {
       import s.implicits._
       val s1 = T.supplier(s, d).select($"s_suppkey".as("a_key"), $"s_acctbal".as("a_bal"))
       val s2 = T.supplier(s, d).select($"s_suppkey".as("b_key"), $"s_acctbal".as("b_bal"))
-      s1.join(s2, $"a_bal" < $"b_bal" && $"b_bal" - $"a_bal" < lit(100.0))
+      SkewUtils.bandJoin(s1, "a_bal", s2, "b_bal", 100.0)
         .select($"a_key", $"b_key")
         .orderBy($"a_key", $"b_key")
     }, Some("""

@@ -50,6 +50,22 @@ class PipelineSpec extends SparkTestBase {
       s"interval join degraded to a quadratic join:\n$plan")
   }
 
+  test("j5 gate runs the bucketed band join and equals the naive theta form") {
+    import spark.implicits._
+    val plan = SparkEntry.queries("j5_band_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join degraded to a quadratic join:\n$plan")
+    val s1 = T.supplier(spark, sf).select($"s_suppkey".as("a_key"), $"s_acctbal".as("a_bal"))
+    val s2 = T.supplier(spark, sf).select($"s_suppkey".as("b_key"), $"s_acctbal".as("b_bal"))
+    val naive = s1.join(s2, $"a_bal" < $"b_bal" && $"b_bal" - $"a_bal" < lit(100.0))
+      .select($"a_key", $"b_key")
+    val gate = SparkEntry.queries("j5_band_join")(spark, sf)
+    assert(gate.exceptAll(naive).isEmpty && naive.exceptAll(gate).isEmpty,
+      "bucketed band join diverged from the naive theta join")
+    assert(naive.count() > 0, "degenerate fixture: no band matches")
+  }
+
   test("x18/x19 plans never window the corpus without the range-partition pid") {
     // every windowspecdefinition in the two-pass plans must be keyed by the
     // partition id (the contiguous-slice guarantee) — a window over the raw
