@@ -793,6 +793,79 @@ object RelationalQueries {
         AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
       ORDER BY o_orderkey""")),
 
+    // ----- Q17 shape: correlated AGGREGATE subquery — revenue from
+    // small-quantity (< 0.2 × per-part average) lineitems of one brand.
+    // Catalyst decorrelates the per-part average into an Aggregate + join
+    // (no per-row subquery execution) — pinned by a plan guard in
+    // OperatorsSpec. Quantities are integer-valued doubles, so the per-part
+    // avg is exact and order-independent; the revenue sum goes through
+    // DECIMAL(18,2) for a bit-stable double.
+    GraftQuery("q17_small_quantity", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+          COUNT(*) AS n_small
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }, Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        COUNT(*) AS n_small
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13'
+        AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)""")),
+
+    // ----- Q21 shape: EXISTS + NOT EXISTS chain on the same fact —
+    // suppliers who were the ONLY late shipper on a finished multi-supplier
+    // order ("late" = shipped >30 days after order date; this testdata has
+    // no receipt/commit dates). Catalyst turns the chain into a left-semi
+    // plus left-anti join against the shared lateness-flagged CTE — pinned
+    // by a plan guard in OperatorsSpec.
+    GraftQuery("q21_waiting_suppliers", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+            l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, n_name, COUNT(*) AS numwait
+        FROM li l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name, n_name
+        ORDER BY numwait DESC, s_name""")
+    }, Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+          l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+      )
+      SELECT s_name, n_name, COUNT(*) AS numwait
+      FROM li l1
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM li l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      GROUP BY s_name, n_name
+      ORDER BY numwait DESC, s_name""")),
+
     // ----- pivot: per-user event-type counts as columns
     GraftQuery("a6_pivot", (s, d) => {
       import s.implicits._

@@ -207,6 +207,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(noDb.count() >= tempViews.count()) // temp views live outside any database
   }
 
+  test("q17 correlated aggregate decorrelates into an Aggregate + join") {
+    val qe = SparkEntry.queries("q17_small_quantity")(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    // decorrelation = no subquery survives optimization; the per-part avg
+    // runs once as an Aggregate joined back, never per outer row
+    assert(!optimized.toLowerCase.contains("subquery"),
+      s"correlated aggregate not decorrelated:\n$optimized")
+    assert(optimized.contains("Aggregate") && optimized.contains("Join"),
+      s"expected Aggregate + Join shape:\n$optimized")
+    assert(!qe.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "decorrelated join degraded to a nested loop")
+  }
+
+  test("q21 EXISTS/NOT-EXISTS chain decorrelates into semi + anti joins") {
+    val qe = SparkEntry.queries("q21_waiting_suppliers")(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("exists"),
+      s"EXISTS not decorrelated:\n$optimized")
+    assert(optimized.contains("LeftSemi") && optimized.contains("LeftAnti"),
+      s"expected semi + anti join shape:\n$optimized")
+  }
+
   test("catalog cache semantics: cache / isCached / invalidate (ref cache.hpp)") {
     T.lineitem(spark, sf).createOrReplaceTempView("li_cache_test")
     spark.catalog.cacheTable("li_cache_test")
