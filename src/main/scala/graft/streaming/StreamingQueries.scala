@@ -156,6 +156,37 @@ object StreamingQueries {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""")),
 
+    // ----- T2 (streaming half): session windows over the watermarked
+    // stream — per-user activity bursts closed by a 10-minute gap, the
+    // per-connection message-burst analogue (websocket.hpp:175-209).
+    // Complete mode (Spark rejects Update for session windows): every
+    // merged session is in the output table after the batch, so the batch
+    // gap-semantics oracle (same as t2_session_window) is exact. Append
+    // mode would hold back sessions the watermark never passes; the
+    // watermark still bounds state at scale.
+    GraftQuery("t2s_stream_session", (s, d) => {
+      import s.implicits._
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(vcents($"value")).as("sum_cents"))
+      runToMemory(s, agg, OutputMode.Complete())
+        .select($"user_id", tsFmt($"w.start").as("s_start"), $"n", $"sum_cents")
+        .orderBy($"user_id", $"s_start")
+    }, Some(s"""
+      WITH x AS (
+        SELECT user_id, ts, ${sql.vcents("value")} AS cents,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      y AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x)
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""")),
+
     // ----- T5: streaming dedup by key + downstream aggregate
     GraftQuery("t5_stream_dedup", (s, d) => {
       import s.implicits._
