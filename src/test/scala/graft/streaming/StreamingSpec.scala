@@ -224,6 +224,91 @@ class StreamingSpec extends SparkTestBase {
     assert(results.get(3L).contains((1L, 1L)), s"new key after restart wrong: $results")
   }
 
+  test("state schema change fails loudly; versioned payload upgrades safely (T4, SURVEY §7b)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Part 1 — the naive evolution: restart the checkpointed t4 pipeline
+    // with a state class that grew a field. Spark's state-schema check must
+    // REJECT it loudly (silent state corruption would be the failure mode);
+    // this is why state case classes are versioned from day 1.
+    val ckptNaive = tmp("evo_naive_ckpt")
+    val in1 = MemoryStream[(Long, Long)]
+    val q1 = in1.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long)], st: GroupState[UserState]) =>
+          val s0 = st.getOption.getOrElse(UserState(0L, 0L))
+          val st1 = UserState(s0.n + rows.size, s0.cents)
+          st.update(st1); (k, st1.n)
+      }.toDF("user", "n").writeStream.foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+      .outputMode(OutputMode.Update()).option("checkpointLocation", ckptNaive).start()
+    try { in1.addData((1L, 10L)); q1.processAllAvailable() } finally q1.stop()
+    val in2 = MemoryStream[(Long, Long)]
+    in2.addData()
+    in2.addData((1L, 20L))
+    val q2 = in2.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long)], st: GroupState[UserStateV2]) =>
+          val s0 = st.getOption.getOrElse(UserStateV2(0L, 0L, 0L))
+          val st1 = UserStateV2(s0.n + rows.size, s0.cents, s0.maxSeen)
+          st.update(st1); (k, st1.n)
+      }.toDF("user", "n").writeStream.foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+      .outputMode(OutputMode.Update()).option("checkpointLocation", ckptNaive).start()
+    val err = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("\n")
+    assert(chain.toLowerCase.contains("schema"),
+      s"expected a loud state-schema incompatibility, got:\n$chain")
+
+    // Part 2 — the versioning pattern that survives: the persisted state
+    // class never changes (version tag + string payload); an upgraded
+    // consumer reads v1 payloads, fills the new field's default, and writes
+    // v2. Restart continues per-key totals and starts the new field fresh.
+    val ckpt = tmp("evo_versioned_ckpt")
+    def parse(st: Option[VersionedState]): (Long, Long, Long) = st match {
+      case None => (0L, 0L, 0L)
+      case Some(s) =>
+        val p = s.payload.split(':')
+        s.version match {
+          case 1 => (p(0).toLong, p(1).toLong, 0L) // v1 → default new field
+          case 2 => (p(0).toLong, p(1).toLong, p(2).toLong)
+        }
+    }
+    val results = scala.collection.concurrent.TrieMap[Long, (Long, Long, Long)]()
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      df.collect().foreach(r =>
+        results(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vin1 = MemoryStream[(Long, Long)]
+    val vq1 = vin1.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long)], st: GroupState[VersionedState]) =>
+          var (n, c, _) = parse(st.getOption)
+          rows.foreach { r => n += 1; c += r._2 }
+          st.update(VersionedState(1, s"$n:$c")) // v1 writer: no max field
+          (k, n, c, 0L)
+      }.toDF("user", "n", "cents", "max_seen").writeStream.foreachBatch(sink _)
+      .outputMode(OutputMode.Update()).option("checkpointLocation", ckpt).start()
+    try { vin1.addData((1L, 10L), (1L, 5L)); vq1.processAllAvailable() } finally vq1.stop()
+    assert(results(1L) == (2L, 15L, 0L))
+    results.clear()
+    val vin2 = MemoryStream[(Long, Long)]
+    vin2.addData()
+    vin2.addData((1L, 100L), (3L, 1L))
+    val vq2 = vin2.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long)], st: GroupState[VersionedState]) =>
+          var (n, c, m) = parse(st.getOption)
+          rows.foreach { r => n += 1; c += r._2; m = math.max(m, r._2) }
+          st.update(VersionedState(2, s"$n:$c:$m")) // v2 writer: adds max
+          (k, n, c, m)
+      }.toDF("user", "n", "cents", "max_seen").writeStream.foreachBatch(sink _)
+      .outputMode(OutputMode.Update()).option("checkpointLocation", ckpt).start()
+    try { vq2.processAllAvailable() } finally vq2.stop()
+    assert(results.get(1L).contains((3L, 115L, 100L)),
+      s"v1 state did not upgrade across restart: $results")
+    assert(results.get(3L).contains((1L, 1L, 1L)), s"new key after upgrade wrong: $results")
+  }
+
   test("maxFilesPerTrigger=1 throttles admission to one frame per micro-batch (S3 rate control)") {
     // the reference admits one queued script per 500 ms tick
     // (loader.cpp:11, scheduler.cpp:88-100) and caps frames at 8 MiB
@@ -495,6 +580,17 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+/** The naive schema evolution of [[graft.streaming.UserState]]: one added
+  * field. Restarting a checkpointed query with this state class must fail
+  * Spark's state-schema compatibility check — proven in StreamingSpec. */
+final case class UserStateV2(n: Long, cents: Long, maxSeen: Long)
+
+/** The versioning pattern that DOES survive restarts (SURVEY §7 hard part
+  * b): the persisted class is fixed forever — a version tag plus an opaque
+  * payload — so the state-store schema never changes; upgrades happen in
+  * the decode step (old version → defaults for new fields). */
+final case class VersionedState(version: Int, payload: String)
 
 /** Keyed running total on the Spark-4 transformWithState API: one typed
   * ValueState handle per key (the explicit-state successor of the
