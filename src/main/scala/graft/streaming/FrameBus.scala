@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.functions.GraftCodec
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** File-backed message bus speaking the reference's ingest wire format: each
+  * topic is one append-only log of length-prefixed frames
+  * (GraftCodec.frameEncode — server.cpp:77-98), each frame holding one
+  * message payload of (ts, key, value). [[FrameBusProvider]] exposes the bus
+  * as a Structured Streaming source with the Kafka-shaped schema
+  * (topic, offset, ts, key, value) and offset-tracked admission control —
+  * the S3 contract's "Kafka-shaped at scale" half. Offsets are the frame's
+  * position in its topic log, the explicit analogue of the reference queue's
+  * implicit vector index (globals.hpp:75).
+  *
+  * Scale note: the test bus keeps one log per topic (mirroring the
+  * reference's single sequential TCP ingest stream); the cluster-scale
+  * landing is one log per (topic, partition) plus a sparse frame index so a
+  * reader can seek to offset N without walking the log. The source API
+  * surface (offsets, admission, per-partition readers) is unchanged by that
+  * split — readers already get one InputPartition per topic log.
+  */
+object FrameBus {
+  val LogSuffix = ".framelog"
+
+  /** Payload layout inside a frame: 8-byte BE ts_micros | 4-byte BE key
+    * length | key UTF-8 | value bytes. */
+  def encodePayload(tsMicros: Long, key: String, value: Array[Byte]): Array[Byte] = {
+    val kb = key.getBytes("UTF-8")
+    val out = new Array[Byte](12 + kb.length + value.length)
+    var i = 0
+    while (i < 8) { out(i) = (tsMicros >>> (56 - 8 * i)).toByte; i += 1 }
+    out(8) = (kb.length >>> 24).toByte
+    out(9) = (kb.length >>> 16).toByte
+    out(10) = (kb.length >>> 8).toByte
+    out(11) = kb.length.toByte
+    System.arraycopy(kb, 0, out, 12, kb.length)
+    System.arraycopy(value, 0, out, 12 + kb.length, value.length)
+    out
+  }
+
+  /** Inverse of [[encodePayload]]. */
+  def decodePayload(p: Array[Byte]): (Long, String, Array[Byte]) = {
+    require(p.length >= 12, s"bus payload too short: ${p.length}")
+    var ts = 0L
+    var i = 0
+    while (i < 8) { ts = (ts << 8) | (p(i) & 0xffL); i += 1 }
+    val klen = ((p(8) & 0xff) << 24) | ((p(9) & 0xff) << 16) |
+      ((p(10) & 0xff) << 8) | (p(11) & 0xff)
+    require(klen >= 0 && 12 + klen <= p.length, s"bad key length $klen")
+    val key = new String(p, 12, klen, "UTF-8")
+    (ts, key, java.util.Arrays.copyOfRange(p, 12 + klen, p.length))
+  }
+
+  /** Append messages to a topic's frame log (creates it if absent). The
+    * writer is sequential per topic by construction — the bus's ordering
+    * guarantee is per topic, like the reference's FIFO queue. */
+  def appendTopic(dir: String, topic: String,
+                  msgs: Seq[(Long, String, Array[Byte])]): Unit = {
+    require(topic.matches("[A-Za-z0-9._-]+"),
+      s"topic must be a simple name (got '$topic') — keeps offsets JSON-safe")
+    Files.createDirectories(Paths.get(dir))
+    val bos = new java.io.ByteArrayOutputStream()
+    msgs.foreach { case (ts, k, v) =>
+      bos.write(GraftCodec.frameEncode(encodePayload(ts, k, v)))
+    }
+    Files.write(Paths.get(dir, topic + LogSuffix), bos.toByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Topics present in the bus dir, sorted (deterministic admission order). */
+  def topics(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(LogSuffix))
+        .map(_.dropRight(LogSuffix.length)).toSeq.sorted
+    } finally s.close()
+  }
+
+  /** All frame payloads of a topic, in log order. Frames are
+    * variable-length, so reads walk the log; at scale a sparse offset index
+    * per log segment makes this a seek (see scale note above). */
+  def readAll(dir: String, topic: String): IndexedSeq[Array[Byte]] = {
+    val f = Paths.get(dir, topic + LogSuffix)
+    if (!Files.isRegularFile(f)) IndexedSeq.empty
+    else GraftCodec.frameDecode(Files.readAllBytes(f)).toIndexedSeq
+  }
+
+  /** Number of frames in a topic log. */
+  def count(dir: String, topic: String): Long = readAll(dir, topic).length.toLong
+}

@@ -199,7 +199,55 @@ object StreamingQueries {
         .orderBy($"event_type")
     }, Some("""
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----- S3 (Kafka-shaped half): the message log landed as per-topic
+    // frame logs in the reference's wire format (length-prefixed frames,
+    // server.cpp:77-98), read back through the offset-tracked
+    // FrameBusProvider source with bounded admission, and aggregated per
+    // topic. min/max offset bind the source's offset assignment (dense log
+    // positions per topic); bytes/key_bytes/ts bounds bind every frame's
+    // decoded payload to the original messages. The collect() is fixture
+    // construction only — the bus writer is sequential per topic by design,
+    // like the reference's single TCP ingest stream; the operator under
+    // test is the distributed read path.
+    GraftQuery("s3_frame_bus", (s, d) => {
+      import s.implicits._
+      val bus = java.nio.file.Files.createTempDirectory("graft_bus").toString
+      graft.operators.MessageQueries.messages(s, d)
+        .select($"topic", $"offset", unix_micros($"ts").as("us"), $"key", $"value")
+        .collect()
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .foreach { case (t, rs) =>
+          FrameBus.appendTopic(bus, t, rs.sortBy(_.getLong(1)).toSeq
+            .map(r => (r.getLong(2), r.getString(3), r.getAs[Array[Byte]](4))))
+        }
+      val stream = s.readStream.format("graft.streaming.FrameBusProvider")
+        .option("busDir", bus).option("maxOffsetsPerTrigger", "50000").load()
+      val agg = stream.groupBy($"topic").agg(
+        count(lit(1)).as("n_msgs"),
+        min($"offset").as("min_offset"),
+        max($"offset").as("max_offset"),
+        sum(length($"value")).cast(LongType).as("bytes"),
+        sum(length($"key")).cast(LongType).as("key_bytes"),
+        min($"ts").as("min_ts0"), max($"ts").as("max_ts0"))
+      runToMemory(s, agg, OutputMode.Complete())
+        .select($"topic", $"n_msgs", $"min_offset", $"max_offset",
+          $"bytes", $"key_bytes",
+          tsFmt($"min_ts0").as("min_ts"), tsFmt($"max_ts0").as("max_ts"))
+        .orderBy($"topic")
+    }, Some("""
+      WITH m AS (SELECT event_type AS topic, ts,
+                   'k' || CAST(user_id % 50 AS VARCHAR) AS k, props AS v
+                 FROM events)
+      SELECT topic, COUNT(*) AS n_msgs,
+        CAST(0 AS BIGINT) AS min_offset,
+        COUNT(*) - 1 AS max_offset,
+        CAST(SUM(length(v)) AS BIGINT) AS bytes,
+        CAST(SUM(length(k)) AS BIGINT) AS key_bytes,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      FROM m GROUP BY topic ORDER BY topic"""))
   )
 }
 
