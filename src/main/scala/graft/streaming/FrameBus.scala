@@ -81,13 +81,37 @@ object FrameBus {
     } finally s.close()
   }
 
-  /** All frame payloads of a topic, in log order. Frames are
+  /** Decode complete frames, stopping (not throwing) at a trailing partial
+    * frame. A reader racing a concurrent [[appendTopic]] can observe a
+    * half-written frame at the tail of the log — that is normal live-bus
+    * usage, not corruption, so the reader must treat the log's readable
+    * prefix as the available data and pick up the rest next trigger.
+    * (GraftCodec.frameDecode stays strict: it is the wire-format
+    * conformance kernel, where a truncated frame IS an error.) */
+  def decodeCompleteFrames(stream: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    var i = 0
+    var done = false
+    while (!done && i + 4 <= stream.length) {
+      val len = ((stream(i) & 0xff) << 24) | ((stream(i + 1) & 0xff) << 16) |
+        ((stream(i + 2) & 0xff) << 8) | (stream(i + 3) & 0xff)
+      require(len >= 0 && len <= GraftCodec.MaxFrameBytes,
+        s"frame length $len out of bounds")
+      if (i + 4 + len <= stream.length) {
+        out += java.util.Arrays.copyOfRange(stream, i + 4, i + 4 + len)
+        i += 4 + len
+      } else done = true
+    }
+    out.result()
+  }
+
+  /** All complete frame payloads of a topic, in log order. Frames are
     * variable-length, so reads walk the log; at scale a sparse offset index
     * per log segment makes this a seek (see scale note above). */
   def readAll(dir: String, topic: String): IndexedSeq[Array[Byte]] = {
     val f = Paths.get(dir, topic + LogSuffix)
     if (!Files.isRegularFile(f)) IndexedSeq.empty
-    else GraftCodec.frameDecode(Files.readAllBytes(f)).toIndexedSeq
+    else decodeCompleteFrames(Files.readAllBytes(f))
   }
 
   /** Number of frames in a topic log. */

@@ -106,16 +106,22 @@ final class FrameBusMicroBatchStream(busDir: String, maxOffsets: Option[Long])
 
   /** Admit up to the limit's row count of new frames, walking topics in
     * sorted order — deterministic, and no topic starves for more than
-    * ceil(backlog/limit) triggers. */
+    * ceil(backlog/limit) triggers. Offsets never regress: a topic present in
+    * `start` but missing (or shrunken) on disk keeps its start offset, so a
+    * log that vanishes and reappears is not replayed from 0. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FrameBusOffset].counts
-    val avail = FrameBusSource.latestCounts(busDir)
+    // Merge start offsets over disk counts: max(n, f) per topic, and topics
+    // absent from disk survive at their start offset.
+    val avail = from ++ FrameBusSource.latestCounts(busDir).map { case (t, n) =>
+      t -> math.max(n, from.getOrElse(t, 0L))
+    }
     limit match {
       case r: ReadMaxRows =>
         var remaining = r.maxRows()
         val admitted = avail.toSeq.sortBy(_._1).map { case (t, n) =>
           val f = from.getOrElse(t, 0L)
-          val take = math.min(n - f, math.max(remaining, 0L))
+          val take = math.min(math.max(n - f, 0L), math.max(remaining, 0L))
           remaining -= take
           t -> (f + take)
         }

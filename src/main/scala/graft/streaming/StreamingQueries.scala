@@ -161,9 +161,13 @@ object StreamingQueries {
     // per-connection message-burst analogue (websocket.hpp:175-209).
     // Complete mode (Spark rejects Update for session windows): every
     // merged session is in the output table after the batch, so the batch
-    // gap-semantics oracle (same as t2_session_window) is exact. Append
-    // mode would hold back sessions the watermark never passes; the
-    // watermark still bounds state at scale.
+    // gap-semantics oracle (same as t2_session_window) is exact. Note the
+    // trade: in Complete mode Spark retains ALL session aggregation state —
+    // the watermark cannot evict anything. The state-bounded production
+    // shape is Append mode, where the watermark purges sessions once they
+    // close (at the cost of holding back still-open sessions); this gate
+    // uses Complete only so the finite test stream's full table is
+    // observable.
     GraftQuery("t2s_stream_session", (s, d) => {
       import s.implicits._
       val agg = eventsStream(s, d)
@@ -213,7 +217,8 @@ object StreamingQueries {
     // test is the distributed read path.
     GraftQuery("s3_frame_bus", (s, d) => {
       import s.implicits._
-      val bus = java.nio.file.Files.createTempDirectory("graft_bus").toString
+      val busPath = java.nio.file.Files.createTempDirectory("graft_bus")
+      val bus = busPath.toString
       graft.operators.MessageQueries.messages(s, d)
         .select($"topic", $"offset", unix_micros($"ts").as("us"), $"key", $"value")
         .collect()
@@ -231,7 +236,14 @@ object StreamingQueries {
         sum(length($"value")).cast(LongType).as("bytes"),
         sum(length($"key")).cast(LongType).as("key_bytes"),
         min($"ts").as("min_ts0"), max($"ts").as("max_ts0"))
-      runToMemory(s, agg, OutputMode.Complete())
+      val out =
+        try runToMemory(s, agg, OutputMode.Complete())
+        finally { // memory sink holds the rows; the fixture bus is done
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(busPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      out
         .select($"topic", $"n_msgs", $"min_offset", $"max_offset",
           $"bytes", $"key_bytes",
           tsFmt($"min_ts0").as("min_ts"), tsFmt($"max_ts0").as("max_ts"))

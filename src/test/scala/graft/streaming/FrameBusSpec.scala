@@ -86,6 +86,41 @@ class FrameBusSpec extends SparkTestBase {
       s"resume delivers exactly the appended tail: ${rows2.sortBy(_._2)}")
   }
 
+  test("reader tolerates a trailing half-written frame (live append race)") {
+    val payload = FrameBus.encodePayload(42L, "k", "v".getBytes("UTF-8"))
+    val full = graft.functions.GraftCodec.frameEncode(payload)
+    // two complete frames + a truncated third (only part of its body landed)
+    val torn = full ++ full ++ full.dropRight(3)
+    assert(FrameBus.decodeCompleteFrames(torn).length == 2,
+      "readable prefix is the available data; the partial tail is next trigger's")
+    assert(FrameBus.decodeCompleteFrames(full ++ full).length == 2)
+    // a torn write inside the length prefix itself is also a partial frame
+    assert(FrameBus.decodeCompleteFrames(full ++ full.take(2)).length == 1)
+    // the strict wire-format kernel still rejects truncation
+    intercept[IllegalArgumentException](graft.functions.GraftCodec.frameDecode(torn))
+  }
+
+  test("latestOffset never regresses when a topic log vanishes or shrinks") {
+    val bus = Files.createTempDirectory("graft_bus_vanish").toString
+    FrameBus.appendTopic(bus, "gone", (0 until 4).map(i => msg(1L + i, s"k$i", "v")))
+    val stream = new FrameBusMicroBatchStream(bus, maxOffsets = Some(100L))
+    val committed = FrameBusOffset(Map("gone" -> 4L))
+    // topic log deleted after offsets were committed
+    Files.delete(java.nio.file.Paths.get(bus, "gone" + FrameBus.LogSuffix))
+    val afterDelete = stream.latestOffset(committed,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100L))
+      .asInstanceOf[FrameBusOffset]
+    assert(afterDelete.counts("gone") == 4L,
+      s"missing topic keeps its committed offset (no replay from 0): $afterDelete")
+    // log reappears shorter than the committed offset: clamp, don't go negative
+    FrameBus.appendTopic(bus, "gone", (0 until 2).map(i => msg(9L + i, s"r$i", "v")))
+    val afterShrink = stream.latestOffset(committed,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100L))
+      .asInstanceOf[FrameBusOffset]
+    assert(afterShrink.counts("gone") == 4L,
+      s"shrunken log admits nothing new, end >= start holds: $afterShrink")
+  }
+
   test("source schema exposes the Kafka-shaped columns with right types") {
     val bus = Files.createTempDirectory("graft_bus_schema").toString
     FrameBus.appendTopic(bus, "s", Seq(msg(1700000000000000L, "k", "v")))

@@ -253,8 +253,9 @@ class StreamingSpec extends SparkTestBase {
           st.update(st1); (k, st1.n)
       }.toDF("user", "n").writeStream.foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
       .outputMode(OutputMode.Update()).option("checkpointLocation", ckptNaive).start()
-    val err = intercept[Exception] { q2.processAllAvailable() }
-    q2.stop()
+    // try/finally: if Spark ever accepts the changed schema, intercept
+    // throws — the query must still stop, or it leaks into the shared session
+    val err = try intercept[Exception] { q2.processAllAvailable() } finally q2.stop()
     val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
       .map(_.toString).mkString("\n")
     assert(chain.toLowerCase.contains("schema"),
