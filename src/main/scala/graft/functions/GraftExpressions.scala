@@ -231,6 +231,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Greedy longest-match subword tokenization against the fixed
+  * [[SubwordVocab]] — String→Array[Int] of token ids (0 = UNK). Codegen'd
+  * via a static call so corpus-wide token accounting stays inside
+  * whole-stage codegen; see [[SubwordVocab]] for semantics and the
+  * broadcast-vocab scale story. */
+case class SubwordTokenIds(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SubwordVocab.tokenizeIds(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SubwordVocab.tokenizeIds($c)")
+  override protected def withNewChildInternal(c: Expression): SubwordTokenIds = copy(c)
+}
+
 /** Static vector kernels callable from generated code. */
 object VectorOps {
   def cosine(a: ArrayData, b: ArrayData): Double = {

@@ -22,6 +22,7 @@ object GraftFunctions {
     column(CosineSimilarity(expression(a), expression(b)))
   def derive_bytes(c: Column, n: Int): Column = column(DeriveBytes(expression(c), n))
   def rsb1_decode(c: Column): Column = column(Rsb1Decode(expression(c)))
+  def subword_ids(c: Column): Column = column(SubwordTokenIds(expression(c)))
 
   /** Register the scalar functions for SQL texts. */
   def registerAll(spark: SparkSession): Unit = {
@@ -35,6 +36,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", e => CosineSimilarity(e.head, e(1)), "built-in")
     reg.createOrReplaceTempFunction("rsb1_decode", e => Rsb1Decode(e.head), "built-in")
+    reg.createOrReplaceTempFunction("subword_ids", e => SubwordTokenIds(e.head), "built-in")
     // SQL forms take the size/width as a literal second argument
     reg.createOrReplaceTempFunction("derive_bytes",
       e => DeriveBytes(e.head, e(1).eval(null).toString.toInt), "built-in")

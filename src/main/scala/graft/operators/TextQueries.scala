@@ -437,6 +437,100 @@ object TextQueries {
         CAST(floor((cum_toks - n_toks) / 2048) AS BIGINT) AS pack_id
       FROM c ORDER BY doc_id""")),
 
+    // ----- subword tokenization: greedy longest-match against the fixed
+    // SubwordVocab (id = position+1, 0 = UNK) — vocab-faithful token
+    // accounting, the unit a training pipeline actually budgets in (x3's
+    // regex counts are estimates). Spark side is a codegen'd scalar
+    // expression (no shuffle, no join); the oracle inlines the identical
+    // vocab and mirrors the greedy walk with a recursive CTE over DISTINCT
+    // words (each word segmented once, then joined back to occurrences).
+    // sum_ids + n_toks bind the exact segmentation: any deviation from
+    // greedy longest-match changes one of them with overwhelming
+    // probability. fert_bp = tokens per 10k words, integer math both sides.
+    GraftQuery("x21_subword_tokens", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          size(split(trim($"text"), "\\s+")).as("n_words"),
+          subword_ids($"text").as("ids"))
+        .select($"doc_id", $"n_words",
+          size($"ids").as("n_toks"),
+          expr("CAST(aggregate(ids, 0L, (a, x) -> a + x) AS BIGINT)").as("sum_ids"),
+          expr("size(filter(ids, x -> x = 0))").as("n_unk"),
+          expr("10000L * size(ids) div CAST(n_words AS BIGINT)").as("fert_bp"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH RECURSIVE
+      vocab(id, piece) AS (VALUES ${graft.functions.SubwordVocab.sqlValues}),
+      w AS (SELECT doc_id, u.word
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+                  FROM documents) t,
+            unnest(t.arr) AS u(word)),
+      dw AS (SELECT DISTINCT word FROM w),
+      seg AS (
+        SELECT word, 1 AS pos, 0 AS tok_id, 0 AS emitted FROM dw
+        UNION ALL
+        SELECT s.word,
+          CAST(s.pos + COALESCE((SELECT MAX(length(v.piece)) FROM vocab v
+             WHERE substr(s.word, s.pos, length(v.piece)) = v.piece), 1) AS INT),
+          CAST(COALESCE((SELECT v.id FROM vocab v
+             WHERE substr(s.word, s.pos, length(v.piece)) = v.piece
+               AND length(v.piece) = (SELECT MAX(length(v2.piece)) FROM vocab v2
+                  WHERE substr(s.word, s.pos, length(v2.piece)) = v2.piece)), 0) AS INT),
+          1
+        FROM seg s WHERE s.pos <= length(s.word)),
+      toks AS (SELECT word, tok_id FROM seg WHERE emitted = 1),
+      ws AS (SELECT word, COUNT(*) AS n_toks, SUM(tok_id) AS sum_ids,
+               SUM(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS n_unk
+             FROM toks GROUP BY word),
+      ds AS (SELECT w.doc_id, COUNT(*) AS n_words, SUM(ws.n_toks) AS n_toks,
+               SUM(ws.sum_ids) AS sum_ids, SUM(ws.n_unk) AS n_unk
+             FROM w JOIN ws USING (word) GROUP BY w.doc_id)
+      SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_toks AS INT) AS n_toks,
+        CAST(sum_ids AS BIGINT) AS sum_ids, CAST(n_unk AS INT) AS n_unk,
+        CAST((10000 * n_toks) // n_words AS BIGINT) AS fert_bp
+      FROM ds ORDER BY doc_id""")),
+
+    // ----- x12's packing, budgeted in real tokenizer units: same
+    // contiguous-fill pack assignment, but n_toks is the subword count, so
+    // a 2048-token pack is 2048 *model* tokens. Same two-pass rangedCumSum
+    // (no unpartitioned window); the tokenizer adds zero shuffles.
+    GraftQuery("x21_subword_packing", (s, d) => {
+      import s.implicits._
+      val budget = 2048
+      val docs = T.documents(s, d).select($"doc_id",
+        size(subword_ids($"text")).cast(LongType).as("n_toks"))
+      SkewUtils.rangedCumSum(docs, Seq("doc_id"), "n_toks", 32, "cum_toks")
+        .select($"doc_id", $"n_toks", $"cum_toks",
+          floor(($"cum_toks" - $"n_toks") / budget).cast(LongType).as("pack_id"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH RECURSIVE
+      vocab(id, piece) AS (VALUES ${graft.functions.SubwordVocab.sqlValues}),
+      w AS (SELECT doc_id, u.word
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+                  FROM documents) t,
+            unnest(t.arr) AS u(word)),
+      dw AS (SELECT DISTINCT word FROM w),
+      seg AS (
+        SELECT word, 1 AS pos, 0 AS emitted FROM dw
+        UNION ALL
+        SELECT s.word,
+          CAST(s.pos + COALESCE((SELECT MAX(length(v.piece)) FROM vocab v
+             WHERE substr(s.word, s.pos, length(v.piece)) = v.piece), 1) AS INT),
+          1
+        FROM seg s WHERE s.pos <= length(s.word)),
+      ws AS (SELECT word, COUNT(*) AS n_toks FROM seg WHERE emitted = 1 GROUP BY word),
+      d0 AS (SELECT w.doc_id, CAST(SUM(ws.n_toks) AS BIGINT) AS n_toks
+             FROM w JOIN ws USING (word) GROUP BY w.doc_id),
+      c AS (SELECT doc_id, n_toks,
+              CAST(SUM(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+            FROM d0)
+      SELECT doc_id, n_toks, cum_toks,
+        CAST(floor((cum_toks - n_toks) / 2048) AS BIGINT) AS pack_id
+      FROM c ORDER BY doc_id""")),
+
     // rolling-hash + djb2 fingerprints — both are simple byte folds, so the
     // oracle recomputes them exactly in DuckDB: djb2 as a HUGEINT mod-2^64
     // fold (same shape as f_hash_native), Karp-Rabin as a fold of

@@ -117,4 +117,35 @@ class GraftExpressionsSpec extends SparkTestBase {
       "SELECT size(minhash_signature(array(1L, 2L, 3L), 16)) AS n").head()
     assert(m.getInt(0) == 16)
   }
+
+  test("subword tokenizer: greedy longest-match, unk fallback, whitespace split") {
+    import graft.functions.SubwordVocab
+    def id(p: String): Int = SubwordVocab.Pieces.indexOf(p) + 1
+    def tok(s: String): Seq[Int] = {
+      import spark.implicits._
+      Seq(s).toDF("t").select(subword_ids(col("t"))).head().getSeq[Int](0)
+    }
+    // greedy takes "the" (3) over "th"/"t"; "ory" → "or" + "y"
+    assert(tok("theory") == Seq(id("the"), id("or"), id("y")))
+    // longest piece wins at each cursor: "tion" (4) over "ti"/"ion"
+    assert(tok("nation") == Seq(id("n"), id("at"), id("ion")) ||
+      tok("nation") == Seq(id("na"), id("tion")) ||
+      tok("nation") == Seq(id("n"), id("a"), id("tion")),
+      s"got ${tok("nation")}")
+    // deterministic single segmentation — pin the exact one
+    assert(tok("nation") == Seq(id("n"), id("at"), id("ion")),
+      "at pos 1, 'at' (len 2) beats 'a'; then 'ion'")
+    // unknown characters emit UNK=0 and advance one char
+    assert(tok("x#y") == Seq(id("x"), 0, id("y")))
+    // whitespace runs split words; empty text → empty ids
+    assert(tok("the  the") == Seq(id("the"), id("the")))
+    assert(tok("") == Seq.empty)
+    // vocab sanity: ids are dense 1..N, pieces distinct
+    assert(SubwordVocab.Pieces.distinct.length == SubwordVocab.Pieces.length)
+    // SQL registration
+    GraftFunctions.registerAll(spark)
+    val n = spark.sql("SELECT size(subword_ids('fastest scan')) AS n").head().getInt(0)
+    // fastest = fast + es + t; scan = scan
+    assert(n == 4)
+  }
 }
