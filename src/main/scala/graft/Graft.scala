@@ -103,6 +103,59 @@ object Graft {
       .otherwise(typedLit(Seq.empty[Long]))
   }
 
+  /** Winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting") — the
+    * scalable stand-in for suffix-array exact substring dedup over a
+    * training corpus. Per document: build word k-grams, hash each (md5 —
+    * an engine-portable total order), and in every window of `w`
+    * consecutive grams select the minimal hash(es). Returned rows:
+    * (id, pos, gram).
+    *
+    * Contract (the all-argmin winnowing variant — every position whose
+    * hash is minimal in SOME covering window is selected; md5 makes
+    * in-window ties vanishingly rare, and a tie selects both, which only
+    * adds fingerprints):
+    *  - RECALL: any exact shared word run of >= k + w - 1 words between
+    *    two documents contains a full window of w shared grams in both;
+    *    that window's minimal gram is identical in both documents and is
+    *    selected in both — guaranteed detection. Runs of k..k+w-2 words
+    *    are detected opportunistically; runs under k words never.
+    *  - PRECISION: candidates join on the gram TEXT itself (not its
+    *    hash), so every reported shared fingerprint is an exact shared
+    *    k-word substring — no false positives.
+    *  - DENSITY: expected 2/(w+1) of all grams are selected, so the
+    *    posting list is ~2/(w+1) the size of the full gram set.
+    *
+    * Scale shape: winnowing is per-document local (window partitioned by
+    * the high-cardinality doc id over bounded-length docs — skew-free);
+    * detection is a posting-list equi-join on the selected grams, the
+    * same derived-key shape as the rest of the dedup stack. No pairwise
+    * scan anywhere. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, toksCol: String,
+                           k: Int, w: Int): DataFrame = {
+    // Two window passes, no self-join. Pass 1: minw[e] = min hash of the
+    // window ending at e. Pass 2: since minw[e] <= h[p] for every window
+    // covering p, position p is an argmin of SOME covering window iff
+    // h[p] == max(minw[e] for e in [p, p+w-1]) — proven equal to the
+    // direct all-argmin join form in the n7 prototype.
+    val toks = col(toksCol)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val grams = df
+      .select(col(idCol), posexplode(
+        when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(k)))))
+          .otherwise(typedLit(Seq.empty[String]))))
+      .toDF(idCol, "pos", "gram")
+      .withColumn("h", md5(col("gram")))
+    grams
+      .withColumn("minw", min(col("h")).over(win.rowsBetween(-(w - 1), 0)))
+      .withColumn("best", max(col("minw")).over(win.rowsBetween(0, w - 1)))
+      .filter(col("h") === col("best"))
+      .select(col(idCol), col("pos"), col("gram"))
+  }
+
   /** Near-duplicate pairs by MinHash-LSH with exact-Jaccard rescoring.
     * Returns (a, b, jaccard) with a < b. `numHashes` must be divisible by
     * `bands`. */

@@ -231,6 +231,46 @@ object DedupQueries {
     }, Some("""
       SELECT COUNT(*) AS n_docs, TRUE AS sound_ok, TRUE AS complete_ok,
         TRUE AS dist_ok
-      FROM documents"""))
+      FROM documents""")),
+
+    // ----- N7: paragraph-level exact substring dedup — the suffix-array
+    // "dedup training data" op as winnowed k-gram fingerprints
+    // (Graft.winnowedFingerprints; Schleimer et al. SIGMOD'03). k=8 words,
+    // w=4: any exact shared run of >= 11 words between two docs is
+    // GUARANTEED to surface (both docs select the same minimal gram of a
+    // fully-shared window); runs of 8-10 words surface opportunistically;
+    // under 8 never. Candidates join on the gram text itself, so every
+    // reported pair shares an exact 8-word substring — zero false
+    // positives. The oracle recomputes the identical two-pass winnowing
+    // (min-hash per backward window, then argmin-membership via the
+    // forward max of window minima — equality proven in the prototype).
+    GraftQuery("n7_substring_dedup", (s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      val fps = graft.Graft.winnowedFingerprints(toks, "doc_id", "toks", 8, 4)
+      val a = fps.select($"doc_id".as("doc_a"), $"gram")
+      val b = fps.select($"doc_id".as("doc_b"), $"gram")
+      a.join(b, "gram").filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(countDistinct($"gram").as("n_shared_fp"))
+        .orderBy($"doc_a", $"doc_b")
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+      g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              array_to_string(w[i+1:i+8], ' ') AS gram
+            FROM t, unnest(range(0, greatest(len(w) - 7, 0))) AS u(i)),
+      w1 AS (SELECT doc_id, pos, gram, md5(gram) AS h,
+               MIN(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minw FROM g),
+      w2 AS (SELECT doc_id, pos, gram, h,
+               MAX(minw) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS best FROM w1),
+      fps AS (SELECT doc_id, pos, gram FROM w2 WHERE h = best)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_shared_fp
+      FROM fps a JOIN fps b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY doc_a, doc_b"""))
   )
 }

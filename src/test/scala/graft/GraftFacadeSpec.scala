@@ -242,6 +242,37 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(q == qGate)
   }
 
+  test("winnowedFingerprints: guaranteed recall at k+w-1, zero below k, density bound") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w$i")
+    // doc 1 and 2 share an exact 11-word run (= k + w - 1 at k=8, w=4)
+    // embedded at different offsets in otherwise-disjoint text
+    val run = (100 until 111).map(i => s"s$i")
+    val doc1 = (words.take(20) ++ run ++ words.slice(20, 35)).mkString(" ")
+    val doc2 = (words.slice(35, 40).map(_ + "x") ++ run ++ words.slice(40, 60).map(_ + "y")).mkString(" ")
+    // doc 3 shares only a 7-word run (< k) with doc 1 — never detected
+    val doc3 = (run.take(7) ++ (200 until 230).map(i => s"t$i")).mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+    val fps = Graft.winnowedFingerprints(df, "doc_id", "toks", 8, 4).cache()
+    val a = fps.select($"doc_id".as("a"), $"gram")
+    val b = fps.select($"doc_id".as("b"), $"gram")
+    val pairs = a.join(b, "gram").filter($"a" < $"b")
+      .select($"a", $"b").distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "an 11-word shared run must surface: a full 4-gram window is shared, its min gram selected in both")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "a 7-word overlap is below k=8 and can never produce a shared 8-gram")
+    // every window of w consecutive grams contains >= 1 fingerprint
+    val byDoc = fps.collect().map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+    for ((id, ps) <- byDoc) {
+      val sel = ps.map(_._2).sorted
+      val gaps = sel.zip(sel.drop(1)).map { case (x, y) => y - x }
+      assert(gaps.forall(_ <= 4), s"doc $id: no gap may exceed w=4, got ${gaps.max}")
+    }
+    fps.unpersist()
+  }
+
   test("session() builder produces a configured session with registered functions") {
     val s = Graft.session()
     assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
