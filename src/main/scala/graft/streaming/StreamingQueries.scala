@@ -156,6 +156,51 @@ object StreamingQueries {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""")),
 
+    // ----- T6 growth variant: the compacted store splits its buckets as
+    // data arrives. Rows are padded (~2 KB) and the store starts at depth 2
+    // (4 buckets) with a 6 KB bucket cap, so splits genuinely trigger at
+    // every test SF; three deterministic merge batches (event_id mod 3)
+    // exercise merge → split → merge-into-children. The store contents are
+    // then checked against the same latest-per-key batch oracle as t6 (pad
+    // is derived from user_id, so it survives compaction unchanged), plus
+    // two in-query invariants the oracle asserts: the store grew past its
+    // initial depth, and the live bucket set is a prefix-free cover (every
+    // residue at max depth covered exactly once — no key lost or
+    // double-homed by the growth).
+    GraftQuery("t6_bucket_split", (s, d) => {
+      import s.implicits._
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_t6_split").toString + "/store"
+      val src = T.events(s, d)
+        .select($"user_id", $"event_id", $"event_type", $"ts",
+          vcents($"value").as("cents"),
+          // ~2 KB of distinct hashes per row: parquet can't dictionary- or
+          // run-length-encode it away, so bucket bytes track row counts
+          expr("concat_ws('', transform(sequence(1, 64), " +
+            "i -> md5(concat(user_id, '-', i))))").as("pad"))
+      (0 until 3).foreach { i =>
+        CompactingSink.upsertCompact(store, Seq("user_id"), Seq("ts", "event_id"),
+          initialDepth = 2, maxBucketBytes = 3 * 1024)(
+          src.filter(pmod($"event_id", lit(3)) === i), i.toLong)
+      }
+      val live = CompactingSink.liveBuckets(store)
+      def depth(n: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      val maxD = live.map(depth).max
+      val coverOk = (0L until (1L << maxD)).forall { r =>
+        live.count(n => (r % (1L << depth(n))) == n - (1L << depth(n))) == 1
+      }
+      s.read.parquet(store)
+        .select($"user_id", $"event_id", $"event_type",
+          tsFmt($"ts").as("ts_s"), $"cents",
+          lit(maxD > 2).as("grew"), lit(coverOk).as("cover_ok"))
+        .orderBy($"user_id")
+    }, Some(s"""
+      SELECT user_id, event_id, event_type, ${sql.tsFmt("ts")} AS ts_s,
+        ${sql.vcents("value")} AS cents, TRUE AS grew, TRUE AS cover_ok
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id""")),
+
     // ----- T2 (streaming half): session windows over the watermarked
     // stream — per-user activity bursts closed by a 10-minute gap, the
     // per-connection message-burst analogue (websocket.hpp:175-209).

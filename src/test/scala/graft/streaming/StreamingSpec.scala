@@ -137,7 +137,7 @@ class StreamingSpec extends SparkTestBase {
     // find two keys that land in different buckets (hash is stable)
     val keys = ('a' to 'p').map(_.toString)
     val bucketOf = keys.map(k => k ->
-      spark.range(1).select(pmod(xxhash64(lit(k)), lit(16L))).head().getLong(0)).toMap
+      spark.range(1).select(pmod(xxhash64(lit(k)), lit(16L)) + lit(16L)).head().getLong(0)).toMap
     val k1 = keys.head
     val k2 = keys.find(k => bucketOf(k) != bucketOf(k1)).get
     CompactingSink.upsertCompact(store, Seq("k"), Seq("off"))(
@@ -179,6 +179,61 @@ class StreamingSpec extends SparkTestBase {
     val after = spark.read.parquet(store).collect()
       .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(after == before + ("k1" -> "a2"), s"crash recovery lost keys: $after")
+  }
+
+  test("compacting store splits oversized buckets and stays a prefix-free cover") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    val store = tmp("split_store") + "/store"
+    def batch(ids: Range, off: Long) = ids
+      .map(i => (s"key$i", off, "v" * 2000)) // ~2KB payload per row
+      .toDF("k", "off", "v")
+    val up = CompactingSink.upsertCompact(store, Seq("k"), Seq("off"),
+      initialDepth = 1, maxBucketBytes = 4096) _
+    up(batch(0 until 30, 1L), 0L)
+    val live1 = CompactingSink.liveBuckets(store)
+    def depth(n: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    assert(live1.map(depth).max > 1,
+      s"30 x 2KB rows in 2 depth-1 buckets must have split: $live1")
+    // prefix-free cover: every residue at max depth is covered exactly once
+    val maxD = live1.map(depth).max
+    (0L until (1L << maxD)).foreach { r =>
+      val covering = live1.filter(n => (r % (1L << depth(n))) == n - (1L << depth(n)))
+      assert(covering.size == 1, s"residue $r covered by $covering in $live1")
+    }
+    // merge after growth: updates land in the deeper buckets, store stays
+    // latest-per-key
+    up(batch(0 until 30, 2L), 1L)
+    val state = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(state.size == 30 && state.values.forall(_ == 2L),
+      s"post-split merge lost updates: ${state.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("interrupted split rolls back: derived children dropped, parent restored") {
+    import spark.implicits._
+    import java.nio.file.{Paths, StandardCopyOption}
+    val store = tmp("split_crash") + "/store"
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("off"))(
+      (0 until 20).map(i => (s"k$i", 1L, s"v$i")).toDF("k", "off", "v"), 0L)
+    val before = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    // simulate a crash mid-split of bucket n: parent parked at _old, one
+    // derived child landed, the _split root still present
+    val n = CompactingSink.liveBuckets(store).head
+    val (c1, _) = CompactingSink.childrenOf(n)
+    val root = Paths.get(store)
+    Files.createDirectories(root.resolve(s"_split_$n"))
+    Files.move(root.resolve(s"bucket=$n"), root.resolve(s"_old_bucket=$n"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(root.resolve(s"bucket=$c1")) // half-landed child
+    CompactingSink.recover(store)
+    val live = CompactingSink.liveBuckets(store)
+    assert(live.contains(n) && !live.contains(c1),
+      s"rollback must restore the parent and drop the derived child: $live")
+    val after = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(after == before, "rollback changed store contents")
   }
 
   test("mapGroupsWithState state survives a checkpointed restart (T4+T6)") {
