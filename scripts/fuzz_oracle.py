@@ -91,6 +91,106 @@ def gen_join(i):
                 f"LEFT JOIN orders ON c_custkey = o_custkey WHERE {w} "
                 "GROUP BY c_custkey ORDER BY c_custkey")
 
+def gen_join_shape(i):
+    """randomized join shapes over the star schema — the planner surfaces
+    (outer-join null fabrication, ON-clause vs WHERE-clause predicates,
+    semi/anti decorrelation, multi-way reorder) where differential fuzzing
+    pays."""
+    shape = rng.choice(["left_on", "right_on", "full", "chain", "semi", "anti"])
+    if shape == "left_on":
+        # predicate in the ON clause of an outer join: filters the null-
+        # supplying side BEFORE null fabrication — classic rewrite trap
+        w = pred("orders")
+        return ("SELECT c_custkey, COALESCE(o_orderkey, -1) AS ok, "
+                "o_orderkey IS NULL AS missing "
+                f"FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND {w} "
+                "ORDER BY c_custkey, ok")
+    if shape == "right_on":
+        w = pred("customer")
+        return ("SELECT COALESCE(c_custkey, -1) AS ck, o_orderkey, "
+                "c_custkey IS NULL AS missing "
+                f"FROM customer RIGHT JOIN orders ON c_custkey = o_custkey AND {w} "
+                "ORDER BY o_orderkey, ck")
+    if shape == "full":
+        w1, w2 = pred("customer"), pred("orders")
+        return ("SELECT COALESCE(c_custkey, -1) AS ck, COALESCE(o_orderkey, -1) AS ok, "
+                "c_custkey IS NULL AS left_null, o_orderkey IS NULL AS right_null "
+                f"FROM (SELECT * FROM customer WHERE {w1}) c "
+                f"FULL JOIN (SELECT * FROM orders WHERE {w2}) o "
+                "ON c_custkey = o_custkey ORDER BY ck, ok")
+    if shape == "chain":
+        # 4-relation chain with a trailing outer edge: join-reorder +
+        # null-handling under aggregation
+        w = pred("orders")
+        return ("SELECT n_name, COUNT(*) AS cnt, COUNT(l_orderkey) AS nl, "
+                "CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing "
+                "FROM nation JOIN customer ON n_nationkey = c_nationkey "
+                f"JOIN orders ON c_custkey = o_custkey "
+                "LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_linenumber = 1 "
+                f"WHERE {w} GROUP BY n_name ORDER BY n_name")
+    if shape == "semi":
+        w = pred("orders")
+        return ("SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "
+                f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {w}) "
+                "ORDER BY c_custkey")
+    w = pred("orders")
+    return ("SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS "
+            f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {w}) "
+            "ORDER BY c_custkey")
+
+def gen_window_frame(i):
+    """randomized window frames: ROWS with every boundary combination over a
+    unique total order, RANGE (value-based peers) restricted to aggregates —
+    the frame-boundary surface of W3."""
+    t, part, order, key = rng.choice([
+        ("orders", "o_custkey", "o_orderkey", "o_orderkey"),
+        ("events", "user_id", "event_id", "event_id"),
+        ("lineitem", "l_suppkey", "l_orderkey, l_linenumber", "l_orderkey"),
+    ])
+    val = rng.choice(TABLES[t]["int"])
+    a, b = rng.randint(0, 5), rng.randint(0, 5)
+    if rng.random() < 0.7:
+        frame = rng.choice([
+            f"ROWS BETWEEN {a} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN CURRENT ROW AND {b} FOLLOWING",
+            f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING",
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND {b} FOLLOWING",
+            f"ROWS BETWEEN {a} PRECEDING AND UNBOUNDED FOLLOWING",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ])
+        over = f"PARTITION BY {part} ORDER BY {order} {frame}"
+        exprs = rng.sample([
+            f"CAST(SUM({val}) OVER ({over}) AS BIGINT) AS w1",
+            f"CAST(COUNT(*) OVER ({over}) AS BIGINT) AS w2",
+            f"CAST(MIN({val}) OVER ({over}) AS BIGINT) AS w3",
+            f"CAST(MAX({val}) OVER ({over}) AS BIGINT) AS w4",
+            f"CAST(FIRST_VALUE({val}) OVER ({over}) AS BIGINT) AS w5",
+            f"CAST(LAST_VALUE({val}) OVER ({over}) AS BIGINT) AS w6",
+            f"CAST(LEAD({val}, {a + 1}, -1) OVER (PARTITION BY {part} ORDER BY {order}) AS BIGINT) AS w7",
+            f"CAST(LAG({val}, {b + 1}, -1) OVER (PARTITION BY {part} ORDER BY {order}) AS BIGINT) AS w8",
+        ], 3)
+    else:
+        # RANGE frames are value-based: aggregates only (FIRST/LAST_VALUE
+        # would depend on intra-peer order, which is not deterministic)
+        lo, hi = rng.randint(0, 500), rng.randint(0, 500)
+        frame = rng.choice([
+            f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {hi} FOLLOWING",
+            f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ])
+        over = f"PARTITION BY {part} ORDER BY {key} {frame}"
+        exprs = rng.sample([
+            f"CAST(SUM({val}) OVER ({over}) AS BIGINT) AS w1",
+            f"CAST(COUNT(*) OVER ({over}) AS BIGINT) AS w2",
+            f"CAST(MIN({val}) OVER ({over}) AS BIGINT) AS w3",
+            f"CAST(MAX({val}) OVER ({over}) AS BIGINT) AS w4",
+        ], 3)
+    w = pred(t)
+    cols = order if "," in order else order
+    return (f"SELECT {cols}, {', '.join(exprs)} FROM {t} "
+            f"WHERE {w} ORDER BY {cols}")
+
 def gen_window(i):
     t = rng.choice(["orders", "events"])
     if t == "orders":
@@ -173,13 +273,17 @@ def gen_scalar(i):
 
 def gen(i):
     r = rng.random()
-    if r < 0.18:
+    if r < 0.12:
         return gen_join(i)
-    if r < 0.30:
+    if r < 0.26:
+        return gen_join_shape(i)
+    if r < 0.34:
         return gen_window(i)
-    if r < 0.42:
-        return gen_setop(i)
+    if r < 0.48:
+        return gen_window_frame(i)
     if r < 0.56:
+        return gen_setop(i)
+    if r < 0.66:
         return gen_scalar(i)
     t = rng.choice(list(TABLES))
     c = TABLES[t]
