@@ -296,6 +296,62 @@ object TextQueries {
         text <> clean_text AS was_redacted
       FROM r ORDER BY doc_id""")),
 
+    // ----- x22: category-aware PII scrub — emails, phone numbers, and
+    // account-ish long digit runs each redacted to their own tag, with
+    // per-category counts as the audit trail (x10 is the generic digit/hex
+    // pass; this is the structured one a corpus release actually runs).
+    // The synthetic corpus contains no digits or '@' at all, so the gate
+    // first plants deterministic PII derived from doc_id — two emails, a
+    // phone, a 16-digit account id — with the identical expression in both
+    // engines; every rule then provably fires on every row, and the 'g'
+    // flag on the DuckDB side is load-bearing (two emails per row). Order
+    // matters: digit-run first, so the 16-digit id can't be half-eaten by
+    // the phone rule. Pure projection: codegen'd regexes, no shuffle —
+    // parquet-scan-bound at 100 TB like every other x-series projection.
+    GraftQuery("x22_pii_redaction", (s, d) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1 [0-9]{3}-[0-9]{4}"
+      val idRe = "[0-9]{12,}"
+      val did = $"doc_id".cast(StringType)
+      val enriched = concat(
+        $"text", lit(" reach user"), did, lit("@mail.example.org or u"),
+        did, lit("@corp.test call +1 555-"),
+        lpad(($"doc_id" % 10000).cast(StringType), 4, "0"),
+        lit(" acct "), lpad(did, 16, "9"))
+      val red = regexp_replace(regexp_replace(regexp_replace(enriched,
+        idRe, "<ID>"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+      T.documents(s, d).select(
+        $"doc_id",
+        red.as("clean_text"),
+        regexp_count(enriched, lit(emailRe)).cast(LongType).as("n_email"),
+        regexp_count(enriched, lit(phoneRe)).cast(LongType).as("n_phone"),
+        regexp_count(enriched, lit(idRe)).cast(LongType).as("n_id"),
+        (!red.rlike(emailRe) && !red.rlike(phoneRe) && !red.rlike(idRe))
+          .as("clean"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+        text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or u' ||
+          CAST(doc_id AS VARCHAR) || '@corp.test call +1 555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' acct ' || lpad(CAST(doc_id AS VARCHAR), 16, '9') AS t
+        FROM documents),
+      r AS (SELECT doc_id, t,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '[0-9]{12,}', '<ID>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+1 [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        FROM e)
+      SELECT doc_id, clean_text,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '\+1 [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(t, '[0-9]{12,}')) AS BIGINT) AS n_id,
+        NOT (regexp_matches(clean_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+          OR regexp_matches(clean_text, '\+1 [0-9]{3}-[0-9]{4}')
+          OR regexp_matches(clean_text, '[0-9]{12,}')) AS clean
+      FROM r ORDER BY doc_id""")),
+
     // ----- weighted dataset mixing: sample each language at a target rate
     // (en 50%, es 25%, others 100%) — the source-mixing step that shapes a
     // training distribution. Selection is a deterministic md5 threshold on

@@ -159,4 +159,25 @@ class PipelineSpec extends SparkTestBase {
       .filter($"span" =!= $"n")
     assert(bad.isEmpty, "shard ranks are not contiguous")
   }
+
+  test("x22 PII scrub fires every category on every row and leaves no residue") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x22_pii_redaction")(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // two planted emails, one phone, one 16-digit id per row — all counted,
+    // all gone; the 'clean' invariant is re-asserted here independently of
+    // the oracle's boolean
+    assert(out.filter($"n_email" =!= 2 || $"n_phone" =!= 1 || $"n_id" =!= 1)
+      .isEmpty, "planted PII was miscounted")
+    assert(out.filter(!$"clean").isEmpty, "redacted text still matches a PII rule")
+    assert(out.filter(!$"clean_text".contains("<EMAIL>") ||
+      !$"clean_text".contains("<PHONE>") || !$"clean_text".contains("<ID>"))
+      .isEmpty, "a category tag is missing from the redacted text")
+    // order matters: the 16-digit account id must become one <ID>, never a
+    // phone-rule fragment
+    assert(out.filter($"clean_text".rlike("<PHONE>9|9<PHONE>")).isEmpty,
+      "digit-run redaction was half-eaten by the phone rule")
+    out.unpersist()
+  }
 }
