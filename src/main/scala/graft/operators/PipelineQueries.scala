@@ -154,6 +154,53 @@ object PipelineQueries {
       p AS (SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS shared_grams
             FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
             GROUP BY 1, 2)
-      SELECT src_a, src_b, shared_grams FROM p ORDER BY src_a, src_b"""))
+      SELECT src_a, src_b, shared_grams FROM p ORDER BY src_a, src_b""")),
+
+    // ----- x23: boilerplate removal — drop the segments that recur across
+    // many distinct documents (nav bars, license headers, cookie banners in
+    // a real crawl), keeping each doc's residual text in order. The corpus
+    // has no line structure, so a "line" here is a fixed 2-word segment
+    // (chosen so the filter genuinely fires on this vocabulary: ~11% of
+    // segment types cross the 20-distinct-docs threshold). Plan shape is
+    // the scale one: the corpus is never shuffled — segment counts reduce
+    // map-side to a tiny (≤ vocab²) table, the boilerplate list collapses
+    // to ONE row via collect_list and is broadcast back, and removal is an
+    // array-HOF projection per row. At real scale a boilerplate list that
+    // outgrew a broadcast would flip to the posting-list join form (x14);
+    // countDistinct would become approx_count_distinct.
+    GraftQuery("x23_boilerplate", (s, d) => {
+      import s.implicits._
+      val W = 2
+      val docs = T.documents(s, d)
+        .select($"doc_id", split(trim($"text"), " ").as("toks"))
+        .withColumn("segs", expr(
+          s"transform(sequence(0, cast(ceil(size(toks) / $W.0) as int) - 1), " +
+            s"i -> array_join(slice(toks, i * $W + 1, $W), ' '))"))
+      val bp = docs.select(explode($"segs").as("seg"), $"doc_id")
+        .groupBy($"seg").agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 20)
+        .agg(sort_array(collect_list($"seg")).as("bp"))
+      docs.crossJoin(broadcast(bp)).select(
+        $"doc_id",
+        array_join(expr("filter(segs, x -> NOT array_contains(bp, x))"), " ")
+          .as("clean_text"),
+        size($"segs").cast(LongType).as("n_seg"),
+        size(expr("filter(segs, x -> array_contains(bp, x))")).cast(LongType)
+          .as("n_removed"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents),
+      s AS (SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS BIGINT)),
+                       i -> array_to_string(toks[i*2+1:i*2+2], ' ')) AS segs
+        FROM t),
+      c AS (SELECT seg, count(DISTINCT doc_id) AS nd
+            FROM (SELECT doc_id, unnest(segs) AS seg FROM s) GROUP BY seg),
+      b AS (SELECT list_sort(list(seg)) AS bp FROM c WHERE nd >= 20)
+      SELECT doc_id,
+        array_to_string(list_filter(segs, x -> NOT list_contains(b.bp, x)), ' ') AS clean_text,
+        CAST(len(segs) AS BIGINT) AS n_seg,
+        CAST(len(list_filter(segs, x -> list_contains(b.bp, x))) AS BIGINT) AS n_removed
+      FROM s, b ORDER BY doc_id"""))
   )
 }

@@ -180,4 +180,34 @@ class PipelineSpec extends SparkTestBase {
       "digit-run redaction was half-eaten by the phone rule")
     out.unpersist()
   }
+
+  test("x23 boilerplate removal equals the naive explode-join-regroup form") {
+    import spark.implicits._
+    // sf0.01: the 20-distinct-docs threshold genuinely fires there (the
+    // 50-doc sf0.001 corpus can't reach it)
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("x23_boilerplate")(spark, dir).cache()
+    assert(out.agg(sum($"n_removed")).head.getLong(0) > 0,
+      "boilerplate filter never fired — threshold/width no longer match the corpus")
+    // naive form: explode to (doc, pos, seg), count distinct docs per seg,
+    // join back, regroup in position order
+    val segs = T.documents(spark, dir)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(split(trim(text), ' ')) / 2.0) as int) - 1), " +
+          "i -> array_join(slice(split(trim(text), ' '), i * 2 + 1, 2), ' '))")))
+      .toDF("doc_id", "pos", "seg")
+    val nd = segs.groupBy($"seg").agg(countDistinct($"doc_id").as("nd"))
+    val naive = segs.join(nd, "seg")
+      .groupBy($"doc_id").agg(
+        array_join(transform(array_sort(collect_list(
+          when($"nd" < 20, struct($"pos", $"seg")))), x => x.getField("seg")), " ")
+          .as("clean_text"),
+        count(lit(1)).as("n_seg"),
+        sum(when($"nd" >= 20, 1L).otherwise(0L)).as("n_removed"))
+    assert(out.select("doc_id", "clean_text", "n_seg", "n_removed")
+      .exceptAll(naive.select("doc_id", "clean_text", "n_seg", "n_removed"))
+      .isEmpty, "broadcast-HOF plan diverged from the naive posting-list form")
+    assert(out.count() == naive.count())
+    out.unpersist()
+  }
 }
