@@ -866,6 +866,136 @@ object RelationalQueries {
       GROUP BY s_name, n_name
       ORDER BY numwait DESC, s_name""")),
 
+    // ----- Q13 shape: outer-join-below-aggregate — order count per
+    // customer INCLUDING zero-order customers (the join filter lives in the
+    // ON clause, so unmatched customers survive as NULLs and COUNT(col)
+    // gives them 0), then the distribution of those counts. The classic
+    // null-preserving planner surface: pushing the priority filter to WHERE
+    // would silently drop the zero bucket.
+    GraftQuery("q13_customer_distribution", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) cc
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    }, Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) cc
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")),
+
+    // ----- Q15 shape: aggregate-then-argmax via CTE reuse — quarterly
+    // revenue per supplier, keep the supplier(s) hitting the global max.
+    // The revenue CTE is referenced twice (join side + scalar MAX); both
+    // totals come off the same exact decimal sum, so the equality join on
+    // DOUBLE is bit-stable in both engines. At scale: one shuffle to
+    // suppkey for the agg, the 1-row MAX broadcasts.
+    GraftQuery("q15_top_supplier", (s, d) => {
+      T.registerAll(s, d)
+      s.sql(s"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    }, Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")),
+
+    // ----- Q20 shape: nested IN subqueries with a grouped HAVING inside —
+    // suppliers who moved serious volume (> 1660 units, the corpus median)
+    // of red parts since 1996. The inner IN prunes lineitem to red parts,
+    // the grouped HAVING aggregates per supplier, the outer IN semi-joins
+    // suppliers — Catalyst flattens both INs to left-semi joins (plan guard
+    // in OperatorsSpec). Quantities are integer-valued doubles, so the sum
+    // is exact and the threshold deterministic.
+    GraftQuery("q20_volume_suppliers", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 1660.0)
+        ORDER BY s_suppkey""")
+    }, Some("""
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 1660.0)
+      ORDER BY s_suppkey""")),
+
+    // ----- Q22 shape: uncorrelated scalar subquery + NOT EXISTS — rich
+    // customers (balance above the positive-balance average of the same
+    // nation group) who never placed an urgent order, grouped by nation
+    // ("country code"; this testdata has no phone column). The average is
+    // an exact decimal sum over one division, so the threshold compare is
+    // bit-stable; the scalar runs once and broadcasts, the NOT EXISTS
+    // becomes a left-anti join (plan guard in OperatorsSpec).
+    GraftQuery("q22_global_sales", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 2, 3, 11, 17, 21)
+          AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*)
+                           FROM customer c2
+                           WHERE c2.c_acctbal > 0.0
+                             AND c2.c_nationkey IN (1, 2, 3, 11, 17, 21))
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode""")
+    }, Some("""
+      SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 2, 3, 11, 17, 21)
+        AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM customer c2
+                         WHERE c2.c_acctbal > 0.0
+                           AND c2.c_nationkey IN (1, 2, 3, 11, 17, 21))
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey
+      ORDER BY cntrycode""")),
+
     // ----- pivot: per-user event-type counts as columns
     GraftQuery("a6_pivot", (s, d) => {
       import s.implicits._

@@ -229,6 +229,33 @@ class OperatorsSpec extends SparkTestBase {
       s"expected semi + anti join shape:\n$optimized")
   }
 
+  test("q13 keeps the priority filter in the outer-join condition") {
+    val qe = SparkEntry.queries("q13_customer_distribution")(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    // the ON-clause filter must not be pushed to a WHERE below the join's
+    // null-extension — zero-order customers would vanish from the zero bucket
+    assert(optimized.contains("LeftOuter"),
+      s"left outer join was rewritten away:\n$optimized")
+    assert(!qe.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q20 nested INs flatten to left-semi joins, q22 NOT EXISTS to anti") {
+    val q20 = SparkEntry.queries("q20_volume_suppliers")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(q20.split("LeftSemi").length >= 3,
+      s"expected two left-semi joins (part IN + supplier IN):\n$q20")
+    val q22e = SparkEntry.queries("q22_global_sales")(spark, sf).queryExecution
+    val q22 = q22e.optimizedPlan.toString
+    assert(q22.contains("LeftAnti"), s"NOT EXISTS not decorrelated:\n$q22")
+    assert(!q22e.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "scalar-threshold compare degraded to a nested loop")
+    // q15: the revenue-vs-max equality must stay an equi/scalar compare,
+    // never a nested loop over suppliers
+    assert(!SparkEntry.queries("q15_top_supplier")(spark, sf).queryExecution
+      .executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "q15 argmax degraded to a nested loop")
+  }
+
   test("catalog cache semantics: cache / isCached / invalidate (ref cache.hpp)") {
     T.lineitem(spark, sf).createOrReplaceTempView("li_cache_test")
     spark.catalog.cacheTable("li_cache_test")
