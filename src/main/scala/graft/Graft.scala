@@ -49,6 +49,57 @@ object Graft {
   def dropTable(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
 
+  // ---------- storage layout (S7: multi-dimensional clustering) ----------
+
+  /** 16-bit Morton spread: a zero bit interleaved after every bit of the
+    * low 16 bits of `v`. Pure long bit-twiddling — codegen'd, ANSI-safe
+    * (every intermediate is masked well below overflow). */
+  private def spread16(v: Column): Column = {
+    val a = v.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-value (Morton order) of two columns, each linearly normalized to 16
+    * bits against [lo, hi] bounds. Rows close on the z-curve are close in
+    * BOTH dimensions — the clustering key behind multi-column file
+    * skipping. */
+  def zvalue(x: Column, xLo: Column, xHi: Column,
+             y: Column, yLo: Column, yHi: Column): Column = {
+    def norm(v: Column, lo: Column, hi: Column): Column =
+      least(floor((v.cast(DoubleType) - lo.cast(DoubleType)) /
+        (hi.cast(DoubleType) - lo.cast(DoubleType) + lit(1e-9)) * 65536.0),
+        lit(65535.0)).cast(LongType)
+    spread16(norm(x, xLo, xHi))
+      .bitwiseOR(shiftleft(spread16(norm(y, yLo, yHi)), 1))
+  }
+
+  /** Write `df` clustered by the z-order of (cx, cy) into ~nFiles files.
+    * Column bounds are one tiny aggregate broadcast back (never a
+    * collect); repartitionByRange on the z-value gives each output file a
+    * narrow rectangle in BOTH dimensions, so parquet min/max footer stats
+    * skip files for selective predicates on EITHER column — the layout a
+    * single-column sort can only provide for its own column. At 100 TB the
+    * unit of skipping is the file/row-group; this writer is what makes
+    * those stats tight. */
+  def zorderWrite(df: DataFrame, cx: String, cy: String,
+                  path: String, nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    val bounds = df.agg(
+      min(col(cx)).as("__xlo"), max(col(cx)).as("__xhi"),
+      min(col(cy)).as("__ylo"), max(col(cy)).as("__yhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", zvalue(col(cx), col("__xlo"), col("__xhi"),
+        col(cy), col("__ylo"), col("__yhi")))
+      .drop("__xlo", "__xhi", "__ylo", "__yhi")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   // ---------- topic / log operations (S6, the "Pulsar" core) ----------
 
   /** Latest row per key over an append log — topic compaction. Aggregation

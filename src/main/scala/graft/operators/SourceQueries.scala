@@ -92,6 +92,66 @@ object SourceQueries {
       SELECT l_returnflag, COUNT(*) AS n,
         CAST(SUM(${sql.dec("l_quantity")}) AS DOUBLE) AS sum_qty,
         TRUE AS all_zstd, TRUE AS three_partition_dirs
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- S7: z-order (multi-dimensional clustering) layout — write
+    // events clustered by the Morton interleave of (user_id, event time)
+    // into 16 files, read back, and prove the layout: the average file
+    // covers a narrow slice of the user range AND a narrow slice of the
+    // time range simultaneously (a single-column sort is narrow in its own
+    // column and spans ~the full range of the other — the baseline
+    // computed below as equal-width time buckets). Contents are bound by
+    // oracle-recomputable global aggregates; the per-file spans come off
+    // input_file_name(), which SQL can't see, so they surface as booleans
+    // with 2x slack over the ideal 1/4-per-dim coverage of a 16-cut
+    // z-curve. At 100 TB this is what makes min/max file skipping answer
+    // selective predicates on EITHER column.
+    GraftQuery("s7_zorder_layout", (s, d) => {
+      import s.implicits._
+      val out = tmpDir("s7") + "/zorder"
+      val src = T.events(s, d).select($"user_id", $"event_id",
+        unix_micros($"ts").as("tsu"), vcents($"value").as("cents"))
+      graft.Graft.zorderWrite(src, "user_id", "tsu", out, 16)
+      val back = s.read.parquet(out)
+      val bounds = back.agg(
+        min($"user_id").as("ulo"), max($"user_id").as("uhi"),
+        min($"tsu").as("tlo"), max($"tsu").as("thi"))
+      val covs = back
+        .select(input_file_name().as("f"), $"user_id", $"tsu")
+        .crossJoin(broadcast(bounds))
+        .groupBy($"f")
+        .agg(
+          ((max($"user_id") - min($"user_id")).cast(DoubleType) /
+            (max($"uhi") - max($"ulo"))).as("ucov"),
+          ((max($"tsu") - min($"tsu")).cast(DoubleType) /
+            (max($"thi") - max($"tlo"))).as("tcov"))
+        .agg(avg($"ucov").as("z_ucov"), avg($"tcov").as("z_tcov"),
+          count(lit(1)).as("n_files"))
+      // baseline: a pure time-ordered layout (16 equal-width time buckets)
+      // — each bucket spans ~the whole user range
+      val baseCov = back.crossJoin(broadcast(bounds))
+        .withColumn("bkt", least(floor(($"tsu" - $"tlo").cast(DoubleType) /
+          ($"thi" - $"tlo" + lit(1)) * 16), lit(15.0)))
+        .groupBy($"bkt")
+        .agg(((max($"user_id") - min($"user_id")).cast(DoubleType) /
+          (max($"uhi") - max($"ulo"))).as("ucov"))
+        .agg(avg($"ucov").as("base_ucov"))
+      back.agg(count(lit(1)).as("n_rows"),
+        sum($"cents").as("sum_cents"),
+        countDistinct($"user_id").as("n_users"))
+        .crossJoin(broadcast(covs))
+        .crossJoin(broadcast(baseCov))
+        .select($"n_rows", $"sum_cents", $"n_users",
+          ($"n_files" === 16).as("sixteen_files"),
+          ($"z_ucov" < 0.5).as("files_narrow_in_user"),
+          ($"z_tcov" < 0.5).as("files_narrow_in_time"),
+          ($"z_ucov" < $"base_ucov" * 0.6).as("beats_time_sorted_layout"))
+    }, Some(s"""
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents,
+        COUNT(DISTINCT user_id) AS n_users,
+        TRUE AS sixteen_files, TRUE AS files_narrow_in_user,
+        TRUE AS files_narrow_in_time, TRUE AS beats_time_sorted_layout
+      FROM events"""))
   )
 }
