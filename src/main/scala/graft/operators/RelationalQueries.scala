@@ -1075,5 +1075,5 @@ object RelationalQueries {
         DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk,
         NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
       FROM customer ORDER BY c_nationkey, c_custkey"""))
-  )
+  ) ++ TpchShapes.queries
 }

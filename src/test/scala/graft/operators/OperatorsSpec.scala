@@ -256,6 +256,36 @@ class OperatorsSpec extends SparkTestBase {
       "q15 argmax degraded to a nested loop")
   }
 
+  test("q2 correlated MIN decorrelates; q4 EXISTS becomes a semi join") {
+    val q2e = SparkEntry.queries("q2_min_cost_supplier")(spark, sf).queryExecution
+    val q2 = q2e.optimizedPlan.toString
+    // the per-part regional MIN must run once as an Aggregate joined back
+    // on p_partkey, never per outer row
+    assert(!q2.toLowerCase.contains("subquery"),
+      s"correlated MIN not decorrelated:\n$q2")
+    assert(!q2e.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "q2 min-cost equality degraded to a nested loop")
+    val q4 = SparkEntry.queries("q4_priority_check")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(q4.contains("LeftSemi"), s"EXISTS not decorrelated to semi join:\n$q4")
+    assert(!q4.toLowerCase.contains("exists"), s"EXISTS survived optimization:\n$q4")
+  }
+
+  test("q19 disjunctive predicate stays one join; q11 scalar threshold is not a loop") {
+    val q19e = SparkEntry.queries("q19_disjunctive_join")(spark, sf).queryExecution
+    val q19 = q19e.optimizedPlan.toString
+    // one lineitem⨝part equi-join with the OR residual — not a union of
+    // three scans, and the derivable brand filter pushed below the join
+    assert(q19.split("Join").length == 2, s"expected exactly one join:\n$q19")
+    assert(!q19.contains("Union"), s"disjunction expanded to a union:\n$q19")
+    assert(q19.contains("Brand#"),
+      s"brand-membership filter not derived below the join:\n$q19")
+    assert(!q19e.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val q11e = SparkEntry.queries("q11_important_supply")(spark, sf).queryExecution
+    assert(!q11e.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "q11 global-total threshold degraded to a nested loop")
+  }
+
   test("catalog cache semantics: cache / isCached / invalidate (ref cache.hpp)") {
     T.lineitem(spark, sf).createOrReplaceTempView("li_cache_test")
     spark.catalog.cacheTable("li_cache_test")
