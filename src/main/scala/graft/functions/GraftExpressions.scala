@@ -248,6 +248,46 @@ case class SubwordTokenIds(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SubwordTokenIds = copy(c)
 }
 
+/** Probe a serialized Spark `CountMinSketch` for a term's estimated count.
+  * (Binary, String)→Long. Replaces the one UDF that remained on the a11
+  * surface: codegen'd via a static call into [[CmsProbe]], whose per-thread
+  * last-sketch cache makes the deserialization amortize to once per task
+  * even when the probe sits in a per-row projection (the broadcast sketch
+  * bytes are the same object for every row in a partition). */
+case class CountMinEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sk: Any, term: Any): Any =
+    CmsProbe.estimate(sk.asInstanceOf[Array[Byte]], term.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (sk, t) => s"graft.functions.CmsProbe.estimate($sk, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinEstimate =
+    copy(left = l, right = r)
+}
+
+object CmsProbe {
+  // (bytes-identity, deserialized sketch) — reference equality is the right
+  // key: the sketch bytes arrive as one broadcast/literal object reused
+  // across rows, so a task deserializes once, and a different sketch can
+  // never alias the same array instance
+  private val last = new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]
+  def estimate(bytes: Array[Byte], term: UTF8String): Long = {
+    val cached = last.get()
+    val sk =
+      if (cached != null && (cached._1 eq bytes)) cached._2
+      else {
+        val s = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        last.set((bytes, s))
+        s
+      }
+    sk.estimateCount(term.toString)
+  }
+}
+
 /** Static vector kernels callable from generated code. */
 object VectorOps {
   def cosine(a: ArrayData, b: ArrayData): Double = {

@@ -23,6 +23,8 @@ object GraftFunctions {
   def derive_bytes(c: Column, n: Int): Column = column(DeriveBytes(expression(c), n))
   def rsb1_decode(c: Column): Column = column(Rsb1Decode(expression(c)))
   def subword_ids(c: Column): Column = column(SubwordTokenIds(expression(c)))
+  def count_min_estimate(sk: Column, term: Column): Column =
+    column(CountMinEstimate(expression(sk), expression(term)))
 
   /** Register the scalar functions for SQL texts. */
   def registerAll(spark: SparkSession): Unit = {
@@ -35,6 +37,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kr_fingerprint", e => KarpRabinFingerprint(e.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", e => CosineSimilarity(e.head, e(1)), "built-in")
+    reg.createOrReplaceTempFunction("count_min_estimate", e => CountMinEstimate(e.head, e(1)), "built-in")
     reg.createOrReplaceTempFunction("rsb1_decode", e => Rsb1Decode(e.head), "built-in")
     reg.createOrReplaceTempFunction("subword_ids", e => SubwordTokenIds(e.head), "built-in")
     // SQL forms take the size/width as a literal second argument

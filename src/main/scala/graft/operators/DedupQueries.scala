@@ -271,6 +271,45 @@ object DedupQueries {
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_shared_fp
       FROM fps a JOIN fps b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 ORDER BY doc_a, doc_b"""))
+      GROUP BY 1, 2 ORDER BY doc_a, doc_b""")),
+
+    // ----- N8: semantic dedup (SemDeDup, Abbas et al. 2023) over the
+    // embeddings corpus — k-means cells, then drop any doc with a
+    // smaller-id same-cell neighbor at cosine >= tau. The cell assignment
+    // is not SQL-expressible, so the gate re-derives the operator's two
+    // defining properties in-query and the oracle asserts them:
+    //   kept_separated — NO kept pair in the same cell sits at >= tau
+    //     (the greedy's postcondition; sound + complete over kept docs);
+    //   drops_justified — EVERY dropped doc has a smaller same-cell
+    //     neighbor at >= tau (no over-dropping);
+    // plus partition consistency (kept + dropped = corpus) and n_docs,
+    // which the oracle recomputes exactly.
+    GraftQuery("n8_semantic_dedup", (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+      val res = graft.Graft.semanticDedup(e, "vec_id", "embedding", tau = 0.45)
+      val withV = res.join(
+        e.select($"vec_id".as("id"), $"embedding".as("v")), "id")
+      val kept = withV.filter($"kept")
+      val badKept = kept.as("x").join(kept.as("y"),
+          $"x.cell" === $"y.cell" && $"x.id" < $"y.id" &&
+          cosine_sim($"x.v", $"y.v") >= 0.45)
+        .agg(count(lit(1)).as("n_bad_kept"))
+      val justified = withV.filter(!$"kept").as("y").join(withV.as("x"),
+          $"x.cell" === $"y.cell" && $"x.id" < $"y.id" &&
+          cosine_sim($"x.v", $"y.v") >= 0.45, "left_semi")
+        .agg(count(lit(1)).as("n_justified"))
+      val counts = res.agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_dropped"))
+      counts.crossJoin(badKept).crossJoin(justified)
+        .select($"n_docs",
+          ($"n_kept" + $"n_dropped" === $"n_docs").as("partition_ok"),
+          ($"n_bad_kept" === 0).as("kept_separated"),
+          ($"n_justified" === $"n_dropped").as("drops_justified"))
+    }, Some("""
+      SELECT COUNT(*) AS n_docs, TRUE AS partition_ok,
+        TRUE AS kept_separated, TRUE AS drops_justified
+      FROM embeddings"""))
   )
 }

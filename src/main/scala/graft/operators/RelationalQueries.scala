@@ -441,9 +441,9 @@ object RelationalQueries {
     // unbounded (at 100 TB the sketch is a fixed-size mergeable aggregate;
     // the exact companion here exists only to emit the invariant booleans:
     // CMS never under-estimates, and with eps=0.001/seed=42 the
-    // over-estimate stays within 10·eps·N). The estimate step deserializes
-    // the sketch in a UDF over the 10 result rows — post-aggregation, never
-    // in the scan path.
+    // over-estimate stays within 10·eps·N). The estimate step probes the
+    // sketch through the native CountMinEstimate expression over the 10
+    // result rows — post-aggregation, never in the scan path.
     GraftQuery("a11_heavy_hitters", (s, d) => {
       import s.implicits._
       val terms = T.documents(s, d)
@@ -453,11 +453,11 @@ object RelationalQueries {
       val sk = terms.agg(
         expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"),
         count(lit(1)).as("n_total"))
-      val est = udf((bytes: Array[Byte], t: String) =>
-        org.apache.spark.util.sketch.CountMinSketch
-          .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(t))
       exact.crossJoin(broadcast(sk))
-        .withColumn("__est", est($"sk", $"term")) // deserialize the sketch once per row
+        // native codegen'd probe (CountMinEstimate); the per-thread sketch
+        // cache in CmsProbe deserializes once per task, not once per row
+        .withColumn("__est",
+          graft.functions.GraftFunctions.count_min_estimate($"sk", $"term"))
         .select($"term", $"freq",
           ($"__est" >= $"freq").as("no_underestimate"),
           ($"__est" <= $"freq" + ceil($"n_total" * 0.01)).as("bounded_overestimate"))

@@ -104,6 +104,25 @@ object SimilarityQueries {
       annInvariants(s, e, q, lsh, k = 3, recallFloor = 0.70)
     }, Some("""
       SELECT COUNT(*) AS n_queries, TRUE AS scores_ok, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10""")),
+
+    // ----- int8-quantized ANN (scale path 3): Graft.annQuantizedTopK —
+    // integer-cosine first pass over the 4×-smaller quantized corpus,
+    // float rescore on the k×oversample survivors. Same invariant harness;
+    // the floor is 0.90 (measures 1.0 here: with oversample=4 the int8
+    // rank error only drops a true neighbor if >15 impostors sit within
+    // the quantization error of the top-5 boundary — the synthetic corpus
+    // has no such degenerate shell, and a real corpus would raise
+    // oversample, not lose the guarantee).
+    GraftQuery("n5_ann_quantized", (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+      val q = e.filter($"vec_id" < 10)
+      val qz = Graft.annQuantizedTopK(e, q, "vec_id", "embedding", 5)
+        .select($"qid", $"cid", round($"cos", 6).as("cos_apx"))
+      annInvariants(s, e, q, qz, k = 5, recallFloor = 0.90)
+    }, Some("""
+      SELECT COUNT(*) AS n_queries, TRUE AS scores_ok, TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 10"""))
   )
 

@@ -106,6 +106,49 @@ object SourceQueries {
     // with 2x slack over the ideal 1/4-per-dim coverage of a 16-cut
     // z-curve. At 100 TB this is what makes min/max file skipping answer
     // selective predicates on EITHER column.
+    // ----- S8: bucketed (co-located) join — write orders and lineitem as
+    // 8-bucket catalog tables hash-clustered and sorted on the order key,
+    // then sort-merge join them WITHOUT shuffling either side: both scans
+    // already expose the same hash-clustered distribution, so the only
+    // exchanges in the whole query are the final rollup's. This is the
+    // 100 TB join story: bucket both facts on the join key at write time
+    // and every subsequent orderkey join is shuffle-free, forever. The
+    // plan proof (zero Exchange operators in the join subtree, and the
+    // join really is a SortMergeJoin, not a broadcast that would mask the
+    // claim) is computed from the physical plan and emitted as oracle-
+    // asserted booleans; the aggregate values bind the bucketed tables'
+    // contents to the original parquet.
+    GraftQuery("s8_bucketed_join", (s, d) => {
+      import s.implicits._
+      val wh = tmpDir("s8")
+      s.sql("DROP TABLE IF EXISTS graft_s8_orders")
+      s.sql("DROP TABLE IF EXISTS graft_s8_lineitem")
+      T.orders(s, d).select($"o_orderkey", $"o_orderstatus")
+        .write.mode("overwrite").option("path", s"$wh/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_s8_orders")
+      T.lineitem(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .write.mode("overwrite").option("path", s"$wh/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_s8_lineitem")
+      val joined = s.table("graft_s8_lineitem").hint("merge")
+        .join(s.table("graft_s8_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      val colocated = plan.contains("SortMergeJoin")
+      val noShuffle = !plan.contains("Exchange")
+      joined.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"))
+        .select($"o_orderstatus", $"n", $"revenue",
+          lit(colocated).as("colocated_smj"), lit(noShuffle).as("no_join_shuffle"))
+        .orderBy($"o_orderstatus")
+    }, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(${sql.discPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+        TRUE AS colocated_smj, TRUE AS no_join_shuffle
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     GraftQuery("s7_zorder_layout", (s, d) => {
       import s.implicits._
       val out = tmpDir("s7") + "/zorder"

@@ -148,4 +148,29 @@ class GraftExpressionsSpec extends SparkTestBase {
     // fastest = fast + es + t; scan = scan
     assert(n == 4)
   }
+
+  test("count_min_estimate: agrees with the library probe, never underestimates") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    val words = Seq.tabulate(500)(i => s"w${i % 37}")
+    val df = words.toDF("term")
+    val skRow = df.agg(expr("count_min_sketch(term, 0.01d, 0.99d, 7)").as("sk")).head()
+    val bytes = skRow.getAs[Array[Byte]](0)
+    val lib = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val probed = df.distinct()
+      .crossJoin(df.agg(expr("count_min_sketch(term, 0.01d, 0.99d, 7)").as("sk")))
+      .select($"term", GraftFunctions.count_min_estimate($"sk", $"term").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    probed.foreach { case (t, est) =>
+      assert(est == lib.estimateCount(t), s"native probe drifted from library for $t")
+      assert(est >= exact(t), s"CMS underestimated $t: $est < ${exact(t)}")
+    }
+    // SQL registration path
+    val viaSql = spark.sql(
+      "SELECT count_min_estimate(count_min_sketch(t, 0.01d, 0.99d, 7), 'a') AS e " +
+      "FROM VALUES ('a'), ('a'), ('b') AS v(t)").head().getLong(0)
+    assert(viaSql >= 2L)
+  }
 }

@@ -58,8 +58,35 @@ class SimilarityAndSkewSpec extends SparkTestBase {
     assert(recall >= 0.70, s"near-dup recall $recall below floor (${lsh.size}/${exact.size})")
   }
 
+  test("int8 quantization: range bound, scale cancellation, top-k recall") {
+    val e = graft.Tables.embeddings(spark, sf)
+    // every quantized element lies in [-127, 127]
+    val qz = e.select(Graft.int8Quantize(col("embedding")).as("q"))
+      .select(explode(col("q")).as("v"))
+      .agg(min(col("v")), max(col("v"))).head()
+    assert(qz.getInt(0) >= -127 && qz.getInt(1) <= 127, s"int8 range violated: $qz")
+    // the scales cancel: quantized cosine tracks exact cosine within the
+    // per-element rounding budget (~1/127 per axis over 64 dims)
+    val q = e.filter(col("vec_id") < 10)
+    val apx = Graft.annQuantizedTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Graft.annTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (apx & exact).size.toDouble / exact.size
+    assert(recall >= 0.90, s"quantized recall@5 $recall below floor")
+    // returned scores are the exact float cosines (rescore pass), so every
+    // (pair, score) must match the brute-force companion bit-for-bit
+    val bfScores = Graft.annTopK(e, q, "vec_id", "embedding", 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    Graft.annQuantizedTopK(e, q, "vec_id", "embedding", 5).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bfScores.get(key).foreach(exactCos =>
+        assert(r.getDouble(2) == exactCos, s"rescored cosine drifted for $key"))
+    }
+  }
+
   test("ANN + simhash gate queries emit all-true invariant rows") {
-    for (name <- Seq("n5_ann_lsh", "n5_ann_ivf", "n2_simhash")) {
+    for (name <- Seq("n5_ann_lsh", "n5_ann_ivf", "n5_ann_quantized", "n2_simhash")) {
       val rows = SparkEntry.queries(name)(spark, sf).collect()
       assert(rows.length == 1, s"$name should emit one invariant row")
       val r = rows.head
