@@ -201,6 +201,42 @@ object PipelineQueries {
         array_to_string(list_filter(segs, x -> NOT list_contains(b.bp, x)), ' ') AS clean_text,
         CAST(len(segs) AS BIGINT) AS n_seg,
         CAST(len(list_filter(segs, x -> list_contains(b.bp, x))) AS BIGINT) AS n_removed
-      FROM s, b ORDER BY doc_id"""))
+      FROM s, b ORDER BY doc_id""")),
+
+    // ----- x24: fixed-size chunking with overlap — the RAG/context-window
+    // prep step: each document becomes ceil((n-overlap)/stride) chunks of
+    // up to 64 tokens, consecutive chunks sharing a 16-token overlap
+    // (stride 48). Pure per-row explode — map-side only, no shuffle except
+    // the output sort; at 100 TB chunking is embarrassingly parallel and
+    // the chunk_id is derived (retry-stable). The oracle recomputes every
+    // chunk's exact text, so boundary math (last partial chunk, short and
+    // empty docs collapsing to one chunk) is pinned bit-for-bit.
+    GraftQuery("x24_chunk_overlap", (s, d) => {
+      import s.implicits._
+      val C = 64; val O = 16; val S = C - O
+      T.documents(s, d)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        .withColumn("n", size($"toks"))
+        .withColumn("n_chunks",
+          greatest(lit(1), ceil(($"n" - lit(O)) / lit(S.toDouble)).cast(IntegerType)))
+        .select($"doc_id", $"toks", $"n",
+          posexplode(expr(s"transform(sequence(0, n_chunks - 1), i -> i * $S)")))
+        .toDF("doc_id", "toks", "n", "chunk_id", "start")
+        .select($"doc_id", $"chunk_id".cast(LongType).as("chunk_id"),
+          array_join(slice($"toks", $"start" + 1, lit(C)), " ").as("chunk_text"),
+          least(lit(C), $"n" - $"start").cast(LongType).as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents),
+      m AS (SELECT doc_id, toks, len(toks) AS n,
+              GREATEST(1, CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)) AS n_chunks
+            FROM t),
+      c AS (SELECT doc_id, toks, n, i AS chunk_id, CAST(i * 48 AS INT) AS start
+            FROM m, unnest(range(0, n_chunks)) AS u(i))
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text,
+        CAST(LEAST(64, n - start) AS BIGINT) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_id"""))
   )
 }

@@ -85,6 +85,42 @@ class SimilarityAndSkewSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // 60k-row side where 99% of rows share one join key vs a tiny dim —
+    // with the skew thresholds lowered to test scale, AQE's
+    // OptimizeSkewedJoin must split the hot partition instead of letting
+    // one task process ~the whole fact side (the 100 TB failure mode)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = md5(concat_ws("-", $"l_orderkey", $"l_linenumber"))
+      val fact = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+        .select(when($"l_linenumber" > 1, lit(0L)).otherwise($"l_orderkey").as("k"),
+          concat(pad, pad, pad, pad).as("pad")) // ~128 B/row so the hot partition is MBs
+        .repartition(16) // many mappers: AQE splits a skewed partition by
+                         // mapper block, and a single-file scan gives just one
+      val dim = spark.range(0, 2000).select($"id".as("k"), md5($"id".cast("string")).as("tag"))
+      // global (ungrouped) aggregate: a groupBy(k) here would pin the join
+      // output to hashpartitioning(k) and AQE would refuse to split the
+      // skewed partition rather than add a recovery shuffle
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), max(length($"pad")).as("w"))
+      joined.collect() // AQE finalizes the plan only on execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ANN + simhash gate queries emit all-true invariant rows") {
     for (name <- Seq("n5_ann_lsh", "n5_ann_ivf", "n5_ann_quantized", "n2_simhash")) {
       val rows = SparkEntry.queries(name)(spark, sf).collect()

@@ -635,6 +635,41 @@ class StreamingSpec extends SparkTestBase {
       assert(rows(1L) == good1 && rows(4L) == good2)
     } finally q.stop()
   }
+
+  test("Append-mode session window: emits only after the watermark closes the session (T2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the state-bounded production shape (vs the t2s gate's Complete mode,
+    // which must retain everything): in Append mode a session row is
+    // emitted exactly once — when the watermark passes its close — and its
+    // state is then purgeable
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDS().toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val name = "t2_append_session"
+    val q = agg.select($"user", $"w.start".as("s"), $"n")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst for user 1 inside one session (gap < 5 min)
+      input.addData((1L, ts(0)), (1L, ts(2)), (1L, ts(4)))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty,
+        "open session leaked into Append output before the watermark closed it")
+      // a much later event advances the watermark (10:59 - 10min = 10:49)
+      // past user 1's session close (10:09) → that session must now emit;
+      // user 2's own session stays open and withheld
+      input.addData((2L, ts(59)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, ts(0), 3L)),
+        s"expected exactly user 1's closed session: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
 
 /** The naive schema evolution of [[graft.streaming.UserState]]: one added
