@@ -187,6 +187,68 @@ object CompactingSink {
     deleteRecursively(splitRoot)
   }
 
+  // ---------- snapshot log: time travel + snapshot-isolated reads ----------
+
+  /** Record the store's current live contents as immutable snapshot
+    * `v<version>` under `_snapshots/`. Local stand-in for a table format's
+    * manifest: instead of listing file paths in a metadata file, the
+    * snapshot HARDLINKS every live data file into a versioned dir — zero
+    * data copy, and the links keep the bytes alive after later merges
+    * delete the live dirs' own links. Crash-safe the same way as merges:
+    * staged under `_snapshots/_staging_v<n>`, atomic-renamed into place,
+    * leftovers dropped by [[recover]]. Idempotent per version (a
+    * checkpoint-replayed batch re-snapshots the identical compacted state,
+    * so the existing snapshot stands). At cluster scale this becomes a
+    * manifest JSON naming immutable object-store files — same commit
+    * protocol (stage, then one atomic rename), no hardlinks needed because
+    * data files there are never deleted in place, only unreferenced. */
+  def snapshot(storeDir: String, version: Long): Unit = {
+    val root = Paths.get(storeDir)
+    val snapRoot = root.resolve("_snapshots")
+    Files.createDirectories(snapRoot)
+    val target = snapRoot.resolve(s"v$version")
+    if (Files.exists(target)) return
+    val staging = snapRoot.resolve(s"_staging_v$version")
+    deleteRecursively(staging)
+    liveBuckets(storeDir).foreach { b =>
+      val src = root.resolve(s"bucket=$b")
+      if (hasDataFiles(src)) {
+        val dst = staging.resolve(s"bucket=$b")
+        Files.createDirectories(dst)
+        val s = Files.list(src)
+        try s.iterator().asScala.foreach { f =>
+          val n = f.getFileName.toString
+          if (Files.isRegularFile(f) && !n.startsWith(".") && !n.startsWith("_"))
+            Files.createLink(dst.resolve(n), f)
+        } finally s.close()
+      }
+    }
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Committed snapshot versions, ascending. */
+  def snapshotVersions(storeDir: String): Seq[Long] = {
+    val snapRoot = Paths.get(storeDir).resolve("_snapshots")
+    if (!Files.isDirectory(snapRoot)) return Seq.empty
+    val s = Files.list(snapRoot)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && !n.startsWith("_"))
+      .map(_.stripPrefix("v").toLong).toSeq.sorted
+    finally s.close()
+  }
+
+  /** Time-travel read: the store exactly as of snapshot `version`. The
+    * returned frame is stable under any amount of subsequent store
+    * mutation (snapshot files are immutable link targets). */
+  def readSnapshot(spark: SparkSession, storeDir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$storeDir/_snapshots/v$version")
+
+  /** Retention: drop all but the newest `keepLast` snapshots. */
+  def expireSnapshots(storeDir: String, keepLast: Int): Unit =
+    snapshotVersions(storeDir).dropRight(keepLast).foreach { v =>
+      deleteRecursively(Paths.get(storeDir).resolve("_snapshots").resolve(s"v$v"))
+    }
+
   /** Crash recovery, run before every merge (and safe to call at startup):
     * roll back interrupted splits (children derived from a parked parent
     * are dropped, the parent restored), restore any `_old_bucket=N` whose
@@ -226,6 +288,14 @@ object CompactingSink {
         if (!Files.exists(live)) Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
         else deleteRecursively(p)
       } else if (n.startsWith("_tmp_")) deleteRecursively(p)
+    }
+    // 3. interrupted snapshot staging (committed v* dirs are immutable)
+    val snapRoot = root.resolve("_snapshots")
+    if (Files.isDirectory(snapRoot)) {
+      val s = Files.list(snapRoot)
+      try s.iterator().asScala.toList.foreach { p =>
+        if (p.getFileName.toString.startsWith("_staging_")) deleteRecursively(p)
+      } finally s.close()
     }
   }
 

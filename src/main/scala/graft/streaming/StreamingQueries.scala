@@ -201,6 +201,47 @@ object StreamingQueries {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""")),
 
+    // ----- T6 snapshot log: time travel over the compacted store. Three
+    // deterministic merge batches (event_id mod 3), a snapshot committed
+    // after each; the query reads snapshot v1 (state after batches 0-1)
+    // AND the live store, full-outer-joined per user. The oracle recomputes
+    // both compactions straight from events, so the snapshot is pinned to
+    // exactly the batch-0/1 latest-per-key state — proving later merges
+    // never leak into a committed snapshot (the hardlinked files outlive
+    // the live dirs' own links).
+    GraftQuery("t6_time_travel", (s, d) => {
+      import s.implicits._
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_t6_tt").toString + "/store"
+      val src = T.events(s, d)
+        .select($"user_id", $"event_id", $"ts", vcents($"value").as("cents"))
+      (0 until 3).foreach { i =>
+        CompactingSink.upsertCompact(store, Seq("user_id"), Seq("ts", "event_id"))(
+          src.filter(pmod($"event_id", lit(3)) === i), i.toLong)
+        CompactingSink.snapshot(store, i.toLong)
+      }
+      val v1 = CompactingSink.readSnapshot(s, store, 1L)
+        .select($"user_id", $"event_id".as("eid_v1"), $"cents".as("cents_v1"))
+      val latest = s.read.parquet(store)
+        .select($"user_id", $"event_id".as("eid_latest"), $"cents".as("cents_latest"))
+      latest.join(v1, Seq("user_id"), "full_outer")
+        .select($"user_id", $"eid_v1", $"cents_v1", $"eid_latest", $"cents_latest")
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH v1 AS (
+        SELECT user_id, event_id, ${sql.vcents("value")} AS cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events WHERE event_id % 3 <= 1) t WHERE rn = 1),
+      lat AS (
+        SELECT user_id, event_id, ${sql.vcents("value")} AS cents
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events) t WHERE rn = 1)
+      SELECT COALESCE(l.user_id, v.user_id) AS user_id,
+        v.event_id AS eid_v1, v.cents AS cents_v1,
+        l.event_id AS eid_latest, l.cents AS cents_latest
+      FROM lat l FULL JOIN v1 v ON l.user_id = v.user_id
+      ORDER BY user_id""")),
+
     // ----- T2 (streaming half): session windows over the watermarked
     // stream — per-user activity bursts closed by a 10-minute gap, the
     // per-connection message-burst analogue (websocket.hpp:175-209).

@@ -636,6 +636,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("snapshot log: time travel stable under later merges; staging recovery; retention (T6)") {
+    import spark.implicits._
+    val store = tmp("snap") + "/store"
+    def batch(rows: (Long, Long, Long)*) = rows.toSeq.toDF("k", "ord", "v")
+    def contents(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select($"k", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("ord"))(
+      batch((1L, 1L, 10L), (2L, 1L, 20L)), 0L)
+    CompactingSink.snapshot(store, 0L)
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("ord"))(batch((1L, 2L, 11L)), 1L)
+    CompactingSink.snapshot(store, 1L)
+    assert(contents(CompactingSink.readSnapshot(spark, store, 0L)) == Map(1L -> 10L, 2L -> 20L))
+    assert(contents(CompactingSink.readSnapshot(spark, store, 1L)) == Map(1L -> 11L, 2L -> 20L))
+    // isolation: a frame pinned to v0 is byte-stable across a later merge
+    // that rewrites key 1's bucket (the snapshot's hardlinks keep the old
+    // files alive after the live dir swap deletes its links)
+    val pinned = CompactingSink.readSnapshot(spark, store, 0L)
+    CompactingSink.upsertCompact(store, Seq("k"), Seq("ord"))(batch((1L, 3L, 12L)), 2L)
+    assert(contents(pinned) == Map(1L -> 10L, 2L -> 20L),
+      "committed snapshot changed under a later merge")
+    assert(contents(spark.read.parquet(store)) == Map(1L -> 12L, 2L -> 20L))
+    // idempotent re-snapshot (checkpoint replay): existing version stands
+    CompactingSink.snapshot(store, 0L)
+    assert(contents(CompactingSink.readSnapshot(spark, store, 0L)) == Map(1L -> 10L, 2L -> 20L))
+    // interrupted staging is dropped by recover; committed versions survive
+    val staging = java.nio.file.Paths.get(store, "_snapshots", "_staging_v9")
+    java.nio.file.Files.createDirectories(staging)
+    CompactingSink.recover(store)
+    assert(!java.nio.file.Files.exists(staging), "staging leftover survived recover")
+    assert(CompactingSink.snapshotVersions(store) == Seq(0L, 1L))
+    // retention keeps the newest N
+    CompactingSink.snapshot(store, 2L)
+    CompactingSink.expireSnapshots(store, keepLast = 2)
+    assert(CompactingSink.snapshotVersions(store) == Seq(1L, 2L))
+  }
+
   test("Append-mode session window: emits only after the watermark closes the session (T2)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
