@@ -145,7 +145,11 @@ def gen_window_frame(i):
     t, part, order, key = rng.choice([
         ("orders", "o_custkey", "o_orderkey", "o_orderkey"),
         ("events", "user_id", "event_id", "event_id"),
-        ("lineitem", "l_suppkey", "l_orderkey, l_linenumber", "l_orderkey"),
+        # NB (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # lineitem (11785 dup pairs at sf0.01) — the full 4-column key is,
+        # and every candidate window value is one of those columns, so tied
+        # rows are value-identical and the frame results are well-defined
+        ("lineitem", "l_suppkey", "l_orderkey, l_linenumber, l_partkey, l_suppkey", "l_orderkey"),
     ])
     val = rng.choice(TABLES[t]["int"])
     a, b = rng.randint(0, 5), rng.randint(0, 5)
@@ -271,20 +275,53 @@ def gen_scalar(i):
     return (f"SELECT {key}, {', '.join(exprs)} FROM {t} "
             f"WHERE {pred(t)} ORDER BY {key}")
 
+def gen_subquery(i):
+    """correlated/uncorrelated subquery shapes — the decorrelation surface
+    (correlated COUNT compare, IN, Q17-style correlated aggregate
+    threshold, uncorrelated scalar threshold). FP-safety: every compared
+    aggregate is over integer-valued columns, so sums are exact in any
+    partial-aggregation order and the single AVG division is bit-identical
+    across engines."""
+    shape = rng.choice(["scalar_cmp", "in_sub", "corr_agg", "scalar_uncorr"])
+    if shape == "scalar_cmp":
+        k = rng.randint(0, 8)
+        w = pred("orders")
+        return ("SELECT c_custkey, c_mktsegment FROM customer "
+                "WHERE (SELECT COUNT(*) FROM orders "
+                f"WHERE o_custkey = c_custkey AND {w}) > {k} "
+                "ORDER BY c_custkey")
+    if shape == "in_sub":
+        w = pred("orders")
+        return ("SELECT c_custkey FROM customer WHERE c_custkey IN "
+                f"(SELECT o_custkey FROM orders WHERE {w}) ORDER BY c_custkey")
+    if shape == "corr_agg":
+        # Q17 shape over integer-valued quantities (exact sums, one division)
+        frac = rng.choice(["0.5", "0.8", "1.0"])
+        return ("SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem l1 "
+                f"WHERE l_quantity < {frac} * (SELECT AVG(l_quantity) "
+                "FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey) "
+                "ORDER BY l_orderkey, l_partkey, l_linenumber")
+    w = pred("orders")
+    return ("SELECT o_orderkey, o_custkey FROM orders "
+            f"WHERE o_custkey > (SELECT AVG(o_custkey) FROM orders WHERE {w}) "
+            "ORDER BY o_orderkey")
+
 def gen(i):
     r = rng.random()
     if r < 0.12:
         return gen_join(i)
-    if r < 0.26:
+    if r < 0.24:
         return gen_join_shape(i)
-    if r < 0.34:
+    if r < 0.32:
         return gen_window(i)
-    if r < 0.48:
+    if r < 0.44:
         return gen_window_frame(i)
-    if r < 0.56:
+    if r < 0.52:
         return gen_setop(i)
-    if r < 0.66:
+    if r < 0.60:
         return gen_scalar(i)
+    if r < 0.70:
+        return gen_subquery(i)
     t = rng.choice(list(TABLES))
     c = TABLES[t]
     where = " AND ".join(pred(t) for _ in range(rng.randint(1, 3)))

@@ -286,6 +286,34 @@ class OperatorsSpec extends SparkTestBase {
       "q11 global-total threshold degraded to a nested loop")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import spark.implicits._
+    // 100 TB story: a selective dim filter becomes a bloom filter pushed
+    // into the fact scan BEFORE the shuffle — rows that cannot join are
+    // dropped at the source instead of being shuffled. Thresholds lowered
+    // so the local fact side qualifies; broadcast disabled because the
+    // runtime filter targets shuffle joins.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val part = graft.Tables.part(spark, sf).filter($"p_brand" === "Brand#12")
+      val li = graft.Tables.lineitem(spark, sf)
+      val joined = li.join(part, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand").agg(sum($"l_quantity").as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected on the fact side:\n$optimized")
+      assert(joined.collect().nonEmpty) // and the filtered plan still answers
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("catalog cache semantics: cache / isCached / invalidate (ref cache.hpp)") {
     T.lineitem(spark, sf).createOrReplaceTempView("li_cache_test")
     spark.catalog.cacheTable("li_cache_test")
