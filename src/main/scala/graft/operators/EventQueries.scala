@@ -378,6 +378,48 @@ object EventQueries {
                  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
       SELECT p.pid AS purchase_id, j.cid AS click_id
       FROM p LEFT JOIN (SELECT pid, cid FROM j WHERE rn = 1) j ON p.pid = j.pid
-      ORDER BY purchase_id"""), bench = true)
+      ORDER BY purchase_id"""), bench = true),
+
+    // ----- J10: SCD2 (slowly-changing-dimension) join — enrich each fact
+    // row with the dimension VERSION valid at its event time. The dim
+    // history is derived deterministically from supplier (three versions
+    // effective 1995/1997/1999, balance-cents recomputable from v), and
+    // the fact side is matched through the real SCD2 machinery:
+    // Graft.asofJoinLatest on (supplier key, effective_from <= shipdate) —
+    // one shuffle on the key, linear union+window, no interval blowup.
+    // The oracle derives each line's version in closed form (shipdate
+    // banding), so a single wrong as-of boundary (e.g. an exclusive <)
+    // shifts rows between versions and breaks the hash. Aggregated per
+    // (supplier, version) to keep the output compact at any sf.
+    GraftQuery("j10_scd2_join", (s, d) => {
+      import s.implicits._
+      val dim = T.supplier(s, d)
+        .select($"s_suppkey".as("l_suppkey"),
+          round($"s_acctbal" * 100).cast(LongType).as("bal0"),
+          explode(array(lit(0), lit(1), lit(2))).as("v"))
+        .select($"l_suppkey", $"v",
+          to_timestamp(concat(lit(1995) + $"v" * 2, lit("-01-01 00:00:00"))).as("eff_from"),
+          struct($"v".as("version"), ($"bal0" * (lit(10) + $"v")).as("bal_cents")).as("payload"))
+      val pts = T.lineitem(s, d).select($"l_suppkey", $"l_shipdate", $"l_quantity")
+      graft.Graft.asofJoinLatest(pts, "l_shipdate", "l_quantity",
+          dim, "eff_from", "payload", "l_suppkey", "v")
+        .groupBy($"l_suppkey", $"payload.version".as("version"),
+          $"payload.bal_cents".as("bal_cents"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity").cast(LongType).as("sum_qty"))
+        .orderBy($"l_suppkey", $"version")
+    }, Some("""
+      WITH m AS (
+        SELECT l_suppkey,
+          CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00' THEN 0
+               WHEN l_shipdate < TIMESTAMP '1999-01-01 00:00:00' THEN 1
+               ELSE 2 END AS version,
+          l_quantity
+        FROM lineitem)
+      SELECT m.l_suppkey, version,
+        CAST(round(s_acctbal * 100) AS BIGINT) * (10 + version) AS bal_cents,
+        COUNT(*) AS n_lines, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM m JOIN supplier ON m.l_suppkey = s_suppkey
+      GROUP BY 1, 2, 3 ORDER BY l_suppkey, version"""))
   )
 }

@@ -38,9 +38,13 @@ object TpchShapes {
 
   // ----- Q2 shape: min-cost supplier — correlated scalar MIN subquery over
   // a join chain, re-joined to the same chain in the outer query. The
-  // derived `supply` CTE is evaluated once per side (Spark reuses the
-  // aggregated subplan); the correlated MIN decorrelates to a per-part
-  // aggregate joined back on p_partkey.
+  // correlated MIN decorrelates to a per-part aggregate joined back on
+  // p_partkey (plan guard in OperatorsSpec). Known cost of the shared-text
+  // form: Spark inlines the `supply` CTE, so the lineitem aggregation
+  // plans twice (the two consumers prune different columns, defeating
+  // ReuseExchange). The production form computes `supply` once and
+  // localCheckpoints it before the two joins — the CTE-materialization
+  // idiom used by Graft.kmeansCentroids / dedupClusters.
   private val q2 = """
     WITH supply AS (
       SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
