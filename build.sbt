@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a fresh class per query stage; the JDK
+  // default code cache (240 MB) fills after a few hundred stages, the JIT
+  // shuts off ("CodeCache is full. Compiler has been disabled"), and
+  // everything afterwards runs interpreted with superlinear-looking
+  // slowdowns. Long-lived Spark JVMs need a bigger cache + flushing.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Scratch audit tool (not part of the driver contract):
   *   runMain graft.Scratch <sfDir> [queryNames...]   → formatted plans
   *   runMain graft.Scratch <sfDir> --time            → cold/warm timings
-  *   runMain graft.Scratch <sfDir> --scale           → replication scaling probe
+  *   runMain graft.Scratch <sfDir> --scale [family] → replication scaling probe
+  *     (family ∈ events|lineitem|documents; run ONE family per JVM for
+  *      honest numbers — a long-lived probe JVM accumulates codegen
+  *      classes and GC debt that distorts late probes superlinearly)
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -17,7 +20,10 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.length > 1 && args(1) == "--scale") { scaleProbe(spark, d); spark.stop(); return }
+    if (args.length > 1 && args(1) == "--scale") {
+      scaleProbe(spark, d, if (args.length > 2) Some(args(2)) else None)
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "--time") {
       SparkEntry.benchNames.foreach { n =>
         def run() = {
@@ -44,7 +50,9 @@ object Scratch {
     * grows with volume) and time the scale-critical operators at 1×/10×/
     * 100× events, 1×/4×/16× lineitem — evidence that the chosen plans
     * scale linearly, not a benchmark. */
-  def scaleProbe(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+  def scaleProbe(spark: org.apache.spark.sql.SparkSession, d: String,
+                 family: Option[String] = None): Unit = {
+    def want(f: String): Boolean = family.forall(_ == f)
     import org.apache.spark.sql.functions._
     import spark.implicits._
     def time[A](label: String)(f: => A): Unit = {
@@ -53,10 +61,14 @@ object Scratch {
     }
     def replicate(df: org.apache.spark.sql.DataFrame, k: Int, keyCols: Seq[String]) = {
       val r = df.withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+      // single-file parquet yields ~3 input partitions; without this the
+      // replicated cache builds (and on eviction REBUILDS) in 3 fat tasks
+      // whose columnar-compression stats dominate every later timing — a
+      // probe artifact a real multi-file table doesn't have
       keyCols.foldLeft(r)((acc, c) =>
-        acc.withColumn(c, acc(c) * k + col("__r"))).drop("__r")
+        acc.withColumn(c, acc(c) * k + col("__r"))).drop("__r").repartition(32)
     }
-    for (k <- Seq(1, 10, 100)) {
+    for (k <- Seq(1, 10, 100) if want("events")) {
       val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id")).cache()
       val n = ev.count()
       time(f"events x$k%3d ($n%9d rows) s6-style compaction") {
@@ -109,16 +121,43 @@ object Scratch {
       }
       ev.unpersist()
     }
-    for (k <- Seq(1, 4, 16)) {
+    for (k <- Seq(1, 4, 16) if want("lineitem")) {
       val li = replicate(Tables.lineitem(spark, d), k, Seq("l_orderkey")).cache()
       val n = li.count()
       time(f"lineitem x$k%2d ($n%9d rows) q1-style aggregate") {
         li.groupBy($"l_returnflag", $"l_linestatus")
           .agg(sum($"l_quantity"), count(lit(1))).count()
       }
+      // the j10 shape: keyed as-of match against a 3-version SCD2 dim
+      time(f"lineitem x$k%2d ($n%9d rows) j10-style SCD2 as-of join") {
+        val dim = Tables.supplier(spark, d)
+          .select($"s_suppkey".as("l_suppkey"),
+            explode(array(lit(0), lit(1), lit(2))).as("v"))
+          .select($"l_suppkey", $"v",
+            to_timestamp(concat(lit(1995) + $"v" * 2, lit("-01-01 00:00:00"))).as("eff"))
+        graft.Graft.asofJoinLatest(
+          li.select($"l_suppkey", $"l_shipdate", $"l_quantity"),
+          "l_shipdate", "l_quantity", dim, "eff", "v", "l_suppkey", "v")
+          .groupBy($"l_suppkey", $"v").count().count()
+      }
       li.unpersist()
     }
-    for (k <- Seq(1, 5, 20)) {
+    // the x24 shape: chunk-with-overlap explode (map-side only)
+    for (k <- Seq(1, 5, 20) if want("documents")) {
+      val docs = Tables.documents(spark, d)
+        .withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+        .withColumn("doc_id", $"doc_id" * k + $"__r").drop("__r").cache()
+      val n = docs.count()
+      time(f"documents x$k%2d ($n%7d rows) x24-style chunk explode") {
+        docs.select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+          .withColumn("n", size($"toks"))
+          .withColumn("nc", greatest(lit(1), ceil(($"n" - lit(16)) / lit(48.0)).cast("int")))
+          .select($"doc_id", posexplode(expr("transform(sequence(0, nc - 1), i -> i * 48)")))
+          .count()
+      }
+      docs.unpersist()
+    }
+    for (k <- Seq(1, 5, 20) if want("documents")) {
       val docs = Tables.documents(spark, d)
         .withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
         .withColumn("doc_id", $"doc_id" * k + $"__r")
