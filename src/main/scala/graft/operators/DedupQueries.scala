@@ -310,6 +310,57 @@ object DedupQueries {
     }, Some("""
       SELECT COUNT(*) AS n_docs, TRUE AS partition_ok,
         TRUE AS kept_separated, TRUE AS drops_justified
-      FROM embeddings"""))
+      FROM embeddings""")),
+
+    // ----- N9: fuzzy join via deletion neighborhoods (the SymSpell
+    // candidate scheme): match corrupted strings to a reference list at
+    // edit distance <= 1 WITHOUT a pairwise scan. Every string s maps to
+    // its deletion neighborhood D(s) = {s} ∪ {s minus one char}; two
+    // strings within edit distance 1 (insert/delete/substitute) always
+    // share a neighborhood member, so candidates come from a plain
+    // equi-join on the exploded neighborhood keys — |s|+1 derived keys per
+    // row, one shuffle, linear at any scale — and an exact levenshtein
+    // re-filter removes the (distance-2) collisions. The probe side is the
+    // nation list deterministically corrupted (drop the (key mod len)-th
+    // char; every 5th name kept exact), so both engines derive identical
+    // fixtures and the oracle can afford the naive all-pairs form — the
+    // hash match proves the neighborhood join loses no pair.
+    GraftQuery("n9_fuzzy_join", (s, d) => {
+      import s.implicits._
+      def neighborhood(c: Column): Column = array_union(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+      val named = T.nation(s, d).select($"n_nationkey", lower($"n_name").as("name"))
+      val probes = named
+        .withColumn("p", $"n_nationkey" % length($"name") + 1)
+        .select($"n_nationkey".as("vkey"),
+          when($"n_nationkey" % 5 === 0, $"name")
+            .otherwise(concat($"name".substr(lit(1), $"p" - 1),
+              $"name".substr($"p" + 1, length($"name") - $"p"))).as("variant"))
+      val probeKeys = probes
+        .select($"vkey", $"variant", explode(neighborhood($"variant")).as("nk"))
+      val refKeys = named
+        .select($"n_nationkey", $"name", explode(neighborhood($"name")).as("nk"))
+      probeKeys.join(refKeys, "nk")
+        .select($"vkey", $"variant", $"n_nationkey", $"name").distinct()
+        .filter(levenshtein($"variant", $"name") <= 1)
+        .select($"vkey", $"variant", $"n_nationkey".as("match_key"),
+          $"name".as("match_name"),
+          levenshtein($"variant", $"name").as("dist"))
+        .orderBy($"vkey", $"match_key")
+    }, Some("""
+      WITH base AS (SELECT n_nationkey, lower(n_name) AS name FROM nation),
+      v AS (SELECT n_nationkey AS vkey,
+              CASE WHEN n_nationkey % 5 = 0 THEN name
+                   ELSE substr(name, 1, p - 1) || substr(name, p + 1, len(name) - p)
+              END AS variant
+            FROM (SELECT n_nationkey, name,
+                    n_nationkey % len(name) + 1 AS p FROM base))
+      SELECT vkey, variant, n_nationkey AS match_key, name AS match_name,
+        levenshtein(variant, name) AS dist
+      FROM v CROSS JOIN base
+      WHERE levenshtein(variant, name) <= 1
+      ORDER BY vkey, match_key"""))
   )
 }

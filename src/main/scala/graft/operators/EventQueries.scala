@@ -420,6 +420,91 @@ object EventQueries {
         CAST(round(s_acctbal * 100) AS BIGINT) * (10 + version) AS bal_cents,
         COUNT(*) AS n_lines, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
       FROM m JOIN supplier ON m.l_suppkey = s_suppkey
-      GROUP BY 1, 2, 3 ORDER BY l_suppkey, version"""))
+      GROUP BY 1, 2, 3 ORDER BY l_suppkey, version""")),
+
+    // ----- E5: time-series resample + gap fill — project each user's event
+    // history onto a regular daily grid and forward-fill the last observed
+    // value into gap days (the "as-of snapshot per calendar day" shape every
+    // metrics store needs). Three bounded pieces: a per-(user, day) last-value
+    // snapshot (max_by aggregate — partial-combines map-side, never sorts a
+    // partition), a per-user day grid (sequence() explode, bounded by the
+    // user's own active span — no global calendar cross join), and a
+    // forward-fill window per user ordered by day (state bounded per key).
+    // Everything shuffles on user_id / (user_id, day) — the natural keys —
+    // so the plan is linear at any corpus size.
+    GraftQuery("e5_gap_fill", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("day", to_date($"ts"))
+      val snap = ev.groupBy($"user_id", $"day")
+        .agg(max_by(vcents($"value"), struct($"ts", $"event_id")).as("day_cents"))
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      val ff = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(snap, Seq("user_id", "day"), "left")
+        .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+          last($"day_cents", ignoreNulls = true).over(ff).as("filled_cents"),
+          $"day_cents".isNull.as("is_gap"))
+        .orderBy($"user_id", $"day")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+                   ${sql.vcents("value")} AS cents FROM events),
+      snap AS (SELECT user_id, day, cents AS day_cents
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+               WHERE rn = 1),
+      b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1),
+      grid AS (SELECT user_id, CAST(u.g AS DATE) AS day
+               FROM b, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(g)),
+      f AS (SELECT g.user_id, g.day, s.day_cents
+            FROM grid g LEFT JOIN snap s
+              ON g.user_id = s.user_id AND g.day = s.day)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        LAST_VALUE(day_cents IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS filled_cents,
+        day_cents IS NULL AS is_gap
+      FROM f ORDER BY user_id, day""")),
+
+    // ----- E6: interval concurrency via a distributed sweep line — "how
+    // many 30-minute sessions were simultaneously live" (connection-count /
+    // capacity-planning analytics). Each event opens a half-open interval
+    // [ts, ts+30min): +1 at the start, -1 at the end, ends applied before
+    // starts at the same instant (key = 2*us + is_start). Deltas are first
+    // aggregated per unique boundary key (map-side combinable; makes the
+    // running value peer-inclusive and hence order-deterministic), then the
+    // global running sum is the two-pass SkewUtils.rangedCumSum — never a
+    // single-reducer `sum() over (order by ts)`. Output is the per-day max
+    // of the concurrency at boundary instants (between boundaries the value
+    // is constant, so boundary maxima are exact).
+    GraftQuery("e6_concurrency", (s, d) => {
+      import s.implicits._
+      val us = unix_micros($"ts")
+      val ev = T.events(s, d)
+      val starts = ev.select((us * 2 + 1).as("k"), lit(1L).as("delta"))
+      val ends = ev.select(((us + 1800000000L) * 2).as("k"), lit(-1L).as("delta"))
+      val net = starts.unionByName(ends)
+        .groupBy($"k").agg(sum($"delta").as("net"))
+      SkewUtils.rangedCumSum(net, Seq("k"), "net", 32, "conc")
+        .withColumn("day",
+          date_format(timestamp_micros(shiftright($"k", 1)), "yyyy-MM-dd"))
+        .groupBy($"day")
+        .agg(max($"conc").as("max_conc"), count(lit(1)).as("n_boundaries"))
+        .orderBy($"day")
+    }, Some("""
+      WITH pts AS (
+        SELECT epoch_us(ts) * 2 + 1 AS k, 1 AS delta FROM events
+        UNION ALL
+        SELECT (epoch_us(ts) + 1800000000) * 2 AS k, -1 AS delta FROM events),
+      g AS (SELECT k, SUM(delta) AS net FROM pts GROUP BY k),
+      r AS (SELECT k, SUM(net) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+            FROM g)
+      SELECT strftime(make_timestamp(k // 2), '%Y-%m-%d') AS day,
+        CAST(MAX(conc) AS BIGINT) AS max_conc, COUNT(*) AS n_boundaries
+      FROM r GROUP BY 1 ORDER BY day"""))
   )
 }

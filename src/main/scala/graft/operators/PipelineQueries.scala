@@ -21,6 +21,37 @@ object PipelineQueries {
 
   val queries: Seq[GraftQuery] = Seq(
 
+    // ----- x26: weighted sampling without replacement — sequential Poisson
+    // sampling (Ohlsson 1998, the order-sampling design official statistics
+    // uses): each doc gets priority xi = u / w with u a deterministic
+    // uniform derived from md5(doc_id) and w = n_chars; the k smallest
+    // priorities are the sample, with inclusion probability ~ k*w/SUM(w).
+    // Everything is exact arithmetic both engines share bit-for-bit: u is a
+    // 52-bit md5 prefix (fits a double exactly), and the two divisions are
+    // single correctly-rounded IEEE ops — no ln/pow whose libm rounding
+    // could flip the k-th boundary. At scale this is a pure map-side
+    // projection + top-k (TakeOrderedAndProject: per-partition heaps, never
+    // a global sort), and the sample is reproducible forever from the ids —
+    // retry-stable, cluster-size-independent, like x15/x16.
+    GraftQuery("x26_priority_sample", (s, d) => {
+      import s.implicits._
+      val u52 = conv(substring(md5($"doc_id".cast(StringType)), 1, 13), 16, 10)
+        .cast(LongType)
+      val xi = u52.cast(DoubleType) / lit(4503599627370496.0) /
+        $"n_chars".cast(DoubleType)
+      T.documents(s, d).filter($"n_chars" > 0)
+        .select($"doc_id", $"n_chars", xi.as("xi"))
+        .orderBy($"xi", $"doc_id").limit(50)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, n_chars,
+        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+          / 4503599627370496.0 / n_chars AS xi
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, n_chars, xi
+      FROM (SELECT * FROM t ORDER BY xi, doc_id LIMIT 50)
+      ORDER BY doc_id""")),
+
     // ----- x17: Gopher-style hard quality gate — each rule is a named
     // boolean so downstream can audit WHY a doc was dropped (the rule-based
     // companion of the soft score in x2_quality). Rules chosen to actually

@@ -195,6 +195,70 @@ object SourceQueries {
         COUNT(DISTINCT user_id) AS n_users,
         TRUE AS sixteen_files, TRUE AS files_narrow_in_user,
         TRUE AS files_narrow_in_time, TRUE AS beats_time_sorted_layout
-      FROM events"""))
+      FROM events""")),
+
+    // ----- S9: MERGE INTO (CDC changelog apply) — apply a change batch
+    // with upserts AND deletes to a base snapshot, the batch half of the
+    // compacted-store story (CompactingSink covers the streaming upsert
+    // path; this adds the delete-tombstone semantics a changelog consumer
+    // needs). Base = per-user latest state before the cutoff; changes =
+    // per-user latest event after it, a 'purchase' acting as the delete
+    // tombstone. Semantics: matched+delete drops the key, matched+upsert
+    // updates, unmatched+upsert inserts, unmatched+delete is a no-op.
+    // Shape at scale: both compactions are max_by aggregates (map-side
+    // partial combine — never a whole-partition sort) and the merge itself
+    // is ONE shuffle join on the key; nothing is ever collected or
+    // replayed. The action column pins each row to the branch that
+    // produced it, so a wrong merge branch breaks the hash, not just the
+    // row count. The two key-slice predicates (base misses user_id%3==0,
+    // changes miss user_id%5==1) exist solely so the fixture exercises
+    // every branch: insert, update, keep, delete, and unmatched-delete.
+    GraftQuery("s9_merge_upsert", (s, d) => {
+      import s.implicits._
+      val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+      val ev = T.events(s, d).withColumn("cents", vcents($"value"))
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"event_type", $"cents"),
+          struct($"ts", $"event_id")).as("r"))
+      val base = latest(ev.filter($"ts" < cutoff && $"user_id" % 3 =!= 0))
+        .select($"user_id", $"r.event_id".as("b_event"), $"r.cents".as("b_cents"))
+      val changes = latest(ev.filter($"ts" >= cutoff && $"user_id" % 5 =!= 1))
+        .select($"user_id", $"r.event_id".as("c_event"), $"r.cents".as("c_cents"),
+          when($"r.event_type" === "purchase", "delete").otherwise("upsert").as("op"))
+      base.join(changes, Seq("user_id"), "full_outer")
+        .filter(coalesce($"op", lit("upsert")) =!= "delete")
+        .select($"user_id",
+          coalesce($"c_event", $"b_event").as("event_id"),
+          coalesce($"c_cents", $"b_cents").as("cents"),
+          when($"op".isNull, "keep")
+            .when($"b_event".isNull, "insert").otherwise("update").as("action"))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, ts,
+                   ${sql.vcents("value")} AS cents FROM events),
+      base AS (SELECT user_id, event_id AS b_event, cents AS b_cents
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                       AND user_id % 3 <> 0)
+               WHERE rn = 1),
+      chg AS (SELECT user_id, event_id AS c_event, cents AS c_cents,
+                CASE WHEN event_type = 'purchase' THEN 'delete'
+                     ELSE 'upsert' END AS op
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      AND user_id % 5 <> 1)
+              WHERE rn = 1)
+      SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+        COALESCE(c_event, b_event) AS event_id,
+        COALESCE(c_cents, b_cents) AS cents,
+        CASE WHEN op IS NULL THEN 'keep'
+             WHEN b_event IS NULL THEN 'insert'
+             ELSE 'update' END AS action
+      FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+      WHERE COALESCE(op, 'upsert') <> 'delete'
+      ORDER BY user_id"""))
   )
 }

@@ -466,6 +466,62 @@ object TextQueries {
       FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
       LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")),
 
+    // ----- x14's 100 TB path: bloom-filter pre-prune before the exact
+    // decontamination join. At scale the corpus gram stream is ~1000x the
+    // benchmark's; shuffling all of it into the equi-join just to discard
+    // 99.9% is the bottleneck. Instead the benchmark grams fold into a
+    // Spark BloomFilter sketch (driver-held, MB-sized — the same object
+    // AQE's runtime row-filters ship), which probes map-side via the
+    // codegen'd BloomFilterMightContain expression: only grams the bloom
+    // admits reach the shuffle. Blooms have NO false negatives, so the
+    // exact confirm join over the admitted grams returns exactly x14's
+    // answer — the driver's hash compare against the exact-SQL oracle IS
+    // the soundness proof (one lost gram undercounts n_hits and breaks the
+    // hash). `bloom_pruned` additionally asserts the sketch really did
+    // discard most of the corpus stream (fpp 0.1% → admitted ≈ true hits),
+    // i.e. the probe isn't a pass-through.
+    GraftQuery("x25_bloom_decontam", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftSqlShim.{column, expression}
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val g = T.documents(s, d)
+        .select($"doc_id", split(trim($"text"), " ").as("toks"))
+        .select($"doc_id", explode(graft.Graft.wordGramHashes($"toks", 8)).as("gram"))
+      val benchGrams = g.filter($"doc_id" < 10).select($"gram").distinct()
+      val bf = benchGrams.stat.bloomFilter("gram", math.max(benchGrams.count(), 1L), 0.001)
+      val bfBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      val mightContain =
+        column(BloomFilterMightContain(expression(lit(bfBytes)), expression($"gram")))
+      val corpus = g.filter($"doc_id" >= 10)
+      val admitted = corpus.filter(mightContain)
+      val Array(counts, admittedN) = corpus
+        .agg(count(lit(1)), count(when(mightContain, 1)))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val hits = admitted.join(benchGrams, "gram")
+        .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+      T.documents(s, d).filter($"doc_id" >= 10).select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"hits", lit(0L)).as("n_hits"),
+          $"hits".isNotNull.as("contaminated"),
+          lit(admittedN < counts / 2).as("bloom_pruned"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(w) - 6, 1))) AS u(i)),
+      b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+      hits AS (SELECT g.doc_id, COUNT(*) AS hits
+               FROM g JOIN b USING (gram) WHERE g.doc_id >= 10 GROUP BY g.doc_id)
+      SELECT d.doc_id, COALESCE(h.hits, 0) AS n_hits,
+        h.doc_id IS NOT NULL AS contaminated, TRUE AS bloom_pruned
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+      LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")),
+
     // ----- sequence packing: assign documents (in stable doc_id order) to
     // fixed token-budget packs — the batch-construction step of an LLM
     // training pipeline (contiguous-fill packing: a doc starts the pack its

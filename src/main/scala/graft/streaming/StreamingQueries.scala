@@ -156,6 +156,37 @@ object StreamingQueries {
             FROM events) t
       WHERE rn = 1 ORDER BY user_id""")),
 
+    // ----- T7: streaming materialized aggregate view — the stream lands
+    // per-batch partial aggregates as immutable deltas (AggregatingSink;
+    // additive LSM companion of the latest-per-key compacting store), the
+    // fold step compacts the delta log, and the VIEW read back from disk
+    // must equal the batch aggregate oracle. Additive state is where
+    // at-least-once silently corrupts (a replayed batch double-counts) —
+    // here replay is a no-op because a batch's delta commit is keyed by its
+    // batchId (idempotence + crash-protocol tests in StreamingSpec).
+    GraftQuery("t7_stream_agg_view", (s, d) => {
+      import s.implicits._
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_t7_store").toString + "/view"
+      val src = eventsStream(s, d)
+        .select($"event_type", vcents($"value").as("cents"), lit(1L).as("n"))
+      val q = src.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_t7_ckpt").toString)
+        .foreachBatch(AggregatingSink.appendDelta(
+          store, Seq("event_type"), Seq("cents", "n")) _)
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      AggregatingSink.fold(s, store, Seq("event_type"), Seq("cents", "n"))
+      val oneDelta = AggregatingSink.deltaIds(store).size == 1
+      AggregatingSink.read(s, store, Seq("event_type"), Seq("cents", "n"))
+        .select($"event_type", $"cents", $"n", lit(oneDelta).as("folded_to_one"))
+        .orderBy($"event_type")
+    }, Some(s"""
+      SELECT event_type, CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS cents,
+        COUNT(*) AS n, TRUE AS folded_to_one
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ----- T6 growth variant: the compacted store splits its buckets as
     // data arrives. Rows are padded (~2 KB) and the store starts at depth 2
     // (4 buckets) with a 6 KB bucket cap, so splits genuinely trigger at

@@ -573,6 +573,76 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark evicts dedup state after the delay (T5b)") {
+    // plain dropDuplicates keeps every seen key forever — unbounded state at
+    // 100 TB. The within-watermark variant bounds state to the watermark
+    // horizon: duplicates inside the delay are dropped, and once the
+    // watermark passes a key's expiry the key is forgotten — observable as
+    // the same id being admitted again with a fresh event time.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val dedup = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val qn = s"t5b_test_${System.nanoTime()}"
+    val q = dedup.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    def ts(s: Long) = new Timestamp(s * 1000)
+    try {
+      // batch 1: duplicate id within the delay — dropped
+      input.addData((1L, ts(100)), (1L, ts(105))); q.processAllAvailable()
+      // batch 2: advances the watermark to 190s — id 1's state (expiry
+      // 110s) is evicted
+      input.addData((2L, ts(200))); q.processAllAvailable()
+      // batch 3: id 1 reappears with a fresh timestamp — admitted again,
+      // proving the dedup state really was purged (plain dropDuplicates
+      // would still suppress it)
+      input.addData((1L, ts(210))); q.processAllAvailable()
+      val ids = spark.table(qn).collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 1L, 2L),
+        s"expected id 1 re-admitted after state eviction, got $ids")
+    } finally q.stop()
+  }
+
+  test("aggregating sink: batch replay is a no-op; fold compacts; crashed fold recovers (T7)") {
+    import spark.implicits._
+    import java.nio.file.{Paths, StandardCopyOption}
+    val store = tmp("t7sink") + "/view"
+    def commit(id: Long, rows: (String, Long)*): Unit =
+      AggregatingSink.appendDelta(store, Seq("k"), Seq("v"))(rows.toDF("k", "v"), id)
+    def view(): Map[String, Long] =
+      AggregatingSink.read(spark, store, Seq("k"), Seq("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    commit(0, ("a", 1L), ("b", 2L))
+    commit(1, ("a", 10L))
+    // checkpoint replay of batch 1 (worst case: with different content) —
+    // the committed delta stands, nothing double-counts
+    commit(1, ("a", 999L))
+    assert(view() == Map("a" -> 11L, "b" -> 2L))
+    // fold compacts the delta log to one delta, view unchanged
+    AggregatingSink.fold(spark, store, Seq("k"), Seq("v"))
+    assert(AggregatingSink.deltaIds(store) == Seq(1L))
+    assert(view() == Map("a" -> 11L, "b" -> 2L))
+    // crash window: fold committed (_fold_commit_ present) but cleanup not
+    // run — recover completes it: folded sources dropped, view intact
+    commit(2, ("b", 5L))
+    AggregatingSink.read(spark, store, Seq("k"), Seq("v"))
+      .write.mode("overwrite").parquet(s"$store/_fold_staging_2")
+    Files.move(Paths.get(s"$store/_fold_staging_2"),
+      Paths.get(s"$store/_fold_commit_2"), StandardCopyOption.ATOMIC_MOVE)
+    AggregatingSink.recover(store)
+    assert(AggregatingSink.deltaIds(store) == Seq(2L))
+    assert(view() == Map("a" -> 11L, "b" -> 7L))
+    // uncommitted staging from a crash mid-write is dropped, not applied
+    commit(3, ("a", 100L))
+    AggregatingSink.read(spark, store, Seq("k"), Seq("v"))
+      .write.mode("overwrite").parquet(s"$store/_fold_staging_3")
+    AggregatingSink.recover(store)
+    assert(AggregatingSink.deltaIds(store) == Seq(2L, 3L))
+    assert(view() == Map("a" -> 111L, "b" -> 7L))
+  }
+
   test("transformWithState runs a keyed running total (T4, Spark-4 arbitrary-state API)") {
     // the successor API to mapGroupsWithState: explicit typed state handles
     // (ValueState here), RocksDB-only state backend — the forward path for
