@@ -505,6 +505,6 @@ object EventQueries {
             FROM g)
       SELECT strftime(make_timestamp(k // 2), '%Y-%m-%d') AS day,
         CAST(MAX(conc) AS BIGINT) AS max_conc, COUNT(*) AS n_boundaries
-      FROM r GROUP BY 1 ORDER BY day"""))
+      FROM r GROUP BY 1 ORDER BY day"""), bench = true)
   )
 }

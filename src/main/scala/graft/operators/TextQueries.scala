@@ -520,7 +520,7 @@ object TextQueries {
       SELECT d.doc_id, COALESCE(h.hits, 0) AS n_hits,
         h.doc_id IS NOT NULL AS contaminated, TRUE AS bloom_pruned
       FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
-      LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")),
+      LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"""), bench = true),
 
     // ----- sequence packing: assign documents (in stable doc_id order) to
     // fixed token-budget packs — the batch-construction step of an LLM

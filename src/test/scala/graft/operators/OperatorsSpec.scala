@@ -314,6 +314,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("r6 operator plan shapes: n9 equi-join, s9 merge join, x25 bloom probe, x26 top-k") {
+    // n9: the deletion-neighborhood scheme exists to avoid the pairwise
+    // scan — the candidate join must be an equi join, never a nested loop
+    val n9 = SparkEntry.queries("n9_fuzzy_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!n9.contains("BroadcastNestedLoopJoin") && !n9.contains("CartesianProduct"),
+      s"fuzzy join degraded to a pairwise scan:\n$n9")
+    // s9: the CDC merge is one full-outer shuffle join on the key
+    val s9 = SparkEntry.queries("s9_merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(s9.contains("FullOuter") && !s9.contains("BroadcastNestedLoopJoin"),
+      s"merge is not a single full-outer join:\n$s9")
+    // x25: the bloom probe must sit in a Filter on the corpus scan side
+    // (map-side pruning before the shuffle), and the confirm join stays equi
+    val x25 = SparkEntry.queries("x25_bloom_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(x25.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$x25")
+    assert(!x25.contains("BroadcastNestedLoopJoin"))
+    // x26: global top-k must be TakeOrderedAndProject (per-partition heaps),
+    // never a full global sort
+    val x26 = SparkEntry.queries("x26_priority_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(x26.contains("TakeOrderedAndProject"),
+      s"priority sample plans a global sort instead of top-k:\n$x26")
+  }
+
   test("catalog cache semantics: cache / isCached / invalidate (ref cache.hpp)") {
     T.lineitem(spark, sf).createOrReplaceTempView("li_cache_test")
     spark.catalog.cacheTable("li_cache_test")
