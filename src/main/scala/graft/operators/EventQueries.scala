@@ -505,6 +505,38 @@ object EventQueries {
             FROM g)
       SELECT strftime(make_timestamp(k // 2), '%Y-%m-%d') AS day,
         CAST(MAX(conc) AS BIGINT) AS max_conc, COUNT(*) AS n_boundaries
-      FROM r GROUP BY 1 ORDER BY day"""), bench = true)
+      FROM r GROUP BY 1 ORDER BY day"""), bench = true),
+
+    // ----- e7: robust per-key anomaly detection — median + MAD (median
+    // absolute deviation), the outlier gate that, unlike e4's z-score, a
+    // single extreme value cannot poison (mean/stddev break down at 50%
+    // contamination, median/MAD at 0%... up to half). Two exact-percentile
+    // aggregations per key with the deviations joined back between them;
+    // every stage is a keyed hash agg or equi join on user_id — no window
+    // over a whole key, no driver collection. Exact `percentile` on
+    // integer cents keeps the interpolated midpoints (.5) bit-identical
+    // to DuckDB's quantile_cont. At 100 TB swap `percentile` for
+    // `approx_percentile(.., 10000)` per key (same plan shape, bounded
+    // sketch memory) — exact here because the oracle needs equality.
+    GraftQuery("e7_anomaly_mad", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        WITH c AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        m AS (SELECT user_id, percentile(cents, 0.5) AS med FROM c GROUP BY user_id),
+        d AS (SELECT c.user_id, abs(c.cents - m.med) AS adev, c.cents, m.med
+              FROM c JOIN m USING (user_id)),
+        md AS (SELECT user_id, percentile(adev, 0.5) AS mad FROM d GROUP BY user_id)
+        SELECT d.user_id, MAX(d.med) AS med, MAX(md.mad) AS mad,
+          CAST(SUM(CASE WHEN md.mad > 0 AND d.adev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        FROM d JOIN md USING (user_id) GROUP BY d.user_id ORDER BY d.user_id""")
+    }, Some("""
+      WITH c AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+      m AS (SELECT user_id, quantile_cont(cents, 0.5) AS med FROM c GROUP BY user_id),
+      d AS (SELECT c.user_id, abs(c.cents - m.med) AS adev, c.cents, m.med
+            FROM c JOIN m USING (user_id)),
+      md AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY user_id)
+      SELECT d.user_id, MAX(d.med) AS med, MAX(md.mad) AS mad,
+        CAST(SUM(CASE WHEN md.mad > 0 AND d.adev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      FROM d JOIN md USING (user_id) GROUP BY d.user_id ORDER BY d.user_id"""))
   )
 }

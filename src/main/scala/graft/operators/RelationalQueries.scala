@@ -16,6 +16,17 @@ import org.apache.spark.sql.types._
 object RelationalQueries {
   import Det._
 
+  /** Dialect-identical LATERAL top-n text shared by j11's Spark run and
+    * its DuckDB oracle (the TpchShapes same-text contract). */
+  val lateralTopnSql: String = """
+    SELECT c.c_custkey, l.o_orderkey, l.price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, price DESC, o_orderkey"""
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- q1: TPC-H Q1-shaped pricing summary (P1 P2 A1 P4; the M1 slice)
@@ -1074,6 +1085,93 @@ object RelationalQueries {
         RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk,
         DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drk,
         NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
-      FROM customer ORDER BY c_nationkey, c_custkey"""))
+      FROM customer ORDER BY c_nationkey, c_custkey""")),
+
+    // ----- P9: recursive CTE — iterative self-referencing query (Spark 4
+    // WITH RECURSIVE, executed as UnionLoop). The fixture walks each
+    // customer key up a derived binary tree (parent = key div 2) and
+    // aggregates the path — the hierarchy/transitive-closure surface
+    // (org charts, BOM explosion, graph reachability) that previously
+    // needed a driver-side loop. Scale: each of the O(log maxKey)
+    // iterations is one distributed filter+project over the previous
+    // level's rows; no step ever holds the closure on one task, and the
+    // final aggregate is an ordinary partial/final hash agg. Plan guard
+    // (OperatorsSpec): the plan contains UnionLoop, proving real
+    // recursion rather than a rewritten union.
+    GraftQuery("p9_recursive_cte", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS custkey, c_custkey AS node, 0 AS depth FROM customer
+          UNION ALL
+          SELECT custkey, node div 2, depth + 1 FROM chain WHERE node > 1)
+        SELECT custkey, MAX(depth) AS root_depth, CAST(SUM(node) AS BIGINT) AS path_sum
+        FROM chain GROUP BY custkey ORDER BY custkey""")
+    }, Some("""
+      WITH RECURSIVE chain AS (
+        SELECT c_custkey AS custkey, c_custkey AS node, 0 AS depth FROM customer
+        UNION ALL
+        SELECT custkey, node // 2, depth + 1 FROM chain WHERE node > 1)
+      SELECT custkey, MAX(depth) AS root_depth, CAST(SUM(node) AS BIGINT) AS path_sum
+      FROM chain GROUP BY custkey ORDER BY custkey""")),
+
+    // ----- J11: lateral correlated subquery with ORDER BY + LIMIT — the
+    // "top-n per outer row" join surface. Dialect-identical text runs on
+    // both engines. Spark decorrelates the per-customer LIMIT into a
+    // row_number window + rank filter joined back to customer (probed:
+    // Window + BroadcastHashJoin, no nested loop) — but keeps the lateral
+    // ORDER BY as a GLOBAL range sort of orders before the window, an
+    // extra linear exchange the hand-written form avoids. At 100 TB prefer
+    // the explicit W1 idiom (row_number over partitionBy(custkey)) for hot
+    // paths; this gate pins the LATERAL API surface and that its plan
+    // stays join+window shaped (guard in OperatorsSpec: no BNLJ).
+    GraftQuery("j11_lateral_topn", (s, d) => {
+      T.registerAll(s, d)
+      s.sql(RelationalQueries.lateralTopnSql)
+    }, Some(RelationalQueries.lateralTopnSql)),
+
+    // ----- J12: interval-overlap join — two interval sets, pairs that
+    // overlap in time. The naive form is a two-sided theta join (BNLJ,
+    // quadratic when both sides are fact tables); the scale path is
+    // SkewUtils.intervalOverlapJoin bucket decomposition: both sides
+    // explode to covered fixed-width buckets, pairs match exactly once in
+    // the first shared bucket (greatest-start rule), exact predicate
+    // re-applied. The fixture overlaps urgent-vs-high-priority order
+    // fulfilment windows in one quarter (scoped like j9 so the bench
+    // measures join machinery, not output volume); the oracle is the
+    // naive theta form in DuckDB. Plan guard: no BNLJ/CartesianProduct.
+    GraftQuery("j12_interval_overlap", (s, d) => {
+      import s.implicits._
+      def windows(prio: String, keyName: String) = T.orders(s, d)
+        .filter($"o_orderpriority" === prio &&
+          $"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1996-04-01").cast(TimestampType))
+        .select($"o_orderkey".as(keyName), $"o_orderdate".as(s"${keyName}_s"),
+          ($"o_orderdate" + expr("INTERVAL 7 DAYS")).as(s"${keyName}_e"))
+      val a = windows("1-URGENT", "a_key")
+      val b = windows("2-HIGH", "b_key")
+      SkewUtils.intervalOverlapJoin(a, "a_key_s", "a_key_e", b, "b_key_s", "b_key_e", 7L * 86400)
+        .withColumn("ov_sec",
+          (unix_micros(least($"a_key_e", $"b_key_e").cast(TimestampType)) -
+            unix_micros(greatest($"a_key_s", $"b_key_s").cast(TimestampType))) / lit(1000000L))
+        .groupBy($"a_key")
+        .agg(count(lit(1)).as("n_overlaps"),
+          max($"ov_sec").cast(LongType).as("max_ov_sec"),
+          sum($"ov_sec").cast(LongType).as("sum_ov_sec"))
+        .orderBy($"a_key")
+    }, Some("""
+      WITH a AS (SELECT o_orderkey AS a_key, o_orderdate AS s, o_orderdate + INTERVAL 7 DAY AS e
+                 FROM orders WHERE o_orderpriority = '1-URGENT'
+                   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'),
+      b AS (SELECT o_orderkey AS b_key, o_orderdate AS s, o_orderdate + INTERVAL 7 DAY AS e
+            FROM orders WHERE o_orderpriority = '2-HIGH'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00')
+      SELECT a_key, COUNT(*) AS n_overlaps,
+        CAST(MAX(epoch(least(a.e, b.e) - greatest(a.s, b.s))) AS BIGINT) AS max_ov_sec,
+        CAST(SUM(epoch(least(a.e, b.e) - greatest(a.s, b.s))) AS BIGINT) AS sum_ov_sec
+      FROM a JOIN b ON a.s < b.e AND b.s < a.e
+      GROUP BY a_key ORDER BY a_key"""))
   ) ++ TpchShapes.queries
 }

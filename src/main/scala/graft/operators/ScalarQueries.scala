@@ -562,6 +562,40 @@ object ScalarQueries {
         CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS d_ref,
         CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS d_rev,
         CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS d_seg
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // ----- semi-structured VARIANT (Spark 4): parse_json into an open
+    // binary-encoded document type, typed path extraction (variant_get),
+    // and cast-to-native for array HOFs — the schema-on-read surface for
+    // ingesting heterogeneous JSON at scale without a fixed StructType.
+    // The query parses the events.props payload, rebuilds a nested
+    // document per row, and extracts scalars + an array through VARIANT;
+    // the DuckDB oracle mirrors every step with its JSON type (parse,
+    // path-extract, cast JSON -> BIGINT[]). Unlike get_json_object
+    // (f_map_json, string re-parse per access), VARIANT parses once and
+    // serves every later extraction from the binary encoding — the right
+    // shape when one 100 TB scan feeds many extractions.
+    GraftQuery("f_variant", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        WITH j AS (SELECT event_id, variant_get(parse_json(props), '$.k', 'long') AS k, user_id
+                   FROM events WHERE event_id < 15000),
+        n AS (SELECT event_id, k,
+                parse_json(format_string('{"u":%d,"vals":[%d,%d,%d]}', user_id, k, k*2, k*3)) AS nested
+              FROM j)
+        SELECT event_id, k, variant_get(nested, '$.u', 'long') AS u,
+          size(cast(variant_get(nested, '$.vals') AS array<bigint>)) AS n_vals,
+          aggregate(cast(variant_get(nested, '$.vals') AS array<bigint>), 0L, (a, x) -> a + x) AS sum_vals
+        FROM n ORDER BY event_id""")
+    }, Some("""
+      WITH j AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, user_id
+                 FROM events WHERE event_id < 15000),
+      n AS (SELECT event_id, k,
+              format('{{"u":{},"vals":[{},{},{}]}}', user_id, k, k*2, k*3) AS nested
+            FROM j)
+      SELECT event_id, k, CAST(json_extract(nested, '$.u') AS BIGINT) AS u,
+        CAST(len(CAST(json_extract(nested, '$.vals') AS BIGINT[])) AS INT) AS n_vals,
+        CAST(list_sum(CAST(json_extract(nested, '$.vals') AS BIGINT[])) AS BIGINT) AS sum_vals
+      FROM n ORDER BY event_id"""))
   )
 }

@@ -171,6 +171,34 @@ object SkewUtils {
       .drop("__b")
   }
 
+  /** Interval-overlap join via bucket decomposition — the two-sided
+    * generalization of [[pointInIntervalJoin]] (J12). Half-open intervals
+    * [aStart,aEnd) and [bStart,bEnd) overlap iff aStart < bEnd AND
+    * bStart < aEnd — a theta join Spark can only run as a BNLJ. Both sides
+    * explode to the fixed-width buckets they cover, so an overlapping pair
+    * shares at least one bucket id; requiring the match to happen ONLY in
+    * the bucket containing greatest(aStart, bStart) (the first bucket both
+    * cover) makes each pair match exactly once — no post-join dedup
+    * shuffle. The exact overlap predicate is re-applied, so the result is
+    * identical to the naive form. Pick `bucketSeconds` ≈ the typical
+    * interval length (same trade-off as pointInIntervalJoin). */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val w = lit(bucketSeconds * 1000000L)
+    def micros(c: Column) = unix_micros(c.cast(TimestampType))
+    def bucket(c: Column) = floor(micros(c) / w)
+    val ab = a.withColumn("__b",
+      explode(sequence(bucket(col(aStart)), bucket(col(aEnd)))))
+    val bb = b.withColumn("__b",
+      explode(sequence(bucket(col(bStart)), bucket(col(bEnd)))))
+    ab.join(bb, ab("__b") === bb("__b") &&
+        ab(aStart) < bb(bEnd) && bb(bStart) < ab(aEnd) &&
+        ab("__b") === bucket(greatest(ab(aStart), bb(bStart))))
+      .drop("__b")
+  }
+
   /** Band (range) join via bucketing: |left.v - right.v| < width pairs can
     * only live in adjacent floor(v/width) buckets, so exploding one side to
     * its three candidate buckets turns the theta join into an equi join —

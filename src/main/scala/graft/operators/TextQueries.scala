@@ -668,6 +668,30 @@ object TextQueries {
               i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS HUGEINT))),
           (h, c) -> (h * 33 + c) % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT))),
           16, '0') AS djb2_fp
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ----- x27: corpus n-gram statistics — top-k bigrams by frequency,
+    // the vocabulary/collocation-mining pass of a training-data pipeline
+    // (feeds tokenizer training and boilerplate detection). Bigrams are
+    // built map-side with one zip_with over the shifted token array (no
+    // split() re-evaluation, no self-join), exploded, and counted by a
+    // partial/final hash agg; the global top-k is TakeOrderedAndProject
+    // (per-partition heaps), never a full sort of the n-gram space —
+    // at 100 TB the bigram key space is billions of rows and a global
+    // sort would be the bottleneck. Ties broken by bigram text for a
+    // deterministic gate.
+    GraftQuery("x27_ngram_topk", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        WITH toks AS (SELECT doc_id, split(trim(lower(text)), '\\s+') AS t FROM documents),
+        bg AS (SELECT explode(zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),
+                 (a, b) -> concat(a, ' ', b))) AS bigram FROM toks)
+        SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT 20""")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)
+      SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+      ORDER BY cnt DESC, bigram LIMIT 20"""))
   )
 }

@@ -66,6 +66,53 @@ class PipelineSpec extends SparkTestBase {
     assert(naive.count() > 0, "degenerate fixture: no band matches")
   }
 
+  test("intervalOverlapJoin equals the naive theta join, exactly once per pair") {
+    import spark.implicits._
+    val a = T.orders(spark, sf).limit(300)
+      .select($"o_orderkey".as("a_key"), $"o_orderdate".as("a_s"),
+        ($"o_orderdate" + expr("INTERVAL 5 DAYS")).as("a_e"))
+    val b = T.orders(spark, sf).limit(500)
+      .select($"o_orderkey".as("b_key"),
+        ($"o_orderdate" + expr("INTERVAL 2 DAYS")).as("b_s"),
+        ($"o_orderdate" + expr("INTERVAL 9 DAYS")).as("b_e"))
+    val naive = a.join(b, $"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .select($"a_key", $"b_key")
+    val bucketed = SkewUtils.intervalOverlapJoin(
+      a, "a_s", "a_e", b, "b_s", "b_e", 3L * 86400)
+      .select($"a_key", $"b_key")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "bucketed overlap join diverged from the naive theta join")
+    // greatest-start bucket rule: each overlapping pair emitted exactly once
+    assert(naive.count() == bucketed.count(),
+      "overlap pairs duplicated or dropped by the bucket decomposition")
+    assert(naive.count() > 0, "degenerate fixture: no overlaps")
+  }
+
+  test("r6 plan shapes: p9 recursion, j11 lateral, j12 overlap, x27 top-k") {
+    // p9: a real iterative recursion (UnionLoop), not a flattened union
+    val p9 = SparkEntry.queries("p9_recursive_cte")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p9.contains("UnionLoop"), s"recursive CTE lost its loop:\n$p9")
+    // j11: the lateral LIMIT must decorrelate to a window rank + equi
+    // join — never a per-outer-row nested loop
+    val j11 = SparkEntry.queries("j11_lateral_topn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!j11.contains("BroadcastNestedLoopJoin") && !j11.contains("CartesianProduct"),
+      s"lateral top-n degraded to a nested loop:\n$j11")
+    assert(j11.contains("Window"), s"lateral top-n lost its window rewrite:\n$j11")
+    // j12: bucket decomposition keeps the overlap join equi-shaped
+    val j12 = SparkEntry.queries("j12_interval_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!j12.contains("BroadcastNestedLoopJoin") && !j12.contains("CartesianProduct"),
+      s"overlap join degraded to a quadratic join:\n$j12")
+    // x27: global top-k over the n-gram space is per-partition heaps,
+    // never a full sort
+    val x27 = SparkEntry.queries("x27_ngram_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(x27.contains("TakeOrderedAndProject"),
+      s"n-gram top-k plans a global sort:\n$x27")
+  }
+
   test("x18/x19 plans never window the corpus without the range-partition pid") {
     // every windowspecdefinition in the two-pass plans must be keyed by the
     // partition id (the contiguous-slice guarantee) — a window over the raw
