@@ -23,6 +23,7 @@ object SparkEntry {
     operators.PipelineQueries.queries ++
     operators.SimilarityQueries.queries ++
     operators.MultimodalQueries.queries ++
+    operators.GraphQueries.queries ++
     streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

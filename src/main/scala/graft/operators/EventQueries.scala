@@ -537,6 +537,79 @@ object EventQueries {
       md AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY user_id)
       SELECT d.user_id, MAX(d.med) AS med, MAX(md.mad) AS mad,
         CAST(SUM(CASE WHEN md.mad > 0 AND d.adev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
-      FROM d JOIN md USING (user_id) GROUP BY d.user_id ORDER BY d.user_id"""))
+      FROM d JOIN md USING (user_id) GROUP BY d.user_id ORDER BY d.user_id""")),
+
+    // ----- w4: sequence pattern matching — MATCH_RECOGNIZE semantics as a
+    // per-key encode-then-regex: each user's event stream (totally ordered
+    // by ts, event_id) collapses to a one-char-per-event string, and
+    // episode patterns become regexes over it (signup→purchase episodes
+    // without an intervening purchase; longest uninterrupted view streak).
+    // Per-key state is one char per event — a 1M-event user is a 1 MB
+    // string, so the collect stays bounded where a row-per-event
+    // self-join blowup would not; the regex pass is embarrassingly
+    // parallel per user. Both engines run RE2-compatible patterns
+    // (non-greedy classes only — no backtracking-dependent constructs).
+    GraftQuery("w4_pattern_match", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        WITH seq AS (
+          SELECT user_id,
+            concat_ws('', transform(
+              array_sort(collect_list(struct(ts, event_id, substring(event_type, 1, 1)))),
+              x -> x.col3)) AS sq
+          FROM events GROUP BY user_id)
+        SELECT user_id, length(sq) AS seq_len,
+          size(regexp_extract_all(sq, 's[^p]*p', 0)) AS n_episodes,
+          coalesce(array_max(transform(regexp_extract_all(sq, 'v+', 0), x -> length(x))), 0) AS max_vstreak
+        FROM seq ORDER BY user_id""")
+    }, Some("""
+      WITH seq AS (
+        SELECT user_id,
+          string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS sq
+        FROM events GROUP BY user_id)
+      SELECT user_id, CAST(length(sq) AS INT) AS seq_len,
+        CAST(len(regexp_extract_all(sq, 's[^p]*p')) AS INT) AS n_episodes,
+        CAST(COALESCE(list_max(list_transform(regexp_extract_all(sq, 'v+'), x -> length(x))), 0) AS INT) AS max_vstreak
+      FROM seq ORDER BY user_id""")),
+
+    // ----- e8: interval coalesce (union of overlapping intervals) — merge
+    // each user's 30-minute activity windows into maximal covered spans:
+    // the span-merge primitive behind contamination span dedup, sessionized
+    // coverage, and downtime accounting. One pass: running MAX(end) over
+    // the start order marks gap boundaries, a running sum of the flags
+    // numbers the merged groups, and a keyed agg closes them. All windows
+    // are per-user (bounded); a single giant key would use the
+    // SkewUtils.rangedCumSumByKey two-pass instead — same flag+cumsum
+    // algebra.
+    GraftQuery("e8_interval_coalesce", (s, d) => {
+      T.registerAll(s, d)
+      s.sql("""
+        WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+        m AS (SELECT user_id, s, e,
+                MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM iv),
+        g AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_g FROM m),
+        r AS (SELECT *, SUM(new_g) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM g),
+        c AS (SELECT user_id, gid, MIN(s) AS gs, MAX(e) AS ge FROM r GROUP BY user_id, gid)
+        SELECT user_id, COUNT(*) AS n_spans,
+          CAST(SUM(unix_micros(CAST(ge AS TIMESTAMP)) - unix_micros(CAST(gs AS TIMESTAMP))) AS BIGINT) AS covered_us,
+          CAST(MAX(unix_micros(CAST(ge AS TIMESTAMP)) - unix_micros(CAST(gs AS TIMESTAMP))) AS BIGINT) AS max_span_us
+        FROM c GROUP BY user_id ORDER BY user_id""")
+    }, Some("""
+      WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+      m AS (SELECT user_id, s, e,
+              MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM iv),
+      g AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_g FROM m),
+      r AS (SELECT *, SUM(new_g) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM g),
+      c AS (SELECT user_id, gid, MIN(s) AS gs, MAX(e) AS ge FROM r GROUP BY user_id, gid)
+      SELECT user_id, COUNT(*) AS n_spans,
+        CAST(SUM(epoch_us(ge - gs)) AS BIGINT) AS covered_us,
+        CAST(MAX(epoch_us(ge - gs)) AS BIGINT) AS max_span_us
+      FROM c GROUP BY user_id ORDER BY user_id"""))
   )
 }
