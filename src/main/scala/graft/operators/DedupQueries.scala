@@ -361,6 +361,85 @@ object DedupQueries {
         levenshtein(variant, name) AS dist
       FROM v CROSS JOIN base
       WHERE levenshtein(variant, name) <= 1
-      ORDER BY vkey, match_key"""))
+      ORDER BY vkey, match_key""")),
+
+    // ----- ER1: entity resolution — the full record-linkage pipeline
+    // (blocking → candidate match → transitive clustering → canonical
+    // record), the operator that turns a pile of dirty catalog records
+    // into entities. Fixture: part names (heavily duplicated — the same
+    // entity naturally appears many times) plus deterministically
+    // corrupted copies (one char deleted at a key-derived position, new
+    // record ids in disjoint ranges). Pipeline, all derived-key:
+    //   1. blocking — SymSpell delete-1 neighborhoods exploded to |s|+1
+    //      keys per record, equi self-join (provably complete for edit
+    //      distance <= 1: a substitution deletes to the same string on
+    //      both sides, an insert/delete pair meets at the shorter string);
+    //   2. match — exact levenshtein <= 1 re-filter on candidates only;
+    //   3. cluster — symmetric edges into Graft.propagateMinLabels
+    //      (checkpointed pointer-doubling, throws on non-convergence);
+    //   4. canonical — min record id per cluster + cluster size join.
+    // The DuckDB oracle is the naive quadratic form (all-pairs levenshtein
+    // + recursive-CTE reachability), so the hash match proves the blocked
+    // join loses no pair AND the clustering agrees component-for-component.
+    GraftQuery("er1_entity_resolution", (s, d) => {
+      import s.implicits._
+      def neighborhood(c: Column): Column = array_union(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+      def delAt(name: Column, p: Column): Column =
+        concat(name.substr(lit(1), p - 1), name.substr(p + 1, length(name) - p))
+      val base = T.part(s, d).filter($"p_partkey" % 5 === 0)
+        .select($"p_partkey".as("k"), lower($"p_name").as("name"))
+      val d1 = base.filter($"k" % 10 === 0)
+        .select(($"k" + 1000000L).as("rid"),
+          delAt($"name", $"k" % length($"name") + 1).as("name"))
+      val d2 = base.filter($"k" % 20 === 0)
+        .select(($"k" + 2000000L).as("rid"),
+          delAt($"name", ($"k" * 7) % length($"name") + 1).as("name"))
+      val recs = base.select($"k".as("rid"), $"name").union(d1).union(d2)
+      val keys = recs.select($"rid", $"name", explode(neighborhood($"name")).as("nk"))
+      val cand = keys.as("x").join(keys.as("y"),
+          col("x.nk") === col("y.nk") && col("x.rid") < col("y.rid"))
+        .select(col("x.rid").as("a"), col("x.name").as("na"),
+          col("y.rid").as("b"), col("y.name").as("nb")).distinct()
+        .filter(levenshtein($"na", $"nb") <= 1)
+        .select($"a", $"b")
+      val edges = cand.union(cand.select($"b".as("a"), $"a".as("b"))).localCheckpoint(true)
+      val labels0 = recs.select($"rid".as("__id"), $"rid".as("__lbl"))
+      val labeled = graft.Graft.propagateMinLabels(labels0, edges)
+        .select($"__id".as("rid"), $"__lbl".as("cluster"))
+      val sizes = labeled.groupBy($"cluster").agg(count(lit(1)).as("csize"))
+      labeled.join(sizes, "cluster")
+        .select($"rid", $"cluster", $"csize", ($"rid" === $"cluster").as("is_canonical"))
+        .orderBy($"rid")
+    }, Some("""
+      WITH base AS (SELECT p_partkey AS k, lower(p_name) AS name FROM part
+                    WHERE p_partkey % 5 = 0),
+      d1 AS (SELECT k + 1000000 AS rid,
+               substr(name, 1, p - 1) || substr(name, p + 1, len(name) - p) AS name
+             FROM (SELECT k, name, k % len(name) + 1 AS p FROM base WHERE k % 10 = 0)),
+      d2 AS (SELECT k + 2000000 AS rid,
+               substr(name, 1, p - 1) || substr(name, p + 1, len(name) - p) AS name
+             FROM (SELECT k, name, (k * 7) % len(name) + 1 AS p FROM base WHERE k % 20 = 0)),
+      r AS (SELECT k AS rid, name FROM base
+            UNION ALL SELECT rid, name FROM d1
+            UNION ALL SELECT rid, name FROM d2),
+      e0 AS (SELECT x.rid AS a, y.rid AS b FROM r x JOIN r y
+             ON x.rid < y.rid AND levenshtein(x.name, y.name) <= 1),
+      e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      rec AS (
+        WITH RECURSIVE reach(dd, rt) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, reach.rt FROM e JOIN reach ON e.b = reach.dd)
+        SELECT dd, MIN(rt) AS cluster FROM reach GROUP BY dd),
+      lab AS (SELECT r.rid, COALESCE(rec.cluster, r.rid) AS cluster
+              FROM r LEFT JOIN rec ON r.rid = rec.dd),
+      sz AS (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster)
+      SELECT lab.rid, lab.cluster, CAST(sz.csize AS BIGINT) AS csize,
+        lab.rid = lab.cluster AS is_canonical
+      FROM lab JOIN sz USING (cluster)
+      ORDER BY rid"""))
   )
 }

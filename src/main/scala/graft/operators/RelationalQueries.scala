@@ -1172,6 +1172,45 @@ object RelationalQueries {
         CAST(MAX(epoch(least(a.e, b.e) - greatest(a.s, b.s))) AS BIGINT) AS max_ov_sec,
         CAST(SUM(epoch(least(a.e, b.e) - greatest(a.s, b.s))) AS BIGINT) AS sum_ov_sec
       FROM a JOIN b ON a.s < b.e AND b.s < a.e
-      GROUP BY a_key ORDER BY a_key"""))
+      GROUP BY a_key ORDER BY a_key""")),
+
+    // ----- P10: 2-D skyline (Pareto frontier) — orders in one quarter
+    // that no other order beats on BOTH price and date (lower price AND
+    // earlier date, strictly better in at least one). The naive form is a
+    // quadratic NOT EXISTS self-theta-join (that IS the DuckDB oracle);
+    // the scale path exploits the 2-D structure: sorted by (price, date),
+    // a distinct point is on the frontier iff its EXCLUSIVE prefix-min of
+    // date is null or later than its own date. That prefix-min runs as
+    // the two-pass SkewUtils.rangedPrefixMin (range partition + local
+    // window + broadcast partition offsets) — two bounded linear shuffles,
+    // never a single-reducer global sort. Exact duplicates (same price
+    // AND date — mutually non-dominating) are handled by computing the
+    // frontier over distinct points, then joining back to re-emit every
+    // order on a frontier point (the frontier is tiny → broadcast).
+    GraftQuery("p10_skyline", (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1995-04-01").cast(TimestampType))
+        .select($"o_orderkey", $"o_totalprice".as("price"), $"o_orderdate".as("odate"))
+      val pts = o.select($"price", $"odate").distinct()
+      val sky = SkewUtils.rangedPrefixMin(pts, Seq("price", "odate"), "odate", 32, "__pm")
+        .filter($"__pm".isNull || $"__pm" > $"odate")
+        .select($"price", $"odate")
+      o.join(broadcast(sky), Seq("price", "odate"))
+        .select($"o_orderkey", $"price",
+          date_format($"odate", "yyyy-MM-dd").as("odate"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      WITH o AS (SELECT o_orderkey, o_totalprice AS price, o_orderdate AS odate
+                 FROM orders
+                 WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01')
+      SELECT o_orderkey, price, strftime(odate, '%Y-%m-%d') AS odate
+      FROM o p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM o q
+        WHERE q.price <= p.price AND q.odate <= p.odate
+          AND (q.price < p.price OR q.odate < p.odate))
+      ORDER BY o_orderkey"""))
   ) ++ TpchShapes.queries
 }

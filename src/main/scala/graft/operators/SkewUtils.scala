@@ -139,6 +139,38 @@ object SkewUtils {
       .drop("__pid", "__lc", "__off")
   }
 
+  /** Distributed EXCLUSIVE prefix-minimum over a total order — the
+    * running-min companion of [[rangedCumSum]] (`min() over (order by ...
+    * rows unbounded preceding and 1 preceding)` puts the whole dataset on
+    * one reducer). Pass 1: range-repartition on the order columns, local
+    * exclusive running min per partition. Pass 2: per-partition minima
+    * (numPartitions rows — the only single-reducer step, bounded by the
+    * partition count) prefix-combined exclusively into offsets, broadcast
+    * back; the global exclusive prefix min is least(local, offset) — and
+    * `least` skips nulls, so rows with no predecessor anywhere get null.
+    * `order` must be a total order for a deterministic result.
+    *
+    * This is the 2-D skyline device (p10): sorted by (x, y), a distinct
+    * point is Pareto-optimal iff every strict predecessor has a larger y —
+    * i.e. its exclusive prefix-min of y is null or > y. */
+  def rangedPrefixMin(df: DataFrame, order: Seq[String], valueCol: String,
+                      numPartitions: Int, outCol: String): DataFrame = {
+    val parts = df.repartitionByRange(numPartitions, order.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("__lm", min(col(valueCol)).over(wLocal))
+    val totals = local.groupBy(col("__pid")).agg(min(col(valueCol)).as("__m"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", min(col("__m")).over(wOff))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, least(col("__lm"), col("__off")))
+      .drop("__pid", "__lm", "__off")
+  }
+
   /** Point-in-interval join via bucket decomposition — the J9 scale path.
     * `points.pointTs ∈ [intervals.startTs, intervals.endTs)` is a theta
     * join that Spark can only execute as a broadcast-nested-loop (quadratic

@@ -130,6 +130,42 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("p10 skyline: windows keyed by __pid, frontier joined broadcast") {
+    // the skyline's prefix-min must run as the two-pass ranged form —
+    // every window in the plan keyed by the range-partition pid (a window
+    // over nothing is the single-reducer global sort the primitive
+    // replaces) — and the tiny frontier must come back via broadcast
+    val opt = SparkEntry.queries("p10_skyline")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val windows = opt.split("windowspecdefinition\\(").drop(1)
+    assert(windows.nonEmpty, "skyline lost its prefix-min window stages")
+    windows.foreach { w =>
+      assert(w.contains("__pid"),
+        s"skyline has a window not keyed by __pid:\nwindowspecdefinition($w")
+    }
+    val phys = SparkEntry.queries("p10_skyline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"skyline frontier join is not broadcast:\n$phys")
+  }
+
+  test("er1 entity resolution: every cluster roots at a clean record") {
+    import spark.implicits._
+    // corrupted records (rid >= 1000000) always have their source clean
+    // record in-cluster (1 deletion => levenshtein 1 => an edge), so no
+    // dirty record may ever be canonical and every cluster id must be a
+    // clean rid — the keeper the pipeline would retain is always the
+    // uncorrupted one
+    val out = SparkEntry.queries("er1_entity_resolution")(spark, sf).cache()
+    assert(out.filter($"rid" >= 1000000L && $"is_canonical").isEmpty,
+      "a corrupted record became its cluster's canonical representative")
+    assert(out.filter($"cluster" >= 1000000L).isEmpty,
+      "a cluster is rooted at a corrupted record id")
+    assert(out.filter($"rid" >= 1000000L).count() > 0,
+      "degenerate fixture: no corrupted records generated")
+    out.unpersist()
+  }
+
   test("x18 budget is a per-source prefix: kept docs are closed under the hash order") {
     import spark.implicits._
     // for every kept doc, every doc of the same source earlier in the

@@ -190,6 +190,22 @@ class SimilarityAndSkewSpec extends SparkTestBase {
     assert(ranged == windowed)
   }
 
+  test("rangedPrefixMin equals the single-reducer exclusive running min") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_id", (round($"value" * 100)).cast("long").as("cents"))
+    val windowed = ev.withColumn("pm",
+        min($"cents").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val ranged = SkewUtils.rangedPrefixMin(ev, Seq("event_id"), "cents", 8, "pm")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(ranged == windowed)
+    // the one row with no predecessor is null, and only that one
+    assert(ranged.count(_._2.isEmpty) == 1)
+  }
+
   test("rangedRowNumber equals the windowed row_number") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf).select($"event_type", $"event_id", $"value")
