@@ -24,6 +24,7 @@ object SparkEntry {
     operators.SimilarityQueries.queries ++
     operators.MultimodalQueries.queries ++
     operators.GraphQueries.queries ++
+    operators.ProfileQueries.queries ++
     streaming.StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -610,6 +610,41 @@ object EventQueries {
       SELECT user_id, COUNT(*) AS n_spans,
         CAST(SUM(epoch_us(ge - gs)) AS BIGINT) AS covered_us,
         CAST(MAX(epoch_us(ge - gs)) AS BIGINT) AS max_span_us
-      FROM c GROUP BY user_id ORDER BY user_id"""))
+      FROM c GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- w5: time-weighted average — the metrics/IoT rollup where each
+    // observation holds until the next one, so its weight is the interval
+    // it covered, not 1. Per-key window (lead over user_id — bounded state
+    // per key), then one hash agg; all arithmetic in integer micros×cents
+    // (max interval ~5e11 us × 1e5 cents = 5e16 per term, sums well inside
+    // int64), floor division at the end so both engines agree bit-for-bit.
+    // Users with a single event have no covered interval and drop out via
+    // the WHERE, not a divide-by-zero.
+    GraftQuery("w5_time_weighted_avg", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T.events(s, d)
+        .select($"user_id", $"ts", $"event_id", vcents($"value").as("cents"))
+        .withColumn("nxt", lead($"ts", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .withColumn("dur_us", unix_micros($"nxt") - unix_micros($"ts"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dur_us").as("covered_us"),
+          sum($"cents" * $"dur_us").as("weighted"))
+        .select($"user_id", $"n_intervals", $"covered_us",
+          expr("weighted div covered_us").as("twa_cents"))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH x AS (SELECT user_id, ts, event_id, ${sql.vcents("value")} AS cents,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                 FROM events),
+      iv AS (SELECT user_id, cents, epoch_us(nxt) - epoch_us(ts) AS dur_us
+             FROM x WHERE nxt IS NOT NULL)
+      SELECT user_id, COUNT(*) AS n_intervals,
+        CAST(SUM(dur_us) AS BIGINT) AS covered_us,
+        CAST(SUM(cents * dur_us) AS BIGINT) // CAST(SUM(dur_us) AS BIGINT) AS twa_cents
+      FROM iv GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -38,6 +38,98 @@ object GraphQueries {
       .union(pairs.select(($"ck" + 100000L).as("src"), $"sk".as("dst")))
   }
 
+  /** Canonical (u < v) part co-occurrence edges: parts that appear together
+    * in at least `minOrders` orders. The self-join shuffles both sides on
+    * l_orderkey (co-partitioned), and pair generation per order is bounded
+    * by the order's line count (<= 7 in TPC-H shape), so the edge build is
+    * linear in lineitem, never quadratic in parts. */
+  private def coOccurrenceEdges(s: SparkSession, d: String,
+      minOrders: Int): DataFrame = {
+    import s.implicits._
+    val l = T.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+    val pairs = l.as("a").join(l.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("n_orders"))
+    if (minOrders > 1) pairs.filter($"n_orders" >= minOrders).select($"u", $"v")
+    else pairs.select($"u", $"v")
+  }
+
+  /** (count, order-independent hash checksum) of an edge set — the cheap
+    * per-round convergence probe for [[ccLargeSmallStar]]. A collision-faked
+    * early stop would surface as an oracle mismatch on the final labels, so
+    * the probe only needs to be sound in practice, not cryptographic. */
+  private def edgeChecksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the 100 TB-scale CC algorithm. Each round is two
+    * (groupBy-min + rejoin) passes over the edge list; the edge set
+    * monotonically contracts toward a forest of stars centered on each
+    * component's minimum node id, in O(log n) rounds. Unlike plain
+    * min-label propagation ([[graft.Graft.propagateMinLabels]], the n6
+    * path), the rewriting moves EDGES toward the minimum, so a
+    * high-diameter path graph converges logarithmically and no node ever
+    * accumulates more state than its (rewritten) neighborhood.
+    *
+    * Each round localCheckpoints the new edge list (truncating lineage)
+    * and unpersists the previous one; convergence = unchanged
+    * (count, hash) checksum, verified externally by the oracle label match.
+    * Returns (labels(node, comp), converged) over every node of `edges0`.
+    */
+  def ccLargeSmallStar(edges0: DataFrame, maxRounds: Int = 25): (DataFrame, Boolean) = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val nodes = edges0.select($"u".as("node"))
+      .union(edges0.select($"v".as("node"))).distinct().localCheckpoint(true)
+
+    // large-star: for each node u, m = min(N(u) ∪ {u}); every neighbor
+    // v > u re-attaches to m. groupBy+rejoin (not a window) so a hot hub's
+    // neighborhood is a partial-aggregated min, never a collected array.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+      val m = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      sym.join(m, "u").filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")).filter($"u" =!= $"v").distinct()
+    }
+
+    // small-star: orient every edge high→low (a > b); m = min(N(a) ∪ {a})
+    // = min(b); every low neighbor (and a itself) re-attaches to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest($"u", $"v").as("a"), least($"u", $"v").as("b"))
+      val m = dir.groupBy($"a").agg(min($"b").as("m"))
+      dir.join(m, "a")
+        .select($"b".as("u"), $"m".as("v")).filter($"u" =!= $"v")
+        .union(m.select($"a".as("u"), $"m".as("v")))
+        .distinct()
+    }
+
+    var edges = edges0.select($"u", $"v").localCheckpoint(true)
+    var sig = edgeChecksum(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = edgeChecksum(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    // At the star fixpoint every edge is (leaf, center) with center = the
+    // component minimum; centers (and isolated nodes) label themselves.
+    val labels = nodes.join(edges.select($"u".as("node"), $"v".as("comp")),
+        Seq("node"), "left")
+      .select($"node", coalesce($"comp", $"node").as("comp")).distinct()
+    (labels, converged)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- g1: PageRank, 3 synchronous iterations, damping 0.85. The
@@ -112,6 +204,92 @@ object GraphQueries {
           SELECT e.dst, bfs.dist + 1 FROM edges e JOIN bfs ON e.src = bfs.node
           WHERE bfs.dist < 3)
         SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node)
-      SELECT node, CAST(dist AS BIGINT) AS dist FROM rec ORDER BY node"""))
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM rec ORDER BY node""")),
+
+    // ----- g3: connected components via large-star/small-star over the
+    // thresholded part co-occurrence graph (pairs sharing >= 2 orders —
+    // sparse enough to have real component structure at every test SF:
+    // 1 / 8 / 2308 components at sf0.001/0.01/0.1). The DuckDB oracle
+    // computes exact components independently (recursive reachability
+    // closure + MIN label), so the hash match proves both the rewriting's
+    // fixpoint labels and the convergence flag. See [[ccLargeSmallStar]]
+    // for the scale contract vs the n6 label-propagation path.
+    GraftQuery("g3_connected_components", (s, d) => {
+      import s.implicits._
+      val (labels, converged) = ccLargeSmallStar(coOccurrenceEdges(s, d, minOrders = 2))
+      labels.select($"node", $"comp", lit(converged).as("converged"))
+        .orderBy($"node")
+    }, Some("""
+      WITH RECURSIVE
+      e0 AS (SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2) t WHERE n >= 2),
+      edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      reach(node, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        UNION
+        SELECT e.v, reach.lab FROM edges e JOIN reach ON e.u = reach.node)
+      SELECT node, MIN(lab) AS comp, TRUE AS converged
+      FROM reach GROUP BY node ORDER BY node""")),
+
+    // ----- g4: triangle counting + local clustering coefficient over the
+    // (unthresholded) part co-occurrence graph. Spark runs the
+    // degree-oriented algorithm (Suri & Vassilvitskii, WWW'11): each edge
+    // is oriented from its lexicographically smaller (degree, id) endpoint,
+    // so wedge generation per node is bounded by out-degree = O(sqrt(m))
+    // even at a power-law hub, and every triangle is emitted exactly once
+    // (from its lowest-ordered corner). The oracle counts the same
+    // triangles naively (a<b<c triple join) — orientation-independence of
+    // the per-node counts makes the hash match exact. cc_ppm is the local
+    // clustering coefficient in integer parts-per-million (floor division;
+    // wedges = deg*(deg-1)/2 from the undirected degree).
+    GraftQuery("g4_triangle_count", (s, d) => {
+      import s.implicits._
+      val e = coOccurrenceEdges(s, d, minOrders = 1).localCheckpoint(true)
+      val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      // orient each edge from the smaller (deg, id) endpoint; carry the
+      // destination's (deg, id) so wedge generation can re-compare locally
+      val ew = e
+        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+      val oriented = ew.select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv").otherwise($"du").as("ddst"))
+        .localCheckpoint(true)
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          $"x.src" === $"y.src" &&
+          ($"x.ddst" < $"y.ddst" || ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
+        .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
+      val tri = wedges.join(oriented.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"))
+      val perNode = tri.select(explode(array($"a", $"b", $"c")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("tri"))
+        .localCheckpoint(true) // reused for the total; keeps the plan single-pass
+      val totalDf = perNode.agg((coalesce(sum($"tri"), lit(0L)) / 3).cast("long").as("total_tri"))
+      perNode.join(deg, "n")
+        .select($"n".as("node"), $"tri", $"deg",
+          expr("(1000000 * tri) div (deg * (deg - 1) div 2)").as("cc_ppm"))
+        .crossJoin(broadcast(totalDf))
+        .orderBy($"tri".desc, $"node").limit(20)
+    }, Some("""
+      WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      t AS (SELECT x.u AS a, x.v AS b, y.v AS c
+            FROM e x JOIN e y ON x.v = y.u JOIN e z ON z.u = x.u AND z.v = y.v),
+      pn AS (SELECT n, COUNT(*) AS tri FROM (
+               SELECT a AS n FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) q
+             GROUP BY n),
+      deg AS (SELECT n, COUNT(*) AS deg FROM (
+               SELECT u AS n FROM e UNION ALL SELECT v FROM e) q GROUP BY n),
+      tot AS (SELECT COUNT(*) AS total_tri FROM t)
+      SELECT pn.n AS node, pn.tri, deg.deg,
+        (1000000 * pn.tri) // ((deg.deg * (deg.deg - 1)) // 2) AS cc_ppm,
+        tot.total_tri
+      FROM pn JOIN deg ON pn.n = deg.n CROSS JOIN tot
+      ORDER BY pn.tri DESC, node LIMIT 20"""))
   )
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables => T}
+import graft.Det._
+import org.apache.spark.sql.functions._
+
+/** Dataset-profiling / diagnostics operators — the ANALYZE-style passes a
+  * 100 TB corpus pipeline runs before and after every transformation batch
+  * (column health, co-occurrence structure, value distribution). Reference
+  * analogue: the executor's introspection surface (getgenv/gettables walks,
+  * env.cpp:159-195) is a "profile everything in scope" pass; here that
+  * becomes columnar statistics over the warehouse tables.
+  */
+object ProfileQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ----- d1: one-pass multi-column profile over events. One aggregate
+    // computes per-column n/nulls/distinct/min/max plus an HLL estimate of
+    // each distinct count; the result is then pivoted to one row per
+    // column. Exact multi-column COUNT(DISTINCT) goes through Spark's
+    // Expand (rows ×4) — the 100 TB path drops the exact counts and keeps
+    // the HLL sketches, so the gate also asserts every sketch lands within
+    // 5% of its exact count (the same contract as a3/a10). min/max are
+    // emitted as strings so heterogeneous column types share one schema.
+    GraftQuery("d1_profile", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select(
+        $"user_id", $"event_type", vcents($"value").as("cents"),
+        get_json_object($"props", "$.k").cast("long").as("prop_k"))
+      val agg = ev.agg(
+        count(lit(1)).as("n_rows"),
+        // user_id
+        count($"user_id").as("user_id_n"),
+        countDistinct($"user_id").as("user_id_distinct"),
+        approx_count_distinct($"user_id", 0.02).as("user_id_approx"),
+        min($"user_id").cast("string").as("user_id_min"),
+        max($"user_id").cast("string").as("user_id_max"),
+        // event_type
+        count($"event_type").as("event_type_n"),
+        countDistinct($"event_type").as("event_type_distinct"),
+        approx_count_distinct($"event_type", 0.02).as("event_type_approx"),
+        min($"event_type").as("event_type_min"),
+        max($"event_type").as("event_type_max"),
+        // cents
+        count($"cents").as("cents_n"),
+        countDistinct($"cents").as("cents_distinct"),
+        approx_count_distinct($"cents", 0.02).as("cents_approx"),
+        min($"cents").cast("string").as("cents_min"),
+        max($"cents").cast("string").as("cents_max"),
+        // prop_k (null when props lacks the key — real null fraction)
+        count($"prop_k").as("prop_k_n"),
+        countDistinct($"prop_k").as("prop_k_distinct"),
+        approx_count_distinct($"prop_k", 0.02).as("prop_k_approx"),
+        min($"prop_k").cast("string").as("prop_k_min"),
+        max($"prop_k").cast("string").as("prop_k_max"))
+      val cols = Seq("user_id", "event_type", "cents", "prop_k")
+      val perCol = cols.map { c =>
+        agg.select(
+          lit(c).as("col_name"),
+          $"n_rows",
+          col(s"${c}_n").as("n_present"),
+          ($"n_rows" - col(s"${c}_n")).as("n_null"),
+          col(s"${c}_distinct").as("n_distinct"),
+          (abs(col(s"${c}_approx") - col(s"${c}_distinct")) * 100 <=
+            col(s"${c}_distinct") * 5).as("sketch_ok"),
+          col(s"${c}_min").as("min_s"),
+          col(s"${c}_max").as("max_s"))
+      }.reduce(_ unionAll _)
+      perCol.orderBy($"col_name")
+    }, Some(s"""
+      WITH ev AS (SELECT user_id, event_type,
+                    ${sql.vcents("value")} AS cents,
+                    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS prop_k
+                  FROM events),
+      n AS (SELECT COUNT(*) AS n_rows FROM ev)
+      SELECT col_name, n_rows, n_present, n_null, n_distinct, TRUE AS sketch_ok, min_s, max_s
+      FROM (
+        SELECT 'user_id' AS col_name, n.n_rows, COUNT(user_id) AS n_present,
+          n.n_rows - COUNT(user_id) AS n_null, COUNT(DISTINCT user_id) AS n_distinct,
+          CAST(MIN(user_id) AS VARCHAR) AS min_s, CAST(MAX(user_id) AS VARCHAR) AS max_s
+        FROM ev CROSS JOIN n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'event_type', n.n_rows, COUNT(event_type),
+          n.n_rows - COUNT(event_type), COUNT(DISTINCT event_type),
+          MIN(event_type), MAX(event_type)
+        FROM ev CROSS JOIN n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'cents', n.n_rows, COUNT(cents),
+          n.n_rows - COUNT(cents), COUNT(DISTINCT cents),
+          CAST(MIN(cents) AS VARCHAR), CAST(MAX(cents) AS VARCHAR)
+        FROM ev CROSS JOIN n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'prop_k', n.n_rows, COUNT(prop_k),
+          n.n_rows - COUNT(prop_k), COUNT(DISTINCT prop_k),
+          CAST(MIN(prop_k) AS VARCHAR), CAST(MAX(prop_k) AS VARCHAR)
+        FROM ev CROSS JOIN n GROUP BY n.n_rows) t
+      ORDER BY col_name""")),
+
+    // ----- d2: frequent pairs (market-basket 2-itemsets) over order
+    // baskets. Pair generation is the lineitem self-join on l_orderkey —
+    // co-partitioned shuffle, and per-basket fan-out is bounded by the
+    // basket's line count (<= 7), so the candidate stream is linear in
+    // lineitem, never |parts|². Support filter + top-k by (count, pair).
+    // This is the a-priori L2 pass; the L1 prune (frequent singletons
+    // first) is unnecessary here because the pair stream is already
+    // basket-bounded — at 100 TB with deep baskets you'd broadcast the
+    // frequent-singleton set and semi-join both sides before pairing.
+    GraftQuery("d2_frequent_pairs", (s, d) => {
+      import s.implicits._
+      val l = T.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      l.as("a").join(l.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 2)
+        .orderBy($"n_orders".desc, $"p1", $"p2").limit(50)
+    }, Some("""
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY n_orders DESC, p1, p2 LIMIT 50""")),
+
+    // ----- d3: equi-depth histogram of lineitem price cents — the
+    // optimizer/statistics primitive (equi-depth buckets are what engines
+    // keep for selectivity estimation). NOT a global window: rows get a
+    // global rank via the two-pass SkewUtils.rangedRowNumber (sample range
+    // boundaries → per-range local ranks + offsets); the bucket assignment
+    // then reproduces NTILE's exact tie-free contract — the first
+    // (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k) — so the
+    // DuckDB NTILE mirror over the identical unique order assigns
+    // bit-identical buckets and the edges/counts hash-match.
+    GraftQuery("d3_equidepth_histogram", (s, d) => {
+      import s.implicits._
+      val k = 8
+      val rows = T.lineitem(s, d).select(
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_orderkey", $"l_linenumber")
+      val total = rows.count() // one cheap pre-pass over the scan
+      val ranked = SkewUtils.rangedRowNumber(rows, Seq.empty,
+        Seq("cents", "l_orderkey", "l_linenumber"), 32, "rank")
+      val q = math.max(total / k, 1L)
+      val m = total % k
+      ranked
+        .withColumn("bucket",
+          expr(s"CASE WHEN rank <= ${m * (q + 1)} THEN (rank - 1) div ${q + 1} " +
+            s"ELSE $m + (rank - 1 - ${m * (q + 1)}) div $q END").cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"), min($"cents").as("lo"), max($"cents").as("hi"))
+        .orderBy($"bucket")
+    }, Some("""
+      WITH r AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   NTILE(8) OVER (ORDER BY round(l_extendedprice * 100),
+                                  l_orderkey, l_linenumber) - 1 AS bucket
+                 FROM lineitem)
+      SELECT bucket, COUNT(*) AS n_rows, MIN(cents) AS lo, MAX(cents) AS hi
+      FROM r GROUP BY bucket ORDER BY bucket"""))
+  )
+}

@@ -259,6 +259,62 @@ object SourceQueries {
              ELSE 'update' END AS action
       FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
       WHERE COALESCE(op, 'upsert') <> 'delete'
-      ORDER BY user_id"""))
+      ORDER BY user_id""")),
+
+    // ----- S10: inverted index — build the classic IR structure over the
+    // documents corpus (term → posting pairs), persist it hash-partitioned
+    // by term bucket, and serve a conjunctive (AND) term query from the
+    // on-disk index. The index is (term, doc_id) PAIRS, not per-term
+    // arrays: pairs stay splittable at any posting-list length (a stopword
+    // with a billion postings is just more rows), partition by
+    // pmod(xxhash64(term), 16) so a term lookup prunes to 1/16 of the
+    // files — the distributed analogue of an index-bucket seek, proven by
+    // the `pruned` boolean (files touched for one term's bucket < total).
+    // `roundtrip_ok` pins the on-disk pair count to the computed one. The
+    // conjunctive query is postings-join → per-doc term count = k (never a
+    // full-corpus scan); df constants come from the index, the oracle
+    // recomputes them from raw text.
+    GraftQuery("s10_inverted_index", (s, d) => {
+      import s.implicits._
+      val out = tmpDir("s10")
+      val terms = Seq("spark", "window")
+      val toks = T.documents(s, d)
+        .select($"doc_id", explode(split(lower($"text"), "[^a-z0-9]+")).as("term"))
+        .filter($"term" =!= "").distinct()
+      toks.withColumn("bucket", pmod(xxhash64($"term"), lit(16)))
+        .repartition(col("bucket")).sortWithinPartitions($"term", $"doc_id")
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      val idx = s.read.parquet(out)
+      val roundtripOk = idx.count() == toks.count()
+      val bSpark = s.range(1)
+        .select(pmod(xxhash64(lit("spark")), lit(16))).head().getLong(0)
+      val touched = idx.filter($"bucket" === bSpark)
+        .select(input_file_name()).distinct().count()
+      val total = idx.select(input_file_name()).distinct().count()
+      val pruned = touched < total
+      val dfs = idx.filter($"term".isin(terms: _*))
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hits = idx.filter($"term".isin(terms: _*))
+        .groupBy($"doc_id").agg(countDistinct($"term").as("k"))
+        .filter($"k" === terms.size)
+      hits.join(T.documents(s, d), "doc_id")
+        .select($"doc_id", $"source", $"n_chars",
+          lit(dfs("spark")).as("df_spark"), lit(dfs("window")).as("df_window"),
+          lit(roundtripOk).as("roundtrip_ok"), lit(pruned).as("pruned"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH toks AS (SELECT DISTINCT doc_id,
+                      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+                    FROM documents),
+      t AS (SELECT term, COUNT(*) AS df FROM toks WHERE term <> '' GROUP BY term),
+      hits AS (SELECT doc_id FROM toks WHERE term IN ('spark', 'window')
+               GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2)
+      SELECT h.doc_id, d.source, d.n_chars,
+        (SELECT df FROM t WHERE term = 'spark') AS df_spark,
+        (SELECT df FROM t WHERE term = 'window') AS df_window,
+        TRUE AS roundtrip_ok, TRUE AS pruned
+      FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+      ORDER BY h.doc_id"""))
   )
 }

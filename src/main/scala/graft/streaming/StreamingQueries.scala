@@ -22,14 +22,14 @@ object StreamingQueries {
   import Det._
 
   /** Streaming view of the events table (schema from the batch reader; the
-    * nanos column arrives as long and is truncated to micros, same as the
-    * batch path in Tables.events). */
+    * nanos ts normalizes to micros exactly as the batch path — see
+    * Tables.normalizeEventsTs). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     val schema = T.eventsRaw(s, d).schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    T.normalizeEventsTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   /** Run a streaming frame to a memory sink, synchronously, return result. */

@@ -73,10 +73,10 @@ class StreamingSpec extends SparkTestBase {
     val ckpt = tmp("ckpt")
     val outDir = tmp("out")
     val schema = T.eventsRaw(spark, sf).schema
-    def start() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def start() = T.normalizeEventsTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf))
       .select($"event_id", $"user_id", $"ts")
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
