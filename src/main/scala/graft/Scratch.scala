@@ -25,6 +25,19 @@ object Scratch {
       scaleProbe(spark, d, if (args.length > 2) Some(args(2)) else None)
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "--timeq") {
+      // time specific queries (cold + warm), any registry entry
+      args.drop(2).foreach { n =>
+        def run() = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = run(); val warm = run()
+        println(f"[timeq] $n%-28s cold=$cold%6.2f warm=$warm%6.2f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "--time") {
       SparkEntry.benchNames.foreach { n =>
         def run() = {

@@ -315,6 +315,6 @@ object SourceQueries {
         (SELECT df FROM t WHERE term = 'window') AS df_window,
         TRUE AS roundtrip_ok, TRUE AS pruned
       FROM hits h JOIN documents d ON h.doc_id = d.doc_id
-      ORDER BY h.doc_id"""))
+      ORDER BY h.doc_id"""), bench = true)
   )
 }

@@ -125,6 +125,47 @@ object StreamingQueries {
        AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
       ORDER BY purchase_id, click_id""")),
 
+    // ----- J7c: stream-stream LEFT OUTER join — the semantics Append mode
+    // can only deliver through the watermark: an unmatched purchase emits
+    // its null-click row only once the global watermark (min across both
+    // sides' max-event-time minus delay) proves no future click can match,
+    // i.e. wm > p_ts. Spark evicts+emits those rows in the trailing
+    // no-data micro-batch; purchases above the final watermark stay in
+    // state and never emit — the oracle mirrors exactly that cut
+    // (p.ts < final_wm), which is what makes this gate deterministic
+    // rather than a race with query shutdown. State on both sides stays
+    // bounded by the 30-minute delay + 10-minute band regardless of
+    // stream length — the property that matters at 100 TB/day.
+    GraftQuery("j7_stream_outer_join", (s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 10 MINUTES"),
+        "leftOuter")
+        .select($"purchase_id", $"click_id")
+      runToMemory(s, joined, OutputMode.Append())
+        .orderBy($"purchase_id", $"click_id")
+    }, Some("""
+      WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      wm AS (SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+                    - INTERVAL 30 MINUTE AS w)
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+      UNION ALL
+      SELECT p.event_id, CAST(NULL AS BIGINT)
+      FROM p WHERE p.ts < (SELECT w FROM wm)
+        AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                          AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE)
+      ORDER BY purchase_id, click_id""")),
+
     // ----- S5/S6 end to end: the north-star pipeline itself as a gate
     // query — the events stream consumed through foreachBatch into the
     // bucketed compacting store, then the STORE is read back and must hold
