@@ -155,6 +155,42 @@ object ProfileQueries {
                                   l_orderkey, l_linenumber) - 1 AS bucket
                  FROM lineitem)
       SELECT bucket, COUNT(*) AS n_rows, MIN(cents) AS lo, MAX(cents) AS hi
-      FROM r GROUP BY bucket ORDER BY bucket"""))
+      FROM r GROUP BY bucket ORDER BY bucket""")),
+
+    // ----- d4: join-cardinality estimation via Count-Min inner product
+    // (Cormode & Muthukrishnan '05 §4.2) — the optimizer pass that prices
+    // a join WITHOUT running it. Target: the o_custkey self-join of
+    // orders, whose true size is Σ_c n_c² (exact companion computed
+    // in-query; the FK joins an optimizer usually faces are the same
+    // estimate with two different sketches). The sketch is built as plain
+    // dataframes — explode each row into its 4 (depth, bucket) cells,
+    // partial+final count per cell (4·W cells total, shuffle bounded by
+    // the sketch not the data), est = min over depths of Σ_b cnt². The
+    // two oracle-asserted invariants are the CMS contract: sound
+    // (Σ(Σa_k)² >= Σa_k² termwise, so every depth over-estimates and so
+    // does the min) and tight w.h.p. (excess ≤ 4·N²/W for the min of 4
+    // independent depths; W=65536 puts that at ~0.9× exact here). The
+    // estimate itself is hash-dependent so only its bounds are gated.
+    GraftQuery("d4_join_cardinality", (s, d) => {
+      import s.implicits._
+      val W = 65536
+      val keys = T.orders(s, d).select($"o_custkey".as("k"))
+      val exact = keys.groupBy($"k").agg(count(lit(1)).as("n"))
+        .agg(sum($"n" * $"n").as("exact_pairs"))
+      val cells = keys.select(explode(expr(
+        s"transform(sequence(0, 3), j -> struct(j AS depth, pmod(xxhash64(k, j), $W) AS bucket))"))
+        .as("c"))
+        .groupBy($"c.depth", $"c.bucket").agg(count(lit(1)).as("cnt"))
+      val est = cells.groupBy($"depth").agg(sum($"cnt" * $"cnt").as("ip"))
+        .agg(min($"ip").as("est"))
+      val n = keys.count()
+      est.crossJoin(exact).select(
+        $"exact_pairs",
+        ($"est" >= $"exact_pairs").as("sound"),
+        (($"est" - $"exact_pairs") * W <= lit(4L) * n * n).as("tight"))
+    }, Some("""
+      SELECT CAST(SUM(n * n) AS BIGINT) AS exact_pairs,
+        TRUE AS sound, TRUE AS tight
+      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey) t"""))
   )
 }

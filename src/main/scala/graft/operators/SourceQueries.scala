@@ -315,6 +315,42 @@ object SourceQueries {
         (SELECT df FROM t WHERE term = 'window') AS df_window,
         TRUE AS roundtrip_ok, TRUE AS pruned
       FROM hits h JOIN documents d ON h.doc_id = d.doc_id
-      ORDER BY h.doc_id"""), bench = true)
+      ORDER BY h.doc_id"""), bench = true),
+
+    // ----- S12: schema evolution on a batch table — a writer adds a
+    // column mid-stream (the normal life of any long-lived warehouse
+    // table). v1 files carry (event_id, user_id, cents); v2 files add
+    // event_type. mergeSchema unions the file schemas at read time and
+    // backfills v1 rows with nulls — the gate pins exactly that: per-cohort
+    // counts, the v1 cohort all-null in the new column, the v2 cohort
+    // fully populated, and the merged schema four columns wide. At 100 TB
+    // you pay mergeSchema's footer sampling once and promote the union
+    // schema into the catalog; the read semantics gated here are identical.
+    GraftQuery("s12_schema_evolution", (s, d) => {
+      import s.implicits._
+      val out = tmpDir("s12")
+      val ev = T.events(s, d)
+        .select($"event_id", $"user_id", vcents($"value").as("cents"), $"event_type")
+      ev.filter($"user_id" % 2 === 0).drop("event_type")
+        .write.mode("overwrite").parquet(out)
+      ev.filter($"user_id" % 2 === 1)
+        .write.mode("append").parquet(out)
+      val back = s.read.option("mergeSchema", "true").parquet(out)
+      val fourCols = back.columns.length == 4
+      back
+        .groupBy(($"user_id" % 2).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          count($"event_type").as("n_typed"),
+          sum($"cents").as("sum_cents"))
+        .select($"cohort", $"n", $"n_typed", $"sum_cents",
+          lit(fourCols).as("merged_four_cols"))
+        .orderBy($"cohort")
+    }, Some(s"""
+      SELECT cohort, n, CASE WHEN cohort = 0 THEN 0 ELSE n END AS n_typed,
+        sum_cents, TRUE AS merged_four_cols
+      FROM (SELECT user_id % 2 AS cohort, COUNT(*) AS n,
+              CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1) t
+      ORDER BY cohort"""))
   )
 }

@@ -396,6 +396,35 @@ object TextQueries {
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // ----- x28: GROUP-aware split — x16 keyed by the doc id leaks
+    // near-identical documents from one source across train/test; keying
+    // the same md5 threshold by the GROUP (source/domain) instead puts
+    // every doc of a group in the same split — the held-out-domain
+    // evaluation contract. Map-side only (the hash needs nothing but the
+    // row's own source column); the leak_free flag re-proves purity
+    // in-query via a per-source distinct-split count (a 20-group window
+    // here; at 100 TB the proof pass is a groupBy over |groups| rows,
+    // the assignment itself stays a pure map).
+    GraftQuery("x28_group_split", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val keyHex = substring(md5($"source"), 1, 4)
+      T.documents(s, d)
+        .select($"doc_id", $"source",
+          when(keyHex < "c000", "train")
+            .when(keyHex < "e000", "val")
+            .otherwise("test").as("split"))
+        .withColumn("leak_free",
+          size(collect_set($"split").over(Window.partitionBy($"source"))) === 1)
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, source,
+        CASE WHEN substring(md5(source), 1, 4) < 'c000' THEN 'train'
+             WHEN substring(md5(source), 1, 4) < 'e000' THEN 'val'
+             ELSE 'test' END AS split,
+        TRUE AS leak_free
+      FROM documents ORDER BY doc_id""")),
+
     // ----- repetition scoring: fraction of duplicated 3-grams per doc —
     // the repetitive-content quality filter (boilerplate / template spam).
     // Spark computes grams as 64-bit hashes, the oracle as strings; the
