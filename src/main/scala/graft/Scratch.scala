@@ -156,6 +156,49 @@ object Scratch {
       }
       li.unpersist()
     }
+    // the g3/g4 shapes: co-occurrence graph build + degree-oriented
+    // triangle closure + large-star/small-star CC. Replicating lineitem
+    // re-salts l_orderkey (baskets multiply, basket SIZE stays bounded) —
+    // edges grow linearly, wedges ~linearly, so a superlinear timing here
+    // would flag a plan regression, not data shape.
+    for (k <- Seq(1, 4, 16) if want("graph")) {
+      val li = replicate(
+        Tables.lineitem(spark, d).select($"l_orderkey", $"l_partkey"),
+        k, Seq("l_orderkey")).cache()
+      val n = li.count()
+      val e = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("n")).select($"u", $"v")
+      time(f"lineitem x$k%2d ($n%9d rows) g4-style edge build + triangle closure") {
+        val ec = e.localCheckpoint(true)
+        val deg = ec.select($"u".as("nd")).union(ec.select($"v".as("nd")))
+          .groupBy($"nd").agg(count(lit(1)).as("deg"))
+        val ew = ec
+          .join(deg.select($"nd".as("u"), $"deg".as("du")), "u")
+          .join(deg.select($"nd".as("v"), $"deg".as("dv")), "v")
+        val c = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+        val o = ew.select(
+          when(c, $"u").otherwise($"v").as("src"),
+          when(c, $"v").otherwise($"u").as("dst"),
+          when(c, $"dv").otherwise($"du").as("ddst")).localCheckpoint(true)
+        val wedges = o.as("x").join(broadcast(o.as("y")),
+            $"x.src" === $"y.src" &&
+            ($"x.ddst" < $"y.ddst" || ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
+          .select($"x.dst".as("b"), $"y.dst".as("c"))
+        wedges.join(broadcast(o.select((shiftleft($"src", 31) + $"dst").as("bc"))),
+          (shiftleft($"b", 31) + $"c") === $"bc").count()
+      }
+      time(f"lineitem x$k%2d ($n%9d rows) g3-style large/small-star CC (thresholded)") {
+        val et = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"u", $"v")
+        val (labels, converged) = operators.GraphQueries.ccLargeSmallStar(et)
+        require(converged); labels.count()
+      }
+      li.unpersist()
+    }
     // the x24 shape: chunk-with-overlap explode (map-side only)
     for (k <- Seq(1, 5, 20) if want("documents")) {
       val docs = Tables.documents(spark, d)

@@ -623,6 +623,57 @@ object RelationalQueries {
       FROM region CROSS JOIN nation
       ORDER BY r_name, n_name""")),
 
+    // ----- J13: null-safe equi join (<=> / IS NOT DISTINCT FROM) — the
+    // semantics corner plain equality silently drops: NULL keys match each
+    // other. Keys are deterministically nulled (prop k >= 90 → NULL,
+    // ~10% of the domain), both sides DISTINCT before the join so the
+    // null-group match stays set-sized. The query runs the SAME join both
+    // ways in one plan — null-safe and plain — and emits the per-type
+    // difference; <=> is a hashable equi-key in Spark, so this stays a
+    // hash/sort-merge join, never a BNLJ.
+    GraftQuery("j13_nullsafe_join", (s, d) => {
+      import s.implicits._
+      def side(parity: Int) = T.events(s, d)
+        .filter($"event_id" % 2 === parity)
+        .select($"event_type",
+          when(get_json_object($"props", "$.k").cast("long") >= 90, lit(null))
+            .otherwise(get_json_object($"props", "$.k").cast("long")).as("k"))
+        .distinct()
+      val a = side(0)
+      val b = side(1).withColumnRenamed("k", "bk")
+      val ns = a.join(b, a("event_type") === b("event_type") && $"k" <=> $"bk")
+        .groupBy(a("event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_nullsafe"))
+      val pl = a.join(b, a("event_type") === b("event_type") && $"k" === $"bk")
+        .groupBy(a("event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_plain"))
+      ns.join(pl, "event_type")
+        .select($"event_type", $"n_nullsafe", $"n_plain",
+          ($"n_nullsafe" - $"n_plain").as("null_matches"))
+        .orderBy($"event_type")
+    }, Some("""
+      WITH a AS (SELECT DISTINCT event_type,
+                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+                        THEN NULL
+                        ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+                 FROM events WHERE event_id % 2 = 0),
+      b AS (SELECT DISTINCT event_type,
+              CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+                   THEN NULL
+                   ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+            FROM events WHERE event_id % 2 = 1),
+      ns AS (SELECT a.event_type, COUNT(*) AS n_nullsafe
+             FROM a JOIN b ON a.event_type = b.event_type
+               AND a.k IS NOT DISTINCT FROM b.k
+             GROUP BY a.event_type),
+      pl AS (SELECT a.event_type, COUNT(*) AS n_plain
+             FROM a JOIN b ON a.event_type = b.event_type AND a.k = b.k
+             GROUP BY a.event_type)
+      SELECT ns.event_type, n_nullsafe, n_plain,
+        n_nullsafe - n_plain AS null_matches
+      FROM ns JOIN pl ON ns.event_type = pl.event_type
+      ORDER BY ns.event_type""")),
+
     // ----- A1b: HAVING (post-aggregation filter)
     GraftQuery("a1_having", (s, d) => {
       import s.implicits._
