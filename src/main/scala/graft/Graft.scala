@@ -311,6 +311,28 @@ object Graft {
         (col("__id") === col("__lbl")).as("is_keeper"))
   }
 
+  /** Connected components over an undirected edge set (u, v) via
+    * large-star/small-star edge rewriting — the O(log n)-round, 100 TB CC
+    * (see [[operators.GraphQueries.ccLargeSmallStar]]). Returns
+    * (node, comp) with comp = the component's minimum node id. Use
+    * [[propagateMinLabels]] when you already hold per-node labels to seed;
+    * use this when you hold edges. */
+  def connectedComponents(edges: DataFrame, uCol: String = "u",
+                          vCol: String = "v"): DataFrame = {
+    val (labels, converged) = operators.GraphQueries.ccLargeSmallStar(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")))
+    require(converged, "connected components did not converge")
+    labels
+  }
+
+  /** Per-node triangle participation counts (node, tri, deg) over an
+    * undirected canonical edge set — degree-oriented broadcast wedge
+    * closure (see [[operators.GraphQueries.triangleCounts]]). */
+  def triangleCounts(edges: DataFrame, uCol: String = "u",
+                     vCol: String = "v"): DataFrame =
+    operators.GraphQueries.triangleCounts(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")))
+
   /** SimHash near-dup pairs: (a, b, hamming) with hamming <= maxHamming.
     *
     * Candidate generation bands the 64-bit signature into maxHamming+1

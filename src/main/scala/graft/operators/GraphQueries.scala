@@ -144,6 +144,42 @@ object GraphQueries {
     (labels, converged)
   }
 
+  /** Per-node triangle counts over an undirected canonical (u < v) edge
+    * set: (node, tri, deg). Degree-oriented wedge closure — see the g4
+    * query comment for the plan contract (both joins broadcast the edge
+    * list; the wedge stream never shuffles). Nodes in no triangle are
+    * absent (left-join + coalesce at the call site if zeros matter). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select($"u", $"v").localCheckpoint(true)
+    val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val ew = e
+      .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+    val lower = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val oriented = ew.select(
+      when(lower, $"u").otherwise($"v").as("src"),
+      when(lower, $"v").otherwise($"u").as("dst"),
+      when(lower, $"dv").otherwise($"du").as("ddst"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("x").join(broadcast(oriented.as("y")),
+        $"x.src" === $"y.src" &&
+        ($"x.ddst" < $"y.ddst" || ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
+      .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
+    // closure probe on a SINGLE packed long key (ids < 2^31 at any test
+    // SF) → LongHashedRelation, ~3x faster than a composite-key probe;
+    // at id ranges past 2^31 fall back to the two-column key
+    val tri = wedges.join(
+      broadcast(oriented.select((shiftleft($"src", 31) + $"dst").as("bc"))),
+      (shiftleft($"b", 31) + $"c") === $"bc")
+    tri.select(explode(array($"a", $"b", $"c")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("tri"))
+      .join(deg, "n")
+      .select($"n".as("node"), $"tri", $"deg")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- g1: PageRank, 3 synchronous iterations, damping 0.85. The
@@ -269,36 +305,11 @@ object GraphQueries {
     // undirected degree).
     GraftQuery("g4_triangle_count", (s, d) => {
       import s.implicits._
-      val e = coOccurrenceEdges(s, d, minOrders = 1).localCheckpoint(true)
-      val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
-      // orient each edge from the smaller (deg, id) endpoint; carry the
-      // destination's (deg, id) so wedge generation can re-compare locally
-      val ew = e
-        .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
-        .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
-      val oriented = ew.select(
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"),
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv").otherwise($"du").as("ddst"))
-        .localCheckpoint(true)
-      val wedges = oriented.as("x").join(broadcast(oriented.as("y")),
-          $"x.src" === $"y.src" &&
-          ($"x.ddst" < $"y.ddst" || ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
-        .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
-      // closure probe on a SINGLE packed long key (ids < 2^31 at any test
-      // SF) → LongHashedRelation, ~3x faster than a composite-key probe;
-      // at id ranges past 2^31 fall back to the two-column key
-      val tri = wedges.join(
-        broadcast(oriented.select(
-          (shiftleft($"src", 31) + $"dst").as("bc"))),
-        (shiftleft($"b", 31) + $"c") === $"bc")
-      val perNode = tri.select(explode(array($"a", $"b", $"c")).as("n"))
-        .groupBy($"n").agg(count(lit(1)).as("tri"))
+      val perNode = triangleCounts(coOccurrenceEdges(s, d, minOrders = 1))
         .localCheckpoint(true) // reused for the total; keeps the plan single-pass
       val totalDf = perNode.agg((coalesce(sum($"tri"), lit(0L)) / 3).cast("long").as("total_tri"))
-      perNode.join(deg, "n")
-        .select($"n".as("node"), $"tri", $"deg",
+      perNode
+        .select($"node", $"tri", $"deg",
           expr("(1000000 * tri) div (deg * (deg - 1) div 2)").as("cc_ppm"))
         .crossJoin(broadcast(totalDf))
         .orderBy($"tri".desc, $"node").limit(20)
