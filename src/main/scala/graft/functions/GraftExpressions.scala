@@ -236,6 +236,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * via a static call so corpus-wide token accounting stays inside
   * whole-stage codegen; see [[SubwordVocab]] for semantics and the
   * broadcast-vocab scale story. */
+/** Merge-order BPE token count of a text — String→Int, codegen'd via a
+  * static call into [[BpeMerges]] (per-thread word memo), so tokenizer-true
+  * budget accounting stays inside whole-stage codegen. */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    BpeMerges.tokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeMerges.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount = copy(c)
+}
+
 case class SubwordTokenIds(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =

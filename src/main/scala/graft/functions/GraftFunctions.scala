@@ -23,6 +23,7 @@ object GraftFunctions {
   def derive_bytes(c: Column, n: Int): Column = column(DeriveBytes(expression(c), n))
   def rsb1_decode(c: Column): Column = column(Rsb1Decode(expression(c)))
   def subword_ids(c: Column): Column = column(SubwordTokenIds(expression(c)))
+  def bpe_token_count(c: Column): Column = column(BpeTokenCount(expression(c)))
   def count_min_estimate(sk: Column, term: Column): Column =
     column(CountMinEstimate(expression(sk), expression(term)))
 
@@ -40,6 +41,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("count_min_estimate", e => CountMinEstimate(e.head, e(1)), "built-in")
     reg.createOrReplaceTempFunction("rsb1_decode", e => Rsb1Decode(e.head), "built-in")
     reg.createOrReplaceTempFunction("subword_ids", e => SubwordTokenIds(e.head), "built-in")
+    reg.createOrReplaceTempFunction("bpe_token_count", e => BpeTokenCount(e.head), "built-in")
     // SQL forms take the size/width as a literal second argument
     reg.createOrReplaceTempFunction("derive_bytes",
       e => DeriveBytes(e.head, e(1).eval(null).toString.toInt), "built-in")

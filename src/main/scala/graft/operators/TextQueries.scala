@@ -672,6 +672,49 @@ object TextQueries {
         CAST(floor((cum_toks - n_toks) / 2048) AS BIGINT) AS pack_id
       FROM c ORDER BY doc_id""")),
 
+    // ----- x29: merge-order BPE token counts — the classic byte-pair
+    // encoding loop (Sennrich 2016), where MERGE RANK, not piece length,
+    // decides the segmentation (x21's greedy longest-match cannot
+    // reproduce a real GPT-2/Llama vocab; this can). Codegen'd
+    // BpeTokenCount expression with a per-thread word memo; the oracle
+    // replays the identical loop as a recursive CTE over distinct words —
+    // state wrapped as (tok)(tok)… so replace() fuses exactly the
+    // leftmost-non-overlapping occurrences the Scala loop does, one
+    // lowest-applicable-rank merge per recursion level, fixpoint row = the
+    // final segmentation. Identical merge table inlined from
+    // BpeMerges.sqlValues — the two sides cannot drift.
+    GraftQuery("x29_bpe_tokens", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          size(filter(split(lower($"text"), "[^a-z0-9]+"), w => length(w) > 0))
+            .cast(LongType).as("n_words"),
+          bpe_token_count($"text").cast(LongType).as("n_bpe"))
+        .orderBy($"doc_id")
+    }, Some(s"""
+      WITH RECURSIVE
+      merges(rank, a, b) AS (VALUES ${graft.functions.BpeMerges.sqlValues}),
+      tw AS (SELECT doc_id, u.word
+             FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+                   FROM documents) t, unnest(t.arr) AS u(word)
+             WHERE u.word <> ''),
+      words AS (SELECT DISTINCT word FROM tw),
+      st(word, state) AS (
+        SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') FROM words
+        UNION ALL
+        SELECT st.word,
+          replace(st.state, '(' || m.a || ')(' || m.b || ')', '(' || m.a || m.b || ')')
+        FROM st JOIN merges m ON m.rank = (
+          SELECT MIN(m2.rank) FROM merges m2
+          WHERE position('(' || m2.a || ')(' || m2.b || ')' IN st.state) > 0)),
+      fin AS (SELECT word, length(state) - length(replace(state, '(', '')) AS n_tok
+              FROM st
+              WHERE NOT EXISTS (SELECT 1 FROM merges m
+                WHERE position('(' || m.a || ')(' || m.b || ')' IN st.state) > 0))
+      SELECT t.doc_id, COUNT(*) AS n_words, CAST(SUM(f.n_tok) AS BIGINT) AS n_bpe
+      FROM tw t JOIN fin f ON t.word = f.word
+      GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // rolling-hash + djb2 fingerprints — both are simple byte folds, so the
     // oracle recomputes them exactly in DuckDB: djb2 as a HUGEINT mod-2^64
     // fold (same shape as f_hash_native), Karp-Rabin as a fold of

@@ -166,6 +166,48 @@ object StreamingQueries {
                           AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE)
       ORDER BY purchase_id, click_id""")),
 
+    // ----- J7d: stream-stream FULL OUTER join — both sides' unmatched
+    // rows emit on watermark proof. The eviction thresholds are
+    // asymmetric, read off the join's time band: an unmatched purchase
+    // needs wm > p_ts (a future click has c_ts <= p_ts); an unmatched
+    // click needs wm > c_ts + 10min (a future purchase can still reach
+    // back 10 minutes). The oracle mirrors both cuts exactly, so the gate
+    // pins the engine's state-eviction arithmetic, not just join results.
+    GraftQuery("j7_stream_full_outer", (s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+        .withWatermark("p_ts", "30 minutes")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 10 MINUTES"),
+        "fullOuter")
+        .select($"purchase_id", $"click_id")
+      runToMemory(s, joined, OutputMode.Append())
+        .orderBy($"purchase_id", $"click_id")
+    }, Some("""
+      WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      wm AS (SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+                    - INTERVAL 30 MINUTE AS w)
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+      UNION ALL
+      SELECT p.event_id, CAST(NULL AS BIGINT)
+      FROM p WHERE p.ts < (SELECT w FROM wm)
+        AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                          AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE)
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), c.event_id
+      FROM c WHERE c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+        AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                          AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE)
+      ORDER BY purchase_id, click_id""")),
+
     // ----- S5/S6 end to end: the north-star pipeline itself as a gate
     // query — the events stream consumed through foreachBatch into the
     // bucketed compacting store, then the STORE is read back and must hold

@@ -149,6 +149,26 @@ class GraftExpressionsSpec extends SparkTestBase {
     assert(n == 4)
   }
 
+  test("BPE merge loop: rank priority, leftmost-non-overlap, memo-free equivalence") {
+    import graft.functions.BpeMerges
+    // rank 0 is t+h, so "the" forms th before any e-merge could apply
+    assert(BpeMerges.segment("the").toSeq == Seq("the"))
+    assert(BpeMerges.segment("scan").toSeq == Seq("sc", "an"))
+    assert(BpeMerges.segment("query").toSeq == Seq("qu", "er", "y"))
+    assert(BpeMerges.segment("window").toSeq == Seq("w", "in", "d", "ow"))
+    assert(BpeMerges.segment("batch").toSeq == Seq("batch"))
+    // merge rank decides, not piece length: "er" forms before "re" could
+    assert(BpeMerges.segment("ere").toSeq == Seq("er", "e"))
+    // leftmost-non-overlapping within one level: t h t h fuses both
+    assert(BpeMerges.segment("thth").toSeq == Seq("th", "th"))
+    // no applicable merge: stays characters
+    assert(BpeMerges.segment("zzz").toSeq == Seq("z", "z", "z"))
+    // tokenCount splits like the oracle regex (non-alphanumeric, lowercase)
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeMerges.tokenCount(UTF8String.fromString("The scan, the scan!")) == 6)
+    assert(BpeMerges.tokenCount(UTF8String.fromString("")) == 0)
+  }
+
   test("count_min_estimate: agrees with the library probe, never underestimates") {
     import spark.implicits._
     GraftFunctions.registerAll(spark)
