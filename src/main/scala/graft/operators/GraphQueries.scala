@@ -55,16 +55,6 @@ object GraphQueries {
     else pairs.select($"u", $"v")
   }
 
-  /** (count, order-independent hash checksum) of an edge set — the cheap
-    * per-round convergence probe for [[ccLargeSmallStar]]. A collision-faked
-    * early stop would surface as an oracle mismatch on the final labels, so
-    * the probe only needs to be sound in practice, not cryptographic. */
-  private def edgeChecksum(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
-  }
-
   /** Connected components via alternating large-star / small-star edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the 100 TB-scale CC algorithm. Each round is two
@@ -90,12 +80,14 @@ object GraphQueries {
     // large-star: for each node u, m = min(N(u) ∪ {u}); every neighbor
     // v > u re-attaches to m. groupBy+rejoin (not a window) so a hot hub's
     // neighborhood is a partial-aggregated min, never a collected array.
+    // No dedup here: small-star's min-aggregate absorbs duplicates, so a
+    // distinct would buy nothing but an extra shuffle per round.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
       val m = sym.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"mn", $"u").as("m"))
       sym.join(m, "u").filter($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v")).filter($"u" =!= $"v").distinct()
+        .select($"v".as("u"), $"m".as("v")).filter($"u" =!= $"v")
     }
 
     // small-star: orient every edge high→low (a > b); m = min(N(a) ∪ {a})
@@ -109,8 +101,16 @@ object GraphQueries {
         .distinct()
     }
 
-    var edges = edges0.select($"u", $"v").localCheckpoint(true)
-    var sig = edgeChecksum(edges)
+    // the initial checksum rides the first checkpoint job, like each round's
+    val obs0 = new org.apache.spark.sql.Observation()
+    var edges = edges0.select($"u", $"v")
+      .observe(obs0, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h"))
+      .localCheckpoint(true)
+    var sig = {
+      val m0 = obs0.get
+      (m0("n").asInstanceOf[Long], m0("h").asInstanceOf[Long])
+    }
     // size the iteration space to the EDGE data, not the input table: the
     // (often heavily thresholded) edge set can be orders of magnitude
     // smaller than its source, and every round schedules ~6 stages over
