@@ -351,6 +351,50 @@ object SourceQueries {
       FROM (SELECT user_id % 2 AS cohort, COUNT(*) AS n,
               CAST(SUM(${sql.vcents("value")}) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1) t
-      ORDER BY cohort"""))
+      ORDER BY cohort""")),
+
+    // ----- S13: malformed-record resilience — at 100 TB some input lines
+    // are always broken, and the difference between PERMISSIVE (quarantine
+    // into _corrupt_record) and DROPMALFORMED (silently shed) decides
+    // whether you can audit the loss. The fixture derives a text file from
+    // nation with every (n_nationkey % 5 = 0) line deliberately mangled
+    // (non-numeric key field), so the oracle knows exactly which rows were
+    // poisoned. The gate pins: PERMISSIVE keeps every line and quarantines
+    // exactly the mangled ones (good rows' key sum intact, corrupt rows'
+    // raw text preserved for audit), DROPMALFORMED's count equals the
+    // clean subset.
+    GraftQuery("s13_corrupt_records", (s, d) => {
+      import s.implicits._
+      val out = tmpDir("s13")
+      T.nation(s, d)
+        .select(concat_ws(",",
+          when($"n_nationkey" % 5 === 0, concat(lit("X"), $"n_nationkey"))
+            .otherwise($"n_nationkey".cast(StringType)),
+          $"n_name", $"n_regionkey").as("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      val schema = "n_nationkey LONG, n_name STRING, n_regionkey LONG, _corrupt_record STRING"
+      val permissive = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out).cache()
+      val dropped = s.read.schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+        .option("mode", "DROPMALFORMED").csv(out)
+      // a bare count() prunes every column, so nothing parses and nothing
+      // drops — aggregate over the poisoned column to force the parse
+      val droppedCount = dropped.agg(count($"n_nationkey")).head().getLong(0)
+      permissive.agg(
+        count(lit(1)).as("n_lines"),
+        count($"_corrupt_record").as("n_corrupt"),
+        sum($"n_nationkey").as("sum_good_keys"),
+        sum(when($"_corrupt_record".startsWith("X"), 1L).otherwise(0L)).as("n_audit_prefix"),
+        lit(droppedCount).as("n_dropmalformed"))
+    }, Some("""
+      SELECT COUNT(*) AS n_lines,
+        CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT) AS sum_good_keys,
+        CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_audit_prefix,
+        CAST(COUNT(*) - SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropmalformed
+      FROM nation"""))
   )
 }
