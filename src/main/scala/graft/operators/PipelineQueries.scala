@@ -229,7 +229,11 @@ object PipelineQueries {
             FROM (SELECT doc_id, unnest(segs) AS seg FROM s) GROUP BY seg),
       b AS (SELECT list_sort(list(seg)) AS bp FROM c WHERE nd >= 20)
       SELECT doc_id,
-        array_to_string(list_filter(segs, x -> NOT list_contains(b.bp, x)), ' ') AS clean_text,
+        -- COALESCE: array_to_string([]) is NULL in DuckDB but '' in Spark's
+        -- array_join; fully-scrubbed docs (common once the corpus is large
+        -- enough for most segments to cross the threshold) hit exactly that
+        COALESCE(array_to_string(list_filter(segs, x -> NOT list_contains(b.bp, x)), ' '), '')
+          AS clean_text,
         CAST(len(segs) AS BIGINT) AS n_seg,
         CAST(len(list_filter(segs, x -> list_contains(b.bp, x))) AS BIGINT) AS n_removed
       FROM s, b ORDER BY doc_id""")),

@@ -90,4 +90,24 @@ class SourcesSpec extends SparkTestBase {
       .option("compression", "lz4").parquet(dir)
     assert(spark.read.parquet(dir).count() == 5)
   }
+  test("normalizeEventsTs maps every reader shape for TIMESTAMP(NANOS) to micros") {
+    import spark.implicits._
+    // legacy nanosAsLong build: nanos arrive as BIGINT
+    val fromLong = Seq((1L, 1704067200000000000L)).toDF("event_id", "ts")
+    assert(Tables.normalizeEventsTs(fromLong)
+      .select($"ts".cast("string")).head().getString(0) == "2024-01-01 00:00:00")
+    // native build: nanos arrive as TIMESTAMP_NTZ (UTC session)
+    val fromNtz = spark.sql(
+      "SELECT 1L AS event_id, TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts")
+    assert(Tables.normalizeEventsTs(fromNtz)
+      .select($"ts".cast("string")).head().getString(0) == "2024-01-01 00:00:00")
+    // already-normalized passthrough
+    val fromTs = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts")
+    assert(Tables.normalizeEventsTs(fromTs).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // anything else is a loud failure, not a silent wrong answer
+    intercept[IllegalStateException] {
+      Tables.normalizeEventsTs(Seq((1L, "x")).toDF("event_id", "ts"))
+    }
+  }
 }
