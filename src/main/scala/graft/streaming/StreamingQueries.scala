@@ -391,6 +391,44 @@ object StreamingQueries {
         COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""")),
 
+    // ----- T2 (streaming, Append mode): the STATE-BOUNDED production
+    // shape — a session emits exactly once, when the watermark passes its
+    // end (last event + gap) and the engine can prove no late event will
+    // ever extend it; everything already emitted is evictable state. The
+    // oracle mirrors that cut exactly (session_end <= max(ts) - delay), so
+    // the gate pins the eviction arithmetic the same way j7c/j7d do for
+    // outer joins — sessions still open at the final watermark are
+    // (correctly) absent. Complete-mode companion above shows the full
+    // table; together they cover both halves of the T2 trade.
+    GraftQuery("t2a_stream_session_append", (s, d) => {
+      import s.implicits._
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(vcents($"value")).as("sum_cents"))
+      runToMemory(s, agg, OutputMode.Append())
+        .select($"user_id", tsFmt($"w.start").as("s_start"), $"n", $"sum_cents")
+        .orderBy($"user_id", $"s_start")
+    }, Some(s"""
+      WITH x AS (
+        SELECT user_id, ts, ${sql.vcents("value")} AS cents,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      y AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM x),
+      sess AS (SELECT user_id, MIN(ts) AS s_start,
+                 MAX(ts) + INTERVAL 10 MINUTE AS s_end,
+                 COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+               FROM y GROUP BY user_id, sid),
+      wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+      SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start,
+        n, sum_cents
+      FROM sess, wm WHERE s_end <= w
+      ORDER BY user_id, s_start""")),
+
     // ----- T5: streaming dedup by key + downstream aggregate
     GraftQuery("t5_stream_dedup", (s, d) => {
       import s.implicits._
