@@ -131,6 +131,44 @@ object MultimodalQueries {
         md5(substring(d.text, CAST(chunk_id*128 + 1 AS INT), 128)) AS chunk_md5
       FROM c JOIN documents d USING (doc_id)
       ORDER BY doc_id, chunk_id"""))
+  ,
+
+    // ----- m7: chunk REASSEMBLY — the read path of m6's blob-store plan:
+    // chunks arrive shuffled (simulated by exploding in reverse order),
+    // are re-ordered per blob and concatenated, and the rebuilt payload
+    // must be byte-identical to the original (md5 + length pinned by the
+    // oracle straight from the source text). The per-blob gather is
+    // array_sort over (chunk_id, data) structs then a fold — bounded by
+    // one blob's chunk count, never the corpus; blobs reassemble
+    // embarrassingly parallel after one shuffle on doc_id. A torn upload
+    // (missing/duplicated chunk) breaks the md5, so this is also the
+    // integrity audit the manifest exists for.
+    GraftQuery("m7_chunk_reassembly", (s, d) => {
+      import s.implicits._
+      val chunk = 128
+      val nChunks = floor((length($"text") - 1) / chunk).cast("int") + 1
+      val chunkArr = when(length($"text") > 0,
+        transform(sequence(nChunks - 1, lit(0), lit(-1)), // reversed on purpose
+          i => struct(
+            i.cast("long").as("chunk_id"),
+            substring($"text", i * chunk + 1, lit(chunk)).as("data"))))
+      T.documents(s, d)
+        .select($"doc_id", explode(chunkArr).as("c"))
+        .groupBy($"doc_id")
+        .agg(collect_list($"c").as("cs"))
+        .select($"doc_id",
+          expr("aggregate(array_sort(cs), '', (acc, x) -> acc || x.data)").as("rebuilt"))
+        .join(T.documents(s, d), "doc_id")
+        .select($"doc_id",
+          length($"rebuilt").cast("long").as("n_chars"),
+          md5($"rebuilt").as("payload_md5"),
+          ($"rebuilt" === $"text").as("roundtrip_ok"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        md5(text) AS payload_md5, TRUE AS roundtrip_ok
+      FROM documents WHERE length(text) > 0
+      ORDER BY doc_id"""))
   )
 }
 

@@ -376,6 +376,67 @@ object TextQueries {
              ELSE 'ffff' END
       ORDER BY doc_id""")),
 
+    // ----- x30: quality-pacing corpus mix — the data-curation step that
+    // composes the LM quality signal (x8's unigram log-prob), quantile
+    // bucketing (d3's distributed NTILE device) and deterministic
+    // hash-threshold sampling (x15's md5 device) into one pipeline:
+    // docs are quartiled by per-token log-prob and sampled at
+    // quartile-dependent rates (best quartile kept whole, worst kept 25% —
+    // the up-weight-quality / down-weight-junk mix every pretraining run
+    // tunes). Integer micro-nat arithmetic with truncating div (both
+    // engines truncate toward zero, verified), two-pass ranged rank for
+    // the quartiles (no global window), md5 threshold for the keep
+    // decision (map-side, retry-stable).
+    GraftQuery("x30_quality_mix", (s, d) => {
+      import s.implicits._
+      val terms = T.documents(s, d)
+        .select($"doc_id", explode(split(trim($"text"), " ")).as("term"))
+      val freq = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
+      val totalDf = terms.agg(count(lit(1)).cast(DoubleType).as("n_total"))
+      val perDoc = terms.join(freq, "term")
+        .crossJoin(broadcast(totalDf))
+        .withColumn("lp_u",
+          round(log($"freq".cast(DoubleType) / $"n_total") * 1e6).cast(LongType))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lp_u").as("logprob_u"))
+        .withColumn("quality_u", expr("logprob_u div n_tokens"))
+        .select($"doc_id", $"quality_u")
+      val total = T.documents(s, d).count()
+      val k = 4
+      val q = math.max(total / k, 1L)
+      val m = total % k
+      val ranked = SkewUtils.rangedRowNumber(perDoc, Seq.empty,
+        Seq("quality_u", "doc_id"), 32, "rank")
+        .withColumn("q_bucket",
+          expr(s"CASE WHEN rank <= ${m * (q + 1)} THEN (rank - 1) div ${q + 1} " +
+            s"ELSE $m + (rank - 1 - ${m * (q + 1)}) div $q END").cast("long"))
+      val thresh = when($"q_bucket" === 0, lit("4000"))
+        .when($"q_bucket" === 1, lit("8000"))
+        .when($"q_bucket" === 2, lit("c000"))
+        .otherwise(lit("ffff"))
+      ranked
+        .filter(substring(md5($"doc_id".cast(StringType)), 1, 4) < thresh)
+        .select($"doc_id", $"q_bucket", $"quality_u")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY term),
+      n AS (SELECT COUNT(*) AS total FROM t),
+      lp AS (SELECT t.doc_id,
+               CAST(round(ln(CAST(f.freq AS DOUBLE) / CAST(n.total AS DOUBLE)) * 1e6) AS BIGINT) AS lp_u
+             FROM t JOIN f USING (term), n),
+      pd AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lp_u) AS BIGINT) AS logprob_u
+             FROM lp GROUP BY doc_id),
+      qd AS (SELECT doc_id, logprob_u // n_tokens AS quality_u FROM pd),
+      r AS (SELECT doc_id, quality_u,
+              CAST(NTILE(4) OVER (ORDER BY quality_u, doc_id) - 1 AS BIGINT) AS q_bucket
+            FROM qd)
+      SELECT doc_id, q_bucket, quality_u FROM r
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE q_bucket WHEN 0 THEN '4000' WHEN 1 THEN '8000'
+             WHEN 2 THEN 'c000' ELSE 'ffff' END
+      ORDER BY doc_id""")),
+
     // ----- train/val/test split: stable 75/12.5/12.5 assignment by md5
     // prefix of the doc id — deterministic across engines, runs, retries
     // and cluster sizes (no RNG, no partition dependence), so the split is
