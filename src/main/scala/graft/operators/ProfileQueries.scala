@@ -191,6 +191,44 @@ object ProfileQueries {
     }, Some("""
       SELECT CAST(SUM(n * n) AS BIGINT) AS exact_pairs,
         TRUE AS sound, TRUE AS tight
-      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey) t"""))
+      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey) t""")),
+
+    // ----- d5: join-key skew report — the diagnostic that decides whether
+    // a key needs SkewUtils treatment (salting, ranged windows, AQE skew
+    // hints) BEFORE the join runs: per candidate key column, group-size
+    // max vs mean in integer ppm. Two hash aggs per column (groupBy key →
+    // agg over the bounded group-size table); the row stream is scanned
+    // once per column and nothing wider than (key, count) ever shuffles.
+    GraftQuery("d5_skew_report", (s, d) => {
+      import s.implicits._
+      def stats(c: String) = {
+        val g = T.lineitem(s, d).groupBy(col(c).as("k"))
+          .agg(count(lit(1)).as("n"))
+        g.agg(
+          lit(c).as("key_col"),
+          sum($"n").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max($"n").as("max_n"))
+          .select($"key_col", $"n_rows", $"n_keys", $"max_n",
+            expr("(1000 * n_rows) div n_keys").as("mean_milli"),
+            expr("(1000000 * max_n * n_keys) div n_rows").as("skew_ppm"))
+      }
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(stats)
+        .reduce(_ unionAll _).orderBy($"key_col")
+    }, Some("""
+      SELECT key_col, n_rows, n_keys, max_n,
+        (1000 * n_rows) // n_keys AS mean_milli,
+        (1000000 * max_n * n_keys) // n_rows AS skew_ppm
+      FROM (
+        SELECT 'l_orderkey' AS key_col, CAST(SUM(n) AS BIGINT) AS n_rows,
+          COUNT(*) AS n_keys, CAST(MAX(n) AS BIGINT) AS max_n
+        FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey) g1
+        UNION ALL
+        SELECT 'l_partkey', CAST(SUM(n) AS BIGINT), COUNT(*), CAST(MAX(n) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey) g2
+        UNION ALL
+        SELECT 'l_suppkey', CAST(SUM(n) AS BIGINT), COUNT(*), CAST(MAX(n) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) g3) t
+      ORDER BY key_col"""))
   )
 }

@@ -429,6 +429,44 @@ object StreamingQueries {
       FROM sess, wm WHERE s_end <= w
       ORDER BY user_id, s_start""")),
 
+    // ----- T8: CHAINED stateful streaming aggregations (Spark 4 multiple
+    // stateful operators in Append mode) — 5-minute tumbling per-type
+    // counts re-aggregated into 30-minute peaks, both windows in ONE
+    // streaming query. The first aggregate emits a 5-min window when the
+    // watermark passes its end; the second consumes those emissions as
+    // event-time rows (window end time) and emits a 30-min window the same
+    // way — so the final table is exactly the 30-min windows whose end the
+    // final watermark cleared, and every 5-min window inside them was
+    // cleared first. The oracle mirrors that single cut (w30_end <= max ts
+    // - delay). This is the streaming rollup cascade (minute → hour → day)
+    // every metrics pipeline runs, previously impossible without an
+    // intermediate sink.
+    GraftQuery("t8_chained_windows", (s, d) => {
+      import s.implicits._
+      val five = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window($"ts", "5 minutes").as("w5"), $"event_type")
+        .agg(count(lit(1)).as("n5"))
+      val thirty = five
+        .groupBy(window($"w5", "30 minutes").as("w30"), $"event_type")
+        .agg(max($"n5").as("peak_5min"), sum($"n5").as("total"))
+      runToMemory(s, thirty, OutputMode.Append())
+        .select($"event_type", tsFmt($"w30.start").as("w_start"),
+          $"peak_5min", $"total")
+        .orderBy($"event_type", $"w_start")
+    }, Some(s"""
+      WITH f AS (SELECT event_type, time_bucket(INTERVAL 5 MINUTE, ts) AS w5,
+                   COUNT(*) AS n5
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, time_bucket(INTERVAL 30 MINUTE, w5) AS w30,
+              MAX(n5) AS peak_5min, CAST(SUM(n5) AS BIGINT) AS total
+            FROM f GROUP BY 1, 2),
+      wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+      SELECT event_type, strftime(w30, '%Y-%m-%d %H:%M:%S') AS w_start,
+        peak_5min, total
+      FROM t, wm WHERE w30 + INTERVAL 30 MINUTE <= wm.w
+      ORDER BY event_type, w_start""")),
+
     // ----- T5: streaming dedup by key + downstream aggregate
     GraftQuery("t5_stream_dedup", (s, d) => {
       import s.implicits._
