@@ -306,8 +306,37 @@ def gen_subquery(i):
             f"WHERE o_custkey > (SELECT AVG(o_custkey) FROM orders WHERE {w}) "
             "ORDER BY o_orderkey")
 
+def gen_rollup(i):
+    # grouping-set machinery: subtotal rows materialize NULL group keys, and
+    # default null ordering DIFFERS between the engines (Spark NULLS FIRST,
+    # DuckDB NULLS LAST) — the explicit NULLS FIRST makes the shared text
+    # deterministic, and the generated columns carry no natural nulls so a
+    # NULL key always means "subtotal row" in both engines
+    t = rng.choice(["orders", "lineitem", "customer"])
+    c = TABLES[t]
+    g = rng.sample(c["str"] + c["int"][:2], 2)
+    form = rng.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+    if form == "GROUPING SETS":
+        clause = f"GROUPING SETS (({g[0]}, {g[1]}), ({g[0]}), ())"
+    else:
+        clause = f"{form} ({g[0]}, {g[1]})"
+    where = pred(t)
+    aggs = ["COUNT(*) AS cnt"]
+    if c["qty"]:
+        aggs.append(f"SUM({c['qty'][0]}) AS sq")
+    # HAVING cnt > 0: on an EMPTY input the engines genuinely diverge —
+    # DuckDB emits the standard global () subtotal row (cnt=0), Spark emits
+    # nothing. The clause filters only that row, equalizing the semantics
+    # without touching any non-empty grouping (every real group has cnt>=1).
+    return (f"SELECT {g[0]}, {g[1]}, {', '.join(aggs)} FROM {t} WHERE {where} "
+            f"GROUP BY {clause} HAVING COUNT(*) > 0 "
+            f"ORDER BY {g[0]} NULLS FIRST, {g[1]} NULLS FIRST, cnt")
+
+
 def gen(i):
     r = rng.random()
+    if r < 0.08:
+        return gen_rollup(i)
     if r < 0.12:
         return gen_join(i)
     if r < 0.24:
