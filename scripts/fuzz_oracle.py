@@ -334,9 +334,9 @@ def gen_rollup(i):
 
 
 def gen(i):
+    # the rollup family takes its share from the base aggregate/projection
+    # bucket at the end — every earlier family keeps its original share
     r = rng.random()
-    if r < 0.08:
-        return gen_rollup(i)
     if r < 0.12:
         return gen_join(i)
     if r < 0.24:
@@ -351,6 +351,8 @@ def gen(i):
         return gen_scalar(i)
     if r < 0.70:
         return gen_subquery(i)
+    if r < 0.78:
+        return gen_rollup(i)
     t = rng.choice(list(TABLES))
     c = TABLES[t]
     where = " AND ".join(pred(t) for _ in range(rng.randint(1, 3)))

@@ -166,10 +166,7 @@ object Scratch {
         Tables.lineitem(spark, d).select($"l_orderkey", $"l_partkey"),
         k, Seq("l_orderkey")).cache()
       val n = li.count()
-      val e = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .agg(count(lit(1)).as("n")).select($"u", $"v")
+      val e = operators.GraphQueries.coOccurrencePairs(li).select($"u", $"v")
       time(f"lineitem x$k%2d ($n%9d rows) g4-style edge build + triangle closure") {
         val ec = e.localCheckpoint(true)
         val deg = ec.select($"u".as("nd")).union(ec.select($"v".as("nd")))
@@ -190,10 +187,8 @@ object Scratch {
           (shiftleft($"b", 31) + $"c") === $"bc").count()
       }
       time(f"lineitem x$k%2d ($n%9d rows) g3-style large/small-star CC (thresholded)") {
-        val et = li.as("a").join(li.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-          .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"u", $"v")
+        val et = operators.GraphQueries.coOccurrencePairs(li)
+          .filter($"n_orders" >= 2).select($"u", $"v")
         val (labels, converged) = operators.GraphQueries.ccLargeSmallStar(et)
         require(converged); labels.count()
       }

@@ -95,7 +95,9 @@ object BpeMerges {
   /** BPE token count of a text: words = maximal [a-z0-9]+ runs of the
     * lowercased text (identical to the oracle's split regex). */
   def tokenCount(text: UTF8String): Int = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: a tr_TR JVM would map I to dotless ı (outside [a-z]),
+    // silently diverging from the oracle's lower() and Spark's own lower()
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     var total = 0
     val n = s.length

@@ -231,11 +231,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Greedy longest-match subword tokenization against the fixed
-  * [[SubwordVocab]] — String→Array[Int] of token ids (0 = UNK). Codegen'd
-  * via a static call so corpus-wide token accounting stays inside
-  * whole-stage codegen; see [[SubwordVocab]] for semantics and the
-  * broadcast-vocab scale story. */
 /** Merge-order BPE token count of a text — String→Int, codegen'd via a
   * static call into [[BpeMerges]] (per-thread word memo), so tokenizer-true
   * budget accounting stays inside whole-stage codegen. */
@@ -251,6 +246,11 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): BpeTokenCount = copy(c)
 }
 
+/** Greedy longest-match subword tokenization against the fixed
+  * [[SubwordVocab]] — String→Array[Int] of token ids (0 = UNK). Codegen'd
+  * via a static call so corpus-wide token accounting stays inside
+  * whole-stage codegen; see [[SubwordVocab]] for semantics and the
+  * broadcast-vocab scale story. */
 case class SubwordTokenIds(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =

@@ -38,19 +38,30 @@ object GraphQueries {
       .union(pairs.select(($"ck" + 100000L).as("src"), $"sk".as("dst")))
   }
 
-  /** Canonical (u < v) part co-occurrence edges: parts that appear together
-    * in at least `minOrders` orders. The self-join shuffles both sides on
-    * l_orderkey (co-partitioned), and pair generation per order is bounded
-    * by the order's line count (<= 7 in TPC-H shape), so the edge build is
-    * linear in lineitem, never quadratic in parts. */
-  private def coOccurrenceEdges(s: SparkSession, d: String,
-      minOrders: Int): DataFrame = {
-    import s.implicits._
-    val l = T.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-    val pairs = l.as("a").join(l.as("b"),
+  /** Canonical (u < v) part co-occurrence pairs with their DISTINCT-order
+    * support count: (u, v, n_orders). The input is deduplicated to one
+    * (order, part) row first — lineitem carries duplicate part lines
+    * within an order, which would otherwise inflate a pair's support past
+    * what "appears together in N orders" means. The self-join shuffles
+    * both sides on l_orderkey (co-partitioned), and pair generation per
+    * order is bounded by the order's distinct part count (<= 7 in TPC-H
+    * shape), so the build is linear in lineitem, never quadratic in
+    * parts. Shared by g3/g4, d2_frequent_pairs, the facade tests, and the
+    * Scratch scale probe — one definition, no drift. */
+  def coOccurrencePairs(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val l = lineitem.select($"l_orderkey", $"l_partkey").distinct()
+    l.as("a").join(l.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
       .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
       .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private def coOccurrenceEdges(s: SparkSession, d: String,
+      minOrders: Int): DataFrame = {
+    import s.implicits._
+    val pairs = coOccurrencePairs(T.lineitem(s, d))
     if (minOrders > 1) pairs.filter($"n_orders" >= minOrders).select($"u", $"v")
     else pairs.select($"u", $"v")
   }
@@ -74,8 +85,6 @@ object GraphQueries {
   def ccLargeSmallStar(edges0: DataFrame, maxRounds: Int = 25): (DataFrame, Boolean) = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val nodes = edges0.select($"u".as("node"))
-      .union(edges0.select($"v".as("node"))).distinct().localCheckpoint(true)
 
     // large-star: for each node u, m = min(N(u) ∪ {u}); every neighbor
     // v > u re-attaches to m. groupBy+rejoin (not a window) so a hot hub's
@@ -111,6 +120,11 @@ object GraphQueries {
       val m0 = obs0.get
       (m0("n").asInstanceOf[Long], m0("h").asInstanceOf[Long])
     }
+    // node set off the CHECKPOINTED edges — the expensive upstream edge
+    // build runs exactly once (its own checkpoint is needed because the
+    // loop unpersists prior edge snapshots)
+    val nodes = edges.select($"u".as("node"))
+      .union(edges.select($"v".as("node"))).distinct().localCheckpoint(true)
     // size the iteration space to the EDGE data, not the input table: the
     // (often heavily thresholded) edge set can be orders of magnitude
     // smaller than its source, and every round schedules ~6 stages over
@@ -168,12 +182,22 @@ object GraphQueries {
         $"x.src" === $"y.src" &&
         ($"x.ddst" < $"y.ddst" || ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
       .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
-    // closure probe on a SINGLE packed long key (ids < 2^31 at any test
-    // SF) → LongHashedRelation, ~3x faster than a composite-key probe;
-    // at id ranges past 2^31 fall back to the two-column key
-    val tri = wedges.join(
-      broadcast(oriented.select((shiftleft($"src", 31) + $"dst").as("bc"))),
-      (shiftleft($"b", 31) + $"c") === $"bc")
+    // closure probe on a SINGLE packed long key when ids fit 31 bits
+    // (LongHashedRelation, ~3x faster than a composite probe); wider or
+    // negative ids fall back to the exact two-column key — packing them
+    // would alias distinct (b, c) pairs and silently overcount triangles
+    val idRange = e.agg(
+      coalesce(least(min($"u"), min($"v")), lit(0L)),
+      coalesce(greatest(max($"u"), max($"v")), lit(0L))).head()
+    val packable = idRange.getLong(0) >= 0L && idRange.getLong(1) < (1L << 31)
+    val tri =
+      if (packable)
+        wedges.join(
+          broadcast(oriented.select((shiftleft($"src", 31) + $"dst").as("bc"))),
+          (shiftleft($"b", 31) + $"c") === $"bc")
+      else
+        wedges.join(
+          broadcast(oriented.select($"src".as("b"), $"dst".as("c"))), Seq("b", "c"))
     tri.select(explode(array($"a", $"b", $"c")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("tri"))
       .join(deg, "n")
@@ -271,9 +295,10 @@ object GraphQueries {
         .orderBy($"node")
     }, Some("""
       WITH RECURSIVE
+      lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       e0 AS (SELECT u, v FROM (
         SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
-        FROM lineitem a JOIN lineitem b
+        FROM lp a JOIN lp b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2) t WHERE n >= 2),
       edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),

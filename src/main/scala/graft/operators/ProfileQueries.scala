@@ -108,16 +108,14 @@ object ProfileQueries {
     // frequent-singleton set and semi-join both sides before pairing.
     GraftQuery("d2_frequent_pairs", (s, d) => {
       import s.implicits._
-      val l = T.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-      l.as("a").join(l.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
-        .agg(count(lit(1)).as("n_orders"))
+      GraphQueries.coOccurrencePairs(T.lineitem(s, d))
+        .select($"u".as("p1"), $"v".as("p2"), $"n_orders")
         .filter($"n_orders" >= 2)
         .orderBy($"n_orders".desc, $"p1", $"p2").limit(50)
     }, Some("""
+      WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
-      FROM lineitem a JOIN lineitem b
+      FROM lp a JOIN lp b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY n_orders DESC, p1, p2 LIMIT 50""")),
@@ -140,12 +138,19 @@ object ProfileQueries {
       val total = rows.count() // one cheap pre-pass over the scan
       val ranked = SkewUtils.rangedRowNumber(rows, Seq.empty,
         Seq("cents", "l_orderkey", "l_linenumber"), 32, "rank")
-      val q = math.max(total / k, 1L)
-      val m = total % k
+      // NTILE's exact contract: first (n mod k) buckets take ceil(n/k).
+      // When n < k every row is its own bucket (rank-1) — the clamped-q
+      // formula would wrongly double rows up
+      val bucketExpr =
+        if (total < k) "rank - 1"
+        else {
+          val q = total / k
+          val m = total % k
+          s"CASE WHEN rank <= ${m * (q + 1)} THEN (rank - 1) div ${q + 1} " +
+            s"ELSE $m + (rank - 1 - ${m * (q + 1)}) div $q END"
+        }
       ranked
-        .withColumn("bucket",
-          expr(s"CASE WHEN rank <= ${m * (q + 1)} THEN (rank - 1) div ${q + 1} " +
-            s"ELSE $m + (rank - 1 - ${m * (q + 1)}) div $q END").cast("long"))
+        .withColumn("bucket", expr(bucketExpr).cast("long"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_rows"), min($"cents").as("lo"), max($"cents").as("hi"))
         .orderBy($"bucket")

@@ -295,6 +295,7 @@ object SourceQueries {
       val dfs = idx.filter($"term".isin(terms: _*))
         .groupBy($"term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L) // a term absent from the corpus has df 0, not a crash
       val hits = idx.filter($"term".isin(terms: _*))
         .groupBy($"doc_id").agg(countDistinct($"term").as("k"))
         .filter($"k" === terms.size)
@@ -311,8 +312,8 @@ object SourceQueries {
       hits AS (SELECT doc_id FROM toks WHERE term IN ('spark', 'window')
                GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2)
       SELECT h.doc_id, d.source, d.n_chars,
-        (SELECT df FROM t WHERE term = 'spark') AS df_spark,
-        (SELECT df FROM t WHERE term = 'window') AS df_window,
+        COALESCE((SELECT df FROM t WHERE term = 'spark'), 0) AS df_spark,
+        COALESCE((SELECT df FROM t WHERE term = 'window'), 0) AS df_window,
         TRUE AS roundtrip_ok, TRUE AS pruned
       FROM hits h JOIN documents d ON h.doc_id = d.doc_id
       ORDER BY h.doc_id"""), bench = true),

@@ -403,13 +403,18 @@ object TextQueries {
         .select($"doc_id", $"quality_u")
       val total = T.documents(s, d).count()
       val k = 4
-      val q = math.max(total / k, 1L)
-      val m = total % k
+      // same NTILE contract as d3, incl. the n < k one-row-per-bucket case
+      val bucketExpr =
+        if (total < k) "rank - 1"
+        else {
+          val q = total / k
+          val m = total % k
+          s"CASE WHEN rank <= ${m * (q + 1)} THEN (rank - 1) div ${q + 1} " +
+            s"ELSE $m + (rank - 1 - ${m * (q + 1)}) div $q END"
+        }
       val ranked = SkewUtils.rangedRowNumber(perDoc, Seq.empty,
         Seq("quality_u", "doc_id"), 32, "rank")
-        .withColumn("q_bucket",
-          expr(s"CASE WHEN rank <= ${m * (q + 1)} THEN (rank - 1) div ${q + 1} " +
-            s"ELSE $m + (rank - 1 - ${m * (q + 1)}) div $q END").cast("long"))
+        .withColumn("q_bucket", expr(bucketExpr).cast("long"))
       val thresh = when($"q_bucket" === 0, lit("4000"))
         .when($"q_bucket" === 1, lit("8000"))
         .when($"q_bucket" === 2, lit("c000"))

@@ -379,12 +379,12 @@ object StreamingQueries {
         .orderBy($"user_id", $"s_start")
     }, Some(s"""
       WITH x AS (
-        SELECT user_id, ts, ${sql.vcents("value")} AS cents,
+        SELECT user_id, ts, event_id, ${sql.vcents("value")} AS cents,
           CASE WHEN LAG(ts) OVER w IS NULL
                  OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       y AS (
-        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM x)
       SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
@@ -411,12 +411,12 @@ object StreamingQueries {
         .orderBy($"user_id", $"s_start")
     }, Some(s"""
       WITH x AS (
-        SELECT user_id, ts, ${sql.vcents("value")} AS cents,
+        SELECT user_id, ts, event_id, ${sql.vcents("value")} AS cents,
           CASE WHEN LAG(ts) OVER w IS NULL
                  OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       y AS (
-        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM x),
       sess AS (SELECT user_id, MIN(ts) AS s_start,

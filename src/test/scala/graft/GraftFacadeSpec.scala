@@ -98,11 +98,8 @@ class GraftFacadeSpec extends SparkTestBase {
 
   test("connectedComponents equals the g3 gate labels") {
     import spark.implicits._
-    val l = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
-    val edges = l.as("a").join(l.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"u", $"v")
+    val edges = operators.GraphQueries.coOccurrencePairs(Tables.lineitem(spark, sf))
+      .filter($"n_orders" >= 2).select($"u", $"v")
     val facade = Graft.connectedComponents(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val gate = SparkEntry.queries("g3_connected_components")(spark, sf)
@@ -113,11 +110,8 @@ class GraftFacadeSpec extends SparkTestBase {
 
   test("triangleCounts equals the g4 gate per-node counts") {
     import spark.implicits._
-    val l = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
-    val edges = l.as("a").join(l.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .agg(count(lit(1)).as("n")).select($"u", $"v")
+    val edges = operators.GraphQueries.coOccurrencePairs(Tables.lineitem(spark, sf))
+      .select($"u", $"v")
     val facade = Graft.triangleCounts(edges)
       .orderBy($"tri".desc, $"node").limit(20).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
