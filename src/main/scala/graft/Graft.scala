@@ -316,22 +316,27 @@ object Graft {
     * (see [[operators.GraphQueries.ccLargeSmallStar]]). Returns
     * (node, comp) with comp = the component's minimum node id. Use
     * [[propagateMinLabels]] when you already hold per-node labels to seed;
-    * use this when you hold edges. */
+    * use this when you hold edges. `maxRounds` bounds the rewriting
+    * rounds (the O(log n) contraction makes 25 enough for any graph with
+    * < 2^25-diameter components; raise it for pathological inputs). */
   def connectedComponents(edges: DataFrame, uCol: String = "u",
-                          vCol: String = "v"): DataFrame = {
+                          vCol: String = "v", maxRounds: Int = 25): DataFrame = {
     val (labels, converged) = operators.GraphQueries.ccLargeSmallStar(
-      edges.select(col(uCol).as("u"), col(vCol).as("v")))
-    require(converged, "connected components did not converge")
+      edges.select(col(uCol).as("u"), col(vCol).as("v")), maxRounds)
+    require(converged,
+      s"connected components did not converge within $maxRounds rounds")
     labels
   }
 
   /** Per-node triangle participation counts (node, tri, deg) over an
-    * undirected canonical edge set — degree-oriented broadcast wedge
-    * closure (see [[operators.GraphQueries.triangleCounts]]). */
+    * undirected canonical edge set — degree-oriented wedge closure with a
+    * size-switched edge-list broadcast (see
+    * [[operators.GraphQueries.triangleCounts]]). */
   def triangleCounts(edges: DataFrame, uCol: String = "u",
-                     vCol: String = "v"): DataFrame =
+                     vCol: String = "v",
+                     broadcastEdges: Option[Boolean] = None): DataFrame =
     operators.GraphQueries.triangleCounts(
-      edges.select(col(uCol).as("u"), col(vCol).as("v")))
+      edges.select(col(uCol).as("u"), col(vCol).as("v")), broadcastEdges)
 
   /** SimHash near-dup pairs: (a, b, hamming) with hamming <= maxHamming.
     *

@@ -158,15 +158,53 @@ object GraphQueries {
     (labels, converged)
   }
 
+  /** Conservative UnsafeRow footprint of one oriented (src, dst, ddst)
+    * edge in a broadcast HashedRelation: 3 long fields + null bitmap +
+    * relation overhead. */
+  private val OrientedEdgeBytes = 48L
+
+  /** Max oriented-edge-list bytes we volunteer to broadcast in the g4
+    * wedge closure. The edge list is ~sqrt of the wedge stream, so a
+    * broadcast is worth far more here than in a generic join — the default
+    * is 8x `autoBroadcastJoinThreshold` (80 MB at stock conf), overridable
+    * via `spark.graft.graph.broadcastEdgeBytes`. Setting
+    * `autoBroadcastJoinThreshold` to -1 disables the broadcast outright
+    * (the operator respects a cluster-wide "no broadcasts" policy). */
+  private def edgeBroadcastCap(spark: SparkSession): Long = {
+    import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    spark.conf.getOption("spark.graft.graph.broadcastEdgeBytes")
+      .map(byteStringAsBytes) getOrElse {
+      val auto = byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      if (auto <= 0) -1L else 8L * auto
+    }
+  }
+
   /** Per-node triangle counts over an undirected canonical (u < v) edge
     * set: (node, tri, deg). Degree-oriented wedge closure — see the g4
-    * query comment for the plan contract (both joins broadcast the edge
-    * list; the wedge stream never shuffles). Nodes in no triangle are
-    * absent (left-join + coalesce at the call site if zeros matter). */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+    * query comment for the plan contract. When the oriented edge list fits
+    * [[edgeBroadcastCap]] it is broadcast for both the wedge-generation
+    * and wedge-closure joins (the wedge stream never shuffles); past the
+    * cap the identical dataflow degrades to shuffle joins instead of
+    * OOMing an executor. `broadcastEdges` pins the decision for tests.
+    * Nodes in no triangle are absent (left-join + coalesce at the call
+    * site if zeros matter). */
+  def triangleCounts(edges: DataFrame,
+      broadcastEdges: Option[Boolean] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select($"u", $"v").localCheckpoint(true)
+    // one stats job over the checkpointed edges: the count sizes the
+    // broadcast decision, the id range sizes the packed closure key
+    val stats = e.agg(
+      count(lit(1)),
+      coalesce(least(min($"u"), min($"v")), lit(0L)),
+      coalesce(greatest(max($"u"), max($"v")), lit(0L))).head()
+    val edgeCount = stats.getLong(0)
+    val cap = edgeBroadcastCap(spark)
+    val doBroadcast = broadcastEdges.getOrElse(
+      cap > 0 && edgeCount * OrientedEdgeBytes <= cap)
+    def bcast(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
     val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
     val ew = e
@@ -178,7 +216,7 @@ object GraphQueries {
       when(lower, $"v").otherwise($"u").as("dst"),
       when(lower, $"dv").otherwise($"du").as("ddst"))
       .localCheckpoint(true)
-    val wedges = oriented.as("x").join(broadcast(oriented.as("y")),
+    val wedges = oriented.as("x").join(bcast(oriented.as("y")),
         $"x.src" === $"y.src" &&
         ($"x.ddst" < $"y.ddst" || ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
       .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
@@ -186,18 +224,15 @@ object GraphQueries {
     // (LongHashedRelation, ~3x faster than a composite probe); wider or
     // negative ids fall back to the exact two-column key — packing them
     // would alias distinct (b, c) pairs and silently overcount triangles
-    val idRange = e.agg(
-      coalesce(least(min($"u"), min($"v")), lit(0L)),
-      coalesce(greatest(max($"u"), max($"v")), lit(0L))).head()
-    val packable = idRange.getLong(0) >= 0L && idRange.getLong(1) < (1L << 31)
+    val packable = stats.getLong(1) >= 0L && stats.getLong(2) < (1L << 31)
     val tri =
       if (packable)
         wedges.join(
-          broadcast(oriented.select((shiftleft($"src", 31) + $"dst").as("bc"))),
+          bcast(oriented.select((shiftleft($"src", 31) + $"dst").as("bc"))),
           (shiftleft($"b", 31) + $"c") === $"bc")
       else
         wedges.join(
-          broadcast(oriented.select($"src".as("b"), $"dst".as("c"))), Seq("b", "c"))
+          bcast(oriented.select($"src".as("b"), $"dst".as("c"))), Seq("b", "c"))
     tri.select(explode(array($"a", $"b", $"c")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("tri"))
       .join(deg, "n")
@@ -315,14 +350,15 @@ object GraphQueries {
     // is oriented from its lexicographically smaller (degree, id) endpoint,
     // so wedge generation per node is bounded by out-degree = O(sqrt(m))
     // even at a power-law hub, and every triangle is emitted exactly once
-    // (from its lowest-ordered corner). Plan shape: the oriented edge list
-    // (~24 B/edge) is BROADCAST for both the wedge-generation and the
-    // wedge-closure joins, so the O(Σ outdeg²) wedge stream never hits a
-    // shuffle — it is generated, probed, and partially aggregated inside
-    // one whole-stage-codegen pass (17 s → ~2 s at sf0.1 vs the shuffle
-    // form). That holds whenever the EDGE LIST fits in executor memory
-    // (edges ≪ wedges — the usual case); past that, drop the broadcasts
-    // and the identical dataflow runs as shuffle joins. The oracle counts
+    // (from its lowest-ordered corner). Plan shape: when the oriented edge
+    // list fits the size cap (edgeBroadcastCap — 8x autoBroadcastJoin-
+    // Threshold by default) it is BROADCAST for both the wedge-generation
+    // and the wedge-closure joins, so the O(Σ outdeg²) wedge stream never
+    // hits a shuffle — it is generated, probed, and partially aggregated
+    // inside one whole-stage-codegen pass (17 s → ~2 s at sf0.1 vs the
+    // shuffle form). Past the cap (~sf10 for this graph) the size switch
+    // in triangleCounts drops the hints and the identical dataflow runs
+    // as shuffle joins instead of OOMing an executor. The oracle counts
     // the same triangles naively (a<b<c triple join) —
     // orientation-independence of the per-node counts makes the hash match
     // exact. cc_ppm is the local clustering coefficient in integer

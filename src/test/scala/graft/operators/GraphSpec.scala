@@ -55,6 +55,37 @@ class GraphSpec extends SparkTestBase {
     assert(viaStars == viaLabels)
   }
 
+  test("triangleCounts: shuffle fallback matches the broadcast plan") {
+    // K5 plus a pendant: every K5 node sits in C(4,2)=6 triangles, the
+    // pendant in none (and is absent from the output)
+    val edges = ((for (u <- 0L until 5L; v <- u + 1 until 5L) yield (u, v))
+      :+ (4L, 99L)).toDF("u", "v")
+    def counts(b: Option[Boolean]) =
+      GraphQueries.triangleCounts(edges, broadcastEdges = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = counts(Some(true))
+    val viaShuffle = counts(Some(false))
+    assert(viaBroadcast == viaShuffle)
+    assert(viaShuffle == (0L until 5L).map(n =>
+      (n, 6L, if (n == 4L) 5L else 4L)).toSet)
+  }
+
+  test("triangleCounts: broadcast decision follows the size cap") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    def hints(b: Option[Boolean]): Int =
+      "ResolvedHint".r.findAllIn(
+        GraphQueries.triangleCounts(edges, broadcastEdges = b)
+          .queryExecution.analyzed.toString).length
+    assert(hints(Some(true)) == 2, "broadcast branch must hint both joins")
+    assert(hints(Some(false)) == 0, "fallback branch must carry no hints")
+    // auto decision: 3 edges is far under any sane cap -> broadcasts...
+    assert(hints(None) == 2)
+    // ...and a squeezed cap flips the same input to the shuffle form
+    withConf("spark.graft.graph.broadcastEdgeBytes" -> "1") {
+      assert(hints(None) == 0)
+    }
+  }
+
   test("bipartite graphs have zero triangles (orientation sanity)") {
     // any odd cycle is impossible in a bipartite graph; the oriented wedge
     // closure must find nothing
