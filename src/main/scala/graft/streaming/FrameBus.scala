@@ -114,6 +114,35 @@ object FrameBus {
     else decodeCompleteFrames(Files.readAllBytes(f))
   }
 
-  /** Number of frames in a topic log. */
-  def count(dir: String, topic: String): Long = readAll(dir, topic).length.toLong
+  /** Number of complete frames in a topic log, by a header-only walk: read
+    * each 4-byte length prefix and seek past the payload, so the per-trigger
+    * `latestOffset` poll costs O(frames) positional 4-byte reads instead of
+    * decoding (and allocating) every payload in the log. Torn-tail semantics
+    * match [[decodeCompleteFrames]]: a trailing partial frame (or partial
+    * header) is "not yet available", never an error. The log size is
+    * snapshotted once — frames appended mid-walk surface next poll. */
+  def count(dir: String, topic: String): Long = {
+    val f = Paths.get(dir, topic + LogSuffix)
+    if (!Files.isRegularFile(f)) return 0L
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      val hdr = java.nio.ByteBuffer.allocate(4)
+      var pos = 0L
+      var n = 0L
+      while (pos + 4 <= size && {
+        hdr.clear()
+        while (hdr.hasRemaining && ch.read(hdr, pos + hdr.position()) >= 0) ()
+        !hdr.hasRemaining
+      }) {
+        hdr.flip()
+        val len = hdr.getInt
+        require(len >= 0 && len <= GraftCodec.MaxFrameBytes,
+          s"frame length $len out of bounds")
+        if (pos + 4 + len <= size) { n += 1; pos += 4 + len }
+        else return n // torn tail: payload not fully flushed yet
+      }
+      n
+    } finally ch.close()
+  }
 }

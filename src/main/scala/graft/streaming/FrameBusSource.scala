@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -95,7 +95,18 @@ object FrameBusOffset {
 }
 
 final class FrameBusMicroBatchStream(busDir: String, maxOffsets: Option[Long])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow backfill cap: per-topic counts snapshotted once
+    * at query start. While set, admission never passes the snapshot —
+    * frames (or whole topics) appended after the snapshot belong to the
+    * next run — so the query drains the backlog in bounded micro-batches
+    * (maxOffsetsPerTrigger still applies) and then terminates. */
+  private var availableNowCap: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(FrameBusSource.latestCounts(busDir))
 
   override def initialOffset(): Offset = FrameBusOffset(Map.empty)
 
@@ -111,9 +122,17 @@ final class FrameBusMicroBatchStream(busDir: String, maxOffsets: Option[Long])
     * log that vanishes and reappears is not replayed from 0. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FrameBusOffset].counts
+    // AvailableNow clamps disk counts to the start-of-query snapshot and
+    // drops topics born after it; outside AvailableNow the cap is identity.
+    val disk = availableNowCap match {
+      case Some(cap) => FrameBusSource.latestCounts(busDir).collect {
+        case (t, n) if cap.contains(t) => t -> math.min(n, cap(t))
+      }
+      case None => FrameBusSource.latestCounts(busDir)
+    }
     // Merge start offsets over disk counts: max(n, f) per topic, and topics
     // absent from disk survive at their start offset.
-    val avail = from ++ FrameBusSource.latestCounts(busDir).map { case (t, n) =>
+    val avail = from ++ disk.map { case (t, n) =>
       t -> math.max(n, from.getOrElse(t, 0L))
     }
     limit match {

@@ -40,6 +40,46 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Run a streaming frame with `Trigger.AvailableNow` — the backfill /
+    * reprocessing gate: drain everything available at start in bounded
+    * micro-batches, then STOP. Unlike [[runToMemory]] this waits for the
+    * query to terminate on its own; a source that never converges on its
+    * start-of-query snapshot would hang, so the wait is bounded and failure
+    * to self-terminate is an error, not a timeout-and-continue. */
+  def runToMemoryAvailableNow(s: SparkSession, df: DataFrame,
+      mode: OutputMode, timeoutMs: Long = 300000L): DataFrame = {
+    val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(timeoutMs),
+      "AvailableNow backfill did not self-terminate")
+    finally q.stop()
+    s.table(name)
+  }
+
+  /** Write the message fixture (events as (topic, key, value) frames) into
+    * a fresh [[FrameBus]] dir — shared by the s3/t9 bus gates. */
+  def writeBusFixture(s: SparkSession, d: String): java.nio.file.Path = {
+    import s.implicits._
+    val busPath = java.nio.file.Files.createTempDirectory("graft_bus")
+    graft.operators.MessageQueries.messages(s, d)
+      .select($"topic", $"offset", unix_micros($"ts").as("us"), $"key", $"value")
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .foreach { case (t, rs) =>
+        FrameBus.appendTopic(busPath.toString, t, rs.sortBy(_.getLong(1)).toSeq
+          .map(r => (r.getLong(2), r.getString(3), r.getAs[Array[Byte]](4))))
+      }
+    busPath
+  }
+
+  /** Recursively delete a fixture bus dir. */
+  def deleteBus(busPath: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(busPath).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- T1/T3 streaming: watermarked tumbling-window counts
@@ -493,18 +533,10 @@ object StreamingQueries {
     // test is the distributed read path.
     GraftQuery("s3_frame_bus", (s, d) => {
       import s.implicits._
-      val busPath = java.nio.file.Files.createTempDirectory("graft_bus")
-      val bus = busPath.toString
-      graft.operators.MessageQueries.messages(s, d)
-        .select($"topic", $"offset", unix_micros($"ts").as("us"), $"key", $"value")
-        .collect()
-        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
-        .foreach { case (t, rs) =>
-          FrameBus.appendTopic(bus, t, rs.sortBy(_.getLong(1)).toSeq
-            .map(r => (r.getLong(2), r.getString(3), r.getAs[Array[Byte]](4))))
-        }
+      val busPath = writeBusFixture(s, d)
       val stream = s.readStream.format("graft.streaming.FrameBusProvider")
-        .option("busDir", bus).option("maxOffsetsPerTrigger", "50000").load()
+        .option("busDir", busPath.toString)
+        .option("maxOffsetsPerTrigger", "50000").load()
       val agg = stream.groupBy($"topic").agg(
         count(lit(1)).as("n_msgs"),
         min($"offset").as("min_offset"),
@@ -514,11 +546,7 @@ object StreamingQueries {
         min($"ts").as("min_ts0"), max($"ts").as("max_ts0"))
       val out =
         try runToMemory(s, agg, OutputMode.Complete())
-        finally { // memory sink holds the rows; the fixture bus is done
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(busPath).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        finally deleteBus(busPath) // memory sink holds the rows already
       out
         .select($"topic", $"n_msgs", $"min_offset", $"max_offset",
           $"bytes", $"key_bytes",
@@ -535,6 +563,40 @@ object StreamingQueries {
         CAST(SUM(length(k)) AS BIGINT) AS key_bytes,
         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      FROM m GROUP BY topic ORDER BY topic""")),
+
+    // ----- T6/S3: Trigger.AvailableNow backfill — the catch-up-then-stop
+    // reprocessing pattern (drain a bus backlog in bounded micro-batches,
+    // then terminate; a scheduled job, not a resident query). The tight
+    // maxOffsetsPerTrigger forces the drain across many micro-batches;
+    // the raw frames land in the sink in Append mode and are re-aggregated
+    // here, so n_msgs == n_distinct_offsets pins exactly-once delivery
+    // across the multi-batch drain and the dense 0..n-1 offset range pins
+    // completeness against the batch oracle.
+    GraftQuery("t9_backfill_available_now", (s, d) => {
+      import s.implicits._
+      val busPath = writeBusFixture(s, d)
+      val stream = s.readStream.format("graft.streaming.FrameBusProvider")
+        .option("busDir", busPath.toString)
+        .option("maxOffsetsPerTrigger", "2000").load()
+      val out =
+        try runToMemoryAvailableNow(s,
+          stream.select($"topic", $"offset", length($"value").as("vlen")),
+          OutputMode.Append())
+        finally deleteBus(busPath)
+      out.groupBy($"topic").agg(
+          count(lit(1)).as("n_msgs"),
+          countDistinct($"offset").as("n_distinct_offsets"),
+          min($"offset").as("min_offset"),
+          max($"offset").as("max_offset"),
+          sum($"vlen").cast(LongType).as("bytes"))
+        .orderBy($"topic")
+    }, Some("""
+      WITH m AS (SELECT event_type AS topic, props AS v FROM events)
+      SELECT topic, COUNT(*) AS n_msgs, COUNT(*) AS n_distinct_offsets,
+        CAST(0 AS BIGINT) AS min_offset,
+        COUNT(*) - 1 AS max_offset,
+        CAST(SUM(length(v)) AS BIGINT) AS bytes
       FROM m GROUP BY topic ORDER BY topic"""))
   )
 }

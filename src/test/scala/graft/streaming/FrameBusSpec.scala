@@ -100,6 +100,32 @@ class FrameBusSpec extends SparkTestBase {
     intercept[IllegalArgumentException](graft.functions.GraftCodec.frameDecode(torn))
   }
 
+  test("count walks headers only: no payload read, torn tails tolerated") {
+    val dir = Files.createTempDirectory("graft_bus_count").toString
+    assert(FrameBus.count(dir, "absent") == 0L)
+    // frames whose payloads are NOT valid (ts,key,value) encodings — a
+    // count that decoded payloads would blow up on the 2-byte body; the
+    // header-only walk must not care what the bytes mean
+    val opaque = Seq(Array[Byte](1, 2), Array[Byte](), Array.fill[Byte](300)(7))
+    val bytes = opaque.flatMap(graft.functions.GraftCodec.frameEncode(_).toSeq).toArray
+    val p = java.nio.file.Paths.get(dir, "op" + FrameBus.LogSuffix)
+    Files.write(p, bytes)
+    assert(FrameBus.count(dir, "op") == 3L)
+    intercept[IllegalArgumentException](FrameBus.decodePayload(opaque.head))
+    // torn tail: cut=3 leaves the last (304-byte) frame with a partial
+    // payload, cut=302 leaves only 2 bytes of its header — both are "not
+    // yet there", and count agrees with decodeCompleteFrames at every cut
+    for (cut <- Seq(3, 302)) {
+      Files.write(p, bytes ++ bytes.dropRight(cut))
+      assert(FrameBus.count(dir, "op") == 5L)
+      assert(FrameBus.count(dir, "op") ==
+        FrameBus.decodeCompleteFrames(Files.readAllBytes(p)).length.toLong)
+    }
+    // a corrupt length prefix is still an error, same as the decode path
+    Files.write(p, Array[Byte](-1, -1, -1, -1, 0, 0))
+    intercept[IllegalArgumentException](FrameBus.count(dir, "op"))
+  }
+
   test("latestOffset never regresses when a topic log vanishes or shrinks") {
     val bus = Files.createTempDirectory("graft_bus_vanish").toString
     FrameBus.appendTopic(bus, "gone", (0 until 4).map(i => msg(1L + i, s"k$i", "v")))
@@ -119,6 +145,45 @@ class FrameBusSpec extends SparkTestBase {
       .asInstanceOf[FrameBusOffset]
     assert(afterShrink.counts("gone") == 4L,
       s"shrunken log admits nothing new, end >= start holds: $afterShrink")
+  }
+
+  test("AvailableNow caps admission at the start-of-query snapshot") {
+    val bus = Files.createTempDirectory("graft_bus_avnow").toString
+    FrameBus.appendTopic(bus, "t0", (0 until 6).map(i => msg(1L + i, s"k$i", "v")))
+    val stream = new FrameBusMicroBatchStream(bus, maxOffsets = None)
+    stream.prepareForTriggerAvailableNow()
+    // frames and a whole topic land AFTER the snapshot: both belong to the
+    // next run, not this backfill
+    FrameBus.appendTopic(bus, "t0", Seq(msg(100L, "late", "v")))
+    FrameBus.appendTopic(bus, "t1", Seq(msg(101L, "born-late", "v")))
+    val end = stream.latestOffset(FrameBusOffset(Map.empty),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[FrameBusOffset]
+    assert(end.counts == Map("t0" -> 6L), s"snapshot cap violated: $end")
+    // ...while a plain (non-AvailableNow) stream sees everything
+    val live = new FrameBusMicroBatchStream(bus, maxOffsets = None)
+    val liveEnd = live.latestOffset(FrameBusOffset(Map.empty),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[FrameBusOffset]
+    assert(liveEnd.counts == Map("t0" -> 7L, "t1" -> 1L))
+  }
+
+  test("AvailableNow drains a backlog in bounded batches then terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val bus = Files.createTempDirectory("graft_bus_avnow_e2e").toString
+    FrameBus.appendTopic(bus, "big", (0 until 23).map(i => msg(1L + i, s"k$i", s"v$i")))
+    val stream = spark.readStream.format("graft.streaming.FrameBusProvider")
+      .option("busDir", bus).option("maxOffsetsPerTrigger", "5").load()
+    val name = "graft_avnow_e2e"
+    val q = stream.select("topic", "offset").writeStream.format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "backfill must self-terminate")
+    finally q.stop()
+    val got = spark.table(name).collect().map(_.getLong(1)).sorted
+    assert(got.toSeq == (0L until 23L), "exactly-once, complete drain")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      s"23 frames at 5/trigger needs >= 5 non-empty batches; got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
   test("source schema exposes the Kafka-shaped columns with right types") {
