@@ -748,7 +748,9 @@ object TextQueries {
     // leftmost-non-overlapping occurrences the Scala loop does, one
     // lowest-applicable-rank merge per recursion level, fixpoint row = the
     // final segmentation. Identical merge table inlined from
-    // BpeMerges.sqlValues — the two sides cannot drift.
+    // BpeMerges.sqlValues — the two sides cannot drift. The oracle LEFT
+    // JOINs back to documents so punctuation-only docs still emit (0, 0),
+    // matching the Spark side's per-document projection.
     GraftQuery("x29_bpe_tokens", (s, d) => {
       import s.implicits._
       T.documents(s, d)
@@ -776,10 +778,16 @@ object TextQueries {
       fin AS (SELECT word, length(state) - length(replace(state, '(', '')) AS n_tok
               FROM st
               WHERE NOT EXISTS (SELECT 1 FROM merges m
-                WHERE position('(' || m.a || ')(' || m.b || ')' IN st.state) > 0))
-      SELECT t.doc_id, COUNT(*) AS n_words, CAST(SUM(f.n_tok) AS BIGINT) AS n_bpe
-      FROM tw t JOIN fin f ON t.word = f.word
-      GROUP BY t.doc_id ORDER BY t.doc_id""")),
+                WHERE position('(' || m.a || ')(' || m.b || ')' IN st.state) > 0)),
+      agg AS (SELECT t.doc_id, COUNT(*) AS n_words,
+                     CAST(SUM(f.n_tok) AS BIGINT) AS n_bpe
+              FROM tw t JOIN fin f ON t.word = f.word
+              GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(agg.n_bpe, 0)   AS BIGINT) AS n_bpe
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id""")),
 
     // rolling-hash + djb2 fingerprints — both are simple byte folds, so the
     // oracle recomputes them exactly in DuckDB: djb2 as a HUGEINT mod-2^64
