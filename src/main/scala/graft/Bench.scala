@@ -20,6 +20,13 @@ object Bench {
       expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("apx_q"))
   }
 
+  /** Bench-only: d1's 100 TB path — the single no-Expand sketch aggregate
+    * without the exact-distinct verification side the d1/d1_sketch_profile
+    * gates carry. Same rationale as a3SketchOnly: measure the operator a
+    * large corpus would actually run. */
+  private def d1SketchOnly(spark: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    operators.ProfileQueries.sketchProfile(operators.ProfileQueries.profileInput(spark, d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,7 +47,8 @@ object Bench {
     // latency (methodology recorded in BASELINE.md)
     val benched: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       SparkEntry.benchNames.map(n => n -> SparkEntry.queries(n)) :+
-        ("a3_sketch_only" -> (a3SketchOnly _))
+        ("a3_sketch_only" -> (a3SketchOnly _)) :+
+        ("d1_sketch_only" -> (d1SketchOnly _))
     benched.foreach { case (_, build) =>
       try build(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }

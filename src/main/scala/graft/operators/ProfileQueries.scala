@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables => T}
 import graft.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset-profiling / diagnostics operators — the ANALYZE-style passes a
@@ -12,6 +13,29 @@ import org.apache.spark.sql.functions._
   * becomes columnar statistics over the warehouse tables.
   */
 object ProfileQueries {
+
+  /** The profiled projection of events shared by d1 and d1_sketch_profile. */
+  def profileInput(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(
+      col("user_id"), col("event_type"), vcents(col("value")).as("cents"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+
+  /** One-pass sketch-only profile — d1's 100 TB path: per-column
+    * n / HLL-distinct / min / max in a SINGLE aggregate with no exact
+    * COUNT(DISTINCT), so the plan has no Expand (input rows stay ×1
+    * instead of ×4) and map-side partials stay one sketch per column.
+    * Shared by the d1_sketch_profile gate (which proves the no-Expand
+    * plan and the 5% sketch band) and Bench's d1_sketch_only row (which
+    * measures this path alone, the way a 100 TB profile would run). */
+  def sketchProfile(ev: DataFrame): DataFrame = {
+    val perCol = Seq("user_id", "event_type", "cents", "prop_k").flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}_approx"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    ev.agg(count(lit(1)).as("n_rows"), perCol: _*)
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -25,9 +49,7 @@ object ProfileQueries {
     // emitted as strings so heterogeneous column types share one schema.
     GraftQuery("d1_profile", (s, d) => {
       import s.implicits._
-      val ev = T.events(s, d).select(
-        $"user_id", $"event_type", vcents($"value").as("cents"),
-        get_json_object($"props", "$.k").cast("long").as("prop_k"))
+      val ev = profileInput(s, d)
       val agg = ev.agg(
         count(lit(1)).as("n_rows"),
         // user_id
@@ -93,6 +115,66 @@ object ProfileQueries {
         UNION ALL
         SELECT 'prop_k', n.n_rows, COUNT(prop_k),
           n.n_rows - COUNT(prop_k), COUNT(DISTINCT prop_k),
+          CAST(MIN(prop_k) AS VARCHAR), CAST(MAX(prop_k) AS VARCHAR)
+        FROM ev CROSS JOIN n GROUP BY n.n_rows) t
+      ORDER BY col_name""")),
+
+    // ----- d1 (sketch path): the profile as it would actually run at
+    // 100 TB — sketchProfile's single no-Expand aggregate. The gate pins
+    // two things the bench row alone can't: (a) a plan proof that the
+    // sketch path really avoids Expand (lit'd like s8's zero-Exchange
+    // booleans), and (b) the 5% HLL band vs exact distincts, where the
+    // exacts are computed OUTSIDE the measured path (a separate
+    // verification aggregate, collected as one row — at scale you'd run
+    // only the sketch side). Oracle recomputes n/nulls/min/max exactly
+    // and asserts both booleans TRUE.
+    GraftQuery("d1_sketch_profile", (s, d) => {
+      import s.implicits._
+      val ev = profileInput(s, d)
+      val sketch = sketchProfile(ev)
+      val noExpand = !sketch.queryExecution.executedPlan.toString.contains("Expand")
+      val sk = sketch.head()
+      val exact = ev.agg(
+        countDistinct($"user_id").as("user_id"),
+        countDistinct($"event_type").as("event_type"),
+        countDistinct($"cents").as("cents"),
+        countDistinct($"prop_k").as("prop_k")).head()
+      val nRows = sk.getAs[Long]("n_rows")
+      val rows = Seq("user_id", "event_type", "cents", "prop_k").map { c =>
+        val n = sk.getAs[Long](s"${c}_n")
+        val apx = sk.getAs[Long](s"${c}_approx")
+        val ex = exact.getAs[Long](c)
+        (c, nRows, n, nRows - n, math.abs(apx - ex) * 100 <= ex * 5, noExpand,
+          sk.getAs[String](s"${c}_min"), sk.getAs[String](s"${c}_max"))
+      }
+      rows.toDF("col_name", "n_rows", "n_present", "n_null",
+          "sketch_ok", "no_expand", "min_s", "max_s")
+        .orderBy($"col_name")
+    }, Some(s"""
+      WITH ev AS (SELECT user_id, event_type,
+                    ${sql.vcents("value")} AS cents,
+                    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS prop_k
+                  FROM events),
+      n AS (SELECT COUNT(*) AS n_rows FROM ev)
+      SELECT col_name, n_rows, n_present, n_null,
+             TRUE AS sketch_ok, TRUE AS no_expand, min_s, max_s
+      FROM (
+        SELECT 'user_id' AS col_name, n.n_rows, COUNT(user_id) AS n_present,
+          n.n_rows - COUNT(user_id) AS n_null,
+          CAST(MIN(user_id) AS VARCHAR) AS min_s, CAST(MAX(user_id) AS VARCHAR) AS max_s
+        FROM ev CROSS JOIN n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'event_type', n.n_rows, COUNT(event_type),
+          n.n_rows - COUNT(event_type), MIN(event_type), MAX(event_type)
+        FROM ev CROSS JOIN n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'cents', n.n_rows, COUNT(cents),
+          n.n_rows - COUNT(cents),
+          CAST(MIN(cents) AS VARCHAR), CAST(MAX(cents) AS VARCHAR)
+        FROM ev CROSS JOIN n GROUP BY n.n_rows
+        UNION ALL
+        SELECT 'prop_k', n.n_rows, COUNT(prop_k),
+          n.n_rows - COUNT(prop_k),
           CAST(MIN(prop_k) AS VARCHAR), CAST(MAX(prop_k) AS VARCHAR)
         FROM ev CROSS JOIN n GROUP BY n.n_rows) t
       ORDER BY col_name""")),
