@@ -25,6 +25,12 @@ object SourceQueries {
     p.toString
   }
 
+  /** One warehouse per JVM for the s11 SQL-DML catalog: catalog options
+    * are frozen at first use (Spark caches catalog instances by name), so
+    * the path must be stable across the multi-SF sweep; the gate
+    * DROPs/recreates its table each run. */
+  private lazy val dmlWarehouse: String = tmpDir("s11_warehouse")
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- S2: csv / json / orc round-trip — write nation in each format,
@@ -396,6 +402,87 @@ object SourceQueries {
         CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_audit_prefix,
         CAST(COUNT(*) - SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_dropmalformed
-      FROM nation"""))
+      FROM nation""")),
+
+    // ----- S11: SQL DML statement surface — the s9 merge dataflow driven
+    // entirely by SQL TEXT against a GraftCatalog DSv2 table instead of
+    // hand-built DataFrames: CREATE TABLE / INSERT INTO / MERGE INTO /
+    // UPDATE / DELETE, with Spark's delta-based row-level-operation
+    // rewrite deriving the join and the matched/unmatched actions, and the
+    // store committing bucket-scoped copy-on-write versions
+    // (sources/GraftStore.scala). Same fixture as s9: base = latest state
+    // per user before the cutoff, changes = latest event after it with
+    // purchases acting as delete tombstones; then an UPDATE (+100 cents on
+    // user_id%7=0) and a DELETE (cents<500) exercise the standalone
+    // statements. The emitted store_version pins the commit count (create
+    // = v0, then insert/merge/update/delete = one commit each), so a
+    // statement that silently no-ops or double-commits breaks the hash,
+    // not just the rows. Scale shape: every statement is one distributed
+    // job — the merge stages per-task delta frames and rewrites only
+    // touched buckets; nothing row-shaped crosses the driver.
+    GraftQuery("s11_sql_dml", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graftdml",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdml.warehouse", dmlWarehouse)
+      val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+      val ev = T.events(s, d).withColumn("cents", vcents($"value"))
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"event_type", $"cents"),
+          struct($"ts", $"event_id")).as("r"))
+      latest(ev.filter($"ts" < cutoff && $"user_id" % 3 =!= 0))
+        .select($"user_id", $"r.event_id".as("event_id"), $"r.cents".as("cents"))
+        .createOrReplaceTempView("s11_base")
+      latest(ev.filter($"ts" >= cutoff && $"user_id" % 5 =!= 1))
+        .select($"user_id", $"r.event_id".as("c_event"), $"r.cents".as("c_cents"),
+          when($"r.event_type" === "purchase", "delete").otherwise("upsert").as("op"))
+        .createOrReplaceTempView("s11_chg")
+      s.sql("DROP TABLE IF EXISTS graftdml.user_state")
+      s.sql("""CREATE TABLE graftdml.user_state
+        (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.user_state SELECT user_id, event_id, cents FROM s11_base")
+      s.sql("""MERGE INTO graftdml.user_state t USING s11_chg c
+        ON t.user_id = c.user_id
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET event_id = c.c_event, cents = c.c_cents
+        WHEN NOT MATCHED AND c.op <> 'delete' THEN
+          INSERT (user_id, event_id, cents) VALUES (c.user_id, c.c_event, c.c_cents)""")
+      s.sql("UPDATE graftdml.user_state SET cents = cents + 100 WHERE user_id % 7 = 0")
+      s.sql("DELETE FROM graftdml.user_state WHERE cents < 500")
+      val version = graft.sources.GraftStore
+        .currentVersion(s"$dmlWarehouse/user_state")
+      s.sql("SELECT user_id, event_id, cents FROM graftdml.user_state")
+        .withColumn("store_version", lit(version))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, ts,
+                   ${sql.vcents("value")} AS cents FROM events),
+      base AS (SELECT user_id, event_id AS b_event, cents AS b_cents
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                       AND user_id % 3 <> 0)
+               WHERE rn = 1),
+      chg AS (SELECT user_id, event_id AS c_event, cents AS c_cents,
+                CASE WHEN event_type = 'purchase' THEN 'delete'
+                     ELSE 'upsert' END AS op
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      AND user_id % 5 <> 1)
+              WHERE rn = 1),
+      merged AS (SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+                   COALESCE(c_event, b_event) AS event_id,
+                   COALESCE(c_cents, b_cents) AS cents
+                 FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+                 WHERE COALESCE(op, 'upsert') <> 'delete'),
+      updated AS (SELECT user_id, event_id,
+                    CASE WHEN user_id % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+                  FROM merged)
+      SELECT user_id, event_id, cents, CAST(4 AS BIGINT) AS store_version
+      FROM updated WHERE cents >= 500
+      ORDER BY user_id"""), bench = true)
   )
 }

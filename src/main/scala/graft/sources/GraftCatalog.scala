@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 [[TableCatalog]] exposing [[GraftStore]] tables to SQL — the full
+  * DML statement surface over the compacted-store semantics:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graftdml", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graftdml.warehouse", dir)
+  *   CREATE TABLE graftdml.t (k BIGINT NOT NULL, v STRING) USING graft
+  *     TBLPROPERTIES ('merge_key'='k', 'buckets'='16')
+  *   INSERT INTO graftdml.t SELECT ...
+  *   MERGE INTO graftdml.t USING src ON ... WHEN MATCHED THEN UPDATE ...
+  *   UPDATE graftdml.t SET ... WHERE ...    DELETE FROM graftdml.t WHERE ...
+  *   SELECT * FROM graftdml.t [VERSION AS OF n]
+  * }}}
+  *
+  * Reads delegate to Spark's own parquet DSv2 table over the current
+  * version directory, so SELECTs get vectorized scans, column pruning and
+  * filter pushdown for free — the catalog adds versioning and the
+  * row-level write path, it does not reimplement the scan. Writes:
+  * `INSERT` appends through the same bucketed copy-on-write commit;
+  * MERGE/UPDATE/DELETE plan through Spark's delta-based row-level-operation
+  * rewrite ([[GraftDeltaOperation]]), so the engine — not this library —
+  * derives the join, the matched/unmatched actions, and the cardinality
+  * checks, and hands this store only (op, row) deltas to commit.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): String = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach(p => require(!p.contains("/") && !p.contains(".."),
+      s"illegal table identifier part: $p"))
+    s"$warehouse/${parts.mkString(".")}"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
+    val root = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(root)) Array.empty
+    else java.nio.file.Files.list(root).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(prefix))
+      .map(n => Identifier.of(namespace, n.stripPrefix(prefix))).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = GraftStore.exists(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+    new GraftTable(ident.toString, dir, pinnedVersion = None)
+  }
+
+  /** `VERSION AS OF <n>` time travel: pin the scan to one committed
+    * version directory. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLong
+    require(GraftStore.listVersions(dir).contains(v),
+      s"table $ident has no version $v (have ${GraftStore.listVersions(dir)})")
+    new GraftTable(ident.toString, dir, pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables hash-bucket internally; PARTITIONED BY is not supported")
+    require(!schema.fieldNames.contains(GraftStore.BucketCol),
+      s"column name ${GraftStore.BucketCol} is reserved")
+    val dir = tableDir(ident)
+    if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val keys = props.get("merge_key").map(_.split(",").toSeq.map(_.trim))
+      .getOrElse(Seq(schema.fieldNames.head))
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge_key column $k not in schema"))
+    val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
+    require(buckets > 0, "buckets must be positive")
+    GraftStore.create(dir, GraftTableMeta(schema, keys, buckets))
+    new GraftTable(ident.toString, dir, pinnedVersion = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!GraftStore.exists(dir)) false
+    else { GraftStore.dropTable(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
+      java.nio.file.Paths.get(tableDir(newIdent)))
+  }
+}
+
+/** One catalog table: logical schema from `_meta.json`, data from the
+  * current (or pinned) version directory. */
+final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  private[sources] lazy val meta: GraftTableMeta = GraftStore.readMeta(dir)
+
+  override def name(): String = tableName
+  override def schema(): StructType = meta.schema
+  override def properties(): util.Map[String, String] =
+    Map("merge_key" -> meta.keyCols.mkString(","),
+      "buckets" -> meta.buckets.toString,
+      "current_version" -> GraftStore.currentVersion(dir).toString).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Delegate scans to Spark's parquet DSv2 table over the resolved
+    * version directory: pruning/pushdown/vectorization are the stock
+    * parquet ones. The bucket partition column is appended to the parquet
+    * table's schema (its directories are Hive-style `gbucket=k`) but never
+    * appears in this table's logical schema, so no query can request it
+    * and column pruning drops it from every read. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftTable.parquetScanBuilder(tableName, dir, meta,
+      pinnedVersion.getOrElse(GraftStore.currentVersion(dir)), options)
+
+  /** INSERT INTO / INSERT OVERWRITE / CTAS append path: a V1 fallback write
+    * hands us the source as a DataFrame and the append is the same
+    * bucketed copy-on-write commit as the delta path with every row an
+    * insert — one distributed job, nothing driver-side. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data, overwrite) => {
+            if (doTruncate || overwrite) GraftStore.truncate(dir)
+            val spark = data.sparkSession
+            import org.apache.spark.sql.functions.lit
+            GraftStore.applyChanges(spark, dir,
+              data.withColumn(GraftStore.OpCol, lit("I")))
+          }
+      }
+    }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftDeltaOperation(tableName, dir, meta, info.command())
+}
+
+object GraftTable {
+  /** Build the delegated parquet scan for one version of a store table —
+    * shared by table scans and the row-level operation's target scan. */
+  private[sources] def parquetScanBuilder(tableName: String, dir: String,
+      meta: GraftTableMeta, version: Long,
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val vdir = GraftStore.versionDir(dir, version)
+    val withBucket = StructType(meta.schema.fields :+
+      StructField(GraftStore.BucketCol, IntegerType, nullable = true))
+    ParquetTable(s"graft:$tableName@v$version", SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(vdir), Some(withBucket),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
+}

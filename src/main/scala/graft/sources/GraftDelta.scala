@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Delta-based row-level operation for [[GraftTable]] — the machinery
+  * behind SQL `MERGE INTO` / `UPDATE` / `DELETE`.
+  *
+  * Spark's `RewriteMergeIntoTable` / `RewriteUpdateTable` /
+  * `RewriteDeleteFromTable` rules see [[SupportsDelta]] and rewrite the
+  * statement into a join between the target scan and the source that emits
+  * one (operation, row-id, row) delta per affected row; this class only
+  * has to (a) identify rows by the table's merge key and (b) persist the
+  * deltas. Executors stream their deltas as length-prefixed UnsafeRow
+  * frames into per-task staging files (the same framing as the ingest bus,
+  * [[graft.functions.GraftCodec.frameEncode]]); the driver-side commit
+  * never holds row data — it turns the staged file list into a distributed
+  * read and hands the resulting change DataFrame to
+  * [[GraftStore.applyChanges]], which rewrites only the buckets the change
+  * keys hash into.
+  *
+  * Scale shape: delta volume ∝ rows changed (not table size); staging is
+  * one sequential file per task on shared storage; the commit job is the
+  * store's single-shuffle bucket rewrite. A 100 TB table with a 0.1%
+  * merge stages ~0.1% of the data and rewrites only the touched buckets.
+  */
+final class GraftDeltaOperation(tableName: String, dir: String,
+    meta: GraftTableMeta, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDelta($cmd, $tableName)"
+
+  override def rowId(): Array[NamedReference] =
+    meta.keyCols.map(Expressions.column).toArray
+
+  /** Target-side scan for the rewrite join: same delegated parquet scan as
+    * a plain SELECT (pruned, pushed-down, vectorized). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftTable.parquetScanBuilder(tableName, dir, meta,
+      GraftStore.currentVersion(dir), options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def description(): String = s"GraftDeltaWrite($cmd, $tableName)"
+        override def toBatch: DeltaBatchWrite = {
+          val idSchema = info.rowIdSchema().orElseThrow(() =>
+            new IllegalStateException("delta write without a row-id schema"))
+          new GraftDeltaBatchWrite(dir, meta, info.schema(), idSchema,
+            GraftStore.stagingDir(dir, info.queryId()))
+        }
+      }
+    }
+}
+
+/** One staged delta file per task, committed as a file-path message. */
+final case class GraftDeltaCommit(path: String) extends WriterCommitMessage
+
+final class GraftDeltaBatchWrite(dir: String, meta: GraftTableMeta,
+    rowSchema: StructType, idSchema: StructType, staging: String)
+    extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(staging, rowSchema, idSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case GraftDeltaCommit(p) => p }
+    try {
+      val spark = SparkSession.active
+      val changes = GraftDeltaBatchWrite.decodeStaged(
+        spark, files.toSeq, meta.schema, rowSchema, idSchema)
+      GraftStore.applyChanges(spark, dir, changes)
+    } finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = {
+    val p = Paths.get(staging)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}
+
+object GraftDeltaBatchWrite {
+  /** Distributed decode of staged delta files into the change DataFrame
+    * [[GraftStore.applyChanges]] expects (`_op` + full logical schema, all
+    * fields nullable — delete rows only carry the key columns). Only the
+    * file PATHS pass through the driver; frame decode and row conversion
+    * run in the tasks. */
+  private[sources] def decodeStaged(spark: SparkSession, files: Seq[String],
+      logical: StructType, rowSchema: StructType, idSchema: StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val logicalNames = logical.fieldNames.toSeq
+    val rowNames = rowSchema.fieldNames.toSeq
+    val idNames = idSchema.fieldNames.toSeq
+    val outSchema = StructType(StructField(GraftStore.OpCol, StringType,
+      nullable = false) +: logical.fields.map(_.copy(nullable = true)).toSeq)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .mapPartitions { paths =>
+        // converters are built per-partition: they are cheap and not
+        // guaranteed serializable, the schemas are.
+        val rowConv = CatalystTypeConverters.createToScalaConverter(rowSchema)
+        val idConv = CatalystTypeConverters.createToScalaConverter(idSchema)
+        paths.flatMap { p =>
+          readFrames(p).map { case (op, bytes) =>
+            val (schema, conv, names) =
+              if (op == 'D') (idSchema, idConv, idNames)
+              else (rowSchema, rowConv, rowNames)
+            val ur = new UnsafeRow(schema.length)
+            ur.pointTo(bytes, bytes.length)
+            val byName = names.zip(conv(ur).asInstanceOf[Row].toSeq).toMap
+            Row.fromSeq(op.toString +: logicalNames.map(byName.getOrElse(_, null)))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def readFrames(path: String): Iterator[(Char, Array[Byte])] = {
+    val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(Paths.get(path))))
+    new Iterator[(Char, Array[Byte])] {
+      private var nextFrame: (Char, Array[Byte]) = advance()
+      private def advance(): (Char, Array[Byte]) =
+        try {
+          val op = in.readByte().toChar
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          (op, bytes)
+        } catch { case _: EOFException => in.close(); null }
+      override def hasNext: Boolean = nextFrame != null
+      override def next(): (Char, Array[Byte]) = {
+        val r = nextFrame; nextFrame = advance(); r
+      }
+    }
+  }
+}
+
+final class GraftDeltaWriterFactory(staging: String,
+    rowSchema: StructType, idSchema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(s"$staging/delta-$partitionId-$taskId.bin",
+      rowSchema, idSchema)
+}
+
+/** Executor-side delta writer: each operation is framed as
+  * `[op byte][4-byte length][UnsafeRow bytes]` and appended to this task's
+  * staging file. Updates keep only the NEW row — the merge key inside it
+  * is the row identity, so the old image is redundant (keys are immutable:
+  * [[SupportsDelta.rowId]] columns can't be assigned by the rewrite). */
+final class GraftDeltaWriter(path: String, rowSchema: StructType,
+    idSchema: StructType) extends DeltaWriter[InternalRow] {
+
+  private lazy val out: DataOutputStream = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(p)))
+  }
+  private lazy val rowProj = UnsafeProjection.create(rowSchema)
+  private lazy val idProj = UnsafeProjection.create(idSchema)
+
+  private def emit(op: Char, row: UnsafeRow): Unit = {
+    val bytes = row.getBytes
+    out.writeByte(op)
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+
+  override def insert(row: InternalRow): Unit = emit('I', rowProj(row))
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    emit('U', rowProj(row))
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    emit('D', idProj(id))
+
+  override def commit(): WriterCommitMessage = { out.close(); GraftDeltaCommit(path) }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    Files.deleteIfExists(Paths.get(path))
+  }
+  override def close(): Unit = ()
+}
