@@ -96,4 +96,52 @@ class WatermarkTieSpec extends SparkTestBase {
         "once wm passes p.ts the unmatched purchase must emit its null row")
     } finally q.stop()
   }
+
+  test("row arriving at ts == wm is matched-only: never stored, never a null row") {
+    // Found by StreamingFuzzSpec: the INSERT-side tie convention. A row
+    // whose event time equals the current watermark when it arrives is
+    // already at the join's state watermark — Spark joins it against
+    // existing state but does NOT store it, so if unmatched it never emits
+    // a null row, no matter how far the watermark later advances. (The
+    // previous test is the EVICTION-side tie: a stored row AT the
+    // watermark stays. Both inequalities matter: stored requires
+    // ts > wm-at-insert, eviction requires wm > ts.) In production feeds
+    // this is the late-data-beyond-allowance case; in fixtures it is also
+    // reachable at the epoch, where ts=0 meets the initial wm=0 — which is
+    // why the fuzz fixtures keep event times >= 1.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Timestamp)]
+    val purchases = pIn.toDS().toDF("purchase_id", "p_ts")
+      .withColumn("p_user", $"purchase_id").withWatermark("p_ts", "30 seconds")
+    val clicks = cIn.toDS().toDF("click_id", "c_ts")
+      .withColumn("c_user", $"click_id" + 1000).withWatermark("c_ts", "30 seconds")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 10 SECONDS"),
+      "leftOuter")
+      .select($"purchase_id", $"click_id")
+    val qn = s"wm_tie_insert_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // advance the global watermark to exactly 100
+      pIn.addData((1L, ts(130))); cIn.addData((901L, ts(130)))
+      q.processAllAvailable()
+      // purchase 2 arrives AT the watermark (ts == wm == 100), unmatched
+      pIn.addData((2L, ts(100))); cIn.addData((902L, ts(131)))
+      q.processAllAvailable()
+      // drive wm far past everything so every stored row resolves
+      pIn.addData((3L, ts(300))); cIn.addData((903L, ts(300)))
+      q.processAllAvailable()
+      pIn.addData((4L, ts(400))); cIn.addData((904L, ts(400)))
+      q.processAllAvailable()
+      val nulls = spark.table(qn)
+        .filter($"click_id".isNull).select($"purchase_id").as[Long].collect().toSet
+      assert(nulls.contains(1L) && nulls.contains(3L),
+        s"stored unmatched purchases must emit null rows, got $nulls")
+      assert(!nulls.contains(2L),
+        "a purchase arriving AT the watermark is never stored: no null row")
+    } finally q.stop()
+  }
 }
