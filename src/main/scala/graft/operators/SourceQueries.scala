@@ -483,6 +483,130 @@ object SourceQueries {
                   FROM merged)
       SELECT user_id, event_id, cents, CAST(4 AS BIGINT) AS store_version
       FROM updated WHERE cents >= 500
-      ORDER BY user_id"""), bench = true)
+      ORDER BY user_id"""), bench = true),
+
+    // ----- S14: CDC changelog READ — the producer half of the changelog
+    // story (s9/s11 are the consumer half). Every GraftStore commit
+    // persists its change batch (full row image + change_op I/U/D),
+    // Hive-partitioned by change_version, exposed to SQL as the
+    // `table$changes` metadata table; a version-range predicate prunes to
+    // the matching change directories. The gate re-runs the s11 statement
+    // sequence on its own table, then (a) reads per-version I/U/D counts
+    // through the SQL changes table — every count closed-form from the
+    // events fixture, so a statement that logs the wrong op class or the
+    // wrong version breaks the hash — and (b) replays the whole changelog
+    // from the empty v0 snapshot with GraftStore.replayChanges
+    // (last-writer-wins max_by + one anti-join — no per-version loop) and
+    // pins replayed == live. Scale shape: changelog volume ∝ rows changed;
+    // replay is two shuffles regardless of how many commits the slice
+    // spans; consumers fold ranges instead of diffing 100 TB snapshots.
+    GraftQuery("s14_cdc_read", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graftdml",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdml.warehouse", dmlWarehouse)
+      val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+      val ev = T.events(s, d).withColumn("cents", vcents($"value"))
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"event_type", $"cents"),
+          struct($"ts", $"event_id")).as("r"))
+      latest(ev.filter($"ts" < cutoff && $"user_id" % 3 =!= 0))
+        .select($"user_id", $"r.event_id".as("event_id"), $"r.cents".as("cents"))
+        .createOrReplaceTempView("s14_base")
+      latest(ev.filter($"ts" >= cutoff && $"user_id" % 5 =!= 1))
+        .select($"user_id", $"r.event_id".as("c_event"), $"r.cents".as("c_cents"),
+          when($"r.event_type" === "purchase", "delete").otherwise("upsert").as("op"))
+        .createOrReplaceTempView("s14_chg")
+      s.sql("DROP TABLE IF EXISTS graftdml.cdc_state")
+      s.sql("""CREATE TABLE graftdml.cdc_state
+        (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.cdc_state SELECT user_id, event_id, cents FROM s14_base")
+      s.sql("""MERGE INTO graftdml.cdc_state t USING s14_chg c
+        ON t.user_id = c.user_id
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET event_id = c.c_event, cents = c.c_cents
+        WHEN NOT MATCHED AND c.op <> 'delete' THEN
+          INSERT (user_id, event_id, cents) VALUES (c.user_id, c.c_event, c.c_cents)""")
+      s.sql("UPDATE graftdml.cdc_state SET cents = cents + 100 WHERE user_id % 7 = 0")
+      s.sql("DELETE FROM graftdml.cdc_state WHERE cents < 500")
+
+      val dir = s"$dmlWarehouse/cdc_state"
+      val G = graft.sources.GraftStore
+      val live = s.sql("SELECT user_id, event_id, cents FROM graftdml.cdc_state")
+      val replayed = G.replayChanges(G.readVersion(s, dir, 0L),
+        G.readChanges(s, dir, 1L, 4L), G.readMeta(dir))
+      val replayOk = replayed.exceptAll(live).isEmpty &&
+        live.exceptAll(replayed).isEmpty
+      val totals = live.agg(count(lit(1)).as("n"), sum($"cents").as("c")).head()
+
+      val perVersion = s.sql("""SELECT change_version, change_op
+               FROM graftdml.`cdc_state$changes`
+               WHERE change_version BETWEEN 1 AND 4""")
+        .groupBy($"change_version")
+        .agg(sum(when($"change_op" === "I", 1L).otherwise(0L)).as("n_ins"),
+          sum(when($"change_op" === "U", 1L).otherwise(0L)).as("n_upd"),
+          sum(when($"change_op" === "D", 1L).otherwise(0L)).as("n_del"))
+      // spine join: a statement that changes zero rows still owns a version
+      s.range(1, 5).toDF("change_version")
+        .join(perVersion, Seq("change_version"), "left_outer")
+        .select($"change_version", coalesce($"n_ins", lit(0L)).as("n_ins"),
+          coalesce($"n_upd", lit(0L)).as("n_upd"),
+          coalesce($"n_del", lit(0L)).as("n_del"))
+        .withColumn("replay_ok", lit(replayOk))
+        .withColumn("live_n", lit(totals.getLong(0)))
+        .withColumn("live_cents", lit(totals.getLong(1)))
+        .orderBy($"change_version")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, ts,
+                   ${sql.vcents("value")} AS cents FROM events),
+      base AS (SELECT user_id, event_id AS b_event, cents AS b_cents
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                       AND user_id % 3 <> 0)
+               WHERE rn = 1),
+      chg AS (SELECT user_id, event_id AS c_event, cents AS c_cents,
+                CASE WHEN event_type = 'purchase' THEN 'delete'
+                     ELSE 'upsert' END AS op
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      AND user_id % 5 <> 1)
+              WHERE rn = 1),
+      merged AS (SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+                   COALESCE(c_event, b_event) AS event_id,
+                   COALESCE(c_cents, b_cents) AS cents
+                 FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+                 WHERE COALESCE(op, 'upsert') <> 'delete'),
+      updated AS (SELECT user_id, event_id,
+                    CASE WHEN user_id % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+                  FROM merged),
+      final AS (SELECT * FROM updated WHERE cents >= 500),
+      counts AS (
+        SELECT CAST(1 AS BIGINT) AS change_version,
+          (SELECT COUNT(*) FROM base) AS n_ins,
+          CAST(0 AS BIGINT) AS n_upd, CAST(0 AS BIGINT) AS n_del
+        UNION ALL
+        SELECT 2,
+          (SELECT COUNT(*) FROM chg c WHERE c.op = 'upsert'
+             AND NOT EXISTS (SELECT 1 FROM base b WHERE b.user_id = c.user_id)),
+          (SELECT COUNT(*) FROM chg c WHERE c.op = 'upsert'
+             AND EXISTS (SELECT 1 FROM base b WHERE b.user_id = c.user_id)),
+          (SELECT COUNT(*) FROM chg c WHERE c.op = 'delete'
+             AND EXISTS (SELECT 1 FROM base b WHERE b.user_id = c.user_id))
+        UNION ALL
+        SELECT 3, 0,
+          (SELECT COUNT(*) FROM merged WHERE user_id % 7 = 0), 0
+        UNION ALL
+        SELECT 4, 0, 0,
+          (SELECT COUNT(*) FROM updated WHERE cents < 500))
+      SELECT change_version, CAST(n_ins AS BIGINT) AS n_ins,
+        CAST(n_upd AS BIGINT) AS n_upd, CAST(n_del AS BIGINT) AS n_del,
+        TRUE AS replay_ok,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS live_n,
+        (SELECT CAST(SUM(cents) AS BIGINT) FROM final) AS live_cents
+      FROM counts ORDER BY change_version"""))
   )
 }

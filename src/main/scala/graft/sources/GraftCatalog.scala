@@ -41,6 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * checks, and hands this store only (op, row) deltas to commit.
   */
 class GraftCatalog extends TableCatalog {
+  import GraftCatalog.ChangesSuffix
+
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -72,6 +74,15 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean = GraftStore.exists(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$changes` is t's changelog as a read-only metadata table:
+    //   SELECT * FROM cat.`t$changes` WHERE change_version BETWEEN 2 AND 4
+    if (ident.name().endsWith(ChangesSuffix)) {
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(ChangesSuffix))
+      val dir = tableDir(baseIdent)
+      if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+      return new GraftChangesTable(ident.toString, dir)
+    }
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
@@ -94,6 +105,8 @@ class GraftCatalog extends TableCatalog {
       "graft tables hash-bucket internally; PARTITIONED BY is not supported")
     require(!schema.fieldNames.contains(GraftStore.BucketCol),
       s"column name ${GraftStore.BucketCol} is reserved")
+    require(!ident.name().endsWith(ChangesSuffix),
+      s"table names ending in $ChangesSuffix are reserved for changelog reads")
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
@@ -122,6 +135,35 @@ class GraftCatalog extends TableCatalog {
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
       java.nio.file.Paths.get(tableDir(newIdent)))
   }
+}
+
+object GraftCatalog {
+  /** Identifier suffix routing to a table's changelog, e.g.
+    * `` cat.`orders$changes` ``. */
+  val ChangesSuffix = "$changes"
+}
+
+/** A table's changelog as a read-only DSv2 table: every committed change
+  * row (full image + `change_op` I/U/D) Hive-partitioned by
+  * `change_version`, scanned through the stock parquet DSv2 path so a
+  * version-range predicate prunes to the matching change directories.
+  * This is the CDC *producer* half of the S9/S11 story: downstream
+  * consumers read a version range and fold it with
+  * [[GraftStore.replayChanges]] instead of diffing snapshots. */
+final class GraftChangesTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+  private lazy val meta = GraftStore.readMeta(dir)
+
+  override def name(): String = tableName
+  override def schema(): StructType = GraftStore.changesSchema(meta)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(s"graft:$tableName", SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(GraftStore.changesRoot(dir)),
+      Some(GraftStore.changesSchema(meta)),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
 }
 
 /** One catalog table: logical schema from `_meta.json`, data from the
@@ -167,7 +209,7 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
             val spark = data.sparkSession
             import org.apache.spark.sql.functions.lit
             GraftStore.applyChanges(spark, dir,
-              data.withColumn(GraftStore.OpCol, lit("I")))
+              data.withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
           }
       }
     }

@@ -57,6 +57,13 @@ object GraftStore {
     * empty. */
   val BucketCol = "gbucket"
   val OpCol = "_op"
+  /** Changelog column names (no leading `_`: they become partition-dir /
+    * data columns of the changes table and must survive file listing). */
+  val ChangeOpCol = "change_op"
+  val ChangeVersionCol = "change_version"
+  /** Debezium-shaped pre-image: the replaced/deleted row as a struct
+    * (null for inserts). Flat columns are the AFTER image. */
+  val ChangeBeforeCol = "change_before"
 
   private def metaPath(dir: String): Path = Paths.get(dir, "_meta.json")
   private def pointerPath(dir: String): Path = Paths.get(dir, "_current")
@@ -94,12 +101,17 @@ object GraftStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Create an empty table: meta, empty v0, pointer. */
+  /** Create an empty table: meta, empty v0, empty changelog, pointer. */
   def create(dir: String, meta: GraftTableMeta): Unit = {
     writeMeta(dir, meta)
     Files.createDirectories(Paths.get(versionDir(dir, 0L)))
+    Files.createDirectories(Paths.get(changesRoot(dir)))
     writePointer(dir, 0L)
   }
+
+  def changesRoot(dir: String): String = s"$dir/_changes"
+  private def changesDir(dir: String, v: Long): String =
+    s"${changesRoot(dir)}/$ChangeVersionCol=$v"
 
   /** New empty version (TRUNCATE / INSERT OVERWRITE's first half). */
   def truncate(dir: String): Unit = {
@@ -145,8 +157,16 @@ object GraftStore {
 
   /** Apply a change batch. `changes` columns: [[OpCol]] (one of I/U/D) plus
     * the full table schema (delete rows carry the key columns, the rest
-    * null). Returns the committed version. */
-  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame): Long = {
+    * null). Returns the committed version.
+    *
+    * `allInserts = true` (the INSERT INTO path) takes the append fast
+    * path: no base read, no joins — new files land NEXT TO the previous
+    * version's hard-linked files inside the same bucket directories, so an
+    * append is O(new data) regardless of table size. The general path
+    * (MERGE/UPDATE/DELETE deltas) rewrites only the touched buckets and
+    * enriches the changelog with before-images. */
+  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+      allInserts: Boolean = false): Long = {
     val meta = readMeta(dir)
     val cur = currentVersion(dir)
     val next = cur + 1
@@ -160,24 +180,75 @@ object GraftStore {
       // ≤ `buckets` distinct ints — the one driver-side materialization.
       val touched = ch.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
       val existing = bucketDirs(versionDir(dir, cur)).toSet
-      val untouched = existing -- touched
 
-      if (touched.nonEmpty) {
-        val base = readVersion(spark, dir, cur)
-          .filter(col(BucketCol).isin(touched.toSeq: _*))
-        val removes = ch.filter(col(OpCol).isin("U", "D"))
-          .select(meta.keyCols.map(col): _*).distinct()
-        val adds = ch.filter(col(OpCol).isin("I", "U"))
-          .select((cols :+ BucketCol).map(col): _*)
-        val kept = base.join(removes, meta.keyCols, "left_anti")
-          .select((cols :+ BucketCol).map(col): _*)
-        kept.unionByName(adds)
-          .write.partitionBy(BucketCol).parquet(nextDir)
-      } else Files.createDirectories(Paths.get(nextDir))
+      // Changelog leg: persist the change batch itself, Hive-partitioned by
+      // version, BEFORE the pointer flips — a crash between the two leaves
+      // a remnant the next commit overwrites and readers never see (reads
+      // filter change_version <= the committed pointer). Each U/D row is
+      // enriched with its BEFORE image (the replaced base row as a struct
+      // — Debezium-shaped), which is what lets downstream aggregates be
+      // maintained incrementally (add `after`, retract `before`) instead
+      // of recomputed; the pre-image join reuses the same touched-bucket
+      // base read the rewrite needs anyway, and the all-insert path skips
+      // both. Cost ∝ rows changed. TRUNCATE intentionally writes no
+      // changelog — a changelog never spans a truncation; consumers
+      // re-snapshot.
+      val chDir = changesDir(dir, next)
+      deleteRecursively(Paths.get(chDir))
+      val nullBefore = {
+        val structType = StructType(meta.schema.fields.map(_.copy(nullable = true)).toSeq)
+        lit(null).cast(structType).as(ChangeBeforeCol)
+      }
+      val baseTouched = () => readVersion(spark, dir, cur)
+        .filter(col(BucketCol).isin(touched.toSeq: _*))
+      if (allInserts) {
+        ch.select((OpCol +: cols).map(col) :+ nullBefore: _*)
+          .withColumnRenamed(OpCol, ChangeOpCol)
+          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*)
+          .write.parquet(chDir)
+      } else {
+        val beforeImages = baseTouched()
+          .select(struct(cols.map(col): _*).as(ChangeBeforeCol) +:
+            meta.keyCols.map(col): _*)
+        ch.select((OpCol +: cols).map(col): _*)
+          .join(beforeImages, meta.keyCols, "left_outer")
+          .withColumn(ChangeBeforeCol,
+            when(col(OpCol) === "I", lit(null)).otherwise(col(ChangeBeforeCol)))
+          .withColumnRenamed(OpCol, ChangeOpCol)
+          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*)
+          .write.parquet(chDir)
+      }
 
-      // Untouched buckets: hard-link files into the new version (an object
+      // Data leg. Append fast path: write only the new rows; every
+      // existing bucket's files are hard-linked alongside (part-file names
+      // are job-unique, so dirs merge safely). General path: rewrite
+      // touched buckets (anti-join out removed keys, union adds), link
+      // the untouched ones.
+      val rewritten: Set[Int] =
+        if (allInserts) {
+          if (touched.nonEmpty)
+            ch.select((cols :+ BucketCol).map(col): _*)
+              .write.partitionBy(BucketCol).parquet(nextDir)
+          else Files.createDirectories(Paths.get(nextDir))
+          Set.empty
+        } else if (touched.nonEmpty) {
+          val removes = ch.filter(col(OpCol).isin("U", "D"))
+            .select(meta.keyCols.map(col): _*).distinct()
+          val adds = ch.filter(col(OpCol).isin("I", "U"))
+            .select((cols :+ BucketCol).map(col): _*)
+          val kept = baseTouched().join(removes, meta.keyCols, "left_anti")
+            .select((cols :+ BucketCol).map(col): _*)
+          kept.unionByName(adds)
+            .write.partitionBy(BucketCol).parquet(nextDir)
+          touched
+        } else {
+          Files.createDirectories(Paths.get(nextDir))
+          Set.empty
+        }
+
+      // Hard-link carried-over files into the new version (an object
       // store would manifest-reference them; local FS links are free).
-      untouched.foreach { b =>
+      (existing -- rewritten).foreach { b =>
         val src = Paths.get(versionDir(dir, cur), s"$BucketCol=$b")
         val dst = Paths.get(nextDir, s"$BucketCol=$b")
         Files.createDirectories(dst)
@@ -188,6 +259,54 @@ object GraftStore {
       writePointer(dir, next)
       next
     } finally ch.unpersist()
+  }
+
+  /** Changes-table schema: logical columns (all nullable — delete rows
+    * carry only the key), the operation, and the committing version. */
+  def changesSchema(meta: GraftTableMeta): StructType = {
+    val nullable = StructType(meta.schema.fields.map(_.copy(nullable = true)).toSeq)
+    StructType(nullable.fields.toSeq ++ Seq(
+      StructField(ChangeOpCol, StringType, nullable = false),
+      StructField(ChangeBeforeCol, nullable, nullable = true),
+      StructField(ChangeVersionCol, LongType, nullable = false)))
+  }
+
+  /** Read the committed changelog for versions in [fromV, toV]. Remnant
+    * change directories above the current pointer (crash between changelog
+    * write and pointer flip) are excluded by the pointer cap. */
+  def readChanges(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    val meta = readMeta(dir)
+    val cap = math.min(toV, currentVersion(dir))
+    val schema = changesSchema(meta)
+    val root = Paths.get(changesRoot(dir))
+    val any = Files.isDirectory(root) && Files.list(root).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(s"$ChangeVersionCol="))
+    if (!any) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else spark.read.schema(schema).parquet(changesRoot(dir))
+      .filter(col(ChangeVersionCol).between(fromV, cap))
+  }
+
+  /** Replay a changelog slice onto a base snapshot. Because every change
+    * row carries the FULL row image, multi-version replay collapses to
+    * last-writer-wins per key: one max_by aggregate + one anti-join — no
+    * per-version iteration, one shuffle each, which is what makes replay
+    * viable when the slice spans thousands of commits of a 100 TB table.
+    * Assumes the merge-key discipline the row-level surface maintains
+    * (one live row per key); a changelog containing duplicate-key INSERT
+    * appends within one version replays to one survivor per key. */
+  def replayChanges(base: DataFrame, changes: DataFrame, meta: GraftTableMeta): DataFrame = {
+    val cols = meta.schema.fieldNames.toSeq
+    val last = changes.groupBy(meta.keyCols.map(col): _*)
+      .agg(max_by(
+        struct((cols :+ ChangeOpCol).map(col): _*),
+        col(ChangeVersionCol)).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)) :+
+        col(s"r.$ChangeOpCol").as(ChangeOpCol): _*)
+    val survivors = last.filter(col(ChangeOpCol).isin("I", "U"))
+      .select(cols.map(col): _*)
+    base.join(last.select(meta.keyCols.map(col): _*), meta.keyCols, "left_anti")
+      .select(cols.map(col): _*)
+      .unionByName(survivors)
   }
 
   private def deleteRecursively(p: Path): Unit =
