@@ -607,6 +607,91 @@ object SourceQueries {
         TRUE AS replay_ok,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS live_n,
         (SELECT CAST(SUM(cents) AS BIGINT) FROM final) AS live_cents
-      FROM counts ORDER BY change_version"""))
+      FROM counts ORDER BY change_version""")),
+
+    // ----- S15: incremental materialized-view maintenance — the reason
+    // the changelog carries before-images. A grouped (COUNT, SUM) view is
+    // maintained from the change stream alone: after-images add to their
+    // group, before-images retract from THEIRS (so an update that moves a
+    // row between groups adjusts both), one full-outer merge folds the
+    // delta into the previous view state, zero-count groups drop out.
+    // Cost ∝ changes + |view|, never ∝ |table| — at 100 TB you maintain
+    // the view, you don't recompute it. The fixture is nation-derived DML
+    // with every hard case: group-moving updates ((r+1)%5), deletes,
+    // fresh inserts, a later UPDATE keyed on the CURRENT group, and a
+    // value-threshold DELETE. Booleans pin both maintenance modes — from
+    // the empty view over the whole changelog, and from a VERSION AS OF 2
+    // snapshot view over the tail slice — against full recompute; the
+    // emitted rows are the recomputed view, so values AND equivalence are
+    // hash-bound.
+    GraftQuery("s15_incremental_mv", (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graftdml",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdml.warehouse", dmlWarehouse)
+      val G = graft.sources.GraftStore
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s15_src")
+      s.sql("""SELECT k, (r + 1) % 5 AS r, pop + 1000 AS pop, 'upsert' AS op
+               FROM s15_src WHERE k % 3 = 0 AND k % 7 <> 4
+               UNION ALL
+               SELECT k, r, pop, 'delete' FROM s15_src WHERE k % 7 = 4
+               UNION ALL
+               SELECT id + 100, (id + 100) % 5, (id + 100) * 10 + 7, 'upsert'
+               FROM range(5)""").createOrReplaceTempView("s15_chg")
+      s.sql("DROP TABLE IF EXISTS graftdml.mv_state")
+      s.sql("""CREATE TABLE graftdml.mv_state
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.mv_state SELECT k, r, pop FROM s15_src")
+      s.sql("""MERGE INTO graftdml.mv_state t USING s15_chg c ON t.k = c.k
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET r = c.r, pop = c.pop
+        WHEN NOT MATCHED AND c.op <> 'delete' THEN
+          INSERT (k, r, pop) VALUES (c.k, c.r, c.pop)""")
+      s.sql("UPDATE graftdml.mv_state SET pop = pop + 3 WHERE r = 2")
+      s.sql("DELETE FROM graftdml.mv_state WHERE pop > 1200")
+
+      val dir = s"$dmlWarehouse/mv_state"
+      def recompute(sql: String) = s.sql(sql)
+        .select($"r", $"n".cast("long").as("n"), $"s".cast("long").as("s"))
+      val full = recompute(
+        "SELECT r, COUNT(*) AS n, SUM(pop) AS s FROM graftdml.mv_state GROUP BY r")
+      val emptyMv = s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r", LongType),
+          org.apache.spark.sql.types.StructField("n", LongType),
+          org.apache.spark.sql.types.StructField("s", LongType))))
+      val fromEmpty = G.incrementalAgg(emptyMv,
+        G.readChanges(s, dir, 1L, 4L), Seq("r"), "pop")
+      val mv2 = recompute(
+        "SELECT r, COUNT(*) AS n, SUM(pop) AS s FROM graftdml.mv_state VERSION AS OF 2 GROUP BY r")
+      val fromMid = G.incrementalAgg(mv2,
+        G.readChanges(s, dir, 3L, 4L), Seq("r"), "pop")
+      def sameAs(a: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(full).isEmpty && full.exceptAll(a).isEmpty
+      full.withColumn("incr_ok", lit(sameAs(fromEmpty)))
+        .withColumn("mid_ok", lit(sameAs(fromMid)))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      ins AS (SELECT CAST(i + 100 AS BIGINT) AS k, CAST((i + 100) % 5 AS BIGINT) AS r,
+                CAST((i + 100) * 10 + 7 AS BIGINT) AS pop FROM range(5) t(i)),
+      after2 AS (
+        SELECT k, CASE WHEN k % 3 = 0 THEN (r + 1) % 5 ELSE r END AS r,
+          CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+        FROM src WHERE k % 7 <> 4
+        UNION ALL SELECT k, r, pop FROM ins),
+      after3 AS (SELECT k, r, CASE WHEN r = 2 THEN pop + 3 ELSE pop END AS pop
+                 FROM after2),
+      after4 AS (SELECT * FROM after3 WHERE pop <= 1200)
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
+        TRUE AS incr_ok, TRUE AS mid_ok
+      FROM after4 GROUP BY r ORDER BY r"""))
   )
 }

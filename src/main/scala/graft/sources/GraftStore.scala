@@ -309,6 +309,39 @@ object GraftStore {
       .unionByName(survivors)
   }
 
+  /** Incrementally maintain a grouped (COUNT(*), SUM(aggCol)) materialized
+    * view from a changelog slice, using the before/after images:
+    * after-images (I/U) contribute (+1, +agg) to their group, before-images
+    * (U/D) contribute (−1, −agg) to THEIR group — which handles rows whose
+    * update MOVES them between groups — then one full-outer merge with the
+    * previous view state drops groups whose count reaches zero.
+    *
+    * `mv` schema: groupCols ++ (n BIGINT, s BIGINT); an empty view is a
+    * valid start. Cost ∝ changelog slice + |view|, never ∝ |table| — the
+    * point of maintaining a view incrementally at 100 TB. Group keys are
+    * merged null-safely (`<=>`), so nullable group columns fold correctly.
+    */
+  def incrementalAgg(mv: DataFrame, changes: DataFrame,
+      groupCols: Seq[String], aggCol: String): DataFrame = {
+    val adds = changes.filter(col(ChangeOpCol).isin("I", "U"))
+      .select(groupCols.map(col) :+ lit(1L).as("dn") :+
+        col(aggCol).cast(LongType).as("ds"): _*)
+    val subs = changes.filter(col(ChangeOpCol).isin("U", "D"))
+      .select(groupCols.map(c => col(s"$ChangeBeforeCol.$c").as(c)) :+
+        lit(-1L).as("dn") :+
+        (-col(s"$ChangeBeforeCol.$aggCol")).cast(LongType).as("ds"): _*)
+    val delta = adds.unionByName(subs)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    val d = delta.select(delta.columns.map(c => col(c).as(s"d_$c")): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"d_$c")).reduce(_ && _)
+    mv.join(d, joinCond, "full_outer")
+      .select(groupCols.map(c => coalesce(col(c), col(s"d_$c")).as(c)) :+
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_dn"), lit(0L))).as("n") :+
+        (coalesce(col("s"), lit(0L)) + coalesce(col("d_ds"), lit(0L))).as("s"): _*)
+      .filter(col("n") > 0)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

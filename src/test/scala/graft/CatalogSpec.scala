@@ -187,6 +187,30 @@ class CatalogSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incrementalAgg: group moves, group extinction, null group keys") {
+    val t = mkTable("t_mv") // schema (k, name, amount); view groups by name
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'x', 10), (2, 'x', 20), (3, 'y', 30), (4, NULL, 5)")
+    spark.sql(s"UPDATE $cat.$t SET name = 'y', amount = 11 WHERE k = 1") // x→y move
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 3")
+    spark.sql(s"UPDATE $cat.$t SET amount = 6 WHERE k = 4")              // null group update
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")                        // group x dies
+    val dir = s"$warehouse/t_mv"
+    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.LongType))))
+    val mv = GraftStore.incrementalAgg(empty,
+      GraftStore.readChanges(spark, dir, 1L, 5L), Seq("name"), "amount")
+      .collect().map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0),
+        r.getLong(1), r.getLong(2))).toSet
+    // final table: (1,y,11), (4,null,6) → y:(1,11), null:(1,6); x extinct
+    assert(mv === Set(("y", 1L, 11L), ("<null>", 1L, 6L)))
+  }
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
