@@ -316,6 +316,77 @@ object ProfileQueries {
         UNION ALL
         SELECT 'l_suppkey', CAST(SUM(n) AS BIGINT), COUNT(*), CAST(MAX(n) AS BIGINT)
         FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) g3) t
-      ORDER BY key_col"""))
+      ORDER BY key_col""")),
+
+    // ----- D6: declarative data-quality expectations — validate a batch
+    // against named constraints and emit exact violation counts (the
+    // promote/quarantine decision input). The fixture poisons lineitem
+    // deterministically so every check class has a closed-form non-zero
+    // answer: nulled return flags (%97 orders), out-of-range quantities
+    // (%89), negated part keys breaking the FK (%83), and duplicated
+    // (%101) order lines breaking the (orderkey, linenumber) key; the
+    // in_set check is the passing case (zero violations is information
+    // too). Plan shape under test: the four row-level checks share ONE
+    // scan (single conditional-sum aggregate), unique is one key
+    // aggregation, ref-integrity one anti-join vs the distinct dimension
+    // keys — the same three jobs it would be at 100 TB.
+    GraftQuery("d6_dq_expectations", (s, d) => {
+      import s.implicits._
+      import QualityChecks.Check._
+      val base = T.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber",
+          $"l_quantity", $"l_returnflag", $"l_linestatus")
+        .withColumn("l_returnflag",
+          when($"l_orderkey" % 97 === 0, lit(null)).otherwise($"l_returnflag"))
+        .withColumn("l_quantity",
+          when($"l_orderkey" % 89 === 0, $"l_quantity" + 100).otherwise($"l_quantity"))
+        .withColumn("l_partkey",
+          when($"l_orderkey" % 83 === 0, -$"l_partkey").otherwise($"l_partkey"))
+      val poisoned = base.unionAll(base.filter($"l_orderkey" % 101 === 0))
+      QualityChecks.validate(poisoned, Seq(
+        NotNull("l_returnflag"),
+        InRange("l_quantity", 1, 50),
+        InSet("l_linestatus", Seq("O", "F")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_partkey", T.part(s, d), "p_partkey")))
+        .withColumn("n_rows", lit(poisoned.count()))
+        .orderBy($"check")
+    }, Some("""
+      WITH base AS (
+        SELECT l_orderkey,
+          CASE WHEN l_orderkey % 83 = 0 THEN -l_partkey ELSE l_partkey END AS l_partkey,
+          l_linenumber,
+          CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 100 ELSE l_quantity END AS l_quantity,
+          CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+          l_linestatus
+        FROM lineitem),
+      poisoned AS (SELECT * FROM base
+                   UNION ALL SELECT * FROM base WHERE l_orderkey % 101 = 0),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM poisoned),
+      checks AS (
+        SELECT 'not_null(l_returnflag)' AS check,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM poisoned WHERE l_returnflag IS NULL)
+            AS violations
+        UNION ALL
+        SELECT 'in_range(l_quantity,1.0,50.0)',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM poisoned
+           WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50))
+        UNION ALL
+        SELECT 'in_set(l_linestatus)',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM poisoned
+           WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O', 'F'))
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)',
+          (SELECT COALESCE(CAST(SUM(cnt - 1) AS BIGINT), 0) FROM
+            (SELECT COUNT(*) AS cnt FROM poisoned
+             GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) g)
+        UNION ALL
+        SELECT 'ref(l_partkey)',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM poisoned p
+           WHERE p.l_partkey IS NOT NULL AND NOT EXISTS
+             (SELECT 1 FROM part WHERE p_partkey = p.l_partkey)))
+      SELECT c.check, c.violations, c.violations = 0 AS pass, n.n_rows
+      FROM checks c CROSS JOIN n
+      ORDER BY c.check"""))
   )
 }
