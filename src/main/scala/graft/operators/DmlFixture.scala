@@ -1,0 +1,23 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared registration for the `graftdml` SQL catalog used by the DML-family
+  * gates (s11/s14/s15/t10). Catalog options are frozen at FIRST use (Spark
+  * caches catalog instances by name), so every gate must agree on one
+  * warehouse path per JVM — a second conf.set with a different path would
+  * be silently ignored. Gates DROP/recreate their own tables each run, so
+  * the shared warehouse is safe across the multi-SF sweep. */
+object DmlFixture {
+  lazy val warehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_dml_warehouse")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  def register(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graftdml",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftdml.warehouse", warehouse)
+  }
+}

@@ -25,12 +25,6 @@ object SourceQueries {
     p.toString
   }
 
-  /** One warehouse per JVM for the s11 SQL-DML catalog: catalog options
-    * are frozen at first use (Spark caches catalog instances by name), so
-    * the path must be stable across the multi-SF sweep; the gate
-    * DROPs/recreates its table each run. */
-  private lazy val dmlWarehouse: String = tmpDir("s11_warehouse")
-
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- S2: csv / json / orc round-trip — write nation in each format,
@@ -422,9 +416,7 @@ object SourceQueries {
     // touched buckets; nothing row-shaped crosses the driver.
     GraftQuery("s11_sql_dml", (s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.catalog.graftdml",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftdml.warehouse", dmlWarehouse)
+      DmlFixture.register(s)
       val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
       val ev = T.events(s, d).withColumn("cents", vcents($"value"))
       def latest(df: org.apache.spark.sql.DataFrame) =
@@ -452,7 +444,7 @@ object SourceQueries {
       s.sql("UPDATE graftdml.user_state SET cents = cents + 100 WHERE user_id % 7 = 0")
       s.sql("DELETE FROM graftdml.user_state WHERE cents < 500")
       val version = graft.sources.GraftStore
-        .currentVersion(s"$dmlWarehouse/user_state")
+        .currentVersion(s"${DmlFixture.warehouse}/user_state")
       s.sql("SELECT user_id, event_id, cents FROM graftdml.user_state")
         .withColumn("store_version", lit(version))
         .orderBy($"user_id")
@@ -502,9 +494,7 @@ object SourceQueries {
     // spans; consumers fold ranges instead of diffing 100 TB snapshots.
     GraftQuery("s14_cdc_read", (s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.catalog.graftdml",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftdml.warehouse", dmlWarehouse)
+      DmlFixture.register(s)
       val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
       val ev = T.events(s, d).withColumn("cents", vcents($"value"))
       def latest(df: org.apache.spark.sql.DataFrame) =
@@ -532,7 +522,7 @@ object SourceQueries {
       s.sql("UPDATE graftdml.cdc_state SET cents = cents + 100 WHERE user_id % 7 = 0")
       s.sql("DELETE FROM graftdml.cdc_state WHERE cents < 500")
 
-      val dir = s"$dmlWarehouse/cdc_state"
+      val dir = s"${DmlFixture.warehouse}/cdc_state"
       val G = graft.sources.GraftStore
       val live = s.sql("SELECT user_id, event_id, cents FROM graftdml.cdc_state")
       val replayed = G.replayChanges(G.readVersion(s, dir, 0L),
@@ -626,9 +616,7 @@ object SourceQueries {
     // hash-bound.
     GraftQuery("s15_incremental_mv", (s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.catalog.graftdml",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftdml.warehouse", dmlWarehouse)
+      DmlFixture.register(s)
       val G = graft.sources.GraftStore
       T.nation(s, d)
         .select($"n_nationkey".cast("long").as("k"),
@@ -655,7 +643,7 @@ object SourceQueries {
       s.sql("UPDATE graftdml.mv_state SET pop = pop + 3 WHERE r = 2")
       s.sql("DELETE FROM graftdml.mv_state WHERE pop > 1200")
 
-      val dir = s"$dmlWarehouse/mv_state"
+      val dir = s"${DmlFixture.warehouse}/mv_state"
       def recompute(sql: String) = s.sql(sql)
         .select($"r", $"n".cast("long").as("n"), $"s".cast("long").as("s"))
       val full = recompute(

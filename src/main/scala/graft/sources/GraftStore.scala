@@ -309,6 +309,23 @@ object GraftStore {
       .unionByName(survivors)
   }
 
+  /** The changelog as a STREAM — change-data-feed reads. This is the stock
+    * file streaming source over the changelog directory (schema supplied,
+    * `basePath` so `change_version` survives as a column): every commit
+    * drops new files under a new `change_version=N` dir and the source's
+    * file log admits them as a micro-batch, checkpointable and replayable
+    * like any file stream. Pair with `Trigger.AvailableNow` for catch-up
+    * runs, or `foreachBatch` + [[incrementalAgg]] for a continuously
+    * maintained downstream aggregate. No custom source machinery: the
+    * changelog's layout IS a valid streaming input, which is the point of
+    * committing it as immutable per-version files. */
+  def streamChanges(spark: SparkSession, dir: String): DataFrame = {
+    val meta = readMeta(dir)
+    spark.readStream.schema(changesSchema(meta))
+      .option("basePath", changesRoot(dir))
+      .parquet(changesRoot(dir) + s"/$ChangeVersionCol=*")
+  }
+
   /** Incrementally maintain a grouped (COUNT(*), SUM(aggCol)) materialized
     * view from a changelog slice, using the before/after images:
     * after-images (I/U) contribute (+1, +agg) to their group, before-images

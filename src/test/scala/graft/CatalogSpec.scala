@@ -211,6 +211,55 @@ class CatalogSpec extends SparkTestBase {
     assert(mv === Set(("y", 1L, 11L), ("<null>", 1L, 6L)))
   }
 
+  test("streaming MV: change stream + incrementalAgg tracks DML continuously") {
+    // the full CDC loop on one storage layout: SQL DML commits → changelog
+    // files → file-stream micro-batches → incrementalAgg folds each batch
+    // into the running view. A batch may span several commits; the
+    // retract/add algebra is additive, so multi-version batches fold
+    // exactly like single-version ones.
+    import spark.implicits._
+    val t = mkTable("t_mv_stream") // (k, name, amount); view groups by name
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'x', 10), (2, 'y', 20)")
+    val dir = s"$warehouse/t_mv_stream"
+    val mvState = new java.util.concurrent.atomic.AtomicReference[
+      Map[(String, Boolean), (Long, Long)]](Map.empty)
+    def mvDf = {
+      val rows = mvState.get().toSeq.map { case ((g, isNull), (n, s)) =>
+        org.apache.spark.sql.Row(if (isNull) null else g, n, s)
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val q = GraftStore.streamChanges(spark, dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = GraftStore.incrementalAgg(mvDf, batch, Seq("name"), "amount")
+          .collect().map(r => ((if (r.isNullAt(0)) "" else r.getString(0)),
+            r.isNullAt(0)) -> (r.getLong(1), r.getLong(2))).toMap
+        mvState.set(next)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(mvState.get() === Map(("x", false) -> (1L, 10L), ("y", false) -> (1L, 20L)))
+      spark.sql(s"UPDATE $cat.$t SET name = 'y', amount = 11 WHERE k = 1")
+      spark.sql(s"INSERT INTO $cat.$t VALUES (3, 'z', 30)")
+      q.processAllAvailable()
+      assert(mvState.get() === Map(("y", false) -> (2L, 31L), ("z", false) -> (1L, 30L)))
+      spark.sql(s"DELETE FROM $cat.$t WHERE name = 'y'")
+      q.processAllAvailable()
+      assert(mvState.get() === Map(("z", false) -> (1L, 30L)))
+    } finally q.stop()
+  }
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
