@@ -120,8 +120,32 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** Schema evolution: ADD COLUMN (nullable, top-level) only. The meta
+    * schema gains the field; existing data and changelog files simply lack
+    * the column and every scan passes the declared schema, so the parquet
+    * reader null-fills history for free — no rewrite, which is the only
+    * acceptable cost for widening a 100 TB table. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+    val meta = GraftStore.readMeta(dir)
+    val newSchema = changes.foldLeft(meta.schema) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "nested column additions are not supported")
+        val name = add.fieldNames()(0)
+        require(add.isNullable,
+          s"added column $name must be nullable (existing rows have no value)")
+        require(!sch.fieldNames.contains(name), s"column $name already exists")
+        require(name != GraftStore.BucketCol,
+          s"column name ${GraftStore.BucketCol} is reserved")
+        sch.add(name, add.dataType(), nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported table change: $other (only ADD COLUMN)")
+    }
+    GraftStore.writeMeta(dir, meta.copy(schema = newSchema))
+    new GraftTable(ident.toString, dir, pinnedVersion = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -261,6 +261,61 @@ object GraftStore {
     } finally ch.unpersist()
   }
 
+  /** Compact fragmented buckets — the maintenance pass that keeps the
+    * append fast path honest: INSERT lands new files next to hard links,
+    * so a bucket accumulates one file per append until rewritten. Buckets
+    * with more than `maxFilesPerBucket` files are rewritten (one partition
+    * per bucket → one compact file each); the rest are hard-linked. The
+    * commit is a normal version bump with NO changelog entry — compaction
+    * changes layout, not content, so CDC consumers see nothing. Old
+    * versions still reference the fragmented files (time travel is
+    * unaffected) until [[expireVersions]] drops them. Returns the new
+    * version, or the current one if nothing is fragmented. */
+  def optimize(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Int = 4): Long = {
+    val cur = currentVersion(dir)
+    val curDir = versionDir(dir, cur)
+    val fragmented = bucketDirs(curDir).filter { b =>
+      Files.list(Paths.get(curDir, s"$BucketCol=$b")).iterator().asScala
+        .count(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith(".") &&
+          !f.getFileName.toString.startsWith("_")) > maxFilesPerBucket
+    }.toSet
+    if (fragmented.isEmpty) return cur
+    val next = cur + 1
+    val nextDir = versionDir(dir, next)
+    deleteRecursively(Paths.get(nextDir))
+    // repartition BY the bucket column: each bucket's rows land wholly in
+    // one task, so partitionBy writes exactly one compact file per bucket
+    readVersion(spark, dir, cur)
+      .filter(col(BucketCol).isin(fragmented.toSeq: _*))
+      .repartition(fragmented.size, col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(nextDir)
+    (bucketDirs(curDir).toSet -- fragmented).foreach { b =>
+      val src = Paths.get(curDir, s"$BucketCol=$b")
+      val dst = Paths.get(nextDir, s"$BucketCol=$b")
+      Files.createDirectories(dst)
+      Files.list(src).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+        .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
+    }
+    writePointer(dir, next)
+    next
+  }
+
+  /** Drop changelog slices below `keepFromVersion` — changelog retention.
+    * Replay/stream consumers must have advanced past the horizon; after
+    * this, reconstruction older than the horizon needs a kept snapshot
+    * version (the same contract as any log-compacted CDC feed). */
+  def expireChanges(dir: String, keepFromVersion: Long): Unit = {
+    val root = Paths.get(changesRoot(dir))
+    if (!Files.isDirectory(root)) return
+    Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"$ChangeVersionCol="))
+      .filter(_.getFileName.toString.split("=")(1).toLong < keepFromVersion)
+      .toSeq.foreach(deleteRecursively)
+  }
+
   /** Changes-table schema: logical columns (all nullable — delete rows
     * carry only the key), the operation, and the committing version. */
   def changesSchema(meta: GraftTableMeta): StructType = {

@@ -94,6 +94,19 @@ class CatalogSpec extends SparkTestBase {
     assert(!spark.table(s"$cat.$t").columns.contains(GraftStore.BucketCol))
   }
 
+  test("aggregates push down to parquet footers through the delegated scan") {
+    val t = mkTable("t_aggpush")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    withConf("spark.sql.parquet.aggregatePushDown" -> "true") {
+      val q = spark.sql(s"SELECT COUNT(*), MIN(amount), MAX(amount) FROM $cat.$t")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"expected footer-served aggregation:\n$plan")
+      val r = q.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 10L, 30L)))
+    }
+  }
+
   test("INSERT OVERWRITE replaces contents") {
     val t = mkTable("t_ow")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)")
@@ -258,6 +271,68 @@ class CatalogSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(mvState.get() === Map(("z", false) -> (1L, 30L)))
     } finally q.stop()
+  }
+
+  test("optimize compacts fragmented buckets without touching content, history, or changelog") {
+    import scala.jdk.CollectionConverters._
+    val t = mkTable("t_opt", buckets = 2)
+    (1L to 6L).foreach(i => spark.sql(s"INSERT INTO $cat.$t VALUES ($i, 'r$i', ${i * 10})"))
+    val dir = s"$warehouse/t_opt"
+    val preVersion = GraftStore.currentVersion(dir)
+    val preRows = rows(t)
+    def filesPerBucket(v: Long): Map[String, Int] = {
+      val vd = java.nio.file.Paths.get(GraftStore.versionDir(dir, v))
+      java.nio.file.Files.list(vd).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"${GraftStore.BucketCol}="))
+        .map(d => d.getFileName.toString ->
+          java.nio.file.Files.list(d).iterator().asScala.count(f =>
+            java.nio.file.Files.isRegularFile(f) &&
+              !f.getFileName.toString.startsWith(".") &&
+              !f.getFileName.toString.startsWith("_")))
+        .toMap
+    }
+    val pre = filesPerBucket(preVersion)
+    assert(pre.values.exists(_ > 2), "fixture must fragment")
+    val v2 = GraftStore.optimize(spark, dir, maxFilesPerBucket = 2)
+    assert(v2 === preVersion + 1)
+    val post = filesPerBucket(v2)
+    // fragmented buckets compact to ONE file; buckets under the threshold
+    // are hard-linked untouched
+    pre.foreach { case (b, n) =>
+      if (n > 2) assert(post(b) === 1, s"bucket $b not compacted: $post")
+      else assert(post(b) === n, s"bucket $b should be untouched: $post")
+    }
+    assert(rows(t) === preRows)
+    // time travel to the fragmented version still works, changelog untouched
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t VERSION AS OF $preVersion")
+      .head().getLong(0) === 6L)
+    assert(GraftStore.readChanges(spark, dir, 1L, v2).count() === 6L)
+    // idempotent: nothing fragmented → same version back
+    assert(GraftStore.optimize(spark, dir, maxFilesPerBucket = 2) === v2)
+    // changelog retention: drop the first three versions' slices
+    GraftStore.expireChanges(dir, keepFromVersion = 4L)
+    assert(GraftStore.readChanges(spark, dir, 1L, v2)
+      .select("change_version").distinct().collect().map(_.getLong(0)).toSet
+      === Set(4L, 5L, 6L))
+  }
+
+  test("ALTER TABLE ADD COLUMN null-fills history; new DML writes it") {
+    val t = mkTable("t_alter")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")
+    spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (note STRING)")
+    // history null-fills through the declared schema
+    val r1 = spark.sql(s"SELECT k, note FROM $cat.$t").head()
+    assert(r1.getLong(0) === 1L && r1.isNullAt(1))
+    // new DML reads and writes the new column
+    spark.sql(s"INSERT INTO $cat.$t VALUES (2, 'b', 20, 'fresh')")
+    spark.sql(s"UPDATE $cat.$t SET note = 'patched' WHERE k = 1")
+    val got = spark.sql(s"SELECT k, note FROM $cat.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "patched"), (2L, "fresh")))
+    // pre-evolution changelog slices null-fill too
+    val ch = GraftStore.readChanges(spark, s"$warehouse/t_alter", 1L, 1L).head()
+    assert(ch.schema.fieldNames.contains("note"))
+    assert(ch.isNullAt(ch.fieldIndex("note")))
   }
 
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
