@@ -669,6 +669,44 @@ object Graft {
       .select(col(key), col("__lid").as(leftId), col("__last").as(rightVal))
   }
 
+  /** As-of join with a staleness tolerance — the feature-store freshness
+    * contract: each left row gets the latest right row at-or-before its
+    * timestamp, but only if that row is no older than `toleranceSeconds`;
+    * a staler (or absent) match yields nulls. (The latest at-or-before row
+    * either satisfies the tolerance or nothing does — earlier rows are
+    * older still — so one carried struct decides.) Same linear
+    * union+window shape as [[asofJoinLatest]]: one shuffle on the key, no
+    * pairwise candidate blowup. Output: key, leftId, rightVal (null when
+    * stale/absent), asof_age_us (microseconds; null likewise). */
+  def asofJoinWithin(left: DataFrame, leftTs: String, leftId: String,
+                     right: DataFrame, rightTs: String, rightVal: String,
+                     key: String, rightId: String,
+                     toleranceSeconds: Long): DataFrame = {
+    val mType = StructType(Seq(
+      StructField("t", right.schema(rightTs).dataType),
+      StructField("v", right.schema(rightVal).dataType)))
+    val ridType = right.schema(rightId).dataType
+    val l = left.select(col(key), col(leftTs).as("__ts"),
+      col(leftId).as("__lid"), lit(null).cast(mType).as("__m"),
+      lit(null).cast(ridType).as("__rid"), lit(1).as("__kind"))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+      lit(null).cast(left.schema(leftId).dataType).as("__lid"),
+      struct(col(rightTs).as("t"), col(rightVal).as("v")).as("__m"),
+      col(rightId).as("__rid"), lit(0).as("__kind"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__kind"), col("__rid").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = toleranceSeconds * 1000000L
+    r.unionByName(l)
+      .withColumn("__last", last(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .withColumn("__age_us",
+        unix_micros(col("__ts")) - unix_micros(col("__last.t")))
+      .select(col(key), col("__lid").as(leftId),
+        when(col("__age_us") <= tolUs, col("__last.v")).as(rightVal),
+        when(col("__age_us") <= tolUs, col("__age_us")).as("asof_age_us"))
+  }
+
   /** Gap-based sessionization: adds session_id (per-key ordinal) using the
     * same >= gap semantics as session_window. */
   def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String,

@@ -170,6 +170,56 @@ object EventQueries {
         COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM y GROUP BY user_id, sid ORDER BY user_id, s_start""")),
 
+    // ----- T2 (dynamic gap): session windows whose gap depends on the
+    // EVENT — purchases hold a session open 30 minutes, everything else 10
+    // (the engagement-modeling shape: a conversion event extends the
+    // session). Spark 4's session_window takes the gap as an expression;
+    // semantics are window-merge: each event spawns [ts, ts+gap) and
+    // overlapping windows coalesce, so a session's end is the running MAX
+    // of per-event ends, not last-event + constant. The oracle mirrors
+    // exactly that: a new session starts where ts >= MAX(prev ts+gap)
+    // (end-exclusive), sid = running sum of boundaries. Emitting s_end
+    // pins the max-end arithmetic, not just the partitioning. Scale shape:
+    // one shuffle on user_id, per-key linear merge — same as fixed-gap
+    // sessions; the gap expression is evaluated map-side.
+    GraftQuery("t2d_dynamic_session", (s, d) => {
+      import s.implicits._
+      // session_window demands CalendarIntervalType — ANSI interval
+      // literals arrive as DayTimeIntervalType, so the gap goes through
+      // make_interval (legacy CalendarInterval) instead
+      val gap = expr(
+        "CASE WHEN event_type = 'purchase' THEN make_interval(0,0,0,0,0,30,0) " +
+          "ELSE make_interval(0,0,0,0,0,10,0) END")
+      T.events(s, d)
+        .groupBy(session_window($"ts", gap).as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(vcents($"value")).as("sum_cents"))
+        .select($"user_id", tsFmt($"w.start").as("s_start"),
+          tsFmt($"w.end").as("s_end"), $"n", $"sum_cents")
+        .orderBy($"user_id", $"s_start")
+    }, Some(s"""
+      WITH x AS (
+        SELECT user_id, ts, event_id, ${sql.vcents("value")} AS cents,
+          ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 10 MINUTE END AS ev_end
+        FROM events),
+      y AS (
+        SELECT *, CASE WHEN MAX(ev_end) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR ts >= MAX(ev_end) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS new_s
+        FROM x),
+      z AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM y)
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        strftime(MAX(ev_end), '%Y-%m-%d %H:%M:%S') AS s_end,
+        COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM z GROUP BY user_id, sid ORDER BY user_id, s_start""")),
+
     // ----- S6: topic compaction — latest value per key over the append log.
     // This is the batch compaction job from BASELINE.json's north star; the
     // key is user_id, the "offset" order is (ts, event_id).
@@ -379,6 +429,39 @@ object EventQueries {
       SELECT p.pid AS purchase_id, j.cid AS click_id
       FROM p LEFT JOIN (SELECT pid, cid FROM j WHERE rn = 1) j ON p.pid = j.pid
       ORDER BY purchase_id"""), bench = true),
+
+    // ----- J6b: as-of join with staleness tolerance — the feature-store
+    // freshness contract: the latest click still counts only if it is at
+    // most 1 hour old at purchase time; a staler match is a MISS (null),
+    // not a stale read. One carried struct decides (the latest
+    // at-or-before row either passes the tolerance or nothing does), so
+    // the plan is the same single-shuffle union+window as j6 — no
+    // pairwise candidates, no second join. Emitting the exact match age
+    // in microseconds pins the boundary arithmetic: an off-by-one in the
+    // <= tolerance comparison or a seconds-vs-micros slip breaks the
+    // hash, not just a row count.
+    GraftQuery("j6b_asof_tolerance", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+      graft.Graft.asofJoinWithin(purchases, "p_ts", "purchase_id",
+          clicks, "ts", "click_id", "user_id", "click_id",
+          toleranceSeconds = 3600L)
+        .select($"purchase_id", $"click_id", $"asof_age_us")
+        .orderBy($"purchase_id")
+    }, Some("""
+      WITH p AS (SELECT event_id AS pid, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id AS cid, user_id, ts FROM events WHERE event_type = 'click'),
+           j AS (SELECT p.pid, c.cid, epoch_us(p.ts) - epoch_us(c.ts) AS age_us,
+                   ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.ts DESC, c.cid DESC) AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000)
+      SELECT p.pid AS purchase_id, j.cid AS click_id, j.age_us AS asof_age_us
+      FROM p LEFT JOIN (SELECT pid, cid, age_us FROM j WHERE rn = 1) j ON p.pid = j.pid
+      ORDER BY purchase_id""")),
 
     // ----- J10: SCD2 (slowly-changing-dimension) join — enrich each fact
     // row with the dimension VERSION valid at its event time. The dim
