@@ -728,6 +728,45 @@ object EventQueries {
       SELECT user_id, COUNT(*) AS n_intervals,
         CAST(SUM(dur_us) AS BIGINT) AS covered_us,
         CAST(SUM(cents * dur_us) AS BIGINT) // CAST(SUM(dur_us) AS BIGINT) AS twa_cents
-      FROM iv GROUP BY user_id ORDER BY user_id"""))
+      FROM iv GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- E9: running distinct over time — daily actives plus the
+    // cumulative "total distinct users to date" curve. Exact running
+    // COUNT(DISTINCT) is unbounded-state in general; the standard exact
+    // reduction is first-seen attribution: a user contributes to the
+    // cumulative curve only on their min(day), so the curve is the
+    // running SUM of per-day first-seen counts. Scale shape: two hash
+    // aggs (user-day dedup, min-day per user) — both shuffle on bounded
+    // keys — then the running sum runs over the per-DAY aggregate, whose
+    // cardinality is calendar-bounded (like d3's ranked buckets), so the
+    // unpartitioned window is over dozens of rows, not the event log.
+    GraftQuery("e9_running_distinct", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val days = T.events(s, d).select($"user_id", to_date($"ts").as("day"))
+      val dau = days.distinct()
+        .groupBy($"day").agg(count(lit(1)).as("dau"))
+      val firstSeen = days.groupBy($"user_id").agg(min($"day").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(firstSeen, Seq("day"), "left_outer")
+        .select($"day", $"dau", coalesce($"n_new", lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum($"n_new").over(w))
+        .orderBy($"day")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          $"dau", $"n_new", $"cum_users")
+    }, Some("""
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+      fs AS (SELECT day, COUNT(*) AS n_new FROM
+               (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id) f
+             GROUP BY day)
+      SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau,
+        COALESCE(fs.n_new, 0) AS n_new,
+        SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY dau.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      FROM dau LEFT JOIN fs ON dau.day = fs.day
+      ORDER BY dau.day"""))
   )
 }

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Failure-path behavior of the delta staging machinery: task aborts
+  * remove their staging files, batch aborts remove the whole staging dir,
+  * and commit consumes ONLY the files named in committed task messages —
+  * a speculative/zombie task's orphan file is never applied and is swept
+  * with the staging dir. */
+class GraftDeltaSpec extends SparkTestBase {
+
+  private val rowSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("amount", LongType)))
+  private val idSchema = StructType(Seq(StructField("k", LongType, nullable = false)))
+
+  private def row(k: Long, name: String, amount: Long): InternalRow =
+    InternalRow(k, UTF8String.fromString(name), amount)
+
+  test("writer abort deletes its staging file; commit returns the path") {
+    val staging = Files.createTempDirectory("graft_delta_spec").toString
+    val w1 = new GraftDeltaWriter(s"$staging/t-0.bin", rowSchema, idSchema)
+    w1.insert(row(1, "a", 10))
+    val msg = w1.commit().asInstanceOf[GraftDeltaCommit]
+    assert(Files.exists(Paths.get(msg.path)))
+
+    val w2 = new GraftDeltaWriter(s"$staging/t-1.bin", rowSchema, idSchema)
+    w2.insert(row(2, "b", 20))
+    w2.abort()
+    assert(!Files.exists(Paths.get(s"$staging/t-1.bin")),
+      "aborted task must remove its staging file")
+  }
+
+  test("commit applies only committed messages; orphans are swept, not applied") {
+    spark.sparkContext // commit resolves SparkSession.active — init it first
+    val dir = Files.createTempDirectory("graft_delta_store").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    val staging = GraftStore.stagingDir(dir, "q1")
+
+    val committed = new GraftDeltaWriter(s"$staging/t-0.bin", rowSchema, idSchema)
+    committed.insert(row(1, "a", 10))
+    val msg = committed.commit()
+
+    // a zombie task's file: present on disk, but its message never reached
+    // the driver — its rows must not be applied
+    val zombie = new GraftDeltaWriter(s"$staging/t-9.bin", rowSchema, idSchema)
+    zombie.insert(row(99, "zombie", 999))
+    zombie.commit() // file persists; message dropped below
+
+    val batch = new GraftDeltaBatchWrite(dir, GraftStore.readMeta(dir),
+      rowSchema, idSchema, staging)
+    batch.commit(Array(msg))
+
+    val rows = GraftStore
+      .readVersion(spark, dir, GraftStore.currentVersion(dir))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(rows === Set(1L), s"zombie row must not be applied, got $rows")
+    assert(!Files.exists(Paths.get(staging)),
+      "commit must sweep the whole staging dir, orphans included")
+  }
+
+  test("batch abort removes the staging dir without touching the table") {
+    val dir = Files.createTempDirectory("graft_delta_store2").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    val staging = GraftStore.stagingDir(dir, "q2")
+    val w = new GraftDeltaWriter(s"$staging/t-0.bin", rowSchema, idSchema)
+    w.insert(row(5, "x", 50))
+    val msg = w.commit()
+    val batch = new GraftDeltaBatchWrite(dir, GraftStore.readMeta(dir),
+      rowSchema, idSchema, staging)
+    batch.abort(Array(msg))
+    assert(!Files.exists(Paths.get(staging)))
+    assert(GraftStore.currentVersion(dir) === 0L, "no version committed")
+  }
+}
