@@ -107,6 +107,32 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("DML plan guards: merge prunes target to the key; delete pushes its predicate") {
+    import spark.implicits._
+    val t = mkTable("t_plans")
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, CAST(id AS STRING), id * 2 FROM range(100)")
+    Seq((1L, "u", 5L)).toDF("k", "op", "amount").createOrReplaceTempView("plan_src")
+    // the rewrite's target scan must column-prune to what the deltas need:
+    // the merge key plus the columns CARRIED into the after-image — the
+    // assigned column (amount) is replaced wholesale and must NOT be read.
+    // Proves pruning survives the row-level rewrite, not only SELECTs.
+    val mergePlan = spark.sql(s"""EXPLAIN FORMATTED
+      MERGE INTO $cat.$t t USING plan_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET amount = s.amount""")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(mergePlan.contains("ReadSchema: struct<k:bigint,name:string>"),
+      s"merge target scan should read key + carried cols, never the assigned one:\n$mergePlan")
+    assert(mergePlan.contains("WriteDelta") && mergePlan.contains("MergeRows"),
+      "merge must plan as a delta write")
+    // single-table DELETE: no join, predicate pushed into the parquet scan
+    val delPlan = spark.sql(
+      s"EXPLAIN FORMATTED DELETE FROM $cat.$t WHERE amount > 150")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(delPlan.contains("PushedFilters: [IsNotNull(amount), GreaterThan(amount,150)]"),
+      s"delete predicate should push into the scan:\n$delPlan")
+    assert(!delPlan.contains("Join"), "single-table delete must not join")
+  }
+
   test("INSERT OVERWRITE replaces contents") {
     val t = mkTable("t_ow")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)")

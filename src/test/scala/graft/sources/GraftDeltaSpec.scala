@@ -65,6 +65,35 @@ class GraftDeltaSpec extends SparkTestBase {
       "commit must sweep the whole staging dir, orphans included")
   }
 
+  test("changelog remnant from a crashed commit is invisible, then overwritten") {
+    // crash window: changelog for version N+1 written, pointer never
+    // flipped. Readers must not see the remnant (the pointer caps
+    // readChanges) and the next commit must overwrite it.
+    import org.apache.spark.sql.functions._
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft_delta_store3").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    import spark.implicits._
+    GraftStore.applyChanges(spark, dir,
+      Seq((1L, "a", 10L)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true) // v1
+    // simulate the crash: a v2 changelog dir exists, pointer still at 1
+    val remnant = s"$dir/_changes/${GraftStore.ChangeVersionCol}=2"
+    Seq((99L, "ghost", 999L, "I")).toDF("k", "name", "amount", GraftStore.ChangeOpCol)
+      .write.parquet(remnant)
+    assert(GraftStore.currentVersion(dir) === 1L)
+    val visible = GraftStore.readChanges(spark, dir, 1L, 10L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(visible === Set(1L), s"remnant must be invisible, got $visible")
+    // the next commit claims version 2 and replaces the remnant wholesale
+    GraftStore.applyChanges(spark, dir,
+      Seq((2L, "b", 20L)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true) // v2
+    val v2 = GraftStore.readChanges(spark, dir, 2L, 2L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(v2 === Set(2L), s"remnant must be overwritten, got $v2")
+  }
+
   test("batch abort removes the staging dir without touching the table") {
     val dir = Files.createTempDirectory("graft_delta_store2").toString + "/t"
     GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
