@@ -428,6 +428,79 @@ object RelationalQueries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // ----- A12: mergeable QUANTILE sketch rollup (DDSketch-style,
+    // Masson et al. 2019) — the quantile companion of A10's HLL rollup.
+    // Values land in log-scale bins (bin = floor(ln x / ln γ), γ=1.02 →
+    // ≤1% relative error by construction), and the "sketch" is nothing
+    // but RELATIONAL ROWS of (scope, bin, count): the Spark-first move is
+    // that bin-wise ADDITION is the sketch merge, so rolling per-type
+    // sketches up to the global one is a plain groupBy-sum — codegen'd,
+    // map-side-combined, no UDAF, no binary blobs, mergeable across any
+    // granularity or time range for free. Quantile extraction walks the
+    // cumulative bin counts (bounded: ≤~1.2k bins per scope, the d3
+    // bounded-window pattern). The driver-checkable contract is the
+    // INVARIANT, not the float: the estimate must sit within the γ-bound
+    // of the EXACT order statistic at rank ceil(q·n) — exacts computed
+    // distributed via the two-pass SkewUtils.rangedRowNumber (keyed for
+    // per-type, global for ALL) and recomputed independently by the
+    // oracle; integer ceil-div rank arithmetic is shared bit-for-bit.
+    GraftQuery("a12_ddsketch_rollup", (s, d) => {
+      import s.implicits._
+      val gamma = 1.02
+      val relBound = (gamma - 1) / 2 * 1.05 // + slack for ln boundary ulps
+      val ev = T.events(s, d)
+        .select($"event_type", vcents($"value").as("cents"), $"event_id")
+        .filter($"cents" > 0)
+      val binned = ev.withColumn("bin",
+        floor(log($"cents".cast(DoubleType)) / math.log(gamma)).cast(LongType))
+      val typeSketch = binned.groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("c"))
+      val allSketch = typeSketch.groupBy($"bin") // the MERGE: bin-wise add
+        .agg(sum($"c").as("c")).withColumn("event_type", lit("ALL"))
+      val sketches = typeSketch.unionByName(allSketch.select($"event_type", $"bin", $"c"))
+      val ranks = sketches.groupBy($"event_type").agg(sum($"c").as("n"))
+        .withColumn("q", explode(array(lit(50L), lit(95L), lit(99L))))
+        .withColumn("rank", expr("(n * q + 99) div 100"))
+      val cum = sketches.withColumn("cum", sum($"c").over(
+        Window.partitionBy($"event_type").orderBy($"bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val est = cum.join(ranks, Seq("event_type"))
+        .filter($"cum" >= $"rank")
+        .groupBy($"event_type", $"q", $"rank", $"n").agg(min($"bin").as("ebin"))
+        .withColumn("est", pow(lit(gamma), $"ebin") * ((1 + gamma) / 2))
+      val rankedTyped = SkewUtils.rangedRowNumber(
+        ev, Seq("event_type"), Seq("cents", "event_id"), 32, "rn")
+      val rankedAll = SkewUtils.rangedRowNumber(
+        ev.drop("event_type"), Seq.empty, Seq("cents", "event_id"), 32, "rn")
+        .withColumn("event_type", lit("ALL"))
+      val exact = rankedTyped.select($"event_type", $"cents", $"rn")
+        .unionByName(rankedAll.select($"event_type", $"cents", $"rn"))
+        .join(ranks.select($"event_type", $"q", $"rank"), Seq("event_type"))
+        .filter($"rn" === $"rank")
+        .select($"event_type", $"q", $"cents".as("exact_cents"))
+      est.join(exact, Seq("event_type", "q"))
+        .select($"event_type".as("scope"), concat(lit("p"), $"q").as("q_label"),
+          $"n", $"rank", $"exact_cents",
+          (abs($"est" - $"exact_cents") <= $"exact_cents" * relBound)
+            .as("within_gamma_bound"))
+        .orderBy($"scope", $"q_label")
+    }, Some(s"""
+      WITH e AS (SELECT event_type, ${sql.vcents("value")} AS cents, event_id
+                 FROM events WHERE ${sql.vcents("value")} > 0),
+      a AS (SELECT event_type, cents, event_id FROM e
+            UNION ALL SELECT 'ALL', cents, event_id FROM e),
+      t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY event_type),
+      r AS (SELECT event_type, n, q, (n * q + 99) // 100 AS rank
+            FROM t CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(95 AS BIGINT)),
+              (CAST(99 AS BIGINT))) qs(q)),
+      o AS (SELECT event_type, cents,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn
+            FROM a)
+      SELECT r.event_type AS scope, 'p' || q AS q_label, n, rank,
+        o.cents AS exact_cents, TRUE AS within_gamma_bound
+      FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rank
+      ORDER BY scope, q_label""")),
+
     // ----- composite: conditional aggregation (TPC-H Q12 shape) — CASE
     // inside SUM, one pass over the join
     GraftQuery("q12_conditional_agg", (s, d) => {
