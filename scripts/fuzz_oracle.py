@@ -306,6 +306,36 @@ def gen_subquery(i):
             f"WHERE o_custkey > (SELECT AVG(o_custkey) FROM orders WHERE {w}) "
             "ORDER BY o_orderkey")
 
+def gen_lateral(i):
+    """LATERAL + EXISTS/NOT-EXISTS decorrelation shapes (the J11/P8/Q21
+    planner surface): correlated ORDER BY/LIMIT subqueries must decorrelate
+    to window-rank + join, anti/semi chains to left-anti/semi joins.
+    Determinism: every LATERAL LIMIT carries a total-order tiebreak."""
+    shape = rng.choice(["lateral_topn", "not_exists", "exists_chain"])
+    if shape == "lateral_topn":
+        k = rng.randint(1, 3)
+        wl = pred("lineitem")
+        wo = pred("orders")
+        return ("SELECT o_orderkey, t.l_linenumber, t.l_quantity "
+                "FROM orders o, LATERAL ("
+                "SELECT l_linenumber, l_quantity FROM lineitem "
+                f"WHERE l_orderkey = o_orderkey AND {wl} "
+                f"ORDER BY l_quantity DESC, l_linenumber LIMIT {k}) t "
+                f"WHERE {wo} ORDER BY o_orderkey, t.l_linenumber")
+    if shape == "not_exists":
+        w = pred("orders")
+        wc = pred("customer")
+        return ("SELECT c_custkey FROM customer WHERE NOT EXISTS "
+                f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {w}) "
+                f"AND {wc} ORDER BY c_custkey")
+    q = rng.randint(10, 45)
+    wl = pred("lineitem")
+    return ("SELECT o_orderkey FROM orders o WHERE EXISTS "
+            f"(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND {wl}) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l2 "
+            f"WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > {q}) "
+            "ORDER BY o_orderkey")
+
 def gen_rollup(i):
     # grouping-set machinery: subtotal rows materialize NULL group keys, and
     # default null ordering DIFFERS between the engines (Spark NULLS FIRST,
@@ -353,6 +383,8 @@ def gen(i):
         return gen_subquery(i)
     if r < 0.78:
         return gen_rollup(i)
+    if r < 0.85:
+        return gen_lateral(i)
     t = rng.choice(list(TABLES))
     c = TABLES[t]
     where = " AND ".join(pred(t) for _ in range(rng.randint(1, 3)))
