@@ -194,6 +194,52 @@ object Scratch {
       }
       li.unpersist()
     }
+    // DML-store cost model (S11/S14): the claims under test are (a) an
+    // INSERT append costs ∝ NEW data, flat in table size (fast path: no
+    // base read, links + new files); (b) a merge whose keys localize to
+    // one bucket costs ∝ table/buckets; (c) a merge whose keys spread
+    // across all buckets is the documented worst case, ∝ table (every
+    // bucket rewritten). Fixed change-batch size, base scaled ×1/×10.
+    for (k <- Seq(1, 10) if want("store")) {
+      import graft.sources.{GraftStore, GraftTableMeta}
+      import org.apache.spark.sql.types._
+      val buckets = 64
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_scale_store_x$k")
+        .toString + "/t"
+      val schema = StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("cents", LongType, nullable = true)))
+      GraftStore.create(dir, GraftTableMeta(schema, Seq("user_id"), buckets))
+      val base = replicate(
+        Tables.events(spark, d).select($"event_id".as("user_id"),
+          round($"value" * 100).cast("long").as("cents")),
+        k, Seq("user_id")).cache()
+      val n = base.count()
+      time(f"store  x$k%2d ($n%9d keys, $buckets buckets) initial INSERT") {
+        GraftStore.applyChanges(spark, dir,
+          base.withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+      }
+      val batch = base.limit(5000).select($"user_id", ($"cents" + 1).as("cents"))
+        .cache(); batch.count()
+      time(f"store  x$k%2d ($n%9d keys) append 5k rows (flat expected)") {
+        GraftStore.applyChanges(spark, dir,
+          batch.withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+      }
+      val oneBucket = base
+        .filter(GraftStore.bucketExpr(Seq("user_id"), buckets) === 0)
+        .limit(5000).select($"user_id", ($"cents" + 2).as("cents"))
+        .cache(); oneBucket.count()
+      time(f"store  x$k%2d ($n%9d keys) merge 5k single-bucket updates (∝ table/$buckets)") {
+        GraftStore.applyChanges(spark, dir,
+          oneBucket.withColumn(GraftStore.OpCol, lit("U")))
+      }
+      time(f"store  x$k%2d ($n%9d keys) merge 5k spread updates (worst case, ∝ table)") {
+        GraftStore.applyChanges(spark, dir,
+          batch.withColumn(GraftStore.OpCol, lit("U")))
+      }
+      base.unpersist(); batch.unpersist(); oneBucket.unpersist()
+      GraftStore.dropTable(dir)
+    }
     // the x24 shape: chunk-with-overlap explode (map-side only)
     for (k <- Seq(1, 5, 20) if want("documents")) {
       val docs = Tables.documents(spark, d)
