@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""DML-sequence differential fuzz for the GraftCatalog SQL surface
+(S11/S14): generate seeded random statement sequences — CREATE, INSERT,
+MERGE INTO (update/delete/insert branches), UPDATE, DELETE — run them
+through Spark via graft.DmlRunner, and diff BOTH the final table contents
+and the per-version changelog op counts against a Python state model that
+applies the same statements to a dict. Key-uniqueness discipline is
+maintained by construction (inserts draw fresh keys), matching the store's
+merge-key contract, so the model is exact.
+
+Usage: python3 scripts/fuzz_dml.py <nSequences> <seed>
+"""
+import json, os, random, subprocess, sys, tempfile
+import pandas as pd
+
+n_seq = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+rng = random.Random(seed)
+
+NAMES = ["ada", "bob", "cyd", "dee", "eli"]
+
+def gen_sequence(idx):
+    """Returns (statements_for_spark, expected_rows, expected_change_counts)."""
+    t = f"fz_dml_{idx}"
+    state = {}           # k -> (name, amount)
+    used = set()
+    changes = []         # (version, op) counts per committed statement
+    stmts = [f"DROP TABLE IF EXISTS graftdml.{t}",
+             f"CREATE TABLE graftdml.{t} (k BIGINT NOT NULL, name STRING, "
+             f"amount BIGINT) USING graft TBLPROPERTIES "
+             f"('merge_key'='k', 'buckets'='4')"]
+    version = 0
+
+    def fresh_keys(n):
+        ks = []
+        while len(ks) < n:
+            k = rng.randint(1, 500)
+            if k not in used:
+                used.add(k); ks.append(k)
+        return ks
+
+    def commit(ops):
+        nonlocal version
+        version += 1
+        counts = {}
+        for op in ops:
+            counts[op] = counts.get(op, 0) + 1
+        changes.append((version, counts))
+
+    n_stmt = rng.randint(4, 7)
+    for _ in range(n_stmt):
+        kind = rng.choice(["insert", "merge", "update", "delete"])
+        if kind == "insert" or not state:
+            rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
+                    for k in fresh_keys(rng.randint(1, 6))]
+            vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
+            stmts.append(f"INSERT INTO graftdml.{t} VALUES {vals}")
+            for k, n, a in rows:
+                state[k] = (n, a)
+            commit(["I"] * len(rows))
+        elif kind == "merge":
+            # source: mix of existing keys (update/delete) and fresh (insert)
+            src = []
+            for k in rng.sample(sorted(state), min(len(state), rng.randint(1, 5))):
+                op = rng.choice(["u", "d"])
+                src.append((k, rng.choice(NAMES), rng.randint(0, 1000), op))
+            for k in fresh_keys(rng.randint(0, 3)):
+                src.append((k, rng.choice(NAMES), rng.randint(0, 1000),
+                            rng.choice(["u", "d"])))  # unmatched d = no-op
+            if not src:
+                continue
+            vals = ", ".join(f"({k}, '{n}', {a}, '{op}')" for k, n, a, op in src)
+            stmts.append(
+                f"MERGE INTO graftdml.{t} x USING (SELECT * FROM (VALUES {vals}) "
+                f"AS v(k, name, amount, op)) s ON x.k = s.k "
+                f"WHEN MATCHED AND s.op = 'd' THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount "
+                f"WHEN NOT MATCHED AND s.op <> 'd' THEN "
+                f"INSERT (k, name, amount) VALUES (s.k, s.name, s.amount)")
+            ops = []
+            for k, n, a, op in src:
+                if k in state and op == "d":
+                    del state[k]; ops.append("D")
+                elif k in state:
+                    state[k] = (n, a); ops.append("U")
+                elif op != "d":
+                    state[k] = (n, a); ops.append("I")
+            commit(ops)
+        elif kind == "update":
+            delta = rng.randint(1, 50)
+            mod, rem = rng.choice([(2, 0), (3, 1), (5, 2)])
+            stmts.append(f"UPDATE graftdml.{t} SET amount = amount + {delta} "
+                         f"WHERE k % {mod} = {rem}")
+            ops = []
+            for k in list(state):
+                if k % mod == rem:
+                    n, a = state[k]; state[k] = (n, a + delta); ops.append("U")
+            commit(ops)
+        else:
+            cut = rng.randint(200, 900)
+            stmts.append(f"DELETE FROM graftdml.{t} WHERE amount > {cut}")
+            ops = []
+            for k in list(state):
+                if state[k][1] > cut:
+                    del state[k]; ops.append("D")
+            commit(ops)
+    stmts.append(f"SELECT k, name, amount FROM graftdml.{t} ORDER BY k")
+    exp_rows = sorted((k, n, a) for k, (n, a) in state.items())
+    exp_changes = sorted((v, op, c) for v, counts in changes
+                         for op, c in counts.items())
+    return stmts, exp_rows, exp_changes
+
+cases = {f"fz_dml_{i}": gen_sequence(i) for i in range(n_seq)}
+work = tempfile.mkdtemp(prefix="graft_dml_fuzz_")
+seq_path = os.path.join(work, "sequences.json")
+out_dir = os.path.join(work, "out")
+with open(seq_path, "w") as f:
+    json.dump({k: v[0] for k, v in cases.items()}, f)
+
+r = subprocess.run(
+    ["sbt", "-batch",
+     f"runMain graft.DmlRunner {work}/warehouse {seq_path} {out_dir}"],
+    capture_output=True, text=True, timeout=1800)
+for line in r.stderr.splitlines():
+    if "[dmlrunner]" in line:
+        print(line)
+
+n_pass = n_fail = 0
+for name, (stmts, exp_rows, exp_changes) in sorted(cases.items()):
+    try:
+        got = pd.read_parquet(f"{out_dir}/{name}")
+        got_rows = sorted(map(tuple, got[["k", "name", "amount"]].values.tolist()))
+        ch = pd.read_parquet(f"{out_dir}/{name}__changes")
+        got_changes = sorted(map(tuple,
+            ch[["change_version", "change_op", "n"]].values.tolist()))
+        ok_rows = got_rows == exp_rows
+        ok_ch = got_changes == exp_changes
+        if ok_rows and ok_ch:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows_ok={ok_rows} changes_ok={ok_ch}")
+            if not ok_rows:
+                print(f"  got  {got_rows[:8]}...\n  want {exp_rows[:8]}...")
+            if not ok_ch:
+                print(f"  got  {got_changes}\n  want {exp_changes}")
+            print("  stmts:")
+            for s in stmts:
+                print(f"    {s}")
+    except Exception as e:
+        n_fail += 1
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+
+print(f"\ndml fuzz: {n_pass} pass, {n_fail} fail (seed={seed})")
+sys.exit(1 if n_fail else 0)
