@@ -172,9 +172,18 @@ object GraphQueries {
     * (the operator respects a cluster-wide "no broadcasts" policy). */
   private def edgeBroadcastCap(spark: SparkSession): Long = {
     import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    // JavaUtils.byteStringAsBytes cannot parse negatives ("-1" throws);
+    // Spark's own conf layer strips the sign before calling it, so this
+    // must too — "-1" is the STANDARD way to disable broadcasts and the
+    // guard below is unreachable without this.
+    def parse(s: String): Long = {
+      val t = s.trim
+      if (t.startsWith("-")) -byteStringAsBytes(t.substring(1))
+      else byteStringAsBytes(t)
+    }
     spark.conf.getOption("spark.graft.graph.broadcastEdgeBytes")
-      .map(byteStringAsBytes) getOrElse {
-      val auto = byteStringAsBytes(
+      .map(parse) getOrElse {
+      val auto = parse(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
       if (auto <= 0) -1L else 8L * auto
     }

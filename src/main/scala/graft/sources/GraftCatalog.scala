@@ -66,9 +66,9 @@ class GraftCatalog extends TableCatalog {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
     val root = java.nio.file.Paths.get(warehouse)
     if (!java.nio.file.Files.isDirectory(root)) Array.empty
-    else java.nio.file.Files.list(root).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith(prefix))
-      .map(n => Identifier.of(namespace, n.stripPrefix(prefix))).toArray
+    else GraftStore.listDir(root)(_.map(_.getFileName.toString)
+      .filter(_.startsWith(prefix))
+      .map(n => Identifier.of(namespace, n.stripPrefix(prefix))).toArray)
   }
 
   override def tableExists(ident: Identifier): Boolean = GraftStore.exists(tableDir(ident))
@@ -154,6 +154,8 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(!newIdent.name().endsWith(ChangesSuffix),
+      s"table names ending in $ChangesSuffix are reserved for changelog reads")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
@@ -183,11 +185,15 @@ final class GraftChangesTable(tableName: String, dir: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // finish any committed-but-unpublished changelog first; uncommitted
+    // batches live in dot-prefixed staging dirs this scan never sees
+    GraftStore.recoverChangelog(dir)
     ParquetTable(s"graft:$tableName", SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(GraftStore.changesRoot(dir)),
       Some(GraftStore.changesSchema(meta)),
       classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
 }
 
 /** One catalog table: logical schema from `_meta.json`, data from the

@@ -91,8 +91,10 @@ final class GraftDeltaBatchWrite(dir: String, meta: GraftTableMeta,
     val p = Paths.get(staging)
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
     }
   }
 }

@@ -70,14 +70,27 @@ object GraftStore {
   def versionDir(dir: String, v: Long): String = f"$dir/v$v%010d"
   def stagingDir(dir: String, id: String): String = s"$dir/_staging/$id"
 
+  /** Run `f` over a directory listing, CLOSING the stream (java.nio
+    * directory streams hold an open FD until closed — a long-lived session
+    * committing per micro-batch would otherwise accumulate FDs). */
+  private[sources] def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   def exists(dir: String): Boolean = Files.exists(metaPath(dir))
 
   def writeMeta(dir: String, meta: GraftTableMeta): Unit = {
     Files.createDirectories(Paths.get(dir))
     // schema via StructType.json (public, round-trips NOT NULL); keys and
     // bucket count as adjacent lines — no JSON library needed to parse.
+    // Staged + atomic rename (same discipline as the version pointer): a
+    // crash mid-ALTER must not truncate the meta of a live table.
     val body = meta.schema.json + "\n" + meta.keyCols.mkString(",") + "\n" + meta.buckets
-    Files.write(metaPath(dir), body.getBytes("UTF-8"))
+    val tmp = Paths.get(dir, "_meta.json.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readMeta(dir: String): GraftTableMeta = {
@@ -90,9 +103,8 @@ object GraftStore {
     new String(Files.readAllBytes(pointerPath(dir)), "UTF-8").trim.toLong
 
   def listVersions(dir: String): Seq[Long] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.matches("v\\d{10}"))
-      .map(_.drop(1).toLong).toSeq.sorted
+    listDir(Paths.get(dir))(_.map(_.getFileName.toString)
+      .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq.sorted)
 
   private def writePointer(dir: String, v: Long): Unit = {
     val tmp = Paths.get(dir, "_current.tmp")
@@ -112,9 +124,38 @@ object GraftStore {
   def changesRoot(dir: String): String = s"$dir/_changes"
   private def changesDir(dir: String, v: Long): String =
     s"${changesRoot(dir)}/$ChangeVersionCol=$v"
+  private def changesStaging(dir: String, v: Long): String =
+    s"${changesRoot(dir)}/.staging-$v"
+
+  /** Changelog publication recovery (WAL discipline). The changelog for a
+    * commit is written to a DOT-PREFIXED staging dir (invisible to parquet
+    * discovery and file streams) and renamed to its `change_version=N`
+    * name only AFTER the pointer flips — so a visible change directory
+    * always belongs to a committed version and no reader (SQL `$changes`
+    * table, CDC stream, readChanges) can ever observe uncommitted change
+    * rows. The two crash windows repair here: staging for a version the
+    * pointer never reached is dropped; staging for a committed version
+    * (crash between flip and rename) is moved into place. Called at the
+    * start of every commit and read path. */
+  def recoverChangelog(dir: String): Unit = {
+    val root = Paths.get(changesRoot(dir))
+    if (!Files.isDirectory(root)) return
+    val cur = currentVersion(dir)
+    val staged = listDir(root)(_.filter(
+      _.getFileName.toString.startsWith(".staging-")).toList)
+    staged.foreach { p =>
+      val v = p.getFileName.toString.stripPrefix(".staging-").toLong
+      if (v <= cur) {
+        val dst = Paths.get(changesDir(dir, v))
+        if (Files.exists(dst)) deleteRecursively(p)
+        else Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+      } else deleteRecursively(p)
+    }
+  }
 
   /** New empty version (TRUNCATE / INSERT OVERWRITE's first half). */
   def truncate(dir: String): Unit = {
+    recoverChangelog(dir)
     val next = currentVersion(dir) + 1
     val nd = Paths.get(versionDir(dir, next))
     deleteRecursively(nd)
@@ -139,8 +180,8 @@ object GraftStore {
   private def bucketDirs(vdir: String): Seq[Int] = {
     val p = Paths.get(vdir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith(s"$BucketCol=")).map(_.split("=")(1).toInt).toSeq
+    else listDir(p)(_.map(_.getFileName.toString)
+      .filter(_.startsWith(s"$BucketCol=")).map(_.split("=")(1).toInt).toSeq)
   }
 
   /** Read one version as a DataFrame including the [[BucketCol]] partition
@@ -172,6 +213,7 @@ object GraftStore {
     val next = cur + 1
     val nextDir = versionDir(dir, next)
     deleteRecursively(Paths.get(nextDir)) // crash remnant from an unswitched commit
+    recoverChangelog(dir)
 
     val cols = meta.schema.fieldNames.toSeq
     val ch = changes.withColumn(BucketCol, bucketExpr(meta.keyCols, meta.buckets))
@@ -181,19 +223,19 @@ object GraftStore {
       val touched = ch.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
       val existing = bucketDirs(versionDir(dir, cur)).toSet
 
-      // Changelog leg: persist the change batch itself, Hive-partitioned by
-      // version, BEFORE the pointer flips — a crash between the two leaves
-      // a remnant the next commit overwrites and readers never see (reads
-      // filter change_version <= the committed pointer). Each U/D row is
-      // enriched with its BEFORE image (the replaced base row as a struct
-      // — Debezium-shaped), which is what lets downstream aggregates be
-      // maintained incrementally (add `after`, retract `before`) instead
-      // of recomputed; the pre-image join reuses the same touched-bucket
-      // base read the rewrite needs anyway, and the all-insert path skips
-      // both. Cost ∝ rows changed. TRUNCATE intentionally writes no
-      // changelog — a changelog never spans a truncation; consumers
-      // re-snapshot.
-      val chDir = changesDir(dir, next)
+      // Changelog leg: persist the change batch itself, one immutable dir
+      // per version. Written to a dot-prefixed STAGING dir now and renamed
+      // to its visible `change_version=N` name only after the pointer
+      // flips (see recoverChangelog) — changelog readers can never observe
+      // an uncommitted batch. Each U/D row is enriched with its BEFORE
+      // image (the replaced base row as a struct — Debezium-shaped), which
+      // is what lets downstream aggregates be maintained incrementally
+      // (add `after`, retract `before`) instead of recomputed; the
+      // pre-image join reuses the same touched-bucket base read the
+      // rewrite needs anyway, and the all-insert path skips both. Cost ∝
+      // rows changed. TRUNCATE intentionally writes no changelog — a
+      // changelog never spans a truncation; consumers re-snapshot.
+      val chDir = changesStaging(dir, next)
       deleteRecursively(Paths.get(chDir))
       val nullBefore = {
         val structType = StructType(meta.schema.fields.map(_.copy(nullable = true)).toSeq)
@@ -252,11 +294,15 @@ object GraftStore {
         val src = Paths.get(versionDir(dir, cur), s"$BucketCol=$b")
         val dst = Paths.get(nextDir, s"$BucketCol=$b")
         Files.createDirectories(dst)
-        Files.list(src).iterator().asScala
-          .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
-          .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
+        listDir(src)(_.filter(f => Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith("."))
+          .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
       }
       writePointer(dir, next)
+      // publish the changelog: visible name only after the commit point
+      val chFinal = Paths.get(changesDir(dir, next))
+      deleteRecursively(chFinal)
+      Files.move(Paths.get(chDir), chFinal, StandardCopyOption.ATOMIC_MOVE)
       next
     } finally ch.unpersist()
   }
@@ -273,13 +319,14 @@ object GraftStore {
     * version, or the current one if nothing is fragmented. */
   def optimize(spark: SparkSession, dir: String,
       maxFilesPerBucket: Int = 4): Long = {
+    recoverChangelog(dir)
     val cur = currentVersion(dir)
     val curDir = versionDir(dir, cur)
     val fragmented = bucketDirs(curDir).filter { b =>
-      Files.list(Paths.get(curDir, s"$BucketCol=$b")).iterator().asScala
-        .count(f => Files.isRegularFile(f) &&
+      listDir(Paths.get(curDir, s"$BucketCol=$b"))(
+        _.count(f => Files.isRegularFile(f) &&
           !f.getFileName.toString.startsWith(".") &&
-          !f.getFileName.toString.startsWith("_")) > maxFilesPerBucket
+          !f.getFileName.toString.startsWith("_"))) > maxFilesPerBucket
     }.toSet
     if (fragmented.isEmpty) return cur
     val next = cur + 1
@@ -295,9 +342,9 @@ object GraftStore {
       val src = Paths.get(curDir, s"$BucketCol=$b")
       val dst = Paths.get(nextDir, s"$BucketCol=$b")
       Files.createDirectories(dst)
-      Files.list(src).iterator().asScala
-        .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
-        .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
+      listDir(src)(_.filter(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith("."))
+        .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
     }
     writePointer(dir, next)
     next
@@ -310,10 +357,10 @@ object GraftStore {
   def expireChanges(dir: String, keepFromVersion: Long): Unit = {
     val root = Paths.get(changesRoot(dir))
     if (!Files.isDirectory(root)) return
-    Files.list(root).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(s"$ChangeVersionCol="))
+    listDir(root)(_.filter(
+        _.getFileName.toString.startsWith(s"$ChangeVersionCol="))
       .filter(_.getFileName.toString.split("=")(1).toLong < keepFromVersion)
-      .toSeq.foreach(deleteRecursively)
+      .toList).foreach(deleteRecursively)
   }
 
   /** Changes-table schema: logical columns (all nullable — delete rows
@@ -330,12 +377,13 @@ object GraftStore {
     * change directories above the current pointer (crash between changelog
     * write and pointer flip) are excluded by the pointer cap. */
   def readChanges(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    recoverChangelog(dir)
     val meta = readMeta(dir)
     val cap = math.min(toV, currentVersion(dir))
     val schema = changesSchema(meta)
     val root = Paths.get(changesRoot(dir))
-    val any = Files.isDirectory(root) && Files.list(root).iterator().asScala
-      .exists(_.getFileName.toString.startsWith(s"$ChangeVersionCol="))
+    val any = Files.isDirectory(root) && listDir(root)(
+      _.exists(_.getFileName.toString.startsWith(s"$ChangeVersionCol=")))
     if (!any) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else spark.read.schema(schema).parquet(changesRoot(dir))
       .filter(col(ChangeVersionCol).between(fromV, cap))
@@ -375,6 +423,7 @@ object GraftStore {
     * changelog's layout IS a valid streaming input, which is the point of
     * committing it as immutable per-version files. */
   def streamChanges(spark: SparkSession, dir: String): DataFrame = {
+    recoverChangelog(dir)
     val meta = readMeta(dir)
     spark.readStream.schema(changesSchema(meta))
       .option("basePath", changesRoot(dir))
@@ -416,7 +465,9 @@ object GraftStore {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
     }
 }

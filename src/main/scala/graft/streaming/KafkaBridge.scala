@@ -54,6 +54,13 @@ object KafkaBridge {
     require(badExtra.isEmpty,
       s"extra options must be kafka.-prefixed client properties, got: " +
         badExtra.mkString(","))
+    // the kafka. prefix alone doesn't protect the translated keys that
+    // themselves carry it — an extra "kafka.bootstrap.servers" appended
+    // last would silently win over the typed field
+    val shadowed = c.extra.keys.filter(k =>
+      k.equalsIgnoreCase("kafka.bootstrap.servers"))
+    require(shadowed.isEmpty,
+      s"extra options may not shadow translated keys: ${shadowed.mkString(",")}")
     val subscription: (String, String) =
       if (c.topics.nonEmpty) "subscribe" -> c.topics.mkString(",")
       else "subscribePattern" -> c.topicPattern.get

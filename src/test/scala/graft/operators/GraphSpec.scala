@@ -84,6 +84,15 @@ class GraphSpec extends SparkTestBase {
     withConf("spark.graft.graph.broadcastEdgeBytes" -> "1") {
       assert(hints(None) == 0)
     }
+    // the cluster-wide "no broadcasts" policy spellings must not crash
+    // (JavaUtils can't parse negatives; the sign is stripped first) and
+    // must select the shuffle form
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(hints(None) == 0)
+    }
+    withConf("spark.graft.graph.broadcastEdgeBytes" -> "-1") {
+      assert(hints(None) == 0)
+    }
   }
 
   test("bipartite graphs have zero triangles (orientation sanity)") {

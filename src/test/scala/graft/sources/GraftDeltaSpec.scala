@@ -65,10 +65,11 @@ class GraftDeltaSpec extends SparkTestBase {
       "commit must sweep the whole staging dir, orphans included")
   }
 
-  test("changelog remnant from a crashed commit is invisible, then overwritten") {
-    // crash window: changelog for version N+1 written, pointer never
-    // flipped. Readers must not see the remnant (the pointer caps
-    // readChanges) and the next commit must overwrite it.
+  test("changelog crash windows: staged remnants invisible, committed staging recovered") {
+    // window A: changelog staged for version N+1, pointer never flipped —
+    // the dot-prefixed staging dir is invisible to every reader (parquet
+    // discovery skips dotfiles) and recovery deletes it; the next commit
+    // claims version 2 cleanly.
     import org.apache.spark.sql.functions._
     spark.sparkContext
     val dir = Files.createTempDirectory("graft_delta_store3").toString + "/t"
@@ -77,21 +78,32 @@ class GraftDeltaSpec extends SparkTestBase {
     GraftStore.applyChanges(spark, dir,
       Seq((1L, "a", 10L)).toDF("k", "name", "amount")
         .withColumn(GraftStore.OpCol, lit("I")), allInserts = true) // v1
-    // simulate the crash: a v2 changelog dir exists, pointer still at 1
-    val remnant = s"$dir/_changes/${GraftStore.ChangeVersionCol}=2"
+    val staging = s"${GraftStore.changesRoot(dir)}/.staging-2"
     Seq((99L, "ghost", 999L, "I")).toDF("k", "name", "amount", GraftStore.ChangeOpCol)
-      .write.parquet(remnant)
+      .write.parquet(staging)
     assert(GraftStore.currentVersion(dir) === 1L)
     val visible = GraftStore.readChanges(spark, dir, 1L, 10L)
       .select("k").collect().map(_.getLong(0)).toSet
-    assert(visible === Set(1L), s"remnant must be invisible, got $visible")
-    // the next commit claims version 2 and replaces the remnant wholesale
+    assert(visible === Set(1L), s"staged remnant must be invisible, got $visible")
+    assert(!Files.exists(Paths.get(staging)),
+      "recovery must drop staging for a version the pointer never reached")
     GraftStore.applyChanges(spark, dir,
       Seq((2L, "b", 20L)).toDF("k", "name", "amount")
         .withColumn(GraftStore.OpCol, lit("I")), allInserts = true) // v2
     val v2 = GraftStore.readChanges(spark, dir, 2L, 2L)
       .select("k").collect().map(_.getLong(0)).toSet
-    assert(v2 === Set(2L), s"remnant must be overwritten, got $v2")
+    assert(v2 === Set(2L), s"fresh v2 changelog expected, got $v2")
+
+    // window B: pointer flipped but the staging → final rename never ran —
+    // recovery must finish the publication so the committed version's
+    // changes are not silently skipped.
+    val finalV2 = s"${GraftStore.changesRoot(dir)}/${GraftStore.ChangeVersionCol}=2"
+    Files.move(Paths.get(finalV2), Paths.get(s"${GraftStore.changesRoot(dir)}/.staging-2"))
+    val recovered = GraftStore.readChanges(spark, dir, 2L, 2L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(recovered === Set(2L),
+      s"committed staging must be published by recovery, got $recovered")
+    assert(Files.exists(Paths.get(finalV2)))
   }
 
   test("batch abort removes the staging dir without touching the table") {

@@ -49,6 +49,11 @@ class KafkaBridgeSpec extends SparkTestBase {
     // comma in a topic name would corrupt the subscribe list
     intercept[IllegalArgumentException](
       KafkaBridge.options(base.copy(topics = Seq("a,b"))))
+    // a kafka.-prefixed extra that IS a translated key would silently win
+    // (extras are appended last) — rejected instead
+    intercept[IllegalArgumentException](
+      KafkaBridge.options(base.copy(
+        extra = Map("kafka.bootstrap.servers" -> "stale:9092"))))
     intercept[IllegalArgumentException](
       KafkaBridge.options(base.copy(bootstrapServers = "")))
   }
