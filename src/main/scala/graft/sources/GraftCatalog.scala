@@ -212,7 +212,8 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** Delegate scans to Spark's parquet DSv2 table over the resolved
     * version directory: pruning/pushdown/vectorization are the stock
@@ -227,7 +228,9 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
   /** INSERT INTO / INSERT OVERWRITE / CTAS append path: a V1 fallback write
     * hands us the source as a DataFrame and the append is the same
     * bucketed copy-on-write commit as the delta path with every row an
-    * insert — one distributed job, nothing driver-side. */
+    * insert — one distributed job, nothing driver-side. The same builder
+    * serves `df.writeStream.toTable(...)` via [[GraftStreamingAppend]]:
+    * per-epoch staged inserts, idempotent epoch commits. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
@@ -241,6 +244,10 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
             GraftStore.applyChanges(spark, dir,
               data.withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
           }
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingAppend(dir, meta, info.schema(),
+            GraftStore.stagingDir(dir, s"stream-${info.queryId()}"))
       }
     }
 

@@ -163,6 +163,97 @@ final class GraftDeltaWriterFactory(staging: String,
       rowSchema, idSchema)
 }
 
+/** Streaming append into the store — `df.writeStream.toTable("cat.t")`.
+  * Each micro-batch stages its rows as insert frames (same codec as the
+  * delta path) and commits through the append fast path: one new version
+  * per non-empty epoch, each commit also publishing its changelog batch,
+  * so a streaming ingest IS a CDC producer batch-for-batch. Exactly-once
+  * across restarts comes from epoch idempotence: the store records the
+  * last committed epoch (`_last_stream_epoch`, staged+atomic like the
+  * pointer) and a replayed batch id ≤ that is acknowledged without
+  * committing — the file-sink metadata-log model. One logical stream per
+  * table (a second stream's epoch numbering would collide; use separate
+  * tables or foreachBatch+MERGE for multi-writer upserts). */
+final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
+    rowSchema: StructType, stagingRoot: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def epochStaging(epochId: Long) = s"$stagingRoot-epoch-$epochId"
+  private def lastEpochPath = Paths.get(dir, "_last_stream_epoch")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(stagingRoot, rowSchema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val last =
+      if (Files.exists(lastEpochPath))
+        new String(Files.readAllBytes(lastEpochPath), "UTF-8").trim.toLong
+      else -1L
+    try {
+      if (epochId <= last) return // replayed epoch: already committed
+      val files = messages.collect { case GraftDeltaCommit(p) => p }
+      val spark = SparkSession.active
+      val changes = GraftDeltaBatchWrite.decodeStaged(
+        spark, files.toSeq, meta.schema, rowSchema,
+        StructType(meta.keyCols.map(k => meta.schema(k))))
+      GraftStore.applyChanges(spark, dir, changes, allInserts = true)
+      val tmp = Paths.get(dir, "_last_stream_epoch.tmp")
+      Files.write(tmp, epochId.toString.getBytes("UTF-8"))
+      Files.move(tmp, lastEpochPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally cleanup(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanup(epochId)
+
+  private def cleanup(epochId: Long): Unit = {
+    val p = Paths.get(epochStaging(epochId))
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+  }
+}
+
+final class GraftStreamingWriterFactory(stagingRoot: String,
+    rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftStreamingTaskWriter(
+      s"$stagingRoot-epoch-$epochId/task-$partitionId-$taskId.bin", rowSchema)
+}
+
+/** Insert-only task writer: frames every row as an 'I' op. */
+final class GraftStreamingTaskWriter(path: String, rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private lazy val out: DataOutputStream = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(p)))
+  }
+  private lazy val proj = UnsafeProjection.create(rowSchema)
+
+  override def write(row: InternalRow): Unit = {
+    val bytes = proj(row).getBytes
+    out.writeByte('I')
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+  override def commit(): WriterCommitMessage = { out.close(); GraftDeltaCommit(path) }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    Files.deleteIfExists(Paths.get(path))
+  }
+  override def close(): Unit = ()
+}
+
 /** Executor-side delta writer: each operation is framed as
   * `[op byte][4-byte length][UnsafeRow bytes]` and appended to this task's
   * staging file. Updates keep only the NEW row — the merge key inside it

@@ -361,6 +361,45 @@ class CatalogSpec extends SparkTestBase {
     assert(ch.isNullAt(ch.fieldIndex("note")))
   }
 
+  test("writeStream.toTable appends per-epoch commits, exactly-once across restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = mkTable("t_stream_sink")
+    val dir = s"$warehouse/t_stream_sink"
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    def start(in: MemoryStream[(Long, String, Long)]) =
+      in.toDS().toDF("k", "name", "amount")
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable(s"$cat.$t")
+    val in1 = MemoryStream[(Long, String, Long)]
+    val q1 = start(in1)
+    try {
+      in1.addData((1L, "a", 10L)); q1.processAllAvailable()
+      in1.addData((2L, "b", 20L), (3L, "c", 30L)); q1.processAllAvailable()
+      assert(rows(t) === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+      // one store version per non-empty epoch, each a CDC batch of I rows
+      val perVersion = spark.sql(
+        s"SELECT change_version, COUNT(*) FROM $cat.`t_stream_sink$$changes` " +
+          "GROUP BY change_version ORDER BY change_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(perVersion === Seq((1L, 1L), (2L, 2L)))
+    } finally q1.stop()
+    // restart from the same checkpoint: a fresh MemoryStream must carry
+    // the already-committed batches so the checkpointed offsets resolve
+    // (the standard MemoryStream restart pattern); any replayed epoch must
+    // not double-append (epoch idempotence), new data must flow
+    val in2 = MemoryStream[(Long, String, Long)]
+    in2.addData((1L, "a", 10L))
+    in2.addData((2L, "b", 20L), (3L, "c", 30L))
+    val q2 = start(in2)
+    try {
+      in2.addData((4L, "d", 40L)); q2.processAllAvailable()
+      assert(rows(t) ===
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    } finally q2.stop()
+  }
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
