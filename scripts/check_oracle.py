@@ -56,6 +56,26 @@ for name in sorted(oracle):
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs oracle {list(b.columns)}")
             n_fail += 1; fails.append(name); continue
+        # The driver's hash is dtype-aware: int64 10 != float64 10.0. An
+        # uncast DuckDB window SUM (HUGEINT -> float64/object) passes a
+        # value-== compare but fails the driver. Fail loudly on kind
+        # mismatch so local green implies driver green (r7 item 2).
+        dbad = []
+        for c in a.columns:
+            ka, kb = a[c].dtype.kind, b[c].dtype.kind
+            if ka == kb:
+                continue
+            if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+                # allow only if the float side is NULL-promoted ints
+                # (pandas promotes int+NULL to float on BOTH paths)
+                fs_ = a[c] if ka == "f" else b[c]
+                if fs_.isna().any() and fs_.dropna().map(float.is_integer).all():
+                    continue
+            dbad.append(f"{c}: {a[c].dtype} vs {b[c].dtype}")
+        if dbad:
+            print(f"FAIL {name}: dtype mismatch (driver hash would differ): "
+                  + "; ".join(dbad[:4]))
+            n_fail += 1; fails.append(name); continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}")
             n_fail += 1; fails.append(name); continue

@@ -52,14 +52,13 @@ def gen_sequence(idx):
         kind = rng.choice(["insert", "merge", "update", "delete",
                            "overwrite"])
         if kind == "overwrite":
-            # truncate (one version bump, NO changelog — a changelog never
-            # spans a truncation) + append (second bump, I rows)
+            # ONE atomic version commit (r8): new rows as I changelog; a
+            # changelog never spans an overwrite — consumers re-snapshot
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
                     for k in fresh_keys(rng.randint(1, 4))]
             vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
             stmts.append(f"INSERT OVERWRITE graftdml.{t} VALUES {vals}")
             state.clear()
-            version += 1  # the truncate commit: no change rows
             for k, n, a in rows:
                 state[k] = (n, a)
             commit(["I"] * len(rows))

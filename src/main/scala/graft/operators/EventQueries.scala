@@ -764,8 +764,8 @@ object EventQueries {
              GROUP BY day)
       SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau,
         COALESCE(fs.n_new, 0) AS n_new,
-        SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY dau.day
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        CAST(SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY dau.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       FROM dau LEFT JOIN fs ON dau.day = fs.day
       ORDER BY dau.day"""))
   )

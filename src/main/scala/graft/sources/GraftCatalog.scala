@@ -238,16 +238,21 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data, overwrite) => {
-            if (doTruncate || overwrite) GraftStore.truncate(dir)
             val spark = data.sparkSession
             import org.apache.spark.sql.functions.lit
+            // overwrite is a SINGLE version commit (write new data, link
+            // nothing, flip once) — never a truncate-then-append pair,
+            // which would expose an empty table to concurrent readers and
+            // leave one behind on a crash between the halves.
             GraftStore.applyChanges(spark, dir,
-              data.withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+              data.withColumn(GraftStore.OpCol, lit("I")),
+              allInserts = true, overwrite = doTruncate || overwrite)
           }
         override def toStreaming:
             org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftStreamingAppend(dir, meta, info.schema(),
-            GraftStore.stagingDir(dir, s"stream-${info.queryId()}"))
+            GraftStore.stagingDir(dir, s"stream-${info.queryId()}"),
+            info.queryId(), info.options().getBoolean("upsert", false))
       }
     }
 

@@ -169,13 +169,27 @@ final class GraftDeltaWriterFactory(staging: String,
   * per non-empty epoch, each commit also publishing its changelog batch,
   * so a streaming ingest IS a CDC producer batch-for-batch. Exactly-once
   * across restarts comes from epoch idempotence: the store records the
-  * last committed epoch (`_last_stream_epoch`, staged+atomic like the
-  * pointer) and a replayed batch id ≤ that is acknowledged without
-  * committing — the file-sink metadata-log model. One logical stream per
-  * table (a second stream's epoch numbering would collide; use separate
-  * tables or foreachBatch+MERGE for multi-writer upserts). */
+  * last committed (queryId, epoch) pair (`_last_stream_epoch`,
+  * staged+atomic like the pointer) and a replayed batch id ≤ that FROM THE
+  * SAME QUERY is acknowledged without committing — the file-sink
+  * metadata-log model. The queryId scoping matters: Spark batch ids
+  * restart at 0 for every new query/checkpoint, so an epoch-only marker
+  * would silently drop every batch of a fresh stream until its epoch
+  * passed the stale high-water mark (r7 ADVICE). A DIFFERENT queryId
+  * resets the marker — each logical stream (checkpoint) gets its own
+  * epoch line; interleaving two live streams on one table is still
+  * unsupported (their markers would thrash; use separate tables or
+  * foreachBatch+MERGE).
+  *
+  * `upsert = true` (set via `.option("upsert", "true")` on the stream
+  * writer) commits each epoch's rows as keyed 'U' deltas instead of
+  * inserts: the store's general change path replaces the live row per
+  * merge key, so `stream.writeStream.toTable(...)` becomes a declarative
+  * continuously-compacted upsert sink with per-epoch CDC (before-images
+  * included) and the same exactly-once protocol. */
 final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
-    rowSchema: StructType, stagingRoot: String)
+    rowSchema: StructType, stagingRoot: String, queryId: String,
+    upsert: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def epochStaging(epochId: Long) = s"$stagingRoot-epoch-$epochId"
@@ -183,23 +197,42 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(stagingRoot, rowSchema)
+    new GraftStreamingWriterFactory(stagingRoot, rowSchema,
+      if (upsert) 'U' else 'I')
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val last =
-      if (Files.exists(lastEpochPath))
-        new String(Files.readAllBytes(lastEpochPath), "UTF-8").trim.toLong
-      else -1L
+      if (Files.exists(lastEpochPath)) {
+        val lines = new String(Files.readAllBytes(lastEpochPath), "UTF-8")
+          .split("\n")
+        // legacy single-line marker (no queryId) is treated as stale
+        if (lines.length >= 2 && lines(0) == queryId) lines(1).trim.toLong
+        else -1L
+      } else -1L
     try {
-      if (epochId <= last) return // replayed epoch: already committed
+      if (epochId <= last) return // replayed epoch of THIS query: committed
       val files = messages.collect { case GraftDeltaCommit(p) => p }
       val spark = SparkSession.active
       val changes = GraftDeltaBatchWrite.decodeStaged(
         spark, files.toSeq, meta.schema, rowSchema,
         StructType(meta.keyCols.map(k => meta.schema(k))))
-      GraftStore.applyChanges(spark, dir, changes, allInserts = true)
+      if (upsert) {
+        // the store keeps ONE live row per merge key; an epoch carrying
+        // several rows for a key would insert them all (which row "wins"
+        // is undefined without an ordering column) — fail loudly and make
+        // the caller aggregate/dedupe per key upstream. Cost: one small
+        // agg over the epoch's rows, never the table.
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val dup = changes.groupBy(meta.keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalStateException(
+          s"upsert epoch $epochId has multiple rows for merge key " +
+            dup.head.toSeq.init.mkString("(", ",", ")") +
+            "; dedupe or aggregate per key before the sink")
+      }
+      GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert)
       val tmp = Paths.get(dir, "_last_stream_epoch.tmp")
-      Files.write(tmp, epochId.toString.getBytes("UTF-8"))
+      Files.write(tmp, s"$queryId\n$epochId".getBytes("UTF-8"))
       Files.move(tmp, lastEpochPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -222,16 +255,18 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
 }
 
 final class GraftStreamingWriterFactory(stagingRoot: String,
-    rowSchema: StructType)
+    rowSchema: StructType, op: Char)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftStreamingTaskWriter(
-      s"$stagingRoot-epoch-$epochId/task-$partitionId-$taskId.bin", rowSchema)
+      s"$stagingRoot-epoch-$epochId/task-$partitionId-$taskId.bin", rowSchema, op)
 }
 
-/** Insert-only task writer: frames every row as an 'I' op. */
-final class GraftStreamingTaskWriter(path: String, rowSchema: StructType)
+/** Single-op task writer: frames every row as the sink's op ('I' append /
+  * 'U' upsert). */
+final class GraftStreamingTaskWriter(path: String, rowSchema: StructType,
+    op: Char)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private lazy val out: DataOutputStream = {
     val p = Paths.get(path)
@@ -242,7 +277,7 @@ final class GraftStreamingTaskWriter(path: String, rowSchema: StructType)
 
   override def write(row: InternalRow): Unit = {
     val bytes = proj(row).getBytes
-    out.writeByte('I')
+    out.writeByte(op)
     out.writeInt(bytes.length)
     out.write(bytes)
   }
@@ -256,9 +291,13 @@ final class GraftStreamingTaskWriter(path: String, rowSchema: StructType)
 
 /** Executor-side delta writer: each operation is framed as
   * `[op byte][4-byte length][UnsafeRow bytes]` and appended to this task's
-  * staging file. Updates keep only the NEW row — the merge key inside it
-  * is the row identity, so the old image is redundant (keys are immutable:
-  * [[SupportsDelta.rowId]] columns can't be assigned by the rewrite). */
+  * staging file. An update usually keeps only the NEW row (its merge key
+  * is the row identity), but Spark 4's `RewriteUpdateTable` DOES allow
+  * assigning rowId columns — `update()` receives the ORIGINAL key as `id`
+  * — so `UPDATE t SET k = k + 1` moves the row: when the new row's key
+  * differs from `id`, a 'D' frame for the old key precedes the 'U' frame,
+  * otherwise the old-keyed row would survive the commit as a silent
+  * duplicate (r7 ADVICE, high). */
 final class GraftDeltaWriter(path: String, rowSchema: StructType,
     idSchema: StructType) extends DeltaWriter[InternalRow] {
 
@@ -269,6 +308,14 @@ final class GraftDeltaWriter(path: String, rowSchema: StructType,
   }
   private lazy val rowProj = UnsafeProjection.create(rowSchema)
   private lazy val idProj = UnsafeProjection.create(idSchema)
+  // the key columns OF the new row, projected in idSchema's field order so
+  // the two UnsafeRows are byte-comparable
+  private lazy val keyOfRowProj: UnsafeProjection = UnsafeProjection.create(
+    idSchema.fields.map { f =>
+      val i = rowSchema.fieldIndex(f.name)
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, rowSchema(i).dataType, rowSchema(i).nullable)
+    })
 
   private def emit(op: Char, row: UnsafeRow): Unit = {
     val bytes = row.getBytes
@@ -278,8 +325,11 @@ final class GraftDeltaWriter(path: String, rowSchema: StructType,
   }
 
   override def insert(row: InternalRow): Unit = emit('I', rowProj(row))
-  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    val oldId = idProj(id)
+    if (oldId != keyOfRowProj(row)) emit('D', oldId)
     emit('U', rowProj(row))
+  }
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     emit('D', idProj(id))
 

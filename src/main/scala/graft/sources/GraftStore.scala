@@ -46,10 +46,14 @@ final case class GraftTableMeta(schema: StructType, keyCols: Seq[String], bucket
   * bucket is a few GB and a merge touching 1% of keys rewrites ~1% of
   * files.
   *
-  * Single-writer: commits are not coordinated across concurrent writers
-  * (the gate and tests are single-session); a multi-writer deployment
-  * would CAS the pointer file the way CompactingSink's snapshot log does.
-  */
+  * Multi-writer safety: every version commit first CLAIMS its version
+  * number with a create-exclusive `_commit-N` marker and re-verifies the
+  * pointer under the claim (see [[claimCommit]]) — concurrent writers
+  * serialize per version instead of last-writer-wins clobbering. Losing
+  * appends retry on the recomputed version (appends commute); losing
+  * row-level deltas fail with a clean ConcurrentModificationException
+  * (their read snapshot is stale — serializable behavior, re-run the
+  * statement). */
 object GraftStore {
   /** Reserved partition-column name for the bucket id. Must NOT start with
     * `_` or `.`: Hadoop's hidden-file filter would skip `_bucket=3`
@@ -106,6 +110,45 @@ object GraftStore {
     listDir(Paths.get(dir))(_.map(_.getFileName.toString)
       .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq.sorted)
 
+  /** Multi-writer commit coordination: version `next` is CLAIMED by
+    * create-exclusive marker file before any commit work begins, so two
+    * concurrent writers can never both build (and one silently lose) the
+    * same version — the create that loses throws and the loser either
+    * retries on a recomputed version (appends, which commute) or surfaces
+    * a clean conflict error (row-level deltas, whose read snapshot is
+    * stale once another commit lands — serializable behavior). The marker
+    * is released after the pointer flip; a crashed writer's marker goes
+    * stale and is broken by age (`staleClaimMillis`, default 1 h — claims
+    * are held for the duration of the rewrite job, so the threshold errs
+    * long; an operator can delete `_commit-*` after a known crash). */
+  private[sources] def claimCommit(dir: String, next: Long,
+      staleClaimMillis: Long = 3600000L): Path = {
+    val marker = Paths.get(dir, f"_commit-$next%010d")
+    try Files.write(marker,
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+        .getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age = try System.currentTimeMillis() -
+          Files.getLastModifiedTime(marker).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+        if (age > staleClaimMillis) {
+          Files.deleteIfExists(marker)
+          try Files.write(marker, Array.emptyByteArray,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new java.util.ConcurrentModificationException(
+                s"concurrent commit in flight for version $next of $dir")
+          }
+        } else throw new java.util.ConcurrentModificationException(
+          s"concurrent commit in flight for version $next of $dir " +
+            s"(claim age ${age} ms)")
+    }
+    marker
+  }
+
   private def writePointer(dir: String, v: Long): Unit = {
     val tmp = Paths.get(dir, "_current.tmp")
     Files.write(tmp, v.toString.getBytes("UTF-8"))
@@ -148,19 +191,34 @@ object GraftStore {
       if (v <= cur) {
         val dst = Paths.get(changesDir(dir, v))
         if (Files.exists(dst)) deleteRecursively(p)
-        else Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+        else try Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another reader (or the committing writer) published this
+          // staging dir between our listing and the move — done either way
+          case _: java.nio.file.NoSuchFileException => ()
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
       } else deleteRecursively(p)
     }
   }
 
-  /** New empty version (TRUNCATE / INSERT OVERWRITE's first half). */
+  /** New empty version (TRUNCATE). INSERT OVERWRITE does NOT go through
+    * here — it is a single atomic [[applyChanges]] commit with
+    * `overwrite = true`. */
   def truncate(dir: String): Unit = {
     recoverChangelog(dir)
-    val next = currentVersion(dir) + 1
-    val nd = Paths.get(versionDir(dir, next))
-    deleteRecursively(nd)
-    Files.createDirectories(nd)
-    writePointer(dir, next)
+    val cur = currentVersion(dir)
+    val next = cur + 1
+    val marker = claimCommit(dir, next)
+    try {
+      if (currentVersion(dir) != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past version $cur during TRUNCATE")
+      val nd = Paths.get(versionDir(dir, next))
+      deleteRecursively(nd)
+      Files.createDirectories(nd)
+      writePointer(dir, next)
+    } finally Files.deleteIfExists(marker)
   }
 
   def dropTable(dir: String): Unit = deleteRecursively(Paths.get(dir))
@@ -205,22 +263,76 @@ object GraftStore {
     * version's hard-linked files inside the same bucket directories, so an
     * append is O(new data) regardless of table size. The general path
     * (MERGE/UPDATE/DELETE deltas) rewrites only the touched buckets and
-    * enriches the changelog with before-images. */
+    * enriches the changelog with before-images.
+    *
+    * `overwrite = true` (INSERT OVERWRITE) replaces the whole table in ONE
+    * version commit: the new data is written, no prior bucket is linked,
+    * and the pointer flips once — readers see the old content or the new,
+    * never an empty table in between, and a crash leaves the old version
+    * current (the two-commit truncate+append shape had both holes, r7
+    * ADVICE). Its changelog carries the new rows as inserts; like
+    * TRUNCATE, a changelog never spans an overwrite — consumers
+    * re-snapshot. */
   def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
-      allInserts: Boolean = false): Long = {
+      allInserts: Boolean = false, overwrite: Boolean = false): Long = {
+    require(!overwrite || allInserts, "overwrite implies an all-insert batch")
     val meta = readMeta(dir)
-    val cur = currentVersion(dir)
-    val next = cur + 1
-    val nextDir = versionDir(dir, next)
-    deleteRecursively(Paths.get(nextDir)) // crash remnant from an unswitched commit
     recoverChangelog(dir)
 
-    val cols = meta.schema.fieldNames.toSeq
     val ch = changes.withColumn(BucketCol, bucketExpr(meta.keyCols, meta.buckets))
       .persist()
     try {
       // ≤ `buckets` distinct ints — the one driver-side materialization.
       val touched = ch.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      // Claim-verify-commit loop. claimCommit serializes writers per
+      // version; after winning the claim we re-read the pointer — a claim
+      // for `next` can be won AFTER another writer committed `next` and
+      // released (stale pre-claim read), and flipping then would regress
+      // the store. Appends commute, so a losing append retries on the
+      // recomputed version; a row-level delta's read snapshot is stale the
+      // moment another commit lands, so it surfaces the conflict instead.
+      // a losing append waits out the winner's WHOLE commit job, so the
+      // retry budget is wall-clock-sized (~60 s), not a fixed count
+      val maxAttempts = if (allInserts) 120 else 1
+      var attempt = 0
+      var committed = -1L
+      while (committed < 0) {
+        val cur = currentVersion(dir)
+        val next = cur + 1
+        val claimed =
+          try Some(claimCommit(dir, next))
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempt += 1
+              if (attempt >= maxAttempts) throw e
+              Thread.sleep(math.min(500L, 20L * attempt))
+              None
+          }
+        claimed.foreach { marker =>
+          try {
+            if (currentVersion(dir) == cur) {
+              committed = commitVersion(spark, dir, meta, ch, touched,
+                cur, allInserts, overwrite)
+            } else if (!allInserts) throw new java.util.ConcurrentModificationException(
+              s"table $dir advanced past version $cur during the delta " +
+                "rewrite; re-run the statement against the new version")
+          } finally Files.deleteIfExists(marker)
+        }
+      }
+      committed
+    } finally ch.unpersist()
+  }
+
+  /** One claimed commit attempt: build version `cur + 1` from the bucketed
+    * change batch and flip the pointer. Caller holds the commit claim. */
+  private def commitVersion(spark: SparkSession, dir: String,
+      meta: GraftTableMeta, ch: DataFrame, touched: Set[Int], cur: Long,
+      allInserts: Boolean, overwrite: Boolean): Long = {
+    val next = cur + 1
+    val nextDir = versionDir(dir, next)
+    deleteRecursively(Paths.get(nextDir)) // crash remnant from an unswitched commit
+    val cols = meta.schema.fieldNames.toSeq
+    locally {
       val existing = bucketDirs(versionDir(dir, cur)).toSet
 
       // Changelog leg: persist the change batch itself, one immutable dir
@@ -290,7 +402,9 @@ object GraftStore {
 
       // Hard-link carried-over files into the new version (an object
       // store would manifest-reference them; local FS links are free).
-      (existing -- rewritten).foreach { b =>
+      // An overwrite carries nothing over — the new data IS the version.
+      val carried = if (overwrite) Set.empty[Int] else existing -- rewritten
+      carried.foreach { b =>
         val src = Paths.get(versionDir(dir, cur), s"$BucketCol=$b")
         val dst = Paths.get(nextDir, s"$BucketCol=$b")
         Files.createDirectories(dst)
@@ -298,13 +412,25 @@ object GraftStore {
             !f.getFileName.toString.startsWith("."))
           .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
       }
-      writePointer(dir, next)
-      // publish the changelog: visible name only after the commit point
+      // A remnant final-named change dir for `next` can only predate this
+      // commit (publication always happens after the flip, so a live one
+      // would imply pointer >= next). Clear it BEFORE the flip — after the
+      // flip a dir under the final name may be our own batch, published by
+      // a concurrent reader's recoverChangelog the instant the pointer
+      // moved, and deleting it then would destroy the committed changelog
+      // (r7 ADVICE race).
       val chFinal = Paths.get(changesDir(dir, next))
       deleteRecursively(chFinal)
-      Files.move(Paths.get(chDir), chFinal, StandardCopyOption.ATOMIC_MOVE)
+      writePointer(dir, next)
+      // Publish the changelog: visible name only after the commit point.
+      // If staging is already gone, a reader won the publish — done.
+      try Files.move(Paths.get(chDir), chFinal, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.NoSuchFileException if Files.exists(chFinal) => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
       next
-    } finally ch.unpersist()
+    }
   }
 
   /** Compact fragmented buckets — the maintenance pass that keeps the
@@ -330,24 +456,30 @@ object GraftStore {
     }.toSet
     if (fragmented.isEmpty) return cur
     val next = cur + 1
-    val nextDir = versionDir(dir, next)
-    deleteRecursively(Paths.get(nextDir))
-    // repartition BY the bucket column: each bucket's rows land wholly in
-    // one task, so partitionBy writes exactly one compact file per bucket
-    readVersion(spark, dir, cur)
-      .filter(col(BucketCol).isin(fragmented.toSeq: _*))
-      .repartition(fragmented.size, col(BucketCol))
-      .write.partitionBy(BucketCol).parquet(nextDir)
-    (bucketDirs(curDir).toSet -- fragmented).foreach { b =>
-      val src = Paths.get(curDir, s"$BucketCol=$b")
-      val dst = Paths.get(nextDir, s"$BucketCol=$b")
-      Files.createDirectories(dst)
-      listDir(src)(_.filter(f => Files.isRegularFile(f) &&
-          !f.getFileName.toString.startsWith("."))
-        .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
-    }
-    writePointer(dir, next)
-    next
+    val marker = claimCommit(dir, next)
+    try {
+      if (currentVersion(dir) != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past version $cur during OPTIMIZE; re-run")
+      val nextDir = versionDir(dir, next)
+      deleteRecursively(Paths.get(nextDir))
+      // repartition BY the bucket column: each bucket's rows land wholly in
+      // one task, so partitionBy writes exactly one compact file per bucket
+      readVersion(spark, dir, cur)
+        .filter(col(BucketCol).isin(fragmented.toSeq: _*))
+        .repartition(fragmented.size, col(BucketCol))
+        .write.partitionBy(BucketCol).parquet(nextDir)
+      (bucketDirs(curDir).toSet -- fragmented).foreach { b =>
+        val src = Paths.get(curDir, s"$BucketCol=$b")
+        val dst = Paths.get(nextDir, s"$BucketCol=$b")
+        Files.createDirectories(dst)
+        listDir(src)(_.filter(f => Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith("."))
+          .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
+      }
+      writePointer(dir, next)
+      next
+    } finally Files.deleteIfExists(marker)
   }
 
   /** Drop changelog slices below `keepFromVersion` — changelog retention.
@@ -399,10 +531,15 @@ object GraftStore {
     * appends within one version replays to one survivor per key. */
   def replayChanges(base: DataFrame, changes: DataFrame, meta: GraftTableMeta): DataFrame = {
     val cols = meta.schema.fieldNames.toSeq
+    // max_by orders by (version, op-rank): a key-reassigning update emits
+    // D(old key) and U(new key) in ONE version, so a key can legitimately
+    // carry both a delete and a live image at the same version (key swap)
+    // — the live image wins the tie, matching the store's state.
+    val opRank = when(col(ChangeOpCol) === "D", lit(0)).otherwise(lit(1))
     val last = changes.groupBy(meta.keyCols.map(col): _*)
       .agg(max_by(
         struct((cols :+ ChangeOpCol).map(col): _*),
-        col(ChangeVersionCol)).as("r"))
+        struct(col(ChangeVersionCol), opRank.as("r"))).as("r"))
       .select(cols.map(c => col(s"r.$c").as(c)) :+
         col(s"r.$ChangeOpCol").as(ChangeOpCol): _*)
     val survivors = last.filter(col(ChangeOpCol).isin("I", "U"))

@@ -398,6 +398,200 @@ class CatalogSpec extends SparkTestBase {
       assert(rows(t) ===
         Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
     } finally q2.stop()
+    // a FRESH query (new checkpoint) restarts batch ids at 0 — the epoch
+    // marker is scoped per queryId, so its first batches must land instead
+    // of being swallowed by the previous query's high-water mark (r7 ADVICE)
+    val ckptB = Files.createTempDirectory("graft_sink_ckpt_b").toString
+    val in3 = MemoryStream[(Long, String, Long)]
+    val q3 = in3.toDS().toDF("k", "name", "amount")
+      .writeStream.option("checkpointLocation", ckptB).toTable(s"$cat.$t")
+    try {
+      in3.addData((5L, "e", 50L)); q3.processAllAvailable()
+      assert(rows(t).map(_._1) === Seq(1L, 2L, 3L, 4L, 5L),
+        "fresh query's epoch 0 was dropped by a stale epoch marker")
+    } finally q3.stop()
+  }
+
+  test("writeStream.toTable upsert mode keeps one live row per key, exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = mkTable("t_stream_upsert")
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    def start(in: MemoryStream[(Long, String, Long)]) =
+      in.toDS().toDF("k", "name", "amount")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("upsert", "true")
+        .toTable(s"$cat.$t")
+    val in1 = MemoryStream[(Long, String, Long)]
+    val q1 = start(in1)
+    try {
+      in1.addData((1L, "a", 10L), (2L, "b", 20L)); q1.processAllAvailable()
+      in1.addData((1L, "a2", 11L), (3L, "c", 30L)); q1.processAllAvailable()
+      // k=1 was UPDATED in place by the second epoch, not duplicated
+      assert(rows(t) === Seq((1L, "a2", 11L), (2L, "b", 20L), (3L, "c", 30L)))
+      // the second epoch's changelog records the upsert with a before-image
+      val dir = s"$warehouse/t_stream_upsert"
+      val v = GraftStore.currentVersion(dir)
+      val ch = GraftStore.readChanges(spark, dir, v, v)
+        .selectExpr("change_op", "k", "change_before.amount")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(ch === Set(("U", 1L, 10L), ("U", 3L, -1L)))
+    } finally q1.stop()
+    // restart replays nothing (epoch idempotence) and new epochs upsert
+    val in2 = MemoryStream[(Long, String, Long)]
+    in2.addData((1L, "a", 10L), (2L, "b", 20L))
+    in2.addData((1L, "a2", 11L), (3L, "c", 30L))
+    val q2 = start(in2)
+    try {
+      in2.addData((2L, "b9", 99L)); q2.processAllAvailable()
+      assert(rows(t) === Seq((1L, "a2", 11L), (2L, "b9", 99L), (3L, "c", 30L)))
+    } finally q2.stop()
+    // an epoch carrying two rows for one key fails loudly, not silently
+    val in4 = MemoryStream[(Long, String, Long)]
+    val ckptD = Files.createTempDirectory("graft_upsert_dup").toString
+    val q4 = in4.toDS().toDF("k", "name", "amount")
+      .writeStream.option("checkpointLocation", ckptD)
+      .option("upsert", "true").toTable(s"$cat.$t")
+    try {
+      in4.addData((7L, "x", 1L), (7L, "y", 2L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q4.processAllAvailable()
+      }
+      def chain(x: Throwable): Seq[Throwable] =
+        Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => t.getMessage != null &&
+          t.getMessage.contains("multiple rows for merge key")))
+    } finally q4.stop()
+  }
+
+  test("UPDATE may reassign the merge key: row moves, old key leaves no ghost") {
+    val t = mkTable("t_keymove")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    // Spark's RewriteUpdateTable passes the ORIGINAL key as the row id, so
+    // the delta writer must emit D(old key) alongside U(new row) — without
+    // it the old-keyed row survives as a silent duplicate (r7 ADVICE high)
+    spark.sql(s"UPDATE $cat.$t SET k = k + 100 WHERE k = 2")
+    assert(rows(t) === Seq((1L, "a", 10L), (3L, "c", 30L), (102L, "b", 20L)))
+    // the commit's changelog carries both halves of the move
+    val dir = s"$warehouse/t_keymove"
+    val v = GraftStore.currentVersion(dir)
+    val ops = GraftStore.readChanges(spark, dir, v, v)
+      .select("change_op", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops === Set(("D", 2L), ("U", 102L)))
+    // and a key-swap within one statement replays deterministically:
+    // the live image outranks the delete at the same version
+    spark.sql(s"UPDATE $cat.$t SET k = CASE k WHEN 1 THEN 3 WHEN 3 THEN 1 ELSE k END " +
+      s"WHERE k IN (1, 3)")
+    assert(rows(t) === Seq((1L, "c", 30L), (3L, "a", 10L), (102L, "b", 20L)))
+    val meta = GraftStore.readMeta(dir)
+    val replayed = GraftStore.replayChanges(
+      GraftStore.readVersion(spark, dir, 1L).drop(GraftStore.BucketCol),
+      GraftStore.readChanges(spark, dir, 2L, GraftStore.currentVersion(dir)), meta)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(replayed === rows(t))
+  }
+
+  test("MERGE that assigns the merge key moves the row") {
+    import spark.implicits._
+    val t = mkTable("t_keymerge")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)")
+    Seq((1L, 500L)).toDF("k", "newk").createOrReplaceTempView("km_src")
+    spark.sql(s"""MERGE INTO $cat.$t t USING km_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET k = s.newk""")
+    assert(rows(t) === Seq((2L, "b", 20L), (500L, "a", 10L)))
+  }
+
+  test("INSERT OVERWRITE is one atomic version commit") {
+    val t = mkTable("t_ow")
+    val dir = s"$warehouse/t_ow"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)")
+    val v1 = GraftStore.currentVersion(dir)
+    spark.sql(s"INSERT OVERWRITE $cat.$t VALUES (7, 'z', 70)")
+    // exactly ONE new version — no intermediate empty truncate commit a
+    // concurrent reader could observe or a crash could strand (r7 ADVICE)
+    assert(GraftStore.currentVersion(dir) === v1 + 1)
+    assert(rows(t) === Seq((7L, "z", 70L)))
+    // its changelog is the new content as inserts, in that single version
+    val ch = GraftStore.readChanges(spark, dir, v1 + 1, v1 + 1)
+      .select("change_op", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch === Seq(("I", 7L)))
+    // time travel still sees the pre-overwrite content
+    assert(spark.sql(s"SELECT k FROM $cat.$t VERSION AS OF $v1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("concurrent appends both commit — claimed versions, no lost update") {
+    val t = mkTable("t_conc", buckets = 4)
+    val dir = s"$warehouse/t_conc"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def ins(lo: Int): Future[Unit] = Future {
+      gate.await()
+      spark.sql(s"INSERT INTO $cat.$t SELECT id, 'x', id FROM range($lo, ${lo + 20})")
+      ()
+    }
+    try Await.result(Future.sequence(Seq(ins(0), ins(100))), Duration(180, "s"))
+    finally pool.shutdown()
+    // both batches landed (the claim loser retried on the next version)
+    assert(rows(t).map(_._1).toSet ===
+      ((0L until 20L) ++ (100L until 120L)).toSet)
+    assert(GraftStore.currentVersion(dir) === 2L)
+  }
+
+  test("a row-level delta loses cleanly to a concurrent commit claim") {
+    val t = mkTable("t_conflict")
+    val dir = s"$warehouse/t_conflict"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")
+    // another writer holds the claim for the next version
+    val next = GraftStore.currentVersion(dir) + 1
+    val marker = java.nio.file.Paths.get(dir, f"_commit-$next%010d")
+    Files.write(marker, Array.emptyByteArray)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.$t SET amount = 99 WHERE k = 1")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
+    assert(chain(e).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a clean conflict error, got $e")
+    // the table is untouched and the statement succeeds once the claim clears
+    assert(rows(t) === Seq((1L, "a", 10L)))
+    Files.delete(marker)
+    spark.sql(s"UPDATE $cat.$t SET amount = 99 WHERE k = 1")
+    assert(rows(t) === Seq((1L, "a", 99L)))
+  }
+
+  test("changelog publication survives a concurrent reader's recovery") {
+    val t = mkTable("t_pubrace")
+    val dir = s"$warehouse/t_pubrace"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")
+    // concurrent recoverChangelog calls race to publish the same staged
+    // batch; every path must be a no-op for the losers, never an error
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    (2 to 5).foreach { i =>
+      // re-stage the committed changelog under its staging name, then race
+      val v = GraftStore.currentVersion(dir)
+      val chFinal = java.nio.file.Paths.get(
+        GraftStore.changesRoot(dir), s"change_version=$v")
+      val staged = java.nio.file.Paths.get(
+        GraftStore.changesRoot(dir), s".staging-$v")
+      Files.move(chFinal, staged)
+      val gate = new java.util.concurrent.CyclicBarrier(8)
+      val fs = (1 to 8).map(_ => Future { gate.await(); GraftStore.recoverChangelog(dir) })
+      Await.result(Future.sequence(fs), Duration(60, "s"))
+      assert(Files.isDirectory(chFinal) && !Files.exists(staged))
+    }
+    pool.shutdown()
+    assert(GraftStore.readChanges(spark, dir, 1L, 1L).count() === 1L)
   }
 
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
