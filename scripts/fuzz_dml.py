@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """DML-sequence differential fuzz for the GraftCatalog SQL surface
 (S11/S14): generate seeded random statement sequences — CREATE, INSERT,
-MERGE INTO (update/delete/insert branches), UPDATE, DELETE — run them
-through Spark via graft.DmlRunner, and diff BOTH the final table contents
-and the per-version changelog op counts against a Python state model that
-applies the same statements to a dict. Key-uniqueness discipline is
-maintained by construction (inserts draw fresh keys), matching the store's
-merge-key contract, so the model is exact.
+MERGE INTO (update/delete/insert branches), UPDATE, DELETE, key-moving
+UPDATE (SET k = ...), ALTER TABLE ADD COLUMNS, and the maintenance
+surface (CALL optimize / expire_versions / expire_changes, routed by
+DmlRunner to the store's Scala API) — run them through Spark via
+graft.DmlRunner, and diff BOTH the final table contents and the
+per-version changelog op counts against a Python state model that applies
+the same statements to a dict. Key-uniqueness discipline is maintained by
+construction (inserts draw fresh keys; key-move shifts are injective and
+residue-preserving), matching the store's merge-key contract, so the
+model is exact.
 
 Usage: python3 scripts/fuzz_dml.py <nSequences> <seed>
 """
@@ -30,6 +34,7 @@ def gen_sequence(idx):
              f"amount BIGINT) USING graft TBLPROPERTIES "
              f"('merge_key'='k', 'buckets'='4')"]
     version = 0
+    altered = 0          # extra columns added so far
 
     def fresh_keys(n):
         ks = []
@@ -47,17 +52,59 @@ def gen_sequence(idx):
             counts[op] = counts.get(op, 0) + 1
         changes.append((version, counts))
 
-    n_stmt = rng.randint(4, 7)
+    n_stmt = rng.randint(5, 9)
     for _ in range(n_stmt):
-        kind = rng.choice(["insert", "merge", "update", "delete",
-                           "overwrite"])
+        kind = rng.choice(["insert", "insert", "merge", "merge", "update",
+                           "delete", "overwrite", "keymove", "alter",
+                           "optimize", "expire_changes", "expire_versions"])
+        if kind == "keymove":
+            # UPDATE that reassigns the merge key. shift % mod == 0 keeps
+            # the residue class closed: every displacement target either
+            # doesn't exist or itself matched and moved, so the shift is a
+            # clean injective move of the matching subset. Each moved row
+            # commits as D(old key) + U(new row).
+            mod, rem = rng.choice([(2, 0), (3, 1), (5, 2)])
+            shift = mod * rng.randint(500, 900)
+            stmts.append(f"UPDATE graftdml.{t} SET k = k + {shift} "
+                         f"WHERE k % {mod} = {rem}")
+            moved = [k for k in state if k % mod == rem]
+            moved_rows = {k + shift: state[k] for k in moved}
+            for k in moved:
+                del state[k]
+            state.update(moved_rows)
+            used.update(moved_rows)
+            commit(["D", "U"] * len(moved))
+            continue
+        if kind == "alter":
+            # meta-only widen: history null-fills; the final SELECT pins
+            # the original columns so the model is unchanged. INSERTs use
+            # explicit column lists, so later statements stay valid.
+            altered += 1
+            stmts.append(f"ALTER TABLE graftdml.{t} ADD COLUMNS "
+                         f"(extra_{idx}_{altered} STRING)")
+            continue
+        if kind == "optimize":
+            # maxFilesPerBucket=0 rewrites every non-empty bucket —
+            # deterministic for the model: one version bump iff any data
+            stmts.append(f"CALL optimize({t}, 0)")
+            if state:
+                version += 1
+            continue
+        if kind == "expire_versions":
+            stmts.append(f"CALL expire_versions({t}, 3)")  # content no-op
+            continue
+        if kind == "expire_changes":
+            horizon = max(1, version - 1)
+            stmts.append(f"CALL expire_changes({t}, {horizon})")
+            changes = [(v, c) for v, c in changes if v >= horizon]
+            continue
         if kind == "overwrite":
             # ONE atomic version commit (r8): new rows as I changelog; a
             # changelog never spans an overwrite — consumers re-snapshot
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
                     for k in fresh_keys(rng.randint(1, 4))]
             vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
-            stmts.append(f"INSERT OVERWRITE graftdml.{t} VALUES {vals}")
+            stmts.append(f"INSERT OVERWRITE graftdml.{t} (k, name, amount) VALUES {vals}")
             state.clear()
             for k, n, a in rows:
                 state[k] = (n, a)
@@ -67,7 +114,7 @@ def gen_sequence(idx):
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
                     for k in fresh_keys(rng.randint(1, 6))]
             vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
-            stmts.append(f"INSERT INTO graftdml.{t} VALUES {vals}")
+            stmts.append(f"INSERT INTO graftdml.{t} (k, name, amount) VALUES {vals}")
             for k, n, a in rows:
                 state[k] = (n, a)
             commit(["I"] * len(rows))
