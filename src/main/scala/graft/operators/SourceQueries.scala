@@ -477,6 +477,55 @@ object SourceQueries {
       FROM updated WHERE cents >= 500
       ORDER BY user_id"""), bench = true),
 
+    // ----- S16: schema evolution on the DML store — RENAME COLUMN and
+    // DROP COLUMN as metadata-only commits (Delta/Iceberg-style column
+    // mapping: files keep their PHYSICAL names forever; renames rewrite
+    // only the logical name and every scan maps the two). The gate renames
+    // a column then updates THROUGH the new name, drops a column and
+    // re-adds the same logical name (which must come back empty — the
+    // tombstoned physical column may not resurrect), and reads a
+    // pre-rename version via time travel under the CURRENT names. All on
+    // the deterministic latest-event-per-user state, so DuckDB reproduces
+    // the final table closed-form.
+    GraftQuery("s16_schema_evolution", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.event_id".as("event_id"), $"r.cents".as("cents"))
+        .createOrReplaceTempView("s16_base")
+      s.sql("DROP TABLE IF EXISTS graftdml.evo_state")
+      s.sql("""CREATE TABLE graftdml.evo_state
+        (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.evo_state SELECT * FROM s16_base") // v1
+      s.sql("ALTER TABLE graftdml.evo_state RENAME COLUMN cents TO pennies")
+      s.sql("UPDATE graftdml.evo_state SET pennies = pennies * 2 " +
+        "WHERE user_id % 4 = 2")                                     // v2
+      s.sql("ALTER TABLE graftdml.evo_state DROP COLUMN event_id")
+      s.sql("ALTER TABLE graftdml.evo_state ADD COLUMNS (event_id BIGINT)")
+      s.sql("UPDATE graftdml.evo_state SET event_id = user_id % 100 " +
+        "WHERE user_id % 2 = 0")                                     // v3
+      // time travel to the pre-rename version, read under the new name
+      val v1sum = s.sql("SELECT CAST(SUM(pennies) AS BIGINT) " +
+        "FROM graftdml.evo_state VERSION AS OF 1").head().getLong(0)
+      s.sql("SELECT user_id, pennies, event_id FROM graftdml.evo_state")
+        .withColumn("v1_pennies_sum", lit(v1sum))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH base AS (SELECT user_id, event_id, cents FROM (
+          SELECT user_id, event_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id,
+        CAST(CASE WHEN user_id % 4 = 2 THEN cents * 2 ELSE cents END AS BIGINT)
+          AS pennies,
+        CASE WHEN user_id % 2 = 0 THEN user_id % 100 ELSE NULL END AS event_id,
+        (SELECT CAST(SUM(cents) AS BIGINT) FROM base) AS v1_pennies_sum
+      FROM base ORDER BY user_id""")),
+
     // ----- S14: CDC changelog READ — the producer half of the changelog
     // story (s9/s11 are the consumer half). Every GraftStore commit
     // persists its change batch (full row image + change_op I/U/D),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, Metadata, MetadataBuilder, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 [[TableCatalog]] exposing [[GraftStore]] tables to SQL — the full
@@ -120,30 +120,113 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
 
-  /** Schema evolution: ADD COLUMN (nullable, top-level) only. The meta
-    * schema gains the field; existing data and changelog files simply lack
-    * the column and every scan passes the declared schema, so the parquet
-    * reader null-fills history for free — no rewrite, which is the only
-    * acceptable cost for widening a 100 TB table. */
+  /** Schema evolution — all meta-only, never a data rewrite (the only
+    * acceptable cost on a 100 TB table):
+    *
+    *  - ADD COLUMN (nullable, top-level): existing data and changelog
+    *    files simply lack the column; scans pass the declared schema and
+    *    the parquet reader null-fills history. If the column's name was
+    *    ever used before (tombstoned by a DROP, or shadowed by a rename),
+    *    the new column gets a FRESH physical name so old file data cannot
+    *    resurrect under it.
+    *  - RENAME COLUMN: logical name changes in meta; the field keeps its
+    *    original PHYSICAL name (recorded under [[GraftStore.PhysicalKey]]),
+    *    and every scan maps logical↔physical (see GraftRenamingScanBuilder).
+    *    Renaming a merge-key column updates the key list. Time travel
+    *    reads any version under the CURRENT logical names.
+    *  - DROP COLUMN: the field leaves the schema; its physical name is
+    *    tombstoned. Files keep the bytes (old versions still read them via
+    *    time travel... with the current schema, i.e. without the column);
+    *    merge-key columns cannot be dropped.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     val meta = GraftStore.readMeta(dir)
-    val newSchema = changes.foldLeft(meta.schema) {
-      case (sch, add: TableChange.AddColumn) =>
+    val newMeta = changes.foldLeft(meta) {
+      case (m, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
           "nested column additions are not supported")
         val name = add.fieldNames()(0)
         require(add.isNullable,
           s"added column $name must be nullable (existing rows have no value)")
-        require(!sch.fieldNames.contains(name), s"column $name already exists")
+        require(!m.schema.fieldNames.contains(name), s"column $name already exists")
         require(name != GraftStore.BucketCol,
           s"column name ${GraftStore.BucketCol} is reserved")
-        sch.add(name, add.dataType(), nullable = true)
+        val taken = m.schema.fields.map(GraftStore.physicalName).toSet ++
+          m.tombstones
+        val phys = Iterator.from(0)
+          .map(i => if (i == 0) name else s"${name}_p$i")
+          .find(!taken.contains(_)).get
+        val md = if (phys == name) Metadata.empty
+          else new MetadataBuilder().putString(GraftStore.PhysicalKey, phys).build()
+        m.copy(schema = StructType(m.schema.fields.toSeq :+
+          StructField(name, add.dataType(), nullable = true, metadata = md)))
+      case (m, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames().length == 1,
+          "nested column renames are not supported")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(m.schema.fieldNames.contains(from), s"no column $from")
+        require(!m.schema.fieldNames.contains(to), s"column $to already exists")
+        require(to != GraftStore.BucketCol,
+          s"column name ${GraftStore.BucketCol} is reserved")
+        val sch = StructType(m.schema.fields.map { f =>
+          if (f.name != from) f
+          else f.copy(name = to, metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(GraftStore.PhysicalKey, GraftStore.physicalName(f))
+            .build())
+        }.toSeq)
+        m.copy(schema = sch,
+          keyCols = m.keyCols.map(k => if (k == from) to else k))
+      case (m, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "nested column drops are not supported")
+        val name = del.fieldNames()(0)
+        if (!m.schema.fieldNames.contains(name)) {
+          require(del.ifExists(), s"no column $name")
+          m
+        } else {
+          require(!m.keyCols.contains(name),
+            s"cannot drop merge-key column $name")
+          require(m.schema.length > 1, "cannot drop the last column")
+          val f = m.schema(name)
+          m.copy(
+            schema = StructType(m.schema.fields.filterNot(_.name == name).toSeq),
+            tombstones = m.tombstones :+ GraftStore.physicalName(f))
+        }
+      case (m, upd: TableChange.UpdateColumnType) =>
+        require(upd.fieldNames().length == 1,
+          "nested column type changes are not supported")
+        val name = upd.fieldNames()(0)
+        require(m.schema.fieldNames.contains(name), s"no column $name")
+        // Only lossless WIDENING, and never on a merge key: the store
+        // buckets rows by xxhash64 of the key VALUES, and Spark hashes
+        // int and long inputs differently — widening a key would strand
+        // every existing row in its old-hash bucket. Parquet's vectorized
+        // reader up-converts the stored narrow values, so this stays
+        // metadata-only.
+        require(!m.keyCols.contains(name),
+          s"cannot change the type of merge-key column $name " +
+            "(bucket hashes are type-sensitive)")
+        val from = m.schema(name).dataType
+        val to = upd.newDataType()
+        val widens = (from, to) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(widens, s"unsupported type change $from -> $to " +
+          "(only lossless widening: byte/short/int -> wider int, float -> double)")
+        m.copy(schema = StructType(m.schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f).toSeq))
       case (_, other) => throw new UnsupportedOperationException(
-        s"unsupported table change: $other (only ADD COLUMN)")
+        s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen type)")
     }
-    GraftStore.writeMeta(dir, meta.copy(schema = newSchema))
+    GraftStore.writeMeta(dir, newMeta)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
 
@@ -189,10 +272,29 @@ final class GraftChangesTable(tableName: String, dir: String)
     // finish any committed-but-unpublished changelog first; uncommitted
     // batches live in dot-prefixed staging dirs this scan never sees
     GraftStore.recoverChangelog(dir)
-    ParquetTable(s"graft:$tableName", SparkSession.active,
+    val delegate = ParquetTable(s"graft:$tableName", SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(GraftStore.changesRoot(dir)),
-      Some(GraftStore.changesSchema(meta)),
+      Some(GraftStore.physicalChangesSchema(meta)),
       classOf[ParquetFileFormat]).newScanBuilder(options)
+    if (!GraftStore.hasRenames(meta.schema)) delegate
+    else {
+      // flat data columns rename; the before-image struct's INNER fields
+      // rename too (ordinal-safe — only names differ)
+      val l2p = GraftStore.logToPhys(meta.schema)
+      val p2l = l2p.map(_.swap)
+      def mapChanges(m: Map[String, String])(s: StructType): StructType =
+        StructType(s.fields.map {
+          case f if f.name == GraftStore.ChangeBeforeCol &&
+              f.dataType.isInstanceOf[StructType] =>
+            val inner = f.dataType.asInstanceOf[StructType]
+            f.copy(dataType = StructType(inner.fields.map(g =>
+              g.copy(name = m.getOrElse(g.name, g.name))).toSeq))
+          case f => f.copy(name = m.getOrElse(f.name, f.name))
+        }.toSeq)
+      new org.apache.spark.sql.GraftRenamingScanBuilder(
+        delegate.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
+        l2p, mapChanges(l2p), mapChanges(p2l))
+    }
   }
 }
 
@@ -263,15 +365,30 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
 
 object GraftTable {
   /** Build the delegated parquet scan for one version of a store table —
-    * shared by table scans and the row-level operation's target scan. */
+    * shared by table scans and the row-level operation's target scan. The
+    * parquet table is built over PHYSICAL names (what the files store);
+    * when any column has been renamed, a GraftRenamingScanBuilder maps
+    * pruning/pushdown logical→physical and the read schema back — tables
+    * that never renamed take the delegate untouched (identical plan to
+    * pre-evolution builds, aggregate pushdown included). */
   private[sources] def parquetScanBuilder(tableName: String, dir: String,
       meta: GraftTableMeta, version: Long,
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val vdir = GraftStore.versionDir(dir, version)
-    val withBucket = StructType(meta.schema.fields :+
+    val withBucket = StructType(GraftStore.physicalSchema(meta.schema).fields :+
       StructField(GraftStore.BucketCol, IntegerType, nullable = true))
-    ParquetTable(s"graft:$tableName@v$version", SparkSession.active,
+    val delegate = ParquetTable(s"graft:$tableName@v$version", SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(vdir), Some(withBucket),
       classOf[ParquetFileFormat]).newScanBuilder(options)
+    if (!GraftStore.hasRenames(meta.schema)) delegate
+    else {
+      val l2p = GraftStore.logToPhys(meta.schema)
+      val p2l = l2p.map(_.swap)
+      def mapFlat(m: Map[String, String])(s: StructType): StructType =
+        StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))).toSeq)
+      new org.apache.spark.sql.GraftRenamingScanBuilder(
+        delegate.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
+        l2p, mapFlat(l2p), mapFlat(p2l))
+    }
   }
 }

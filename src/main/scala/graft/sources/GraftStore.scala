@@ -9,9 +9,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Table metadata persisted next to the data: declared schema, the key
-  * columns row-level operations identify rows by, and the fixed hash-bucket
-  * fan-out the copy-on-write rewrite is scoped to. */
-final case class GraftTableMeta(schema: StructType, keyCols: Seq[String], buckets: Int)
+  * columns row-level operations identify rows by, the fixed hash-bucket
+  * fan-out the copy-on-write rewrite is scoped to, and the tombstoned
+  * PHYSICAL column names retired by DROP COLUMN (so a later ADD COLUMN
+  * with the same logical name gets a fresh physical name instead of
+  * resurrecting dropped data).
+  *
+  * Column-mapping discipline (Delta/Iceberg-style, by name not id): every
+  * field's PHYSICAL name — what parquet files store — is fixed at
+  * ADD/CREATE time and never changes; RENAME COLUMN rewrites only the
+  * logical name in this meta, recording the physical one in the field's
+  * metadata under [[GraftStore.PhysicalKey]]. A 100 TB rename is therefore
+  * a metadata write, with every read path mapping physical↔logical. */
+final case class GraftTableMeta(schema: StructType, keyCols: Seq[String],
+    buckets: Int, tombstones: Seq[String] = Nil)
 
 /** Versioned, hash-bucketed, copy-on-write parquet store backing the
   * [[GraftCatalog]] SQL DML surface (SURVEY §2.2 S9's `MERGE INTO` /
@@ -69,6 +80,39 @@ object GraftStore {
     * (null for inserts). Flat columns are the AFTER image. */
   val ChangeBeforeCol = "change_before"
 
+  /** StructField metadata key holding a column's physical (file) name when
+    * it differs from the logical name — set by RENAME COLUMN. */
+  val PhysicalKey = "graft.physical"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical→physical name map; identity entries included. */
+  def logToPhys(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physicalName(f)).toMap
+
+  def hasRenames(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** The schema as stored in parquet files: physical field names. */
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f))).toSeq)
+
+  /** Rename a logical-named DataFrame's columns to physical for writing.
+    * Only columns present in `schema` are renamed; others (op/bucket
+    * bookkeeping) pass through. */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame = {
+    val m = logToPhys(schema)
+    df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+  }
+
+  /** Rename a physical-named DataFrame back to logical after reading. */
+  private def toLogical(df: DataFrame, schema: StructType): DataFrame = {
+    val m = logToPhys(schema).map(_.swap)
+    df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+  }
+
   private def metaPath(dir: String): Path = Paths.get(dir, "_meta.json")
   private def pointerPath(dir: String): Path = Paths.get(dir, "_current")
   def versionDir(dir: String, v: Long): String = f"$dir/v$v%010d"
@@ -90,7 +134,8 @@ object GraftStore {
     // bucket count as adjacent lines — no JSON library needed to parse.
     // Staged + atomic rename (same discipline as the version pointer): a
     // crash mid-ALTER must not truncate the meta of a live table.
-    val body = meta.schema.json + "\n" + meta.keyCols.mkString(",") + "\n" + meta.buckets
+    val body = meta.schema.json + "\n" + meta.keyCols.mkString(",") + "\n" +
+      meta.buckets + "\n" + meta.tombstones.mkString(",")
     val tmp = Paths.get(dir, "_meta.json.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -100,7 +145,9 @@ object GraftStore {
   def readMeta(dir: String): GraftTableMeta = {
     val lines = new String(Files.readAllBytes(metaPath(dir)), "UTF-8").split("\n")
     GraftTableMeta(DataType.fromJson(lines(0)).asInstanceOf[StructType],
-      lines(1).split(",").toSeq.filter(_.nonEmpty), lines(2).trim.toInt)
+      lines(1).split(",").toSeq.filter(_.nonEmpty), lines(2).trim.toInt,
+      // 4th line absent in pre-evolution metas
+      if (lines.length > 3) lines(3).split(",").toSeq.filter(_.nonEmpty) else Nil)
   }
 
   def currentVersion(dir: String): Long =
@@ -242,16 +289,25 @@ object GraftStore {
       .filter(_.startsWith(s"$BucketCol=")).map(_.split("=")(1).toInt).toSeq)
   }
 
-  /** Read one version as a DataFrame including the [[BucketCol]] partition
-    * column (empty-but-typed when the version has no data yet). */
-  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val meta = readMeta(dir)
+  /** Read one version with PHYSICAL column names + [[BucketCol]] — the
+    * exact file layout, for maintenance rewrites that must write the same
+    * names back ([[optimize]]). */
+  private def readVersionPhysical(spark: SparkSession, dir: String,
+      meta: GraftTableMeta, v: Long): DataFrame = {
     val vdir = versionDir(dir, v)
-    val withBucket = StructType(meta.schema.fields :+
+    val withBucket = StructType(physicalSchema(meta.schema).fields :+
       StructField(BucketCol, IntegerType, nullable = true))
     if (bucketDirs(vdir).isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), withBucket)
     else spark.read.schema(withBucket).parquet(vdir)
+  }
+
+  /** Read one version as a logical-named DataFrame including the
+    * [[BucketCol]] partition column (empty-but-typed when the version has
+    * no data yet). */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val meta = readMeta(dir)
+    toLogical(readVersionPhysical(spark, dir, meta, v), meta.schema)
   }
 
   /** Apply a change batch. `changes` columns: [[OpCol]] (one of I/U/D) plus
@@ -353,24 +409,31 @@ object GraftStore {
         val structType = StructType(meta.schema.fields.map(_.copy(nullable = true)).toSeq)
         lit(null).cast(structType).as(ChangeBeforeCol)
       }
+      // Files store PHYSICAL names (flat columns AND the before-image's
+      // inner fields — the struct cast renames by position), so renames
+      // stay metadata-only across the whole changelog history.
+      val physBefore = StructType(physicalSchema(meta.schema)
+        .fields.map(_.copy(nullable = true)).toSeq)
+      def writeChangelog(df: DataFrame): Unit =
+        toPhysical(df.withColumn(ChangeBeforeCol,
+            col(ChangeBeforeCol).cast(physBefore)), meta.schema)
+          .write.parquet(chDir)
       val baseTouched = () => readVersion(spark, dir, cur)
         .filter(col(BucketCol).isin(touched.toSeq: _*))
       if (allInserts) {
-        ch.select((OpCol +: cols).map(col) :+ nullBefore: _*)
+        writeChangelog(ch.select((OpCol +: cols).map(col) :+ nullBefore: _*)
           .withColumnRenamed(OpCol, ChangeOpCol)
-          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*)
-          .write.parquet(chDir)
+          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*))
       } else {
         val beforeImages = baseTouched()
           .select(struct(cols.map(col): _*).as(ChangeBeforeCol) +:
             meta.keyCols.map(col): _*)
-        ch.select((OpCol +: cols).map(col): _*)
+        writeChangelog(ch.select((OpCol +: cols).map(col): _*)
           .join(beforeImages, meta.keyCols, "left_outer")
           .withColumn(ChangeBeforeCol,
             when(col(OpCol) === "I", lit(null)).otherwise(col(ChangeBeforeCol)))
           .withColumnRenamed(OpCol, ChangeOpCol)
-          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*)
-          .write.parquet(chDir)
+          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*))
       }
 
       // Data leg. Append fast path: write only the new rows; every
@@ -381,7 +444,7 @@ object GraftStore {
       val rewritten: Set[Int] =
         if (allInserts) {
           if (touched.nonEmpty)
-            ch.select((cols :+ BucketCol).map(col): _*)
+            toPhysical(ch.select((cols :+ BucketCol).map(col): _*), meta.schema)
               .write.partitionBy(BucketCol).parquet(nextDir)
           else Files.createDirectories(Paths.get(nextDir))
           Set.empty
@@ -392,7 +455,7 @@ object GraftStore {
             .select((cols :+ BucketCol).map(col): _*)
           val kept = baseTouched().join(removes, meta.keyCols, "left_anti")
             .select((cols :+ BucketCol).map(col): _*)
-          kept.unionByName(adds)
+          toPhysical(kept.unionByName(adds), meta.schema)
             .write.partitionBy(BucketCol).parquet(nextDir)
           touched
         } else {
@@ -464,8 +527,10 @@ object GraftStore {
       val nextDir = versionDir(dir, next)
       deleteRecursively(Paths.get(nextDir))
       // repartition BY the bucket column: each bucket's rows land wholly in
-      // one task, so partitionBy writes exactly one compact file per bucket
-      readVersion(spark, dir, cur)
+      // one task, so partitionBy writes exactly one compact file per
+      // bucket. Physical-named read → physical-named write: compaction
+      // never touches the logical mapping.
+      readVersionPhysical(spark, dir, readMeta(dir), cur)
         .filter(col(BucketCol).isin(fragmented.toSeq: _*))
         .repartition(fragmented.size, col(BucketCol))
         .write.partitionBy(BucketCol).parquet(nextDir)
@@ -505,6 +570,25 @@ object GraftStore {
       StructField(ChangeVersionCol, LongType, nullable = false)))
   }
 
+  /** [[changesSchema]] with file (physical) names, flat and inside the
+    * before-image struct. */
+  private[sources] def physicalChangesSchema(meta: GraftTableMeta): StructType =
+    StructType(changesSchema(meta).fields.map {
+      case f if f.name == ChangeBeforeCol =>
+        f.copy(dataType = physicalSchema(f.dataType.asInstanceOf[StructType]))
+      case f if meta.schema.fieldNames.contains(f.name) =>
+        f.copy(name = physicalName(meta.schema(f.name)))
+      case f => f
+    }.toSeq)
+
+  /** Map a physical-named changes DataFrame to logical names (flat rename
+    * + positional struct cast for the before-image). */
+  private def changesToLogical(df: DataFrame, meta: GraftTableMeta): DataFrame = {
+    val logBefore = StructType(meta.schema.fields.map(_.copy(nullable = true)).toSeq)
+    toLogical(df.withColumn(ChangeBeforeCol,
+      col(ChangeBeforeCol).cast(logBefore)), meta.schema)
+  }
+
   /** Read the committed changelog for versions in [fromV, toV]. Remnant
     * change directories above the current pointer (crash between changelog
     * write and pointer flip) are excluded by the pointer cap. */
@@ -512,13 +596,13 @@ object GraftStore {
     recoverChangelog(dir)
     val meta = readMeta(dir)
     val cap = math.min(toV, currentVersion(dir))
-    val schema = changesSchema(meta)
     val root = Paths.get(changesRoot(dir))
     val any = Files.isDirectory(root) && listDir(root)(
       _.exists(_.getFileName.toString.startsWith(s"$ChangeVersionCol=")))
-    if (!any) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else spark.read.schema(schema).parquet(changesRoot(dir))
-      .filter(col(ChangeVersionCol).between(fromV, cap))
+    if (!any) spark.createDataFrame(new java.util.ArrayList[Row](), changesSchema(meta))
+    else changesToLogical(
+      spark.read.schema(physicalChangesSchema(meta)).parquet(changesRoot(dir))
+        .filter(col(ChangeVersionCol).between(fromV, cap)), meta)
   }
 
   /** Replay a changelog slice onto a base snapshot. Because every change
@@ -562,9 +646,10 @@ object GraftStore {
   def streamChanges(spark: SparkSession, dir: String): DataFrame = {
     recoverChangelog(dir)
     val meta = readMeta(dir)
-    spark.readStream.schema(changesSchema(meta))
-      .option("basePath", changesRoot(dir))
-      .parquet(changesRoot(dir) + s"/$ChangeVersionCol=*")
+    changesToLogical(
+      spark.readStream.schema(physicalChangesSchema(meta))
+        .option("basePath", changesRoot(dir))
+        .parquet(changesRoot(dir) + s"/$ChangeVersionCol=*"), meta)
   }
 
   /** Incrementally maintain a grouped (COUNT(*), SUM(aggCol)) materialized

@@ -682,7 +682,65 @@ object StreamingQueries {
       UNION ALL
       SELECT 4, 0, 0,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM after3 WHERE pop > 1200), TRUE
-      ORDER BY change_version"""))
+      ORDER BY change_version""")),
+
+    // ----- T11: declarative streaming UPSERT into the DML store —
+    // `writeStream.option("upsert","true").toTable(...)` commits each
+    // epoch's rows as keyed updates (delete-old + insert-new per merge
+    // key) with per-epoch CDC and the idempotent (queryId, epoch)
+    // protocol, making "stream → continuously compacted table" one
+    // statement instead of foreachBatch+MERGE. The gate feeds one epoch
+    // per calendar week (that week's latest row per user — the store
+    // requires one row per key per epoch), in week order, so the table
+    // must converge to the global latest-per-user and commit exactly one
+    // store version per week.
+    GraftQuery("t11_stream_upsert", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      graft.operators.DmlFixture.register(s)
+      s.sql("DROP TABLE IF EXISTS graftdml.t11_state")
+      s.sql("""CREATE TABLE graftdml.t11_state
+        (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      val weekly = T.events(s, d)
+        .withColumn("week", date_trunc("week", $"ts"))
+        .withColumn("cents", vcents($"value"))
+        .groupBy($"user_id", $"week")
+        .agg(max_by(struct($"event_id", $"cents"),
+          struct($"ts", $"event_id")).as("r"))
+        .select($"week", $"user_id", $"r.event_id".as("event_id"),
+          $"r.cents".as("cents"))
+        .collect()
+      val byWeek = weekly.groupBy(_.getTimestamp(0)).toSeq.sortBy(_._1.getTime)
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = in.toDS().toDF("user_id", "event_id", "cents")
+        .writeStream
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_t11_ckpt").toString)
+        .option("upsert", "true")
+        .toTable("graftdml.t11_state")
+      try {
+        byWeek.foreach { case (_, rows) =>
+          in.addData(rows.toSeq.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))))
+          q.processAllAvailable() // one epoch (= one store version) per week
+        }
+      } finally q.stop()
+      val versions = graft.sources.GraftStore
+        .currentVersion(s"${graft.operators.DmlFixture.warehouse}/t11_state")
+      s.sql("SELECT user_id, event_id, cents FROM graftdml.t11_state")
+        .withColumn("n_versions", lit(versions))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, event_id, cents FROM (
+          SELECT user_id, event_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id, event_id, cents,
+        (SELECT CAST(COUNT(DISTINCT DATE_TRUNC('week', ts)) AS BIGINT)
+         FROM events) AS n_versions
+      FROM latest ORDER BY user_id"""))
   )
 }
 

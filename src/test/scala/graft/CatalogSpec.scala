@@ -594,6 +594,117 @@ class CatalogSpec extends SparkTestBase {
     assert(GraftStore.readChanges(spark, dir, 1L, 1L).count() === 1L)
   }
 
+  test("RENAME COLUMN is metadata-only: scans map names, DML and CDC follow") {
+    val t = mkTable("t_rename")
+    val dir = s"$warehouse/t_rename"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)") // v1
+    spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN amount TO cents")
+    // no data rewrite happened: still at v1, files keep the physical name
+    assert(GraftStore.currentVersion(dir) === 1L)
+    val meta = GraftStore.readMeta(dir)
+    assert(GraftStore.physicalName(meta.schema("cents")) === "amount")
+    // logical reads resolve the new name, with the filter still pushed down
+    val q = spark.sql(s"SELECT k, cents FROM $cat.$t WHERE cents > 15")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 20L)))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "filter pushdown must survive the renaming scan")
+    // DML through the renamed schema: update, insert, merge-key rename later
+    spark.sql(s"UPDATE $cat.$t SET cents = cents + 1 WHERE k = 1")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 'c', 30)")
+    assert(spark.sql(s"SELECT k, cents FROM $cat.$t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+    // time travel reads pre-rename versions under the CURRENT names
+    assert(spark.sql(s"SELECT cents FROM $cat.$t VERSION AS OF 1 ORDER BY cents")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 20L))
+    // changelog surfaces (SQL table + API) expose logical names, including
+    // inside the before-image struct of pre- AND post-rename commits
+    val ch = spark.sql(s"SELECT change_op, cents, change_before.cents " +
+      s"FROM $cat.`t_rename$$changes` WHERE change_version = 2").head()
+    assert(ch.getString(0) === "U" && ch.getLong(1) === 11L && ch.getLong(2) === 10L)
+    val api = GraftStore.readChanges(spark, dir, 1L, 1L)
+    assert(api.schema.fieldNames.contains("cents") &&
+      !api.schema.fieldNames.contains("amount"))
+    // compaction preserves the physical layout
+    GraftStore.optimize(spark, dir, maxFilesPerBucket = 0)
+    assert(spark.sql(s"SELECT SUM(cents) FROM $cat.$t").head().getLong(0) === 61L)
+  }
+
+  test("RENAME COLUMN on the merge key keeps row identity working") {
+    val t = mkTable("t_renkey")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN k TO id")
+    assert(GraftStore.readMeta(s"$warehouse/t_renkey").keyCols === Seq("id"))
+    import spark.implicits._
+    Seq((2L, 200L), (9L, 900L)).toDF("id", "amount").createOrReplaceTempView("rk_src")
+    spark.sql(s"""MERGE INTO $cat.$t t USING rk_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET amount = s.amount
+      WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)""")
+    assert(spark.sql(s"SELECT id, amount FROM $cat.$t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 200L), (9L, 900L)))
+  }
+
+  test("DROP COLUMN tombstones the physical name; re-ADD starts fresh") {
+    val t = mkTable("t_drop")
+    val dir = s"$warehouse/t_drop"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql(s"ALTER TABLE $cat.$t DROP COLUMN name")
+    assert(spark.table(s"$cat.$t").columns.toSeq === Seq("k", "amount"))
+    assert(GraftStore.readMeta(dir).tombstones === Seq("name"))
+    // merge-key columns cannot be dropped
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.$t DROP COLUMN k") }
+    // re-adding the same logical name maps to a FRESH physical column —
+    // the dropped bytes in existing files must not resurrect
+    spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (name STRING)")
+    val f = GraftStore.readMeta(dir).schema("name")
+    assert(GraftStore.physicalName(f) === "name_p1")
+    val got = spark.sql(s"SELECT k, name FROM $cat.$t ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got === Seq((1L, None), (2L, None)),
+      "dropped column data resurrected under the re-added name")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 33, 'fresh')")
+    assert(spark.sql(s"SELECT name FROM $cat.$t WHERE k = 3").head().getString(0)
+      === "fresh")
+  }
+
+  test("ALTER COLUMN TYPE widens losslessly without rewriting data") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_widen")
+    spark.sql(s"""CREATE TABLE $cat.t_widen
+      (k BIGINT NOT NULL, cnt INT, ratio FLOAT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.t_widen VALUES (1, 10, CAST(0.5 AS FLOAT))")
+    val dir = s"$warehouse/t_widen"
+    spark.sql(s"ALTER TABLE $cat.t_widen ALTER COLUMN cnt TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t_widen ALTER COLUMN ratio TYPE DOUBLE")
+    // still at v1: metadata-only; the narrow file values up-convert on read
+    assert(GraftStore.currentVersion(dir) === 1L)
+    val r1 = spark.sql(s"SELECT cnt, ratio FROM $cat.t_widen").head()
+    assert(r1.getLong(0) === 10L && r1.getDouble(1) === 0.5)
+    // new DML writes the wide type; old+new files coexist in one scan
+    spark.sql(s"INSERT INTO $cat.t_widen VALUES (2, ${Long.MaxValue}, 2.5)")
+    spark.sql(s"UPDATE $cat.t_widen SET cnt = cnt + 1 WHERE k = 1")
+    val got = spark.sql(s"SELECT k, cnt FROM $cat.t_widen ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 11L), (2L, Long.MaxValue)))
+    // the changelog spans the widening: v1 files store INT (flat and in
+    // the before-image struct), v2+ store BIGINT — one read serves both
+    val ch = GraftStore.readChanges(spark, dir, 1L, GraftStore.currentVersion(dir))
+      .selectExpr("change_version", "change_op", "cnt", "change_before.cnt AS prev")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(ch === Set((1L, "I", 10L, -1L), (2L, "I", Long.MaxValue, -1L),
+      (3L, "U", 11L, 10L)))
+    // narrowing and key-widening are rejected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t_widen ALTER COLUMN cnt TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t_widen ALTER COLUMN k TYPE DECIMAL(38,0)")
+    }
+  }
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
