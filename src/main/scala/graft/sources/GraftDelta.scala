@@ -230,7 +230,8 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
             dup.head.toSeq.init.mkString("(", ",", ")") +
             "; dedupe or aggregate per key before the sink")
       }
-      GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert)
+      GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert,
+        commutative = upsert)
       val tmp = Paths.get(dir, "_last_stream_epoch.tmp")
       Files.write(tmp, s"$queryId\n$epochId".getBytes("UTF-8"))
       Files.move(tmp, lastEpochPath,

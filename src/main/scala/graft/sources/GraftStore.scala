@@ -181,7 +181,19 @@ object GraftStore {
           Files.getLastModifiedTime(marker).toMillis
         catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
         if (age > staleClaimMillis) {
-          Files.deleteIfExists(marker)
+          // Break the stale claim by ATOMIC RENAME, not delete+create: two
+          // breakers deleting concurrently could each create "fresh"
+          // markers and both think they won — the rename has exactly one
+          // winner (the loser's move throws), who then re-claims.
+          val tomb = Paths.get(s"$marker.stale-${System.nanoTime()}")
+          try Files.move(marker, tomb, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.NoSuchFileException =>
+              throw new java.util.ConcurrentModificationException(
+                s"concurrent commit in flight for version $next of $dir " +
+                  "(stale claim broken by another writer)")
+          }
+          Files.deleteIfExists(tomb)
           try Files.write(marker, Array.emptyByteArray,
             java.nio.file.StandardOpenOption.CREATE_NEW)
           catch {
@@ -330,7 +342,8 @@ object GraftStore {
     * TRUNCATE, a changelog never spans an overwrite — consumers
     * re-snapshot. */
   def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
-      allInserts: Boolean = false, overwrite: Boolean = false): Long = {
+      allInserts: Boolean = false, overwrite: Boolean = false,
+      commutative: Boolean = false): Long = {
     require(!overwrite || allInserts, "overwrite implies an all-insert batch")
     val meta = readMeta(dir)
     recoverChangelog(dir)
@@ -348,8 +361,12 @@ object GraftStore {
       // recomputed version; a row-level delta's read snapshot is stale the
       // moment another commit lands, so it surfaces the conflict instead.
       // a losing append waits out the winner's WHOLE commit job, so the
-      // retry budget is wall-clock-sized (~60 s), not a fixed count
-      val maxAttempts = if (allInserts) 120 else 1
+      // retry budget is wall-clock-sized (~60 s), not a fixed count.
+      // `commutative` marks keyed-upsert batches whose outcome doesn't
+      // depend on the base snapshot (streaming upsert epochs) — they
+      // rebase-and-retry like appends; SQL deltas stay strict.
+      val retriable = allInserts || commutative
+      val maxAttempts = if (retriable) 120 else 1
       var attempt = 0
       var committed = -1L
       while (committed < 0) {
@@ -369,7 +386,7 @@ object GraftStore {
             if (currentVersion(dir) == cur) {
               committed = commitVersion(spark, dir, meta, ch, touched,
                 cur, allInserts, overwrite)
-            } else if (!allInserts) throw new java.util.ConcurrentModificationException(
+            } else if (!retriable) throw new java.util.ConcurrentModificationException(
               s"table $dir advanced past version $cur during the delta " +
                 "rewrite; re-run the statement against the new version")
           } finally Files.deleteIfExists(marker)

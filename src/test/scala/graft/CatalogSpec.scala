@@ -545,6 +545,34 @@ class CatalogSpec extends SparkTestBase {
     assert(GraftStore.currentVersion(dir) === 2L)
   }
 
+  test("four concurrent writers: every append lands, versions stay contiguous") {
+    val t = mkTable("t_conc4", buckets = 4)
+    val dir = s"$warehouse/t_conc4"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CyclicBarrier(4)
+    def writer(w: Int): Future[Unit] = Future {
+      gate.await()
+      (0 until 2).foreach { i =>
+        val lo = w * 1000 + i * 100
+        spark.sql(s"INSERT INTO $cat.$t SELECT id, 'w$w', id FROM range($lo, ${lo + 10})")
+      }
+    }
+    try Await.result(Future.sequence((0 until 4).map(writer)), Duration(300, "s"))
+    finally pool.shutdown()
+    // 8 commits, no version lost or duplicated, all 80 rows present
+    assert(rows(t).size === 80)
+    assert(GraftStore.currentVersion(dir) === 8L)
+    assert(GraftStore.listVersions(dir) === (0L to 8L))
+    // the changelog is complete too: one 10-row I batch per commit
+    val perV = GraftStore.readChanges(spark, dir, 1L, 8L)
+      .groupBy("change_version").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perV === (1L to 8L).map(_ -> 10L).toMap)
+  }
+
   test("a row-level delta loses cleanly to a concurrent commit claim") {
     val t = mkTable("t_conflict")
     val dir = s"$warehouse/t_conflict"
