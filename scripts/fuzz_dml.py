@@ -35,6 +35,8 @@ def gen_sequence(idx):
              f"('merge_key'='k', 'buckets'='4')"]
     version = 0
     altered = 0          # extra columns added so far
+    renamed = 0          # rename counter (fresh logical names)
+    cn = {"k": "k", "name": "name", "amount": "amount"}  # role -> current name
 
     def fresh_keys(n):
         ks = []
@@ -56,7 +58,30 @@ def gen_sequence(idx):
     for _ in range(n_stmt):
         kind = rng.choice(["insert", "insert", "merge", "merge", "update",
                            "delete", "overwrite", "keymove", "alter",
-                           "optimize", "expire_changes", "expire_versions"])
+                           "optimize", "expire_changes", "expire_versions",
+                           "rename", "rename", "drop_readd"])
+        if kind == "rename":
+            # metadata-only rename (column mapping): every later statement
+            # must address the column by its CURRENT logical name; the
+            # model's roles never change, only the SQL spelling does
+            role = rng.choice(["k", "name", "amount"])
+            renamed += 1
+            new = f"{role}_r{renamed}"
+            stmts.append(f"ALTER TABLE graftdml.{t} RENAME COLUMN {cn[role]} TO {new}")
+            cn[role] = new
+            continue
+        if kind == "drop_readd":
+            # drop the string column and re-add under a fresh logical name:
+            # the tombstoned physical column must NOT resurrect, so every
+            # existing row's value becomes NULL in the model
+            renamed += 1
+            new = f"name_d{renamed}"
+            stmts.append(f"ALTER TABLE graftdml.{t} DROP COLUMN {cn['name']}")
+            stmts.append(f"ALTER TABLE graftdml.{t} ADD COLUMNS ({new} STRING)")
+            cn["name"] = new
+            for k in state:
+                state[k] = (None, state[k][1])
+            continue
         if kind == "keymove":
             # UPDATE that reassigns the merge key. shift % mod == 0 keeps
             # the residue class closed: every displacement target either
@@ -65,8 +90,8 @@ def gen_sequence(idx):
             # commits as D(old key) + U(new row).
             mod, rem = rng.choice([(2, 0), (3, 1), (5, 2)])
             shift = mod * rng.randint(500, 900)
-            stmts.append(f"UPDATE graftdml.{t} SET k = k + {shift} "
-                         f"WHERE k % {mod} = {rem}")
+            stmts.append(f"UPDATE graftdml.{t} SET {cn['k']} = {cn['k']} + {shift} "
+                         f"WHERE {cn['k']} % {mod} = {rem}")
             moved = [k for k in state if k % mod == rem]
             moved_rows = {k + shift: state[k] for k in moved}
             for k in moved:
@@ -104,7 +129,7 @@ def gen_sequence(idx):
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
                     for k in fresh_keys(rng.randint(1, 4))]
             vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
-            stmts.append(f"INSERT OVERWRITE graftdml.{t} (k, name, amount) VALUES {vals}")
+            stmts.append(f"INSERT OVERWRITE graftdml.{t} ({cn['k']}, {cn['name']}, {cn['amount']}) VALUES {vals}")
             state.clear()
             for k, n, a in rows:
                 state[k] = (n, a)
@@ -114,7 +139,7 @@ def gen_sequence(idx):
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
                     for k in fresh_keys(rng.randint(1, 6))]
             vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
-            stmts.append(f"INSERT INTO graftdml.{t} (k, name, amount) VALUES {vals}")
+            stmts.append(f"INSERT INTO graftdml.{t} ({cn['k']}, {cn['name']}, {cn['amount']}) VALUES {vals}")
             for k, n, a in rows:
                 state[k] = (n, a)
             commit(["I"] * len(rows))
@@ -132,11 +157,13 @@ def gen_sequence(idx):
             vals = ", ".join(f"({k}, '{n}', {a}, '{op}')" for k, n, a, op in src)
             stmts.append(
                 f"MERGE INTO graftdml.{t} x USING (SELECT * FROM (VALUES {vals}) "
-                f"AS v(k, name, amount, op)) s ON x.k = s.k "
+                f"AS v(k, name, amount, op)) s ON x.{cn['k']} = s.k "
                 f"WHEN MATCHED AND s.op = 'd' THEN DELETE "
-                f"WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount "
+                f"WHEN MATCHED THEN UPDATE SET {cn['name']} = s.name, "
+                f"{cn['amount']} = s.amount "
                 f"WHEN NOT MATCHED AND s.op <> 'd' THEN "
-                f"INSERT (k, name, amount) VALUES (s.k, s.name, s.amount)")
+                f"INSERT ({cn['k']}, {cn['name']}, {cn['amount']}) "
+                f"VALUES (s.k, s.name, s.amount)")
             ops = []
             for k, n, a, op in src:
                 if k in state and op == "d":
@@ -149,8 +176,9 @@ def gen_sequence(idx):
         elif kind == "update":
             delta = rng.randint(1, 50)
             mod, rem = rng.choice([(2, 0), (3, 1), (5, 2)])
-            stmts.append(f"UPDATE graftdml.{t} SET amount = amount + {delta} "
-                         f"WHERE k % {mod} = {rem}")
+            stmts.append(f"UPDATE graftdml.{t} SET {cn['amount']} = "
+                         f"{cn['amount']} + {delta} "
+                         f"WHERE {cn['k']} % {mod} = {rem}")
             ops = []
             for k in list(state):
                 if k % mod == rem:
@@ -158,13 +186,14 @@ def gen_sequence(idx):
             commit(ops)
         else:
             cut = rng.randint(200, 900)
-            stmts.append(f"DELETE FROM graftdml.{t} WHERE amount > {cut}")
+            stmts.append(f"DELETE FROM graftdml.{t} WHERE {cn['amount']} > {cut}")
             ops = []
             for k in list(state):
                 if state[k][1] > cut:
                     del state[k]; ops.append("D")
             commit(ops)
-    stmts.append(f"SELECT k, name, amount FROM graftdml.{t} ORDER BY k")
+    stmts.append(f"SELECT {cn['k']} AS k, {cn['name']} AS name, "
+                 f"{cn['amount']} AS amount FROM graftdml.{t} ORDER BY 1")
     exp_rows = sorted((k, n, a) for k, (n, a) in state.items())
     exp_changes = sorted((v, op, c) for v, counts in changes
                          for op, c in counts.items())
