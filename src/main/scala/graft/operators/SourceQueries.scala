@@ -526,6 +526,67 @@ object SourceQueries {
         (SELECT CAST(SUM(cents) AS BIGINT) FROM base) AS v1_pennies_sum
       FROM base ORDER BY user_id""")),
 
+    // ----- S17: storage-partitioned join — two store tables bucketed the
+    // same way (same merge key, same bucket count) join with ZERO shuffle:
+    // the scans report KeyGroupedPartitioning(bucket(n, key)) (resolved
+    // through the catalog's `bucket` function), Spark pairs partitions by
+    // bucket id, and both Exchanges vanish. At 100 TB this is THE join
+    // shape for store⋈store — co-located by construction, network cost
+    // zero, parallelism = bucket count (which is sized for the cluster).
+    // The gate pins the no-Exchange plan boolean AND the join result.
+    GraftQuery("s17_spj_join", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s17_latest")
+      T.events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("s17_counts")
+      Seq("spj_l" -> "s17_latest", "spj_r" -> "s17_counts").foreach {
+        case (t, src) =>
+          s.sql(s"DROP TABLE IF EXISTS graftdml.$t")
+          val valCol = if (t == "spj_l") "cents" else "n_events"
+          s.sql(s"""CREATE TABLE graftdml.$t
+            (user_id BIGINT NOT NULL, $valCol BIGINT) USING graft
+            TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+          s.sql(s"INSERT INTO graftdml.$t SELECT * FROM $src")
+      }
+      val confs = Map("spark.graft.store.spj" -> "true",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val joined = s.sql("""SELECT l.user_id, l.cents, r.n_events
+          FROM graftdml.spj_l l JOIN graftdml.spj_r r
+          ON l.user_id = r.user_id""")
+        val noShuffle =
+          !joined.queryExecution.executedPlan.toString.contains("Exchange")
+        // materialize under the SPJ plan so the boolean describes the
+        // execution that actually produced the rows
+        val rows = joined.collect().toSeq
+        val out = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), joined.schema)
+        out.withColumn("spj_no_shuffle", lit(noShuffle))
+          .orderBy($"user_id")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      cnts AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+      SELECT l.user_id, l.cents, c.n_events, TRUE AS spj_no_shuffle
+      FROM latest l JOIN cnts c ON l.user_id = c.user_id
+      ORDER BY l.user_id""")),
+
     // ----- S14: CDC changelog READ — the producer half of the changelog
     // story (s9/s11 are the consumer half). Every GraftStore commit
     // persists its change batch (full row image + change_op I/U/D),

@@ -40,7 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * derives the join, the matched/unmatched actions, and the cardinality
   * checks, and hands this store only (op, row) deltas to commit.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   import GraftCatalog.ChangesSuffix
 
   private var catalogName: String = _
@@ -236,6 +236,18 @@ class GraftCatalog extends TableCatalog {
     else { GraftStore.dropTable(dir); true }
   }
 
+  /** FunctionCatalog leg: exposes the store's `bucket` transform so
+    * Spark's storage-partitioned-join machinery can resolve and match the
+    * `KeyGroupedPartitioning` the scans report (see
+    * [[GraftBucketFunction]]). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(!newIdent.name().endsWith(ChangesSuffix),
       s"table names ending in $ChangesSuffix are reserved for changelog reads")
@@ -323,9 +335,21 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
     * table's schema (its directories are Hive-style `gbucket=k`) but never
     * appears in this table's logical schema, so no query can request it
     * and column pruning drops it from every read. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // opt-in storage-partitioned-join mode: report bucket partitioning so
+    // same-keyed graft⋈graft joins drop both Exchanges (one partition per
+    // bucket — the right trade when a co-located join dominates the scan)
+    val spj = SparkSession.active.conf
+      .getOption("spark.graft.store.spj").exists(_.toBoolean)
+    val wrap: Option[org.apache.spark.sql.connector.read.Scan =>
+        org.apache.spark.sql.connector.read.Scan] =
+      if (!spj) None
+      else Some(scan => new org.apache.spark.sql.GraftKeyGroupedScan(scan,
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          meta.buckets, meta.keyCols: _*))))
     GraftTable.parquetScanBuilder(tableName, dir, meta,
-      pinnedVersion.getOrElse(GraftStore.currentVersion(dir)), options)
+      pinnedVersion.getOrElse(GraftStore.currentVersion(dir)), options, wrap)
+  }
 
   /** INSERT INTO / INSERT OVERWRITE / CTAS append path: a V1 fallback write
     * hands us the source as a DataFrame and the append is the same
@@ -373,22 +397,26 @@ object GraftTable {
     * pre-evolution builds, aggregate pushdown included). */
   private[sources] def parquetScanBuilder(tableName: String, dir: String,
       meta: GraftTableMeta, version: Long,
-      options: CaseInsensitiveStringMap): ScanBuilder = {
+      options: CaseInsensitiveStringMap,
+      wrapScan: Option[org.apache.spark.sql.connector.read.Scan =>
+        org.apache.spark.sql.connector.read.Scan] = None): ScanBuilder = {
     val vdir = GraftStore.versionDir(dir, version)
     val withBucket = StructType(GraftStore.physicalSchema(meta.schema).fields :+
       StructField(GraftStore.BucketCol, IntegerType, nullable = true))
     val delegate = ParquetTable(s"graft:$tableName@v$version", SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(vdir), Some(withBucket),
       classOf[ParquetFileFormat]).newScanBuilder(options)
-    if (!GraftStore.hasRenames(meta.schema)) delegate
-    else {
-      val l2p = GraftStore.logToPhys(meta.schema)
-      val p2l = l2p.map(_.swap)
-      def mapFlat(m: Map[String, String])(s: StructType): StructType =
-        StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))).toSeq)
-      new org.apache.spark.sql.GraftRenamingScanBuilder(
-        delegate.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
-        l2p, mapFlat(l2p), mapFlat(p2l))
-    }
+    // always wrapped: name mapping is identity for never-renamed tables
+    // (aggregate pushdown forwards), and the wrapper adds merge-key →
+    // bucket file pruning for point/IN lookups on every table
+    val l2p = GraftStore.logToPhys(meta.schema)
+    val p2l = l2p.map(_.swap)
+    def mapFlat(m: Map[String, String])(s: StructType): StructType =
+      StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))).toSeq)
+    new org.apache.spark.sql.GraftRenamingScanBuilder(
+      delegate.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
+      l2p, mapFlat(l2p), mapFlat(p2l), wrapScan.getOrElse(identity),
+      Some(new org.apache.spark.sql.GraftBucketDerivation(
+        meta.keyCols, meta.buckets, GraftStore.BucketCol)))
   }
 }

@@ -2,13 +2,14 @@ package org.apache.spark.sql
 
 import java.util.{Collections, IdentityHashMap}
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, In, Literal, XxHash64Function}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.metric.CustomMetric
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** Column-mapping bridge for renamed columns (in-package because
   * [[SupportsPushDownCatalystFilters]] is `private[sql]` — the same shim
@@ -34,12 +35,32 @@ import org.apache.spark.sql.types.StructType
   * have never renamed a column bypass this wrapper entirely. */
 final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
     logToPhys: Map[String, String], mapSchemaToPhys: StructType => StructType,
-    mapSchemaToLog: StructType => StructType)
+    mapSchemaToLog: StructType => StructType,
+    wrapScan: Scan => Scan = identity,
+    bucketing: Option[GraftBucketDerivation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters with SupportsPushDownAggregates {
+
+  private def identityMaps: Boolean = logToPhys.forall(kv => kv._1 == kv._2)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(mapSchemaToPhys(requiredSchema))
+
+  /** Aggregate pushdown (COUNT/MIN/MAX from parquet footers) forwards
+    * untouched for tables that never renamed a column; a renamed table's
+    * Aggregation would reference logical names the files don't have, and
+    * V2 expression trees offer no transform hook — so those fall back to
+    * a normal scan + aggregate (correct, just un-shortcut). */
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    identityMaps && (delegate match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+      case _ => false
+    })
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    identityMaps && (delegate match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    })
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val renamed = filters.map { f =>
@@ -49,10 +70,19 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
       }
       (r, f)
     }
-    val residue = delegate.pushFilters(renamed.map(_._1))
+    // Bucket pruning: when the filters pin EVERY merge-key column to
+    // literal value(s), the store's hash tells us exactly which bucket
+    // directories can hold matches — synthesize a partition filter on the
+    // bucket column so the delegated scan file-prunes to them. A point
+    // lookup on a 100 TB table then touches 1/buckets of the files. The
+    // original key filters stay in the residue, so a derivation that
+    // finds no buckets still returns correct (empty) results.
+    val synthetic = bucketing.flatMap(_.deriveFilter(filters)).toSeq
+    val residue = delegate.pushFilters(renamed.map(_._1) ++ synthetic)
     // FileScanBuilder returns a subset of the expressions it was given;
     // identity-match them back to the caller's originals so the post-scan
-    // filter references the logical plan's own attributes.
+    // filter references the logical plan's own attributes. (The synthetic
+    // bucket filter is consumed as a partition filter and never returns.)
     val residueSet = Collections.newSetFromMap(
       new IdentityHashMap[Expression, java.lang.Boolean]())
     residue.foreach(residueSet.add)
@@ -64,7 +94,144 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
   override def pushedFilters(): Array[Predicate] = delegate.pushedFilters
 
   override def build(): Scan =
-    new GraftRenamingScan(delegate.build(), mapSchemaToLog)
+    wrapScan(new GraftRenamingScan(delegate.build(), mapSchemaToLog))
+}
+
+/** Derives the set of store buckets a conjunction of pushed filters can
+  * touch. `keyCols` are the merge-key columns in their LOGICAL names and
+  * META ORDER (the hash folds over them in order, seed 42 — byte-for-byte
+  * [[graft.sources.GraftStore.bucketExpr]]). Only exact
+  * `key = literal` / `key IN (literals)` / null-safe-eq shapes
+  * participate; a Cast or expression around the attribute disqualifies
+  * the column (the value's runtime type wouldn't match the stored hash
+  * input). Derivation caps at [[MaxCombos]] key tuples — beyond that the
+  * IN-list is broad enough that pruning stops paying. */
+final class GraftBucketDerivation(keyCols: Seq[String], nBuckets: Int,
+    bucketColName: String) extends Serializable {
+  private val MaxCombos = 128
+
+  def deriveFilter(filters: Seq[Expression]): Option[Expression] = {
+    val valuesPerKey: Seq[Seq[Literal]] = keyCols.map { k =>
+      filters.flatMap(keyLiterals(k, _)).headOption.getOrElse(Seq.empty)
+    }
+    if (valuesPerKey.exists(_.isEmpty)) return None
+    if (valuesPerKey.map(_.size.toLong).product > MaxCombos) return None
+    val tuples = valuesPerKey.foldLeft(Seq(Seq.empty[Literal])) {
+      (acc, vs) => for (t <- acc; v <- vs) yield t :+ v
+    }
+    val buckets = tuples.map { t =>
+      var h = 42L
+      t.foreach(l => h = XxHash64Function.hash(l.value, l.dataType, h))
+      (((h % nBuckets) + nBuckets) % nBuckets).toInt
+    }.distinct.sorted
+    val attr = AttributeReference(bucketColName, IntegerType, nullable = true)()
+    Some(if (buckets.size == 1) EqualTo(attr, Literal(buckets.head))
+    else In(attr, buckets.map(b => Literal(b))))
+  }
+
+  /** literal constraint set for column `k` in one filter, if exact. */
+  private def keyLiterals(k: String, f: Expression): Option[Seq[Literal]] = f match {
+    case EqualTo(a: AttributeReference, l: Literal) if a.name == k && l.value != null =>
+      Some(Seq(l))
+    case EqualTo(l: Literal, a: AttributeReference) if a.name == k && l.value != null =>
+      Some(Seq(l))
+    case EqualNullSafe(a: AttributeReference, l: Literal) if a.name == k && l.value != null =>
+      Some(Seq(l))
+    case EqualNullSafe(l: Literal, a: AttributeReference) if a.name == k && l.value != null =>
+      Some(Seq(l))
+    case In(a: AttributeReference, vs) if a.name == k &&
+        vs.nonEmpty && vs.forall(v => v.isInstanceOf[Literal] &&
+          v.asInstanceOf[Literal].value != null) =>
+      Some(vs.map(_.asInstanceOf[Literal]))
+    case _ => None
+  }
+}
+
+/** Storage-partitioned-join (SPJ) scan wrapper for [[graft.sources]]'
+  * bucketed store: regroups the delegated parquet scan's file partitions
+  * into ONE input partition per `gbucket=N` directory and reports
+  * `KeyGroupedPartitioning(bucket(n, keys))`, so a join between two graft
+  * tables with the same merge keys and bucket count pairs partitions by
+  * bucket id with NO shuffle on either side (Spark's SPJ machinery, the
+  * `bucket` transform resolving through GraftCatalog's FunctionCatalog).
+  * Off by default — one partition per bucket trades scan parallelism for
+  * shuffle elimination, the right trade exactly when a co-located join
+  * dominates, so it's an explicit session opt-in
+  * (`spark.graft.store.spj=true` + Spark's own
+  * `spark.sql.sources.v2.bucketing.enabled=true`).
+  *
+  * The bucket id comes from the file PATH (`gbucket=N` path segment), not
+  * from partition-value rows — column pruning drops the bucket column
+  * from `readPartitionSchema`, so partition values can be empty. Row-group
+  * splits of one file always land in that file's bucket partition. */
+final class GraftKeyGroupedScan(delegate: Scan,
+    groupingKeys: Array[org.apache.spark.sql.connector.expressions.Transform])
+    extends Scan with SupportsReportPartitioning with SupportsReportStatistics {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  private lazy val grouped: Array[InputPartition] = {
+    val parts = delegate.toBatch.planInputPartitions()
+    val files = parts.flatMap {
+      case fp: FilePartition => fp.files
+      case other => sys.error(s"expected FilePartition, got ${other.getClass}")
+    }
+    val re = ("(?:^|/)" + graft.sources.GraftStore.BucketCol + "=(\\d+)(?:/|$)").r
+    files.groupBy { pf =>
+      re.findFirstMatchIn(pf.filePath.toString) match {
+        case Some(m) => m.group(1).toInt
+        case None => sys.error(s"file outside a bucket dir: ${pf.filePath}")
+      }
+    }.toArray.sortBy(_._1).zipWithIndex.map { case ((b, fs), i) =>
+      GraftBucketPartition(FilePartition(i, fs),
+        new GenericInternalRow(Array[Any](b)))
+    }
+  }
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = s"GraftKeyGrouped(${delegate.description()})"
+  override def outputPartitioning(): Partitioning =
+    if (grouped.isEmpty) new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      groupingKeys.map(_.asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]),
+      grouped.length)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = grouped
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftBucketReaderFactory(delegate.toBatch.createReaderFactory())
+  }
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+}
+
+/** One bucket's files as one input partition, keyed by bucket id. */
+final case class GraftBucketPartition(
+    fp: org.apache.spark.sql.execution.datasources.FilePartition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+final class GraftBucketReaderFactory(
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  private def unwrap(p: InputPartition) = p.asInstanceOf[GraftBucketPartition].fp
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }
 
 final class GraftRenamingScan(delegate: Scan,
@@ -75,6 +242,8 @@ final class GraftRenamingScan(delegate: Scan,
   override def description(): String = s"GraftRenaming(${delegate.description()})"
   override def supportedCustomMetrics(): Array[CustomMetric] =
     delegate.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
   override def estimateStatistics(): Statistics = delegate match {

@@ -733,6 +733,84 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("storage-partitioned join: co-bucketed store tables join with zero shuffle") {
+    warehouse
+    Seq("t_spj_a", "t_spj_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.$t")
+      spark.sql(s"""CREATE TABLE $cat.$t
+        (k BIGINT NOT NULL, v BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='8')""")
+    }
+    spark.sql(s"INSERT INTO $cat.t_spj_a SELECT id, id * 2 FROM range(0, 200)")
+    spark.sql(s"INSERT INTO $cat.t_spj_b SELECT id, id * 3 FROM range(0, 200)")
+    val q = s"""SELECT a.k, a.v + b.v AS s FROM $cat.t_spj_a a
+                JOIN $cat.t_spj_b b ON a.k = b.k"""
+    val expected = (0L until 200L).map(k => (k, k * 5)).toSet
+    def run() = spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // baseline: no SPJ — shuffles present, results correct
+    assert(run() === expected)
+    withConf("spark.graft.store.spj" -> "true",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free storage-partitioned join:\n$plan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    }
+    // and an aggregation grouped on the key also skips its shuffle
+    withConf("spark.graft.store.spj" -> "true",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.sql(s"SELECT k, SUM(v) AS s FROM $cat.t_spj_a GROUP BY k")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "group-by on the bucket key should reuse the reported partitioning")
+      assert(agg.collect().length === 200)
+    }
+  }
+
+  test("merge-key point lookups file-prune to the key's bucket") {
+    val t = mkTable("t_bprune", buckets = 8)
+    (0 until 3).foreach { i => // appends fan files into every bucket dir
+      spark.sql(s"INSERT INTO $cat.$t SELECT id, CAST(id AS STRING), id " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+    }
+    val fullScan = scanOf(spark.sql(s"SELECT * FROM $cat.$t"))
+    val point = spark.sql(s"SELECT name FROM $cat.$t WHERE k = 7")
+    assert(point.collect().map(_.getString(0)).toSeq === Seq("7"))
+    val pointScan = scanOf(point)
+    // the derived bucket filter reaches the scan as a PARTITION filter...
+    assert(pointScan.toString.contains(GraftStore.BucketCol) ||
+      point.queryExecution.executedPlan.toString.contains(GraftStore.BucketCol),
+      s"no bucket partition filter in scan:\n${pointScan.toString}")
+    // ...and the scan reads strictly fewer files than the full table
+    val (fullFiles, pointFiles) = (fileCount(fullScan), fileCount(pointScan))
+    assert(fullFiles > 0 && pointFiles > 0 && pointFiles < fullFiles,
+      s"expected file pruning: point=$pointFiles vs full=$fullFiles")
+    // IN-lists prune to the union of their keys' buckets, results exact
+    val in = spark.sql(s"SELECT k FROM $cat.$t WHERE k IN (3, 77, 250)")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 77L, 250L))
+    val inFiles = fileCount(scanOf(in))
+    assert(inFiles < fullFiles, s"IN pruning: $inFiles vs $fullFiles")
+  }
+
+  private def fileCount(
+      scan: org.apache.spark.sql.execution.datasources.v2.BatchScanExec): Long =
+    scan.inputRDDs().head.partitions.flatMap {
+      case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+        p.inputPartitions.map {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length.toLong
+          case _ => 0L
+        }
+      case _ => Seq(0L)
+    }.sum
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
