@@ -3,8 +3,8 @@
 (S11/S14): generate seeded random statement sequences — CREATE, INSERT,
 MERGE INTO (update/delete/insert branches), UPDATE, DELETE, key-moving
 UPDATE (SET k = ...), ALTER TABLE ADD COLUMNS, and the maintenance
-surface (CALL optimize / expire_versions / expire_changes, routed by
-DmlRunner to the store's Scala API) — run them through Spark via
+surface (CALL optimize / expire_versions / expire_changes — native SQL
+stored procedures via the catalog's ProcedureCatalog leg) — run them through Spark via
 graft.DmlRunner, and diff BOTH the final table contents and the
 per-version changelog op counts against a Python state model that applies
 the same statements to a dict. Key-uniqueness discipline is maintained by
@@ -111,16 +111,16 @@ def gen_sequence(idx):
         if kind == "optimize":
             # maxFilesPerBucket=0 rewrites every non-empty bucket —
             # deterministic for the model: one version bump iff any data
-            stmts.append(f"CALL optimize({t}, 0)")
+            stmts.append(f"CALL graftdml.optimize('{t}', 0)")
             if state:
                 version += 1
             continue
         if kind == "expire_versions":
-            stmts.append(f"CALL expire_versions({t}, 3)")  # content no-op
+            stmts.append(f"CALL graftdml.expire_versions('{t}', 3)")  # content no-op
             continue
         if kind == "expire_changes":
             horizon = max(1, version - 1)
-            stmts.append(f"CALL expire_changes({t}, {horizon})")
+            stmts.append(f"CALL graftdml.expire_changes('{t}', {horizon})")
             changes = [(v, c) for v, c in changes if v >= horizon]
             continue
         if kind == "overwrite":

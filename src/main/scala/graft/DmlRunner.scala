@@ -33,29 +33,12 @@ object DmlRunner {
       }
     }
 
-    // Maintenance surface for the fuzzer: statements shaped
-    // `CALL <fn>(<table>[, <arg>])` route to the store's Scala-side
-    // maintenance API so compaction/retention/GC interleave with DML in
-    // the same differential check.
-    val Call = """CALL (\w+)\((\w+)(?:,\s*(\d+))?\)""".r
-    def run(stmt: String): Unit = stmt match {
-      case Call(fn, table, arg) =>
-        val dir = s"$warehouse/$table"
-        fn match {
-          case "optimize" =>
-            graft.sources.GraftStore.optimize(spark, dir, arg.toInt)
-          case "expire_versions" =>
-            graft.sources.GraftStore.expireVersions(dir, arg.toInt)
-          case "expire_changes" =>
-            graft.sources.GraftStore.expireChanges(dir, arg.toLong)
-          case other => sys.error(s"unknown CALL $other")
-        }
-      case sql => spark.sql(sql).collect()
-    }
-
     sequences.foreach { case (name, stmts) =>
       try {
-        stmts.init.foreach(run)
+        // every statement — DML, ALTER, and maintenance CALLs — is plain
+        // SQL against the catalog (maintenance runs as native DSv2 stored
+        // procedures, GraftProcedures)
+        stmts.init.foreach(spark.sql(_).collect())
         spark.sql(stmts.last).coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
         val table = stmts.init.collectFirst {

@@ -40,7 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * derives the join, the matched/unmatched actions, and the cardinality
   * checks, and hands this store only (op, row) deltas to commit.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
   import GraftCatalog.ChangesSuffix
 
   private var catalogName: String = _
@@ -248,6 +248,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (ident.name() == "bucket") GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
+  /** ProcedureCatalog leg: the store's maintenance operations as native
+    * SQL `CALL` statements (see [[GraftProcedures]]). */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (GraftProcedures.Names.contains(ident.name()))
+      new GraftProcedure(ident.name(), { t =>
+        require(!t.contains("/") && !t.contains(".."), s"illegal table name: $t")
+        s"$warehouse/$t"
+      })
+    else throw new RuntimeException(s"no such procedure: $ident")
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(!newIdent.name().endsWith(ChangesSuffix),
       s"table names ending in $ChangesSuffix are reserved for changelog reads")
@@ -313,7 +327,11 @@ final class GraftChangesTable(tableName: String, dir: String)
 /** One catalog table: logical schema from `_meta.json`, data from the
   * current (or pinned) version directory. */
 final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: one claimed empty-version commit. */
+  override def truncateTable(): Boolean = { GraftStore.truncate(dir); true }
 
   private[sources] lazy val meta: GraftTableMeta = GraftStore.readMeta(dir)
 

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** The store's maintenance surface as native SQL stored procedures
+  * (Spark 4 DSv2 `ProcedureCatalog`), so an operator never leaves SQL:
+  *
+  * {{{
+  *   CALL graftdml.optimize(table => 'users', max_files_per_bucket => 4)
+  *   CALL graftdml.expire_versions('users', 3)
+  *   CALL graftdml.expire_changes('users', 7)
+  * }}}
+  *
+  * Each call routes to the corresponding [[GraftStore]] maintenance
+  * operation (same claim-coordinated commit protocol as DML) and returns
+  * a one-row result summarizing what happened. */
+object GraftProcedures {
+  val Names: Seq[String] = Seq("optimize", "expire_versions", "expire_changes")
+
+  private[sources] val Descriptions: Map[String, String] = Map(
+    "optimize" -> ("compact buckets with more than max_files_per_bucket " +
+      "files into one file each (new version, no changelog entry)"),
+    "expire_versions" -> "keep the newest keep_last versions, delete older",
+    "expire_changes" -> "drop changelog slices below keep_from_version")
+
+  private[sources] def params(name: String): Array[ProcedureParameter] = name match {
+    case "optimize" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_files_per_bucket", IntegerType)
+        .defaultValue("4").build())
+    case "expire_versions" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", IntegerType).build())
+    case "expire_changes" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_from_version", LongType).build())
+  }
+}
+
+final class GraftProcedure(procName: String, tableDir: String => String)
+    extends UnboundProcedure {
+  override def name(): String = procName
+  override def description(): String = GraftProcedures.Descriptions(procName)
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = GraftProcedures.Descriptions(procName)
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      GraftProcedures.params(procName)
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val dir = tableDir(table)
+      require(GraftStore.exists(dir), s"no such graft table: $table")
+      val (col, value) = procName match {
+        case "optimize" =>
+          ("version", GraftStore.optimize(spark, dir, input.getInt(1)))
+        case "expire_versions" =>
+          GraftStore.expireVersions(dir, input.getInt(1))
+          ("versions_kept", GraftStore.listVersions(dir).size.toLong)
+        case "expire_changes" =>
+          GraftStore.expireChanges(dir, input.getLong(1))
+          ("changes_from_version", input.getLong(1))
+      }
+      val schema = StructType(Seq(StructField(col, LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new GraftResultScan(schema,
+        Array(new GenericInternalRow(Array[Any](value))))).iterator()
+    }
+  }
+}
+
+/** Driver-local one-row result of a maintenance procedure. */
+final class GraftResultScan(schema: StructType, rs: Array[InternalRow])
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rs
+  override def description(): String = "GraftProcedureResult"
+}

@@ -811,6 +811,29 @@ class CatalogSpec extends SparkTestBase {
       case _ => Seq(0L)
     }.sum
 
+  test("maintenance runs as native SQL CALL procedures; TRUNCATE TABLE works") {
+    val t = mkTable("t_proc", buckets = 4)
+    val dir = s"$warehouse/t_proc"
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.$t SELECT id, 'x', id FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    // optimize: compacts every bucket to one file, returns the new version
+    val v = spark.sql(s"CALL $cat.optimize(table => 't_proc', max_files_per_bucket => 0)")
+      .head().getLong(0)
+    assert(v === 4L && GraftStore.currentVersion(dir) === 4L)
+    assert(rows(t).size === 30)
+    // expire_versions via CALL (positional args + default-arg optimize)
+    spark.sql(s"CALL $cat.expire_versions('t_proc', 2)")
+    assert(GraftStore.listVersions(dir) === Seq(3L, 4L))
+    spark.sql(s"CALL $cat.expire_changes('t_proc', 3)")
+    assert(GraftStore.readChanges(spark, dir, 1L, 10L)
+      .select("change_version").distinct().collect().map(_.getLong(0)).toSet === Set(3L))
+    // TRUNCATE TABLE is the claimed empty-version commit
+    spark.sql(s"TRUNCATE TABLE $cat.$t")
+    assert(rows(t).isEmpty)
+    assert(GraftStore.currentVersion(dir) === 5L)
+  }
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
