@@ -119,4 +119,38 @@ class GraftDeltaSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(staging)))
     assert(GraftStore.currentVersion(dir) === 0L, "no version committed")
   }
+
+  test("commit-claim crash protocol: stale takeover has one winner, remnants clear") {
+    val dir = Files.createTempDirectory("graft_claim_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    // a crashed writer left: its claim marker, a partial next-version dir,
+    // and a changelog staging dir — the table still reads at version 0
+    val marker = Paths.get(dir, f"_commit-${1L}%010d")
+    Files.write(marker, "crashed".getBytes)
+    Files.createDirectories(Paths.get(GraftStore.versionDir(dir, 1L), "gbucket=0"))
+    Files.createDirectories(Paths.get(s"$dir/_changes/.staging-1"))
+    // a fresh claim within the stale window fails cleanly...
+    intercept[java.util.ConcurrentModificationException] {
+      GraftStore.claimCommit(dir, 1L)
+    }
+    // ...and a takeover past the window wins exactly once
+    Thread.sleep(20) // claim age must exceed the (zero) stale window
+    val won = GraftStore.claimCommit(dir, 1L, staleClaimMillis = 0L)
+    assert(Files.exists(won))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftStore.claimCommit(dir, 1L, staleClaimMillis = Long.MaxValue)
+    }
+    Files.deleteIfExists(won)
+    // the next real commit through the store sweeps the crash remnants:
+    // partial vdir rebuilt, orphan changelog staging dropped, pointer at 1
+    import spark.implicits._
+    val ch = Seq((1L, "a", 10L)).toDF("k", "name", "amount")
+      .withColumn(GraftStore.OpCol, org.apache.spark.sql.functions.lit("I"))
+    val v = GraftStore.applyChanges(spark, dir, ch, allInserts = true)
+    assert(v === 1L && GraftStore.currentVersion(dir) === 1L)
+    assert(!Files.exists(Paths.get(s"$dir/_changes/.staging-1")),
+      "orphan changelog staging must not survive recovery")
+    assert(GraftStore.readVersion(spark, dir, 1L).count() === 1L)
+    assert(GraftStore.readChanges(spark, dir, 1L, 1L).count() === 1L)
+  }
 }
