@@ -113,6 +113,16 @@ object GraftStore {
     df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
   }
 
+  /** Driver-side pool for a commit's two independent write legs (daemon
+    * threads; Spark handles concurrent job submission). */
+  private lazy val commitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-commit-leg")
+        t.setDaemon(true)
+        t
+      }))
+
   private def metaPath(dir: String): Path = Paths.get(dir, "_meta.json")
   private def pointerPath(dir: String): Path = Paths.get(dir, "_current")
   def versionDir(dir: String, v: Long): String = f"$dir/v$v%010d"
@@ -352,7 +362,11 @@ object GraftStore {
       .persist()
     try {
       // ≤ `buckets` distinct ints — the one driver-side materialization.
-      val touched = ch.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      // The append fast path never reads the base, so it skips this job
+      // entirely (its "touched" set would only gate work it doesn't do).
+      val touched =
+        if (allInserts) Set.empty[Int]
+        else ch.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
       // Claim-verify-commit loop. claimCommit serializes writers per
       // version; after winning the claim we re-read the pointer — a claim
       // for `next` can be won AFTER another writer committed `next` and
@@ -437,33 +451,35 @@ object GraftStore {
           .write.parquet(chDir)
       val baseTouched = () => readVersion(spark, dir, cur)
         .filter(col(BucketCol).isin(touched.toSeq: _*))
-      if (allInserts) {
-        writeChangelog(ch.select((OpCol +: cols).map(col) :+ nullBefore: _*)
-          .withColumnRenamed(OpCol, ChangeOpCol)
-          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*))
-      } else {
-        val beforeImages = baseTouched()
-          .select(struct(cols.map(col): _*).as(ChangeBeforeCol) +:
-            meta.keyCols.map(col): _*)
-        writeChangelog(ch.select((OpCol +: cols).map(col): _*)
-          .join(beforeImages, meta.keyCols, "left_outer")
-          .withColumn(ChangeBeforeCol,
-            when(col(OpCol) === "I", lit(null)).otherwise(col(ChangeBeforeCol)))
-          .withColumnRenamed(OpCol, ChangeOpCol)
-          .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*))
-      }
+      val changelogLeg: () => Unit = () =>
+        if (allInserts) {
+          writeChangelog(ch.select((OpCol +: cols).map(col) :+ nullBefore: _*)
+            .withColumnRenamed(OpCol, ChangeOpCol)
+            .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*))
+        } else {
+          val beforeImages = baseTouched()
+            .select(struct(cols.map(col): _*).as(ChangeBeforeCol) +:
+              meta.keyCols.map(col): _*)
+          writeChangelog(ch.select((OpCol +: cols).map(col): _*)
+            .join(beforeImages, meta.keyCols, "left_outer")
+            .withColumn(ChangeBeforeCol,
+              when(col(OpCol) === "I", lit(null)).otherwise(col(ChangeBeforeCol)))
+            .withColumnRenamed(OpCol, ChangeOpCol)
+            .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*))
+        }
 
       // Data leg. Append fast path: write only the new rows; every
       // existing bucket's files are hard-linked alongside (part-file names
       // are job-unique, so dirs merge safely). General path: rewrite
       // touched buckets (anti-join out removed keys, union adds), link
       // the untouched ones.
-      val rewritten: Set[Int] =
+      val dataLeg: () => Set[Int] = () =>
         if (allInserts) {
-          if (touched.nonEmpty)
-            toPhysical(ch.select((cols :+ BucketCol).map(col): _*), meta.schema)
-              .write.partitionBy(BucketCol).parquet(nextDir)
-          else Files.createDirectories(Paths.get(nextDir))
+          // unconditional write: an empty batch produces an empty version
+          // dir, and skipping the touched-set job saves one Spark action
+          // per append
+          toPhysical(ch.select((cols :+ BucketCol).map(col): _*), meta.schema)
+            .write.partitionBy(BucketCol).parquet(nextDir)
           Set.empty
         } else if (touched.nonEmpty) {
           val removes = ch.filter(col(OpCol).isin("U", "D"))
@@ -479,6 +495,22 @@ object GraftStore {
           Files.createDirectories(Paths.get(nextDir))
           Set.empty
         }
+
+      // The two legs write to DIFFERENT staging locations from the same
+      // persisted change batch — run their Spark jobs concurrently (the
+      // commit's latency is then max(legs), not their sum; per-statement
+      // overhead matters when a pipeline issues many small commits).
+      val rewritten: Set[Int] = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val chF = Future(changelogLeg())(commitPool)
+        val dataF = Future(dataLeg())(commitPool)
+        try {
+          val r = Await.result(dataF, Duration.Inf)
+          Await.result(chF, Duration.Inf)
+          r
+        } catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
 
       // Hard-link carried-over files into the new version (an object
       // store would manifest-reference them; local FS links are free).
