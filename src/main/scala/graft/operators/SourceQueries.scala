@@ -587,6 +587,65 @@ object SourceQueries {
       FROM latest l JOIN cnts c ON l.user_id = c.user_id
       ORDER BY l.user_id""")),
 
+    // ----- S18: merge-key bucket pruning, with measured file-count
+    // evidence. A point lookup (`WHERE key = ...`) derives the key's
+    // bucket from the store hash and file-prunes the scan to that ONE
+    // bucket directory; an IN-list prunes to the union of its keys'
+    // buckets. The gate compacts the table to exactly one file per
+    // non-empty bucket, then PINS the file counts the executed scans
+    // actually planned (1 for the point lookup; ≤3 for a 3-key IN) next
+    // to the looked-up values themselves — the 100 TB claim ("a point
+    // read touches 1/buckets of the data") as a driver-checked number.
+    GraftQuery("s18_bucket_prune_probe", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s18_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.prune_probe")
+      s.sql("""CREATE TABLE graftdml.prune_probe
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.prune_probe SELECT * FROM s18_latest")
+      s.sql("CALL graftdml.optimize(table => 'prune_probe', " +
+        "max_files_per_bucket => 0)")
+      def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDDs().head.partitions.map {
+              case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+                p.inputPartitions.map {
+                  case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                    fp.files.length.toLong
+                  case _ => 0L
+                }.sum
+              case _ => 0L
+            }.sum
+        }.sum
+      }
+      val full = filesPlanned(s.sql("SELECT * FROM graftdml.prune_probe"))
+      val point = s.sql("SELECT user_id, cents FROM graftdml.prune_probe WHERE user_id = 1")
+      val fPoint = filesPlanned(point)
+      val inq = s.sql(
+        "SELECT user_id, cents FROM graftdml.prune_probe WHERE user_id IN (1, 2, 3)")
+      val fIn = filesPlanned(inq)
+      inq.withColumn("point_reads_one_file", lit(fPoint == 1L))
+        .withColumn("in_reads_at_most_three", lit(fIn >= 1L && fIn <= 3L))
+        .withColumn("full_scan_reads_more", lit(full > fIn))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id, cents, TRUE AS point_reads_one_file,
+        TRUE AS in_reads_at_most_three, TRUE AS full_scan_reads_more
+      FROM latest WHERE user_id IN (1, 2, 3) ORDER BY user_id""")),
+
     // ----- S14: CDC changelog READ — the producer half of the changelog
     // story (s9/s11 are the consumer half). Every GraftStore commit
     // persists its change batch (full row image + change_op I/U/D),

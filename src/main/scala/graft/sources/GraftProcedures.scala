@@ -34,7 +34,8 @@ object GraftProcedures {
     case "optimize" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
-        .defaultValue("4").build())
+        .defaultValue("4").build(),
+      ProcedureParameter.in("sort_by", StringType).defaultValue("''").build())
     case "expire_versions" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).build())
@@ -62,7 +63,11 @@ final class GraftProcedure(procName: String, tableDir: String => String)
       require(GraftStore.exists(dir), s"no such graft table: $table")
       val (col, value) = procName match {
         case "optimize" =>
-          ("version", GraftStore.optimize(spark, dir, input.getInt(1)))
+          val sortBy =
+            if (input.isNullAt(2)) Nil
+            else input.getUTF8String(2).toString.split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+          ("version", GraftStore.optimize(spark, dir, input.getInt(1), sortBy))
         case "expire_versions" =>
           GraftStore.expireVersions(dir, input.getInt(1))
           ("versions_kept", GraftStore.listVersions(dir).size.toLong)

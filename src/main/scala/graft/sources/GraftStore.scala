@@ -554,9 +554,15 @@ object GraftStore {
     * changes layout, not content, so CDC consumers see nothing. Old
     * versions still reference the fragmented files (time travel is
     * unaffected) until [[expireVersions]] drops them. Returns the new
-    * version, or the current one if nothing is fragmented. */
+    * version, or the current one if nothing is fragmented.
+    *
+    * `sortWithin` clusters each rewritten bucket by the given columns
+    * (Z-less liquid-clustering): rows land in sorted row groups, so the
+    * parquet min/max statistics make range predicates on those columns
+    * skip whole row groups — the scan-narrowing complement to the
+    * key-hash bucket pruning. Layout-only, like the rest of compaction. */
   def optimize(spark: SparkSession, dir: String,
-      maxFilesPerBucket: Int = 4): Long = {
+      maxFilesPerBucket: Int = 4, sortWithin: Seq[String] = Nil): Long = {
     recoverChangelog(dir)
     val cur = currentVersion(dir)
     val curDir = versionDir(dir, cur)
@@ -579,10 +585,15 @@ object GraftStore {
       // one task, so partitionBy writes exactly one compact file per
       // bucket. Physical-named read → physical-named write: compaction
       // never touches the logical mapping.
-      readVersionPhysical(spark, dir, readMeta(dir), cur)
+      val meta = readMeta(dir)
+      val sortPhys = sortWithin.map(c => physicalName(meta.schema(c)))
+      val rep = readVersionPhysical(spark, dir, meta, cur)
         .filter(col(BucketCol).isin(fragmented.toSeq: _*))
         .repartition(fragmented.size, col(BucketCol))
-        .write.partitionBy(BucketCol).parquet(nextDir)
+      val clustered =
+        if (sortPhys.isEmpty) rep
+        else rep.sortWithinPartitions((BucketCol +: sortPhys).map(col): _*)
+      clustered.write.partitionBy(BucketCol).parquet(nextDir)
       (bucketDirs(curDir).toSet -- fragmented).foreach { b =>
         val src = Paths.get(curDir, s"$BucketCol=$b")
         val dst = Paths.get(nextDir, s"$BucketCol=$b")

@@ -834,6 +834,34 @@ class CatalogSpec extends SparkTestBase {
     assert(GraftStore.currentVersion(dir) === 5L)
   }
 
+  test("optimize sort_by clusters each bucket's rows for row-group skipping") {
+    val t = mkTable("t_cluster", buckets = 4)
+    val dir = s"$warehouse/t_cluster"
+    // amounts arrive shuffled across three appends
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.$t SELECT id, 'x', (id * 37) % 1000 " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val before = rows(t)
+    spark.sql(s"CALL $cat.optimize(table => 't_cluster', " +
+      s"max_files_per_bucket => 0, sort_by => 'amount')")
+    assert(rows(t) === before, "compaction must not change content")
+    // every compacted file holds its bucket's rows SORTED by amount, so
+    // parquet row-group min/max stats serve range predicates
+    val vdir = java.nio.file.Paths.get(
+      GraftStore.versionDir(dir, GraftStore.currentVersion(dir)))
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(vdir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .toSeq
+    assert(files.size === 4, s"one compact file per bucket, got ${files.size}")
+    files.foreach { f =>
+      val amounts = spark.read.parquet(f.toString)
+        .select("amount").collect().map(_.getLong(0)).toSeq
+      assert(amounts === amounts.sorted, s"unsorted compacted file $f")
+    }
+  }
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
