@@ -585,7 +585,7 @@ object SourceQueries {
       cnts AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
       SELECT l.user_id, l.cents, c.n_events, TRUE AS spj_no_shuffle
       FROM latest l JOIN cnts c ON l.user_id = c.user_id
-      ORDER BY l.user_id""")),
+      ORDER BY l.user_id"""), bench = true),
 
     // ----- S18: merge-key bucket pruning, with measured file-count
     // evidence. A point lookup (`WHERE key = ...`) derives the key's
