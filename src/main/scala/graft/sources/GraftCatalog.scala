@@ -83,6 +83,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftChangesTable(ident.toString, dir)
     }
+    // `t$versions` is t's version history (DESCRIBE HISTORY analogue):
+    //   SELECT * FROM cat.`t$versions`
+    if (ident.name().endsWith(GraftCatalog.VersionsSuffix)) {
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(GraftCatalog.VersionsSuffix))
+      val dir = tableDir(baseIdent)
+      if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+      return new GraftVersionsTable(ident.toString, dir)
+    }
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
@@ -105,8 +114,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       "graft tables hash-bucket internally; PARTITIONED BY is not supported")
     require(!schema.fieldNames.contains(GraftStore.BucketCol),
       s"column name ${GraftStore.BucketCol} is reserved")
-    require(!ident.name().endsWith(ChangesSuffix),
-      s"table names ending in $ChangesSuffix are reserved for changelog reads")
+    require(!ident.name().endsWith(ChangesSuffix) &&
+        !ident.name().endsWith(GraftCatalog.VersionsSuffix),
+      "table names ending in the $changes/$versions suffixes are reserved " +
+        "for metadata reads")
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
@@ -114,6 +125,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       .getOrElse(Seq(schema.fieldNames.head))
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge_key column $k not in schema"))
+    // null merge keys would break row identity (SQL equality never matches
+    // null = null, so deletes/updates of a null-keyed row could not target
+    // it and upserts would accumulate duplicates) — require NOT NULL up
+    // front instead of corrupting later
+    keys.foreach(k => require(!schema(k).nullable,
+      s"merge_key column $k must be declared NOT NULL"))
     val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
     require(buckets > 0, "buckets must be positive")
     GraftStore.create(dir, GraftTableMeta(schema, keys, buckets))
@@ -263,8 +280,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     else throw new RuntimeException(s"no such procedure: $ident")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    require(!newIdent.name().endsWith(ChangesSuffix),
-      s"table names ending in $ChangesSuffix are reserved for changelog reads")
+    require(!newIdent.name().endsWith(ChangesSuffix) &&
+        !newIdent.name().endsWith(GraftCatalog.VersionsSuffix),
+      "table names ending in the $changes/$versions suffixes are reserved " +
+        "for metadata reads")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
@@ -276,6 +295,48 @@ object GraftCatalog {
   /** Identifier suffix routing to a table's changelog, e.g.
     * `` cat.`orders$changes` ``. */
   val ChangesSuffix = "$changes"
+  /** Identifier suffix routing to a table's version history, e.g.
+    * `` cat.`orders$versions` ``. */
+  val VersionsSuffix = "$versions"
+}
+
+/** A table's version history as a read-only metadata table (the
+  * DESCRIBE HISTORY analogue): one row per retained version with its
+  * layout stats and whether the pointer currently resolves to it. Served
+  * as a driver-local scan — rows ∝ retained versions, file listing is
+  * directory metadata, never data. */
+final class GraftVersionsTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val schema0 = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false),
+    StructField("n_buckets", IntegerType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("has_changelog", BooleanType, nullable = false)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"GraftVersions($tableName)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        GraftStore.recoverChangelog(dir)
+        val cur = GraftStore.currentVersion(dir)
+        GraftStore.listVersions(dir).map { v =>
+          val (nb, nf, bytes) = GraftStore.versionStats(dir, v)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](v, v == cur, nb, nf, bytes,
+              GraftStore.hasChangelog(dir, v)))
+        }.toArray
+      }
+    }
 }
 
 /** A table's changelog as a read-only DSv2 table: every committed change

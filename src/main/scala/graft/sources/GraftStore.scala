@@ -301,6 +301,28 @@ object GraftStore {
     }
   }
 
+  /** Layout stats for one retained version: (bucket dirs, data files,
+    * total bytes). Directory metadata only — never reads data. */
+  def versionStats(dir: String, v: Long): (Int, Long, Long) = {
+    val vdir = Paths.get(versionDir(dir, v))
+    if (!Files.isDirectory(vdir)) return (0, 0L, 0L)
+    var files = 0L
+    var bytes = 0L
+    val s = Files.walk(vdir)
+    try s.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")) {
+        files += 1
+        bytes += Files.size(p)
+      }
+    } finally s.close()
+    (bucketDirs(versionDir(dir, v)).size, files, bytes)
+  }
+
+  /** Whether version `v`'s changelog slice is still retained. */
+  def hasChangelog(dir: String, v: Long): Boolean =
+    Files.isDirectory(Paths.get(changesDir(dir, v)))
+
   def bucketExpr(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast(IntegerType)
 

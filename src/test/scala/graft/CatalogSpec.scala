@@ -862,6 +862,40 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("t$versions lists the retained version history") {
+    val t = mkTable("t_hist", buckets = 4)
+    val dir = s"$warehouse/t_hist"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")  // v1 (+changelog)
+    spark.sql(s"INSERT INTO $cat.$t VALUES (2, 'b', 20)")  // v2 (+changelog)
+    GraftStore.optimize(spark, dir, maxFilesPerBucket = 0) // v3 (no changelog)
+    val h = spark.sql(s"SELECT version, is_current, n_files, has_changelog " +
+        s"FROM $cat.`t_hist$$versions` ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+    assert(h.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(h.count(_._2) === 1 && h.last._2, "exactly the newest is current")
+    assert(h.map(_._4).toSeq === Seq(false, true, true, false),
+      "changelog flags: none for v0/compaction, per-commit for DML")
+    assert(h.last._3 > 0 && h.head._3 === 0L)
+    // retention reflects immediately
+    GraftStore.expireVersions(dir, keepLast = 2)
+    assert(spark.sql(s"SELECT version FROM $cat.`t_hist$$versions` ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("CREATE rejects nullable merge keys") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_nullkey")
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.t_nullkey
+        (k BIGINT, v STRING) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("must be declared NOT NULL")), s"got $e")
+  }
+
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
