@@ -240,6 +240,52 @@ object Scratch {
       base.unpersist(); batch.unpersist(); oneBucket.unpersist()
       GraftStore.dropTable(dir)
     }
+    // storage-partitioned join vs shuffle join on two co-bucketed store
+    // tables — the claim under test: SPJ removes both Exchanges, so the
+    // gap over the shuffle plan grows with data volume
+    for (k <- Seq(1, 10, 40) if want("spj")) {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_scale_spj_x$k").toString
+      spark.conf.set("spark.sql.catalog.graftprobe",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftprobe.warehouse", wh)
+      val base = replicate(
+        Tables.events(spark, d).select($"event_id".as("user_id"),
+          round($"value" * 100).cast("long").as("cents")),
+        k, Seq("user_id")).cache()
+      val n = base.count()
+      base.createOrReplaceTempView("spj_probe_src")
+      Seq("a", "b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS graftprobe.$t")
+        spark.sql(s"""CREATE TABLE graftprobe.$t
+          (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+          TBLPROPERTIES ('merge_key'='user_id', 'buckets'='64')""")
+        spark.sql(s"INSERT INTO graftprobe.$t SELECT * FROM spj_probe_src")
+        spark.sql(s"CALL graftprobe.optimize(table => '$t', max_files_per_bucket => 0)")
+      }
+      val q = """SELECT SUM(a.cents + b.cents) FROM graftprobe.a a
+                 JOIN graftprobe.b b ON a.user_id = b.user_id"""
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.graft.store.spj", "spark.sql.sources.v2.bucketing.enabled")
+        .map(c => c -> spark.conf.getOption(c)).toMap
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql(q).count() // warm codegen/JIT before timing either plan
+      time(f"spj    x$k%2d ($n%9d keys/side) shuffle join (SPJ off)") {
+        spark.sql(q).count()
+      }
+      spark.conf.set("spark.graft.store.spj", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.sql(q).count()
+      time(f"spj    x$k%2d ($n%9d keys/side) storage-partitioned join") {
+        spark.sql(q).count()
+      }
+      time(f"spj    x$k%2d ($n%9d keys/side) point lookup (bucket-pruned)") {
+        spark.sql("SELECT * FROM graftprobe.a WHERE user_id = 7").count()
+      }
+      saved.foreach { case (c, v) =>
+        v.fold(spark.conf.unset(c))(spark.conf.set(c, _)) }
+      base.unpersist()
+      Seq("a", "b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS graftprobe.$t"))
+    }
     // the x24 shape: chunk-with-overlap explode (map-side only)
     for (k <- Seq(1, 5, 20) if want("documents")) {
       val docs = Tables.documents(spark, d)
