@@ -124,8 +124,9 @@ def gen_sequence(idx):
             changes = [(v, c) for v, c in changes if v >= horizon]
             continue
         if kind == "overwrite":
-            # ONE atomic version commit (r8): new rows as I changelog; a
-            # changelog never spans an overwrite — consumers re-snapshot
+            # ONE atomic version commit (r8) with NO changelog slice — the
+            # missing slice is the detectable truncation boundary a CDC
+            # consumer must re-snapshot across
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
                     for k in fresh_keys(rng.randint(1, 4))]
             vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
@@ -133,7 +134,7 @@ def gen_sequence(idx):
             state.clear()
             for k, n, a in rows:
                 state[k] = (n, a)
-            commit(["I"] * len(rows))
+            version += 1  # the overwrite commit: no change rows
             continue
         if kind == "insert" or not state:
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))

@@ -159,6 +159,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+    // the read-fold-write below is serialized under the meta lock —
+    // concurrent ALTERs must not silently drop each other's DDL
+    GraftStore.withMetaLock(dir) {
     val meta = GraftStore.readMeta(dir)
     val newMeta = changes.foldLeft(meta) {
       case (m, add: TableChange.AddColumn) =>
@@ -245,6 +248,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     }
     GraftStore.writeMeta(dir, newMeta)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

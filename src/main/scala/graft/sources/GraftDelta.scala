@@ -39,6 +39,14 @@ final class GraftDeltaOperation(tableName: String, dir: String,
     meta: GraftTableMeta, cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
 
+  /** The statement's READ SNAPSHOT, pinned when the operation is built:
+    * the target scan reads this version and the commit verifies the table
+    * is STILL at this version under the commit claim — a concurrent
+    * commit landing anywhere in the scan-to-commit window (which can be a
+    * long rewrite job) surfaces as a clean conflict instead of silently
+    * rebasing the stale delta over someone else's data. */
+  private val snapshotVersion: Long = GraftStore.currentVersion(dir)
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftDelta($cmd, $tableName)"
 
@@ -46,10 +54,10 @@ final class GraftDeltaOperation(tableName: String, dir: String,
     meta.keyCols.map(Expressions.column).toArray
 
   /** Target-side scan for the rewrite join: same delegated parquet scan as
-    * a plain SELECT (pruned, pushed-down, vectorized). */
+    * a plain SELECT (pruned, pushed-down, vectorized), pinned to the
+    * snapshot version. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftTable.parquetScanBuilder(tableName, dir, meta,
-      GraftStore.currentVersion(dir), options)
+    GraftTable.parquetScanBuilder(tableName, dir, meta, snapshotVersion, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -59,7 +67,7 @@ final class GraftDeltaOperation(tableName: String, dir: String,
           val idSchema = info.rowIdSchema().orElseThrow(() =>
             new IllegalStateException("delta write without a row-id schema"))
           new GraftDeltaBatchWrite(dir, meta, info.schema(), idSchema,
-            GraftStore.stagingDir(dir, info.queryId()))
+            GraftStore.stagingDir(dir, info.queryId()), snapshotVersion)
         }
       }
     }
@@ -69,7 +77,8 @@ final class GraftDeltaOperation(tableName: String, dir: String,
 final case class GraftDeltaCommit(path: String) extends WriterCommitMessage
 
 final class GraftDeltaBatchWrite(dir: String, meta: GraftTableMeta,
-    rowSchema: StructType, idSchema: StructType, staging: String)
+    rowSchema: StructType, idSchema: StructType, staging: String,
+    snapshotVersion: Long)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
@@ -81,7 +90,8 @@ final class GraftDeltaBatchWrite(dir: String, meta: GraftTableMeta,
       val spark = SparkSession.active
       val changes = GraftDeltaBatchWrite.decodeStaged(
         spark, files.toSeq, meta.schema, rowSchema, idSchema)
-      GraftStore.applyChanges(spark, dir, changes)
+      GraftStore.applyChanges(spark, dir, changes,
+        expectedVersion = Some(snapshotVersion))
     } finally cleanup()
   }
 
@@ -205,33 +215,45 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
       if (Files.exists(lastEpochPath)) {
         val lines = new String(Files.readAllBytes(lastEpochPath), "UTF-8")
           .split("\n")
-        // legacy single-line marker (no queryId) is treated as stale
         if (lines.length >= 2 && lines(0) == queryId) lines(1).trim.toLong
+        else if (lines.length == 1 && lines(0).trim.nonEmpty)
+          // legacy single-line marker (pre-queryId format): attribute it to
+          // the CURRENT query — the common upgrade path is the same stream
+          // restarting from its checkpoint, and treating its high-water
+          // mark as stale would re-commit a replayed epoch (duplicates,
+          // the exact failure the marker prevents). The first commit
+          // rewrites the marker in the scoped format.
+          lines(0).trim.toLong
         else -1L
       } else -1L
     try {
       if (epochId <= last) return // replayed epoch of THIS query: committed
       val files = messages.collect { case GraftDeltaCommit(p) => p }
       val spark = SparkSession.active
+      // persisted: the dup-guard aggregate and applyChanges' own jobs all
+      // read the decoded epoch from cache instead of re-decoding the
+      // staged files per job
       val changes = GraftDeltaBatchWrite.decodeStaged(
         spark, files.toSeq, meta.schema, rowSchema,
-        StructType(meta.keyCols.map(k => meta.schema(k))))
-      if (upsert) {
-        // the store keeps ONE live row per merge key; an epoch carrying
-        // several rows for a key would insert them all (which row "wins"
-        // is undefined without an ordering column) — fail loudly and make
-        // the caller aggregate/dedupe per key upstream. Cost: one small
-        // agg over the epoch's rows, never the table.
-        import org.apache.spark.sql.functions.{col, count, lit}
-        val dup = changes.groupBy(meta.keyCols.map(col): _*)
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-        if (dup.nonEmpty) throw new IllegalStateException(
-          s"upsert epoch $epochId has multiple rows for merge key " +
-            dup.head.toSeq.init.mkString("(", ",", ")") +
-            "; dedupe or aggregate per key before the sink")
-      }
-      GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert,
-        commutative = upsert)
+        StructType(meta.keyCols.map(k => meta.schema(k)))).persist()
+      try {
+        if (upsert) {
+          // the store keeps ONE live row per merge key; an epoch carrying
+          // several rows for a key would insert them all (which row "wins"
+          // is undefined without an ordering column) — fail loudly and make
+          // the caller aggregate/dedupe per key upstream. Cost: one small
+          // agg over the epoch's rows, never the table.
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val dup = changes.groupBy(meta.keyCols.map(col): _*)
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+          if (dup.nonEmpty) throw new IllegalStateException(
+            s"upsert epoch $epochId has multiple rows for merge key " +
+              dup.head.toSeq.init.mkString("(", ",", ")") +
+              "; dedupe or aggregate per key before the sink")
+        }
+        GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert,
+          commutative = upsert)
+      } finally changes.unpersist()
       val tmp = Paths.get(dir, "_last_stream_epoch.tmp")
       Files.write(tmp, s"$queryId\n$epochId".getBytes("UTF-8"))
       Files.move(tmp, lastEpochPath,

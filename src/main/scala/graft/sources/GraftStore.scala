@@ -138,6 +138,49 @@ object GraftStore {
 
   def exists(dir: String): Boolean = Files.exists(metaPath(dir))
 
+  /** Serialize read-modify-write cycles on `_meta.json` (ALTER TABLE):
+    * without this, two concurrent ALTERs both fold over the same base meta
+    * and the last writeMeta silently drops the other's DDL (worst case a
+    * lost DROP tombstone lets a later ADD resurrect dropped data). ALTERs
+    * are milliseconds, so the stale-break window is short. */
+  private[sources] def withMetaLock[A](dir: String,
+      staleMs: Long = 60000L)(f: => A): A = {
+    val lock = Paths.get(dir, "_meta_lock")
+    var attempt = 0
+    while (attempt < 200) {
+      val acquired =
+        try { Files.write(lock, Array.emptyByteArray,
+          java.nio.file.StandardOpenOption.CREATE_NEW); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val age = try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+            if (age > staleMs) Files.deleteIfExists(lock) // crashed holder
+            false
+        }
+      if (acquired) {
+        try return f finally Files.deleteIfExists(lock)
+      }
+      attempt += 1
+      Thread.sleep(10)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"meta lock busy for $dir")
+  }
+
+  /** Hard-link one bucket's data files from `srcVersionDir` into
+    * `nextDir` — the carry-over step shared by commit and compaction (an
+    * object store would manifest-reference instead; local links are free). */
+  private def linkBucket(srcVersionDir: String, nextDir: String, b: Int): Unit = {
+    val src = Paths.get(srcVersionDir, s"$BucketCol=$b")
+    val dst = Paths.get(nextDir, s"$BucketCol=$b")
+    Files.createDirectories(dst)
+    listDir(src)(_.filter(f => Files.isRegularFile(f) &&
+        !f.getFileName.toString.startsWith("."))
+      .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
+  }
+
   def writeMeta(dir: String, meta: GraftTableMeta): Unit = {
     Files.createDirectories(Paths.get(dir))
     // schema via StructType.json (public, round-trips NOT NULL); keys and
@@ -179,11 +222,14 @@ object GraftStore {
     * are held for the duration of the rewrite job, so the threshold errs
     * long; an operator can delete `_commit-*` after a known crash). */
   private[sources] def claimCommit(dir: String, next: Long,
-      staleClaimMillis: Long = 3600000L): Path = {
+      staleClaimMillis: Long = 3600000L): (Path, String) = {
     val marker = Paths.get(dir, f"_commit-$next%010d")
-    try Files.write(marker,
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-        .getBytes("UTF-8"),
+    // ownership token: release only deletes the marker if it still holds
+    // OUR token — after a stale takeover the original writer's release
+    // must NOT remove the new owner's claim (that would re-open the
+    // version to a third writer mid-commit)
+    val token = java.util.UUID.randomUUID().toString
+    try Files.write(marker, token.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -204,7 +250,7 @@ object GraftStore {
                   "(stale claim broken by another writer)")
           }
           Files.deleteIfExists(tomb)
-          try Files.write(marker, Array.emptyByteArray,
+          try Files.write(marker, token.getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW)
           catch {
             case _: java.nio.file.FileAlreadyExistsException =>
@@ -215,8 +261,15 @@ object GraftStore {
           s"concurrent commit in flight for version $next of $dir " +
             s"(claim age ${age} ms)")
     }
-    marker
+    (marker, token)
   }
+
+  /** Release a claim ONLY if we still own it (token match). */
+  private[sources] def releaseClaim(marker: Path, token: String): Unit =
+    try {
+      if (new String(Files.readAllBytes(marker), "UTF-8") == token)
+        Files.deleteIfExists(marker)
+    } catch { case _: java.io.IOException => () }
 
   private def writePointer(dir: String, v: Long): Unit = {
     val tmp = Paths.get(dir, "_current.tmp")
@@ -278,7 +331,7 @@ object GraftStore {
     recoverChangelog(dir)
     val cur = currentVersion(dir)
     val next = cur + 1
-    val marker = claimCommit(dir, next)
+    val (marker, token) = claimCommit(dir, next)
     try {
       if (currentVersion(dir) != cur)
         throw new java.util.ConcurrentModificationException(
@@ -287,7 +340,7 @@ object GraftStore {
       deleteRecursively(nd)
       Files.createDirectories(nd)
       writePointer(dir, next)
-    } finally Files.deleteIfExists(marker)
+    } finally releaseClaim(marker, token)
   }
 
   def dropTable(dir: String): Unit = deleteRecursively(Paths.get(dir))
@@ -370,12 +423,15 @@ object GraftStore {
     * and the pointer flips once — readers see the old content or the new,
     * never an empty table in between, and a crash leaves the old version
     * current (the two-commit truncate+append shape had both holes, r7
-    * ADVICE). Its changelog carries the new rows as inserts; like
-    * TRUNCATE, a changelog never spans an overwrite — consumers
-    * re-snapshot. */
+    * ADVICE). Like TRUNCATE, an overwrite writes NO changelog slice — a
+    * changelog never spans a truncation, and the MISSING slice is the
+    * detectable boundary (`hasChangelog(v) == false`): a CDC consumer
+    * folding past it would silently resurrect overwritten rows, so it
+    * must re-snapshot instead. */
   def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
       allInserts: Boolean = false, overwrite: Boolean = false,
-      commutative: Boolean = false): Long = {
+      commutative: Boolean = false,
+      expectedVersion: Option[Long] = None): Long = {
     require(!overwrite || allInserts, "overwrite implies an all-insert batch")
     val meta = readMeta(dir)
     recoverChangelog(dir)
@@ -408,6 +464,16 @@ object GraftStore {
       while (committed < 0) {
         val cur = currentVersion(dir)
         val next = cur + 1
+        // a row-level delta pins its READ SNAPSHOT when its target scan is
+        // planned; if the table has moved since — anywhere in the long
+        // scan-to-commit window, not just inside this loop — the delta is
+        // stale and must conflict, never silently rebase over the
+        // intervening commit
+        expectedVersion.filter(_ != cur).foreach { v =>
+          throw new java.util.ConcurrentModificationException(
+            s"table $dir advanced from the statement's snapshot v$v to " +
+              s"v$cur during the rewrite; re-run the statement")
+        }
         val claimed =
           try Some(claimCommit(dir, next))
           catch {
@@ -417,15 +483,24 @@ object GraftStore {
               Thread.sleep(math.min(500L, 20L * attempt))
               None
           }
-        claimed.foreach { marker =>
+        claimed.foreach { case (marker, token) =>
           try {
             if (currentVersion(dir) == cur) {
               committed = commitVersion(spark, dir, meta, ch, touched,
                 cur, allInserts, overwrite)
-            } else if (!retriable) throw new java.util.ConcurrentModificationException(
-              s"table $dir advanced past version $cur during the delta " +
-                "rewrite; re-run the statement against the new version")
-          } finally Files.deleteIfExists(marker)
+            } else {
+              // claim won but the pointer moved first (stale pre-claim
+              // read): count it against the retry budget and back off —
+              // without this a contended writer busy-spins claim/release
+              if (!retriable) throw new java.util.ConcurrentModificationException(
+                s"table $dir advanced past version $cur during the delta " +
+                  "rewrite; re-run the statement against the new version")
+              attempt += 1
+              if (attempt >= maxAttempts) throw new java.util.ConcurrentModificationException(
+                s"table $dir under sustained write contention; gave up after $attempt attempts")
+              Thread.sleep(math.min(500L, 20L * attempt))
+            }
+          } finally releaseClaim(marker, token)
         }
       }
       committed
@@ -525,7 +600,9 @@ object GraftStore {
       val rewritten: Set[Int] = {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        val chF = Future(changelogLeg())(commitPool)
+        val chF =
+          if (overwrite) Future.successful(()) // overwrite: no changelog slice
+          else Future(changelogLeg())(commitPool)
         val dataF = Future(dataLeg())(commitPool)
         try {
           val r = Await.result(dataF, Duration.Inf)
@@ -538,14 +615,7 @@ object GraftStore {
       // store would manifest-reference them; local FS links are free).
       // An overwrite carries nothing over — the new data IS the version.
       val carried = if (overwrite) Set.empty[Int] else existing -- rewritten
-      carried.foreach { b =>
-        val src = Paths.get(versionDir(dir, cur), s"$BucketCol=$b")
-        val dst = Paths.get(nextDir, s"$BucketCol=$b")
-        Files.createDirectories(dst)
-        listDir(src)(_.filter(f => Files.isRegularFile(f) &&
-            !f.getFileName.toString.startsWith("."))
-          .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
-      }
+      carried.foreach(linkBucket(versionDir(dir, cur), nextDir, _))
       // A remnant final-named change dir for `next` can only predate this
       // commit (publication always happens after the flip, so a live one
       // would imply pointer >= next). Clear it BEFORE the flip — after the
@@ -558,10 +628,12 @@ object GraftStore {
       writePointer(dir, next)
       // Publish the changelog: visible name only after the commit point.
       // If staging is already gone, a reader won the publish — done.
-      try Files.move(Paths.get(chDir), chFinal, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.NoSuchFileException if Files.exists(chFinal) => ()
-        case _: java.nio.file.FileAlreadyExistsException => ()
+      if (!overwrite) {
+        try Files.move(Paths.get(chDir), chFinal, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.NoSuchFileException if Files.exists(chFinal) => ()
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
       }
       next
     }
@@ -596,7 +668,7 @@ object GraftStore {
     }.toSet
     if (fragmented.isEmpty) return cur
     val next = cur + 1
-    val marker = claimCommit(dir, next)
+    val (marker, token) = claimCommit(dir, next)
     try {
       if (currentVersion(dir) != cur)
         throw new java.util.ConcurrentModificationException(
@@ -616,17 +688,11 @@ object GraftStore {
         if (sortPhys.isEmpty) rep
         else rep.sortWithinPartitions((BucketCol +: sortPhys).map(col): _*)
       clustered.write.partitionBy(BucketCol).parquet(nextDir)
-      (bucketDirs(curDir).toSet -- fragmented).foreach { b =>
-        val src = Paths.get(curDir, s"$BucketCol=$b")
-        val dst = Paths.get(nextDir, s"$BucketCol=$b")
-        Files.createDirectories(dst)
-        listDir(src)(_.filter(f => Files.isRegularFile(f) &&
-            !f.getFileName.toString.startsWith("."))
-          .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
-      }
+      (bucketDirs(curDir).toSet -- fragmented)
+        .foreach(linkBucket(curDir, nextDir, _))
       writePointer(dir, next)
       next
-    } finally Files.deleteIfExists(marker)
+    } finally releaseClaim(marker, token)
   }
 
   /** Drop changelog slices below `keepFromVersion` — changelog retention.

@@ -143,6 +143,13 @@ final class GraftBucketDerivation(keyCols: Seq[String], nBuckets: Int,
         vs.nonEmpty && vs.forall(v => v.isInstanceOf[Literal] &&
           v.asInstanceOf[Literal].value != null) =>
       Some(vs.map(_.asInstanceOf[Literal]))
+    // the optimizer rewrites IN-lists past inSetConversionThreshold
+    // (default 10) to InSet BEFORE pushdown — without this case an 11-key
+    // lookup silently full-scans while a 10-key one prunes
+    case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, hset)
+        if a.name == k && hset.nonEmpty && hset.size <= MaxCombos &&
+          !hset.contains(null) =>
+      Some(hset.toSeq.map(v => Literal(v, a.dataType)))
     case _ => None
   }
 }

@@ -515,10 +515,11 @@ class CatalogSpec extends SparkTestBase {
     // concurrent reader could observe or a crash could strand (r7 ADVICE)
     assert(GraftStore.currentVersion(dir) === v1 + 1)
     assert(rows(t) === Seq((7L, "z", 70L)))
-    // its changelog is the new content as inserts, in that single version
-    val ch = GraftStore.readChanges(spark, dir, v1 + 1, v1 + 1)
-      .select("change_op", "k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(ch === Seq(("I", 7L)))
+    // like TRUNCATE, the overwrite writes NO changelog slice — the missing
+    // slice is the detectable re-snapshot boundary for CDC consumers
+    assert(GraftStore.readChanges(spark, dir, v1 + 1, v1 + 1).count() === 0L)
+    assert(!GraftStore.hasChangelog(dir, v1 + 1))
+    assert(GraftStore.hasChangelog(dir, v1), "pre-overwrite slices retained")
     // time travel still sees the pre-overwrite content
     assert(spark.sql(s"SELECT k FROM $cat.$t VERSION AS OF $v1 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
@@ -797,6 +798,14 @@ class CatalogSpec extends SparkTestBase {
     assert(in.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 77L, 250L))
     val inFiles = fileCount(scanOf(in))
     assert(inFiles < fullFiles, s"IN pruning: $inFiles vs $fullFiles")
+    // past inSetConversionThreshold (default 10) the optimizer rewrites
+    // the list to InSet — derivation must still fire
+    val big = (1L to 12L).mkString(", ")
+    val inSet = spark.sql(s"SELECT k FROM $cat.$t WHERE k IN ($big)")
+    assert(inSet.collect().map(_.getLong(0)).sorted.toSeq === (1L to 12L))
+    assert(scanOf(inSet).toString.contains(GraftStore.BucketCol) ||
+      inSet.queryExecution.executedPlan.toString.contains(GraftStore.BucketCol),
+      "InSet-shaped lookups must still derive the bucket filter")
   }
 
   private def fileCount(

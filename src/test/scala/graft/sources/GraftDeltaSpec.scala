@@ -54,7 +54,7 @@ class GraftDeltaSpec extends SparkTestBase {
     zombie.commit() // file persists; message dropped below
 
     val batch = new GraftDeltaBatchWrite(dir, GraftStore.readMeta(dir),
-      rowSchema, idSchema, staging)
+      rowSchema, idSchema, staging, GraftStore.currentVersion(dir))
     batch.commit(Array(msg))
 
     val rows = GraftStore
@@ -114,10 +114,39 @@ class GraftDeltaSpec extends SparkTestBase {
     w.insert(row(5, "x", 50))
     val msg = w.commit()
     val batch = new GraftDeltaBatchWrite(dir, GraftStore.readMeta(dir),
-      rowSchema, idSchema, staging)
+      rowSchema, idSchema, staging, GraftStore.currentVersion(dir))
     batch.abort(Array(msg))
     assert(!Files.exists(Paths.get(staging)))
     assert(GraftStore.currentVersion(dir) === 0L, "no version committed")
+  }
+
+  test("a delta pinned to a stale snapshot conflicts, not silently rebases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snapshot_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    GraftStore.applyChanges(spark, dir,
+      Seq((1L, "a", 10L)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true) // v1
+    val snapshot = GraftStore.currentVersion(dir)
+    // a concurrent writer lands v2 between the statement's scan and commit
+    GraftStore.applyChanges(spark, dir,
+      Seq((2L, "b", 20L)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true) // v2
+    val stale = Seq((1L, "a9", 99L)).toDF("k", "name", "amount")
+      .withColumn(GraftStore.OpCol, lit("U"))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftStore.applyChanges(spark, dir, stale,
+        expectedVersion = Some(snapshot))
+    }
+    // untouched by the failed statement; re-running against the current
+    // version succeeds
+    assert(GraftStore.readVersion(spark, dir, GraftStore.currentVersion(dir))
+      .filter(col("k") === 1L).head().getLong(2) === 10L)
+    GraftStore.applyChanges(spark, dir, stale,
+      expectedVersion = Some(GraftStore.currentVersion(dir)))
+    assert(GraftStore.readVersion(spark, dir, GraftStore.currentVersion(dir))
+      .filter(col("k") === 1L).head().getLong(2) === 99L)
   }
 
   test("commit-claim crash protocol: stale takeover has one winner, remnants clear") {
@@ -135,12 +164,16 @@ class GraftDeltaSpec extends SparkTestBase {
     }
     // ...and a takeover past the window wins exactly once
     Thread.sleep(20) // claim age must exceed the (zero) stale window
-    val won = GraftStore.claimCommit(dir, 1L, staleClaimMillis = 0L)
+    val (won, wonToken) = GraftStore.claimCommit(dir, 1L, staleClaimMillis = 0L)
     assert(Files.exists(won))
+    // the crashed owner's release is a no-op on the takeover's claim
+    GraftStore.releaseClaim(won, "not-the-owner-token")
+    assert(Files.exists(won), "release without ownership must not delete")
     intercept[java.util.ConcurrentModificationException] {
       GraftStore.claimCommit(dir, 1L, staleClaimMillis = Long.MaxValue)
     }
-    Files.deleteIfExists(won)
+    GraftStore.releaseClaim(won, wonToken)
+    assert(!Files.exists(won))
     // the next real commit through the store sweeps the crash remnants:
     // partial vdir rebuilt, orphan changelog staging dropped, pointer at 1
     import spark.implicits._
