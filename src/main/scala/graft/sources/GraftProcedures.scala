@@ -22,13 +22,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * operation (same claim-coordinated commit protocol as DML) and returns
   * a one-row result summarizing what happened. */
 object GraftProcedures {
-  val Names: Seq[String] = Seq("optimize", "expire_versions", "expire_changes")
+  val Names: Seq[String] = Seq("optimize", "expire_versions", "expire_changes", "vacuum")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact buckets with more than max_files_per_bucket " +
       "files into one file each (new version, no changelog entry)"),
     "expire_versions" -> "keep the newest keep_last versions, delete older",
-    "expire_changes" -> "drop changelog slices below keep_from_version")
+    "expire_changes" -> "drop changelog slices below keep_from_version",
+    "vacuum" -> ("remove abandoned staging dirs and stale claim tombs " +
+      "older than older_than_ms (committed data is never touched)"))
 
   private[sources] def params(name: String): Array[ProcedureParameter] = name match {
     case "optimize" => Array(
@@ -42,6 +44,10 @@ object GraftProcedures {
     case "expire_changes" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_from_version", LongType).build())
+    case "vacuum" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType)
+        .defaultValue("3600000").build())
   }
 }
 
@@ -74,6 +80,8 @@ final class GraftProcedure(procName: String, tableDir: String => String)
         case "expire_changes" =>
           GraftStore.expireChanges(dir, input.getLong(1))
           ("changes_from_version", input.getLong(1))
+        case "vacuum" =>
+          ("entries_removed", GraftStore.vacuum(dir, input.getLong(1)))
       }
       val schema = StructType(Seq(StructField(col, LongType, nullable = false)))
       util.Collections.singletonList[Scan](new GraftResultScan(schema,

@@ -708,6 +708,28 @@ object GraftStore {
       .toList).foreach(deleteRecursively)
   }
 
+  /** Remove abandoned write debris: `_staging/<queryId>` dirs and stale
+    * claim tombs older than `olderThanMillis` (their writers are gone — a
+    * LIVE write's staging is always younger than its own runtime, so a
+    * generous threshold is safe). Committed data, versions, and changelog
+    * are never touched. Returns the number of entries removed. */
+  def vacuum(dir: String, olderThanMillis: Long = 3600000L): Long = {
+    val now = System.currentTimeMillis()
+    var removed = 0L
+    val stagingRoot = Paths.get(dir, "_staging")
+    if (Files.isDirectory(stagingRoot)) {
+      listDir(stagingRoot)(_.toList).foreach { p =>
+        val age = try now - Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => -1L }
+        if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
+      }
+    }
+    listDir(Paths.get(dir))(_.filter(
+        _.getFileName.toString.matches("_commit-\\d{10}\\.stale-\\d+")).toList)
+      .foreach { p => Files.deleteIfExists(p); removed += 1 }
+    removed
+  }
+
   /** Changes-table schema: logical columns (all nullable — delete rows
     * carry only the key), the operation, and the committing version. */
   def changesSchema(meta: GraftTableMeta): StructType = {

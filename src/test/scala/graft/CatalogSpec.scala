@@ -891,6 +891,27 @@ class CatalogSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
   }
 
+  test("CALL vacuum sweeps abandoned staging, never committed data") {
+    val t = mkTable("t_vac", buckets = 4)
+    val dir = s"$warehouse/t_vac"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")
+    // abandoned debris from crashed writers
+    val orphan = java.nio.file.Paths.get(GraftStore.stagingDir(dir, "dead-query"))
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("t-0.bin"), Array[Byte](1, 2, 3))
+    val tomb = java.nio.file.Paths.get(dir, f"_commit-${9L}%010d.stale-12345")
+    Files.write(tomb, Array.emptyByteArray)
+    // young debris survives an age-gated vacuum; old debris goes
+    assert(spark.sql(s"CALL $cat.vacuum('t_vac', ${Long.MaxValue})")
+      .head().getLong(0) === 1L) // only the tomb (no age on tombs)
+    assert(Files.exists(orphan) && !Files.exists(tomb))
+    Thread.sleep(10) // staging age must exceed the zero threshold
+    assert(spark.sql(s"CALL $cat.vacuum(table => 't_vac', older_than_ms => 0)")
+      .head().getLong(0) >= 1L)
+    assert(!Files.exists(orphan), "orphan staging must be swept")
+    assert(rows(t) === Seq((1L, "a", 10L)), "data untouched")
+  }
+
   test("CREATE rejects nullable merge keys") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_nullkey")
