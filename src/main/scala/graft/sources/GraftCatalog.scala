@@ -357,12 +357,20 @@ final class GraftChangesTable(tableName: String, dir: String)
   override def name(): String = tableName
   override def schema(): StructType = GraftStore.changesSchema(meta)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // finish any committed-but-unpublished changelog first; uncommitted
     // batches live in dot-prefixed staging dirs this scan never sees
     GraftStore.recoverChangelog(dir)
+    val batch = batchScanBuilder(options)
+    // `readStream.table` on this table streams the changelog with
+    // VERSION-ALIGNED micro-batches (GraftChangesMicroBatchStream)
+    new org.apache.spark.sql.GraftStreamableScanBuilder(batch,
+      () => new GraftChangesMicroBatchStream(dir, meta))
+  }
+
+  private def batchScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val delegate = ParquetTable(s"graft:$tableName", SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(GraftStore.changesRoot(dir)),
       Some(GraftStore.physicalChangesSchema(meta)),

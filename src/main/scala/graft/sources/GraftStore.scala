@@ -320,7 +320,15 @@ object GraftStore {
           case _: java.nio.file.NoSuchFileException => ()
           case _: java.nio.file.FileAlreadyExistsException => ()
         }
-      } else deleteRecursively(p)
+      } else if (!Files.exists(Paths.get(dir, f"_commit-$v%010d"))) {
+        // staging above the pointer with NO commit claim = a crashed
+        // writer's remnant. With a claim present the writer is IN FLIGHT
+        // (it writes its changelog staging while holding the claim) and a
+        // concurrent reader's recovery must not destroy it mid-commit —
+        // if that writer is actually dead, its claim goes stale, the next
+        // claimant's commitVersion clears the staging, or vacuum does.
+        deleteRecursively(p)
+      }
     }
   }
 

@@ -684,6 +684,87 @@ object StreamingQueries {
         (SELECT CAST(COUNT(*) AS BIGINT) FROM after3 WHERE pop > 1200), TRUE
       ORDER BY change_version""")),
 
+    // ----- T12: the changelog as a native DSv2 micro-batch stream —
+    // `spark.readStream.table("cat.`t$changes`")` with VERSION-ALIGNED
+    // batches (offsets are store version numbers, so batch boundaries are
+    // transaction boundaries; the file-stream route t10 uses batches by
+    // file discovery instead). Same DML program and closed-form
+    // per-version oracle as t10, drained under AvailableNow through the
+    // table-API route, plus the streamed-multiset == batch-readChanges
+    // equality.
+    GraftQuery("t12_changes_table_stream", (s, d) => {
+      import s.implicits._
+      graft.operators.DmlFixture.register(s)
+      val G = graft.sources.GraftStore
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("t12_src")
+      s.sql("""SELECT k, (r + 1) % 5 AS r, pop + 1000 AS pop, 'upsert' AS op
+               FROM t12_src WHERE k % 3 = 0 AND k % 7 <> 4
+               UNION ALL
+               SELECT k, r, pop, 'delete' FROM t12_src WHERE k % 7 = 4
+               UNION ALL
+               SELECT id + 100, (id + 100) % 5, (id + 100) * 10 + 7, 'upsert'
+               FROM range(5)""").createOrReplaceTempView("t12_chg")
+      s.sql("DROP TABLE IF EXISTS graftdml.cts_state")
+      s.sql("""CREATE TABLE graftdml.cts_state
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.cts_state SELECT k, r, pop FROM t12_src")
+      s.sql("""MERGE INTO graftdml.cts_state t USING t12_chg c ON t.k = c.k
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET r = c.r, pop = c.pop
+        WHEN NOT MATCHED AND c.op <> 'delete' THEN
+          INSERT (k, r, pop) VALUES (c.k, c.r, c.pop)""")
+      s.sql("UPDATE graftdml.cts_state SET pop = pop + 3 WHERE r = 2")
+      s.sql("DELETE FROM graftdml.cts_state WHERE pop > 1200")
+
+      val dir = s"${graft.operators.DmlFixture.warehouse}/cts_state"
+      val streamed = runToMemoryAvailableNow(s,
+        s.readStream.table("graftdml.`cts_state$changes`")
+          .select($"change_version", $"change_op"),
+        OutputMode.Append())
+      val batch = G.readChanges(s, dir, 1L, 4L)
+        .select($"change_version", $"change_op")
+      val streamEqBatch = streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty
+      streamed.groupBy($"change_version")
+        .agg(sum(when($"change_op" === "I", 1L).otherwise(0L)).as("n_ins"),
+          sum(when($"change_op" === "U", 1L).otherwise(0L)).as("n_upd"),
+          sum(when($"change_op" === "D", 1L).otherwise(0L)).as("n_del"))
+        .withColumn("stream_eq_batch", lit(streamEqBatch))
+        .orderBy($"change_version")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      after2 AS (
+        SELECT k, CASE WHEN k % 3 = 0 THEN (r + 1) % 5 ELSE r END AS r,
+          CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+        FROM src WHERE k % 7 <> 4
+        UNION ALL
+        SELECT CAST(i + 100 AS BIGINT), CAST((i + 100) % 5 AS BIGINT),
+          CAST((i + 100) * 10 + 7 AS BIGINT) FROM range(5) t(i)),
+      after3 AS (SELECT k, r, CASE WHEN r = 2 THEN pop + 3 ELSE pop END AS pop
+                 FROM after2)
+      SELECT CAST(1 AS BIGINT) AS change_version,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_ins,
+        CAST(0 AS BIGINT) AS n_upd, CAST(0 AS BIGINT) AS n_del,
+        TRUE AS stream_eq_batch
+      UNION ALL
+      SELECT 2, 5,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src WHERE k % 3 = 0 AND k % 7 <> 4),
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src WHERE k % 7 = 4), TRUE
+      UNION ALL
+      SELECT 3, 0,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM after2 WHERE r = 2), 0, TRUE
+      UNION ALL
+      SELECT 4, 0, 0,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM after3 WHERE pop > 1200), TRUE
+      ORDER BY change_version""")),
+
     // ----- T11: declarative streaming UPSERT into the DML store —
     // `writeStream.option("upsert","true").toTable(...)` commits each
     // epoch's rows as keyed updates (delete-old + insert-new per merge

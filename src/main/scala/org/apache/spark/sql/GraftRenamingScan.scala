@@ -241,6 +241,51 @@ final class GraftBucketReaderFactory(
     delegate.supportColumnarReads(unwrap(p))
 }
 
+/** Adds a micro-batch streaming leg to a batch ScanBuilder (in-package for
+  * the same `private[sql]` pushdown-interface reason as the renaming
+  * builder): batch queries flow through `inner` untouched — pruning,
+  * filters, the works — while `readStream.table` gets the supplied
+  * [[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]]
+  * (streaming v2 relations bypass pushdown, so the stream path always
+  * sees the full schema and the two legs never interact). */
+final class GraftStreamableScanBuilder(inner: ScanBuilder,
+    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+    case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = inner match {
+    case p: SupportsPushDownCatalystFilters => p.pushFilters(filters)
+    case _ => filters
+  }
+  override def pushedFilters(): Array[Predicate] = inner match {
+    case p: SupportsPushDownCatalystFilters => p.pushedFilters
+    case _ => Array.empty
+  }
+  override def build(): Scan = new GraftStreamableScan(inner.build(), mkStream)
+}
+
+final class GraftStreamableScan(delegate: Scan,
+    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+    extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = mkStream()
+  override def description(): String = delegate.description()
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+}
+
 final class GraftRenamingScan(delegate: Scan,
     mapSchemaToLog: StructType => StructType)
     extends Scan with SupportsReportStatistics {

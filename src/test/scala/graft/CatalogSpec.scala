@@ -912,6 +912,46 @@ class CatalogSpec extends SparkTestBase {
     assert(rows(t) === Seq((1L, "a", 10L)), "data untouched")
   }
 
+  test("readStream.table on t$changes streams version-aligned CDC batches") {
+    val t = mkTable("t_cdcs")
+    val dir = s"$warehouse/t_cdcs"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)") // v1
+    spark.sql(s"UPDATE $cat.$t SET amount = 21 WHERE k = 2")            // v2
+    val ckpt = Files.createTempDirectory("graft_cdcs_ckpt").toString
+    val seen = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    def start() = spark.readStream.table(s"$cat.`t_cdcs$$changes`")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("change_version", "change_op", "k").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        seen.synchronized { seen ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(seen.toSet === Set((1L, "I", 1L), (1L, "I", 2L), (2L, "U", 2L)))
+      // a new commit arrives as its own version-aligned batch
+      spark.sql(s"DELETE FROM $cat.$t WHERE k = 1") // v3
+      q1.processAllAvailable()
+      assert(seen.size === 4 && seen.toSet.contains((3L, "D", 1L)))
+    } finally q1.stop()
+    // restart from the checkpoint: already-streamed versions are NOT
+    // replayed; only post-restart commits flow
+    seen.synchronized { seen.clear() }
+    val q2 = start()
+    try {
+      spark.sql(s"INSERT INTO $cat.$t VALUES (7, 'g', 70)") // v4
+      q2.processAllAvailable()
+      assert(seen.toSet === Set((4L, "I", 7L)),
+        s"restart must resume at the checkpointed version, got ${seen.toSet}")
+    } finally q2.stop()
+    // the stream sees logical names and before-images like the batch path
+    val batch = GraftStore.readChanges(spark, dir, 1L, 4L).count()
+    assert(batch === 5L)
+  }
+
   test("CREATE rejects nullable merge keys") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_nullkey")
