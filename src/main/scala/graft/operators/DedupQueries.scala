@@ -35,17 +35,22 @@ object DedupQueries {
     * (jaccard intersections, posting-list joins) run on longs; a 64-bit
     * collision among ~260k distinct shingles (p ≈ 2e-9) is the accepted
     * trade for that. */
-  def docShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val n = size($"toks")
-    T.documents(s, d)
-      .select($"doc_id", transform(split(trim($"text"), " "), t => xxhash64(t)).as("toks"))
+  def docShingles(s: SparkSession, d: String): DataFrame =
+    shingleSets(T.documents(s, d))
+
+  /** The shingle pipeline over any (doc_id, text) frame — shared by the
+    * standard corpus and derived fixtures (n3b's boilerplate-planted one). */
+  def shingleSets(docs: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    docs
+      .select(col("doc_id"),
+        transform(split(trim(col("text")), " "), t => xxhash64(t)).as("toks"))
       .filter(n >= 3)
-      .select($"doc_id",
+      .select(col("doc_id"),
         array_distinct(zip_with(
-          zip_with(slice($"toks", lit(1), n - 2), slice($"toks", lit(2), n - 2),
+          zip_with(slice(col("toks"), lit(1), n - 2), slice(col("toks"), lit(2), n - 2),
             (a, b) => xxhash64(a, b)),
-          slice($"toks", lit(3), n - 2),
+          slice(col("toks"), lit(3), n - 2),
           (ab, c) => xxhash64(ab, c))).as("sh"))
   }
 
@@ -144,6 +149,64 @@ object DedupQueries {
         .select($"a", $"b", $"jaccard")
         .orderBy($"a", $"b")
     }, Some(exactPairsSql)),
+
+    // ----- N3b: the exact posting-list join with a DOCUMENT-FREQUENCY
+    // cap — the guard the exact paths need at corpus scale. A shingle
+    // occurring in k docs emits k² pairs from the equi self-join, so one
+    // boilerplate stop-phrase shared by every document (license footers,
+    // crawl banners) turns the exact path quadratic on a hot key. The cap
+    // drops shingles with df > 50% of the corpus BEFORE the join — pair
+    // cost then scales with the df-bounded posting lists, and the
+    // exact-Jaccard contract holds on the SURVIVING grams (per-doc sizes
+    // recomputed post-cap, which is the semantics a dedup pipeline wants:
+    // boilerplate shared by everyone is evidence of nothing). The gate
+    // PLANTS the hazard — an identical footer appended to every doc — and
+    // the DuckDB mirror applies the identical cap, so the hash match
+    // proves both the bounded plan and the capped semantics.
+    GraftQuery("n3b_ngram_jaccard_dfcap", (s, d) => {
+      import s.implicits._
+      val footer = " graft corpus footer all rights reserved do not redistribute this document"
+      val docs = T.documents(s, d)
+        .select($"doc_id", concat($"text", lit(footer)).as("text"))
+      val ex = shingleSets(docs)
+        .select($"doc_id", explode($"sh").as("sval"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // df per shingle (sets are per-doc distinct, so count = doc count);
+      // the 1-row corpus total rides a crossJoin, never a collect
+      val keptKeys = ex.groupBy($"sval").agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs)
+        .filter($"df" <= $"n_docs" * 0.5)
+        .select($"sval")
+      val kept = ex.join(keptKeys, "sval")
+      val sz = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = kept.as("x").join(kept.as("y"),
+          col("x.sval") === col("y.sval") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("isz"))
+      inter
+        .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+        .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
+        .withColumn("jaccard", $"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz"))
+        .filter($"jaccard" >= 0.5)
+        .select($"a", $"b", $"jaccard")
+        .orderBy($"a", $"b")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text ||
+             ' graft corpus footer all rights reserved do not redistribute this document'),
+             ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM t,
+             unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]) AS u(s)),
+      dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
+               WHERE dfq.df <= 0.5 * (SELECT COUNT(*) FROM documents)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+      SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      ORDER BY a, b""")),
 
     // ----- N6: near-dup clusters — connected components over the exact
     // pair graph by iterative min-label propagation (each iteration is one

@@ -25,6 +25,26 @@ object SourceQueries {
     p.toString
   }
 
+  /** Executes `df` and returns how many data FILES its scan actually
+    * planned — the measured evidence behind the bucket-pruning gates
+    * (s18/s19): pruning claims are pinned as file counts from the
+    * executed plan, not inferred from EXPLAIN text. */
+  private def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDDs().head.partitions.map {
+          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            p.inputPartitions.map {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.length.toLong
+              case _ => 0L
+            }.sum
+          case _ => 0L
+        }.sum
+    }.sum
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- S2: csv / json / orc round-trip — write nation in each format,
@@ -565,11 +585,11 @@ object SourceQueries {
           ON l.user_id = r.user_id""")
         val noShuffle =
           !joined.queryExecution.executedPlan.toString.contains("Exchange")
-        // materialize under the SPJ plan so the boolean describes the
-        // execution that actually produced the rows
-        val rows = joined.collect().toSeq
-        val out = s.createDataFrame(
-          s.sparkContext.parallelize(rows, 1), joined.schema)
+        // materialize under the SPJ plan (localCheckpoint executes THIS
+        // queryExecution's RDD, so the boolean describes the exact
+        // execution that produced the rows) without ever collecting the
+        // join result to the driver — the gate stays scale-shaped
+        val out = joined.localCheckpoint(true)
         out.withColumn("spj_no_shuffle", lit(noShuffle))
           .orderBy($"user_id")
       } finally saved.foreach {
@@ -611,21 +631,6 @@ object SourceQueries {
       s.sql("INSERT INTO graftdml.prune_probe SELECT * FROM s18_latest")
       s.sql("CALL graftdml.optimize(table => 'prune_probe', " +
         "max_files_per_bucket => 0)")
-      def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
-        df.collect()
-        df.queryExecution.executedPlan.collectLeaves().collect {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.inputRDDs().head.partitions.map {
-              case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
-                p.inputPartitions.map {
-                  case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-                    fp.files.length.toLong
-                  case _ => 0L
-                }.sum
-              case _ => 0L
-            }.sum
-        }.sum
-      }
       val full = filesPlanned(s.sql("SELECT * FROM graftdml.prune_probe"))
       val point = s.sql("SELECT user_id, cents FROM graftdml.prune_probe WHERE user_id = 1")
       val fPoint = filesPlanned(point)
@@ -849,6 +854,161 @@ object SourceQueries {
       after4 AS (SELECT * FROM after3 WHERE pop <= 1200)
       SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
         TRUE AS incr_ok, TRUE AS mid_ok
-      FROM after4 GROUP BY r ORDER BY r"""))
+      FROM after4 GROUP BY r ORDER BY r""")),
+
+    // ----- S19: bucket-count evolution — `CALL rebucket(table, n)`
+    // rewrites a populated table under a NEW hash fan-out in one claimed,
+    // changelog-less commit, and every downstream layout consumer follows:
+    // merge-key bucket pruning, SPJ partitioning and the CoW write path
+    // all derive the count from the new version's `_buckets` marker (old
+    // versions keep their own — time travel prunes correctly under the
+    // layout each version was written with). This is the operational
+    // escape hatch a CREATE-time fan-out needs at 100 TB: when buckets
+    // outgrow a few GB, raise the count without a table copy. The gate:
+    // 4→16 rebucket, then (a) contents unchanged, (b) a post-rebucket
+    // UPDATE lands through the new layout, (c) a compacted point lookup
+    // plans exactly ONE file at the new count, (d) an SPJ join against a
+    // natively-16-bucket table eliminates both Exchanges — all pinned as
+    // booleans next to the joined rows themselves.
+    GraftQuery("s19_rebucket", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s19_latest")
+      T.events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("s19_counts")
+      s.sql("DROP TABLE IF EXISTS graftdml.rebkt")
+      s.sql("""CREATE TABLE graftdml.rebkt
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.rebkt SELECT * FROM s19_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.rebkt_dim")
+      s.sql("""CREATE TABLE graftdml.rebkt_dim
+        (user_id BIGINT NOT NULL, n_events BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='16')""")
+      s.sql("INSERT INTO graftdml.rebkt_dim SELECT * FROM s19_counts")
+
+      s.sql("CALL graftdml.rebucket(table => 'rebkt', buckets => 16)")
+      val dir = s"${DmlFixture.warehouse}/rebkt"
+      val G = graft.sources.GraftStore
+      val afterRebkt = s.sql("SELECT user_id, cents FROM graftdml.rebkt")
+      val latest = s.sql("SELECT * FROM s19_latest")
+      val contentsOk = afterRebkt.exceptAll(latest).isEmpty &&
+        latest.exceptAll(afterRebkt).isEmpty
+      val markerOk =
+        G.versionBuckets(dir, G.currentVersion(dir)).contains(16)
+
+      // write THROUGH the new layout, then compact to 1 file/bucket and
+      // measure that a point lookup plans exactly one file at count 16
+      s.sql("UPDATE graftdml.rebkt SET cents = cents + 7 WHERE user_id % 11 = 3")
+      s.sql("CALL graftdml.optimize(table => 'rebkt', max_files_per_bucket => 0)")
+      val fPoint = filesPlanned(
+        s.sql("SELECT user_id, cents FROM graftdml.rebkt WHERE user_id = 1"))
+      val fFull = filesPlanned(s.sql("SELECT * FROM graftdml.rebkt"))
+
+      val confs = Map("spark.graft.store.spj" -> "true",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val joined = s.sql("""SELECT l.user_id, l.cents, r.n_events
+          FROM graftdml.rebkt l JOIN graftdml.rebkt_dim r
+          ON l.user_id = r.user_id""")
+        val noShuffle =
+          !joined.queryExecution.executedPlan.toString.contains("Exchange")
+        val out = joined.localCheckpoint(true)
+        out.withColumn("contents_ok", lit(contentsOk))
+          .withColumn("rebucketed_to_16", lit(markerOk))
+          .withColumn("point_reads_one_file", lit(fPoint == 1L))
+          .withColumn("full_reads_more", lit(fFull > fPoint))
+          .withColumn("spj_no_shuffle", lit(noShuffle))
+          .orderBy($"user_id")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      upd AS (SELECT user_id,
+                CASE WHEN user_id % 11 = 3 THEN cents + 7 ELSE cents END AS cents
+              FROM latest),
+      cnts AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+      SELECT u.user_id, u.cents, c.n_events, TRUE AS contents_ok,
+        TRUE AS rebucketed_to_16, TRUE AS point_reads_one_file,
+        TRUE AS full_reads_more, TRUE AS spj_no_shuffle
+      FROM upd u JOIN cnts c ON u.user_id = c.user_id
+      ORDER BY u.user_id""")),
+
+    // ----- S9b: the third MERGE branch — WHEN NOT MATCHED BY SOURCE
+    // (Spark 4 syntax), the "sync target to source" shape: matched rows
+    // update, source-only rows insert, and TARGET-only rows (the branch
+    // the first two can't see) either delete or get flagged, by
+    // condition. Planned through the same delta-based row-level rewrite
+    // as the other branches — the engine emits D/U deltas for target
+    // rows with no source match and the store commits them bucket-wise,
+    // so the branch costs one extra anti-join side, not a table rewrite.
+    GraftQuery("s9b_merge_not_matched_by_source", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+      val ev = T.events(s, d).withColumn("cents", vcents($"value"))
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+      latest(ev.filter($"ts" < cutoff && $"user_id" % 3 =!= 0))
+        .select($"user_id", $"r.event_id".as("event_id"), $"r.cents".as("cents"))
+        .createOrReplaceTempView("s9b_base")
+      latest(ev.filter($"ts" >= cutoff && $"user_id" % 5 =!= 1))
+        .select($"user_id", $"r.event_id".as("c_event"), $"r.cents".as("c_cents"))
+        .createOrReplaceTempView("s9b_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.sync_state")
+      s.sql("""CREATE TABLE graftdml.sync_state
+        (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.sync_state SELECT * FROM s9b_base")
+      s.sql("""MERGE INTO graftdml.sync_state t USING s9b_src c
+        ON t.user_id = c.user_id
+        WHEN MATCHED THEN UPDATE SET event_id = c.c_event, cents = c.c_cents
+        WHEN NOT MATCHED THEN
+          INSERT (user_id, event_id, cents) VALUES (c.user_id, c.c_event, c.c_cents)
+        WHEN NOT MATCHED BY SOURCE AND t.cents < 1000 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET event_id = -1""")
+      val version = graft.sources.GraftStore
+        .currentVersion(s"${DmlFixture.warehouse}/sync_state")
+      s.sql("SELECT user_id, event_id, cents FROM graftdml.sync_state")
+        .withColumn("store_version", lit(version))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, ts,
+                   ${sql.vcents("value")} AS cents FROM events),
+      base AS (SELECT user_id, event_id, cents
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                       AND user_id % 3 <> 0)
+               WHERE rn = 1),
+      src AS (SELECT user_id, event_id AS c_event, cents AS c_cents
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      AND user_id % 5 <> 1)
+              WHERE rn = 1),
+      merged AS (
+        SELECT user_id, c_event AS event_id, c_cents AS cents FROM src
+        UNION ALL
+        SELECT b.user_id, CAST(-1 AS BIGINT) AS event_id, b.cents FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.user_id = b.user_id)
+          AND b.cents >= 1000)
+      SELECT user_id, event_id, cents, CAST(2 AS BIGINT) AS store_version
+      FROM merged ORDER BY user_id"""))
   )
 }

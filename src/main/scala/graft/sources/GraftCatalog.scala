@@ -427,6 +427,11 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
     * appears in this table's logical schema, so no query can request it
     * and column pruning drops it from every read. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val version = pinnedVersion.getOrElse(GraftStore.currentVersion(dir))
+    // the fan-out is a property of the scanned VERSION's layout (the
+    // per-version `_buckets` marker — CALL rebucket changes it across
+    // versions), so pruning and SPJ derive from it, never from meta alone
+    val vBuckets = GraftStore.layoutBuckets(dir, version, meta)
     // opt-in storage-partitioned-join mode: report bucket partitioning so
     // same-keyed graft⋈graft joins drop both Exchanges (one partition per
     // bucket — the right trade when a co-located join dominates the scan)
@@ -437,9 +442,8 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       if (!spj) None
       else Some(scan => new org.apache.spark.sql.GraftKeyGroupedScan(scan,
         Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-          meta.buckets, meta.keyCols: _*))))
-    GraftTable.parquetScanBuilder(tableName, dir, meta,
-      pinnedVersion.getOrElse(GraftStore.currentVersion(dir)), options, wrap)
+          vBuckets, meta.keyCols: _*))))
+    GraftTable.parquetScanBuilder(tableName, dir, meta, version, options, wrap)
   }
 
   /** INSERT INTO / INSERT OVERWRITE / CTAS append path: a V1 fallback write
@@ -508,6 +512,7 @@ object GraftTable {
       delegate.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
       l2p, mapFlat(l2p), mapFlat(p2l), wrapScan.getOrElse(identity),
       Some(new org.apache.spark.sql.GraftBucketDerivation(
-        meta.keyCols, meta.buckets, GraftStore.BucketCol)))
+        meta.keyCols, GraftStore.layoutBuckets(dir, version, meta),
+        GraftStore.BucketCol)))
   }
 }

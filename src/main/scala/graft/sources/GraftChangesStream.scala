@@ -31,10 +31,12 @@ final case class GraftVersionOffset(v: Long) extends Offset {
   * stream always reads the full changes schema — physical names map to
   * logical positionally, same as the batch path.
   *
-  * Retention: versions expired by `expire_changes` simply have no
-  * directory — a catch-up stream starting below the horizon streams what
-  * is retained (the standard log-compaction contract; consumers needing
-  * older history re-snapshot). */
+  * Retention: a FRESH stream starts at the earliest retained slice and
+  * streams what exists; but a RESUMED stream whose checkpointed offset
+  * predates the horizon recorded by `expire_changes` fails loudly at plan
+  * time instead of emitting an empty batch — the gap is committed history
+  * this consumer never saw, and silently skipping it would corrupt any
+  * downstream fold (consumers needing older history re-snapshot). */
 final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
     extends MicroBatchStream {
 
@@ -53,14 +55,22 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
     val vs = retainedVersions
     // start BEFORE the earliest retained slice so the first batch carries
     // the full retained history; an empty changelog starts at the current
-    // version (only future commits stream)
-    GraftVersionOffset(
-      if (vs.nonEmpty) vs.min - 1 else GraftStore.currentVersion(dir))
+    // version (only future commits stream). Clamped to the retention
+    // horizon: a fresh stream by definition starts from what is retained.
+    val base = if (vs.nonEmpty) vs.min - 1 else GraftStore.currentVersion(dir)
+    GraftVersionOffset(math.max(base, GraftStore.changesHorizon(dir) - 1))
   }
 
   override def latestOffset(): Offset = {
+    // pointer FIRST, recovery second: recovery keyed off a later pointer
+    // read could miss a writer that flips the pointer after the recover
+    // ran but crashes before publishing its changelog staging — the batch
+    // range would then cover a version whose dir only appears after the
+    // NEXT recovery, and plan-time must not have already skipped it (it
+    // re-recovers too, belt and braces)
+    val v = GraftStore.currentVersion(dir)
     GraftStore.recoverChangelog(dir)
-    GraftVersionOffset(GraftStore.currentVersion(dir))
+    GraftVersionOffset(v)
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -72,6 +82,22 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
+    // publish any committed-but-unpublished slice in (s, e] BEFORE the
+    // missing-dir filter below — without this, a writer crashing between
+    // its pointer flip and its changelog publish leaves the slice in
+    // staging, the filter drops it, and the stream advances past committed
+    // changes (silent CDC loss; r8 ADVICE)
+    GraftStore.recoverChangelog(dir)
+    // a checkpointed resume point below the retention horizon means
+    // expire_changes dropped history this consumer never saw — an empty
+    // batch here would LOOK like "no changes" while silently skipping
+    // committed deltas, so fail loudly; the consumer re-snapshots.
+    val horizon = GraftStore.changesHorizon(dir)
+    if (s + 1 < horizon) throw new IllegalStateException(
+      s"changes stream for $dir resumes at version ${s + 1} but " +
+        s"expire_changes dropped slices below v$horizon; the skipped " +
+        "history is unrecoverable from the changelog — restart the " +
+        "consumer from a fresh table snapshot")
     val dirs = ((s + 1) to e)
       .map(v => s"${GraftStore.changesRoot(dir)}/${GraftStore.ChangeVersionCol}=$v")
       .filter(p => Files.isDirectory(Paths.get(p)))

@@ -90,8 +90,12 @@ final class GraftDeltaBatchWrite(dir: String, meta: GraftTableMeta,
       val spark = SparkSession.active
       val changes = GraftDeltaBatchWrite.decodeStaged(
         spark, files.toSeq, meta.schema, rowSchema, idSchema)
+      // staging rides the commit heartbeat: the decode jobs read the
+      // staged .bin files lazily for the whole rewrite, and vacuum's age
+      // check must see the dir as live until the commit finishes
       GraftStore.applyChanges(spark, dir, changes,
-        expectedVersion = Some(snapshotVersion))
+        expectedVersion = Some(snapshotVersion),
+        heartbeatPaths = Seq(Paths.get(staging)))
     } finally cleanup()
   }
 
@@ -216,12 +220,16 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
         val lines = new String(Files.readAllBytes(lastEpochPath), "UTF-8")
           .split("\n")
         if (lines.length >= 2 && lines(0) == queryId) lines(1).trim.toLong
-        else if (lines.length == 1 && lines(0).trim.nonEmpty)
+        else if (lines.length == 1 && lines(0).trim.nonEmpty && epochId > 0)
           // legacy single-line marker (pre-queryId format): attribute it to
-          // the CURRENT query — the common upgrade path is the same stream
-          // restarting from its checkpoint, and treating its high-water
-          // mark as stale would re-commit a replayed epoch (duplicates,
-          // the exact failure the marker prevents). The first commit
+          // the CURRENT query only when this query is plausibly the SAME
+          // stream continuing from its checkpoint (its batch ids carried
+          // on past 0) — there, treating the high-water mark as stale
+          // would re-commit a replayed epoch (duplicates, the exact
+          // failure the marker prevents). A query committing epoch 0 is a
+          // FRESH stream (batch ids restart per checkpoint): inheriting a
+          // stale mark would silently drop every batch <= it, so the
+          // marker resets instead (r8 ADVICE). Either way the first commit
           // rewrites the marker in the scoped format.
           lines(0).trim.toLong
         else -1L
@@ -252,7 +260,8 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
               "; dedupe or aggregate per key before the sink")
         }
         GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert,
-          commutative = upsert)
+          commutative = upsert,
+          heartbeatPaths = Seq(Paths.get(epochStaging(epochId))))
       } finally changes.unpersist()
       val tmp = Paths.get(dir, "_last_stream_epoch.tmp")
       Files.write(tmp, s"$queryId\n$epochId".getBytes("UTF-8"))

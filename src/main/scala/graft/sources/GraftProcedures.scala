@@ -22,11 +22,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * operation (same claim-coordinated commit protocol as DML) and returns
   * a one-row result summarizing what happened. */
 object GraftProcedures {
-  val Names: Seq[String] = Seq("optimize", "expire_versions", "expire_changes", "vacuum")
+  val Names: Seq[String] =
+    Seq("optimize", "rebucket", "expire_versions", "expire_changes", "vacuum")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact buckets with more than max_files_per_bucket " +
       "files into one file each (new version, no changelog entry)"),
+    "rebucket" -> ("rewrite the table under a new hash-bucket fan-out " +
+      "(one claimed commit, no changelog entry; pruning/SPJ/CoW follow " +
+      "the new count, old versions keep their own)"),
     "expire_versions" -> "keep the newest keep_last versions, delete older",
     "expire_changes" -> "drop changelog slices below keep_from_version",
     "vacuum" -> ("remove abandoned staging dirs and stale claim tombs " +
@@ -38,6 +42,9 @@ object GraftProcedures {
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
         .defaultValue("4").build(),
       ProcedureParameter.in("sort_by", StringType).defaultValue("''").build())
+    case "rebucket" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("buckets", IntegerType).build())
     case "expire_versions" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).build())
@@ -74,6 +81,8 @@ final class GraftProcedure(procName: String, tableDir: String => String)
             else input.getUTF8String(2).toString.split(",").toSeq
               .map(_.trim).filter(_.nonEmpty)
           ("version", GraftStore.optimize(spark, dir, input.getInt(1), sortBy))
+        case "rebucket" =>
+          ("version", GraftStore.rebucket(spark, dir, input.getInt(1)))
         case "expire_versions" =>
           GraftStore.expireVersions(dir, input.getInt(1))
           ("versions_kept", GraftStore.listVersions(dir).size.toLong)

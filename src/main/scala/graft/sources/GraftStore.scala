@@ -146,21 +146,44 @@ object GraftStore {
   private[sources] def withMetaLock[A](dir: String,
       staleMs: Long = 60000L)(f: => A): A = {
     val lock = Paths.get(dir, "_meta_lock")
+    // ownership token (same discipline as claimCommit): release only
+    // deletes the lock if it still holds OUR token, and a stale lock is
+    // broken by ATOMIC RENAME to a tomb — never delete+create, whose
+    // non-atomic window lets two racing breakers each think they created a
+    // fresh lock (one of them would then delete the NEW holder's lock and
+    // two ALTERs could fold over the same base meta, silently losing DDL).
+    val token = java.util.UUID.randomUUID().toString
     var attempt = 0
-    while (attempt < 200) {
+    while (attempt < 600) {
       val acquired =
-        try { Files.write(lock, Array.emptyByteArray,
+        try { Files.write(lock, token.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             val age = try System.currentTimeMillis() -
               Files.getLastModifiedTime(lock).toMillis
             catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
-            if (age > staleMs) Files.deleteIfExists(lock) // crashed holder
+            if (age > staleMs && age != Long.MaxValue) {
+              // exactly one breaker wins the rename; losers see
+              // NoSuchFileException and just retry the create
+              val tomb = Paths.get(s"$lock.stale-${System.nanoTime()}")
+              try {
+                Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+                Files.deleteIfExists(tomb)
+              } catch { case _: java.nio.file.NoSuchFileException => () }
+            }
             false
         }
       if (acquired) {
-        try return f finally Files.deleteIfExists(lock)
+        try return f
+        finally {
+          // token check: after a stale takeover, the ORIGINAL holder's
+          // release must not remove the successor's lock
+          try {
+            if (new String(Files.readAllBytes(lock), "UTF-8") == token)
+              Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () }
+        }
       }
       attempt += 1
       Thread.sleep(10)
@@ -271,6 +294,71 @@ object GraftStore {
         Files.deleteIfExists(marker)
     } catch { case _: java.io.IOException => () }
 
+  private lazy val heartbeatPool =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-claim-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Keep a commit's liveness markers fresh while `f` (the rewrite job)
+    * runs: the claim marker's mtime is what claimCommit's stale check
+    * reads, so a LEGITIMATE commit outlasting `staleClaimMillis` would
+    * otherwise get its claim broken mid-rewrite — the new claimant would
+    * then delete the live writer's in-progress version dir and both would
+    * write the same version. Refreshing every `periodMs` (≪ the 1 h stale
+    * threshold) makes claim age mean "time since the holder last proved it
+    * was alive", not "commit duration". Extra `paths` (delta staging dirs,
+    * whose .bin files the commit reads lazily for its whole duration) ride
+    * the same schedule so vacuum's age check can't reap in-use staging. */
+  private[sources] def withClaimHeartbeat[A](paths: Seq[Path],
+      periodMs: Long = 60000L)(f: => A): A = {
+    val task = heartbeatPool.scheduleAtFixedRate(() => paths.foreach { p =>
+      try Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+    }, 0L, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try f finally task.cancel(false)
+  }
+
+  /** Last-instant ownership re-check before a pointer flip: if the claim
+    * marker no longer holds this writer's token (broken as stale and taken
+    * over), flipping would publish a version another writer now owns —
+    * abort cleanly instead. */
+  private def verifyClaim(marker: Path, token: String): Unit = {
+    val held =
+      try new String(Files.readAllBytes(marker), "UTF-8") == token
+      catch { case _: java.io.IOException => false }
+    if (!held) throw new java.util.ConcurrentModificationException(
+      s"commit claim $marker was broken and taken over during the rewrite; " +
+        "aborting before the pointer flip (another writer owns this version now)")
+  }
+
+  /** Per-version bucket fan-out marker (`<versionDir>/_buckets`). The
+    * bucket COUNT is a property of a version's physical layout, not of the
+    * table: [[rebucket]] changes it, and time travel must prune/SPJ old
+    * versions under the count they were WRITTEN with — deriving buckets
+    * from the current meta against an older layout would silently prune to
+    * the wrong files. Every commit stamps the marker; versions predating
+    * this feature fall back to `meta.buckets` (correct for them — they can
+    * only exist on tables that never rebucketed). */
+  private[sources] def writeBucketMarker(vdir: String, buckets: Int): Unit =
+    Files.write(Paths.get(vdir, "_buckets"), buckets.toString.getBytes("UTF-8"))
+
+  /** The bucket count version `v` was written with, if stamped. */
+  def versionBuckets(dir: String, v: Long): Option[Int] = {
+    val p = Paths.get(versionDir(dir, v), "_buckets")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+  }
+
+  /** The fan-out of the CURRENT version's layout — what writers must
+    * bucket change batches by (not `meta.buckets`, which can lag the
+    * layout across a crashed [[rebucket]]'s meta-update/pointer-flip
+    * window). */
+  def layoutBuckets(dir: String, v: Long, meta: GraftTableMeta): Int =
+    versionBuckets(dir, v).getOrElse(meta.buckets)
+
   private def writePointer(dir: String, v: Long): Unit = {
     val tmp = Paths.get(dir, "_current.tmp")
     Files.write(tmp, v.toString.getBytes("UTF-8"))
@@ -282,6 +370,7 @@ object GraftStore {
   def create(dir: String, meta: GraftTableMeta): Unit = {
     writeMeta(dir, meta)
     Files.createDirectories(Paths.get(versionDir(dir, 0L)))
+    writeBucketMarker(versionDir(dir, 0L), meta.buckets)
     Files.createDirectories(Paths.get(changesRoot(dir)))
     writePointer(dir, 0L)
   }
@@ -347,6 +436,8 @@ object GraftStore {
       val nd = Paths.get(versionDir(dir, next))
       deleteRecursively(nd)
       Files.createDirectories(nd)
+      writeBucketMarker(nd.toString, layoutBuckets(dir, cur, readMeta(dir)))
+      verifyClaim(marker, token)
       writePointer(dir, next)
     } finally releaseClaim(marker, token)
   }
@@ -439,20 +530,33 @@ object GraftStore {
   def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
       allInserts: Boolean = false, overwrite: Boolean = false,
       commutative: Boolean = false,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      heartbeatPaths: Seq[Path] = Nil): Long = {
     require(!overwrite || allInserts, "overwrite implies an all-insert batch")
     val meta = readMeta(dir)
     recoverChangelog(dir)
 
-    val ch = changes.withColumn(BucketCol, bucketExpr(meta.keyCols, meta.buckets))
-      .persist()
-    try {
+    // The change batch is bucketed by the CURRENT VERSION's layout count
+    // (the per-version `_buckets` marker), re-derived per attempt: a
+    // concurrent `CALL rebucket` landing between attempts changes the
+    // fan-out, and rows bucketed under the old count written into the new
+    // layout would strand keys in directories their hash no longer maps
+    // to. The common case is one attempt and one persist.
+    var bucketedFor = -1
+    var ch: DataFrame = null
+    var touched = Set.empty[Int]
+    def bucketFor(n: Int): Unit = if (bucketedFor != n) {
+      if (ch != null) ch.unpersist()
+      ch = changes.withColumn(BucketCol, bucketExpr(meta.keyCols, n)).persist()
       // ≤ `buckets` distinct ints — the one driver-side materialization.
       // The append fast path never reads the base, so it skips this job
       // entirely (its "touched" set would only gate work it doesn't do).
-      val touched =
+      touched =
         if (allInserts) Set.empty[Int]
         else ch.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      bucketedFor = n
+    }
+    try {
       // Claim-verify-commit loop. claimCommit serializes writers per
       // version; after winning the claim we re-read the pointer — a claim
       // for `next` can be won AFTER another writer committed `next` and
@@ -472,6 +576,7 @@ object GraftStore {
       while (committed < 0) {
         val cur = currentVersion(dir)
         val next = cur + 1
+        bucketFor(layoutBuckets(dir, cur, meta))
         // a row-level delta pins its READ SNAPSHOT when its target scan is
         // planned; if the table has moved since — anywhere in the long
         // scan-to-commit window, not just inside this loop — the delta is
@@ -494,8 +599,14 @@ object GraftStore {
         claimed.foreach { case (marker, token) =>
           try {
             if (currentVersion(dir) == cur) {
-              committed = commitVersion(spark, dir, meta, ch, touched,
-                cur, allInserts, overwrite)
+              // heartbeat for the whole rewrite: the claim marker (so a
+              // long commit's claim never reads as stale) and the caller's
+              // staging dirs (so vacuum never reaps in-use .bin files the
+              // decode jobs read lazily until the last leg finishes)
+              committed = withClaimHeartbeat(marker +: heartbeatPaths) {
+                commitVersion(spark, dir, meta, ch, touched,
+                  cur, allInserts, overwrite, bucketedFor, marker, token)
+              }
             } else {
               // claim won but the pointer moved first (stale pre-claim
               // read): count it against the retry budget and back off —
@@ -512,14 +623,16 @@ object GraftStore {
         }
       }
       committed
-    } finally ch.unpersist()
+    } finally if (ch != null) ch.unpersist()
   }
 
   /** One claimed commit attempt: build version `cur + 1` from the bucketed
-    * change batch and flip the pointer. Caller holds the commit claim. */
+    * change batch and flip the pointer. Caller holds the commit claim (and
+    * its heartbeat); ownership is re-verified immediately before the flip. */
   private def commitVersion(spark: SparkSession, dir: String,
       meta: GraftTableMeta, ch: DataFrame, touched: Set[Int], cur: Long,
-      allInserts: Boolean, overwrite: Boolean): Long = {
+      allInserts: Boolean, overwrite: Boolean, buckets: Int,
+      marker: Path, token: String): Long = {
     val next = cur + 1
     val nextDir = versionDir(dir, next)
     deleteRecursively(Paths.get(nextDir)) // crash remnant from an unswitched commit
@@ -633,6 +746,12 @@ object GraftStore {
       // (r7 ADVICE race).
       val chFinal = Paths.get(changesDir(dir, next))
       deleteRecursively(chFinal)
+      writeBucketMarker(nextDir, buckets)
+      // a commit that outlived even the heartbeat-refreshed stale window
+      // (or whose heartbeat was starved) may have lost its claim to a
+      // takeover — re-verify ownership at the last instant so we never
+      // flip a pointer onto a version another writer now owns
+      verifyClaim(marker, token)
       writePointer(dir, next)
       // Publish the changelog: visible name only after the commit point.
       // If staging is already gone, a reader won the publish — done.
@@ -677,7 +796,7 @@ object GraftStore {
     if (fragmented.isEmpty) return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
-    try {
+    try withClaimHeartbeat(Seq(marker)) {
       if (currentVersion(dir) != cur)
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past version $cur during OPTIMIZE; re-run")
@@ -698,6 +817,62 @@ object GraftStore {
       clustered.write.partitionBy(BucketCol).parquet(nextDir)
       (bucketDirs(curDir).toSet -- fragmented)
         .foreach(linkBucket(curDir, nextDir, _))
+      writeBucketMarker(nextDir, layoutBuckets(dir, cur, meta))
+      verifyClaim(marker, token)
+      writePointer(dir, next)
+      next
+    } finally releaseClaim(marker, token)
+  }
+
+  /** Change the table's hash-bucket fan-out — `CALL rebucket(table, n)`:
+    * ONE claimed commit that re-hashes every row into `newBuckets`
+    * directories (one compact file each) and flips the pointer, plus a
+    * meta update so future change batches bucket under the new count.
+    * Layout, not content: no changelog slice, CDC consumers see nothing —
+    * the same contract as [[optimize]]. This is the operational escape
+    * hatch the fixed CREATE-time count needs at 100 TB: when buckets
+    * outgrow "a few GB each", re-bucket to a higher fan-out and point
+    * lookups/SPJ/CoW granularity all follow (their machinery reads the
+    * per-version `_buckets` marker, so old versions keep pruning correctly
+    * under their own layout and time travel is unaffected).
+    *
+    * Crash-safe at every boundary: the new version dir + its marker land
+    * before the meta update, the meta update (under the meta lock) before
+    * the pointer flip; a crash in between leaves meta.buckets ahead of the
+    * layout, which is harmless — every reader AND writer derives the
+    * effective fan-out from the current version's marker
+    * ([[layoutBuckets]]), never from meta alone. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Long = {
+    require(newBuckets > 0, "buckets must be positive")
+    recoverChangelog(dir)
+    val meta = readMeta(dir)
+    val cur = currentVersion(dir)
+    if (layoutBuckets(dir, cur, meta) == newBuckets && meta.buckets == newBuckets)
+      return cur
+    val next = cur + 1
+    val (marker, token) = claimCommit(dir, next)
+    try withClaimHeartbeat(Seq(marker)) {
+      if (currentVersion(dir) != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past version $cur during REBUCKET; re-run")
+      // stamp the old layout's count on the current version first, so the
+      // fallback-to-meta path can never misread it after our meta update
+      if (versionBuckets(dir, cur).isEmpty)
+        writeBucketMarker(versionDir(dir, cur), meta.buckets)
+      val nextDir = versionDir(dir, next)
+      deleteRecursively(Paths.get(nextDir))
+      val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
+      readVersionPhysical(spark, dir, meta, cur)
+        .drop(BucketCol)
+        .withColumn(BucketCol, bucketExpr(physKeys, newBuckets))
+        .repartition(newBuckets, col(BucketCol))
+        .write.partitionBy(BucketCol).parquet(nextDir)
+      writeBucketMarker(nextDir, newBuckets)
+      withMetaLock(dir) {
+        val m = readMeta(dir) // re-read: fold over concurrent ALTERs
+        writeMeta(dir, m.copy(buckets = newBuckets))
+      }
+      verifyClaim(marker, token)
       writePointer(dir, next)
       next
     } finally releaseClaim(marker, token)
@@ -710,17 +885,39 @@ object GraftStore {
   def expireChanges(dir: String, keepFromVersion: Long): Unit = {
     val root = Paths.get(changesRoot(dir))
     if (!Files.isDirectory(root)) return
+    // Record the horizon BEFORE deleting (monotone, staged+atomic like the
+    // pointer): "no changelog below v" and "this version committed no
+    // changes" are indistinguishable from the directory listing alone, so
+    // a resuming CDC stream needs this marker to tell a harmless gap from
+    // silently-skipped history (see GraftChangesMicroBatchStream).
+    val h = math.max(keepFromVersion, changesHorizon(dir))
+    val tmp = Paths.get(changesRoot(dir), "_horizon.tmp")
+    Files.write(tmp, h.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(changesRoot(dir), "_horizon"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     listDir(root)(_.filter(
         _.getFileName.toString.startsWith(s"$ChangeVersionCol="))
       .filter(_.getFileName.toString.split("=")(1).toLong < keepFromVersion)
       .toList).foreach(deleteRecursively)
   }
 
+  /** Lowest version whose changelog slice is guaranteed retained (slices
+    * below it were dropped by [[expireChanges]]; 0 = nothing ever expired). */
+  def changesHorizon(dir: String): Long = {
+    val p = Paths.get(changesRoot(dir), "_horizon")
+    if (!Files.exists(p)) 0L
+    else new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+  }
+
   /** Remove abandoned write debris: `_staging/<queryId>` dirs and stale
-    * claim tombs older than `olderThanMillis` (their writers are gone — a
-    * LIVE write's staging is always younger than its own runtime, so a
-    * generous threshold is safe). Committed data, versions, and changelog
-    * are never touched. Returns the number of entries removed. */
+    * claim tombs older than `olderThanMillis`. A LIVE write keeps its
+    * staging dir's mtime fresh for its whole commit (the commit-claim
+    * heartbeat touches it while the decode/rewrite jobs lazily read the
+    * staged .bin files — see [[withClaimHeartbeat]]), so with the default
+    * 1 h threshold an age-out really does mean an abandoned writer, not an
+    * in-flight commit that merely outran its task writers. Committed data,
+    * versions, and changelog are never touched. Returns the number of
+    * entries removed. */
   def vacuum(dir: String, olderThanMillis: Long = 3600000L): Long = {
     val now = System.currentTimeMillis()
     var removed = 0L

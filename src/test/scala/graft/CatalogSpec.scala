@@ -999,4 +999,162 @@ class CatalogSpec extends SparkTestBase {
     }
     assert(rows(t).find(_._1 == 7L).get._3 === 0L)
   }
+
+  test("CALL rebucket rewrites the fan-out; pruning, writes and time travel follow") {
+    val t = mkTable("t_rebkt", buckets = 4)
+    val dir = s"$warehouse/t_rebkt"
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, CAST(id AS STRING), id * 10 " +
+      "FROM range(0, 64)")
+    val before = rows(t)
+    val vOld = GraftStore.currentVersion(dir)
+    assert(GraftStore.versionBuckets(dir, vOld) === Some(4))
+
+    val v = spark.sql(s"CALL $cat.rebucket(table => 't_rebkt', buckets => 16)")
+      .head().getLong(0)
+    assert(v === vOld + 1 && GraftStore.currentVersion(dir) === v)
+    // layout: 16 bucket dirs under the new version, marker stamped, meta
+    // updated; content identical; NO changelog slice (layout, not content)
+    assert(GraftStore.versionBuckets(dir, v) === Some(16))
+    assert(GraftStore.readMeta(dir).buckets === 16)
+    assert(rows(t) === before)
+    assert(!GraftStore.hasChangelog(dir, v))
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(java.nio.file.Paths.get(GraftStore.versionDir(dir, v)))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(_.startsWith(s"${GraftStore.BucketCol}="))
+    val expectDirs = spark.sql(
+      "SELECT COUNT(DISTINCT pmod(xxhash64(CAST(id AS BIGINT)), 16)) FROM range(0, 64)")
+      .head().getLong(0)
+    assert(dirs.toLong === expectDirs && dirs > 4,
+      s"expected $expectDirs bucket dirs at fan-out 16, got $dirs")
+    // time travel reads the OLD layout under its own count
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t VERSION AS OF $vOld")
+      .head().getLong(0) === 64L)
+
+    // writes route through the NEW fan-out: update a key, then verify the
+    // row lands in the bucket its hash maps to at 16
+    spark.sql(s"UPDATE $cat.$t SET amount = 0 WHERE k = 7")
+    assert(rows(t).find(_._1 == 7L).get._3 === 0L)
+    val b16 = spark.sql(s"SELECT pmod(xxhash64(CAST(7 AS BIGINT)), 16)")
+      .head().getLong(0).toInt
+    val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
+    assert(Files.isDirectory(
+      java.nio.file.Paths.get(vdir, s"${GraftStore.BucketCol}=$b16")))
+    // point lookups prune under the new count
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+    }
+    spark.sql(s"CALL $cat.optimize(table => 't_rebkt', max_files_per_bucket => 0)")
+    val full = fileCount(scanOf(spark.sql(s"SELECT * FROM $cat.$t")))
+    val point = fileCount(scanOf(
+      spark.sql(s"SELECT name FROM $cat.$t WHERE k = 7")))
+    assert(point === 1L && full > point,
+      s"post-rebucket pruning: point=$point full=$full")
+    // same-count rebucket is a no-op (no version bump)
+    val cur = GraftStore.currentVersion(dir)
+    assert(spark.sql(s"CALL $cat.rebucket(table => 't_rebkt', buckets => 16)")
+      .head().getLong(0) === cur)
+  }
+
+  test("changes stream fails loudly when its resume point predates the retention horizon") {
+    val t = mkTable("t_hzn")
+    val dir = s"$warehouse/t_hzn"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")       // v1
+    spark.sql(s"UPDATE $cat.$t SET amount = 11 WHERE k = 1")    // v2
+    val ckpt = Files.createTempDirectory("graft_hzn_ckpt").toString
+    def start() = spark.readStream.table(s"$cat.`t_hzn$$changes`")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop() // checkpoint at v2
+    spark.sql(s"INSERT INTO $cat.$t VALUES (2, 'b', 20)")       // v3
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 'c', 30)")       // v4
+    spark.sql(s"CALL $cat.expire_changes('t_hzn', 4)")          // horizon = 4
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("restart the consumer from a fresh table snapshot")),
+      s"expected the horizon error, got $e")
+    // a FRESH stream (new checkpoint) starts from the retained horizon
+    val ckpt2 = Files.createTempDirectory("graft_hzn_ckpt2").toString
+    val seen = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = spark.readStream.table(s"$cat.`t_hzn$$changes`")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select("change_version").collect().map(_.getLong(0))
+        seen.synchronized { seen ++= vs }
+        ()
+      }
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q3.processAllAvailable()
+      assert(seen.toSet === Set(4L), s"fresh stream sees only retained: $seen")
+    } finally q3.stop()
+  }
+
+  test("ALTER ADD COLUMN during a live changes stream: old schema until restart") {
+    val t = mkTable("t_ddlstream")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")       // v1
+    val ckpt = Files.createTempDirectory("graft_ddls_ckpt").toString
+    val schemas = new scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    def start() = spark.readStream.table(s"$cat.`t_ddlstream$$changes`")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) schemas.synchronized {
+          schemas += df.schema.fieldNames.toSeq
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // DDL lands while the stream is live; the stream KEEPS the schema it
+      // started with (meta pinned at stream construction) — post-ALTER
+      // batches flow, minus the new column (it reads as absent, exactly
+      // like pre-ALTER history null-fills on the batch path)
+      spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (extra STRING)")
+      spark.sql(s"INSERT INTO $cat.$t (k, name, amount, extra) " +
+        "VALUES (2, 'b', 20, 'x')")                             // v2
+      q1.processAllAvailable()
+      assert(schemas.nonEmpty && schemas.forall(!_.contains("extra")),
+        s"live stream must keep its pinned schema, saw $schemas")
+    } finally q1.stop()
+    // a RESTART re-reads meta: the same checkpoint resumes with the new
+    // schema, and new commits carry the added column
+    schemas.synchronized { schemas.clear() }
+    val q2 = start()
+    try {
+      spark.sql(s"INSERT INTO $cat.$t (k, name, amount, extra) " +
+        "VALUES (3, 'c', 30, 'y')")                             // v3
+      q2.processAllAvailable()
+      assert(schemas.nonEmpty && schemas.forall(_.contains("extra")),
+        s"restarted stream must pick up the evolved schema, saw $schemas")
+    } finally q2.stop()
+  }
+
+  test("stale meta lock is broken by atomic takeover; holder's release can't clobber it") {
+    val t = mkTable("t_mlock")
+    val dir = s"$warehouse/t_mlock"
+    // a crashed ALTER's lock: present and old — the next ALTER must break
+    // it by rename (one winner) and proceed
+    val lock = java.nio.file.Paths.get(dir, "_meta_lock")
+    Files.write(lock, "dead-holder-token".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (extra STRING)")
+    assert(GraftStore.readMeta(dir).schema.fieldNames.contains("extra"))
+    assert(!Files.exists(lock), "winner must release its own lock")
+    // token-guarded release + takeover races are pinned in GraftDeltaSpec
+    // (package-private surface)
+  }
 }

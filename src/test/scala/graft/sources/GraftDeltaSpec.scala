@@ -186,4 +186,54 @@ class GraftDeltaSpec extends SparkTestBase {
     assert(GraftStore.readVersion(spark, dir, 1L).count() === 1L)
     assert(GraftStore.readChanges(spark, dir, 1L, 1L).count() === 1L)
   }
+
+  test("meta lock: token-guarded release, one-winner stale takeover") {
+    val dir = Files.createTempDirectory("graft_mlock_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    val lock = Paths.get(dir, "_meta_lock")
+    // stale foreign lock: withMetaLock breaks it and runs
+    Files.write(lock, "dead".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 1000L))
+    var ran = false
+    GraftStore.withMetaLock(dir, staleMs = 100L) { ran = true }
+    assert(ran && !Files.exists(lock))
+    // a YOUNG foreign lock is respected: the waiter must not delete it
+    // (we observe that by racing a short-budget acquire against it)
+    Files.write(lock, "live-holder".getBytes("UTF-8"))
+    val t0 = System.currentTimeMillis()
+    val waiter = new Thread(() => {
+      try GraftStore.withMetaLock(dir, staleMs = 60000L) { () }
+      catch { case _: java.util.ConcurrentModificationException => () }
+    })
+    waiter.start()
+    Thread.sleep(150)
+    assert(Files.exists(lock) &&
+      new String(Files.readAllBytes(lock), "UTF-8") == "live-holder",
+      "a live holder's lock must survive contention")
+    Files.delete(lock) // holder releases; waiter acquires+releases
+    waiter.join(10000)
+    assert(!Files.exists(lock) && System.currentTimeMillis() - t0 < 10000)
+  }
+
+  test("claim heartbeat keeps marker and staging mtimes fresh during a long commit") {
+    val dir = Files.createTempDirectory("graft_hb_spec").toString
+    val marker = Paths.get(dir, "marker")
+    val staging = Paths.get(dir, "staging")
+    Files.write(marker, "tok".getBytes("UTF-8"))
+    Files.createDirectories(staging)
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    Files.setLastModifiedTime(marker, past)
+    Files.setLastModifiedTime(staging, past)
+    GraftStore.withClaimHeartbeat(Seq(marker, staging), periodMs = 20L) {
+      Thread.sleep(200)
+    }
+    val now = System.currentTimeMillis()
+    assert(now - Files.getLastModifiedTime(marker).toMillis < 60000L,
+      "heartbeat must refresh the claim marker's mtime")
+    assert(now - Files.getLastModifiedTime(staging).toMillis < 60000L,
+      "heartbeat must refresh the staging dir's mtime")
+  }
 }
