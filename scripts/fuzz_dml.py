@@ -54,12 +54,63 @@ def gen_sequence(idx):
             counts[op] = counts.get(op, 0) + 1
         changes.append((version, counts))
 
+    buckets = 4          # current hash fan-out (rebucket changes it)
     n_stmt = rng.randint(5, 9)
     for _ in range(n_stmt):
         kind = rng.choice(["insert", "insert", "merge", "merge", "update",
                            "delete", "overwrite", "keymove", "alter",
                            "optimize", "expire_changes", "expire_versions",
-                           "rename", "rename", "drop_readd"])
+                           "rename", "rename", "drop_readd", "rebucket",
+                           "merge_nmbs"])
+        if kind == "rebucket":
+            # layout-only fan-out change: one version bump, NO change rows,
+            # content identical; a same-count call is a no-op
+            target = rng.choice([2, 4, 8, 16])
+            stmts.append(f"CALL graftdml.rebucket('{t}', {target})")
+            if target != buckets:
+                buckets = target
+                version += 1
+            continue
+        if kind == "merge_nmbs":
+            # the third MERGE branch: target-only rows (NOT MATCHED BY
+            # SOURCE) delete above a cutoff, otherwise get bumped — plus
+            # the usual matched-update / unmatched-insert legs
+            src = []
+            for k in rng.sample(sorted(state), min(len(state), rng.randint(0, 3))):
+                src.append((k, rng.choice(NAMES), rng.randint(0, 1000)))
+            for k in fresh_keys(rng.randint(0, 2)):
+                src.append((k, rng.choice(NAMES), rng.randint(0, 1000)))
+            if not src:
+                continue
+            cut = rng.randint(200, 900)
+            vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in src)
+            stmts.append(
+                f"MERGE INTO graftdml.{t} x USING (SELECT * FROM (VALUES {vals}) "
+                f"AS v(k, name, amount)) s ON x.{cn['k']} = s.k "
+                f"WHEN MATCHED THEN UPDATE SET {cn['name']} = s.name, "
+                f"{cn['amount']} = s.amount "
+                f"WHEN NOT MATCHED THEN INSERT ({cn['k']}, {cn['name']}, "
+                f"{cn['amount']}) VALUES (s.k, s.name, s.amount) "
+                f"WHEN NOT MATCHED BY SOURCE AND x.{cn['amount']} > {cut} "
+                f"THEN DELETE "
+                f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+                f"{cn['amount']} = {cn['amount']} + 5")
+            src_keys = {k for k, _, _ in src}
+            ops = []
+            for k, n, a in src:
+                if k in state:
+                    state[k] = (n, a); ops.append("U")
+                else:
+                    state[k] = (n, a); ops.append("I")
+            for k in list(state):
+                if k not in src_keys:
+                    n, a = state[k]
+                    if a > cut:
+                        del state[k]; ops.append("D")
+                    else:
+                        state[k] = (n, a + 5); ops.append("U")
+            commit(ops)
+            continue
         if kind == "rename":
             # metadata-only rename (column mapping): every later statement
             # must address the column by its CURRENT logical name; the

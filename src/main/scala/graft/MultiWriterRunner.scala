@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{GraftStore, GraftTableMeta}
+
+/** Cross-PROCESS concurrent-writer proof for the store's file-based commit
+  * protocol (scripts/fuzz_multiproc.py). The claim/snapshot machinery
+  * ([[GraftStore.claimCommit]]) is deliberately file-based so that writers
+  * in DIFFERENT JVMs — different Spark drivers on a shared filesystem —
+  * serialize correctly; the in-JVM concurrency specs (CatalogSpec's 2-/4-
+  * writer tests) can't distinguish that from accidental reliance on JVM
+  * memory effects. This runner closes the gap: the harness forks N
+  * `write` processes against ONE table directory, each interleaving
+  * appends, keyed upserts and maintenance (optimize/rebucket — claim
+  * contenders by construction), then a `verify` process checks the merged
+  * outcome against what every writer RECORDED as committed:
+  *
+  *  - every committed row is present exactly once (writers own disjoint
+  *    key ranges, so the expected final state is the union of their logs);
+  *  - versions are contiguous 0..current with no orphan claim markers;
+  *  - replaying the full changelog from the empty v0 snapshot reproduces
+  *    the live table (maintenance commits are changelog-less by contract
+  *    and must drop out of the fold).
+  *
+  * Modes:
+  * {{{
+  *   MultiWriterRunner init   <dir>
+  *   MultiWriterRunner write  <dir> <writerId> <nOps> <seed> <outFile>
+  *   MultiWriterRunner verify <dir> <expectedFile>...
+  * }}}
+  */
+object MultiWriterRunner {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("amount", LongType, nullable = true)))
+
+  private def session(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "init" =>
+      GraftStore.create(args(1), GraftTableMeta(schema, Seq("k"), buckets = 4))
+      println("[multiwriter] init ok")
+    case "write" =>
+      write(args(1), args(2).toInt, args(3).toInt, args(4).toLong, args(5))
+    case "verify" =>
+      verify(args(1), args.drop(2).toSeq)
+    case other => sys.error(s"unknown mode $other")
+  }
+
+  /** One writer process: `nOps` operations over its own disjoint key range
+    * (`writerId * 1_000_000 + i`), recording the final expected value per
+    * key it committed. Appends and upserts rebase-and-retry through the
+    * claim protocol; maintenance calls may cleanly lose a claim race to
+    * another PROCESS — that is the behavior under test — and are skipped
+    * when they do. */
+  private def write(dir: String, writerId: Int, nOps: Int, seed: Long,
+      outFile: String): Unit = {
+    val spark = session(s"graft-multiwriter-$writerId")
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val base = writerId.toLong * 1000000L
+    val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    var nextKey = 0L
+    (0 until nOps).foreach { i =>
+      rng.nextInt(10) match {
+        case r if r < 5 => // append a small batch of fresh keys
+          val rows = (0 until 1 + rng.nextInt(4)).map { _ =>
+            nextKey += 1
+            (base + nextKey, s"w$writerId", rng.nextInt(1000).toLong)
+          }
+          GraftStore.applyChanges(spark, dir,
+            rows.toDF("k", "name", "amount")
+              .withColumn(GraftStore.OpCol, lit("I")),
+            allInserts = true)
+          rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+        case r if r < 8 => // keyed upsert over own keys (some existing)
+          if (expected.nonEmpty) {
+            val ks = rng.shuffle(expected.keys.toSeq).take(1 + rng.nextInt(3))
+            val rows = ks.map(k => (k, s"w$writerId-u$i", rng.nextInt(1000).toLong))
+            GraftStore.applyChanges(spark, dir,
+              rows.toDF("k", "name", "amount")
+                .withColumn(GraftStore.OpCol, lit("U")),
+              commutative = true)
+            rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+          }
+        case 8 => // compaction: layout-only, may lose a cross-process race
+          try GraftStore.optimize(spark, dir, maxFilesPerBucket = 2)
+          catch { case _: java.util.ConcurrentModificationException => () }
+        case _ => // fan-out change: the claim-heaviest maintenance op
+          try GraftStore.rebucket(spark, dir, if (rng.nextBoolean()) 8 else 4)
+          catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    val out = expected.toSeq.sortBy(_._1)
+      .map { case (k, (n, a)) => s"$k\t$n\t$a" }
+    Files.write(Paths.get(outFile),
+      out.mkString("\n").getBytes("UTF-8"))
+    println(s"[multiwriter] writer $writerId committed ${expected.size} keys")
+    spark.stop()
+  }
+
+  private def verify(dir: String, expectedFiles: Seq[String]): Unit = {
+    val spark = session("graft-multiwriter-verify")
+    val expected = expectedFiles.flatMap { f =>
+      new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
+        .split("\n").filter(_.nonEmpty).map { line =>
+          val Array(k, n, a) = line.split("\t")
+          (k.toLong, (n, a.toLong))
+        }
+    }.toMap
+
+    var ok = true
+    def check(cond: Boolean, msg: => String): Unit =
+      if (!cond) { ok = false; println(s"[multiwriter] FAIL: $msg") }
+
+    val cur = GraftStore.currentVersion(dir)
+    val versions = GraftStore.listVersions(dir)
+    check(versions == (0L to cur),
+      s"versions not contiguous: $versions (current $cur)")
+    import scala.jdk.CollectionConverters._
+    val claims = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_commit-")).toList
+      finally s.close()
+    }
+    check(claims.isEmpty, s"orphan claim markers: $claims")
+
+    val live = GraftStore.readVersion(spark, dir, cur)
+      .select("k", "name", "amount").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toSeq
+    check(live.size == live.map(_._1).distinct.size,
+      "duplicate keys in the live table")
+    val liveMap = live.toMap
+    check(liveMap == expected,
+      s"content mismatch: live=${liveMap.size} expected=${expected.size} " +
+        s"missing=${(expected.keySet -- liveMap.keySet).take(5)} " +
+        s"extra=${(liveMap.keySet -- expected.keySet).take(5)} " +
+        s"diff=${expected.collect { case (k, v) if liveMap.get(k).exists(_ != v) => k }.take(5)}")
+
+    // the changelog, folded from the empty v0 snapshot, must reproduce the
+    // live table — maintenance commits wrote no slices and drop out
+    val replayed = GraftStore.replayChanges(
+      GraftStore.readVersion(spark, dir, 0L),
+      GraftStore.readChanges(spark, dir, 1L, cur),
+      GraftStore.readMeta(dir))
+      .select("k", "name", "amount").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    check(replayed == expected, "changelog replay mismatch vs expected state")
+
+    println(if (ok) "[multiwriter] VERIFY OK" else "[multiwriter] VERIFY FAILED")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
