@@ -25,14 +25,29 @@ object SourceQueries {
     p.toString
   }
 
-  /** Executes `df` and returns how many data FILES its scan actually
-    * planned — the measured evidence behind the bucket-pruning gates
-    * (s18/s19): pruning claims are pinned as file counts from the
-    * executed plan, not inferred from EXPLAIN text. */
+  /** Executes `df` and returns how many data FILES its STORE scans
+    * actually planned — the measured evidence behind the bucket-pruning
+    * gates (s18/s19/s21): pruning claims are pinned as file counts from
+    * the executed plan, not inferred from EXPLAIN text. Unwraps adaptive
+    * plans/query stages (leaf nodes from the outside) and counts only the
+    * graft store's delegated scans, so a file-backed dim side never
+    * pollutes the number. */
   private def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.collect()
-    df.queryExecution.executedPlan.collectLeaves().collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case other => other.collectLeaves().flatMap {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case qs: QueryStageExec => leaves(qs.plan)
+        case l => Seq(l)
+      }
+    }
+    leaves(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.toString.contains("GraftRenaming") =>
         b.inputRDDs().head.partitions.map {
           case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
             p.inputPartitions.map {
@@ -1009,6 +1024,58 @@ object SourceQueries {
         WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.user_id = b.user_id)
           AND b.cents >= 1000)
       SELECT user_id, event_id, cents, CAST(2 AS BIGINT) AS store_version
-      FROM merged ORDER BY user_id"""))
+      FROM merged ORDER BY user_id""")),
+
+    // ----- S21: RUNTIME (join-time) bucket pruning — dynamic partition
+    // pruning through the store's merge-key hash. s18 proves the STATIC
+    // case (key literals in the SQL text); here the probe keys exist only
+    // behind a dim-side filter, invisible to static derivation. The store
+    // scan advertises its merge keys as runtime-filterable
+    // (SupportsRuntimeV2Filtering); Spark's DPP rule plants the broadcast
+    // side's actual key values as an IN runtime filter; Scan.filter
+    // derives their buckets and the re-planned scan reads ONLY those
+    // bucket files. At 100 TB this is the dim-filtered fact join: scan
+    // cost ∝ dim keys' buckets, not fact size — decided per query, per
+    // run, with zero layout work. Gate pins the measured file counts next
+    // to the joined rows.
+    GraftQuery("s21_runtime_bucket_prune", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s21_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.dpp_fact")
+      s.sql("""CREATE TABLE graftdml.dpp_fact
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.dpp_fact SELECT * FROM s21_latest")
+      s.sql("CALL graftdml.optimize(table => 'dpp_fact', " +
+        "max_files_per_bucket => 0)")
+      // file-backed dim (a local relation's filter would constant-fold
+      // away before the pruning rule runs): users <= 40 tagged by residue
+      val dimPath = tmpDir("s21_dim") + "/dim"
+      T.events(s, d).select($"user_id").distinct()
+        .filter($"user_id" <= 40)
+        .select($"user_id", ($"user_id" % 10).as("grp"))
+        .write.parquet(dimPath)
+      s.read.parquet(dimPath).createOrReplaceTempView("s21_dim")
+
+      val full = filesPlanned(s.sql("SELECT * FROM graftdml.dpp_fact"))
+      val q = s.sql("""SELECT f.user_id, f.cents FROM graftdml.dpp_fact f
+        JOIN s21_dim d ON f.user_id = d.user_id WHERE d.grp = 3""")
+      val pruned = filesPlanned(q) // executes q, then reads the fact scan
+      q.withColumn("runtime_pruned", lit(pruned >= 1L && pruned < full))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id, cents, TRUE AS runtime_pruned
+      FROM latest WHERE user_id <= 40 AND user_id % 10 = 3
+      ORDER BY user_id"""))
   )
 }

@@ -316,6 +316,7 @@ final class GraftVersionsTable(tableName: String, dir: String)
   private val schema0 = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("is_current", BooleanType, nullable = false),
+    StructField("buckets", IntegerType, nullable = false),
     StructField("n_buckets", IntegerType, nullable = false),
     StructField("n_files", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
@@ -333,11 +334,15 @@ final class GraftVersionsTable(tableName: String, dir: String)
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
         GraftStore.recoverChangelog(dir)
         val cur = GraftStore.currentVersion(dir)
+        val meta = GraftStore.readMeta(dir)
         GraftStore.listVersions(dir).map { v =>
           val (nb, nf, bytes) = GraftStore.versionStats(dir, v)
+          // `buckets` = the fan-out this version was WRITTEN with (the
+          // layout marker — CALL rebucket changes it across versions);
+          // `n_buckets` = non-empty bucket dirs it actually has
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](v, v == cur, nb, nf, bytes,
-              GraftStore.hasChangelog(dir, v)))
+            Array[Any](v, v == cur, GraftStore.layoutBuckets(dir, v, meta),
+              nb, nf, bytes, GraftStore.hasChangelog(dir, v)))
         }.toArray
       }
     }

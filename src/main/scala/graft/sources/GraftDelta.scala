@@ -90,10 +90,16 @@ final class GraftDeltaBatchWrite(dir: String, meta: GraftTableMeta,
       val spark = SparkSession.active
       val changes = GraftDeltaBatchWrite.decodeStaged(
         spark, files.toSeq, meta.schema, rowSchema, idSchema)
+      // an ALTER landing during the (possibly long) rewrite job: re-base
+      // the deltas onto the current schema by physical identity — renames
+      // follow, drops discard, adds null-fill — instead of crashing the
+      // commit on a column-list mismatch
+      val aligned = GraftStore.alignToCurrentSchema(changes, meta,
+        GraftStore.readMeta(dir))
       // staging rides the commit heartbeat: the decode jobs read the
       // staged .bin files lazily for the whole rewrite, and vacuum's age
       // check must see the dir as live until the commit finishes
-      GraftStore.applyChanges(spark, dir, changes,
+      GraftStore.applyChanges(spark, dir, aligned,
         expectedVersion = Some(snapshotVersion),
         heartbeatPaths = Seq(Paths.get(staging)))
     } finally cleanup()
@@ -241,10 +247,16 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
       // persisted: the dup-guard aggregate and applyChanges' own jobs all
       // read the decoded epoch from cache instead of re-decoding the
       // staged files per job
-      val changes = GraftDeltaBatchWrite.decodeStaged(
+      val decoded = GraftDeltaBatchWrite.decodeStaged(
         spark, files.toSeq, meta.schema, rowSchema,
         StructType(meta.keyCols.map(k => meta.schema(k)))).persist()
       try {
+        // a live stream survives ALTER TABLE on its target: each epoch
+        // re-bases onto the CURRENT schema by physical identity (renames
+        // follow — merge keys included — drops discard, adds null-fill),
+        // so DDL never crashes or corrupts an in-flight ingest
+        val curMeta = GraftStore.readMeta(dir)
+        val changes = GraftStore.alignToCurrentSchema(decoded, meta, curMeta)
         if (upsert) {
           // the store keeps ONE live row per merge key; an epoch carrying
           // several rows for a key would insert them all (which row "wins"
@@ -252,7 +264,7 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
           // the caller aggregate/dedupe per key upstream. Cost: one small
           // agg over the epoch's rows, never the table.
           import org.apache.spark.sql.functions.{col, count, lit}
-          val dup = changes.groupBy(meta.keyCols.map(col): _*)
+          val dup = changes.groupBy(curMeta.keyCols.map(col): _*)
             .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
           if (dup.nonEmpty) throw new IllegalStateException(
             s"upsert epoch $epochId has multiple rows for merge key " +
@@ -262,7 +274,7 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
         GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert,
           commutative = upsert,
           heartbeatPaths = Seq(Paths.get(epochStaging(epochId))))
-      } finally changes.unpersist()
+      } finally decoded.unpersist()
       val tmp = Paths.get(dir, "_last_stream_epoch.tmp")
       Files.write(tmp, s"$queryId\n$epochId".getBytes("UTF-8"))
       Files.move(tmp, lastEpochPath,

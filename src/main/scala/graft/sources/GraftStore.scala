@@ -506,6 +506,32 @@ object GraftStore {
     toLogical(readVersionPhysical(spark, dir, meta, v), meta.schema)
   }
 
+  /** Re-base a change batch built against a WRITER-PINNED schema onto the
+    * table's current one — the DDL-during-live-writer contract. A long
+    * writer (a streaming upsert's epochs, a batch MERGE's rewrite job)
+    * captures the table meta when it starts; an ALTER landing mid-flight
+    * would otherwise crash the commit on a column-list mismatch (or worse,
+    * resurrect a dropped column). Columns map by PHYSICAL identity, which
+    * makes every evolution case fall out: RENAME follows (same physical,
+    * new logical name), DROP discards the writer's values for the dead
+    * column, a tombstoned re-ADD gets nulls (the writer's values belong to
+    * the OLD physical column and must not leak into the fresh one), new
+    * columns null-fill, widened types up-cast. Identity when the schema
+    * hasn't changed — the hot path costs one reference comparison. */
+  def alignToCurrentSchema(changes: DataFrame, captured: GraftTableMeta,
+      current: GraftTableMeta): DataFrame = {
+    if (captured.schema == current.schema) return changes
+    val curByPhys = current.schema.fields.map(f => physicalName(f) -> f).toMap
+    val mappedCols = captured.schema.fields.toSeq.flatMap { f =>
+      curByPhys.get(physicalName(f))
+        .map(cf => col(f.name).cast(cf.dataType).as(cf.name))
+    }
+    val mapped = changes.select(col(OpCol) +: mappedCols: _*)
+    current.schema.fields.filterNot(f => mapped.columns.contains(f.name))
+      .foldLeft(mapped)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** Apply a change batch. `changes` columns: [[OpCol]] (one of I/U/D) plus
     * the full table schema (delete rows carry the key columns, the rest
     * null). Returns the committed version.

@@ -94,7 +94,7 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
   override def pushedFilters(): Array[Predicate] = delegate.pushedFilters
 
   override def build(): Scan =
-    wrapScan(new GraftRenamingScan(delegate.build(), mapSchemaToLog))
+    wrapScan(new GraftRenamingScan(delegate.build(), mapSchemaToLog, bucketing))
 }
 
 /** Derives the set of store buckets a conjunction of pushed filters can
@@ -106,7 +106,7 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
   * the column (the value's runtime type wouldn't match the stored hash
   * input). Derivation caps at [[MaxCombos]] key tuples — beyond that the
   * IN-list is broad enough that pruning stops paying. */
-final class GraftBucketDerivation(keyCols: Seq[String], nBuckets: Int,
+final class GraftBucketDerivation(val keyCols: Seq[String], nBuckets: Int,
     bucketColName: String) extends Serializable {
   private val MaxCombos = 128
 
@@ -127,6 +127,60 @@ final class GraftBucketDerivation(keyCols: Seq[String], nBuckets: Int,
     val attr = AttributeReference(bucketColName, IntegerType, nullable = true)()
     Some(if (buckets.size == 1) EqualTo(attr, Literal(buckets.head))
     else In(attr, buckets.map(b => Literal(b))))
+  }
+
+  /** RUNTIME variant over DSv2 predicates — dynamic partition pruning's
+    * join-time filters (`BatchScanExec.filteredPartitions` re-plans after
+    * calling `Scan.filter`). The broadcast side of a store⋈dim join hands
+    * over the dim's actual key values as an IN predicate; deriving their
+    * buckets here means a dim filtered to a handful of keys scans a
+    * handful of bucket dirs out of a 100 TB fact table — pruning decided
+    * at RUN time, when the keys literally cannot be in the SQL text.
+    * Returns None (no pruning) unless every merge-key column is pinned. */
+  def deriveBucketsV2(predicates: Array[Predicate]): Option[Set[Int]] = {
+    val valuesPerKey: Seq[Seq[(Any, org.apache.spark.sql.types.DataType)]] =
+      keyCols.map { k =>
+        predicates.toSeq.flatMap(v2KeyLiterals(k, _)).headOption
+          .getOrElse(Seq.empty)
+      }
+    if (valuesPerKey.exists(_.isEmpty)) return None
+    if (valuesPerKey.map(_.size.toLong).product > MaxCombos) return None
+    val tuples = valuesPerKey.foldLeft(
+      Seq(Seq.empty[(Any, org.apache.spark.sql.types.DataType)])) {
+      (acc, vs) => for (t <- acc; v <- vs) yield t :+ v
+    }
+    Some(tuples.map { t =>
+      var h = 42L
+      t.foreach { case (v, dt) => h = XxHash64Function.hash(v, dt, h) }
+      (((h % nBuckets) + nBuckets) % nBuckets).toInt
+    }.toSet)
+  }
+
+  private def v2KeyLiterals(k: String, p: Predicate)
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames().length == 1 && r.fieldNames()(0) == k
+        case _ => false
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(Any, org.apache.spark.sql.types.DataType)] = e match {
+      case l: LiteralValue[_] if l.value != null => Some((l.value, l.dataType))
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().length >= 2 && ref(p.children()(0)) =>
+        val vs = p.children().drop(1).toSeq.map(lit)
+        if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case "=" | "<=>" if p.children().length == 2 =>
+        val Array(a, b) = p.children()
+        if (ref(a)) lit(b).map(Seq(_))
+        else if (ref(b)) lit(a).map(Seq(_))
+        else None
+      case _ => None
+    }
   }
 
   /** literal constraint set for column `k` in one filter, if exact. */
@@ -287,10 +341,58 @@ final class GraftStreamableScan(delegate: Scan,
 }
 
 final class GraftRenamingScan(delegate: Scan,
-    mapSchemaToLog: StructType => StructType)
-    extends Scan with SupportsReportStatistics {
+    mapSchemaToLog: StructType => StructType,
+    bucketing: Option[GraftBucketDerivation] = None)
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  /** Buckets admitted by a join-time runtime filter (DPP): None = no
+    * runtime pruning, scan everything. Set once by [[filter]] before
+    * `BatchScanExec` re-plans partitions. */
+  @volatile private var allowedBuckets: Option[Set[Int]] = None
+
+  /** Advertise the merge-key columns as runtime-filterable: Spark's
+    * dynamic-partition-pruning rule then plants the broadcast side's key
+    * values as an IN predicate on joins over them. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    bucketing.map(_.keyCols.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
+      .getOrElse(Array.empty)
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    allowedBuckets = bucketing.flatMap(_.deriveBucketsV2(predicates))
+
   override def readSchema(): StructType = mapSchemaToLog(delegate.readSchema())
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = allowedBuckets match {
+    case None => delegate.toBatch
+    case Some(bs) => new Batch {
+      // drop whole files whose `gbucket=N` path segment is outside the
+      // runtime-admitted set; files without a bucket segment (defensive)
+      // are kept — pruning may only ever narrow to a correct superset
+      private val re =
+        ("(?:^|/)" + graft.sources.GraftStore.BucketCol + "=(\\d+)(?:/|$)").r
+      override def planInputPartitions(): Array[InputPartition] = {
+        val parts = delegate.toBatch.planInputPartitions()
+        if (!parts.forall(_.isInstanceOf[FilePartition])) parts // unknown: no pruning
+        else parts.iterator.map(_.asInstanceOf[FilePartition])
+          .map(fp => fp.files.filter(f =>
+            re.findFirstMatchIn(f.filePath.toString) match {
+              case Some(m) => bs.contains(m.group(1).toInt)
+              case None => true
+            }))
+          .filter(_.nonEmpty)
+          .zipWithIndex
+          .map { case (fs, i) => FilePartition(i, fs): InputPartition }
+          .toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        delegate.toBatch.createReaderFactory()
+    }
+  }
   override def description(): String = s"GraftRenaming(${delegate.description()})"
   override def supportedCustomMetrics(): Array[CustomMetric] =
     delegate.supportedCustomMetrics()

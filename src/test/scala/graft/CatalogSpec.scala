@@ -467,6 +467,53 @@ class CatalogSpec extends SparkTestBase {
     } finally q4.stop()
   }
 
+  test("live upsert stream survives ALTER and rebucket on its target table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = mkTable("t_ddlupsert", buckets = 4)
+    val dir = s"$warehouse/t_ddlupsert"
+    val ckpt = Files.createTempDirectory("graft_ddlupsert_ckpt").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDS().toDF("k", "name", "amount")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("upsert", "true").toTable(s"$cat.$t")
+    try {
+      in.addData((1L, "a", 10L), (2L, "b", 20L)); q.processAllAvailable()
+      // DDL lands while the stream is live: add a column, rename another.
+      // Later epochs re-base by physical identity — the stream's `amount`
+      // follows the rename to `amt`, `extra` null-fills.
+      spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (extra STRING)")
+      spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN amount TO amt")
+      in.addData((1L, "a2", 11L), (3L, "c", 30L)); q.processAllAvailable()
+      val got1 = spark.sql(s"SELECT k, name, amt, extra FROM $cat.$t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSeq
+      assert(got1 === Seq((1L, "a2", 11L, null), (2L, "b", 20L, null),
+        (3L, "c", 30L, null)))
+      // DROP + re-ADD the column the stream still writes: the stream's
+      // values belong to the tombstoned physical column and must NOT
+      // resurrect under the fresh one — new epochs null-fill it
+      spark.sql(s"ALTER TABLE $cat.$t DROP COLUMN name")
+      spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (name STRING)")
+      // and a mid-stream REBUCKET: later epochs must bucket by the new
+      // layout (applyChanges re-derives the fan-out per attempt)
+      GraftStore.rebucket(spark, dir, 8)
+      in.addData((2L, "zz", 99L)); q.processAllAvailable()
+      val got2 = spark.sql(s"SELECT k, amt, name FROM $cat.$t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      assert(got2 === Seq((1L, 11L, null), (2L, 99L, null), (3L, 30L, null)),
+        "re-added column must stay null; upsert must land post-rebucket")
+      // the upserted row landed in the bucket its hash maps to at 8
+      val b8 = spark.sql("SELECT pmod(xxhash64(CAST(2 AS BIGINT)), 8)")
+        .head().getLong(0).toInt
+      val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
+      assert(Files.isDirectory(
+        java.nio.file.Paths.get(vdir, s"${GraftStore.BucketCol}=$b8")))
+    } finally q.stop()
+  }
+
   test("UPDATE may reassign the merge key: row moves, old key leaves no ghost") {
     val t = mkTable("t_keymove")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
@@ -889,6 +936,11 @@ class CatalogSpec extends SparkTestBase {
     GraftStore.expireVersions(dir, keepLast = 2)
     assert(spark.sql(s"SELECT version FROM $cat.`t_hist$$versions` ORDER BY version")
       .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // the per-version fan-out surfaces; a rebucket shows up version-for-version
+    GraftStore.rebucket(spark, dir, 8)
+    assert(spark.sql(s"SELECT version, buckets FROM $cat.`t_hist$$versions` " +
+        "ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((2L, 4), (3L, 4), (4L, 8)))
   }
 
   test("CALL vacuum sweeps abandoned staging, never committed data") {
@@ -998,6 +1050,53 @@ class CatalogSpec extends SparkTestBase {
       assert(k1 == k2, s"untouched bucket file was copied, not linked: $f")
     }
     assert(rows(t).find(_._1 == 7L).get._3 === 0L)
+  }
+
+  test("runtime (join-time) bucket pruning: a filtered dim prunes the fact scan") {
+    import spark.implicits._
+    val t = mkTable("t_dpp", buckets = 8)
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, CAST(id AS STRING), id * 10 " +
+      "FROM range(0, 200)")
+    spark.sql(s"CALL $cat.optimize(table => 't_dpp', max_files_per_bucket => 0)")
+    // the dim must be FILE-backed: a local relation's filter constant-folds
+    // away before the pruning rule looks for a selective predicate
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString + "/dim"
+    Seq((7L, "a"), (13L, "a"), (55L, "b"))
+      .toDF("k", "grp").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case other => other.collectLeaves().flatMap {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case qs: QueryStageExec => leaves(qs.plan)
+        case l => Seq(l)
+      }
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      leaves(df.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.toString.contains("GraftRenaming") => b
+      }.get
+    }
+    val full = fileCount(scanOf(spark.sql(s"SELECT * FROM $cat.$t")))
+    // the dim's keys exist only at RUN time (behind a filter) — static
+    // bucket derivation can't see them; the DPP runtime filter hands the
+    // broadcast side's values to Scan.filter, which admits their buckets
+    val q = spark.sql(s"SELECT t.k, t.amount FROM $cat.$t t " +
+      "JOIN dpp_dim d ON t.k = d.k WHERE d.grp = 'a'")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((7L, 70L), (13L, 130L)))
+    val factScan = scanOf(q)
+    assert(factScan.runtimeFilters.nonEmpty,
+      "DPP must plant a runtime filter on the fact scan")
+    val pruned = fileCount(factScan)
+    assert(full >= 7L, s"expected ~8 compacted files, got $full")
+    assert(pruned >= 1L && pruned <= 2L,
+      s"runtime filter should admit <=2 of $full bucket files, planned $pruned")
   }
 
   test("CALL rebucket rewrites the fan-out; pruning, writes and time travel follow") {
