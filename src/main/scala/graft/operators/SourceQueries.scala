@@ -1076,6 +1076,97 @@ object SourceQueries {
           FROM events) t WHERE rn = 1)
       SELECT user_id, cents, TRUE AS runtime_pruned
       FROM latest WHERE user_id <= 40 AND user_id % 10 = 3
-      ORDER BY user_id"""))
+      ORDER BY user_id""")),
+
+    // ----- S22: zero-copy SHALLOW CLONE + TIMESTAMP AS OF. `CALL
+    // clone(src, dst)` branches a table for an experiment: dst's v0
+    // hard-links src's current files (cost ∝ file count, not bytes — the
+    // only affordable branch at 100 TB), both sides then evolve
+    // independently under copy-on-write (shared files are immutable). The
+    // gate clones mid-history, mutates BOTH sides differently, and pins:
+    // the clone's final contents (the rows), the source untouched by the
+    // clone's writes, a physical hard-link proof (same inode on a shared
+    // file), and TIMESTAMP AS OF resolving a wall-clock instant captured
+    // between two commits to the earlier version's exact contents.
+    GraftQuery("s22_shallow_clone", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s22_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.clone_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.clone_dst")
+      s.sql("""CREATE TABLE graftdml.clone_src
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.clone_src SELECT * FROM s22_latest") // v1
+      Thread.sleep(5)
+      val tsMid = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      Thread.sleep(5)
+      s.sql("UPDATE graftdml.clone_src SET cents = cents + 1 " +
+        "WHERE user_id % 2 = 0")                                       // v2
+      s.sql("CALL graftdml.clone(table => 'clone_src', target => 'clone_dst')")
+      s.sql("UPDATE graftdml.clone_dst SET cents = cents + 1000 " +
+        "WHERE user_id % 3 = 0")                                       // dst v1
+
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Boolean =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val bump2 = when($"user_id" % 2 === 0, $"cents" + 1).otherwise($"cents")
+      val expectSrc = s.sql("SELECT * FROM s22_latest")
+        .select($"user_id", bump2.as("cents"))
+      // the clone's writes did not leak into the source…
+      val srcUnchanged = eq(
+        s.sql("SELECT user_id, cents FROM graftdml.clone_src"), expectSrc)
+      // …and the captured instant resolves to v1's exact contents
+      val tsOk = eq(
+        s.sql(s"SELECT user_id, cents FROM graftdml.clone_src " +
+          s"TIMESTAMP AS OF '$tsMid'"),
+        s.sql("SELECT * FROM s22_latest"))
+      // physical proof: a shared data file is the SAME inode on both sides
+      val G = graft.sources.GraftStore
+      val srcDir = s"${DmlFixture.warehouse}/clone_src"
+      val dstDir = s"${DmlFixture.warehouse}/clone_dst"
+      val srcV = java.nio.file.Paths.get(G.versionDir(srcDir, 2L))
+      val dstV = java.nio.file.Paths.get(G.versionDir(dstDir, 0L))
+      def key(p: java.nio.file.Path) = java.nio.file.Files
+        .readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey()
+      val linked = {
+        val st = java.nio.file.Files.walk(dstV)
+        val probe = try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(p =>
+            java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.startsWith("part-")).take(3).toList
+        } finally st.close()
+        probe.nonEmpty && probe.forall { p =>
+          val twin = srcV.resolve(dstV.relativize(p))
+          java.nio.file.Files.exists(twin) && key(p) == key(twin)
+        }
+      }
+      s.sql("SELECT user_id, cents FROM graftdml.clone_dst")
+        .withColumn("src_unchanged", lit(srcUnchanged))
+        .withColumn("ts_as_of_ok", lit(tsOk))
+        .withColumn("files_hardlinked", lit(linked))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      srcv2 AS (SELECT user_id,
+                  CASE WHEN user_id % 2 = 0 THEN cents + 1 ELSE cents END AS cents
+                FROM latest)
+      SELECT user_id,
+        CASE WHEN user_id % 3 = 0 THEN cents + 1000 ELSE cents END AS cents,
+        TRUE AS src_unchanged, TRUE AS ts_as_of_ok, TRUE AS files_hardlinked
+      FROM srcv2 ORDER BY user_id"""))
   )
 }

@@ -108,6 +108,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new GraftTable(ident.toString, dir, pinnedVersion = Some(v))
   }
 
+  /** `TIMESTAMP AS OF <ts>` time travel: the latest version committed at
+    * or before the timestamp (micros from Spark), resolved off each
+    * version's `_committed_at` stamp. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+    val v = GraftStore.versionAsOfTimestamp(dir, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $ident has no version committed at or before " +
+          s"timestamp ${timestamp}us (earliest retained: " +
+          s"${GraftStore.listVersions(dir).headOption.getOrElse("none")})"))
+    new GraftTable(ident.toString, dir, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,

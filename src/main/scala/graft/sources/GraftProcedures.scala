@@ -22,8 +22,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * operation (same claim-coordinated commit protocol as DML) and returns
   * a one-row result summarizing what happened. */
 object GraftProcedures {
-  val Names: Seq[String] =
-    Seq("optimize", "rebucket", "expire_versions", "expire_changes", "vacuum")
+  val Names: Seq[String] = Seq("optimize", "rebucket", "clone",
+    "expire_versions", "expire_changes", "vacuum")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact buckets with more than max_files_per_bucket " +
@@ -31,6 +31,9 @@ object GraftProcedures {
     "rebucket" -> ("rewrite the table under a new hash-bucket fan-out " +
       "(one claimed commit, no changelog entry; pruning/SPJ/CoW follow " +
       "the new count, old versions keep their own)"),
+    "clone" -> ("zero-copy shallow clone: target's v0 hard-links the " +
+      "source's current version; schema/keys/fan-out copied, history " +
+      "and changelog fresh, both sides evolve independently"),
     "expire_versions" -> "keep the newest keep_last versions, delete older",
     "expire_changes" -> "drop changelog slices below keep_from_version",
     "vacuum" -> ("remove abandoned staging dirs and stale claim tombs " +
@@ -45,6 +48,9 @@ object GraftProcedures {
     case "rebucket" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("buckets", IntegerType).build())
+    case "clone" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target", StringType).build())
     case "expire_versions" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).build())
@@ -83,6 +89,10 @@ final class GraftProcedure(procName: String, tableDir: String => String)
           ("version", GraftStore.optimize(spark, dir, input.getInt(1), sortBy))
         case "rebucket" =>
           ("version", GraftStore.rebucket(spark, dir, input.getInt(1)))
+        case "clone" =>
+          val target = input.getUTF8String(1).toString
+          GraftStore.cloneTable(dir, tableDir(target))
+          ("version", 0L)
         case "expire_versions" =>
           GraftStore.expireVersions(dir, input.getInt(1))
           ("versions_kept", GraftStore.listVersions(dir).size.toLong)

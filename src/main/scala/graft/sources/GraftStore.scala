@@ -341,9 +341,57 @@ object GraftStore {
     * from the current meta against an older layout would silently prune to
     * the wrong files. Every commit stamps the marker; versions predating
     * this feature fall back to `meta.buckets` (correct for them — they can
-    * only exist on tables that never rebucketed). */
-  private[sources] def writeBucketMarker(vdir: String, buckets: Int): Unit =
+    * only exist on tables that never rebucketed). A `_committed_at` stamp
+    * (epoch millis, written just before the pointer flip) rides along —
+    * the clock behind `TIMESTAMP AS OF`. */
+  private[sources] def writeBucketMarker(vdir: String, buckets: Int): Unit = {
     Files.write(Paths.get(vdir, "_buckets"), buckets.toString.getBytes("UTF-8"))
+    Files.write(Paths.get(vdir, "_committed_at"),
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+  }
+
+  /** When version `v` committed (epoch millis); falls back to the version
+    * directory's mtime for pre-stamp versions. */
+  def committedAt(dir: String, v: Long): Long = {
+    val p = Paths.get(versionDir(dir, v), "_committed_at")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+    else Files.getLastModifiedTime(Paths.get(versionDir(dir, v))).toMillis
+  }
+
+  /** Latest retained version committed at or before `tsMillis` —
+    * `TIMESTAMP AS OF` resolution (commit stamps are monotone because
+    * commits serialize through the claim protocol). */
+  def versionAsOfTimestamp(dir: String, tsMillis: Long): Option[Long] =
+    listVersions(dir).filter(v => committedAt(dir, v) <= tsMillis).lastOption
+
+  /** Zero-copy SHALLOW CLONE: `dst` is a new table whose v0 hard-links the
+    * CURRENT version of `src` file-for-file (an object store would
+    * manifest-reference; local links are free) — same schema, merge keys,
+    * tombstones, physical-name mapping and bucket fan-out, fresh history
+    * and changelog. The two tables then evolve independently: the shared
+    * files are immutable by the store's copy-on-write contract, so writes
+    * to either side never touch the other. This is the branch-for-an-
+    * experiment operation at 100 TB — cost ∝ file COUNT, not bytes.
+    * Crash-safe: `_meta.json` is written LAST ([[exists]] keys on it), so
+    * a half-built clone is invisible; the dst directory is claimed
+    * create-exclusively so two concurrent clones can't interleave. */
+  def cloneTable(srcDir: String, dstDir: String): Unit = {
+    require(exists(srcDir), s"no such table: $srcDir")
+    require(!exists(dstDir), s"target already exists: $dstDir")
+    Files.createDirectories(Paths.get(dstDir).getParent)
+    Files.createDirectory(Paths.get(dstDir)) // create-exclusive claim
+    recoverChangelog(srcDir)
+    val meta = readMeta(srcDir)
+    val cur = currentVersion(srcDir)
+    val srcV = versionDir(srcDir, cur)
+    val v0 = versionDir(dstDir, 0L)
+    Files.createDirectories(Paths.get(v0))
+    bucketDirs(srcV).foreach(b => linkBucket(srcV, v0, b))
+    writeBucketMarker(v0, layoutBuckets(srcDir, cur, meta))
+    Files.createDirectories(Paths.get(changesRoot(dstDir)))
+    writePointer(dstDir, 0L)
+    writeMeta(dstDir, meta) // last: makes the clone visible atomically
+  }
 
   /** The bucket count version `v` was written with, if stamped. */
   def versionBuckets(dir: String, v: Long): Option[Int] = {

@@ -1052,6 +1052,52 @@ class CatalogSpec extends SparkTestBase {
     assert(rows(t).find(_._1 == 7L).get._3 === 0L)
   }
 
+  test("CALL clone branches zero-copy; TIMESTAMP AS OF resolves commit instants") {
+    val t = mkTable("t_clsrc", buckets = 4)
+    val dir = s"$warehouse/t_clsrc"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)") // v1
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"UPDATE $cat.$t SET amount = 21 WHERE k = 2")            // v2
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_cldst")
+    spark.sql(s"CALL $cat.clone(table => 't_clsrc', target => 't_cldst')")
+    // clone contents = source's current; then both evolve independently
+    assert(rows("t_cldst") === Seq((1L, "a", 10L), (2L, "b", 21L)))
+    spark.sql(s"UPDATE $cat.t_cldst SET amount = 0 WHERE k = 1")
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")
+    assert(rows("t_cldst") === Seq((1L, "a", 0L), (2L, "b", 21L)))
+    assert(rows(t) === Seq((1L, "a", 10L)))
+    // clone meta is a full copy: merge key, fan-out, fresh history
+    val dm = GraftStore.readMeta(s"$warehouse/t_cldst")
+    assert(dm.keyCols === Seq("k") && dm.buckets === 4)
+    assert(GraftStore.currentVersion(s"$warehouse/t_cldst") === 1L)
+    // cloning onto an existing table is rejected
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.clone(table => 't_clsrc', target => 't_cldst')")
+    }
+    assert(e.getMessage != null)
+    // TIMESTAMP AS OF: the captured instant between v1 and v2 reads v1;
+    // a pre-table instant fails loudly
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val sMid = fmt.format(java.time.Instant.ofEpochMilli(mid))
+    assert(spark.sql(
+        s"SELECT k, amount FROM $cat.$t TIMESTAMP AS OF '$sMid'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+    val early = fmt.format(java.time.Instant.ofEpochMilli(
+      GraftStore.committedAt(dir, 0L) - 60000L))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.$t TIMESTAMP AS OF '$early'").collect()
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(tt => tt +: chain(tt.getCause))
+    assert(chain(e2).exists(tt => tt.getMessage != null &&
+      tt.getMessage.contains("no version committed at or before")), s"got $e2")
+  }
+
   test("runtime (join-time) bucket pruning: a filtered dim prunes the fact scan") {
     import spark.implicits._
     val t = mkTable("t_dpp", buckets = 8)
