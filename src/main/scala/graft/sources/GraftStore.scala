@@ -1003,8 +1003,11 @@ object GraftStore {
         if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
       }
     }
-    listDir(Paths.get(dir))(_.filter(
-        _.getFileName.toString.matches("_commit-\\d{10}\\.stale-\\d+")).toList)
+    listDir(Paths.get(dir))(_.filter(p => {
+        val n = p.getFileName.toString
+        n.matches("_commit-\\d{10}\\.stale-\\d+") ||
+          n.matches("_meta_lock\\.stale-\\d+")
+      }).toList)
       .foreach { p => Files.deleteIfExists(p); removed += 1 }
     removed
   }
