@@ -135,6 +135,47 @@ object Scratch {
       }
       ev.unpersist()
     }
+    // the DML store's scale-critical paths: append commit, sub-percent
+    // delta commit (cost must track touched buckets, not table size),
+    // bucket-pruned point lookup, and the rebucket rewrite (∝ data, one
+    // claimed commit). One catalog per k — catalog options freeze at
+    // first use per name.
+    for (k <- Seq(1, 10, 100) if want("dml")) {
+      val cat = s"gscale$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_dml").toString)
+      val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id"))
+      // one row per EVENT (event_id is the merge key): key count scales
+      // with k — the layout paths need millions of keys to show shape
+      val state = ev.groupBy($"event_id".as("k"))
+        .agg(max(round($"value" * 100).cast("long")).as("cents")).cache()
+      val n = state.count()
+      state.createOrReplaceTempView(s"scale_src_$k")
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, " +
+        "cents BIGINT) USING graft " +
+        "TBLPROPERTIES ('merge_key'='k', 'buckets'='64')")
+      time(f"dml x$k%3d ($n%9d keys) append commit") {
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM scale_src_$k")
+      }
+      time(f"dml x$k%3d ($n%9d keys) 0.1%% delta commit (CoW)") {
+        spark.sql(s"UPDATE $cat.t SET cents = cents + 1 WHERE k % 1000 = 0")
+      }
+      time(f"dml x$k%3d ($n%9d keys) point lookup (bucket-pruned)") {
+        spark.sql(s"SELECT * FROM $cat.t WHERE k = 4242").count()
+      }
+      time(f"dml x$k%3d ($n%9d keys) full scan (for contrast)") {
+        spark.sql(s"SELECT COUNT(*) FROM $cat.t").head()
+      }
+      time(f"dml x$k%3d ($n%9d keys) rebucket 64 -> 256") {
+        spark.sql(s"CALL $cat.rebucket(table => 't', buckets => 256)")
+      }
+      time(f"dml x$k%3d ($n%9d keys) point lookup after rebucket") {
+        spark.sql(s"SELECT * FROM $cat.t WHERE k = 4242").count()
+      }
+      state.unpersist()
+    }
     for (k <- Seq(1, 4, 16) if want("lineitem")) {
       val li = replicate(Tables.lineitem(spark, d), k, Seq("l_orderkey")).cache()
       val n = li.count()
