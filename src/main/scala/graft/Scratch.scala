@@ -162,6 +162,11 @@ object Scratch {
       time(f"dml x$k%3d ($n%9d keys) 0.1%% delta commit (CoW)") {
         spark.sql(s"UPDATE $cat.t SET cents = cents + 1 WHERE k % 1000 = 0")
       }
+      // one key → one bucket: the CoW rewrite's cost must track the
+      // TOUCHED bucket (1/64 of the table), not the table
+      time(f"dml x$k%3d ($n%9d keys) single-key delta commit (1 bucket)") {
+        spark.sql(s"UPDATE $cat.t SET cents = cents + 1 WHERE k = 4242")
+      }
       time(f"dml x$k%3d ($n%9d keys) point lookup (bucket-pruned)") {
         spark.sql(s"SELECT * FROM $cat.t WHERE k = 4242").count()
       }

@@ -261,6 +261,75 @@ object DedupQueries {
       FROM documents LEFT JOIN rec ON documents.doc_id = rec.d
       ORDER BY doc_id""")),
 
+    // ----- N6b: the PRODUCTION cluster pipeline at corpus scale — the
+    // df cap composed with pair-graph construction and min-label
+    // clustering, end to end. n6 is the exact-definition companion (raw
+    // posting join — quadratic on a hot shingle, fine as a definition,
+    // not as the 100 TB path); this is the path a real corpus runs:
+    // boilerplate-df-capped shingles → bounded posting join → exact
+    // Jaccard on surviving grams → connected components. The gate plants
+    // the quadratic hazard (identical footer on EVERY doc) and the DuckDB
+    // mirror applies the identical cap + recursive-CTE clustering, so the
+    // hash match proves the capped pipeline clusters exactly as defined.
+    GraftQuery("n6b_dedup_clusters_dfcap", (s, d) => {
+      import s.implicits._
+      val footer = " graft corpus footer all rights reserved do not redistribute this document"
+      val docs = T.documents(s, d)
+        .select($"doc_id", concat($"text", lit(footer)).as("text"))
+      val ex = shingleSets(docs)
+        .select($"doc_id", explode($"sh").as("sval"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val keptKeys = ex.groupBy($"sval").agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs)
+        .filter($"df" <= $"n_docs" * 0.5)
+        .select($"sval")
+      val kept = ex.join(keptKeys, "sval")
+      val sz = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pairs = kept.as("x").join(kept.as("y"),
+          col("x.sval") === col("y.sval") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("isz"))
+        .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+        .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
+        .filter($"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz") >= 0.5)
+        .select($"a", $"b")
+      val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint(true)
+      val labels0 = T.documents(s, d)
+        .select($"doc_id".as("__id"), $"doc_id".as("__lbl"))
+      graft.Graft.propagateMinLabels(labels0, edges)
+        .select($"__id".as("doc_id"), $"__lbl".as("cluster"),
+          ($"__id" === $"__lbl").as("is_keeper"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, str_split(trim(text ||
+             ' graft corpus footer all rights reserved do not redistribute this document'),
+             ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM t,
+             unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]) AS u(s)),
+      dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
+               WHERE dfq.df <= 0.5 * (SELECT COUNT(*) FROM documents)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+      p AS (SELECT a, b FROM inter
+            JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+      e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      rec AS (
+        WITH RECURSIVE reach(dd, r) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.dd)
+        SELECT dd, MIN(r) AS cluster FROM reach GROUP BY dd)
+      SELECT doc_id,
+        COALESCE(rec.cluster, doc_id) AS cluster,
+        doc_id = COALESCE(rec.cluster, doc_id) AS is_keeper
+      FROM documents LEFT JOIN rec ON documents.doc_id = rec.dd
+      ORDER BY doc_id""")),
+
     // ----- N2b: SimHash near-dup (hamming ≤ 8 over 64-bit signatures).
     // Production path: Graft.simhashPairs bands into maxHamming+1 = 9
     // chunks, so recall is exact by pigeonhole — which makes the operator

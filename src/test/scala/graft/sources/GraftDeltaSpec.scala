@@ -187,6 +187,39 @@ class GraftDeltaSpec extends SparkTestBase {
     assert(GraftStore.readChanges(spark, dir, 1L, 1L).count() === 1L)
   }
 
+  test("changes stream plans a committed-but-unpublished slice (crash between flip and publish)") {
+    val dir = Files.createTempDirectory("graft_cdcrec_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    import spark.implicits._
+    def commit(k: Long): Unit = GraftStore.applyChanges(spark, dir,
+      Seq((k, s"r$k", k * 10)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, org.apache.spark.sql.functions.lit("I")),
+      allInserts = true)
+    commit(1L) // v1, published normally
+    commit(2L) // v2 — then SIMULATE the crash window: changelog back to
+    // staging (committed version, publication never happened)
+    val published = Paths.get(s"$dir/_changes/change_version=2")
+    val staged = Paths.get(s"$dir/_changes/.staging-2")
+    Files.move(published, staged)
+    // a batch covering (1, 2] must NOT skip v2: plan-time recovery
+    // publishes the staged slice before the missing-dir filter runs
+    val stream = new GraftChangesMicroBatchStream(dir, GraftStore.readMeta(dir))
+    val parts = stream.planInputPartitions(
+      GraftVersionOffset(1L), GraftVersionOffset(2L))
+    assert(parts.nonEmpty,
+      "committed-but-unpublished changelog slice was silently skipped")
+    assert(Files.isDirectory(published) && !Files.exists(staged),
+      "plan-time recovery must publish the staged slice")
+    // and the horizon guard: a resume point below expire_changes' horizon
+    // fails loudly instead of returning an empty batch
+    commit(3L)
+    GraftStore.expireChanges(dir, keepFromVersion = 3L)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(GraftVersionOffset(1L), GraftVersionOffset(3L))
+    }
+    assert(e.getMessage.contains("restart the consumer from a fresh table snapshot"))
+  }
+
   test("meta lock: token-guarded release, one-winner stale takeover") {
     val dir = Files.createTempDirectory("graft_mlock_spec").toString + "/t"
     GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
