@@ -1167,6 +1167,63 @@ object SourceQueries {
       SELECT user_id,
         CASE WHEN user_id % 3 = 0 THEN cents + 1000 ELSE cents END AS cents,
         TRUE AS src_unchanged, TRUE AS ts_as_of_ok, TRUE AS files_hardlinked
-      FROM srcv2 ORDER BY user_id"""))
+      FROM srcv2 ORDER BY user_id""")),
+
+    // ----- S23: RESTORE — roll a table back to a retained version as one
+    // hard-linked commit (`CALL restore`), the undo-a-bad-write operation
+    // whose cost is links, not bytes. History is preserved (the pointer
+    // only moves forward), the restore commit writes NO changelog slice
+    // (the missing slice is the snapshot boundary CDC consumers re-sync
+    // across, same contract as overwrite), and the table keeps working
+    // after: the gate restores past an UPDATE+DELETE pair, writes through
+    // the restored state, and pins the final rows plus the boundary and
+    // history booleans.
+    GraftQuery("s23_restore", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s23_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.restore_t")
+      s.sql("""CREATE TABLE graftdml.restore_t
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.restore_t SELECT * FROM s23_latest")    // v1
+      s.sql("UPDATE graftdml.restore_t SET cents = cents + 1 WHERE user_id % 2 = 0") // v2 (bad write)
+      s.sql("DELETE FROM graftdml.restore_t WHERE cents < 500")           // v3 (worse)
+      s.sql("CALL graftdml.restore(table => 'restore_t', version => 1)")  // v4 = v1
+      val dir = s"${DmlFixture.warehouse}/restore_t"
+      val G = graft.sources.GraftStore
+      val restored = s.sql("SELECT user_id, cents FROM graftdml.restore_t")
+      val v1 = s.sql("SELECT * FROM s23_latest")
+      val restoredOk = restored.exceptAll(v1).isEmpty &&
+        v1.exceptAll(restored).isEmpty
+      val boundaryOk = !G.hasChangelog(dir, 4L) && G.hasChangelog(dir, 2L)
+      // the undone versions remain time-travelable until expired: v2 must
+      // still read back as exactly v1 + the "bad" update
+      val v2expect = v1.select($"user_id",
+        when($"user_id" % 2 === 0, $"cents" + 1).otherwise($"cents").as("cents"))
+      val v2df = s.sql("SELECT user_id, cents FROM graftdml.restore_t VERSION AS OF 2")
+      val historyOk = G.listVersions(dir) == (0L to 4L) &&
+        v2df.exceptAll(v2expect).isEmpty && v2expect.exceptAll(v2df).isEmpty
+      s.sql("UPDATE graftdml.restore_t SET cents = cents + 5 WHERE user_id % 7 = 0") // v5
+      s.sql("SELECT user_id, cents FROM graftdml.restore_t")
+        .withColumn("restored_matches_v1", lit(restoredOk))
+        .withColumn("restore_has_no_changelog", lit(boundaryOk))
+        .withColumn("history_intact", lit(historyOk))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id,
+        CASE WHEN user_id % 7 = 0 THEN cents + 5 ELSE cents END AS cents,
+        TRUE AS restored_matches_v1, TRUE AS restore_has_no_changelog,
+        TRUE AS history_intact
+      FROM latest ORDER BY user_id"""))
   )
 }

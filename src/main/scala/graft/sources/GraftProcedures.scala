@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * operation (same claim-coordinated commit protocol as DML) and returns
   * a one-row result summarizing what happened. */
 object GraftProcedures {
-  val Names: Seq[String] = Seq("optimize", "rebucket", "clone",
+  val Names: Seq[String] = Seq("optimize", "rebucket", "clone", "restore",
     "expire_versions", "expire_changes", "vacuum")
 
   private[sources] val Descriptions: Map[String, String] = Map(
@@ -34,6 +34,9 @@ object GraftProcedures {
     "clone" -> ("zero-copy shallow clone: target's v0 hard-links the " +
       "source's current version; schema/keys/fan-out copied, history " +
       "and changelog fresh, both sides evolve independently"),
+    "restore" -> ("roll back to a retained version as a NEW hard-linked " +
+      "commit (history preserved, no changelog slice — CDC consumers " +
+      "re-snapshot across it)"),
     "expire_versions" -> "keep the newest keep_last versions, delete older",
     "expire_changes" -> "drop changelog slices below keep_from_version",
     "vacuum" -> ("remove abandoned staging dirs and stale claim tombs " +
@@ -51,6 +54,9 @@ object GraftProcedures {
     case "clone" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target", StringType).build())
+    case "restore" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
     case "expire_versions" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_last", IntegerType).build())
@@ -93,6 +99,8 @@ final class GraftProcedure(procName: String, tableDir: String => String)
           val target = input.getUTF8String(1).toString
           GraftStore.cloneTable(dir, tableDir(target))
           ("version", 0L)
+        case "restore" =>
+          ("version", GraftStore.restore(dir, input.getLong(1)))
         case "expire_versions" =>
           GraftStore.expireVersions(dir, input.getInt(1))
           ("versions_kept", GraftStore.listVersions(dir).size.toLong)

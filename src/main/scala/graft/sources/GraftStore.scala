@@ -952,6 +952,45 @@ object GraftStore {
     } finally releaseClaim(marker, token)
   }
 
+  /** Roll the table back to a retained earlier version — `CALL
+    * restore(table, v)`, the undo-a-bad-write operation. One claimed
+    * commit whose new version HARD-LINKS the target version's files
+    * (cost ∝ file count — at 100 TB a restore is links/manifest refs, not
+    * a copy); history is preserved, the pointer only ever moves forward,
+    * so time travel to the undone versions still works until
+    * [[expireVersions]] drops them. Like TRUNCATE/overwrite, a restore
+    * writes NO changelog slice: the missing slice is the detectable
+    * snapshot boundary — a CDC consumer folding past it would resurrect
+    * the undone writes, so it must re-snapshot instead. The restored
+    * version keeps the TARGET's bucket fan-out (marker copied), so a
+    * restore across a [[rebucket]] prunes correctly under the old layout
+    * and later writes re-derive from it. */
+  def restore(dir: String, toVersion: Long): Long = {
+    recoverChangelog(dir)
+    val meta = readMeta(dir)
+    val cur = currentVersion(dir)
+    require(listVersions(dir).contains(toVersion),
+      s"table $dir has no retained version $toVersion " +
+        s"(have ${listVersions(dir)})")
+    if (toVersion == cur) return cur
+    val next = cur + 1
+    val (marker, token) = claimCommit(dir, next)
+    try withClaimHeartbeat(Seq(marker)) {
+      if (currentVersion(dir) != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past version $cur during RESTORE; re-run")
+      val srcV = versionDir(dir, toVersion)
+      val nextDir = versionDir(dir, next)
+      deleteRecursively(Paths.get(nextDir))
+      Files.createDirectories(Paths.get(nextDir))
+      bucketDirs(srcV).foreach(b => linkBucket(srcV, nextDir, b))
+      writeBucketMarker(nextDir, layoutBuckets(dir, toVersion, meta))
+      verifyClaim(marker, token)
+      writePointer(dir, next)
+      next
+    } finally releaseClaim(marker, token)
+  }
+
   /** Drop changelog slices below `keepFromVersion` — changelog retention.
     * Replay/stream consumers must have advanced past the horizon; after
     * this, reconstruction older than the horizon needs a kept snapshot

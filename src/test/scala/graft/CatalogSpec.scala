@@ -1052,6 +1052,46 @@ class CatalogSpec extends SparkTestBase {
     assert(rows(t).find(_._1 == 7L).get._3 === 0L)
   }
 
+  test("CALL restore rolls back by hard-link, across a rebucket, history intact") {
+    val t = mkTable("t_restore", buckets = 4)
+    val dir = s"$warehouse/t_restore"
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, CAST(id AS STRING), id * 10 " +
+      "FROM range(0, 64)")                                          // v1
+    spark.sql(s"CALL $cat.rebucket(table => 't_restore', buckets => 16)") // v2
+    spark.sql(s"UPDATE $cat.$t SET amount = 0 WHERE k < 32")        // v3
+    val v = spark.sql(s"CALL $cat.restore(table => 't_restore', version => 1)")
+      .head().getLong(0)
+    assert(v === 4L)
+    // contents back to v1, restored under v1's OWN fan-out (marker copied)
+    assert(rows(t).map(_._3).sum === (0 until 64).map(_ * 10).sum)
+    assert(GraftStore.versionBuckets(dir, 4L) === Some(4))
+    assert(!GraftStore.hasChangelog(dir, 4L), "restore writes no changelog")
+    // pruning and writes keep working under the restored layout
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+    }
+    spark.sql(s"CALL $cat.optimize(table => 't_restore', max_files_per_bucket => 0)")
+    val point = fileCount(scanOf(
+      spark.sql(s"SELECT name FROM $cat.$t WHERE k = 7")))
+    assert(point === 1L, s"point lookup under restored 4-bucket layout: $point")
+    spark.sql(s"UPDATE $cat.$t SET amount = 1 WHERE k = 7")
+    assert(rows(t).find(_._1 == 7L).get._3 === 1L)
+    // no-op restore to current; unknown version errors
+    val cur = GraftStore.currentVersion(dir)
+    assert(spark.sql(s"CALL $cat.restore(table => 't_restore', version => $cur)")
+      .head().getLong(0) === cur)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.restore(table => 't_restore', version => 99)")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(tt => tt +: chain(tt.getCause))
+    assert(chain(e).exists(tt => tt.getMessage != null &&
+      tt.getMessage.contains("no retained version")), s"got $e")
+  }
+
   test("CALL clone branches zero-copy; TIMESTAMP AS OF resolves commit instants") {
     val t = mkTable("t_clsrc", buckets = 4)
     val dir = s"$warehouse/t_clsrc"
