@@ -53,15 +53,36 @@ def gen_sequence(idx):
         for op in ops:
             counts[op] = counts.get(op, 0) + 1
         changes.append((version, counts))
+        history[version] = (dict(state), n_drops)
 
     buckets = 4          # current hash fan-out (rebucket changes it)
+    # snapshots for the restore template: version -> (dict(state), n_drops
+    # performed so far). A restore to a pre-DROP snapshot reads the string
+    # column as NULL (tombstoned physical column never resurrects).
+    history = {0: ({}, 0)}
+    n_drops = 0
     n_stmt = rng.randint(5, 9)
     for _ in range(n_stmt):
         kind = rng.choice(["insert", "insert", "merge", "merge", "update",
                            "delete", "overwrite", "keymove", "alter",
                            "optimize", "expire_changes", "expire_versions",
                            "rename", "rename", "drop_readd", "rebucket",
-                           "merge_nmbs"])
+                           "merge_nmbs", "restore"])
+        if kind == "restore":
+            # roll back to one of the LAST 2 versions (always retained —
+            # expire_versions keeps 3): content snapshot restored, one
+            # version bump, NO change rows (snapshot boundary)
+            cands = [v for v in history if version - 2 <= v <= version]
+            v = rng.choice(cands)
+            stmts.append(f"CALL graftdml.restore('{t}', {v})")
+            if v != version:
+                snap, era = history[v]
+                state.clear()
+                for k, (nm, a) in snap.items():
+                    state[k] = (None if n_drops > era else nm, a)
+                version += 1
+                history[version] = (dict(state), n_drops)
+            continue
         if kind == "rebucket":
             # layout-only fan-out change: one version bump, NO change rows,
             # content identical; a same-count call is a no-op
@@ -70,6 +91,7 @@ def gen_sequence(idx):
             if target != buckets:
                 buckets = target
                 version += 1
+                history[version] = (dict(state), n_drops)
             continue
         if kind == "merge_nmbs":
             # the third MERGE branch: target-only rows (NOT MATCHED BY
@@ -126,6 +148,7 @@ def gen_sequence(idx):
             # the tombstoned physical column must NOT resurrect, so every
             # existing row's value becomes NULL in the model
             renamed += 1
+            n_drops += 1
             new = f"name_d{renamed}"
             stmts.append(f"ALTER TABLE graftdml.{t} DROP COLUMN {cn['name']}")
             stmts.append(f"ALTER TABLE graftdml.{t} ADD COLUMNS ({new} STRING)")
@@ -165,6 +188,7 @@ def gen_sequence(idx):
             stmts.append(f"CALL graftdml.optimize('{t}', 0)")
             if state:
                 version += 1
+                history[version] = (dict(state), n_drops)
             continue
         if kind == "expire_versions":
             stmts.append(f"CALL graftdml.expire_versions('{t}', 3)")  # content no-op
@@ -186,6 +210,7 @@ def gen_sequence(idx):
             for k, n, a in rows:
                 state[k] = (n, a)
             version += 1  # the overwrite commit: no change rows
+            history[version] = (dict(state), n_drops)
             continue
         if kind == "insert" or not state:
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
