@@ -1224,6 +1224,53 @@ object SourceQueries {
         CASE WHEN user_id % 7 = 0 THEN cents + 5 ELSE cents END AS cents,
         TRUE AS restored_matches_v1, TRUE AS restore_has_no_changelog,
         TRUE AS history_intact
-      FROM latest ORDER BY user_id"""))
+      FROM latest ORDER BY user_id""")),
+
+    // ----- S24: predicate-scoped atomic overwrite — `INSERT INTO t
+    // REPLACE WHERE <pred> SELECT ...` (Spark's SupportsOverwrite). The
+    // partition-overwrite idiom for a keyed store: ONE commit deletes
+    // every base row matching the predicate and upserts the new rows, so
+    // "recompute this region" (a day, an id range, a source) is a single
+    // atomic, CDC-complete statement — readers see the old region or the
+    // new, never a gap; cost ∝ matching rows + new rows' buckets. The
+    // gate replaces the user_id <= 500 region with counts-derived rows
+    // for only PART of it (the rest of the region must vanish) and pins
+    // the final table + the single-version-bump boolean.
+    GraftQuery("s24_replace_where", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s24_latest")
+      T.events(s, d).groupBy($"user_id")
+        .agg((count(lit(1)) * 1000).as("cents"))
+        .createOrReplaceTempView("s24_counts")
+      s.sql("DROP TABLE IF EXISTS graftdml.replw_t")
+      s.sql("""CREATE TABLE graftdml.replw_t
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.replw_t SELECT * FROM s24_latest")  // v1
+      s.sql("""INSERT INTO graftdml.replw_t REPLACE WHERE user_id <= 500
+        SELECT user_id, cents FROM s24_counts WHERE user_id <= 300""") // v2
+      val version = graft.sources.GraftStore
+        .currentVersion(s"${DmlFixture.warehouse}/replw_t")
+      s.sql("SELECT user_id, cents FROM graftdml.replw_t")
+        .withColumn("one_atomic_commit", lit(version == 2L))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      cnts AS (SELECT user_id, COUNT(*) * 1000 AS cents FROM events
+               GROUP BY user_id)
+      SELECT user_id, cents, TRUE AS one_atomic_commit FROM (
+        SELECT user_id, cents FROM latest WHERE user_id > 500
+        UNION ALL
+        SELECT user_id, cents FROM cnts WHERE user_id <= 300)
+      ORDER BY user_id"""))
   )
 }

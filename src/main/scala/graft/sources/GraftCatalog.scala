@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -310,6 +310,37 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 }
 
 object GraftCatalog {
+  /** Rebuild a Column predicate from a V1 source [[Filter]] — the shapes
+    * Spark can translate a REPLACE WHERE condition into (anything it
+    * can't translate is rejected by the planner before reaching us, so
+    * this set is exhaustive by construction). */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case StringEndsWith(a, v) => col(a).endsWith(v)
+      case StringContains(a, v) => col(a).contains(v)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => not(filterToColumn(c))
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"REPLACE WHERE filter not supported: $other")
+    }
+  }
+
   /** Identifier suffix routing to a table's changelog, e.g.
     * `` cat.`orders$changes` ``. */
   val ChangesSuffix = "$changes"
@@ -437,7 +468,7 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
 
   /** Delegate scans to Spark's parquet DSv2 table over the resolved
     * version directory: pruning/pushdown/vectorization are the stock
@@ -470,23 +501,64 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
     * bucketed copy-on-write commit as the delta path with every row an
     * insert — one distributed job, nothing driver-side. The same builder
     * serves `df.writeStream.toTable(...)` via [[GraftStreamingAppend]]:
-    * per-epoch staged inserts, idempotent epoch commits. */
+    * per-epoch staged inserts, idempotent epoch commits.
+    *
+    * `INSERT INTO t REPLACE WHERE <pred> SELECT ...` lands through
+    * [[org.apache.spark.sql.connector.write.SupportsOverwrite]]: ONE
+    * atomic commit that deletes every base row matching the predicate and
+    * upserts the new rows (they commit as 'U' deltas, so a new row whose
+    * key survives OUTSIDE the replaced region replaces it — the
+    * one-live-row-per-key contract holds either way). Cost ∝ matching
+    * rows + new rows' buckets, full CDC (D rows for the replaced region,
+    * before-imaged upserts for the new), snapshot-conflict-checked like
+    * any delta. The trivial always-true predicate routes to the
+    * whole-table single-commit overwrite. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var doTruncate = false
+      private var replaceWhere: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
       override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (filters.isEmpty ||
+            filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          doTruncate = true
+        else replaceWhere = filters
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data, overwrite) => {
             val spark = data.sparkSession
-            import org.apache.spark.sql.functions.lit
-            // overwrite is a SINGLE version commit (write new data, link
-            // nothing, flip once) — never a truncate-then-append pair,
-            // which would expose an empty table to concurrent readers and
-            // leave one behind on a crash between the halves.
-            GraftStore.applyChanges(spark, dir,
-              data.withColumn(GraftStore.OpCol, lit("I")),
-              allInserts = true, overwrite = doTruncate || overwrite)
+            import org.apache.spark.sql.functions.{col, lit}
+            if (replaceWhere.nonEmpty) {
+              val pred = replaceWhere.map(GraftCatalog.filterToColumn)
+                .reduce(_ && _)
+              val snapshot = GraftStore.currentVersion(dir)
+              val cols = meta.schema.fieldNames.toSeq
+              // replaced rows become D deltas carrying only the key (rest
+              // null, like the row-level path); new rows are keyed upserts
+              val dels = GraftStore.readVersion(spark, dir, snapshot)
+                .filter(pred)
+                .select(cols.map(c =>
+                  if (meta.keyCols.contains(c)) col(c)
+                  else lit(null).cast(meta.schema(c).dataType).as(c)): _*)
+                .withColumn(GraftStore.OpCol, lit("D"))
+              val ups = data.toDF(cols: _*).select(cols.map(col): _*)
+                .withColumn(GraftStore.OpCol, lit("U"))
+              GraftStore.applyChanges(spark, dir, dels.unionByName(ups),
+                expectedVersion = Some(snapshot))
+            } else {
+              // overwrite is a SINGLE version commit (write new data, link
+              // nothing, flip once) — never a truncate-then-append pair,
+              // which would expose an empty table to concurrent readers and
+              // leave one behind on a crash between the halves.
+              GraftStore.applyChanges(spark, dir,
+                data.withColumn(GraftStore.OpCol, lit("I")),
+                allInserts = true, overwrite = doTruncate || overwrite)
+            }
           }
         override def toStreaming:
             org.apache.spark.sql.connector.write.streaming.StreamingWrite =

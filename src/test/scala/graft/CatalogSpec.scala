@@ -1052,6 +1052,36 @@ class CatalogSpec extends SparkTestBase {
     assert(rows(t).find(_._1 == 7L).get._3 === 0L)
   }
 
+  test("INSERT INTO ... REPLACE WHERE swaps a predicate region in one commit") {
+    val t = mkTable("t_replw", buckets = 4)
+    val dir = s"$warehouse/t_replw"
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, CAST(id AS STRING), id * 10 " +
+      "FROM range(0, 20)")                                          // v1
+    // replace the [5, 9] region with 3 rows: two inside it, one whose key
+    // (15) lives OUTSIDE the region — it must UPSERT over the survivor
+    spark.sql(s"INSERT INTO $cat.$t REPLACE WHERE k >= 5 AND k <= 9 " +
+      "VALUES (5, 'n5', 1), (6, 'n6', 2), (15, 'n15', 3)")          // v2
+    assert(GraftStore.currentVersion(dir) === 2L, "one atomic commit")
+    val got = rows(t)
+    assert(got.filter(r => r._1 >= 5 && r._1 <= 9) ===
+      Seq((5L, "n5", 1L), (6L, "n6", 2L)), "region replaced exactly")
+    assert(got.find(_._1 == 15L).get === (15L, "n15", 3L),
+      "outside-region key upserted, not duplicated")
+    assert(got.size === 20 - 5 + 2, s"7,8,9 gone, rest intact: ${got.size}")
+    // full CDC: the replaced region logged as D (7,8,9 pure deletes),
+    // the new rows as U
+    val ch = GraftStore.readChanges(spark, dir, 2L, 2L)
+      .selectExpr("change_op", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch === Set(("D", 5L), ("D", 6L), ("D", 7L), ("D", 8L), ("D", 9L),
+      ("U", 5L), ("U", 6L), ("U", 15L)))
+    // the replayed changelog agrees with the live table
+    val replayed = GraftStore.replayChanges(
+      GraftStore.readVersion(spark, dir, 0L),
+      GraftStore.readChanges(spark, dir, 1L, 2L), GraftStore.readMeta(dir))
+    assert(replayed.count() === got.size.toLong)
+  }
+
   test("CALL restore rolls back by hard-link, across a rebucket, history intact") {
     val t = mkTable("t_restore", buckets = 4)
     val dir = s"$warehouse/t_restore"
