@@ -37,6 +37,10 @@ def gen_sequence(idx):
     altered = 0          # extra columns added so far
     renamed = 0          # rename counter (fresh logical names)
     cn = {"k": "k", "name": "name", "amount": "amount"}  # role -> current name
+    # (current_name, role) in SCHEMA ORDER — positional inserts (REPLACE
+    # WHERE takes no column list) must match it; drop_readd re-appends the
+    # string column at the END, alter appends extras
+    schema_cols = [["k", "k"], ["name", "name"], ["amount", "amount"]]
 
     def fresh_keys(n):
         ks = []
@@ -67,7 +71,30 @@ def gen_sequence(idx):
                            "delete", "overwrite", "keymove", "alter",
                            "optimize", "expire_changes", "expire_versions",
                            "rename", "rename", "drop_readd", "rebucket",
-                           "merge_nmbs", "restore"])
+                           "merge_nmbs", "restore", "replace_where"])
+        if kind == "replace_where":
+            # predicate-scoped atomic overwrite: delete the amount > cut
+            # region, upsert fresh-key rows — ONE commit, D + U change rows
+            cut = rng.randint(200, 900)
+            rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
+                    for k in fresh_keys(rng.randint(1, 3))]
+            vals = ", ".join(f"({k}, '{n}', {a})" for k, n, a in rows)
+            exprs = ", ".join(
+                {"k": "v.k", "name": "v.name", "amount": "v.amount",
+                 "extra": "CAST(NULL AS STRING)"}[role]
+                for _, role in schema_cols)
+            stmts.append(
+                f"INSERT INTO graftdml.{t} "
+                f"REPLACE WHERE {cn['amount']} > {cut} "
+                f"SELECT {exprs} FROM (VALUES {vals}) AS v(k, name, amount)")
+            ops = []
+            for k in list(state):
+                if state[k][1] > cut:
+                    del state[k]; ops.append("D")
+            for k, n, a in rows:
+                state[k] = (n, a); ops.append("U")
+            commit(ops)
+            continue
         if kind == "restore":
             # roll back to one of the LAST 2 versions (always retained —
             # expire_versions keeps 3): content snapshot restored, one
@@ -141,6 +168,9 @@ def gen_sequence(idx):
             renamed += 1
             new = f"{role}_r{renamed}"
             stmts.append(f"ALTER TABLE graftdml.{t} RENAME COLUMN {cn[role]} TO {new}")
+            for sc in schema_cols:
+                if sc[1] == role:
+                    sc[0] = new
             cn[role] = new
             continue
         if kind == "drop_readd":
@@ -152,6 +182,8 @@ def gen_sequence(idx):
             new = f"name_d{renamed}"
             stmts.append(f"ALTER TABLE graftdml.{t} DROP COLUMN {cn['name']}")
             stmts.append(f"ALTER TABLE graftdml.{t} ADD COLUMNS ({new} STRING)")
+            schema_cols[:] = [sc for sc in schema_cols if sc[1] != "name"]
+            schema_cols.append([new, "name"])
             cn["name"] = new
             for k in state:
                 state[k] = (None, state[k][1])
@@ -181,6 +213,7 @@ def gen_sequence(idx):
             altered += 1
             stmts.append(f"ALTER TABLE graftdml.{t} ADD COLUMNS "
                          f"(extra_{idx}_{altered} STRING)")
+            schema_cols.append([f"extra_{idx}_{altered}", "extra"])
             continue
         if kind == "optimize":
             # maxFilesPerBucket=0 rewrites every non-empty bucket —
