@@ -10,14 +10,26 @@ rebucket — then runs `verify`, which checks: contiguous versions, no
 orphan claims, no duplicate keys, live contents == the union of what
 every writer recorded as committed, and changelog replay from v0 == live.
 
-Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed]
+Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash]
+
+--crash adds CRASH INJECTION: after a warm-up, a random subset of writers
+is SIGKILLed mid-commit (claims shortened to 3 s via the
+graft.store.staleClaimMillis property so survivors take over quickly),
+replacement writers run against the same table, and verification switches
+to --partial: survivors' ranges value-for-value, killed ranges by the
+structural invariants (no duplicate keys, contiguous versions, dead-claim
+sweep, changelog replay == live — the torn-commit detector).
+
 Requires `sbt -batch compile` to have populated target/scala-2.13/classes.
 """
-import glob, os, subprocess, sys, tempfile
+import glob, os, random, signal, subprocess, sys, tempfile, time
 
-n_writers = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+args = [a for a in sys.argv[1:] if a != "--crash"]
+crash = "--crash" in sys.argv[1:]
+n_writers = int(args[0]) if len(args) > 0 else 3
+n_ops = int(args[1]) if len(args) > 1 else 12
+seed = int(args[2]) if len(args) > 2 else 7
+rng = random.Random(seed)
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 classes = os.path.join(repo, "target", "scala-2.13", "classes")
@@ -31,7 +43,8 @@ cp = ":".join([classes, "/opt/spark/jars/*"] + scala_lib[:1])
 work = tempfile.mkdtemp(prefix="graft_multiproc_")
 table = os.path.join(work, "t")
 java = ["java", "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",
-        "-Xmx2g", "-cp", cp, "graft.MultiWriterRunner"]
+        "-Xmx2g"] + (["-Dgraft.store.staleClaimMillis=3000"] if crash else []) + [
+        "-cp", cp, "graft.MultiWriterRunner"]
 
 def run(args, **kw):
     return subprocess.run(java + args, capture_output=True, text=True,
@@ -42,25 +55,44 @@ if "[multiwriter] init ok" not in r.stdout:
     print(r.stdout[-2000:]); print(r.stderr[-2000:])
     sys.exit("init failed")
 
-procs, outs = [], []
-for w in range(1, n_writers + 1):
+def start_writer(w, ops):
     out = os.path.join(work, f"writer{w}.tsv")
-    outs.append(out)
-    procs.append(subprocess.Popen(
-        java + ["write", table, str(w), str(n_ops), str(seed + w), out],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    p = subprocess.Popen(
+        java + ["write", table, str(w), str(ops), str(seed + w), out],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    return w, p, out
+
+procs = [start_writer(w, n_ops) for w in range(1, n_writers + 1)]
+killed = set()
+if crash:
+    # let everyone get past session startup and some commits, then
+    # SIGKILL a random subset mid-flight
+    time.sleep(25)
+    for w, p, _ in rng.sample(procs, max(1, n_writers // 2)):
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+            killed.add(w)
+            print(f"writer {w}: SIGKILLed mid-run")
+    # replacements hammer the same table while the dust settles
+    procs += [start_writer(100 + w, max(4, n_ops // 2))
+              for w in range(1, 3)]
 
 fail = False
-for w, p in enumerate(procs, start=1):
+outs = []
+for w, p, out in procs:
     so, se = p.communicate(timeout=900)
+    if w in killed:
+        continue  # killed writers: no record used, no rc expectations
     line = next((l for l in so.splitlines() if "[multiwriter]" in l), "?")
     print(f"writer {w}: rc={p.returncode} {line}")
     if p.returncode != 0:
         fail = True
         print(se[-3000:])
+    else:
+        outs.append(out)
 
 if not fail:
-    r = run(["verify", table] + outs)
+    r = run((["verify", table, "--partial"] if crash else ["verify", table]) + outs)
     for l in r.stdout.splitlines():
         if "[multiwriter]" in l:
             print(l)
@@ -69,5 +101,6 @@ if not fail:
         print(r.stderr[-3000:])
 
 print(f"multiproc fuzz: {'FAIL' if fail else 'PASS'} "
-      f"(writers={n_writers} ops={n_ops} seed={seed})")
+      f"(writers={n_writers} ops={n_ops} seed={seed}"
+      f"{' crash-injected=' + str(sorted(killed)) if crash else ''})")
 sys.exit(1 if fail else 0)

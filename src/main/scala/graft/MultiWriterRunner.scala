@@ -78,6 +78,18 @@ object MultiWriterRunner {
     val base = writerId.toLong * 1000000L
     val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
     var nextKey = 0L
+    // the record is rewritten (staged+atomic) after EVERY committed op, so
+    // a SIGKILLed writer's file is accurate up to at most one in-flight op
+    // — the crash-injection harness relies on that
+    def flushRecord(): Unit = {
+      val out = expected.toSeq.sortBy(_._1)
+        .map { case (k, (n, a)) => s"$k\t$n\t$a" }
+      val tmp = Paths.get(outFile + ".tmp")
+      Files.write(tmp, out.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(outFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     (0 until nOps).foreach { i =>
       rng.nextInt(10) match {
         case r if r < 5 => // append a small batch of fresh keys
@@ -90,6 +102,7 @@ object MultiWriterRunner {
               .withColumn(GraftStore.OpCol, lit("I")),
             allInserts = true)
           rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+          flushRecord()
         case r if r < 8 => // keyed upsert over own keys (some existing)
           if (expected.nonEmpty) {
             val ks = rng.shuffle(expected.keys.toSeq).take(1 + rng.nextInt(3))
@@ -99,6 +112,7 @@ object MultiWriterRunner {
                 .withColumn(GraftStore.OpCol, lit("U")),
               commutative = true)
             rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+            flushRecord()
           }
         case 8 => // compaction: layout-only, may lose a cross-process race
           try GraftStore.optimize(spark, dir, maxFilesPerBucket = 2)
@@ -108,16 +122,21 @@ object MultiWriterRunner {
           catch { case _: java.util.ConcurrentModificationException => () }
       }
     }
-    val out = expected.toSeq.sortBy(_._1)
-      .map { case (k, (n, a)) => s"$k\t$n\t$a" }
-    Files.write(Paths.get(outFile),
-      out.mkString("\n").getBytes("UTF-8"))
+    flushRecord()
     println(s"[multiwriter] writer $writerId committed ${expected.size} keys")
     spark.stop()
   }
 
-  private def verify(dir: String, expectedFiles: Seq[String]): Unit = {
+  /** `--partial` (crash mode): the expected files cover only SURVIVOR
+    * writers' key ranges — killed writers' rows are checked structurally
+    * (no duplicates, contiguous versions, changelog replay == live) but
+    * not value-for-value, and dead claim debris is swept by vacuum first
+    * (a SIGKILLed writer legitimately leaves its claim marker behind). */
+  private def verify(dir: String, args0: Seq[String]): Unit = {
+    val partial = args0.headOption.contains("--partial")
+    val expectedFiles = if (partial) args0.tail else args0
     val spark = session("graft-multiwriter-verify")
+    if (partial) GraftStore.vacuum(dir, olderThanMillis = 0L)
     val expected = expectedFiles.flatMap { f =>
       new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
         .split("\n").filter(_.nonEmpty).map { line =>
@@ -148,7 +167,14 @@ object MultiWriterRunner {
       .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toSeq
     check(live.size == live.map(_._1).distinct.size,
       "duplicate keys in the live table")
-    val liveMap = live.toMap
+    val liveMap0 = live.toMap
+    // in partial mode, compare only the ranges the survivor files cover
+    val liveMap =
+      if (!partial) liveMap0
+      else {
+        val ranges = expected.keySet.map(_ / 1000000L)
+        liveMap0.filter { case (k, _) => ranges.contains(k / 1000000L) }
+      }
     check(liveMap == expected,
       s"content mismatch: live=${liveMap.size} expected=${expected.size} " +
         s"missing=${(expected.keySet -- liveMap.keySet).take(5)} " +
@@ -163,7 +189,12 @@ object MultiWriterRunner {
       GraftStore.readMeta(dir))
       .select("k", "name", "amount").collect()
       .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
-    check(replayed == expected, "changelog replay mismatch vs expected state")
+    // replay must reproduce the LIVE table exactly — in partial (crash)
+    // mode that is the atomicity proof covering killed writers' rows too
+    check(replayed == liveMap0,
+      s"changelog replay mismatch vs live: replay=${replayed.size} live=${liveMap0.size}")
+    if (!partial)
+      check(replayed == expected, "changelog replay mismatch vs expected state")
 
     println(if (ok) "[multiwriter] VERIFY OK" else "[multiwriter] VERIFY FAILED")
     spark.stop()

@@ -244,8 +244,20 @@ object GraftStore {
     * stale and is broken by age (`staleClaimMillis`, default 1 h — claims
     * are held for the duration of the rewrite job, so the threshold errs
     * long; an operator can delete `_commit-*` after a known crash). */
+  /** Default stale-claim threshold: 1 h, overridable via the
+    * `graft.store.staleClaimMillis` system property (deployments with
+    * fast commits — or crash-injection harnesses — can shorten the
+    * blocked window after a writer dies mid-commit; the heartbeat keeps
+    * LIVE commits safe at any setting ≫ the 60 s heartbeat period). */
+  private[sources] def defaultStaleClaimMillis: Long =
+    sys.props.get("graft.store.staleClaimMillis").map(_.toLong)
+      .getOrElse(3600000L)
+
+  private[sources] def claimCommit(dir: String, next: Long): (Path, String) =
+    claimCommit(dir, next, defaultStaleClaimMillis)
+
   private[sources] def claimCommit(dir: String, next: Long,
-      staleClaimMillis: Long = 3600000L): (Path, String) = {
+      staleClaimMillis: Long): (Path, String) = {
     val marker = Paths.get(dir, f"_commit-$next%010d")
     // ownership token: release only deletes the marker if it still holds
     // OUR token — after a stale takeover the original writer's release
@@ -407,6 +419,19 @@ object GraftStore {
   def layoutBuckets(dir: String, v: Long, meta: GraftTableMeta): Int =
     versionBuckets(dir, v).getOrElse(meta.buckets)
 
+  /** Publish a writer-private build directory under its final version
+    * name (atomic rename), clearing any crash remnant first. Versions are
+    * BUILT under `vN.build-<token>` — never under the final name — so a
+    * writer whose claim was broken mid-commit (a stalled process resuming
+    * after a stale takeover) keeps writing into ITS OWN build dir and can
+    * never contaminate the new claimant's version contents; the final
+    * name exists only after [[verifyClaim]] passed. */
+  private def publishVersion(buildDir: String, finalDir: String): Unit = {
+    deleteRecursively(Paths.get(finalDir))
+    Files.move(Paths.get(buildDir), Paths.get(finalDir),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def writePointer(dir: String, v: Long): Unit = {
     val tmp = Paths.get(dir, "_current.tmp")
     Files.write(tmp, v.toString.getBytes("UTF-8"))
@@ -481,11 +506,13 @@ object GraftStore {
       if (currentVersion(dir) != cur)
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past version $cur during TRUNCATE")
-      val nd = Paths.get(versionDir(dir, next))
-      deleteRecursively(nd)
-      Files.createDirectories(nd)
-      writeBucketMarker(nd.toString, layoutBuckets(dir, cur, readMeta(dir)))
+      val nd = versionDir(dir, next)
+      val bd = s"$nd.build-$token"
+      deleteRecursively(Paths.get(bd))
+      Files.createDirectories(Paths.get(bd))
+      writeBucketMarker(bd, layoutBuckets(dir, cur, readMeta(dir)))
       verifyClaim(marker, token)
+      publishVersion(bd, nd)
       writePointer(dir, next)
     } finally releaseClaim(marker, token)
   }
@@ -677,7 +704,10 @@ object GraftStore {
               // long commit's claim never reads as stale) and the caller's
               // staging dirs (so vacuum never reaps in-use .bin files the
               // decode jobs read lazily until the last leg finishes)
-              committed = withClaimHeartbeat(marker +: heartbeatPaths) {
+              // heartbeat also covers the writer-private build dir so a
+              // very long rewrite can't age past vacuum's threshold
+              val buildPath = Paths.get(s"${versionDir(dir, next)}.build-$token")
+              committed = withClaimHeartbeat(marker +: buildPath +: heartbeatPaths) {
                 commitVersion(spark, dir, meta, ch, touched,
                   cur, allInserts, overwrite, bucketedFor, marker, token)
               }
@@ -709,7 +739,10 @@ object GraftStore {
       marker: Path, token: String): Long = {
     val next = cur + 1
     val nextDir = versionDir(dir, next)
-    deleteRecursively(Paths.get(nextDir)) // crash remnant from an unswitched commit
+    // writer-private build dir: the final vN name appears only after the
+    // last ownership re-check (see publishVersion)
+    val buildDir = s"$nextDir.build-$token"
+    deleteRecursively(Paths.get(buildDir))
     val cols = meta.schema.fieldNames.toSeq
     locally {
       val existing = bucketDirs(versionDir(dir, cur)).toSet
@@ -771,7 +804,7 @@ object GraftStore {
           // dir, and skipping the touched-set job saves one Spark action
           // per append
           toPhysical(ch.select((cols :+ BucketCol).map(col): _*), meta.schema)
-            .write.partitionBy(BucketCol).parquet(nextDir)
+            .write.partitionBy(BucketCol).parquet(buildDir)
           Set.empty
         } else if (touched.nonEmpty) {
           val removes = ch.filter(col(OpCol).isin("U", "D"))
@@ -781,10 +814,10 @@ object GraftStore {
           val kept = baseTouched().join(removes, meta.keyCols, "left_anti")
             .select((cols :+ BucketCol).map(col): _*)
           toPhysical(kept.unionByName(adds), meta.schema)
-            .write.partitionBy(BucketCol).parquet(nextDir)
+            .write.partitionBy(BucketCol).parquet(buildDir)
           touched
         } else {
-          Files.createDirectories(Paths.get(nextDir))
+          Files.createDirectories(Paths.get(buildDir))
           Set.empty
         }
 
@@ -810,7 +843,7 @@ object GraftStore {
       // store would manifest-reference them; local FS links are free).
       // An overwrite carries nothing over — the new data IS the version.
       val carried = if (overwrite) Set.empty[Int] else existing -- rewritten
-      carried.foreach(linkBucket(versionDir(dir, cur), nextDir, _))
+      carried.foreach(linkBucket(versionDir(dir, cur), buildDir, _))
       // A remnant final-named change dir for `next` can only predate this
       // commit (publication always happens after the flip, so a live one
       // would imply pointer >= next). Clear it BEFORE the flip — after the
@@ -820,12 +853,13 @@ object GraftStore {
       // (r7 ADVICE race).
       val chFinal = Paths.get(changesDir(dir, next))
       deleteRecursively(chFinal)
-      writeBucketMarker(nextDir, buckets)
+      writeBucketMarker(buildDir, buckets)
       // a commit that outlived even the heartbeat-refreshed stale window
       // (or whose heartbeat was starved) may have lost its claim to a
       // takeover — re-verify ownership at the last instant so we never
       // flip a pointer onto a version another writer now owns
       verifyClaim(marker, token)
+      publishVersion(buildDir, nextDir)
       writePointer(dir, next)
       // Publish the changelog: visible name only after the commit point.
       // If staging is already gone, a reader won the publish — done.
@@ -870,12 +904,14 @@ object GraftStore {
     if (fragmented.isEmpty) return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
-    try withClaimHeartbeat(Seq(marker)) {
+    try withClaimHeartbeat(Seq(marker,
+        Paths.get(s"${versionDir(dir, next)}.build-$token"))) {
       if (currentVersion(dir) != cur)
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past version $cur during OPTIMIZE; re-run")
       val nextDir = versionDir(dir, next)
-      deleteRecursively(Paths.get(nextDir))
+      val buildDir = s"$nextDir.build-$token"
+      deleteRecursively(Paths.get(buildDir))
       // repartition BY the bucket column: each bucket's rows land wholly in
       // one task, so partitionBy writes exactly one compact file per
       // bucket. Physical-named read → physical-named write: compaction
@@ -888,11 +924,12 @@ object GraftStore {
       val clustered =
         if (sortPhys.isEmpty) rep
         else rep.sortWithinPartitions((BucketCol +: sortPhys).map(col): _*)
-      clustered.write.partitionBy(BucketCol).parquet(nextDir)
+      clustered.write.partitionBy(BucketCol).parquet(buildDir)
       (bucketDirs(curDir).toSet -- fragmented)
-        .foreach(linkBucket(curDir, nextDir, _))
-      writeBucketMarker(nextDir, layoutBuckets(dir, cur, meta))
+        .foreach(linkBucket(curDir, buildDir, _))
+      writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
       verifyClaim(marker, token)
+      publishVersion(buildDir, nextDir)
       writePointer(dir, next)
       next
     } finally releaseClaim(marker, token)
@@ -925,7 +962,8 @@ object GraftStore {
       return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
-    try withClaimHeartbeat(Seq(marker)) {
+    try withClaimHeartbeat(Seq(marker,
+        Paths.get(s"${versionDir(dir, next)}.build-$token"))) {
       if (currentVersion(dir) != cur)
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past version $cur during REBUCKET; re-run")
@@ -934,19 +972,21 @@ object GraftStore {
       if (versionBuckets(dir, cur).isEmpty)
         writeBucketMarker(versionDir(dir, cur), meta.buckets)
       val nextDir = versionDir(dir, next)
-      deleteRecursively(Paths.get(nextDir))
+      val buildDir = s"$nextDir.build-$token"
+      deleteRecursively(Paths.get(buildDir))
       val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
       readVersionPhysical(spark, dir, meta, cur)
         .drop(BucketCol)
         .withColumn(BucketCol, bucketExpr(physKeys, newBuckets))
         .repartition(newBuckets, col(BucketCol))
-        .write.partitionBy(BucketCol).parquet(nextDir)
-      writeBucketMarker(nextDir, newBuckets)
+        .write.partitionBy(BucketCol).parquet(buildDir)
+      writeBucketMarker(buildDir, newBuckets)
       withMetaLock(dir) {
         val m = readMeta(dir) // re-read: fold over concurrent ALTERs
         writeMeta(dir, m.copy(buckets = newBuckets))
       }
       verifyClaim(marker, token)
+      publishVersion(buildDir, nextDir)
       writePointer(dir, next)
       next
     } finally releaseClaim(marker, token)
@@ -981,11 +1021,13 @@ object GraftStore {
           s"table $dir advanced past version $cur during RESTORE; re-run")
       val srcV = versionDir(dir, toVersion)
       val nextDir = versionDir(dir, next)
-      deleteRecursively(Paths.get(nextDir))
-      Files.createDirectories(Paths.get(nextDir))
-      bucketDirs(srcV).foreach(b => linkBucket(srcV, nextDir, b))
-      writeBucketMarker(nextDir, layoutBuckets(dir, toVersion, meta))
+      val buildDir = s"$nextDir.build-$token"
+      deleteRecursively(Paths.get(buildDir))
+      Files.createDirectories(Paths.get(buildDir))
+      bucketDirs(srcV).foreach(b => linkBucket(srcV, buildDir, b))
+      writeBucketMarker(buildDir, layoutBuckets(dir, toVersion, meta))
       verifyClaim(marker, token)
+      publishVersion(buildDir, nextDir)
       writePointer(dir, next)
       next
     } finally releaseClaim(marker, token)
@@ -1048,6 +1090,30 @@ object GraftStore {
           n.matches("_meta_lock\\.stale-\\d+")
       }).toList)
       .foreach { p => Files.deleteIfExists(p); removed += 1 }
+    // abandoned writer-private build dirs (vN.build-<token>): their
+    // writers died or lost a takeover; the publish rename never happened
+    listDir(Paths.get(dir))(_.filter(
+        _.getFileName.toString.matches("v\\d{10}\\.build-.*")).toList)
+      .foreach { p =>
+        val age = try now - Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => -1L }
+        if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
+      }
+    // claim markers for versions AT OR BELOW the pointer are definitionally
+    // dead (claims only gate versions above it): their writer committed and
+    // was killed before releasing, or lost a takeover race post-flip. The
+    // age gate keeps a racing claim for cur+1 read during a concurrent
+    // flip safe.
+    val cur = currentVersion(dir)
+    listDir(Paths.get(dir))(_.filter { p =>
+        val n = p.getFileName.toString
+        n.matches("_commit-\\d{10}") && n.drop("_commit-".length).toLong <= cur
+      }.toList)
+      .foreach { p =>
+        val age = try now - Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => -1L }
+        if (age > olderThanMillis) { Files.deleteIfExists(p); removed += 1 }
+      }
     removed
   }
 
