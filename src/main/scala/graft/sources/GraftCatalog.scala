@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, Metadata, MetadataBuilder, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, Metadata, MetadataBuilder, ShortType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 [[TableCatalog]] exposing [[GraftStore]] tables to SQL — the full
@@ -361,6 +361,7 @@ final class GraftVersionsTable(tableName: String, dir: String)
   private val schema0 = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("is_current", BooleanType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
     StructField("buckets", IntegerType, nullable = false),
     StructField("n_buckets", IntegerType, nullable = false),
     StructField("n_files", LongType, nullable = false),
@@ -384,9 +385,11 @@ final class GraftVersionsTable(tableName: String, dir: String)
           val (nb, nf, bytes) = GraftStore.versionStats(dir, v)
           // `buckets` = the fan-out this version was WRITTEN with (the
           // layout marker — CALL rebucket changes it across versions);
-          // `n_buckets` = non-empty bucket dirs it actually has
+          // `n_buckets` = non-empty bucket dirs it actually has;
+          // `committed_at` = the stamp TIMESTAMP AS OF resolves against
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](v, v == cur, GraftStore.layoutBuckets(dir, v, meta),
+            Array[Any](v, v == cur, GraftStore.committedAt(dir, v) * 1000L,
+              GraftStore.layoutBuckets(dir, v, meta),
               nb, nf, bytes, GraftStore.hasChangelog(dir, v)))
         }.toArray
       }

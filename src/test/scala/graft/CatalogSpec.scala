@@ -941,6 +941,14 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT version, buckets FROM $cat.`t_hist$$versions` " +
         "ORDER BY version").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((2L, 4), (3L, 4), (4L, 8)))
+    // commit instants surface, monotone, and match the store's stamps
+    val stamps = spark.sql(s"SELECT version, committed_at " +
+        s"FROM $cat.`t_hist$$versions` ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(stamps.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    stamps.foreach { case (v, ms) =>
+      assert(ms === GraftStore.committedAt(dir, v))
+    }
   }
 
   test("CALL vacuum sweeps abandoned staging, never committed data") {
