@@ -65,6 +65,43 @@ class GraftDeltaSpec extends SparkTestBase {
       "commit must sweep the whole staging dir, orphans included")
   }
 
+  test("batch delta commit re-bases onto a schema ALTERed mid-statement") {
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft_delta_ddl").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    // the statement pins its meta when the operation is built (a long
+    // merge's rewrite job), stages deltas under the OLD schema…
+    val capturedMeta = GraftStore.readMeta(dir)
+    val staging = GraftStore.stagingDir(dir, "q_ddl")
+    val w = new GraftDeltaWriter(s"$staging/t-0.bin", rowSchema, idSchema)
+    w.insert(row(1, "a", 10))
+    w.insert(row(2, "b", 20))
+    val msg = w.commit()
+    // …then DDL lands before the commit: rename `amount` -> `pennies`,
+    // add a column. The commit must follow the rename by PHYSICAL
+    // identity and null-fill the new column instead of crashing on a
+    // column-list mismatch.
+    val renamed = StructType(capturedMeta.schema.fields.map { f =>
+      if (f.name != "amount") f
+      else f.copy(name = "pennies", metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(GraftStore.PhysicalKey, "amount").build())
+    }.toSeq :+ StructField("extra", StringType, nullable = true))
+    GraftStore.writeMeta(dir, capturedMeta.copy(schema = renamed))
+
+    val batch = new GraftDeltaBatchWrite(dir, capturedMeta,
+      rowSchema, idSchema, staging, GraftStore.currentVersion(dir))
+    batch.commit(Array(msg))
+
+    val got = GraftStore
+      .readVersion(spark, dir, GraftStore.currentVersion(dir))
+      .select("k", "name", "pennies", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(got === Set((1L, "a", 10L, null), (2L, "b", 20L, null)),
+      s"deltas must follow the rename and null-fill the add, got $got")
+  }
+
   test("changelog crash windows: staged remnants invisible, committed staging recovered") {
     // window A: changelog staged for version N+1, pointer never flipped —
     // the dot-prefixed staging dir is invisible to every reader (parquet
