@@ -206,7 +206,16 @@ final class GraftDeltaWriterFactory(staging: String,
   * inserts: the store's general change path replaces the live row per
   * merge key, so `stream.writeStream.toTable(...)` becomes a declarative
   * continuously-compacted upsert sink with per-epoch CDC (before-images
-  * included) and the same exactly-once protocol. */
+  * included) and the same exactly-once protocol.
+  *
+  * DDL-safe: each epoch re-bases its decoded batch onto the table's
+  * CURRENT schema by physical column identity
+  * ([[GraftStore.alignToCurrentSchema]]) — ALTER RENAME (merge keys
+  * included) follows, DROP discards the stream's values for the dead
+  * column, tombstoned re-ADDs null-fill, and a mid-stream `CALL rebucket`
+  * is picked up by the commit's per-attempt fan-out derivation — so
+  * schema and layout evolution never crash or corrupt a live ingest
+  * (pinned in CatalogSpec). */
 final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
     rowSchema: StructType, stagingRoot: String, queryId: String,
     upsert: Boolean)
