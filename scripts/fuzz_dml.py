@@ -57,13 +57,15 @@ def gen_sequence(idx):
         for op in ops:
             counts[op] = counts.get(op, 0) + 1
         changes.append((version, counts))
-        history[version] = (dict(state), n_drops)
+        history[version] = (dict(state), n_drops, buckets)
 
-    buckets = 4          # current hash fan-out (rebucket changes it)
+    buckets = 4          # fan-out of the CURRENT layout (restore rolls it back)
+    meta_buckets = 4     # declared fan-out in _meta.json (restore does NOT)
     # snapshots for the restore template: version -> (dict(state), n_drops
-    # performed so far). A restore to a pre-DROP snapshot reads the string
-    # column as NULL (tombstoned physical column never resurrects).
-    history = {0: ({}, 0)}
+    # performed so far, layout fan-out). A restore to a pre-DROP snapshot
+    # reads the string column as NULL (tombstoned physical column never
+    # resurrects); a restore across a rebucket brings back the OLD layout.
+    history = {0: ({}, 0, 4)}
     n_drops = 0
     n_stmt = rng.randint(5, 9)
     for _ in range(n_stmt):
@@ -103,22 +105,27 @@ def gen_sequence(idx):
             v = rng.choice(cands)
             stmts.append(f"CALL graftdml.restore('{t}', {v})")
             if v != version:
-                snap, era = history[v]
+                snap, era, snap_buckets = history[v]
                 state.clear()
                 for k, (nm, a) in snap.items():
                     state[k] = (None if n_drops > era else nm, a)
+                buckets = snap_buckets  # layout rolls back; meta does not
                 version += 1
-                history[version] = (dict(state), n_drops)
+                history[version] = (dict(state), n_drops, buckets)
             continue
         if kind == "rebucket":
             # layout-only fan-out change: one version bump, NO change rows,
             # content identical; a same-count call is a no-op
             target = rng.choice([2, 4, 8, 16])
             stmts.append(f"CALL graftdml.rebucket('{t}', {target})")
-            if target != buckets:
+            # the store's no-op check requires BOTH the current layout AND
+            # the declared meta fan-out to already equal the target (a
+            # restore rolls back only the layout, so the two can diverge)
+            if not (target == buckets and target == meta_buckets):
                 buckets = target
+                meta_buckets = target
                 version += 1
-                history[version] = (dict(state), n_drops)
+                history[version] = (dict(state), n_drops, buckets)
             continue
         if kind == "merge_nmbs":
             # the third MERGE branch: target-only rows (NOT MATCHED BY
@@ -221,7 +228,7 @@ def gen_sequence(idx):
             stmts.append(f"CALL graftdml.optimize('{t}', 0)")
             if state:
                 version += 1
-                history[version] = (dict(state), n_drops)
+                history[version] = (dict(state), n_drops, buckets)
             continue
         if kind == "expire_versions":
             stmts.append(f"CALL graftdml.expire_versions('{t}', 3)")  # content no-op
@@ -243,7 +250,7 @@ def gen_sequence(idx):
             for k, n, a in rows:
                 state[k] = (n, a)
             version += 1  # the overwrite commit: no change rows
-            history[version] = (dict(state), n_drops)
+            history[version] = (dict(state), n_drops, buckets)
             continue
         if kind == "insert" or not state:
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))

@@ -83,6 +83,58 @@ object DedupQueries {
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
     ORDER BY a, b"""
 
+  /** The planted boilerplate hazard shared by the df-cap gates: an
+    * identical footer appended to EVERY document, whose shingles reach
+    * df = corpus size. */
+  private val Footer =
+    " graft corpus footer all rights reserved do not redistribute this document"
+
+  private def footeredDocs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), concat(col("text"), lit(Footer)).as("text"))
+
+  /** Exact Jaccard over DOCUMENT-FREQUENCY-CAPPED shingles: shingles in
+    * more than half the corpus drop BEFORE the posting self-join (the
+    * boilerplate quadratic-hot-key guard), per-doc sizes recomputed on
+    * the survivors. Shared production core of n3b and n6b. */
+  private def dfCappedPairScores(docs: DataFrame): DataFrame = {
+    val ex = shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("sval"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // df per shingle (sets are per-doc distinct, so count = doc count);
+    // the 1-row corpus total rides a crossJoin, never a collect
+    val keptKeys = ex.groupBy(col("sval")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") <= col("n_docs") * 0.5)
+      .select(col("sval"))
+    val kept = ex.join(keptKeys, "sval")
+    val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    kept.as("x").join(kept.as("y"),
+        col("x.sval") === col("y.sval") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("isz"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("isz").cast(DoubleType) / (col("na") + col("nb") - col("isz")))
+  }
+
+  /** DuckDB mirror of [[dfCappedPairScores]] over [[footeredDocs]] — the
+    * shared CTE prefix of the n3b/n6b oracles (ends at `inter`). */
+  private val dfCapPairCtes = """
+      WITH t AS (SELECT doc_id, str_split(trim(text ||
+             ' graft corpus footer all rights reserved do not redistribute this document'),
+             ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM t,
+             unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]) AS u(s)),
+      dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
+               WHERE dfq.df <= 0.5 * (SELECT COUNT(*) FROM documents)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)"""
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ----- N1: exact dedup by content hash — keep min doc_id per hash
@@ -165,44 +217,11 @@ object DedupQueries {
     // proves both the bounded plan and the capped semantics.
     GraftQuery("n3b_ngram_jaccard_dfcap", (s, d) => {
       import s.implicits._
-      val footer = " graft corpus footer all rights reserved do not redistribute this document"
-      val docs = T.documents(s, d)
-        .select($"doc_id", concat($"text", lit(footer)).as("text"))
-      val ex = shingleSets(docs)
-        .select($"doc_id", explode($"sh").as("sval"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      // df per shingle (sets are per-doc distinct, so count = doc count);
-      // the 1-row corpus total rides a crossJoin, never a collect
-      val keptKeys = ex.groupBy($"sval").agg(count(lit(1)).as("df"))
-        .crossJoin(nDocs)
-        .filter($"df" <= $"n_docs" * 0.5)
-        .select($"sval")
-      val kept = ex.join(keptKeys, "sval")
-      val sz = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = kept.as("x").join(kept.as("y"),
-          col("x.sval") === col("y.sval") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("isz"))
-      inter
-        .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
-        .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
-        .withColumn("jaccard", $"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz"))
+      dfCappedPairScores(footeredDocs(s, d))
         .filter($"jaccard" >= 0.5)
         .select($"a", $"b", $"jaccard")
         .orderBy($"a", $"b")
-    }, Some("""
-      WITH t AS (SELECT doc_id, str_split(trim(text ||
-             ' graft corpus footer all rights reserved do not redistribute this document'),
-             ' ') AS w FROM documents),
-      sh AS (SELECT DISTINCT doc_id, s FROM t,
-             unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]) AS u(s)),
-      dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
-               WHERE dfq.df <= 0.5 * (SELECT COUNT(*) FROM documents)),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-                FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
-                GROUP BY 1, 2)
+    }, Some(dfCapPairCtes + """
       SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
       FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
       WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
@@ -273,25 +292,8 @@ object DedupQueries {
     // hash match proves the capped pipeline clusters exactly as defined.
     GraftQuery("n6b_dedup_clusters_dfcap", (s, d) => {
       import s.implicits._
-      val footer = " graft corpus footer all rights reserved do not redistribute this document"
-      val docs = T.documents(s, d)
-        .select($"doc_id", concat($"text", lit(footer)).as("text"))
-      val ex = shingleSets(docs)
-        .select($"doc_id", explode($"sh").as("sval"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val keptKeys = ex.groupBy($"sval").agg(count(lit(1)).as("df"))
-        .crossJoin(nDocs)
-        .filter($"df" <= $"n_docs" * 0.5)
-        .select($"sval")
-      val kept = ex.join(keptKeys, "sval")
-      val sz = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val pairs = kept.as("x").join(kept.as("y"),
-          col("x.sval") === col("y.sval") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("isz"))
-        .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
-        .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
-        .filter($"isz".cast(DoubleType) / ($"na" + $"nb" - $"isz") >= 0.5)
+      val pairs = dfCappedPairScores(footeredDocs(s, d))
+        .filter($"jaccard" >= 0.5)
         .select($"a", $"b")
       val edges = pairs.union(pairs.select($"b".as("a"), $"a".as("b")))
         .localCheckpoint(true)
@@ -301,19 +303,7 @@ object DedupQueries {
         .select($"__id".as("doc_id"), $"__lbl".as("cluster"),
           ($"__id" === $"__lbl").as("is_keeper"))
         .orderBy($"doc_id")
-    }, Some("""
-      WITH t AS (SELECT doc_id, str_split(trim(text ||
-             ' graft corpus footer all rights reserved do not redistribute this document'),
-             ' ') AS w FROM documents),
-      sh AS (SELECT DISTINCT doc_id, s FROM t,
-             unnest([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)]) AS u(s)),
-      dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-      kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)
-               WHERE dfq.df <= 0.5 * (SELECT COUNT(*) FROM documents)),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-                FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
-                GROUP BY 1, 2),
+    }, Some(dfCapPairCtes + """,
       p AS (SELECT a, b FROM inter
             JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),

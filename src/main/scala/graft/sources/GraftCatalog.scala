@@ -551,6 +551,18 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
                 .withColumn(GraftStore.OpCol, lit("D"))
               val ups = data.toDF(cols: _*).select(cols.map(col): _*)
                 .withColumn(GraftStore.OpCol, lit("U"))
+              // same loud guard as the streaming upsert sink: rows are
+              // keyed upserts, and two source rows for one merge key
+              // would both land (which one "wins" is undefined) —
+              // corrupting the one-live-row-per-key invariant silently
+              import org.apache.spark.sql.functions.count
+              val dup = ups.groupBy(meta.keyCols.map(col): _*)
+                .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+                .limit(1).collect()
+              if (dup.nonEmpty) throw new IllegalStateException(
+                "REPLACE WHERE source has multiple rows for merge key " +
+                  dup.head.toSeq.init.mkString("(", ",", ")") +
+                  "; dedupe or aggregate per key first")
               GraftStore.applyChanges(spark, dir, dels.unionByName(ups),
                 expectedVersion = Some(snapshot))
             } else {

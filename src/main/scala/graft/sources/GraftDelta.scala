@@ -90,18 +90,19 @@ final class GraftDeltaBatchWrite(dir: String, meta: GraftTableMeta,
       val spark = SparkSession.active
       val changes = GraftDeltaBatchWrite.decodeStaged(
         spark, files.toSeq, meta.schema, rowSchema, idSchema)
-      // an ALTER landing during the (possibly long) rewrite job: re-base
-      // the deltas onto the current schema by physical identity — renames
-      // follow, drops discard, adds null-fill — instead of crashing the
-      // commit on a column-list mismatch
-      val aligned = GraftStore.alignToCurrentSchema(changes, meta,
-        GraftStore.readMeta(dir))
-      // staging rides the commit heartbeat: the decode jobs read the
-      // staged .bin files lazily for the whole rewrite, and vacuum's age
-      // check must see the dir as live until the commit finishes
-      GraftStore.applyChanges(spark, dir, aligned,
+      // an ALTER landing during the (possibly long) rewrite job: the
+      // commit re-bases the deltas onto ITS OWN meta read by physical
+      // identity — renames follow, drops discard, adds null-fill —
+      // instead of crashing on a column-list mismatch (capturedMeta
+      // aligns INSIDE applyChanges so align and commit can't see two
+      // different schemas). Staging rides the commit heartbeat: the
+      // decode jobs read the staged .bin files lazily for the whole
+      // rewrite, and vacuum's age check must see the dir as live until
+      // the commit finishes.
+      GraftStore.applyChanges(spark, dir, changes,
         expectedVersion = Some(snapshotVersion),
-        heartbeatPaths = Seq(Paths.get(staging)))
+        heartbeatPaths = Seq(Paths.get(staging)),
+        capturedMeta = Some(meta))
     } finally cleanup()
   }
 
@@ -244,8 +245,14 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
           // failure the marker prevents). A query committing epoch 0 is a
           // FRESH stream (batch ids restart per checkpoint): inheriting a
           // stale mark would silently drop every batch <= it, so the
-          // marker resets instead (r8 ADVICE). Either way the first commit
-          // rewrites the marker in the scoped format.
+          // marker resets instead (r8 ADVICE). The one ambiguous corner —
+          // legacy marker exactly '0' AND a pre-upgrade crash between
+          // sink-commit and checkpoint-commit of epoch 0 — re-commits
+          // that epoch once; the fresh-stream reading wins because a
+          // swallowed epoch 0 is a SILENT unbounded drop while the
+          // replay corner is a bounded one-time duplicate that the
+          // scoped marker then forecloses forever. Either way the first
+          // commit rewrites the marker in the scoped format.
           lines(0).trim.toLong
         else -1L
       } else -1L
@@ -263,7 +270,10 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
         // a live stream survives ALTER TABLE on its target: each epoch
         // re-bases onto the CURRENT schema by physical identity (renames
         // follow — merge keys included — drops discard, adds null-fill),
-        // so DDL never crashes or corrupts an in-flight ingest
+        // so DDL never crashes or corrupts an in-flight ingest. This
+        // align serves the duplicate-key guard; applyChanges re-aligns
+        // from curMeta against its own meta read, closing the window
+        // where an ALTER lands between the two reads.
         val curMeta = GraftStore.readMeta(dir)
         val changes = GraftStore.alignToCurrentSchema(decoded, meta, curMeta)
         if (upsert) {
@@ -282,7 +292,8 @@ final class GraftStreamingAppend(dir: String, meta: GraftTableMeta,
         }
         GraftStore.applyChanges(spark, dir, changes, allInserts = !upsert,
           commutative = upsert,
-          heartbeatPaths = Seq(Paths.get(epochStaging(epochId))))
+          heartbeatPaths = Seq(Paths.get(epochStaging(epochId))),
+          capturedMeta = Some(curMeta))
       } finally decoded.unpersist()
       val tmp = Paths.get(dir, "_last_stream_epoch.tmp")
       Files.write(tmp, s"$queryId\n$epochId".getBytes("UTF-8"))

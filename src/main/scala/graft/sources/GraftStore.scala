@@ -389,20 +389,32 @@ object GraftStore {
     * create-exclusively so two concurrent clones can't interleave. */
   def cloneTable(srcDir: String, dstDir: String): Unit = {
     require(exists(srcDir), s"no such table: $srcDir")
-    require(!exists(dstDir), s"target already exists: $dstDir")
-    Files.createDirectories(Paths.get(dstDir).getParent)
-    Files.createDirectory(Paths.get(dstDir)) // create-exclusive claim
+    require(!Files.exists(Paths.get(dstDir)),
+      s"target already exists: $dstDir")
     recoverChangelog(srcDir)
     val meta = readMeta(srcDir)
     val cur = currentVersion(srcDir)
     val srcV = versionDir(srcDir, cur)
-    val v0 = versionDir(dstDir, 0L)
+    // build the ENTIRE clone in a temp sibling and atomically rename into
+    // place: a crash mid-clone leaves only a sweep-able .clonebuild dir,
+    // never a meta-less half-table squatting on the target name
+    val tmp = s"$dstDir.clonebuild-${java.util.UUID.randomUUID()}"
+    Files.createDirectories(Paths.get(tmp))
+    val v0 = versionDir(tmp, 0L)
     Files.createDirectories(Paths.get(v0))
     bucketDirs(srcV).foreach(b => linkBucket(srcV, v0, b))
     writeBucketMarker(v0, layoutBuckets(srcDir, cur, meta))
-    Files.createDirectories(Paths.get(changesRoot(dstDir)))
-    writePointer(dstDir, 0L)
-    writeMeta(dstDir, meta) // last: makes the clone visible atomically
+    Files.createDirectories(Paths.get(changesRoot(tmp)))
+    writePointer(tmp, 0L)
+    writeMeta(tmp, meta)
+    try Files.move(Paths.get(tmp), Paths.get(dstDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(Paths.get(tmp))
+        throw new IllegalStateException(
+          s"target appeared concurrently: $dstDir", e)
+    }
   }
 
   /** The bucket count version `v` was written with, if stamped. */
@@ -628,13 +640,20 @@ object GraftStore {
     * detectable boundary (`hasChangelog(v) == false`): a CDC consumer
     * folding past it would silently resurrect overwritten rows, so it
     * must re-snapshot instead. */
-  def applyChanges(spark: SparkSession, dir: String, changes: DataFrame,
+  def applyChanges(spark: SparkSession, dir: String, changes0: DataFrame,
       allInserts: Boolean = false, overwrite: Boolean = false,
       commutative: Boolean = false,
       expectedVersion: Option[Long] = None,
-      heartbeatPaths: Seq[Path] = Nil): Long = {
+      heartbeatPaths: Seq[Path] = Nil,
+      capturedMeta: Option[GraftTableMeta] = None): Long = {
     require(!overwrite || allInserts, "overwrite implies an all-insert batch")
     val meta = readMeta(dir)
+    // align against the SAME meta snapshot this commit buckets and selects
+    // with — callers aligning separately and then racing a fresh ALTER
+    // here would reintroduce the column-list mismatch
+    val changes = capturedMeta
+      .map(cm => alignToCurrentSchema(changes0, cm, meta))
+      .getOrElse(changes0)
     recoverChangelog(dir)
 
     // The change batch is bucketed by the CURRENT VERSION's layout count
@@ -968,9 +987,13 @@ object GraftStore {
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past version $cur during REBUCKET; re-run")
       // stamp the old layout's count on the current version first, so the
-      // fallback-to-meta path can never misread it after our meta update
+      // fallback-to-meta path can never misread it after our meta update.
+      // _buckets ONLY — backfilling must not touch _committed_at (that
+      // version committed long ago; rewriting its stamp would make
+      // TIMESTAMP AS OF resolve past it to the wrong version)
       if (versionBuckets(dir, cur).isEmpty)
-        writeBucketMarker(versionDir(dir, cur), meta.buckets)
+        Files.write(Paths.get(versionDir(dir, cur), "_buckets"),
+          meta.buckets.toString.getBytes("UTF-8"))
       val nextDir = versionDir(dir, next)
       val buildDir = s"$nextDir.build-$token"
       deleteRecursively(Paths.get(buildDir))
@@ -1015,7 +1038,8 @@ object GraftStore {
     if (toVersion == cur) return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
-    try withClaimHeartbeat(Seq(marker)) {
+    try withClaimHeartbeat(Seq(marker,
+        Paths.get(s"${versionDir(dir, next)}.build-$token"))) {
       if (currentVersion(dir) != cur)
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past version $cur during RESTORE; re-run")

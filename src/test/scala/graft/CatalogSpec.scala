@@ -1088,6 +1088,17 @@ class CatalogSpec extends SparkTestBase {
       GraftStore.readVersion(spark, dir, 0L),
       GraftStore.readChanges(spark, dir, 1L, 2L), GraftStore.readMeta(dir))
     assert(replayed.count() === got.size.toLong)
+    // duplicate merge keys in the source fail loudly (same contract as
+    // the streaming upsert sink), never silently double-insert
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.$t REPLACE WHERE k = 0 " +
+        "VALUES (30, 'd1', 1), (30, 'd2', 2)")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(tt => tt +: chain(tt.getCause))
+    assert(chain(e).exists(tt => tt.getMessage != null &&
+      tt.getMessage.contains("multiple rows for merge key")), s"got $e")
+    assert(GraftStore.currentVersion(dir) === 2L, "failed statement commits nothing")
   }
 
   test("CALL restore rolls back by hard-link, across a rebucket, history intact") {
