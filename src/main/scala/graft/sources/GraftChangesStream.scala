@@ -36,7 +36,10 @@ final case class GraftVersionOffset(v: Long) extends Offset {
   * predates the horizon recorded by `expire_changes` fails loudly at plan
   * time instead of emitting an empty batch — the gap is committed history
   * this consumer never saw, and silently skipping it would corrupt any
-  * downstream fold (consumers needing older history re-snapshot). */
+  * downstream fold (consumers needing older history re-snapshot). Snapshot
+  * boundaries (restore/truncate/overwrite) fail the same way via their
+  * per-version `_boundary` stamps — see [[GraftStore.writeBoundaryMarker]];
+  * a fresh stream auto-starts past the latest boundary. */
 final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
     extends MicroBatchStream {
 
@@ -58,7 +61,13 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
     // version (only future commits stream). Clamped to the retention
     // horizon: a fresh stream by definition starts from what is retained.
     val base = if (vs.nonEmpty) vs.min - 1 else GraftStore.currentVersion(dir)
-    GraftVersionOffset(math.max(base, GraftStore.changesHorizon(dir) - 1))
+    // ... and clamped past the latest SNAPSHOT BOUNDARY (restore/truncate/
+    // overwrite): retained slices BEFORE a boundary describe history the
+    // boundary undid, so a fresh fold must start at the boundary itself
+    // (offset B ⇒ first batch is (B, e] — the post-boundary state only)
+    val floor = math.max(GraftStore.changesHorizon(dir) - 1,
+      GraftStore.latestBoundary(dir).getOrElse(Long.MinValue))
+    GraftVersionOffset(math.max(base, floor))
   }
 
   override def latestOffset(): Offset = {
@@ -97,6 +106,21 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
       s"changes stream for $dir resumes at version ${s + 1} but " +
         s"expire_changes dropped slices below v$horizon; the skipped " +
         "history is unrecoverable from the changelog — restart the " +
+        "consumer from a fresh table snapshot")
+    // a batch range crossing a SNAPSHOT BOUNDARY (restore/truncate/
+    // overwrite — changelog-less commits that REPLACED the table state)
+    // must fail the same way: the missing slice would be silently dropped
+    // by the dir filter below, and a consumer folding across it would
+    // resurrect the undone rows with no signal (r9 ADVICE). The boundary
+    // is stamped per version (and survives version expiry via promoted
+    // markers), so this is distinguishable from a harmless optimize/
+    // rebucket gap, which carries no marker and folds through safely.
+    val crossed = GraftStore.boundariesIn(dir, s + 1, e)
+    if (crossed.nonEmpty) throw new IllegalStateException(
+      s"changes stream for $dir would fold across snapshot boundary " +
+        s"version(s) ${crossed.mkString("v", ", v", "")} (TRUNCATE / " +
+        "INSERT OVERWRITE / CALL restore write no changelog slice; " +
+        "folding past one resurrects undone rows) — restart the " +
         "consumer from a fresh table snapshot")
     val dirs = ((s + 1) to e)
       .map(v => s"${GraftStore.changesRoot(dir)}/${GraftStore.ChangeVersionCol}=$v")

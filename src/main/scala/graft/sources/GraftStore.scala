@@ -247,8 +247,9 @@ object GraftStore {
   /** Default stale-claim threshold: 1 h, overridable via the
     * `graft.store.staleClaimMillis` system property (deployments with
     * fast commits — or crash-injection harnesses — can shorten the
-    * blocked window after a writer dies mid-commit; the heartbeat keeps
-    * LIVE commits safe at any setting ≫ the 60 s heartbeat period). */
+    * blocked window after a writer dies mid-commit; the heartbeat period
+    * scales with the setting — [[heartbeatPeriodMs]] — so LIVE commits
+    * stay safe at ANY threshold). */
   private[sources] def defaultStaleClaimMillis: Long =
     sys.props.get("graft.store.staleClaimMillis").map(_.toLong)
       .getOrElse(3600000L)
@@ -313,18 +314,39 @@ object GraftStore {
       t
     })
 
+  /** Heartbeat period derived from the EFFECTIVE stale threshold: a fixed
+    * 60 s period under a `graft.store.staleClaimMillis` set below it (crash
+    * harnesses use 3 s) would let a LIVE commit's claim age past stale
+    * between ticks — re-opening exactly the mid-commit takeover the
+    * heartbeat exists to close. A quarter of the threshold keeps ≥3 fresh
+    * ticks inside any stale window; floor 25 ms so a tiny test threshold
+    * can't busy-spin the scheduler, cap 60 s for the 1 h default. */
+  private[sources] def heartbeatPeriodMs: Long =
+    math.max(25L, math.min(60000L, defaultStaleClaimMillis / 4))
+
   /** Keep a commit's liveness markers fresh while `f` (the rewrite job)
     * runs: the claim marker's mtime is what claimCommit's stale check
     * reads, so a LEGITIMATE commit outlasting `staleClaimMillis` would
     * otherwise get its claim broken mid-rewrite — the new claimant would
     * then delete the live writer's in-progress version dir and both would
-    * write the same version. Refreshing every `periodMs` (≪ the 1 h stale
-    * threshold) makes claim age mean "time since the holder last proved it
-    * was alive", not "commit duration". Extra `paths` (delta staging dirs,
-    * whose .bin files the commit reads lazily for its whole duration) ride
-    * the same schedule so vacuum's age check can't reap in-use staging. */
+    * write the same version. Refreshing every `periodMs` (derived from the
+    * stale threshold, see [[heartbeatPeriodMs]]) makes claim age mean "time
+    * since the holder last proved it was alive", not "commit duration".
+    * Extra `paths` (delta staging dirs, whose .bin files the commit reads
+    * lazily for its whole duration) ride the same schedule so vacuum's age
+    * check can't reap in-use staging.
+    *
+    * Residual TOCTOU, documented: [[verifyClaim]] → publishVersion →
+    * writePointer is unfenced — a writer stalled past the stale threshold
+    * AFTER its verifyClaim passed but BEFORE its pointer flip could still
+    * clobber a successor's published version. The heartbeat shrinks the
+    * exposure to "stall begins inside the microseconds between verify and
+    * flip AND lasts the full stale threshold"; closing it entirely needs a
+    * fencing rename (flip = atomic move of a token-named pointer), which
+    * local rename-atomic filesystems get for free via the claim marker but
+    * a generic object store would need conditional puts for. */
   private[sources] def withClaimHeartbeat[A](paths: Seq[Path],
-      periodMs: Long = 60000L)(f: => A): A = {
+      periodMs: Long = heartbeatPeriodMs)(f: => A): A = {
     val task = heartbeatPool.scheduleAtFixedRate(() => paths.foreach { p =>
       try Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
@@ -358,8 +380,24 @@ object GraftStore {
     * the clock behind `TIMESTAMP AS OF`. */
   private[sources] def writeBucketMarker(vdir: String, buckets: Int): Unit = {
     Files.write(Paths.get(vdir, "_buckets"), buckets.toString.getBytes("UTF-8"))
+    // `TIMESTAMP AS OF` resolution assumes commit stamps are MONOTONE per
+    // table; with multiple Spark drivers on a shared filesystem (the
+    // MultiWriterRunner deployment) each writer stamps from its own wall
+    // clock, and skew could make a later version carry an earlier instant.
+    // Clamp every stamp to strictly after the previous version's so
+    // monotonicity holds by construction, not by synchronized clocks.
+    val p = Paths.get(vdir)
+    val vname = p.getFileName.toString.takeWhile(_ != '.') // strip .build-<token>
+    val prevStamp =
+      if (vname.matches("v\\d{10}")) {
+        val v = vname.drop(1).toLong
+        val tableDir = p.getParent.toString
+        listVersions(tableDir).filter(_ < v).lastOption
+          .map(committedAt(tableDir, _)).getOrElse(Long.MinValue)
+      } else Long.MinValue
+    val stamp = math.max(System.currentTimeMillis(), prevStamp + 1)
     Files.write(Paths.get(vdir, "_committed_at"),
-      System.currentTimeMillis().toString.getBytes("UTF-8"))
+      stamp.toString.getBytes("UTF-8"))
   }
 
   /** When version `v` committed (epoch millis); falls back to the version
@@ -523,6 +561,7 @@ object GraftStore {
       deleteRecursively(Paths.get(bd))
       Files.createDirectories(Paths.get(bd))
       writeBucketMarker(bd, layoutBuckets(dir, cur, readMeta(dir)))
+      writeBoundaryMarker(bd) // truncation = snapshot boundary for CDC
       verifyClaim(marker, token)
       publishVersion(bd, nd)
       writePointer(dir, next)
@@ -536,6 +575,15 @@ object GraftStore {
   def expireVersions(dir: String, keepLast: Int): Unit = {
     val keep = listVersions(dir).takeRight(math.max(1, keepLast)).toSet
     listVersions(dir).filterNot(keep).foreach { v =>
+      // promote the snapshot-boundary marker BEFORE the dir goes away
+      // (write-then-delete, so a crash can only leave a true boundary
+      // recorded twice, never lose one) — a resuming CDC stream must keep
+      // detecting the boundary after the version itself is expired
+      if (Files.exists(Paths.get(versionDir(dir, v), "_boundary"))) {
+        Files.createDirectories(Paths.get(changesRoot(dir)))
+        val m = Paths.get(changesRoot(dir), f"_boundary-$v%010d")
+        if (!Files.exists(m)) Files.write(m, Array.empty[Byte])
+      }
       deleteRecursively(Paths.get(versionDir(dir, v)))
     }
   }
@@ -873,6 +921,7 @@ object GraftStore {
       val chFinal = Paths.get(changesDir(dir, next))
       deleteRecursively(chFinal)
       writeBucketMarker(buildDir, buckets)
+      if (overwrite) writeBoundaryMarker(buildDir) // snapshot boundary for CDC
       // a commit that outlived even the heartbeat-refreshed stale window
       // (or whose heartbeat was starved) may have lost its claim to a
       // takeover — re-verify ownership at the last instant so we never
@@ -988,12 +1037,21 @@ object GraftStore {
           s"table $dir advanced past version $cur during REBUCKET; re-run")
       // stamp the old layout's count on the current version first, so the
       // fallback-to-meta path can never misread it after our meta update.
-      // _buckets ONLY — backfilling must not touch _committed_at (that
-      // version committed long ago; rewriting its stamp would make
-      // TIMESTAMP AS OF resolve past it to the wrong version)
-      if (versionBuckets(dir, cur).isEmpty)
+      // A pre-stamp version also has no _committed_at, so TIMESTAMP AS OF
+      // falls back to the version DIR's mtime — which writing the backfill
+      // into the dir disturbs. Capture the original mtime BEFORE touching
+      // the dir and persist it as _committed_at in the same backfill, so
+      // the version keeps resolving to when it actually committed, never
+      // to when it was rebucketed.
+      if (versionBuckets(dir, cur).isEmpty) {
+        val cdir = Paths.get(versionDir(dir, cur))
+        val origMtime = Files.getLastModifiedTime(cdir).toMillis
+        val stampP = Paths.get(versionDir(dir, cur), "_committed_at")
+        if (!Files.exists(stampP))
+          Files.write(stampP, origMtime.toString.getBytes("UTF-8"))
         Files.write(Paths.get(versionDir(dir, cur), "_buckets"),
           meta.buckets.toString.getBytes("UTF-8"))
+      }
       val nextDir = versionDir(dir, next)
       val buildDir = s"$nextDir.build-$token"
       deleteRecursively(Paths.get(buildDir))
@@ -1050,6 +1108,7 @@ object GraftStore {
       Files.createDirectories(Paths.get(buildDir))
       bucketDirs(srcV).foreach(b => linkBucket(srcV, buildDir, b))
       writeBucketMarker(buildDir, layoutBuckets(dir, toVersion, meta))
+      writeBoundaryMarker(buildDir) // restore = snapshot boundary for CDC
       verifyClaim(marker, token)
       publishVersion(buildDir, nextDir)
       writePointer(dir, next)
@@ -1078,6 +1137,12 @@ object GraftStore {
         _.getFileName.toString.startsWith(s"$ChangeVersionCol="))
       .filter(_.getFileName.toString.split("=")(1).toLong < keepFromVersion)
       .toList).foreach(deleteRecursively)
+    // promoted boundary markers below the horizon are subsumed by the
+    // horizon check itself (any resume below it already fails loudly)
+    listDir(root)(_.map(_.getFileName.toString)
+      .filter(_.matches("_boundary-\\d{10}"))
+      .filter(_.stripPrefix("_boundary-").toLong < keepFromVersion).toList)
+      .foreach(n => Files.deleteIfExists(Paths.get(changesRoot(dir), n)))
   }
 
   /** Lowest version whose changelog slice is guaranteed retained (slices
@@ -1087,6 +1152,47 @@ object GraftStore {
     if (!Files.exists(p)) 0L
     else new String(Files.readAllBytes(p), "UTF-8").trim.toLong
   }
+
+  /** Snapshot-boundary marker. TRUNCATE / INSERT OVERWRITE / CALL restore
+    * commit NO changelog slice, and a CDC fold ACROSS one resurrects the
+    * undone rows — but from the changes directory alone a boundary is
+    * indistinguishable from a harmless changelog-less maintenance commit
+    * (optimize/rebucket also leave a missing slice). Boundary commits
+    * therefore stamp `_boundary` inside their version dir — atomic with
+    * the publish rename, so a crash pre-flip can never leave a spurious
+    * marker — and [[expireVersions]] promotes the marker to a persistent
+    * `_boundary-<v>` file under the changes root before dropping the dir,
+    * so a resuming CDC stream still detects the boundary after the version
+    * itself is expired. */
+  private[sources] def writeBoundaryMarker(buildDir: String): Unit =
+    Files.write(Paths.get(buildDir, "_boundary"), Array.empty[Byte])
+
+  /** Whether version `v` was a snapshot-boundary commit (restore/truncate/
+    * overwrite — see [[writeBoundaryMarker]]). */
+  def isBoundary(dir: String, v: Long): Boolean =
+    Files.exists(Paths.get(versionDir(dir, v), "_boundary")) ||
+      Files.exists(Paths.get(changesRoot(dir), f"_boundary-$v%010d"))
+
+  /** Snapshot-boundary versions in [from, to] — retained version dirs plus
+    * markers promoted by [[expireVersions]]. Metadata-scale: one listing
+    * of the versions dir and one of the changes root. */
+  def boundariesIn(dir: String, from: Long, to: Long): Seq[Long] = {
+    val live = listVersions(dir).filter(v => v >= from && v <= to)
+      .filter(v => Files.exists(Paths.get(versionDir(dir, v), "_boundary")))
+    val root = Paths.get(changesRoot(dir))
+    val promoted =
+      if (!Files.isDirectory(root)) Seq.empty[Long]
+      else listDir(root)(_.map(_.getFileName.toString)
+        .filter(_.matches("_boundary-\\d{10}"))
+        .map(_.stripPrefix("_boundary-").toLong)
+        .filter(v => v >= from && v <= to).toSeq)
+    (live ++ promoted).distinct.sorted
+  }
+
+  /** Latest snapshot-boundary version, if any — the floor below which a
+    * fresh CDC stream must not start its fold. */
+  def latestBoundary(dir: String): Option[Long] =
+    boundariesIn(dir, 0L, Long.MaxValue).lastOption
 
   /** Remove abandoned write debris: `_staging/<queryId>` dirs and stale
     * claim tombs older than `olderThanMillis`. A LIVE write keeps its

@@ -1334,6 +1334,47 @@ class CatalogSpec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("changes stream fails loudly across a restore; fresh stream starts past it") {
+    val t = mkTable("t_bdy")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")       // v1
+    spark.sql(s"INSERT INTO $cat.$t VALUES (2, 'b', 20)")       // v2
+    val ckpt = Files.createTempDirectory("graft_bdy_ckpt").toString
+    def start(cp: String) = spark.readStream.table(s"$cat.`t_bdy$$changes`")
+      .writeStream.format("noop").option("checkpointLocation", cp).start()
+    val q1 = start(ckpt)
+    try { q1.processAllAvailable() } finally q1.stop() // checkpoint at v2
+    // a restore lands while the consumer is down: v3 has NO changelog
+    // slice, and folding (v2 → v4] over the checkpointed state would
+    // resurrect the undone v2 insert — the resume must fail loudly
+    spark.sql(s"CALL $cat.restore(table => 't_bdy', version => 1)") // v3
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 'c', 30)")       // v4
+    val q2 = start(ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("snapshot boundary")),
+      s"expected the boundary error, got $e")
+    // a FRESH stream starts at the boundary: only post-restore commits flow
+    val ckpt2 = Files.createTempDirectory("graft_bdy_ckpt2").toString
+    val seen = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = spark.readStream.table(s"$cat.`t_bdy$$changes`")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select("change_version").collect().map(_.getLong(0))
+        seen.synchronized { seen ++= vs }
+        ()
+      }
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q3.processAllAvailable()
+      assert(seen.toSet === Set(4L), s"fresh stream must start past the boundary: $seen")
+    } finally q3.stop()
+  }
+
   test("ALTER ADD COLUMN during a live changes stream: old schema until restart") {
     val t = mkTable("t_ddlstream")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")       // v1

@@ -306,4 +306,115 @@ class GraftDeltaSpec extends SparkTestBase {
     assert(now - Files.getLastModifiedTime(staging).toMillis < 60000L,
       "heartbeat must refresh the staging dir's mtime")
   }
+
+  test("heartbeat period scales with the configured stale threshold") {
+    // default: 1 h threshold → 60 s cap
+    assert(GraftStore.heartbeatPeriodMs === 60000L)
+    val saved = sys.props.get("graft.store.staleClaimMillis")
+    try {
+      // a crash-harness 3 s threshold must tick well inside the window —
+      // the fixed 60 s period would let a LIVE claim go stale (r9 ADVICE)
+      sys.props("graft.store.staleClaimMillis") = "3000"
+      assert(GraftStore.heartbeatPeriodMs === 750L)
+      sys.props("graft.store.staleClaimMillis") = "40"
+      assert(GraftStore.heartbeatPeriodMs === 25L, "floor guards the scheduler")
+    } finally saved match {
+      case Some(v) => sys.props("graft.store.staleClaimMillis") = v
+      case None => sys.props -= "graft.store.staleClaimMillis"
+    }
+  }
+
+  test("commit stamps are monotone even when a writer's clock runs behind") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stamp_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    def commit(k: Long): Long = GraftStore.applyChanges(spark, dir,
+      Seq((k, s"r$k", k)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+    commit(1L) // v1
+    // simulate a skewed earlier writer: v1's stamp is an hour in the
+    // future relative to THIS writer's clock
+    val future = System.currentTimeMillis() + 3600000L
+    Files.write(Paths.get(GraftStore.versionDir(dir, 1L), "_committed_at"),
+      future.toString.getBytes("UTF-8"))
+    commit(2L) // v2 — stamped from the "slow" local clock
+    val (t1, t2) = (GraftStore.committedAt(dir, 1L), GraftStore.committedAt(dir, 2L))
+    assert(t2 === t1 + 1, s"stamp must clamp to prev+1, got $t1 then $t2")
+    // TIMESTAMP AS OF resolution stays consistent: a timestamp at v2's
+    // stamp resolves to v2, just before it to v1
+    assert(GraftStore.versionAsOfTimestamp(dir, t2) === Some(2L))
+    assert(GraftStore.versionAsOfTimestamp(dir, t2 - 1) === Some(1L))
+  }
+
+  test("rebucket's _buckets backfill preserves a legacy version's commit instant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_backfill_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    GraftStore.applyChanges(spark, dir,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true) // v1
+    // make v1 a LEGACY version: no stamps, dir mtime = its commit clock
+    val v1 = Paths.get(GraftStore.versionDir(dir, 1L))
+    Files.delete(v1.resolve("_buckets"))
+    Files.delete(v1.resolve("_committed_at"))
+    val original = System.currentTimeMillis() - 86400000L // "committed yesterday"
+    Files.setLastModifiedTime(v1,
+      java.nio.file.attribute.FileTime.fromMillis(original))
+    GraftStore.rebucket(spark, dir, newBuckets = 4) // backfills v1's marker
+    // the backfill wrote INTO v1 (bumping its mtime) — but the captured
+    // original instant must now be persisted, so TIMESTAMP AS OF keeps
+    // resolving v1 to yesterday, not to the rebucket (r9 ADVICE)
+    assert(GraftStore.committedAt(dir, 1L) === original)
+    assert(GraftStore.versionAsOfTimestamp(dir, original + 1000) === Some(1L))
+    assert(GraftStore.versionBuckets(dir, 1L) === Some(2))
+  }
+
+  test("snapshot boundaries: stamped by restore/truncate/overwrite, survive version expiry") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_boundary_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    def insert(k: Long): Long = GraftStore.applyChanges(spark, dir,
+      Seq((k, s"r$k", k)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+    insert(1L)                          // v1: normal commit, no boundary
+    insert(2L)                          // v2
+    GraftStore.restore(dir, 1L)         // v3: boundary
+    GraftStore.truncate(dir)            // v4: boundary
+    GraftStore.applyChanges(spark, dir,
+      Seq((9L, "o", 9L)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")),
+      allInserts = true, overwrite = true) // v5: boundary
+    assert(!GraftStore.isBoundary(dir, 1L) && !GraftStore.isBoundary(dir, 2L))
+    assert(Seq(3L, 4L, 5L).forall(GraftStore.isBoundary(dir, _)))
+    assert(GraftStore.boundariesIn(dir, 0L, 5L) === Seq(3L, 4L, 5L))
+    assert(GraftStore.latestBoundary(dir) === Some(5L))
+    // the stream fails loudly when a batch range crosses a boundary...
+    val stream = new GraftChangesMicroBatchStream(dir, GraftStore.readMeta(dir))
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(GraftVersionOffset(1L), GraftVersionOffset(5L))
+    }
+    assert(e.getMessage.contains("snapshot boundary"))
+    // ...a fresh stream auto-starts past the latest boundary...
+    assert(stream.initialOffset().asInstanceOf[GraftVersionOffset].v === 5L)
+    // ...and post-boundary ranges flow normally
+    insert(10L) // v6, with a changelog slice
+    assert(stream.planInputPartitions(
+      GraftVersionOffset(5L), GraftVersionOffset(6L)).nonEmpty)
+    // version expiry promotes the marker so a resumed stream still detects
+    // the boundary after the version dir is gone
+    GraftStore.expireVersions(dir, keepLast = 1)
+    assert(!Files.isDirectory(Paths.get(GraftStore.versionDir(dir, 5L))))
+    assert(GraftStore.isBoundary(dir, 5L) &&
+      GraftStore.boundariesIn(dir, 0L, 6L) === Seq(3L, 4L, 5L))
+    intercept[IllegalStateException] {
+      stream.planInputPartitions(GraftVersionOffset(4L), GraftVersionOffset(6L))
+    }
+    // expire_changes clears promoted markers below the horizon (subsumed
+    // by the horizon check itself)
+    GraftStore.expireChanges(dir, keepFromVersion = 6L)
+    assert(GraftStore.boundariesIn(dir, 0L, 6L).isEmpty)
+  }
 }
