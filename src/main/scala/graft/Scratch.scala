@@ -25,6 +25,12 @@ object Scratch {
       scaleProbe(spark, d, if (args.length > 2) Some(args(2)) else None)
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "--dmlprof") {
+      // per-statement breakdown of the s11 shape — where a store commit's
+      // time goes at the bench SF (upstream agg vs each DML statement)
+      dmlProf(spark, d)
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "--timeq") {
       // time specific queries (cold + warm), any registry entry
       args.drop(2).foreach { n =>
@@ -58,6 +64,64 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Time each statement of the s11 bench query separately (two
+    * iterations: cold catalog + warm JVM). */
+  def dmlProf(spark: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    operators.DmlFixture.register(spark)
+    def time[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $l%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+    }
+    val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val ev = Tables.events(spark, d)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"user_id").agg(max_by(
+        struct($"event_id", $"event_type", $"cents"),
+        struct($"ts", $"event_id")).as("r"))
+    for (iter <- 1 to 2) {
+      println(s"--- iteration $iter ---")
+      time("views") {
+        latest(ev.filter($"ts" < cutoff && $"user_id" % 3 =!= 0))
+          .select($"user_id", $"r.event_id".as("event_id"), $"r.cents".as("cents"))
+          .createOrReplaceTempView("s11_base")
+        latest(ev.filter($"ts" >= cutoff && $"user_id" % 5 =!= 1))
+          .select($"user_id", $"r.event_id".as("c_event"),
+            $"r.cents".as("c_cents"),
+            when($"r.event_type" === "purchase", "delete")
+              .otherwise("upsert").as("op"))
+          .createOrReplaceTempView("s11_chg")
+      }
+      time("drop+create") {
+        spark.sql("DROP TABLE IF EXISTS graftdml.user_state")
+        spark.sql("""CREATE TABLE graftdml.user_state
+          (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+          TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      }
+      time("INSERT") { spark.sql("INSERT INTO graftdml.user_state " +
+        "SELECT user_id, event_id, cents FROM s11_base") }
+      time("MERGE") { spark.sql("""MERGE INTO graftdml.user_state t
+        USING s11_chg c ON t.user_id = c.user_id
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET event_id = c.c_event, cents = c.c_cents
+        WHEN NOT MATCHED AND c.op <> 'delete' THEN
+          INSERT (user_id, event_id, cents) VALUES (c.user_id, c.c_event, c.c_cents)""") }
+      time("UPDATE") { spark.sql("UPDATE graftdml.user_state " +
+        "SET cents = cents + 100 WHERE user_id % 7 = 0") }
+      time("DELETE") { spark.sql("DELETE FROM graftdml.user_state WHERE cents < 500") }
+      time("read") { spark.sql("SELECT * FROM graftdml.user_state").count() }
+      val dir = s"${operators.DmlFixture.warehouse}/user_state"
+      val v = graft.sources.GraftStore.currentVersion(dir)
+      (1L to v).foreach { vv =>
+        val (b, f, by) = graft.sources.GraftStore.versionStats(dir, vv)
+        println(s"[prof] v$vv: $b buckets, $f files, $by bytes")
+      }
+    }
   }
 
   /** Replicate the sf0.1 tables in-memory (keys re-salted so cardinality

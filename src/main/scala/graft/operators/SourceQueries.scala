@@ -666,6 +666,49 @@ object SourceQueries {
         TRUE AS in_reads_at_most_three, TRUE AS full_scan_reads_more
       FROM latest WHERE user_id IN (1, 2, 3) ORDER BY user_id""")),
 
+    // ----- S25: zone-map file skipping, with measured plan evidence.
+    // Every store commit writes `_stats` — per-file min/max/nullCount
+    // column statistics read from the parquet FOOTERS of its new files
+    // (hard-linked carry-over reuses the previous manifest's entries, so
+    // manifest cost tracks the commit, not the table). The scan drops
+    // whole files whose stats prove the pushed predicates empty — the
+    // value-range complement to s18's key-hash bucket pruning: at 100 TB,
+    // `WHERE cents >= x` on value-clustered ingest touches only the files
+    // whose window overlaps, decided at the driver before any task runs.
+    // The gate ingests four disjoint cents windows (one commit each), then
+    // pins (a) the hot-range scan planning FEWER files than the full scan,
+    // (b) a no-match predicate planning ZERO files, (c) the rows
+    // themselves — so a manifest that under- or over-prunes breaks the
+    // hash, not just a boolean.
+    GraftQuery("s25_zonemap_probe", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).select($"event_id", unix_micros($"ts").as("tsu"),
+        vcents($"value").as("cents"))
+        .createOrReplaceTempView("s25_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.zone_probe")
+      s.sql("""CREATE TABLE graftdml.zone_probe
+        (event_id BIGINT NOT NULL, tsu BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='event_id', 'buckets'='8')""")
+      val bounds = Seq(0L, 2500L, 5000L, 10000L, Long.MaxValue)
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        s.sql("INSERT INTO graftdml.zone_probe SELECT * FROM s25_src " +
+          s"WHERE cents >= $lo AND cents < $hi")
+      }
+      val full = filesPlanned(s.sql("SELECT * FROM graftdml.zone_probe"))
+      val hot = s.sql(
+        "SELECT event_id, tsu, cents FROM graftdml.zone_probe WHERE cents >= 7500")
+      val fHot = filesPlanned(hot)
+      val fNone = filesPlanned(s.sql(
+        "SELECT event_id FROM graftdml.zone_probe WHERE cents > 100000000"))
+      hot.withColumn("zone_pruned", lit(fHot > 0 && fHot < full))
+        .withColumn("empty_plans_zero_files", lit(fNone == 0L))
+        .orderBy($"event_id")
+    }, Some(s"""
+      SELECT event_id, epoch_us(ts) AS tsu, ${sql.vcents("value")} AS cents,
+        TRUE AS zone_pruned, TRUE AS empty_plans_zero_files
+      FROM events WHERE ${sql.vcents("value")} >= 7500 ORDER BY event_id""")),
+
     // ----- S14: CDC changelog READ — the producer half of the changelog
     // story (s9/s11 are the consumer half). Every GraftStore commit
     // persists its change batch (full row image + change_op I/U/D),

@@ -366,7 +366,8 @@ final class GraftVersionsTable(tableName: String, dir: String)
     StructField("n_buckets", IntegerType, nullable = false),
     StructField("n_files", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
-    StructField("has_changelog", BooleanType, nullable = false)))
+    StructField("has_changelog", BooleanType, nullable = false),
+    StructField("is_boundary", BooleanType, nullable = false)))
 
   override def name(): String = tableName
   override def schema(): StructType = schema0
@@ -386,11 +387,14 @@ final class GraftVersionsTable(tableName: String, dir: String)
           // `buckets` = the fan-out this version was WRITTEN with (the
           // layout marker — CALL rebucket changes it across versions);
           // `n_buckets` = non-empty bucket dirs it actually has;
-          // `committed_at` = the stamp TIMESTAMP AS OF resolves against
+          // `committed_at` = the stamp TIMESTAMP AS OF resolves against;
+          // `is_boundary` = restore/truncate/overwrite snapshot boundary
+          // (a CDC fold may not cross it — the stream fails loudly there)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](v, v == cur, GraftStore.committedAt(dir, v) * 1000L,
               GraftStore.layoutBuckets(dir, v, meta),
-              nb, nf, bytes, GraftStore.hasChangelog(dir, v)))
+              nb, nf, bytes, GraftStore.hasChangelog(dir, v),
+              GraftStore.isBoundary(dir, v)))
         }.toArray
       }
     }

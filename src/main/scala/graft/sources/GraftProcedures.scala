@@ -47,7 +47,9 @@ object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
         .defaultValue("4").build(),
-      ProcedureParameter.in("sort_by", StringType).defaultValue("''").build())
+      ProcedureParameter.in("sort_by", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("target_file_rows", LongType)
+        .defaultValue("0").build())
     case "rebucket" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("buckets", IntegerType).build())
@@ -92,7 +94,9 @@ final class GraftProcedure(procName: String, tableDir: String => String)
             if (input.isNullAt(2)) Nil
             else input.getUTF8String(2).toString.split(",").toSeq
               .map(_.trim).filter(_.nonEmpty)
-          ("version", GraftStore.optimize(spark, dir, input.getInt(1), sortBy))
+          val targetRows = if (input.isNullAt(3)) 0L else input.getLong(3)
+          ("version",
+            GraftStore.optimize(spark, dir, input.getInt(1), sortBy, targetRows))
         case "rebucket" =>
           ("version", GraftStore.rebucket(spark, dir, input.getInt(1)))
         case "clone" =>

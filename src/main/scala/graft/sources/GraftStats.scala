@@ -1,0 +1,375 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-version ZONE MAPS — file-level min/max column statistics, the data-
+  * skipping layer on top of bucket pruning. Bucket pruning answers "which
+  * files can hold this KEY"; zone maps answer "which files can hold this
+  * VALUE RANGE" for any column: a time-ordered append stream naturally
+  * clusters each commit's files to its ingest window, so `WHERE ts >=
+  * last_week` on a 100 TB table plans only the recent files — decided at
+  * the driver from a metadata manifest, before a single task launches or
+  * file opens (parquet's own row-group skipping still applies below, but
+  * only after every file was listed, opened, and footer-read by a task).
+  *
+  * Mechanics: every commit writes `_stats` into its version dir — one line
+  * per (file, top-level primitive column) with min/max/nullCount read from
+  * the parquet FOOTERS of the NEW files (metadata-only, cost ∝ files
+  * written); hard-link carried files re-use their entries from the
+  * previous version's manifest verbatim (same relative path), so manifest
+  * cost tracks the commit, not the table. The scan side
+  * ([[org.apache.spark.sql.GraftRenamingScan]]) drops whole files whose
+  * stats PROVE no row can satisfy the pushed conjuncts. Absent entries —
+  * legacy versions, unsupported physical types (INT96, decimals, nested) —
+  * simply keep their files: pruning only ever narrows to a correct
+  * superset.
+  *
+  * Values are stored by PHYSICAL column name (files never rename) in a
+  * line format with base64-encoded endpoints, so no JSON machinery and no
+  * escaping edge cases; widened columns compare correctly because stats
+  * and literals normalize into a shared integral/fractional domain.
+  * Reference behavior anchor: the reference engine re-derives its task
+  * bounds per scheduler pass rather than persisting per-file metadata
+  * (/root/reference/module/internal/roblox/task_scheduler/scheduler.cpp);
+  * a Spark-first store wants plan-time skipping, hence the manifest. */
+object GraftStats {
+
+  val ManifestName = "_stats"
+
+  /** One column's footer aggregate for one file. `min`/`max` are EXTERNAL
+    * Scala values (Long / Double / String / Boolean); `kind` tags the
+    * comparison domain. `nullCount`/`rowCount` are -1 when unknown. */
+  final case class ColStats(kind: String, nullCount: Long, rowCount: Long,
+      min: Option[Any], max: Option[Any])
+
+  type FileStats = Map[String, ColStats]
+
+  private val KindLong = "l"    // integral: byte/short/int/long/date(days)/ts(micros)
+  private val KindDouble = "d"  // fractional: float/double
+  private val KindString = "s"  // UTF8 strings, byte-order comparisons
+  private val KindBool = "b"
+
+  // ---------------------------------------------------------------- write
+
+  /** Write `buildDir/_stats` covering every data file under the build dir:
+    * entries for files also present in `prevVersionDir`'s manifest are
+    * copied (hard-linked carry-over), new files get their footers read. */
+  def writeManifest(buildDir: String, prevVersionDir: Option[String]): Unit = {
+    val prev: Map[String, FileStats] =
+      prevVersionDir.map(readManifest).getOrElse(Map.empty)
+    val root = Paths.get(buildDir)
+    val files = dataFiles(root)
+    val conf = new Configuration()
+    def footer(rel: String): FileStats =
+      try readFooterStats(root.resolve(rel), conf)
+      catch { case _: Exception => Map.empty }
+    // footer reads are independent metadata I/O — a bulk commit (initial
+    // load, rebucket) fans them out over a small pool instead of paying
+    // per-file latency serially (a real object store would batch these
+    // into a task-side job; locally the pool is plenty)
+    val newFiles = files.filterNot(prev.contains)
+    val fresh: Map[String, FileStats] =
+      if (newFiles.size <= 4) newFiles.map(r => r -> footer(r)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, newFiles.size))
+        try newFiles
+          .map(r => r -> pool.submit({ () => footer(r) }: java.util.concurrent.Callable[FileStats]))
+          .map { case (r, f) =>
+            r -> (try f.get() catch { case _: Exception => Map.empty[String, ColStats] })
+          }.toMap
+        finally pool.shutdown()
+      }
+    val sb = new StringBuilder
+    files.foreach { rel =>
+      prev.getOrElse(rel, fresh.getOrElse(rel, Map.empty)).foreach {
+        case (col, cs) => sb.append(encodeLine(rel, col, cs)).append('\n')
+      }
+    }
+    Files.write(root.resolve(ManifestName),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Relative paths (`gbucket=N/part-...`) of the data files in a version
+    * dir, sorted for deterministic manifests. */
+  private def dataFiles(root: Path): Seq[String] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
+    }.map(p => root.relativize(p).toString).toSeq.sorted
+    finally s.close()
+  }
+
+  /** Aggregate footer statistics per top-level primitive column. Columns
+    * whose physical type has no defensible comparison mapping (INT96,
+    * decimals, nested paths, non-UTF8 binary) are omitted. */
+  private def readFooterStats(file: Path, conf: Configuration): FileStats = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.size() == 1) // top-level only
+        .groupBy(_.getPath.toDotString)
+      byCol.flatMap { case (name, chunks) =>
+        val kinds = chunks.map(c => kindOf(c.getPrimitiveType)).distinct
+        if (kinds.size != 1 || kinds.head.isEmpty) None
+        else {
+          val kind = kinds.head.get
+          val stats = chunks.map(_.getStatistics)
+          if (stats.exists(_ == null)) None
+          else {
+            val nulls =
+              if (stats.forall(_.isNumNullsSet)) stats.map(_.getNumNulls).sum
+              else -1L
+            val withVals = stats.filter(_.hasNonNullValue)
+            val (mn, mx) =
+              if (withVals.isEmpty) (None, None)
+              else {
+                val mins = withVals.map(s => convert(kind,
+                  s.genericGetMin.asInstanceOf[AnyRef],
+                  chunks.head.getPrimitiveType, down = true))
+                val maxs = withVals.map(s => convert(kind,
+                  s.genericGetMax.asInstanceOf[AnyRef],
+                  chunks.head.getPrimitiveType, down = false))
+                if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) (None, None)
+                else {
+                  val ord = ordering(kind)
+                  (Some(mins.flatten.min(ord)), Some(maxs.flatten.max(ord)))
+                }
+              }
+            // drop degenerate fractional stats (NaN endpoints order weirdly)
+            val bad = kind == KindDouble && (mn ++ mx).exists(
+              v => java.lang.Double.isNaN(v.asInstanceOf[Double]))
+            if (bad || (mn.isEmpty && nulls < 0)) None
+            else Some(name -> ColStats(kind, nulls, rowCount, mn, mx))
+          }
+        }
+      }
+    } finally r.close()
+  }
+
+  /** Comparison domain for a parquet primitive type, or None if out of
+    * scope for zone maps. */
+  private def kindOf(t: PrimitiveType): Option[String] = {
+    import PrimitiveType.PrimitiveTypeName._
+    val lt = t.getLogicalTypeAnnotation
+    t.getPrimitiveTypeName match {
+      case _ if lt.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] => None
+      // unsigned ints wrap when read as signed — out of scope
+      case _ if lt.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] &&
+        !lt.asInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation].isSigned => None
+      case INT32 | INT64 => Some(KindLong)
+      case FLOAT | DOUBLE => Some(KindDouble)
+      case BOOLEAN => Some(KindBool)
+      case BINARY if lt.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(KindString)
+      case _ => None // INT96, FIXED_LEN_BYTE_ARRAY, raw BINARY
+    }
+  }
+
+  /** Footer value → external value in its domain. Timestamps normalize to
+    * MICROS so literals (catalyst micros) compare directly; `down` picks
+    * the safe rounding direction for lossy unit conversions (a min must
+    * round DOWN and a max UP, or the interval stops covering the file). */
+  private def convert(kind: String, v: AnyRef, t: PrimitiveType,
+      down: Boolean): Option[Any] =
+    kind match {
+      case KindLong =>
+        val raw = v match {
+          case n: java.lang.Integer => n.longValue()
+          case n: java.lang.Long => n.longValue()
+          case _ => return None
+        }
+        t.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(raw * 1000L)
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                Some(if (down) Math.floorDiv(raw, 1000L)
+                else -Math.floorDiv(-raw, 1000L))
+              case _ => None
+            }
+          case _ => Some(raw)
+        }
+      case KindDouble => v match {
+        case n: java.lang.Float => Some(n.doubleValue())
+        case n: java.lang.Double => Some(n.doubleValue())
+        case _ => None
+      }
+      case KindString => v match {
+        case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+        case _ => None
+      }
+      case KindBool => v match {
+        case b: java.lang.Boolean => Some(b.booleanValue())
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def ordering(kind: String): Ordering[Any] = (kind match {
+    case KindLong => Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case KindDouble => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+    case KindBool => Ordering.Boolean.on[Any](_.asInstanceOf[Boolean])
+    case KindString => // parquet + catalyst both order strings by UTF-8 BYTES
+      Ordering.comparatorToOrdering[Any]((a: Any, b: Any) =>
+        UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(UTF8String.fromString(b.asInstanceOf[String])))
+  })
+
+  // ------------------------------------------------------------- encoding
+
+  private def enc(kind: String, v: Option[Any]): String = v match {
+    case None => "-"
+    case Some(x) =>
+      val s = kind match {
+        case KindString => x.asInstanceOf[String]
+        case _ => x.toString
+      }
+      Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def dec(kind: String, s: String): Option[Any] = {
+    if (s == "-") return None
+    val raw = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    kind match {
+      case KindLong => Some(raw.toLong)
+      case KindDouble => Some(raw.toDouble)
+      case KindBool => Some(raw.toBoolean)
+      case KindString => Some(raw)
+      case _ => None
+    }
+  }
+
+  private def encodeLine(rel: String, col: String, cs: ColStats): String =
+    Seq(rel, col, cs.kind, cs.nullCount.toString, cs.rowCount.toString,
+      enc(cs.kind, cs.min), enc(cs.kind, cs.max)).mkString("\t")
+
+  /** Read a version dir's manifest; empty when absent (legacy version —
+    * nothing skips). */
+  def readManifest(versionDir: String): Map[String, FileStats] = {
+    val p = Paths.get(versionDir, ManifestName)
+    if (!Files.exists(p)) return Map.empty
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, col, kind, nulls, rows, mn, mx) =>
+            try Some((rel, col, ColStats(kind, nulls.toLong, rows.toLong,
+              dec(kind, mn), dec(kind, mx))))
+            catch { case _: Exception => None }
+          case _ => None
+        }
+      }
+      .groupBy(_._1)
+      .map { case (rel, es) => rel -> es.map(e => e._2 -> e._3).toMap }
+  }
+
+  // ----------------------------------------------------------- evaluation
+
+  /** Whether a file with `stats` MAY contain rows satisfying every
+    * conjunct. False means provably empty — the scan drops the file.
+    * Unrecognized shapes, unknown columns, and domain mismatches always
+    * answer true (keep): skipping must narrow to a superset, never guess. */
+  def mayContain(conjuncts: Seq[Expression], stats: FileStats): Boolean =
+    conjuncts.forall(c => !provesEmpty(c, stats))
+
+  private def provesEmpty(e: Expression, stats: FileStats): Boolean = e match {
+    case And(l, r) => provesEmpty(l, stats) || provesEmpty(r, stats)
+    case Or(l, r) => provesEmpty(l, stats) && provesEmpty(r, stats)
+    case EqualTo(a: AttributeReference, l: Literal) => noEq(stats, a.name, l)
+    case EqualTo(l: Literal, a: AttributeReference) => noEq(stats, a.name, l)
+    case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+      noEq(stats, a.name, l)
+    case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+      noEq(stats, a.name, l)
+    case LessThan(a: AttributeReference, l: Literal) =>
+      noCmp(stats, a.name, l)((mn, _, v, ord) => ord.gteq(mn, v))
+    case LessThan(l: Literal, a: AttributeReference) =>
+      noCmp(stats, a.name, l)((_, mx, v, ord) => ord.lteq(mx, v))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      noCmp(stats, a.name, l)((mn, _, v, ord) => ord.gt(mn, v))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      noCmp(stats, a.name, l)((_, mx, v, ord) => ord.lt(mx, v))
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      noCmp(stats, a.name, l)((_, mx, v, ord) => ord.lteq(mx, v))
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      noCmp(stats, a.name, l)((mn, _, v, ord) => ord.gteq(mn, v))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      noCmp(stats, a.name, l)((_, mx, v, ord) => ord.lt(mx, v))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      noCmp(stats, a.name, l)((mn, _, v, ord) => ord.gt(mn, v))
+    case In(a: AttributeReference, vs) if vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall(v => noEq(stats, a.name, v.asInstanceOf[Literal]))
+    case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+      hset.forall(v => noEq(stats, a.name, Literal(v, a.dataType)))
+    case IsNull(a: AttributeReference) =>
+      stats.get(a.name).exists(cs => cs.nullCount == 0L)
+    case IsNotNull(a: AttributeReference) =>
+      stats.get(a.name).exists(cs =>
+        cs.nullCount >= 0 && cs.rowCount >= 0 && cs.nullCount == cs.rowCount)
+    case _ => false
+  }
+
+  /** Literal value normalized into a stats domain, or None (no decision).
+    * Catalyst internal reprs: integral families + date(days int) +
+    * timestamp(micros long) → Long; float/double → Double; UTF8String →
+    * String; Boolean as-is. */
+  private def normalize(l: Literal): Option[(String, Any)] = l.value match {
+    case null => None
+    case v: java.lang.Byte => Some((KindLong, v.longValue()))
+    case v: java.lang.Short => Some((KindLong, v.longValue()))
+    case v: java.lang.Integer => Some((KindLong, v.longValue()))
+    case v: java.lang.Long => Some((KindLong, v.longValue()))
+    case v: java.lang.Float => Some((KindDouble, v.doubleValue()))
+    case v: java.lang.Double => Some((KindDouble, v.doubleValue()))
+    case v: UTF8String => Some((KindString, v.toString))
+    case v: java.lang.Boolean => Some((KindBool, v.booleanValue()))
+    case _ => None
+  }
+
+  /** Lift a stats endpoint into the literal's comparison domain (widened
+    * columns: int stats vs long literals — both normalize to Long). */
+  private def statVal(kind: String, v: Any): Any = kind match {
+    case KindLong => v.asInstanceOf[Long]
+    case _ => v
+  }
+
+  /** `col = lit` provably matches nothing in this file. */
+  private def noEq(stats: FileStats, col: String, l: Literal): Boolean =
+    noCmp(stats, col, l)((mn, mx, v, ord) => ord.lt(v, mn) || ord.gt(v, mx))
+
+  private def noCmp(stats: FileStats, col: String, l: Literal)(
+      empty: (Any, Any, Any, Ordering[Any]) => Boolean): Boolean =
+    stats.get(col).exists { cs =>
+      // every row null → no comparison can match
+      if (cs.nullCount >= 0 && cs.rowCount >= 0 && cs.nullCount == cs.rowCount)
+        true
+      else normalize(l) match {
+        case Some((kind, v)) if kind == cs.kind =>
+          (cs.min, cs.max) match {
+            case (Some(mn), Some(mx)) =>
+              empty(statVal(kind, mn), statVal(kind, mx), v, ordering(kind))
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+}

@@ -441,6 +441,7 @@ object GraftStore {
     val v0 = versionDir(tmp, 0L)
     Files.createDirectories(Paths.get(v0))
     bucketDirs(srcV).foreach(b => linkBucket(srcV, v0, b))
+    GraftStats.writeManifest(v0, Some(srcV))
     writeBucketMarker(v0, layoutBuckets(srcDir, cur, meta))
     Files.createDirectories(Paths.get(changesRoot(tmp)))
     writePointer(tmp, 0L)
@@ -838,8 +839,12 @@ object GraftStore {
       val physBefore = StructType(physicalSchema(meta.schema)
         .fields.map(_.copy(nullable = true)).toSeq)
       def writeChangelog(df: DataFrame): Unit =
+        // rebalance (no key): right-size the slice's file count to its
+        // data volume — CDC readers stream every slice, so a 32-task
+        // commit must not cost them 32 near-empty file opens
         toPhysical(df.withColumn(ChangeBeforeCol,
             col(ChangeBeforeCol).cast(physBefore)), meta.schema)
+          .hint("rebalance")
           .write.parquet(chDir)
       val baseTouched = () => readVersion(spark, dir, cur)
         .filter(col(BucketCol).isin(touched.toSeq: _*))
@@ -865,12 +870,24 @@ object GraftStore {
       // are job-unique, so dirs merge safely). General path: rewrite
       // touched buckets (anti-join out removed keys, union adds), link
       // the untouched ones.
+      //
+      // Both paths REBALANCE on the bucket column before the write: a
+      // partitionBy write emits one file per (task × bucket), so an
+      // unrebalanced commit's file count tracks the UPSTREAM task count —
+      // a 32-task batch into 8 buckets writes ~250 near-empty files, and a
+      // 1000-task append into 64 buckets would write 64k; every subsequent
+      // touched-bucket read then pays per-file listing/footer cost. The
+      // rebalance hint makes file count track DATA size instead: AQE
+      // coalesces a small batch to a handful of tasks and skew-splits a
+      // huge bucket into target-sized ones (so bucket count never caps
+      // write parallelism the way a plain repartition(buckets) would).
       val dataLeg: () => Set[Int] = () =>
         if (allInserts) {
           // unconditional write: an empty batch produces an empty version
           // dir, and skipping the touched-set job saves one Spark action
           // per append
           toPhysical(ch.select((cols :+ BucketCol).map(col): _*), meta.schema)
+            .hint("rebalance", col(BucketCol))
             .write.partitionBy(BucketCol).parquet(buildDir)
           Set.empty
         } else if (touched.nonEmpty) {
@@ -881,6 +898,7 @@ object GraftStore {
           val kept = baseTouched().join(removes, meta.keyCols, "left_anti")
             .select((cols :+ BucketCol).map(col): _*)
           toPhysical(kept.unionByName(adds), meta.schema)
+            .hint("rebalance", col(BucketCol))
             .write.partitionBy(BucketCol).parquet(buildDir)
           touched
         } else {
@@ -920,6 +938,9 @@ object GraftStore {
       // (r7 ADVICE race).
       val chFinal = Paths.get(changesDir(dir, next))
       deleteRecursively(chFinal)
+      // zone maps: footer stats for the NEW files, carried entries for the
+      // hard-linked ones — after the links, so the manifest covers both
+      GraftStats.writeManifest(buildDir, Some(versionDir(dir, cur)))
       writeBucketMarker(buildDir, buckets)
       if (overwrite) writeBoundaryMarker(buildDir) // snapshot boundary for CDC
       // a commit that outlived even the heartbeat-refreshed stale window
@@ -957,9 +978,17 @@ object GraftStore {
     * (Z-less liquid-clustering): rows land in sorted row groups, so the
     * parquet min/max statistics make range predicates on those columns
     * skip whole row groups — the scan-narrowing complement to the
-    * key-hash bucket pruning. Layout-only, like the rest of compaction. */
+    * key-hash bucket pruning. Layout-only, like the rest of compaction.
+    *
+    * `targetFileRows` > 0 caps rows per output file: at 100 TB "one
+    * compact file per bucket" is an unbounded file — the cap splits each
+    * bucket's (sorted) run into bounded files, and because a sorted run
+    * cuts into RANGE-DISJOINT pieces, the commit's zone maps
+    * ([[GraftStats]]) then prune range predicates to the few overlapping
+    * files WITHIN a bucket, not just across commits. */
   def optimize(spark: SparkSession, dir: String,
-      maxFilesPerBucket: Int = 4, sortWithin: Seq[String] = Nil): Long = {
+      maxFilesPerBucket: Int = 4, sortWithin: Seq[String] = Nil,
+      targetFileRows: Long = 0L): Long = {
     recoverChangelog(dir)
     val cur = currentVersion(dir)
     val curDir = versionDir(dir, cur)
@@ -992,9 +1021,14 @@ object GraftStore {
       val clustered =
         if (sortPhys.isEmpty) rep
         else rep.sortWithinPartitions((BucketCol +: sortPhys).map(col): _*)
-      clustered.write.partitionBy(BucketCol).parquet(buildDir)
+      val writer =
+        if (targetFileRows > 0)
+          clustered.write.option("maxRecordsPerFile", targetFileRows)
+        else clustered.write
+      writer.partitionBy(BucketCol).parquet(buildDir)
       (bucketDirs(curDir).toSet -- fragmented)
         .foreach(linkBucket(curDir, buildDir, _))
+      GraftStats.writeManifest(buildDir, Some(curDir))
       writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
       verifyClaim(marker, token)
       publishVersion(buildDir, nextDir)
@@ -1061,6 +1095,7 @@ object GraftStore {
         .withColumn(BucketCol, bucketExpr(physKeys, newBuckets))
         .repartition(newBuckets, col(BucketCol))
         .write.partitionBy(BucketCol).parquet(buildDir)
+      GraftStats.writeManifest(buildDir, None) // every file rewritten
       writeBucketMarker(buildDir, newBuckets)
       withMetaLock(dir) {
         val m = readMeta(dir) // re-read: fold over concurrent ALTERs
@@ -1107,6 +1142,7 @@ object GraftStore {
       deleteRecursively(Paths.get(buildDir))
       Files.createDirectories(Paths.get(buildDir))
       bucketDirs(srcV).foreach(b => linkBucket(srcV, buildDir, b))
+      GraftStats.writeManifest(buildDir, Some(srcV))
       writeBucketMarker(buildDir, layoutBuckets(dir, toVersion, meta))
       writeBoundaryMarker(buildDir) // restore = snapshot boundary for CDC
       verifyClaim(marker, token)

@@ -62,6 +62,12 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
       case _ => false
     })
 
+  /** Pushed conjuncts in PHYSICAL names — the zone-map evaluation input
+    * (file stats are keyed by physical column, matching the footers). ALL
+    * pushed filters qualify, residue included: each is a true row
+    * predicate, so any file they prove empty is skippable. */
+  private var statsFilters: Seq[Expression] = Nil
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val renamed = filters.map { f =>
       val r = f.transform {
@@ -70,6 +76,7 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
       }
       (r, f)
     }
+    statsFilters = renamed.map(_._1)
     // Bucket pruning: when the filters pin EVERY merge-key column to
     // literal value(s), the store's hash tells us exactly which bucket
     // directories can hold matches — synthesize a partition filter on the
@@ -94,7 +101,8 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
   override def pushedFilters(): Array[Predicate] = delegate.pushedFilters
 
   override def build(): Scan =
-    wrapScan(new GraftRenamingScan(delegate.build(), mapSchemaToLog, bucketing))
+    wrapScan(new GraftRenamingScan(delegate.build(), mapSchemaToLog, bucketing,
+      statsFilters))
 }
 
 /** Derives the set of store buckets a conjunction of pushed filters can
@@ -342,7 +350,8 @@ final class GraftStreamableScan(delegate: Scan,
 
 final class GraftRenamingScan(delegate: Scan,
     mapSchemaToLog: StructType => StructType,
-    bucketing: Option[GraftBucketDerivation] = None)
+    bucketing: Option[GraftBucketDerivation] = None,
+    statsFilters: Seq[Expression] = Nil)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -367,23 +376,53 @@ final class GraftRenamingScan(delegate: Scan,
     allowedBuckets = bucketing.flatMap(_.deriveBucketsV2(predicates))
 
   override def readSchema(): StructType = mapSchemaToLog(delegate.readSchema())
-  override def toBatch: Batch = allowedBuckets match {
-    case None => delegate.toBatch
-    case Some(bs) => new Batch {
-      // drop whole files whose `gbucket=N` path segment is outside the
-      // runtime-admitted set; files without a bucket segment (defensive)
-      // are kept — pruning may only ever narrow to a correct superset
+
+  /** File-level pruning over the delegated scan's plan: drop files outside
+    * the runtime-admitted bucket set (DPP) and files whose ZONE-MAP stats
+    * prove no row satisfies the pushed conjuncts
+    * ([[graft.sources.GraftStats]]). Both checks only ever narrow to a
+    * correct superset — a file with no bucket segment, no manifest (legacy
+    * version), or no usable stats entry is kept. */
+  override def toBatch: Batch = {
+    val bs = allowedBuckets
+    if (bs.isEmpty && statsFilters.isEmpty) delegate.toBatch
+    else new Batch {
       private val re =
         ("(?:^|/)" + graft.sources.GraftStore.BucketCol + "=(\\d+)(?:/|$)").r
+      private val vre = "^(.*/v\\d{10})/(.+)$".r
+      // one manifest read per version dir seen in this plan (usually one)
+      private val manifests =
+        scala.collection.mutable.Map.empty[String, Map[String, graft.sources.GraftStats.FileStats]]
+      private def manifest(vdir: String): Map[String, graft.sources.GraftStats.FileStats] =
+        manifests.getOrElseUpdate(vdir, {
+          val local =
+            if (vdir.startsWith("file:")) java.nio.file.Paths
+              .get(java.net.URI.create(vdir)).toString
+            else vdir
+          graft.sources.GraftStats.readManifest(local)
+        })
+      private def statsKeep(path: String): Boolean = path match {
+        case vre(vdir, rel) => manifest(vdir).get(rel) match {
+          case Some(stats) => graft.sources.GraftStats.mayContain(statsFilters, stats)
+          case None => true
+        }
+        case _ => true
+      }
+      private def bucketKeep(path: String): Boolean = bs match {
+        case None => true
+        case Some(admitted) => re.findFirstMatchIn(path) match {
+          case Some(m) => admitted.contains(m.group(1).toInt)
+          case None => true
+        }
+      }
       override def planInputPartitions(): Array[InputPartition] = {
         val parts = delegate.toBatch.planInputPartitions()
         if (!parts.forall(_.isInstanceOf[FilePartition])) parts // unknown: no pruning
         else parts.iterator.map(_.asInstanceOf[FilePartition])
-          .map(fp => fp.files.filter(f =>
-            re.findFirstMatchIn(f.filePath.toString) match {
-              case Some(m) => bs.contains(m.group(1).toInt)
-              case None => true
-            }))
+          .map(fp => fp.files.filter { f =>
+            val p = f.filePath.toString
+            bucketKeep(p) && statsKeep(p)
+          })
           .filter(_.nonEmpty)
           .zipWithIndex
           .map { case (fs, i) => FilePartition(i, fs): InputPartition }

@@ -1334,6 +1334,82 @@ class CatalogSpec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("optimize target_file_rows: bounded sorted files, zone maps prune within a bucket") {
+    val t = mkTable("t_tfr", buckets = 1) // one bucket isolates within-bucket pruning
+    val dir = s"$warehouse/t_tfr"
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, 'r', id FROM range(0, 1000)")
+    spark.sql(s"CALL $cat.optimize(table => 't_tfr', max_files_per_bucket => 0, " +
+      "sort_by => 'amount', target_file_rows => 250)")
+    // the sorted 1000-row bucket splits into 4 range-disjoint bounded files
+    val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
+    val m = graft.sources.GraftStats.readManifest(vdir)
+    assert(m.size === 4, s"expected 4 capped files, got ${m.keys}")
+    val spans = m.values.flatMap(_.get("amount"))
+      .map(cs => (cs.min.get.asInstanceOf[Long], cs.max.get.asInstanceOf[Long]))
+      .toSeq.sortBy(_._1)
+    assert(spans === Seq((0L, 249L), (250L, 499L), (500L, 749L), (750L, 999L)))
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    }
+    // a narrow range inside one chunk plans exactly that one file
+    val q = spark.sql(s"SELECT k FROM $cat.$t WHERE amount BETWEEN 600 AND 640")
+    assert(q.count() === 41)
+    assert(fileCount(scanOf(q)) === 1L)
+    assert(rows(t).size === 1000)
+  }
+
+  test("zone maps: value-clustered commits prune files at plan time") {
+    val t = mkTable("t_zone", buckets = 2)
+    val dir = s"$warehouse/t_zone"
+    // four ingest commits, each covering a disjoint amount range — the
+    // natural shape of time-ordered ingestion (file min/max cluster to
+    // the commit's window)
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.$t SELECT id, 'g$i', id " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 100})")
+    }
+    val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
+    val manifest = graft.sources.GraftStats.readManifest(vdir)
+    assert(manifest.nonEmpty, "commit must write a stats manifest")
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    }
+    val full = fileCount(scanOf(
+      spark.sql(s"SELECT * FROM $cat.$t")))
+    // a range predicate covering only the LAST commit's window must plan
+    // only that commit's files
+    val lastQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE amount >= 3000")
+    assert(lastQ.count() === 100)
+    val lastFiles = fileCount(scanOf(lastQ))
+    assert(lastFiles < full && lastFiles > 0,
+      s"range scan planned $lastFiles of $full files — zone maps not pruning")
+    // an equality inside one mid-window commit prunes at least as hard
+    val midQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE amount = 1050")
+    assert(midQ.count() === 1)
+    assert(fileCount(scanOf(midQ)) <= lastFiles)
+    // a predicate matching NOTHING plans zero files
+    val noneQ = spark.sql(s"SELECT k FROM $cat.$t WHERE amount > 100000")
+    assert(noneQ.count() === 0)
+    assert(fileCount(scanOf(noneQ)) === 0L)
+    // CoW keeps manifests honest: update one row far outside its old
+    // range — the rewritten bucket re-reads footers, the filter finds it
+    spark.sql(s"UPDATE $cat.$t SET amount = 99999 WHERE k = 5")
+    val afterQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE amount > 50000")
+    assert(afterQ.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((5L, 99999L)))
+    // string predicates prune too (byte-ordered min/max)
+    val strQ = spark.sql(s"SELECT k FROM $cat.$t WHERE name = 'g3'")
+    assert(strQ.count() === 100)
+    assert(fileCount(scanOf(strQ)) < fileCount(scanOf(
+      spark.sql(s"SELECT k FROM $cat.$t"))))
+  }
+
   test("changes stream fails loudly across a restore; fresh stream starts past it") {
     val t = mkTable("t_bdy")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")       // v1
@@ -1348,6 +1424,10 @@ class CatalogSpec extends SparkTestBase {
     // resurrect the undone v2 insert — the resume must fail loudly
     spark.sql(s"CALL $cat.restore(table => 't_bdy', version => 1)") // v3
     spark.sql(s"INSERT INTO $cat.$t VALUES (3, 'c', 30)")       // v4
+    // the boundary surfaces in t$versions for operators planning resumes
+    assert(spark.sql(s"SELECT version FROM $cat.`t_bdy$$versions` " +
+        "WHERE is_boundary ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
     val q2 = start(ckpt)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q2.processAllAvailable()
