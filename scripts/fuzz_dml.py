@@ -309,9 +309,26 @@ def gen_sequence(idx):
                 if state[k][1] > cut:
                     del state[k]; ops.append("D")
             commit(ops)
-    stmts.append(f"SELECT {cn['k']} AS k, {cn['name']} AS name, "
-                 f"{cn['amount']} AS amount FROM graftdml.{t} ORDER BY 1")
-    exp_rows = sorted((k, n, a) for k, (n, a) in state.items())
+    # final read = full scan UNION predicate probes: a range predicate
+    # (zone-map file skipping) and a key equality (bucket pruning + zone
+    # maps) — if either prunes a file it shouldn't, rows vanish from a
+    # probe leg and the diff below catches it. `probe` leads the sort key
+    # so (probe, k) stays unique (NULL names never get compared).
+    lo = rng.randint(0, 600)
+    hi = lo + rng.randint(50, 500)
+    pk = rng.choice(sorted(used)) if used else 1
+    sel = f"{cn['k']} AS k, {cn['name']} AS name, {cn['amount']} AS amount"
+    stmts.append(
+        f"SELECT 'full' AS probe, {sel} FROM graftdml.{t} "
+        f"UNION ALL SELECT 'rng', {sel} FROM graftdml.{t} "
+        f"WHERE {cn['amount']} BETWEEN {lo} AND {hi} "
+        f"UNION ALL SELECT 'key', {sel} FROM graftdml.{t} "
+        f"WHERE {cn['k']} = {pk} ORDER BY 1, 2")
+    exp_rows = sorted(
+        [("full", k, n, a) for k, (n, a) in state.items()] +
+        [("rng", k, n, a) for k, (n, a) in state.items()
+         if a is not None and lo <= a <= hi] +
+        [("key", k, n, a) for k, (n, a) in state.items() if k == pk])
     exp_changes = sorted((v, op, c) for v, counts in changes
                          for op, c in counts.items())
     return stmts, exp_rows, exp_changes
@@ -335,7 +352,8 @@ n_pass = n_fail = 0
 for name, (stmts, exp_rows, exp_changes) in sorted(cases.items()):
     try:
         got = pd.read_parquet(f"{out_dir}/{name}")
-        got_rows = sorted(map(tuple, got[["k", "name", "amount"]].values.tolist()))
+        got_rows = sorted(map(tuple,
+            got[["probe", "k", "name", "amount"]].values.tolist()))
         ch = pd.read_parquet(f"{out_dir}/{name}__changes")
         got_changes = sorted(map(tuple,
             ch[["change_version", "change_op", "n"]].values.tolist()))
