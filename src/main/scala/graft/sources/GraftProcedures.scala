@@ -49,7 +49,8 @@ object GraftProcedures {
         .defaultValue("4").build(),
       ProcedureParameter.in("sort_by", StringType).defaultValue("''").build(),
       ProcedureParameter.in("target_file_rows", LongType)
-        .defaultValue("0").build())
+        .defaultValue("0").build(),
+      ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build())
     case "rebucket" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("buckets", IntegerType).build())
@@ -95,8 +96,12 @@ final class GraftProcedure(procName: String, tableDir: String => String)
             else input.getUTF8String(2).toString.split(",").toSeq
               .map(_.trim).filter(_.nonEmpty)
           val targetRows = if (input.isNullAt(3)) 0L else input.getLong(3)
-          ("version",
-            GraftStore.optimize(spark, dir, input.getInt(1), sortBy, targetRows))
+          val zorderBy =
+            if (input.isNullAt(4)) Nil
+            else input.getUTF8String(4).toString.split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+          ("version", GraftStore.optimize(spark, dir, input.getInt(1),
+            sortBy, targetRows, zorderBy))
         case "rebucket" =>
           ("version", GraftStore.rebucket(spark, dir, input.getInt(1)))
         case "clone" =>

@@ -985,10 +985,22 @@ object GraftStore {
     * bucket's (sorted) run into bounded files, and because a sorted run
     * cuts into RANGE-DISJOINT pieces, the commit's zone maps
     * ([[GraftStats]]) then prune range predicates to the few overlapping
-    * files WITHIN a bucket, not just across commits. */
+    * files WITHIN a bucket, not just across commits.
+    *
+    * `zorderBy` (exactly two columns) clusters each rewritten bucket by
+    * the Morton interleave of both columns instead of a lexicographic
+    * sort: with `targetFileRows` each file covers a narrow rectangle in
+    * BOTH dimensions, so zone maps prune selective predicates on EITHER
+    * column — the layout a single-column sort only provides for its own
+    * column (the `OPTIMIZE ZORDER BY` analogue; bounds come from one tiny
+    * broadcast aggregate, never a collect). */
   def optimize(spark: SparkSession, dir: String,
       maxFilesPerBucket: Int = 4, sortWithin: Seq[String] = Nil,
-      targetFileRows: Long = 0L): Long = {
+      targetFileRows: Long = 0L, zorderBy: Seq[String] = Nil): Long = {
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorder_by takes exactly two columns, got $zorderBy")
+    require(zorderBy.isEmpty || sortWithin.isEmpty,
+      "sort_by and zorder_by are mutually exclusive")
     recoverChangelog(dir)
     val cur = currentVersion(dir)
     val curDir = versionDir(dir, cur)
@@ -1019,7 +1031,18 @@ object GraftStore {
         .filter(col(BucketCol).isin(fragmented.toSeq: _*))
         .repartition(fragmented.size, col(BucketCol))
       val clustered =
-        if (sortPhys.isEmpty) rep
+        if (zorderBy.nonEmpty) {
+          val Seq(zx, zy) = zorderBy.map(c => physicalName(meta.schema(c)))
+          val bounds = rep.agg(
+            min(col(zx)).as("__xlo"), max(col(zx)).as("__xhi"),
+            min(col(zy)).as("__ylo"), max(col(zy)).as("__yhi"))
+          rep.crossJoin(broadcast(bounds))
+            .withColumn("__z", graft.Graft.zvalue(
+              col(zx), col("__xlo"), col("__xhi"),
+              col(zy), col("__ylo"), col("__yhi")))
+            .sortWithinPartitions(col(BucketCol), col("__z"))
+            .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+        } else if (sortPhys.isEmpty) rep
         else rep.sortWithinPartitions((BucketCol +: sortPhys).map(col): _*)
       val writer =
         if (targetFileRows > 0)

@@ -1361,6 +1361,34 @@ class CatalogSpec extends SparkTestBase {
     assert(rows(t).size === 1000)
   }
 
+  test("optimize zorder_by: files narrow in BOTH dimensions, zone maps prune either") {
+    val t = mkTable("t_zord", buckets = 1)
+    // transposed 64x64 grid: k-order and amount-order are orthogonal, so a
+    // single-column sort can only serve its own column
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, 'g', " +
+      "(id % 64) * 64 + CAST(id / 64 AS BIGINT) FROM range(0, 4096)")
+    spark.sql(s"CALL $cat.optimize(table => 't_zord', max_files_per_bucket => 0, " +
+      "zorder_by => 'k,amount', target_file_rows => 256)")
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    }
+    val full = fileCount(scanOf(spark.sql(s"SELECT k FROM $cat.$t")))
+    assert(full === 16, s"expected 16 capped files, got $full")
+    // selective predicates on EITHER dimension prune files
+    val kQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE k BETWEEN 100 AND 160")
+    assert(kQ.count() === 61)
+    val kFiles = fileCount(scanOf(kQ))
+    val aQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE amount BETWEEN 100 AND 160")
+    assert(aQ.count() === 61)
+    val aFiles = fileCount(scanOf(aQ))
+    assert(kFiles < full && aFiles < full,
+      s"z-order must prune both dims: k=$kFiles amount=$aFiles of $full")
+    assert(rows(t).size === 4096)
+  }
+
   test("zone maps: value-clustered commits prune files at plan time") {
     val t = mkTable("t_zone", buckets = 2)
     val dir = s"$warehouse/t_zone"
