@@ -313,19 +313,27 @@ object SourceQueries {
       import s.implicits._
       val out = tmpDir("s10")
       val terms = Seq("spark", "window")
+      // persist the tokenized pairs: the write and the roundtrip count are
+      // two actions over the same (expensive) tokenize+distinct
       val toks = T.documents(s, d)
         .select($"doc_id", explode(split(lower($"text"), "[^a-z0-9]+")).as("term"))
-        .filter($"term" =!= "").distinct()
+        .filter($"term" =!= "").distinct().persist()
       toks.withColumn("bucket", pmod(xxhash64($"term"), lit(16)))
         .repartition(col("bucket")).sortWithinPartitions($"term", $"doc_id")
         .write.mode("overwrite").partitionBy("bucket").parquet(out)
       val idx = s.read.parquet(out)
       val roundtripOk = idx.count() == toks.count()
+      toks.unpersist()
       val bSpark = s.range(1)
         .select(pmod(xxhash64(lit("spark")), lit(16))).head().getLong(0)
-      val touched = idx.filter($"bucket" === bSpark)
-        .select(input_file_name()).distinct().count()
-      val total = idx.select(input_file_name()).distinct().count()
+      // one pass for the pruning evidence: per-file whether it belongs to
+      // the probed term's bucket, then touched vs total file counts
+      val fstats = idx
+        .select(input_file_name().as("f"), ($"bucket" === bSpark).as("hit"))
+        .groupBy($"f").agg(max($"hit").as("hit"))
+        .agg(count(lit(1)).as("total"),
+          count(when($"hit", lit(1))).as("touched")).head()
+      val (total, touched) = (fstats.getLong(0), fstats.getLong(1))
       val pruned = touched < total
       val dfs = idx.filter($"term".isin(terms: _*))
         .groupBy($"term").agg(count(lit(1)).as("df"))

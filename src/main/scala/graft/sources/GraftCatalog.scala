@@ -92,6 +92,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftVersionsTable(ident.toString, dir)
     }
+    // `t$files` is the current version's file-level layout + zone-map
+    // stats (DESCRIBE DETAIL analogue): one row per (file, column)
+    if (ident.name().endsWith(GraftCatalog.FilesSuffix)) {
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(GraftCatalog.FilesSuffix))
+      val dir = tableDir(baseIdent)
+      if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+      return new GraftFilesTable(ident.toString, dir)
+    }
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
@@ -129,9 +138,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     require(!schema.fieldNames.contains(GraftStore.BucketCol),
       s"column name ${GraftStore.BucketCol} is reserved")
     require(!ident.name().endsWith(ChangesSuffix) &&
-        !ident.name().endsWith(GraftCatalog.VersionsSuffix),
-      "table names ending in the $changes/$versions suffixes are reserved " +
-        "for metadata reads")
+        !ident.name().endsWith(GraftCatalog.VersionsSuffix) &&
+        !ident.name().endsWith(GraftCatalog.FilesSuffix),
+      "table names ending in the $changes/$versions/$files suffixes are " +
+        "reserved for metadata reads")
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
@@ -299,9 +309,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(!newIdent.name().endsWith(ChangesSuffix) &&
-        !newIdent.name().endsWith(GraftCatalog.VersionsSuffix),
-      "table names ending in the $changes/$versions suffixes are reserved " +
-        "for metadata reads")
+        !newIdent.name().endsWith(GraftCatalog.VersionsSuffix) &&
+        !newIdent.name().endsWith(GraftCatalog.FilesSuffix),
+      "table names ending in the $changes/$versions/$files suffixes are " +
+        "reserved for metadata reads")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
@@ -347,6 +358,77 @@ object GraftCatalog {
   /** Identifier suffix routing to a table's version history, e.g.
     * `` cat.`orders$versions` ``. */
   val VersionsSuffix = "$versions"
+  /** Identifier suffix routing to a table's current file-level layout and
+    * zone-map stats, e.g. `` cat.`orders$files` ``. */
+  val FilesSuffix = "$files"
+}
+
+/** The current version's files as a read-only metadata table (the
+  * DESCRIBE DETAIL analogue): one row per (file, column-with-stats) with
+  * the zone-map endpoints the scan prunes by, or a single stats-less row
+  * for files without manifest entries (legacy versions). Column names are
+  * mapped physical→LOGICAL where the current schema knows them
+  * (tombstoned physical columns show as-is). Driver-local: rows ∝ files ×
+  * columns, directory + manifest metadata only, never data. */
+final class GraftFilesTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val schema0 = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = true),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("column", StringType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("row_count", LongType, nullable = true),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"GraftFiles($tableName)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        val meta = GraftStore.readMeta(dir)
+        val physToLog = meta.schema.fields
+          .map(f => GraftStore.physicalName(f) -> f.name).toMap
+        val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
+        val manifest = GraftStats.readManifest(vdir)
+        val bucketRe = (GraftStore.BucketCol + "=(\\d+)/").r
+        def mk(rel: String, col: Option[(String, GraftStats.ColStats)]) = {
+          val size =
+            try java.nio.file.Files.size(java.nio.file.Paths.get(vdir, rel))
+            catch { case _: Exception => 0L }
+          val bucket: Any = bucketRe.findFirstMatchIn(rel)
+            .map(_.group(1).toInt).orNull
+          val (cn: Any, nc: Any, rc: Any, mn: Any, mx: Any) = col match {
+            case None => (null, null, null, null, null)
+            case Some((c, cs)) => (
+              UTF8String.fromString(physToLog.getOrElse(c, c)),
+              if (cs.nullCount < 0) null else cs.nullCount,
+              if (cs.rowCount < 0) null else cs.rowCount,
+              cs.min.map(v => UTF8String.fromString(v.toString)).orNull,
+              cs.max.map(v => UTF8String.fromString(v.toString)).orNull)
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(rel), bucket, size,
+              cn, nc, rc, mn, mx))
+        }
+        GraftStats.listDataFiles(vdir).flatMap { rel =>
+          manifest.get(rel) match {
+            case Some(cols) if cols.nonEmpty =>
+              cols.toSeq.sortBy(_._1).map(c => mk(rel, Some(c)))
+            case _ => Seq(mk(rel, None))
+          }
+        }.toArray
+      }
+    }
 }
 
 /** A table's version history as a read-only metadata table (the

@@ -103,6 +103,9 @@ object GraftStats {
 
   /** Relative paths (`gbucket=N/part-...`) of the data files in a version
     * dir, sorted for deterministic manifests. */
+  def listDataFiles(versionDir: String): Seq[String] =
+    dataFiles(Paths.get(versionDir))
+
   private def dataFiles(root: Path): Seq[String] = {
     if (!Files.isDirectory(root)) return Seq.empty
     val s = Files.walk(root)

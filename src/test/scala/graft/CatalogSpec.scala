@@ -1361,6 +1361,26 @@ class CatalogSpec extends SparkTestBase {
     assert(rows(t).size === 1000)
   }
 
+  test("t$files lists the current layout with zone-map stats, logical names") {
+    val t = mkTable("t_files", buckets = 2)
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, 'n', id * 10 FROM range(0, 100)")
+    spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN amount TO cents")
+    val rows = spark.sql(s"SELECT file, bucket, size_bytes, column, " +
+        s"null_count, row_count, min, max FROM $cat.`t_files$$files`").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) > 0))
+    // per-file rows carry the bucket parsed from the path and per-column
+    // zone-map endpoints; the renamed column reports its LOGICAL name
+    val cols = rows.map(_.getString(3)).toSet
+    assert(cols.contains("cents") && !cols.contains("amount"),
+      s"renamed column must surface logically, got $cols")
+    val centsStats = rows.filter(_.getString(3) == "cents")
+    assert(centsStats.map(_.getString(6).toLong).min === 0L)
+    assert(centsStats.map(_.getString(7).toLong).max === 990L)
+    assert(rows.forall(r => r.getInt(1) == 0 || r.getInt(1) == 1))
+    // row_count sums to the table count across any one column's rows
+    assert(centsStats.map(_.getLong(5)).sum === 100L)
+  }
+
   test("optimize zorder_by: files narrow in BOTH dimensions, zone maps prune either") {
     val t = mkTable("t_zord", buckets = 1)
     // transposed 64x64 grid: k-order and amount-order are orthogonal, so a
