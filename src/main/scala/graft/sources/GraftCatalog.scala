@@ -557,7 +557,8 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** Delegate scans to Spark's parquet DSv2 table over the resolved
     * version directory: pruning/pushdown/vectorization are the stock
@@ -582,7 +583,16 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       else Some(scan => new org.apache.spark.sql.GraftKeyGroupedScan(scan,
         Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
           vBuckets, meta.keyCols: _*))))
-    GraftTable.parquetScanBuilder(tableName, dir, meta, version, options, wrap)
+    val batch =
+      GraftTable.parquetScanBuilder(tableName, dir, meta, version, options, wrap)
+    // `readStream.table` on the TABLE ITSELF: snapshot-then-tail append
+    // stream ([[GraftTableAppendStream]]); batch queries flow through
+    // `batch` untouched (the streamable wrapper forwards pruning,
+    // pushdown, SPJ partitioning and runtime filtering)
+    new org.apache.spark.sql.GraftStreamableScanBuilder(batch,
+      () => new GraftTableAppendStream(dir, meta,
+        ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+        ignoreChanges = options.getBoolean("ignoreChanges", false)))
   }
 
   /** INSERT INTO / INSERT OVERWRITE / CTAS append path: a V1 fallback write

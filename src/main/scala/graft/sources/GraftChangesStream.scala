@@ -142,3 +142,183 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
   }
 }
+
+/** Offset for the BASE-TABLE stream: `pending = true` means the initial
+  * snapshot of version `v` has not been emitted yet. */
+final case class GraftTableOffset(v: Long, pending: Boolean) extends Offset {
+  override def json(): String = if (pending) s"snapshot-$v" else v.toString
+}
+
+/** `spark.readStream.table("cat.t")` — the TABLE ITSELF as a streaming
+  * source: the first micro-batch is a full snapshot of the current
+  * version, every later batch is the new rows of the versions committed
+  * since, read from the changelog (version-aligned, like
+  * [[GraftChangesMicroBatchStream]]). The Delta-parity contract:
+  *
+  *  - INSERT commits stream their rows as-is.
+  *  - an UPDATE in the tail fails the stream unless
+  *    `option("ignoreChanges","true")` (which then emits the updated
+  *    after-images — downstream must tolerate re-delivery per key).
+  *  - a DELETE fails unless `option("ignoreDeletes","true")` (or
+  *    ignoreChanges), which skips the deletes.
+  *  - restore/truncate/overwrite (snapshot boundaries) and a resume point
+  *    below the changelog retention horizon fail loudly — restart with a
+  *    fresh checkpoint, which by construction re-snapshots the table.
+  *
+  * Scale shape: the snapshot batch is the stock parquet scan of one
+  * version dir; tail batches cost ∝ rows changed. Nothing is re-read
+  * twice — the snapshot is pinned at the stream's first offset, and the
+  * changelog tail starts strictly after it, so a row is delivered exactly
+  * once (per key-state at snapshot time). */
+final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
+    ignoreDeletes: Boolean, ignoreChanges: Boolean) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = {
+    GraftStore.recoverChangelog(dir)
+    GraftTableOffset(GraftStore.currentVersion(dir), pending = true)
+  }
+
+  override def latestOffset(): Offset = {
+    // pointer first, recovery second — same crash-window reasoning as the
+    // changes stream's latestOffset
+    val v = GraftStore.currentVersion(dir)
+    GraftStore.recoverChangelog(dir)
+    GraftTableOffset(v, pending = false)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("snapshot-"))
+      GraftTableOffset(t.stripPrefix("snapshot-").toLong, pending = true)
+    else GraftTableOffset(t.toLong, pending = false)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftTableOffset]
+    val e = end.asInstanceOf[GraftTableOffset].v
+    GraftStore.recoverChangelog(dir)
+    val horizon = GraftStore.changesHorizon(dir)
+    if (!s0.pending && s0.v + 1 < horizon) throw new IllegalStateException(
+      s"table stream for $dir resumes at version ${s0.v + 1} but " +
+        s"expire_changes dropped slices below v$horizon; the skipped " +
+        "history is unrecoverable from the changelog — restart the " +
+        "stream from a fresh checkpoint (it re-snapshots the table)")
+    val crossed = GraftStore.boundariesIn(dir, s0.v + 1, e)
+    if (crossed.nonEmpty) throw new IllegalStateException(
+      s"table stream for $dir would fold across snapshot boundary " +
+        s"version(s) ${crossed.mkString("v", ", v", "")} (TRUNCATE / " +
+        "INSERT OVERWRITE / CALL restore) — restart the stream from a " +
+        "fresh checkpoint (it re-snapshots the table)")
+    val snap: Array[InputPartition] =
+      if (!s0.pending) Array.empty
+      else snapshotScan(s0.v).toBatch.planInputPartitions()
+        .map(GraftTableStreamPartition(_, snapshot = true): InputPartition)
+    val dirs = ((s0.v + 1) to e)
+      .map(v => s"${GraftStore.changesRoot(dir)}/${GraftStore.ChangeVersionCol}=$v")
+      .filter(p => Files.isDirectory(Paths.get(p)))
+    val tail: Array[InputPartition] =
+      if (dirs.isEmpty) Array.empty
+      else changesScan(dirs).toBatch.planInputPartitions()
+        .map(GraftTableStreamPartition(_, snapshot = false): InputPartition)
+    snap ++ tail
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableStreamReaderFactory(
+      snapshotScan(GraftStore.currentVersion(dir)).toBatch.createReaderFactory(),
+      changesScan(Seq(GraftStore.changesRoot(dir))).toBatch.createReaderFactory(),
+      GraftStore.physicalSchema(meta.schema).fields.map(_.dataType),
+      ignoreDeletes, ignoreChanges)
+
+  /** Stock parquet scan of one version dir (physical schema + the bucket
+    * partition column — the same layout the batch table scan reads). */
+  private def snapshotScan(v: Long) = {
+    val vdir = GraftStore.versionDir(dir, v)
+    val withBucket = org.apache.spark.sql.types.StructType(
+      GraftStore.physicalSchema(meta.schema).fields :+
+        org.apache.spark.sql.types.StructField(GraftStore.BucketCol,
+          org.apache.spark.sql.types.IntegerType, nullable = true))
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("basePath", vdir))
+    ParquetTable(s"graft-table-stream-snap:$dir", spark, opts, Seq(vdir),
+      Some(withBucket), classOf[ParquetFileFormat])
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+  }
+
+  private def changesScan(paths: Seq[String]) = {
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("basePath", GraftStore.changesRoot(dir)))
+    ParquetTable(s"graft-table-stream-tail:$dir", spark, opts, paths,
+      Some(GraftStore.physicalChangesSchema(meta)), classOf[ParquetFileFormat])
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+  }
+}
+
+/** Tags an input partition with which leg planned it — the reader factory
+  * dispatches to the matching delegate (the two legs read different
+  * physical layouts). */
+final case class GraftTableStreamPartition(inner: InputPartition, snapshot: Boolean)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Projects both legs down to the table's data columns (always the FIRST
+  * N fields of either layout) and applies the append-stream op contract
+  * on the changelog leg. Row-based on purpose: the op filter is row-level
+  * and batches here are snapshot-once + small tails. */
+final class GraftTableStreamReaderFactory(
+    snapFactory: PartitionReaderFactory, tailFactory: PartitionReaderFactory,
+    dataTypes: Array[org.apache.spark.sql.types.DataType],
+    ignoreDeletes: Boolean, ignoreChanges: Boolean)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftTableStreamPartition]
+    val delegate =
+      (if (gp.snapshot) snapFactory else tailFactory).createReader(gp.inner)
+    new PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(
+        dataTypes.zipWithIndex.map { case (dt, i) =>
+          BoundReference(i, dt, nullable = true) }.toIndexedSeq)
+      private val opIdx = dataTypes.length
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (delegate.next()) {
+          val row = delegate.get()
+          if (gp.snapshot) { current = proj(row); return true }
+          row.getUTF8String(opIdx).toString match {
+            case "I" => current = proj(row); return true
+            case "U" =>
+              if (ignoreChanges) { current = proj(row); return true }
+              throw new IllegalStateException(
+                "table stream hit an UPDATE in the changelog tail; this " +
+                  "source streams appends — set " +
+                  "option(\"ignoreChanges\",\"true\") to receive updated " +
+                  "rows (re-delivery per key) or stream `t$changes` for " +
+                  "full CDC")
+            case "D" =>
+              if (!ignoreDeletes && !ignoreChanges)
+                throw new IllegalStateException(
+                  "table stream hit a DELETE in the changelog tail; set " +
+                    "option(\"ignoreDeletes\",\"true\") to skip deletes " +
+                    "or stream `t$changes` for full CDC")
+            case other => throw new IllegalStateException(
+              s"unknown change_op '$other' in changelog")
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = delegate.close()
+    }
+  }
+}

@@ -765,6 +765,74 @@ object StreamingQueries {
         (SELECT CAST(COUNT(*) AS BIGINT) FROM after3 WHERE pop > 1200), TRUE
       ORDER BY change_version""")),
 
+    // ----- T13: the TABLE ITSELF as a streaming source —
+    // `spark.readStream.table("cat.t")`, Delta-parity semantics: the first
+    // micro-batch is a full snapshot of the current version, later batches
+    // are the rows of versions committed since (from the changelog,
+    // version-aligned). Updates fail the stream unless
+    // ignoreChanges=true (then: after-images, re-delivery per key);
+    // deletes unless ignoreDeletes; restore/truncate/overwrite boundaries
+    // and expired resume points fail loudly (a fresh checkpoint
+    // re-snapshots). The gate drains one phase per commit — snapshot,
+    // append, update-after-images — and pins each phase's row count AND
+    // pop-sum closed-form, so a snapshot that leaks into the tail (or a
+    // tail that re-reads the snapshot) breaks the hash.
+    GraftQuery("t13_table_stream", (s, d) => {
+      import s.implicits._
+      graft.operators.DmlFixture.register(s)
+      T.nation(s, d).select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("t13_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.ts_state")
+      s.sql("""CREATE TABLE graftdml.ts_state
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.ts_state SELECT * FROM t13_src")      // v1
+      val phase = new java.util.concurrent.atomic.AtomicReference("snapshot")
+      val acc = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_t13_ckpt").toString
+      val q = s.readStream.option("ignoreChanges", "true")
+        .table("graftdml.ts_state")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ph = phase.get()
+          val rows = df.select($"k", $"pop").collect()
+            .map(r => (ph, r.getLong(0), r.getLong(1)))
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()                                         // snapshot(v1)
+        phase.set("append")
+        s.sql("INSERT INTO graftdml.ts_state " +
+          "SELECT id + 100, (id + 100) % 5, (id + 100) * 10 + 7 FROM range(5)") // v2
+        q.processAllAvailable()
+        phase.set("update")
+        s.sql("UPDATE graftdml.ts_state SET pop = pop + 1000 WHERE k % 3 = 0")  // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      acc.synchronized { acc.toSeq }.toDF("phase", "k", "pop")
+        .groupBy($"phase")
+        .agg(count(lit(1)).as("n_rows"), sum($"pop").as("sum_pop"))
+        .orderBy($"phase")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      app AS (SELECT CAST(i + 100 AS BIGINT) AS k,
+                CAST((i + 100) * 10 + 7 AS BIGINT) AS pop FROM range(5) t(i)),
+      allr AS (SELECT * FROM src UNION ALL SELECT * FROM app),
+      upd AS (SELECT k, pop + 1000 AS pop FROM allr WHERE k % 3 = 0)
+      SELECT 'snapshot' AS phase,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_rows,
+        (SELECT CAST(SUM(pop) AS BIGINT) FROM src) AS sum_pop
+      UNION ALL SELECT 'append', 5, (SELECT CAST(SUM(pop) AS BIGINT) FROM app)
+      UNION ALL SELECT 'update',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM upd),
+        (SELECT CAST(SUM(pop) AS BIGINT) FROM upd)
+      ORDER BY phase""")),
+
     // ----- T11: declarative streaming UPSERT into the DML store —
     // `writeStream.option("upsert","true").toTable(...)` commits each
     // epoch's rows as keyed updates (delete-old + insert-new per merge

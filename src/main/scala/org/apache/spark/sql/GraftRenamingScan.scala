@@ -331,7 +331,9 @@ final class GraftStreamableScanBuilder(inner: ScanBuilder,
 
 final class GraftStreamableScan(delegate: Scan,
     mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = delegate.toBatch
   override def toMicroBatchStream(checkpointLocation: String)
@@ -339,6 +341,34 @@ final class GraftStreamableScan(delegate: Scan,
   override def description(): String = delegate.description()
   override def supportedCustomMetrics(): Array[CustomMetric] =
     delegate.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  // forward the batch delegate's planning interfaces so wrapping a table
+  // scan for streaming can't silently demote its batch plans: SPJ's
+  // KeyGroupedPartitioning and DPP's runtime filtering must survive
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    delegate match {
+      case p: SupportsReportPartitioning => p.outputPartitioning()
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    delegate match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    delegate match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filter(predicates)
+      case _ => ()
+    }
   override def estimateStatistics(): Statistics = delegate match {
     case s: SupportsReportStatistics => s.estimateStatistics()
     case _ => new Statistics {

@@ -1458,6 +1458,80 @@ class CatalogSpec extends SparkTestBase {
       spark.sql(s"SELECT k FROM $cat.$t"))))
   }
 
+  test("readStream.table on the base table: snapshot batch, append tail, op contract") {
+    val t = mkTable("t_tstream")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20)") // v1
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 'c', 30)")               // v2
+    val ckpt = Files.createTempDirectory("graft_ts_ckpt").toString
+    val batches = new scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+    def start(extra: Map[String, String] = Map.empty) = {
+      var r = spark.readStream
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.table(s"$cat.$t").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ks = df.select("k").collect().map(_.getLong(0)).toSet
+          if (ks.nonEmpty) batches.synchronized { batches += ((id, ks)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // first batch = full snapshot of the current version
+      assert(batches.map(_._2) === Seq(Set(1L, 2L, 3L)),
+        s"snapshot batch must carry the whole table, got $batches")
+      // appends stream incrementally — only the new rows
+      spark.sql(s"INSERT INTO $cat.$t VALUES (4, 'd', 40)")             // v3
+      q1.processAllAvailable()
+      assert(batches.last._2 === Set(4L), s"tail batch must be the append: $batches")
+    } finally q1.stop()
+    // an UPDATE in the tail fails the resumed stream by default...
+    spark.sql(s"UPDATE $cat.$t SET amount = 99 WHERE k = 1")            // v4
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("ignoreChanges")), s"expected the update error, got $e")
+    // ...and streams the after-image under ignoreChanges (deletes skipped)
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")                       // v5
+    batches.synchronized { batches.clear() }
+    val q3 = start(Map("ignoreChanges" -> "true"))
+    try {
+      q3.processAllAvailable()
+      assert(batches.map(_._2).reduce(_ ++ _) === Set(1L),
+        s"update after-image in, delete skipped: $batches")
+    } finally q3.stop()
+    // a restore is a snapshot boundary: the resumed stream fails loudly
+    spark.sql(s"CALL $cat.restore(table => 't_tstream', version => 2)") // v6
+    val q4 = start(Map("ignoreChanges" -> "true"))
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable()
+    }
+    q4.stop()
+    assert(chain(e2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("snapshot boundary")), s"expected boundary error, got $e2")
+    // a FRESH checkpoint re-snapshots: one batch, post-restore contents
+    batches.synchronized { batches.clear() }
+    val ckpt2 = Files.createTempDirectory("graft_ts_ckpt2").toString
+    val q5 = spark.readStream.table(s"$cat.$t").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ks = df.select("k").collect().map(_.getLong(0)).toSet
+        if (ks.nonEmpty) batches.synchronized { batches += ((id, ks)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q5.processAllAvailable()
+      assert(batches.map(_._2) === Seq(Set(1L, 2L, 3L)),
+        s"fresh stream re-snapshots the restored contents: $batches")
+    } finally q5.stop()
+  }
+
   test("changes stream fails loudly across a restore; fresh stream starts past it") {
     val t = mkTable("t_bdy")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10)")       // v1
