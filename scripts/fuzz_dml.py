@@ -224,8 +224,18 @@ def gen_sequence(idx):
             continue
         if kind == "optimize":
             # maxFilesPerBucket=0 rewrites every non-empty bucket —
-            # deterministic for the model: one version bump iff any data
-            stmts.append(f"CALL graftdml.optimize('{t}', 0)")
+            # deterministic for the model: one version bump iff any data.
+            # Randomly exercise the r10 layout knobs (sorted range-split
+            # files / target_file_rows) — layout-only, so the model is
+            # unchanged, but the predicate probe legs in the final read
+            # then scan zone maps produced by every optimize shape.
+            extra = rng.choice([
+                "",
+                f", sort_by => '{cn['amount']}', target_file_rows => 7",
+                ", target_file_rows => 5"])
+            stmts.append(
+                f"CALL graftdml.optimize(table => '{t}', "
+                f"max_files_per_bucket => 0{extra})")
             if state:
                 version += 1
                 history[version] = (dict(state), n_drops, buckets)
