@@ -17,6 +17,7 @@ object DmlRunner {
       .appName("graft-dml-fuzz")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.graftdml",
         classOf[graft.sources.GraftCatalog].getName)

@@ -17,6 +17,7 @@ object Verify {
       // builder-level, NOT runtime: parquet footer decoding reads this conf
       // from threads that don't see a runtime conf.set (see Tables.eventsRaw)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

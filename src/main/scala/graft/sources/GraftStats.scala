@@ -323,12 +323,49 @@ object GraftStats {
       vs.forall(v => noEq(stats, a.name, v.asInstanceOf[Literal]))
     case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
       hset.forall(v => noEq(stats, a.name, Literal(v, a.dataType)))
+    case org.apache.spark.sql.catalyst.expressions.StartsWith(
+        a: AttributeReference, l: Literal) if l.value != null =>
+      // strings with prefix p live in [p, nextPrefix(p)): below-min or
+      // above-max of that interval proves no match. nextPrefix bumps the
+      // last byte of p's UTF-8 form; an all-0xFF prefix has no upper
+      // bound, so only the lower check applies then.
+      stats.get(a.name).exists { cs =>
+        if (cs.nullCount >= 0 && cs.rowCount >= 0 && cs.nullCount == cs.rowCount)
+          true
+        else if (cs.kind != KindString || !l.value.isInstanceOf[UTF8String]) false
+        else (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            val p = l.value.asInstanceOf[UTF8String]
+            val mxS = UTF8String.fromString(mx.asInstanceOf[String])
+            val mnS = UTF8String.fromString(mn.asInstanceOf[String])
+            if (mxS.compareTo(p) < 0) true // every value < p
+            else nextPrefix(p.getBytes) match {
+              case Some(np) => mnS.compareTo(UTF8String.fromBytes(np)) >= 0
+              case None => false
+            }
+          case _ => false
+        }
+      }
     case IsNull(a: AttributeReference) =>
       stats.get(a.name).exists(cs => cs.nullCount == 0L)
     case IsNotNull(a: AttributeReference) =>
       stats.get(a.name).exists(cs =>
         cs.nullCount >= 0 && cs.rowCount >= 0 && cs.nullCount == cs.rowCount)
     case _ => false
+  }
+
+  /** Smallest byte string strictly greater than every string with prefix
+    * `p` (unsigned byte order): strip trailing 0xFF bytes, bump the last
+    * remaining one. None when p is all-0xFF (no upper bound exists). */
+  private def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
   }
 
   /** Literal value normalized into a stats domain, or None (no decision).

@@ -77,6 +77,52 @@ class GraftStatsSpec extends SparkTestBase {
       Seq(EqualTo(n, Literal.create("golf", StringType))), sStats))
   }
 
+  test("interval logic: StartsWith prefix pruning on byte-ordered strings") {
+    import org.apache.spark.sql.catalyst.expressions.StartsWith
+    val n = attr("name", StringType)
+    def lit(s: String) = Literal.create(s, StringType)
+    val s = stats("name", "golf_delta", "golf_tango", kind = "s")
+    def keep(e: Expression) = GraftStats.mayContain(Seq(e), s)
+    assert(!keep(StartsWith(n, lit("alpha"))), "below min must skip")
+    assert(!keep(StartsWith(n, lit("hotel"))), "above max must skip")
+    assert(keep(StartsWith(n, lit("golf_"))))
+    assert(keep(StartsWith(n, lit("golf_t"))))
+    // prefix equals a boundary value's prefix: kept
+    assert(keep(StartsWith(n, lit("golf_delta"))))
+    // an all-0xFF prefix has no upper bound: only the below-min check fires
+    val ff = new String(Array.fill(3)(0xFF.toByte), java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!GraftStats.mayContain(Seq(StartsWith(n, lit(ff))), s) ||
+      GraftStats.mayContain(Seq(StartsWith(n, lit(ff))), s)) // must not crash
+    // all-null file skips, non-string stats keep
+    val allNull = Map("name" -> GraftStats.ColStats("s", 5L, 5L, None, None))
+    assert(!GraftStats.mayContain(Seq(StartsWith(n, lit("x"))), allNull))
+    assert(GraftStats.mayContain(Seq(StartsWith(n, lit("x"))),
+      stats("name", 1L, 2L)))
+  }
+
+  test("timestamp columns get MICROS zone maps under the session default") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ts", TimestampType)))
+    val dir = Files.createTempDirectory("graft_ts_stats").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(schema, Seq("k"), buckets = 1))
+    GraftStore.applyChanges(spark, dir,
+      spark.range(0, 10).select($"id".as("k"),
+        (to_timestamp(lit("2024-01-01 00:00:00")).cast(LongType) + $"id" * 3600L)
+          .cast(TimestampType))
+        .toDF("k", "ts")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+    val m = GraftStats.readManifest(GraftStore.versionDir(dir, 1L))
+    val ts = m.values.flatMap(_.get("ts")).toSeq
+    assert(ts.nonEmpty && ts.forall(_.kind == "l"),
+      s"TIMESTAMP_MICROS writes must yield integral zone maps, got $m")
+    // endpoints are catalyst micros — 2024-01-01T00:00Z .. +9h
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    assert(ts.flatMap(_.min).map(_.asInstanceOf[Long]).min === lo)
+    assert(ts.flatMap(_.max).map(_.asInstanceOf[Long]).max === lo + 9L * 3600L * 1000000L)
+  }
+
   test("manifest round-trips footer stats; carried files reuse entries") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stats_spec").toString + "/t"
