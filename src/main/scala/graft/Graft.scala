@@ -85,16 +85,24 @@ object Graft {
     * single-column sort can only provide for its own column. At 100 TB the
     * unit of skipping is the file/row-group; this writer is what makes
     * those stats tight. */
-  def zorderWrite(df: DataFrame, cx: String, cy: String,
-                  path: String, nFiles: Int): Unit = {
-    require(nFiles > 0, "nFiles must be positive")
+  /** Append `zCol` = the z-value of (cx, cy) normalized against the
+    * frame's own min/max bounds (one tiny aggregate broadcast back, never
+    * a collect). Shared by [[zorderWrite]] and the store's
+    * `optimize(zorder_by)` so the bounds/interleave recipe has one home. */
+  def withZValue(df: DataFrame, cx: String, cy: String, zCol: String): DataFrame = {
     val bounds = df.agg(
       min(col(cx)).as("__xlo"), max(col(cx)).as("__xhi"),
       min(col(cy)).as("__ylo"), max(col(cy)).as("__yhi"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("__z", zvalue(col(cx), col("__xlo"), col("__xhi"),
+      .withColumn(zCol, zvalue(col(cx), col("__xlo"), col("__xhi"),
         col(cy), col("__ylo"), col("__yhi")))
       .drop("__xlo", "__xhi", "__ylo", "__yhi")
+  }
+
+  def zorderWrite(df: DataFrame, cx: String, cy: String,
+                  path: String, nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    withZValue(df, cx, cy, "__z")
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

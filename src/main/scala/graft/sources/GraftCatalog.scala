@@ -407,9 +407,12 @@ final class GraftFilesTable(tableName: String, dir: String)
             catch { case _: Exception => 0L }
           val bucket: Any = bucketRe.findFirstMatchIn(rel)
             .map(_.group(1).toInt).orNull
-          val (cn: Any, nc: Any, rc: Any, mn: Any, mx: Any) = col match {
-            case None => (null, null, null, null, null)
-            case Some((c, cs)) => (
+          // no tuple destructuring here: a typed pattern (even `: Any`)
+          // never matches null in Scala 2.13, so the stats-less legs would
+          // MatchError instead of producing the documented null row
+          val tail: Array[Any] = col match {
+            case None => Array(null, null, null, null, null)
+            case Some((c, cs)) => Array[Any](
               UTF8String.fromString(physToLog.getOrElse(c, c)),
               if (cs.nullCount < 0) null else cs.nullCount,
               if (cs.rowCount < 0) null else cs.rowCount,
@@ -417,8 +420,7 @@ final class GraftFilesTable(tableName: String, dir: String)
               cs.max.map(v => UTF8String.fromString(v.toString)).orNull)
           }
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](UTF8String.fromString(rel), bucket, size,
-              cn, nc, rc, mn, mx))
+            Array[Any](UTF8String.fromString(rel), bucket, size) ++ tail)
         }
         GraftStats.listDataFiles(vdir).flatMap { rel =>
           manifest.get(rel) match {

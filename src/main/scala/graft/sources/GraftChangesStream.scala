@@ -203,7 +203,11 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
     val e = end.asInstanceOf[GraftTableOffset].v
     GraftStore.recoverChangelog(dir)
     val horizon = GraftStore.changesHorizon(dir)
-    if (!s0.pending && s0.v + 1 < horizon) throw new IllegalStateException(
+    // the tail starts at s0.v + 1 whether or not the snapshot is still
+    // pending — a checkpointed snapshot-pending offset that slept past
+    // expire_changes has lost the same slices, so it must fail the same
+    // way (only an EMPTY tail request, e == s0.v, has nothing to lose)
+    if (e > s0.v && s0.v + 1 < horizon) throw new IllegalStateException(
       s"table stream for $dir resumes at version ${s0.v + 1} but " +
         s"expire_changes dropped slices below v$horizon; the skipped " +
         "history is unrecoverable from the changelog — restart the " +

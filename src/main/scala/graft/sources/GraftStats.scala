@@ -212,8 +212,11 @@ object GraftStats {
           case _ => Some(raw)
         }
       case KindDouble => v match {
-        case n: java.lang.Float => Some(n.doubleValue())
-        case n: java.lang.Double => Some(n.doubleValue())
+        // -0.0 == 0.0 under Spark's evaluator but -0.0 < 0.0 under the
+        // total ordering used here — normalize signed zeros so a file of
+        // -0.0s can't be pruned away from `= 0.0`
+        case n: java.lang.Float => Some(normZero(n.doubleValue()))
+        case n: java.lang.Double => Some(normZero(n.doubleValue()))
         case _ => None
       }
       case KindString => v match {
@@ -254,7 +257,7 @@ object GraftStats {
     val raw = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
     kind match {
       case KindLong => Some(raw.toLong)
-      case KindDouble => Some(raw.toDouble)
+      case KindDouble => Some(normZero(raw.toDouble))
       case KindBool => Some(raw.toBoolean)
       case KindString => Some(raw)
       case _ => None
@@ -354,6 +357,8 @@ object GraftStats {
     case _ => false
   }
 
+  private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
+
   /** Smallest byte string strictly greater than every string with prefix
     * `p` (unsigned byte order): strip trailing 0xFF bytes, bump the last
     * remaining one. None when p is all-0xFF (no upper bound exists). */
@@ -378,8 +383,8 @@ object GraftStats {
     case v: java.lang.Short => Some((KindLong, v.longValue()))
     case v: java.lang.Integer => Some((KindLong, v.longValue()))
     case v: java.lang.Long => Some((KindLong, v.longValue()))
-    case v: java.lang.Float => Some((KindDouble, v.doubleValue()))
-    case v: java.lang.Double => Some((KindDouble, v.doubleValue()))
+    case v: java.lang.Float => Some((KindDouble, normZero(v.doubleValue())))
+    case v: java.lang.Double => Some((KindDouble, normZero(v.doubleValue())))
     case v: UTF8String => Some((KindString, v.toString))
     case v: java.lang.Boolean => Some((KindBool, v.booleanValue()))
     case _ => None

@@ -1033,15 +1033,9 @@ object GraftStore {
       val clustered =
         if (zorderBy.nonEmpty) {
           val Seq(zx, zy) = zorderBy.map(c => physicalName(meta.schema(c)))
-          val bounds = rep.agg(
-            min(col(zx)).as("__xlo"), max(col(zx)).as("__xhi"),
-            min(col(zy)).as("__ylo"), max(col(zy)).as("__yhi"))
-          rep.crossJoin(broadcast(bounds))
-            .withColumn("__z", graft.Graft.zvalue(
-              col(zx), col("__xlo"), col("__xhi"),
-              col(zy), col("__ylo"), col("__yhi")))
+          graft.Graft.withZValue(rep, zx, zy, "__z")
             .sortWithinPartitions(col(BucketCol), col("__z"))
-            .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+            .drop("__z")
         } else if (sortPhys.isEmpty) rep
         else rep.sortWithinPartitions((BucketCol +: sortPhys).map(col): _*)
       val writer =

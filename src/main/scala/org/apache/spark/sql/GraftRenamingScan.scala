@@ -313,11 +313,23 @@ final class GraftBucketReaderFactory(
 final class GraftStreamableScanBuilder(inner: ScanBuilder,
     mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters with SupportsPushDownAggregates {
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
     case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
     case _ => ()
   }
+  // aggregate pushdown must survive the wrap too — V2ScanRelationPushDown
+  // type-checks the TOP-LEVEL builder, so omitting the interface here
+  // silently demotes footer-served COUNT/MIN/MAX to full scans
+  override def pushAggregation(aggregation: Aggregation): Boolean = inner match {
+    case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+    case _ => false
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = inner match {
     case p: SupportsPushDownCatalystFilters => p.pushFilters(filters)
     case _ => filters

@@ -31,6 +31,17 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"SELECT k, name, amount FROM $cat.$name ORDER BY k")
       .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
 
+  /** Execute `df` and return its (first) BatchScanExec leaf. */
+  private def execScanOf(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+  }
+
+  private def causeChain(x: Throwable): Seq[Throwable] =
+    Option(x).toSeq.flatMap(t => t +: causeChain(t.getCause))
+
   test("create + insert + select round-trips") {
     val t = mkTable("t_basic")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
@@ -97,10 +108,17 @@ class CatalogSpec extends SparkTestBase {
   test("aggregates push down to parquet footers through the delegated scan") {
     val t = mkTable("t_aggpush")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
-    withConf("spark.sql.parquet.aggregatePushDown" -> "true") {
+    // NOTE the key's spelling: spark.sql.parquet.aggregatePushdown
+    // (lowercase "down") — the capital-D variant is an unregistered no-op
+    // key that silently leaves pushdown off, which this spec's pre-r10 lax
+    // contains("PushedAggregation") assertion could not detect
+    withConf("spark.sql.parquet.aggregatePushdown" -> "true") {
       val q = spark.sql(s"SELECT COUNT(*), MIN(amount), MAX(amount) FROM $cat.$t")
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation"),
+      // non-EMPTY pushed list: the streamable wrapper must forward
+      // SupportsPushDownAggregates or this silently demotes to a full scan
+      // while "PushedAggregation: []" still matches a lax contains-check
+      assert(plan.contains("PushedAggregation: [COUNT"),
         s"expected footer-served aggregation:\n$plan")
       val r = q.head()
       assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 10L, 30L)))
@@ -461,8 +479,8 @@ class CatalogSpec extends SparkTestBase {
       }
       def chain(x: Throwable): Seq[Throwable] =
         Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
-      assert(chain(e).exists(_.getMessage != null) &&
-        chain(e).exists(t => t.getMessage != null &&
+      assert(causeChain(e).exists(_.getMessage != null) &&
+        causeChain(e).exists(t => t.getMessage != null &&
           t.getMessage.contains("multiple rows for merge key")))
     } finally q4.stop()
   }
@@ -632,9 +650,7 @@ class CatalogSpec extends SparkTestBase {
     val e = intercept[Exception] {
       spark.sql(s"UPDATE $cat.$t SET amount = 99 WHERE k = 1")
     }
-    def chain(x: Throwable): Seq[Throwable] =
-      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
-    assert(chain(e).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+    assert(causeChain(e).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
       s"expected a clean conflict error, got $e")
     // the table is untouched and the statement succeeds once the claim clears
     assert(rows(t) === Seq((1L, "a", 10L)))
@@ -1020,9 +1036,7 @@ class CatalogSpec extends SparkTestBase {
         (k BIGINT, v STRING) USING graft
         TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
     }
-    def chain(x: Throwable): Seq[Throwable] =
-      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
-    assert(chain(e).exists(t => t.getMessage != null &&
+    assert(causeChain(e).exists(t => t.getMessage != null &&
       t.getMessage.contains("must be declared NOT NULL")), s"got $e")
   }
 
@@ -1096,7 +1110,7 @@ class CatalogSpec extends SparkTestBase {
     }
     def chain(x: Throwable): Seq[Throwable] =
       Option(x).toSeq.flatMap(tt => tt +: chain(tt.getCause))
-    assert(chain(e).exists(tt => tt.getMessage != null &&
+    assert(causeChain(e).exists(tt => tt.getMessage != null &&
       tt.getMessage.contains("multiple rows for merge key")), s"got $e")
     assert(GraftStore.currentVersion(dir) === 2L, "failed statement commits nothing")
   }
@@ -1137,7 +1151,7 @@ class CatalogSpec extends SparkTestBase {
     }
     def chain(x: Throwable): Seq[Throwable] =
       Option(x).toSeq.flatMap(tt => tt +: chain(tt.getCause))
-    assert(chain(e).exists(tt => tt.getMessage != null &&
+    assert(causeChain(e).exists(tt => tt.getMessage != null &&
       tt.getMessage.contains("no retained version")), s"got $e")
   }
 
@@ -1183,7 +1197,7 @@ class CatalogSpec extends SparkTestBase {
     }
     def chain(x: Throwable): Seq[Throwable] =
       Option(x).toSeq.flatMap(tt => tt +: chain(tt.getCause))
-    assert(chain(e2).exists(tt => tt.getMessage != null &&
+    assert(causeChain(e2).exists(tt => tt.getMessage != null &&
       tt.getMessage.contains("no version committed at or before")), s"got $e2")
   }
 
@@ -1312,9 +1326,7 @@ class CatalogSpec extends SparkTestBase {
       q2.processAllAvailable()
     }
     q2.stop()
-    def chain(x: Throwable): Seq[Throwable] =
-      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
-    assert(chain(e).exists(t => t.getMessage != null &&
+    assert(causeChain(e).exists(t => t.getMessage != null &&
       t.getMessage.contains("restart the consumer from a fresh table snapshot")),
       s"expected the horizon error, got $e")
     // a FRESH stream (new checkpoint) starts from the retained horizon
@@ -1348,16 +1360,10 @@ class CatalogSpec extends SparkTestBase {
       .map(cs => (cs.min.get.asInstanceOf[Long], cs.max.get.asInstanceOf[Long]))
       .toSeq.sortBy(_._1)
     assert(spans === Seq((0L, 249L), (250L, 499L), (500L, 749L), (750L, 999L)))
-    def scanOf(df: org.apache.spark.sql.DataFrame) = {
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.head
-    }
     // a narrow range inside one chunk plans exactly that one file
     val q = spark.sql(s"SELECT k FROM $cat.$t WHERE amount BETWEEN 600 AND 640")
     assert(q.count() === 41)
-    assert(fileCount(scanOf(q)) === 1L)
+    assert(fileCount(execScanOf(q)) === 1L)
     assert(rows(t).size === 1000)
   }
 
@@ -1379,6 +1385,15 @@ class CatalogSpec extends SparkTestBase {
     assert(rows.forall(r => r.getInt(1) == 0 || r.getInt(1) == 1))
     // row_count sums to the table count across any one column's rows
     assert(centsStats.map(_.getLong(5)).sum === 100L)
+    // a version without a manifest (legacy) lists stats-less rows instead
+    // of crashing (null column/stats fields)
+    val vdir = GraftStore.versionDir(s"$warehouse/t_files",
+      GraftStore.currentVersion(s"$warehouse/t_files"))
+    Files.delete(java.nio.file.Paths.get(vdir,
+      graft.sources.GraftStats.ManifestName))
+    val bare = spark.sql(s"SELECT file, column FROM $cat.`t_files$$files`").collect()
+    assert(bare.nonEmpty && bare.forall(_.isNullAt(1)),
+      s"stats-less files must list with null column, got ${bare.toSeq}")
   }
 
   test("optimize zorder_by: files narrow in BOTH dimensions, zone maps prune either") {
@@ -1389,21 +1404,15 @@ class CatalogSpec extends SparkTestBase {
       "(id % 64) * 64 + CAST(id / 64 AS BIGINT) FROM range(0, 4096)")
     spark.sql(s"CALL $cat.optimize(table => 't_zord', max_files_per_bucket => 0, " +
       "zorder_by => 'k,amount', target_file_rows => 256)")
-    def scanOf(df: org.apache.spark.sql.DataFrame) = {
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.head
-    }
-    val full = fileCount(scanOf(spark.sql(s"SELECT k FROM $cat.$t")))
+    val full = fileCount(execScanOf(spark.sql(s"SELECT k FROM $cat.$t")))
     assert(full === 16, s"expected 16 capped files, got $full")
     // selective predicates on EITHER dimension prune files
     val kQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE k BETWEEN 100 AND 160")
     assert(kQ.count() === 61)
-    val kFiles = fileCount(scanOf(kQ))
+    val kFiles = fileCount(execScanOf(kQ))
     val aQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE amount BETWEEN 100 AND 160")
     assert(aQ.count() === 61)
-    val aFiles = fileCount(scanOf(aQ))
+    val aFiles = fileCount(execScanOf(aQ))
     assert(kFiles < full && aFiles < full,
       s"z-order must prune both dims: k=$kFiles amount=$aFiles of $full")
     assert(rows(t).size === 4096)
@@ -1422,29 +1431,23 @@ class CatalogSpec extends SparkTestBase {
     val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
     val manifest = graft.sources.GraftStats.readManifest(vdir)
     assert(manifest.nonEmpty, "commit must write a stats manifest")
-    def scanOf(df: org.apache.spark.sql.DataFrame) = {
-      df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.head
-    }
-    val full = fileCount(scanOf(
+    val full = fileCount(execScanOf(
       spark.sql(s"SELECT * FROM $cat.$t")))
     // a range predicate covering only the LAST commit's window must plan
     // only that commit's files
     val lastQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE amount >= 3000")
     assert(lastQ.count() === 100)
-    val lastFiles = fileCount(scanOf(lastQ))
+    val lastFiles = fileCount(execScanOf(lastQ))
     assert(lastFiles < full && lastFiles > 0,
       s"range scan planned $lastFiles of $full files — zone maps not pruning")
     // an equality inside one mid-window commit prunes at least as hard
     val midQ = spark.sql(s"SELECT k, amount FROM $cat.$t WHERE amount = 1050")
     assert(midQ.count() === 1)
-    assert(fileCount(scanOf(midQ)) <= lastFiles)
+    assert(fileCount(execScanOf(midQ)) <= lastFiles)
     // a predicate matching NOTHING plans zero files
     val noneQ = spark.sql(s"SELECT k FROM $cat.$t WHERE amount > 100000")
     assert(noneQ.count() === 0)
-    assert(fileCount(scanOf(noneQ)) === 0L)
+    assert(fileCount(execScanOf(noneQ)) === 0L)
     // CoW keeps manifests honest: update one row far outside its old
     // range — the rewritten bucket re-reads footers, the filter finds it
     spark.sql(s"UPDATE $cat.$t SET amount = 99999 WHERE k = 5")
@@ -1454,7 +1457,7 @@ class CatalogSpec extends SparkTestBase {
     // string predicates prune too (byte-ordered min/max)
     val strQ = spark.sql(s"SELECT k FROM $cat.$t WHERE name = 'g3'")
     assert(strQ.count() === 100)
-    assert(fileCount(scanOf(strQ)) < fileCount(scanOf(
+    assert(fileCount(execScanOf(strQ)) < fileCount(execScanOf(
       spark.sql(s"SELECT k FROM $cat.$t"))))
   }
 
@@ -1493,9 +1496,7 @@ class CatalogSpec extends SparkTestBase {
       q2.processAllAvailable()
     }
     q2.stop()
-    def chain(x: Throwable): Seq[Throwable] =
-      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
-    assert(chain(e).exists(t => t.getMessage != null &&
+    assert(causeChain(e).exists(t => t.getMessage != null &&
       t.getMessage.contains("ignoreChanges")), s"expected the update error, got $e")
     // ...and streams the after-image under ignoreChanges (deletes skipped)
     spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")                       // v5
@@ -1513,7 +1514,7 @@ class CatalogSpec extends SparkTestBase {
       q4.processAllAvailable()
     }
     q4.stop()
-    assert(chain(e2).exists(t => t.getMessage != null &&
+    assert(causeChain(e2).exists(t => t.getMessage != null &&
       t.getMessage.contains("snapshot boundary")), s"expected boundary error, got $e2")
     // a FRESH checkpoint re-snapshots: one batch, post-restore contents
     batches.synchronized { batches.clear() }
@@ -1555,9 +1556,7 @@ class CatalogSpec extends SparkTestBase {
       q2.processAllAvailable()
     }
     q2.stop()
-    def chain(x: Throwable): Seq[Throwable] =
-      Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
-    assert(chain(e).exists(t => t.getMessage != null &&
+    assert(causeChain(e).exists(t => t.getMessage != null &&
       t.getMessage.contains("snapshot boundary")),
       s"expected the boundary error, got $e")
     // a FRESH stream starts at the boundary: only post-restore commits flow

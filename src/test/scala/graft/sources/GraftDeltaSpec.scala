@@ -371,6 +371,32 @@ class GraftDeltaSpec extends SparkTestBase {
     assert(GraftStore.versionBuckets(dir, 1L) === Some(2))
   }
 
+  test("table stream: a pending snapshot that slept past the horizon fails loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tspend_spec").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(rowSchema, Seq("k"), buckets = 2))
+    def insert(k: Long): Long = GraftStore.applyChanges(spark, dir,
+      Seq((k, s"r$k", k)).toDF("k", "name", "amount")
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+    insert(1L); insert(2L); insert(3L)                 // v1..v3
+    GraftStore.expireChanges(dir, keepFromVersion = 3L) // v2's slice is gone
+    val stream = new GraftTableAppendStream(dir, GraftStore.readMeta(dir),
+      ignoreDeletes = false, ignoreChanges = false)
+    // a checkpointed snapshot-pending offset at v1 whose tail (v2..v3]
+    // lost v2's slice must fail the SAME way as a plain resume — the
+    // pending flag is not a license to silently skip expired history
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        GraftTableOffset(1L, pending = true), GraftTableOffset(3L, pending = false))
+    }
+    assert(e.getMessage.contains("expire_changes"))
+    // an EMPTY tail request has nothing to lose: snapshot-only batch plans
+    assert(stream.planInputPartitions(
+      GraftTableOffset(3L, pending = true), GraftTableOffset(3L, pending = false))
+      .nonEmpty)
+  }
+
   test("snapshot boundaries: stamped by restore/truncate/overwrite, survive version expiry") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -123,6 +123,35 @@ class GraftStatsSpec extends SparkTestBase {
     assert(ts.flatMap(_.max).map(_.asInstanceOf[Long]).max === lo + 9L * 3600L * 1000000L)
   }
 
+  test("signed zeros: a file of -0.0s survives an = 0.0 predicate") {
+    import spark.implicits._
+    // END-TO-END through the real normalization points: footer read
+    // (convert) and manifest decode both map -0.0 → 0.0, matching Spark's
+    // evaluator where -0.0 == 0.0 — without that, the total ordering used
+    // for interval checks orders -0.0 < 0.0 and prunes a matching file
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", DoubleType)))
+    val dir = Files.createTempDirectory("graft_negzero").toString + "/t"
+    GraftStore.create(dir, GraftTableMeta(schema, Seq("k"), buckets = 1))
+    GraftStore.applyChanges(spark, dir,
+      spark.range(0, 5).select($"id".as("k"), lit(-0.0d).as("d"))
+        .withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+    val m = GraftStats.readManifest(GraftStore.versionDir(dir, 1L))
+    val ds = m.values.flatMap(_.get("d")).toSeq
+    assert(ds.nonEmpty)
+    val d = attr("d", DoubleType)
+    ds.foreach { cs =>
+      assert(GraftStats.mayContain(Seq(EqualTo(d, Literal(0.0d))), Map("d" -> cs)),
+        s"file of -0.0s pruned from '= 0.0': $cs")
+      assert(GraftStats.mayContain(
+        Seq(GreaterThanOrEqual(d, Literal(0.0d))), Map("d" -> cs)))
+    }
+    // literal side normalizes too: -0.0 literal vs 0.0-only stats keeps
+    assert(GraftStats.mayContain(Seq(EqualTo(d, Literal(-0.0d))),
+      stats("d", 0.0d, 0.0d, kind = "d")))
+  }
+
   test("manifest round-trips footer stats; carried files reuse entries") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stats_spec").toString + "/t"
