@@ -717,6 +717,8 @@ object GraftTable {
       l2p, mapFlat(l2p), mapFlat(p2l), wrapScan.getOrElse(identity),
       Some(new org.apache.spark.sql.GraftBucketDerivation(
         meta.keyCols, GraftStore.layoutBuckets(dir, version, meta),
-        GraftStore.BucketCol)))
+        GraftStore.BucketCol)),
+      versionDir = Some(vdir))
   }
+
 }

@@ -268,6 +268,23 @@ object GraftStats {
     Seq(rel, col, cs.kind, cs.nullCount.toString, cs.rowCount.toString,
       enc(cs.kind, cs.min), enc(cs.kind, cs.max)).mkString("\t")
 
+  /** Exact row count of a version from its manifest — every data file
+    * covered with a known per-file rowCount — or None (legacy version,
+    * or a file whose footer read failed). Metadata-only; this is the
+    * `numRows` leg of the scan's `estimateStatistics`, so Spark's
+    * join-size estimation sees an exact count instead of guessing from
+    * compressed bytes. */
+  def manifestRowCount(versionDir: String): Option[Long] = {
+    val manifest = readManifest(versionDir)
+    val files = listDataFiles(versionDir)
+    if (files.isEmpty) return Some(0L)
+    val perFile = files.map { rel =>
+      manifest.get(rel).flatMap(
+        _.values.map(_.rowCount).filter(_ >= 0).headOption)
+    }
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+  }
+
   /** Read a version dir's manifest; empty when absent (legacy version —
     * nothing skips). */
   def readManifest(versionDir: String): Map[String, FileStats] = {

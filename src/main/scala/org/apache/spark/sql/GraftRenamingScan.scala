@@ -37,7 +37,8 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
     logToPhys: Map[String, String], mapSchemaToPhys: StructType => StructType,
     mapSchemaToLog: StructType => StructType,
     wrapScan: Scan => Scan = identity,
-    bucketing: Option[GraftBucketDerivation] = None)
+    bucketing: Option[GraftBucketDerivation] = None,
+    versionDir: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters with SupportsPushDownAggregates {
 
@@ -102,7 +103,7 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
 
   override def build(): Scan =
     wrapScan(new GraftRenamingScan(delegate.build(), mapSchemaToLog, bucketing,
-      statsFilters))
+      statsFilters, versionDir))
 }
 
 /** Derives the set of store buckets a conjunction of pushed filters can
@@ -393,7 +394,8 @@ final class GraftStreamableScan(delegate: Scan,
 final class GraftRenamingScan(delegate: Scan,
     mapSchemaToLog: StructType => StructType,
     bucketing: Option[GraftBucketDerivation] = None,
-    statsFilters: Seq[Expression] = Nil)
+    statsFilters: Seq[Expression] = Nil,
+    versionDir: Option[String] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -481,11 +483,34 @@ final class GraftRenamingScan(delegate: Scan,
     delegate.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
-  override def estimateStatistics(): Statistics = delegate match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
+  /** Delegate's byte estimate, plus an EXACT row count from the version's
+    * zone-map manifest when nothing is pushed — Spark's join-size
+    * estimation then works from real numbers instead of compressed-bytes
+    * guesses. A filtered scan keeps the delegate's (conservative)
+    * estimate: the manifest only knows whole-version counts. */
+  override def estimateStatistics(): Statistics = {
+    val base = delegate match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+    val exact =
+      if (statsFilters.nonEmpty || base.numRows().isPresent) None
+      else versionDir.flatMap { vd =>
+        val local =
+          if (vd.startsWith("file:"))
+            java.nio.file.Paths.get(java.net.URI.create(vd)).toString
+          else vd
+        graft.sources.GraftStats.manifestRowCount(local)
+      }
+    exact match {
+      case None => base
+      case Some(n) => new Statistics {
+        override def sizeInBytes() = base.sizeInBytes()
+        override def numRows() = java.util.OptionalLong.of(n)
+      }
     }
   }
 }

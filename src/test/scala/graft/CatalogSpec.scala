@@ -1396,6 +1396,22 @@ class CatalogSpec extends SparkTestBase {
       s"stats-less files must list with null column, got ${bare.toSeq}")
   }
 
+  test("scan statistics report the exact manifest row count") {
+    val t = mkTable("t_stats")
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, 'x', id FROM range(0, 137)")
+    spark.sql(s"UPDATE $cat.$t SET amount = 0 WHERE k = 3") // CoW re-stats
+    def leafStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.head
+    // unfiltered scan: exact count from the zone-map manifest — Spark's
+    // join-size estimation works from real numbers, not byte guesses
+    assert(leafStats(spark.table(s"$cat.$t")).rowCount.contains(BigInt(137)))
+    // filtered scan: no exact claim (manifest only knows whole versions)
+    assert(leafStats(spark.table(s"$cat.$t").filter("amount > 5")).rowCount.isEmpty)
+  }
+
   test("optimize zorder_by: files narrow in BOTH dimensions, zone maps prune either") {
     val t = mkTable("t_zord", buckets = 1)
     // transposed 64x64 grid: k-order and amount-order are orthogonal, so a
