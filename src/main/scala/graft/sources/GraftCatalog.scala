@@ -594,7 +594,8 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
     new org.apache.spark.sql.GraftStreamableScanBuilder(batch,
       () => new GraftTableAppendStream(dir, meta,
         ignoreDeletes = options.getBoolean("ignoreDeletes", false),
-        ignoreChanges = options.getBoolean("ignoreChanges", false)))
+        ignoreChanges = options.getBoolean("ignoreChanges", false),
+        skipChangeCommits = options.getBoolean("skipChangeCommits", false)))
   }
 
   /** INSERT INTO / INSERT OVERWRITE / CTAS append path: a V1 fallback write

@@ -161,6 +161,11 @@ final case class GraftTableOffset(v: Long, pending: Boolean) extends Offset {
   *    after-images — downstream must tolerate re-delivery per key).
   *  - a DELETE fails unless `option("ignoreDeletes","true")` (or
   *    ignoreChanges), which skips the deletes.
+  *  - `option("skipChangeCommits","true")` supersedes both: versions whose
+  *    changelog contains ANY update/delete are skipped WHOLE at plan time
+  *    (classified from the slice files' own `change_op` footer min/max —
+  *    metadata only), so downstream sees pure appends and never a partial
+  *    commit.
   *  - restore/truncate/overwrite (snapshot boundaries) and a resume point
   *    below the changelog retention horizon fail loudly — restart with a
   *    fresh checkpoint, which by construction re-snapshots the table.
@@ -171,7 +176,8 @@ final case class GraftTableOffset(v: Long, pending: Boolean) extends Offset {
   * changelog tail starts strictly after it, so a row is delivered exactly
   * once (per key-state at snapshot time). */
 final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
-    ignoreDeletes: Boolean, ignoreChanges: Boolean) extends MicroBatchStream {
+    ignoreDeletes: Boolean, ignoreChanges: Boolean,
+    skipChangeCommits: Boolean = false) extends MicroBatchStream {
 
   private def spark = SparkSession.active
 
@@ -225,6 +231,7 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
     val dirs = ((s0.v + 1) to e)
       .map(v => s"${GraftStore.changesRoot(dir)}/${GraftStore.ChangeVersionCol}=$v")
       .filter(p => Files.isDirectory(Paths.get(p)))
+      .filter(p => !skipChangeCommits || insertOnlySlice(p))
     val tail: Array[InputPartition] =
       if (dirs.isEmpty) Array.empty
       else changesScan(dirs).toBatch.planInputPartitions()
@@ -232,11 +239,30 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
     snap ++ tail
   }
 
+  /** Whether every row of a changelog slice is an INSERT, decided from the
+    * slice files' `change_op` footer min/max — metadata only, no data
+    * read. Our own writers always produce the stats; a file without them
+    * cannot be classified, and silently guessing either way loses data or
+    * leaks a partial commit — fail loudly instead. */
+  private def insertOnlySlice(sliceDir: String): Boolean =
+    GraftStats.listDataFiles(sliceDir).forall { rel =>
+      GraftStats.readFileStats(Paths.get(sliceDir, rel))
+        .get(GraftStore.ChangeOpCol) match {
+        case Some(cs) if cs.min.isDefined && cs.max.isDefined =>
+          cs.min.contains("I") && cs.max.contains("I")
+        case _ => throw new IllegalStateException(
+          s"cannot classify changelog slice $sliceDir/$rel for " +
+            "skipChangeCommits: change_op footer statistics are missing")
+      }
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTableStreamReaderFactory(
       snapshotScan(GraftStore.currentVersion(dir)).toBatch.createReaderFactory(),
       changesScan(Seq(GraftStore.changesRoot(dir))).toBatch.createReaderFactory(),
       GraftStore.physicalSchema(meta.schema).fields.map(_.dataType),
+      // skipChangeCommits plans only insert-only slices, so a U/D reaching
+      // the reader is an internal inconsistency the default branches catch
       ignoreDeletes, ignoreChanges)
 
   /** Stock parquet scan of one version dir (physical schema + the bucket

@@ -116,6 +116,14 @@ object GraftStats {
     finally s.close()
   }
 
+  /** Footer statistics of one parquet file (empty on read failure) — the
+    * same aggregation [[writeManifest]] persists, for callers that need
+    * stats of files OUTSIDE a version manifest (e.g. classifying a
+    * changelog slice as insert-only from its `change_op` min/max). */
+  def readFileStats(file: Path): FileStats =
+    try readFooterStats(file, new Configuration())
+    catch { case _: Exception => Map.empty }
+
   /** Aggregate footer statistics per top-level primitive column. Columns
     * whose physical type has no defensible comparison mapping (INT96,
     * decimals, nested paths, non-UTF8 binary) are omitted. */

@@ -1523,6 +1523,29 @@ class CatalogSpec extends SparkTestBase {
       assert(batches.map(_._2).reduce(_ ++ _) === Set(1L),
         s"update after-image in, delete skipped: $batches")
     } finally q3.stop()
+    // skipChangeCommits supersedes both: a fresh stream skips the UPDATE
+    // and DELETE versions WHOLE (classified from change_op footer stats)
+    // and streams only the pure-append commits
+    batches.synchronized { batches.clear() }
+    val ckptS = Files.createTempDirectory("graft_ts_ckpt_scc").toString
+    val qs = spark.readStream.option("skipChangeCommits", "true")
+      .table(s"$cat.$t").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ks = df.select("k").collect().map(_.getLong(0)).toSet
+        if (ks.nonEmpty) batches.synchronized { batches += ((id, ks)) }
+        ()
+      }
+      .option("checkpointLocation", ckptS).start()
+    try {
+      qs.processAllAvailable() // snapshot of current state
+      spark.sql(s"UPDATE $cat.$t SET amount = 77 WHERE k = 3")          // change commit
+      spark.sql(s"INSERT INTO $cat.$t VALUES (9, 'i', 90)")             // append
+      qs.processAllAvailable()
+      val post = batches.toSeq.drop(1).map(_._2)
+      assert(post.flatten.toSet === Set(9L),
+        s"skipChangeCommits must drop the UPDATE commit whole, stream the append: $batches")
+    } finally qs.stop()
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 9") // restore pre-test state shape
     // a restore is a snapshot boundary: the resumed stream fails loudly
     spark.sql(s"CALL $cat.restore(table => 't_tstream', version => 2)") // v6
     val q4 = start(Map("ignoreChanges" -> "true"))
