@@ -1163,7 +1163,7 @@ object SourceQueries {
         "WHERE user_id % 2 = 0")                                       // v2
       s.sql("CALL graftdml.clone(table => 'clone_src', target => 'clone_dst')")
       s.sql("UPDATE graftdml.clone_dst SET cents = cents + 1000 " +
-        "WHERE user_id % 3 = 0")                                       // dst v1
+        "WHERE user_id % 3 = 0")                                       // dst v3
 
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame): Boolean =
@@ -1183,8 +1183,10 @@ object SourceQueries {
       val G = graft.sources.GraftStore
       val srcDir = s"${DmlFixture.warehouse}/clone_src"
       val dstDir = s"${DmlFixture.warehouse}/clone_dst"
+      // the clone CONTINUES the source's version numbering (base = src v2,
+      // its own update = v3) so carried file/delete seqs stay meaningful
       val srcV = java.nio.file.Paths.get(G.versionDir(srcDir, 2L))
-      val dstV = java.nio.file.Paths.get(G.versionDir(dstDir, 0L))
+      val dstV = java.nio.file.Paths.get(G.versionDir(dstDir, 2L))
       def key(p: java.nio.file.Path) = java.nio.file.Files
         .readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
         .fileKey()
@@ -1322,6 +1324,108 @@ object SourceQueries {
         SELECT user_id, cents FROM latest WHERE user_id > 500
         UNION ALL
         SELECT user_id, cents FROM cnts WHERE user_id <= 300)
+      ORDER BY user_id""")),
+
+    // ----- S26: merge-on-read row-level deltas — the s11 DML dataflow on
+    // a `merge_mode='mor'` table. Each MERGE/UPDATE/DELETE commits the
+    // after-images as ordinary new files plus an equality-delete slice
+    // (`_dv/dseq=<v>/gbucket=<k>/`) instead of rewriting its touched
+    // buckets; scans drop a key's rows from files OLDER than the key's
+    // newest delete entry (per-file seq manifest), so delete-then-reinsert
+    // stays exact. This is the store's 100 TB answer to the copy-on-write
+    // worst case: a spread MERGE writes O(changed rows), never O(touched
+    // buckets) — the Iceberg equality-delete shape with an LSM-style cap
+    // (GraftStore.morMaxLiveDeletes) that escalates an over-cap commit
+    // back to copy-on-write so the read probe stays bounded. The gate pins
+    // (a) live delete slices after the DML, (b) EVERY base file of the
+    // insert version carried untouched through the merge version (the
+    // no-rewrite proof), (c) the per-statement version count, and (d)
+    // OPTIMIZE folding the slices away with contents byte-identical —
+    // while the rows themselves hash against the same closed-form oracle
+    // as the copy-on-write twin.
+    GraftQuery("s26_merge_on_read", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+      val ev = T.events(s, d).withColumn("cents", vcents($"value"))
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"event_type", $"cents"),
+          struct($"ts", $"event_id")).as("r"))
+      latest(ev.filter($"ts" < cutoff && $"user_id" % 3 =!= 0))
+        .select($"user_id", $"r.event_id".as("event_id"), $"r.cents".as("cents"))
+        .createOrReplaceTempView("s26_base")
+      latest(ev.filter($"ts" >= cutoff && $"user_id" % 5 =!= 1))
+        .select($"user_id", $"r.event_id".as("c_event"), $"r.cents".as("c_cents"),
+          when($"r.event_type" === "purchase", "delete").otherwise("upsert").as("op"))
+        .createOrReplaceTempView("s26_chg")
+      s.sql("DROP TABLE IF EXISTS graftdml.mor_state")
+      s.sql("""CREATE TABLE graftdml.mor_state
+        (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8',
+          'merge_mode'='mor')""")
+      s.sql("INSERT INTO graftdml.mor_state SELECT user_id, event_id, cents FROM s26_base")
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/mor_state"
+      val baseFiles = graft.sources.GraftStats
+        .listDataFiles(G.versionDir(dir, 1L)).toSet
+      s.sql("""MERGE INTO graftdml.mor_state t USING s26_chg c
+        ON t.user_id = c.user_id
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET event_id = c.c_event, cents = c.c_cents
+        WHEN NOT MATCHED AND c.op <> 'delete' THEN
+          INSERT (user_id, event_id, cents) VALUES (c.user_id, c.c_event, c.c_cents)""")
+      val mergeFiles = graft.sources.GraftStats
+        .listDataFiles(G.versionDir(dir, 2L)).toSet
+      s.sql("UPDATE graftdml.mor_state SET cents = cents + 100 WHERE user_id % 7 = 0")
+      s.sql("DELETE FROM graftdml.mor_state WHERE cents < 500")
+      val dmlVersion = G.currentVersion(dir)
+      val dvLive = G.hasLiveDv(G.versionDir(dir, dmlVersion))
+      val before = s.sql(
+        "SELECT user_id, event_id, cents FROM graftdml.mor_state")
+        .localCheckpoint(true)
+      s.sql("CALL graftdml.optimize(table => 'mor_state')")
+      val dvCleared = !G.hasLiveDv(G.versionDir(dir, G.currentVersion(dir)))
+      val after = s.sql(
+        "SELECT user_id, event_id, cents FROM graftdml.mor_state")
+      val stable = after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty
+      after
+        .withColumn("dml_version", lit(dmlVersion))
+        .withColumn("dv_live_after_dml", lit(dvLive))
+        .withColumn("base_files_carried", lit(baseFiles.subsetOf(mergeFiles)))
+        .withColumn("optimize_cleared_dv", lit(dvCleared))
+        .withColumn("contents_stable", lit(stable))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, ts,
+                   ${sql.vcents("value")} AS cents FROM events),
+      base AS (SELECT user_id, event_id AS b_event, cents AS b_cents
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                       AND user_id % 3 <> 0)
+               WHERE rn = 1),
+      chg AS (SELECT user_id, event_id AS c_event, cents AS c_cents,
+                CASE WHEN event_type = 'purchase' THEN 'delete'
+                     ELSE 'upsert' END AS op
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      AND user_id % 5 <> 1)
+              WHERE rn = 1),
+      merged AS (SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+                   COALESCE(c_event, b_event) AS event_id,
+                   COALESCE(c_cents, b_cents) AS cents
+                 FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+                 WHERE COALESCE(op, 'upsert') <> 'delete'),
+      updated AS (SELECT user_id, event_id,
+                    CASE WHEN user_id % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+                  FROM merged)
+      SELECT user_id, event_id, cents, CAST(4 AS BIGINT) AS dml_version,
+        TRUE AS dv_live_after_dml, TRUE AS base_files_carried,
+        TRUE AS optimize_cleared_dv, TRUE AS contents_stable
+      FROM updated WHERE cents >= 500
       ORDER BY user_id"""))
   )
 }

@@ -157,7 +157,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       s"merge_key column $k must be declared NOT NULL"))
     val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
     require(buckets > 0, "buckets must be positive")
-    GraftStore.create(dir, GraftTableMeta(schema, keys, buckets))
+    val mode = props.get("merge_mode").map(_.trim.toLowerCase).getOrElse("cow")
+    require(mode == "cow" || mode == "mor",
+      s"merge_mode must be 'cow' (copy-on-write) or 'mor' (merge-on-read), got '$mode'")
+    // merge-on-read probes delete entries by key VALUE equality in the
+    // scan — atomic key types only (the same family bucket hashing covers)
+    if (mode == "mor") keys.foreach(k =>
+      require(GraftStore.morKeyTypeOk(schema(k).dataType),
+        s"merge_mode=mor requires atomic-typed merge keys; $k is ${schema(k).dataType}"))
+    GraftStore.create(dir, GraftTableMeta(schema, keys, buckets, mergeMode = mode))
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
 
@@ -267,8 +275,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           "(only lossless widening: byte/short/int -> wider int, float -> double)")
         m.copy(schema = StructType(m.schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f).toSeq))
+      case (m, sp: TableChange.SetProperty) if sp.property() == "merge_mode" =>
+        // ALTER TABLE t SET TBLPROPERTIES('merge_mode'='mor'|'cow') — takes
+        // effect on the NEXT row-level commit; existing delete slices stay
+        // valid either way (cow commits carry/apply them like any rewrite)
+        val mode = sp.value().trim.toLowerCase
+        require(mode == "cow" || mode == "mor",
+          s"merge_mode must be 'cow' or 'mor', got '${sp.value()}'")
+        if (mode == "mor") m.keyCols.foreach(k =>
+          require(GraftStore.morKeyTypeOk(m.schema(k).dataType),
+            s"merge_mode=mor requires atomic-typed merge keys; $k is ${m.schema(k).dataType}"))
+        m.copy(mergeMode = mode)
       case (_, other) => throw new UnsupportedOperationException(
-        s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen type)")
+        s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen " +
+          "type, SET TBLPROPERTIES merge_mode)")
     }
     GraftStore.writeMeta(dir, newMeta)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
@@ -554,6 +574,7 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
   override def properties(): util.Map[String, String] =
     Map("merge_key" -> meta.keyCols.mkString(","),
       "buckets" -> meta.buckets.toString,
+      "merge_mode" -> meta.mergeMode,
       "current_version" -> GraftStore.currentVersion(dir).toString).asJava
 
   override def capabilities(): util.Set[TableCapability] =
@@ -713,13 +734,28 @@ object GraftTable {
     val p2l = l2p.map(_.swap)
     def mapFlat(m: Map[String, String])(s: StructType): StructType =
       StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))).toSeq)
-    new org.apache.spark.sql.GraftRenamingScanBuilder(
+    // live merge-on-read delete slices change the scan contract: footer-
+    // served aggregates and exact manifest row counts would count dead
+    // rows, and SPJ's one-partition-per-bucket regrouping conflicts with
+    // the per-file delete filter — all three resume after OPTIMIZE clears
+    // the slices (hasLiveDv gates them below and in the renaming scan)
+    val morProbe =
+      if (!GraftStore.hasLiveDv(vdir)) None
+      else GraftStore.loadDvProbe(SparkSession.active, vdir, meta)
+    val renaming = new org.apache.spark.sql.GraftRenamingScanBuilder(
       delegate.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
-      l2p, mapFlat(l2p), mapFlat(p2l), wrapScan.getOrElse(identity),
+      l2p, mapFlat(l2p), mapFlat(p2l),
+      if (morProbe.isDefined) identity else wrapScan.getOrElse(identity),
       Some(new org.apache.spark.sql.GraftBucketDerivation(
         meta.keyCols, GraftStore.layoutBuckets(dir, version, meta),
         GraftStore.BucketCol)),
       versionDir = Some(vdir))
+    morProbe match {
+      case None => renaming
+      case Some((fileSeq, dv)) =>
+        new org.apache.spark.sql.GraftMorScanBuilder(renaming,
+          meta.keyCols, meta.schema, dv, fileSeq)
+    }
   }
 
 }

@@ -256,27 +256,62 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
       }
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the snapshot factory ALWAYS routes through the merge-on-read
+    // dispatcher: partitions were planned against the OFFSET version (they
+    // carry their own delete slices when that version had live DVs), while
+    // this factory is built from the current one — an unconditional
+    // dispatcher handles either partition shape, so a compaction (or a
+    // first delete) landing between the two can't misroute a partition
+    val phys = GraftStore.physicalSchema(meta.schema)
+    val withBucket = org.apache.spark.sql.types.StructType(phys.fields :+
+      org.apache.spark.sql.types.StructField(GraftStore.BucketCol,
+        org.apache.spark.sql.types.IntegerType, nullable = true))
+    val physKeys = meta.keyCols.map(k => GraftStore.physicalName(meta.schema(k)))
+    val keyOrdinals = physKeys.map(withBucket.fieldIndex).toArray
+    val keyTypes = keyOrdinals.map(withBucket(_).dataType)
     new GraftTableStreamReaderFactory(
-      snapshotScan(GraftStore.currentVersion(dir)).toBatch.createReaderFactory(),
+      new org.apache.spark.sql.GraftMorReaderFactory(
+        rawSnapshotScan(GraftStore.currentVersion(dir))
+          .toBatch.createReaderFactory(),
+        keyOrdinals, keyTypes, None, forceRowBased = true),
       changesScan(Seq(GraftStore.changesRoot(dir))).toBatch.createReaderFactory(),
-      GraftStore.physicalSchema(meta.schema).fields.map(_.dataType),
+      phys.fields.map(_.dataType),
       // skipChangeCommits plans only insert-only slices, so a U/D reaching
       // the reader is an internal inconsistency the default branches catch
       ignoreDeletes, ignoreChanges)
+  }
 
   /** Stock parquet scan of one version dir (physical schema + the bucket
-    * partition column — the same layout the batch table scan reads). */
-  private def snapshotScan(v: Long) = {
+    * partition column — the same layout the batch table scan reads). A
+    * merge-on-read version with live delete slices gets the same
+    * scan-level delete application as the batch path — the filter state
+    * rides in the PARTITIONS (planned against `v`), so the factory being
+    * built from a later version can't skew the snapshot. */
+  private def rawSnapshotScanBuilder(v: Long) = {
     val vdir = GraftStore.versionDir(dir, v)
     val withBucket = org.apache.spark.sql.types.StructType(
       GraftStore.physicalSchema(meta.schema).fields :+
         org.apache.spark.sql.types.StructField(GraftStore.BucketCol,
           org.apache.spark.sql.types.IntegerType, nullable = true))
     val opts = new CaseInsensitiveStringMap(java.util.Map.of("basePath", vdir))
-    ParquetTable(s"graft-table-stream-snap:$dir", spark, opts, Seq(vdir),
-      Some(withBucket), classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    (ParquetTable(s"graft-table-stream-snap:$dir", spark, opts,
+      Seq(vdir), Some(withBucket), classOf[ParquetFileFormat])
+      .newScanBuilder(CaseInsensitiveStringMap.empty()), withBucket, vdir)
+  }
+
+  private def rawSnapshotScan(v: Long) = rawSnapshotScanBuilder(v)._1.build()
+
+  private def snapshotScan(v: Long) = {
+    val (raw, withBucket, vdir) = rawSnapshotScanBuilder(v)
+    GraftStore.loadDvProbe(spark, vdir, meta) match {
+      case None => raw.build()
+      case Some((fileSeq, dv)) =>
+        val physKeys = meta.keyCols.map(k =>
+          GraftStore.physicalName(meta.schema(k)))
+        new org.apache.spark.sql.GraftMorScanBuilder(raw, physKeys,
+          withBucket, dv, fileSeq).build()
+    }
   }
 
   private def changesScan(paths: Seq[String]) = {

@@ -107,7 +107,8 @@ final class GraftProcedure(procName: String, tableDir: String => String)
         case "clone" =>
           val target = input.getUTF8String(1).toString
           GraftStore.cloneTable(dir, tableDir(target))
-          ("version", 0L)
+          // the clone continues the source's numbering (seq correctness)
+          ("version", GraftStore.currentVersion(tableDir(target)))
         case "restore" =>
           ("version", GraftStore.restore(dir, input.getLong(1)))
         case "expire_versions" =>

@@ -109,9 +109,16 @@ object GraftStats {
   private def dataFiles(root: Path): Seq[String] = {
     if (!Files.isDirectory(root)) return Seq.empty
     val s = Files.walk(root)
+    // hidden check applies to every path SEGMENT under the root, not just
+    // the file name: files under a hidden subtree (`_dv/dseq=3/...` delete
+    // files) are metadata, not data — Spark's own listing hides them the
+    // same way
     try s.iterator().asScala.filter { p =>
-      val n = p.getFileName.toString
-      Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
+      val rel = root.relativize(p)
+      Files.isRegularFile(p) && (0 until rel.getNameCount).forall { i =>
+        val n = rel.getName(i).toString
+        !n.startsWith(".") && !n.startsWith("_")
+      }
     }.map(p => root.relativize(p).toString).toSeq.sorted
     finally s.close()
   }
@@ -123,6 +130,17 @@ object GraftStats {
   def readFileStats(file: Path): FileStats =
     try readFooterStats(file, new Configuration())
     catch { case _: Exception => Map.empty }
+
+  /** Exact row count of one parquet file from its footer (block counts),
+    * or None if the footer is unreadable. */
+  def fileRowCount(file: Path): Option[Long] =
+    try {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
+      val r = ParquetFileReader.open(in)
+      try Some(r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally r.close()
+    } catch { case _: Exception => None }
 
   /** Aggregate footer statistics per top-level primitive column. Columns
     * whose physical type has no defensible comparison mapping (INT96,

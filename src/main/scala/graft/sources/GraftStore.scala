@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * metadata under [[GraftStore.PhysicalKey]]. A 100 TB rename is therefore
   * a metadata write, with every read path mapping physical↔logical. */
 final case class GraftTableMeta(schema: StructType, keyCols: Seq[String],
-    buckets: Int, tombstones: Seq[String] = Nil)
+    buckets: Int, tombstones: Seq[String] = Nil, mergeMode: String = "cow")
 
 /** Versioned, hash-bucketed, copy-on-write parquet store backing the
   * [[GraftCatalog]] SQL DML surface (SURVEY §2.2 S9's `MERGE INTO` /
@@ -211,7 +211,8 @@ object GraftStore {
     // Staged + atomic rename (same discipline as the version pointer): a
     // crash mid-ALTER must not truncate the meta of a live table.
     val body = meta.schema.json + "\n" + meta.keyCols.mkString(",") + "\n" +
-      meta.buckets + "\n" + meta.tombstones.mkString(",")
+      meta.buckets + "\n" + meta.tombstones.mkString(",") + "\n" +
+      meta.mergeMode
     val tmp = Paths.get(dir, "_meta.json.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -223,7 +224,9 @@ object GraftStore {
     GraftTableMeta(DataType.fromJson(lines(0)).asInstanceOf[StructType],
       lines(1).split(",").toSeq.filter(_.nonEmpty), lines(2).trim.toInt,
       // 4th line absent in pre-evolution metas
-      if (lines.length > 3) lines(3).split(",").toSeq.filter(_.nonEmpty) else Nil)
+      if (lines.length > 3) lines(3).split(",").toSeq.filter(_.nonEmpty) else Nil,
+      // 5th line absent in pre-MoR metas (copy-on-write deltas)
+      if (lines.length > 4 && lines(4).trim.nonEmpty) lines(4).trim else "cow")
   }
 
   def currentVersion(dir: String): Long =
@@ -438,13 +441,21 @@ object GraftStore {
     // never a meta-less half-table squatting on the target name
     val tmp = s"$dstDir.clonebuild-${java.util.UUID.randomUUID()}"
     Files.createDirectories(Paths.get(tmp))
-    val v0 = versionDir(tmp, 0L)
-    Files.createDirectories(Paths.get(v0))
-    bucketDirs(srcV).foreach(b => linkBucket(srcV, v0, b))
-    GraftStats.writeManifest(v0, Some(srcV))
-    writeBucketMarker(v0, layoutBuckets(srcDir, cur, meta))
+    // the clone's history STARTS AT the source's current version number
+    // (not 0): carried file seqs and merge-on-read delete seqs are version
+    // numbers, and a clone restarting at v0 would commit future deletes
+    // with seqs BELOW the carried ones — they would silently stop applying
+    // to the carried files. Continuing the numbering keeps every sequence
+    // comparison meaningful with zero rewrites.
+    val base = versionDir(tmp, cur)
+    Files.createDirectories(Paths.get(base))
+    bucketDirs(srcV).foreach(b => linkBucket(srcV, base, b))
+    linkDvCarry(srcV, base, Set.empty)
+    writeFileSeq(base, Some(srcV), cur)
+    GraftStats.writeManifest(base, Some(srcV))
+    writeBucketMarker(base, layoutBuckets(srcDir, cur, meta))
     Files.createDirectories(Paths.get(changesRoot(tmp)))
-    writePointer(tmp, 0L)
+    writePointer(tmp, cur)
     writeMeta(tmp, meta)
     try Files.move(Paths.get(tmp), Paths.get(dstDir),
       StandardCopyOption.ATOMIC_MOVE)
@@ -469,6 +480,197 @@ object GraftStore {
     * window). */
   def layoutBuckets(dir: String, v: Long, meta: GraftTableMeta): Int =
     versionBuckets(dir, v).getOrElse(meta.buckets)
+
+  // --------------------------------------------------------- merge-on-read
+  //
+  // A table with merge_mode = 'mor' commits row-level deltas WITHOUT
+  // rewriting the touched buckets: the after-images land as ordinary new
+  // files (like an append) and the removed keys land as an EQUALITY-DELETE
+  // slice under the hidden `_dv/dseq=<version>/gbucket=<k>/` layout. Reads
+  // apply the delete set with a sequence rule — a delete at commit S drops
+  // a key's rows only from files written BEFORE S (per-file sequence from
+  // the `_fileseq` manifest), so a key deleted and later re-inserted keeps
+  // exactly the re-inserted row. Cost shape at 100 TB: a spread MERGE
+  // writes O(changed rows), never O(touched buckets); the price is a
+  // bounded read-side probe that [[optimize]] (or the write-side cap —
+  // [[morMaxLiveDeletes]] escalates an over-cap commit into the
+  // copy-on-write rewrite) compacts away.
+
+  /** Hidden per-version directory holding equality-delete slices. */
+  val DvDirName = "_dv"
+  /** Partition-dir column: the version a delete slice committed at. */
+  val DvSeqCol = "dseq"
+
+  def dvRoot(vdir: String): String = s"$vdir/$DvDirName"
+
+  /** Delete-slice versions present in a version dir (slices that actually
+    * carry buckets — an empty remnant dir is not a slice). */
+  def dvSeqDirs(vdir: String): Seq[Long] = {
+    val root = Paths.get(dvRoot(vdir))
+    if (!Files.isDirectory(root)) return Seq.empty
+    listDir(root)(_.filter { p =>
+      p.getFileName.toString.startsWith(s"$DvSeqCol=") &&
+        listDir(p)(_.exists(_.getFileName.toString.startsWith(s"$BucketCol=")))
+    }.map(_.getFileName.toString.split("=")(1).toLong).toSeq.sorted)
+  }
+
+  def hasLiveDv(vdir: String): Boolean = dvSeqDirs(vdir).nonEmpty
+
+  /** Buckets with at least one live delete entry in this version. */
+  def dvBuckets(vdir: String): Set[Int] =
+    dvSeqDirs(vdir).flatMap { s =>
+      listDir(Paths.get(dvRoot(vdir), s"$DvSeqCol=$s"))(
+        _.map(_.getFileName.toString).filter(_.startsWith(s"$BucketCol="))
+          .map(_.split("=")(1).toInt).toSeq)
+    }.toSet
+
+  /** Total live delete rows in a version — parquet FOOTER metadata only
+    * (cost ∝ delete files, which the cap keeps small). Unreadable footers
+    * count as `Long.MaxValue` so a corrupt slice forces the safe
+    * escalation path instead of unbounded growth. */
+  def dvLiveRows(vdir: String): Long = {
+    val root = Paths.get(dvRoot(vdir))
+    if (!Files.isDirectory(root)) return 0L
+    val s = Files.walk(root)
+    val files =
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
+      }.toList
+      finally s.close()
+    files.map(f => GraftStats.fileRowCount(f).getOrElse(Long.MaxValue))
+      .foldLeft(0L)((a, b) => if (a == Long.MaxValue || b == Long.MaxValue)
+        Long.MaxValue else a + b)
+  }
+
+  /** Write-side cap on the LIVE delete set (rows): a merge-on-read commit
+    * that would push past it escalates to the copy-on-write rewrite and
+    * clears every delete slice — so the read-side probe (driver load +
+    * per-task set) stays bounded by construction, the same way an LSM
+    * bounds its level-0 run count. */
+  /** Key types merge-on-read can probe by value equality in the scan —
+    * the atomic family (same set bucket hashing covers); nested types are
+    * out. */
+  def morKeyTypeOk(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private[sources] def morMaxLiveDeletes: Long =
+    sys.props.get("graft.store.morMaxLiveDeletes").map(_.toLong)
+      .getOrElse(200000L)
+
+  /** Hard-link the previous version's still-applicable delete slices into
+    * a build dir, skipping buckets this commit rewrites (their deletes are
+    * APPLIED by the rewrite). Dropping a slice for a rewritten bucket is a
+    * must for hygiene but not for correctness — rewritten files carry a
+    * file-seq >= every existing dseq, so stale entries can never match
+    * them. */
+  private def linkDvCarry(srcVdir: String, buildDir: String,
+      rewritten: Set[Int]): Unit =
+    dvSeqDirs(srcVdir).foreach { s =>
+      val seqDir = Paths.get(dvRoot(srcVdir), s"$DvSeqCol=$s")
+      listDir(seqDir)(_.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(s"$BucketCol=") &&
+          !rewritten.contains(n.split("=")(1).toInt)
+      }.toList).foreach { bdir =>
+        val dst = Paths.get(dvRoot(buildDir), s"$DvSeqCol=$s",
+          bdir.getFileName.toString)
+        Files.createDirectories(dst)
+        listDir(bdir)(_.filter(f => Files.isRegularFile(f) &&
+            !f.getFileName.toString.startsWith(".") &&
+            !f.getFileName.toString.startsWith("_"))
+          .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
+      }
+    }
+
+  /** Every live delete slice of a version as one DataFrame: the PHYSICAL
+    * key columns + [[BucketCol]] + [[DvSeqCol]] (long). None when the
+    * version has no live deletes. */
+  def readDv(spark: SparkSession, vdir: String): Option[DataFrame] = {
+    val seqs = dvSeqDirs(vdir)
+    if (seqs.isEmpty) None
+    else {
+      val dirs = seqs.map(s => s"${dvRoot(vdir)}/$DvSeqCol=$s")
+      Some(spark.read.option("basePath", dvRoot(vdir)).parquet(dirs: _*)
+        .withColumn(DvSeqCol, col(DvSeqCol).cast(LongType))
+        .withColumn(BucketCol, col(BucketCol).cast(IntegerType)))
+    }
+  }
+
+  /** Driver-side probe structures for the scan wrapper
+    * ([[org.apache.spark.sql.GraftMorScanBuilder]]): the per-file seq map
+    * and, per bucket, each deleted key's newest delete seq — key values in
+    * CATALYST form so executors compare them against `InternalRow.get`
+    * directly. Cost: one small job over the (cap-bounded) delete slices.
+    * None when the version has no live deletes. */
+  def loadDvProbe(spark: SparkSession, vdir: String, meta: GraftTableMeta)
+      : Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])] =
+    readDv(spark, vdir).map { dv =>
+      val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
+      val keyTypes = meta.keyCols.map(k => meta.schema(k).dataType)
+      val rows = dv.groupBy((BucketCol +: physKeys).map(col): _*)
+        .agg(max(col(DvSeqCol)).as("__mx")).collect()
+      val convs = keyTypes.map(org.apache.spark.sql.catalyst
+        .CatalystTypeConverters.createToCatalystConverter)
+      val n = physKeys.length
+      val m = rows.groupBy(_.getInt(0)).map { case (b, rs) =>
+        b -> rs.map { r =>
+          val key: Seq[Any] = Seq.tabulate(n)(i => org.apache.spark.sql
+            .GraftMorScanSupport.normalizeKey(convs(i)(r.get(i + 1))))
+          key -> r.getLong(n + 1)
+        }.toMap
+      }
+      (readFileSeq(vdir), m)
+    }
+
+  // ------------------------------------------------- per-file sequence map
+
+  /** Per-version manifest mapping each data file's relative path to the
+    * version that WROTE it (`rel\tseq` lines) — the read side's evidence
+    * for "is this file older than that delete". Hard-linked carry-over
+    * files keep their original seq; files carried from PRE-manifest
+    * versions get 0 (older than every delete slice, which is exactly what
+    * legacy files are). */
+  val FileSeqName = "_fileseq"
+
+  private[sources] def writeFileSeq(buildDir: String,
+      prevVersionDir: Option[String], version: Long): Unit = {
+    val prev = prevVersionDir.map(readFileSeq).getOrElse(Map.empty[String, Long])
+    val prevExists: String => Boolean = prevVersionDir match {
+      case Some(pd) => rel => Files.exists(Paths.get(pd, rel))
+      case None => _ => false
+    }
+    val sb = new StringBuilder
+    GraftStats.listDataFiles(buildDir).foreach { rel =>
+      val seq = prev.getOrElse(rel,
+        // present in the previous version dir but absent from its manifest
+        // = carried from a pre-manifest commit: stamp 0, NOT `version` —
+        // stamping a carried legacy file as new would stop every same-
+        // version delete from applying to it
+        if (prevExists(rel)) 0L else version)
+      sb.append(rel).append('\t').append(seq).append('\n')
+    }
+    Files.write(Paths.get(buildDir, FileSeqName),
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  def readFileSeq(vdir: String): Map[String, Long] = {
+    val p = Paths.get(vdir, FileSeqName)
+    if (!Files.exists(p)) return Map.empty
+    Files.readAllLines(p, java.nio.charset.StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, seq) =>
+            try Some(rel -> seq.toLong) catch { case _: Exception => None }
+          case _ => None
+        }
+      }.toMap
+  }
 
   /** Publish a writer-private build directory under its final version
     * name (atomic rename), clearing any crash remnant first. Versions are
@@ -597,9 +799,15 @@ object GraftStore {
     var files = 0L
     var bytes = 0L
     val s = Files.walk(vdir)
+    // hidden check covers every path segment under the version dir, so
+    // `_dv/...` delete files (metadata) never count as data files
     try s.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      if (Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")) {
+      val rel = vdir.relativize(p)
+      val hidden = (0 until rel.getNameCount).exists { i =>
+        val n = rel.getName(i).toString
+        n.startsWith(".") || n.startsWith("_")
+      }
+      if (Files.isRegularFile(p) && !hidden) {
         files += 1
         bytes += Files.size(p)
       }
@@ -623,7 +831,10 @@ object GraftStore {
 
   /** Read one version with PHYSICAL column names + [[BucketCol]] — the
     * exact file layout, for maintenance rewrites that must write the same
-    * names back ([[optimize]]). */
+    * names back ([[optimize]]). Merge-on-read versions apply their live
+    * delete slices here: a key's rows survive only in files at least as
+    * new as the key's newest delete entry (broadcast joins — the delete
+    * set and the file-seq map are both cap-bounded small). */
   private def readVersionPhysical(spark: SparkSession, dir: String,
       meta: GraftTableMeta, v: Long): DataFrame = {
     val vdir = versionDir(dir, v)
@@ -631,7 +842,32 @@ object GraftStore {
       StructField(BucketCol, IntegerType, nullable = true))
     if (bucketDirs(vdir).isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), withBucket)
-    else spark.read.schema(withBucket).parquet(vdir)
+    else {
+      val base = spark.read.schema(withBucket).parquet(vdir)
+      readDv(spark, vdir) match {
+        case None => base
+        case Some(dv) =>
+          val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
+          val seqRows = readFileSeq(vdir).toSeq.map {
+            case (rel, s) => Row(rel, s)
+          }
+          val seqDf = spark.createDataFrame(seqRows.asJava,
+            StructType(Seq(StructField("__rel", StringType, nullable = false),
+              StructField("__fseq", LongType, nullable = false))))
+          val dvAgg = dv.groupBy(physKeys.map(col): _*)
+            .agg(max(col(DvSeqCol)).as("__dvseq"))
+          base
+            .withColumn("__rel",
+              regexp_extract(input_file_name(), "/v\\d{10}/(.+)$", 1))
+            .join(broadcast(seqDf), Seq("__rel"), "left_outer")
+            .join(broadcast(dvAgg), physKeys, "left_outer")
+            // keep unless a delete NEWER than the row's file exists for
+            // its key; an unmapped file (legacy carry) counts as seq 0
+            .filter(col("__dvseq").isNull ||
+              col("__dvseq") <= coalesce(col("__fseq"), lit(0L)))
+            .select(withBucket.fieldNames.toIndexedSeq.map(col): _*)
+      }
+    }
   }
 
   /** Read one version as a logical-named DataFrame including the
@@ -814,6 +1050,26 @@ object GraftStore {
     val cols = meta.schema.fieldNames.toSeq
     locally {
       val existing = bucketDirs(versionDir(dir, cur)).toSet
+      val curDir = versionDir(dir, cur)
+
+      // Merge-on-read decision. A 'mor' table's row-level delta writes the
+      // after-images + an equality-delete slice instead of rewriting its
+      // touched buckets — unless the LIVE delete set would outgrow the cap,
+      // in which case THIS commit escalates to the copy-on-write rewrite
+      // over (touched ∪ every DV-carrying bucket), applying and clearing
+      // all slices in one claimed commit (the LSM-style compaction bound:
+      // the reader's probe set can never exceed the cap).
+      val morRequested = meta.mergeMode == "mor" && !allInserts &&
+        !overwrite && touched.nonEmpty
+      val newRemoveRows =
+        if (morRequested)
+          ch.filter(col(OpCol).isin("U", "D"))
+            .select(meta.keyCols.map(col): _*).distinct().count()
+        else 0L
+      val mor = morRequested &&
+        dvLiveRows(curDir) + newRemoveRows <= morMaxLiveDeletes
+      val touchedAll =
+        if (morRequested && !mor) touched ++ dvBuckets(curDir) else touched
 
       // Changelog leg: persist the change batch itself, one immutable dir
       // per version. Written to a dot-prefixed STAGING dir now and renamed
@@ -890,17 +1146,39 @@ object GraftStore {
             .hint("rebalance", col(BucketCol))
             .write.partitionBy(BucketCol).parquet(buildDir)
           Set.empty
-        } else if (touched.nonEmpty) {
+        } else if (mor) {
+          // merge-on-read: after-images land like an append; removed keys
+          // land as an equality-delete slice under _dv/dseq=<next>. Every
+          // base bucket (and every still-live older slice) hard-links over
+          // — the commit writes O(changed rows), never O(touched buckets).
+          toPhysical(ch.filter(col(OpCol).isin("I", "U"))
+              .select((cols :+ BucketCol).map(col): _*), meta.schema)
+            .hint("rebalance", col(BucketCol))
+            .write.partitionBy(BucketCol).parquet(buildDir)
+          if (newRemoveRows > 0)
+            toPhysical(ch.filter(col(OpCol).isin("U", "D"))
+                .select((meta.keyCols :+ BucketCol).map(col): _*).distinct(),
+                meta.schema)
+              .hint("rebalance", col(BucketCol))
+              .write.partitionBy(BucketCol)
+              .parquet(s"$buildDir/$DvDirName/$DvSeqCol=$next")
+          Set.empty
+        } else if (touchedAll.nonEmpty) {
           val removes = ch.filter(col(OpCol).isin("U", "D"))
             .select(meta.keyCols.map(col): _*).distinct()
           val adds = ch.filter(col(OpCol).isin("I", "U"))
             .select((cols :+ BucketCol).map(col): _*)
-          val kept = baseTouched().join(removes, meta.keyCols, "left_anti")
+          // touchedAll ⊇ touched: under delete-cap escalation the rewrite
+          // also folds in every DV-carrying bucket, whose (merge-on-read-
+          // applied) live rows re-materialize plainly — clearing the slices
+          val keptBase = readVersion(spark, dir, cur)
+            .filter(col(BucketCol).isin(touchedAll.toSeq: _*))
+          val kept = keptBase.join(removes, meta.keyCols, "left_anti")
             .select((cols :+ BucketCol).map(col): _*)
           toPhysical(kept.unionByName(adds), meta.schema)
             .hint("rebalance", col(BucketCol))
             .write.partitionBy(BucketCol).parquet(buildDir)
-          touched
+          touchedAll
         } else {
           Files.createDirectories(Paths.get(buildDir))
           Set.empty
@@ -929,6 +1207,14 @@ object GraftStore {
       // An overwrite carries nothing over — the new data IS the version.
       val carried = if (overwrite) Set.empty[Int] else existing -- rewritten
       carried.foreach(linkBucket(versionDir(dir, cur), buildDir, _))
+      // carry still-live delete slices for buckets NOT rewritten this
+      // commit (a rewrite APPLIES its buckets' deletes; an overwrite
+      // starts from nothing)
+      if (!overwrite) linkDvCarry(curDir, buildDir, rewritten)
+      // per-file write-version manifest — the merge-on-read read side's
+      // "is this file older than that delete" evidence; carried files keep
+      // their original seq, new files stamp `next`
+      writeFileSeq(buildDir, if (overwrite) None else Some(curDir), next)
       // A remnant final-named change dir for `next` can only predate this
       // commit (publication always happens after the flip, so a live one
       // would imply pointer >= next). Clear it BEFORE the flip — after the
@@ -1004,12 +1290,16 @@ object GraftStore {
     recoverChangelog(dir)
     val cur = currentVersion(dir)
     val curDir = versionDir(dir, cur)
-    val fragmented = bucketDirs(curDir).filter { b =>
+    // fragmented by file count, plus every bucket carrying live merge-on-
+    // read delete slices: compaction rewrites them from the DV-applied
+    // read, so OPTIMIZE is also the operation that returns a 'mor' table
+    // to plain scans (no probe, restored agg pushdown / exact stats)
+    val fragmented = (bucketDirs(curDir).filter { b =>
       listDir(Paths.get(curDir, s"$BucketCol=$b"))(
         _.count(f => Files.isRegularFile(f) &&
           !f.getFileName.toString.startsWith(".") &&
           !f.getFileName.toString.startsWith("_"))) > maxFilesPerBucket
-    }.toSet
+    } ++ dvBuckets(curDir)).toSet
     if (fragmented.isEmpty) return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
@@ -1045,6 +1335,11 @@ object GraftStore {
       writer.partitionBy(BucketCol).parquet(buildDir)
       (bucketDirs(curDir).toSet -- fragmented)
         .foreach(linkBucket(curDir, buildDir, _))
+      // every DV-carrying bucket is in `fragmented`, so no delete slice
+      // survives compaction; file seqs: carried keep theirs, rewrites
+      // stamp `next` (≥ any dseq — stale entries could never match even
+      // if one leaked)
+      writeFileSeq(buildDir, Some(curDir), next)
       GraftStats.writeManifest(buildDir, Some(curDir))
       writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
       verifyClaim(marker, token)
@@ -1112,6 +1407,7 @@ object GraftStore {
         .withColumn(BucketCol, bucketExpr(physKeys, newBuckets))
         .repartition(newBuckets, col(BucketCol))
         .write.partitionBy(BucketCol).parquet(buildDir)
+      writeFileSeq(buildDir, None, next) // every file rewritten (DVs applied)
       GraftStats.writeManifest(buildDir, None) // every file rewritten
       writeBucketMarker(buildDir, newBuckets)
       withMetaLock(dir) {
@@ -1159,6 +1455,11 @@ object GraftStore {
       deleteRecursively(Paths.get(buildDir))
       Files.createDirectories(Paths.get(buildDir))
       bucketDirs(srcV).foreach(b => linkBucket(srcV, buildDir, b))
+      // the restored state includes the target's live delete slices and
+      // file seqs verbatim — a merge-on-read version restores to exactly
+      // the rows it read as
+      linkDvCarry(srcV, buildDir, Set.empty)
+      writeFileSeq(buildDir, Some(srcV), next)
       GraftStats.writeManifest(buildDir, Some(srcV))
       writeBucketMarker(buildDir, layoutBuckets(dir, toVersion, meta))
       writeBoundaryMarker(buildDir) // restore = snapshot boundary for CDC

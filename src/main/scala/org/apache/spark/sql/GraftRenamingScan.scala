@@ -503,7 +503,10 @@ final class GraftRenamingScan(delegate: Scan,
           if (vd.startsWith("file:"))
             java.nio.file.Paths.get(java.net.URI.create(vd)).toString
           else vd
-        graft.sources.GraftStats.manifestRowCount(local)
+        // live merge-on-read delete slices: footer counts include dead
+        // rows — keep the delegate's conservative estimate instead
+        if (graft.sources.GraftStore.hasLiveDv(local)) None
+        else graft.sources.GraftStats.manifestRowCount(local)
       }
     exact match {
       case None => base

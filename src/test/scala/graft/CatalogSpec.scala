@@ -1171,10 +1171,14 @@ class CatalogSpec extends SparkTestBase {
     spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")
     assert(rows("t_cldst") === Seq((1L, "a", 0L), (2L, "b", 21L)))
     assert(rows(t) === Seq((1L, "a", 10L)))
-    // clone meta is a full copy: merge key, fan-out, fresh history
+    // clone meta is a full copy: merge key, fan-out. History CONTINUES
+    // the source's numbering (base = src's v2, first write = v3): file
+    // and delete-slice sequence numbers are version numbers, so a clone
+    // restarting at 0 would commit deletes with seqs below its carried
+    // files and they would silently stop applying.
     val dm = GraftStore.readMeta(s"$warehouse/t_cldst")
     assert(dm.keyCols === Seq("k") && dm.buckets === 4)
-    assert(GraftStore.currentVersion(s"$warehouse/t_cldst") === 1L)
+    assert(GraftStore.currentVersion(s"$warehouse/t_cldst") === 3L)
     // cloning onto an existing table is rejected
     val e = intercept[Exception] {
       spark.sql(s"CALL $cat.clone(table => 't_clsrc', target => 't_cldst')")

@@ -1,0 +1,269 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+/** Merge-on-read (merge_mode = 'mor') contract: row-level deltas write
+  * after-images + equality-delete slices instead of rewriting touched
+  * buckets; scans (batch, pruned, streamed, time-traveled) apply the
+  * slices; OPTIMIZE compacts them away; the write-side cap escalates to
+  * copy-on-write. Every behavioral test runs the same DML against a
+  * copy-on-write twin and asserts identical results. */
+class MorSpec extends SparkTestBase {
+
+  private lazy val cat = "morspec"
+  private lazy val warehouse: String = {
+    val p = Files.createTempDirectory("graft_mor_spec")
+    p.toFile.deleteOnExit()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", p.toString)
+    p.toString
+  }
+
+  private def mkTable(name: String, mode: String, buckets: Int = 8): String = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$name")
+    spark.sql(s"""CREATE TABLE $cat.$name
+      (k BIGINT NOT NULL, name STRING, amount BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='$buckets',
+        'merge_mode'='$mode')""")
+    name
+  }
+
+  private def dir(name: String) = s"$warehouse/$name"
+  private def curVdir(name: String) =
+    GraftStore.versionDir(dir(name), GraftStore.currentVersion(dir(name)))
+
+  private def rows(name: String): Seq[(Long, String, Long)] =
+    spark.sql(s"SELECT k, name, amount FROM $cat.$name ORDER BY k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  private def seed(name: String, n: Int = 200): Unit =
+    spark.sql(s"INSERT INTO $cat.$name " +
+      s"SELECT id, concat('n', id), id * 10 FROM range(0, $n)")
+
+  /** Run the same statement template (with %s for the table ref) against a
+    * mor and a cow table, assert identical final contents. */
+  private def twinCheck(base: String, stmts: Seq[String], n: Int = 200)
+      : (String, String) = {
+    val m = mkTable(s"${base}_mor", "mor")
+    val c = mkTable(s"${base}_cow", "cow")
+    seed(m, n); seed(c, n)
+    stmts.foreach { s =>
+      spark.sql(s.format(s"$cat.$m"))
+      spark.sql(s.format(s"$cat.$c"))
+    }
+    assert(rows(m) === rows(c), "mor table diverged from its cow twin")
+    (m, c)
+  }
+
+  test("mor DELETE/UPDATE/MERGE match the cow twin and write delete slices") {
+    val (m, _) = twinCheck("t_dml", Seq(
+      "DELETE FROM %s WHERE k %% 7 = 3",
+      "UPDATE %s SET amount = amount + 1, name = concat(name, '!') WHERE k %% 5 = 0",
+      """MERGE INTO %s t USING (SELECT id AS k, concat('m', id) AS name,
+        id AS amount FROM range(150, 260)) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount
+        WHEN NOT MATCHED THEN INSERT (k, name, amount) VALUES (s.k, s.name, s.amount)"""))
+    assert(GraftStore.hasLiveDv(curVdir(m)),
+      "mor deltas should leave live delete slices")
+    assert(GraftStore.dvLiveRows(curVdir(m)) > 0)
+  }
+
+  test("mor delta carries base files instead of rewriting buckets") {
+    val m = mkTable("t_carry", "mor")
+    seed(m, 400)
+    val v1 = curVdir(m)
+    val before = GraftStats.listDataFiles(v1).toSet
+    // a SPREAD update: touches (almost) every bucket — the cow path would
+    // rewrite them all; mor must keep every base file byte-identical
+    spark.sql(s"UPDATE $cat.$m SET amount = 0 WHERE k % 10 = 1")
+    val v2 = curVdir(m)
+    assert(v2 != v1)
+    val after = GraftStats.listDataFiles(v2).toSet
+    assert(before.subsetOf(after),
+      "every pre-delta data file must carry into the mor version")
+    // carried files are HARD LINKS of the originals, not copies
+    val carried = before.head
+    assert(Files.getAttribute(Paths.get(v2, carried), "unix:ino") ===
+      Files.getAttribute(Paths.get(v1, carried), "unix:ino"))
+    // and the file-seq manifest stamps only the new files with v2's number
+    val seqs = GraftStore.readFileSeq(v2)
+    val v2num = GraftStore.currentVersion(dir(m))
+    assert(before.forall(f => seqs(f) < v2num))
+    assert((after -- before).forall(f => seqs(f) == v2num))
+  }
+
+  test("delete then re-insert keeps exactly the re-inserted row") {
+    val (m, _) = twinCheck("t_reins", Seq(
+      "DELETE FROM %s WHERE k IN (5, 6, 7)",
+      "INSERT INTO %s VALUES (6, 'reborn', 600)",
+      "DELETE FROM %s WHERE k = 7"))
+    assert(rows(m).find(_._1 == 6L).map(_._2) === Some("reborn"))
+    assert(!rows(m).exists(r => r._1 == 5L || r._1 == 7L))
+  }
+
+  test("key-moving UPDATE deletes the old key and lands the new") {
+    twinCheck("t_move", Seq(
+      "UPDATE %s SET k = k + 1000 WHERE k IN (3, 4)"))
+  }
+
+  test("pruned projections and aggregates see deletes") {
+    val m = mkTable("t_prune", "mor")
+    seed(m, 100)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k >= 90")
+    // count(*): no columns requested — the probe must still read the keys
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.$m").head.getLong(0) === 90L)
+    // non-key projection: key columns augmented then projected back out
+    val names = spark.sql(s"SELECT name FROM $cat.$m").collect().map(_.getString(0))
+    assert(names.length === 90 && !names.contains("n95"))
+    // key-filter point lookup (bucket pruning path) on a deleted key
+    assert(spark.sql(s"SELECT * FROM $cat.$m WHERE k = 95").count() === 0L)
+    assert(spark.sql(s"SELECT amount FROM $cat.$m WHERE k = 42").head.getLong(0) === 420L)
+  }
+
+  test("OPTIMIZE applies and clears delete slices; contents unchanged") {
+    val m = mkTable("t_opt", "mor")
+    seed(m, 150)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k % 3 = 0")
+    spark.sql(s"UPDATE $cat.$m SET amount = -1 WHERE k % 11 = 1")
+    val before = rows(m)
+    assert(GraftStore.hasLiveDv(curVdir(m)))
+    spark.sql(s"CALL $cat.optimize(`table` => '$m')")
+    assert(!GraftStore.hasLiveDv(curVdir(m)),
+      "optimize must clear every delete slice")
+    assert(rows(m) === before)
+    // post-compaction scans restore the exact manifest row count
+    assert(GraftStats.manifestRowCount(curVdir(m)) === Some(before.size.toLong))
+  }
+
+  test("VERSION AS OF applies the pinned version's slices; restore carries them") {
+    val m = mkTable("t_tt", "mor")
+    seed(m, 50)
+    val v1 = GraftStore.currentVersion(dir(m))
+    spark.sql(s"DELETE FROM $cat.$m WHERE k < 10")
+    val v2 = GraftStore.currentVersion(dir(m))
+    spark.sql(s"INSERT INTO $cat.$m VALUES (5, 'back', 55)")
+    assert(spark.sql(s"SELECT * FROM $cat.$m VERSION AS OF $v1").count() === 50L)
+    assert(spark.sql(s"SELECT * FROM $cat.$m VERSION AS OF $v2").count() === 40L)
+    assert(rows(m).count(_._1 < 10L) === 1)
+    // restore back to the DV-live v2: deletes still apply after restore
+    spark.sql(s"CALL $cat.restore(`table` => '$m', version => $v2)")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.$m").head.getLong(0) === 40L)
+    assert(GraftStore.hasLiveDv(curVdir(m)))
+  }
+
+  test("delete-set cap escalates to a clearing copy-on-write rewrite") {
+    val prev = sys.props.get("graft.store.morMaxLiveDeletes")
+    sys.props("graft.store.morMaxLiveDeletes") = "10"
+    try {
+      val m = mkTable("t_cap", "mor")
+      seed(m, 100)
+      spark.sql(s"DELETE FROM $cat.$m WHERE k IN (1, 2, 3)") // 3 <= 10: mor
+      assert(GraftStore.hasLiveDv(curVdir(m)))
+      spark.sql(s"DELETE FROM $cat.$m WHERE k >= 80") // 3 + 20 > 10: escalate
+      assert(!GraftStore.hasLiveDv(curVdir(m)),
+        "over-cap commit must clear every slice via the cow rewrite")
+      assert(spark.sql(s"SELECT count(*) AS c FROM $cat.$m").head.getLong(0) === 77L)
+    } finally prev match {
+      case Some(v) => sys.props("graft.store.morMaxLiveDeletes") = v
+      case None => sys.props.remove("graft.store.morMaxLiveDeletes")
+    }
+  }
+
+  test("changelog (CDC) is identical across merge modes") {
+    val (m, c) = twinCheck("t_cdc", Seq(
+      "DELETE FROM %s WHERE k %% 4 = 2",
+      "UPDATE %s SET amount = amount * 2 WHERE k < 20"), n = 60)
+    def changes(t: String) = spark.sql(
+      s"""SELECT change_version - (SELECT min(change_version)
+           FROM $cat.`$t$$changes`) AS rel_v,
+          change_op, k, name, amount, change_before.k AS bk,
+          change_before.amount AS bamount
+          FROM $cat.`$t$$changes` ORDER BY rel_v, change_op, k""").collect().toSeq
+    assert(changes(m) === changes(c),
+      "merge-on-read must produce byte-identical CDC to copy-on-write")
+  }
+
+  test("shallow clone of a DV-live table; further deletes on the clone apply") {
+    val m = mkTable("t_clone_src", "mor")
+    seed(m, 40)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k < 5")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_clone_dst")
+    spark.sql(s"CALL $cat.clone(`table` => '$m', target => 't_clone_dst')")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t_clone_dst").head.getLong(0) === 35L)
+    // the clone CONTINUES the source's version numbering so carried seqs
+    // keep their meaning; a fresh delete must land above them and apply
+    spark.sql(s"DELETE FROM $cat.t_clone_dst WHERE k BETWEEN 10 AND 14")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t_clone_dst").head.getLong(0) === 30L)
+    // and the source is untouched
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.$m").head.getLong(0) === 35L)
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES flips merge_mode") {
+    val m = mkTable("t_flip", "cow")
+    seed(m, 30)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k = 1") // cow delta
+    assert(!GraftStore.hasLiveDv(curVdir(m)))
+    spark.sql(s"ALTER TABLE $cat.$m SET TBLPROPERTIES('merge_mode'='mor')")
+    spark.sql(s"DELETE FROM $cat.$m WHERE k = 2") // mor delta
+    assert(GraftStore.hasLiveDv(curVdir(m)))
+    spark.sql(s"ALTER TABLE $cat.$m SET TBLPROPERTIES('merge_mode'='cow')")
+    // back to cow: the delta rewrite carries the untouched buckets' slices
+    spark.sql(s"DELETE FROM $cat.$m WHERE k = 3")
+    assert(rows(m).map(_._1).take(3) === Seq(0L, 4L, 5L))
+    val bad = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.$m SET TBLPROPERTIES('merge_mode'='nope')"))
+    assert(bad.getMessage.contains("merge_mode"))
+  }
+
+  test("RENAME COLUMN on a DV-live table still applies deletes") {
+    val m = mkTable("t_ren", "mor")
+    seed(m, 30)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k % 2 = 0")
+    spark.sql(s"ALTER TABLE $cat.$m RENAME COLUMN amount TO amt")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.$m").head.getLong(0) === 15L)
+    assert(spark.sql(s"SELECT amt FROM $cat.$m WHERE k = 3").head.getLong(0) === 30L)
+    // rename a MERGE KEY column, then delete through the new name
+    spark.sql(s"ALTER TABLE $cat.$m RENAME COLUMN k TO id")
+    spark.sql(s"DELETE FROM $cat.$m WHERE id = 3")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.$m").head.getLong(0) === 14L)
+  }
+
+  test("rebucket on a DV-live table applies and clears slices") {
+    val m = mkTable("t_rb", "mor")
+    seed(m, 60)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k % 6 = 0")
+    val before = rows(m)
+    spark.sql(s"CALL $cat.rebucket(`table` => '$m', buckets => 16)")
+    assert(!GraftStore.hasLiveDv(curVdir(m)))
+    assert(rows(m) === before)
+    // point lookup prunes under the new fan-out and sees mor deletes
+    spark.sql(s"ALTER TABLE $cat.$m SET TBLPROPERTIES('merge_mode'='mor')")
+    spark.sql(s"DELETE FROM $cat.$m WHERE k = 7")
+    assert(spark.sql(s"SELECT * FROM $cat.$m WHERE k = 7").count() === 0L)
+  }
+
+  test("streaming table read snapshots a DV-live version without dead rows") {
+    val m = mkTable("t_stream", "mor")
+    seed(m, 25)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k >= 20")
+    val q = spark.readStream.table(s"$cat.$m")
+      .writeStream.format("memory").queryName("mor_stream_snap")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val got = spark.sql("SELECT k FROM mor_stream_snap ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (0L until 20L))
+  }
+
+  test("merge-on-read rejects non-atomic merge keys") {
+    warehouse
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.t_badkey (k ARRAY<INT> NOT NULL, v STRING)
+          USING graft TBLPROPERTIES ('merge_key'='k', 'merge_mode'='mor')"""))
+    assert(e.getMessage.contains("atomic"))
+  }
+}
