@@ -29,10 +29,14 @@ def gen_sequence(idx):
     state = {}           # k -> (name, amount)
     used = set()
     changes = []         # (version, op) counts per committed statement
+    # merge-on-read must be semantically invisible: the SAME model covers
+    # both modes (identical contents AND identical changelog); half the
+    # programs start 'mor' and a set_mode template flips it mid-program
+    mode = rng.choice(["cow", "mor"])
     stmts = [f"DROP TABLE IF EXISTS graftdml.{t}",
              f"CREATE TABLE graftdml.{t} (k BIGINT NOT NULL, name STRING, "
              f"amount BIGINT) USING graft TBLPROPERTIES "
-             f"('merge_key'='k', 'buckets'='4')"]
+             f"('merge_key'='k', 'buckets'='4', 'merge_mode'='{mode}')"]
     version = 0
     altered = 0          # extra columns added so far
     renamed = 0          # rename counter (fresh logical names)
@@ -51,21 +55,27 @@ def gen_sequence(idx):
         return ks
 
     def commit(ops):
-        nonlocal version
+        nonlocal version, dv_live
         version += 1
         counts = {}
         for op in ops:
             counts[op] = counts.get(op, 0) + 1
         changes.append((version, counts))
-        history[version] = (dict(state), n_drops, buckets)
+        # a merge-on-read commit with any removed key (op U or D) writes a
+        # live equality-delete slice instead of rewriting buckets
+        if mode == "mor" and any(op in ("U", "D") for op in ops):
+            dv_live = True
+        history[version] = (dict(state), n_drops, buckets, dv_live)
 
     buckets = 4          # fan-out of the CURRENT layout (restore rolls it back)
     meta_buckets = 4     # declared fan-out in _meta.json (restore does NOT)
+    dv_live = False      # live merge-on-read delete slices in CURRENT version
     # snapshots for the restore template: version -> (dict(state), n_drops
-    # performed so far, layout fan-out). A restore to a pre-DROP snapshot
-    # reads the string column as NULL (tombstoned physical column never
-    # resurrects); a restore across a rebucket brings back the OLD layout.
-    history = {0: ({}, 0, 4)}
+    # performed so far, layout fan-out, dv_live). A restore to a pre-DROP
+    # snapshot reads the string column as NULL (tombstoned physical column
+    # never resurrects); a restore across a rebucket brings back the OLD
+    # layout; a restore to a DV-live version brings back its slices.
+    history = {0: ({}, 0, 4, False)}
     n_drops = 0
     n_stmt = rng.randint(5, 9)
     for _ in range(n_stmt):
@@ -73,7 +83,16 @@ def gen_sequence(idx):
                            "delete", "overwrite", "keymove", "alter",
                            "optimize", "expire_changes", "expire_versions",
                            "rename", "rename", "drop_readd", "rebucket",
-                           "merge_nmbs", "restore", "replace_where"])
+                           "merge_nmbs", "restore", "replace_where",
+                           "set_mode"])
+        if kind == "set_mode":
+            # meta-only flip, effective from the NEXT row-level commit;
+            # existing delete slices stay valid either way (a cow rewrite
+            # carries/applies them like any other commit)
+            mode = "mor" if mode == "cow" else "cow"
+            stmts.append(f"ALTER TABLE graftdml.{t} SET TBLPROPERTIES "
+                         f"('merge_mode'='{mode}')")
+            continue
         if kind == "replace_where":
             # predicate-scoped atomic overwrite: delete the amount > cut
             # region, upsert fresh-key rows — ONE commit, D + U change rows
@@ -105,13 +124,14 @@ def gen_sequence(idx):
             v = rng.choice(cands)
             stmts.append(f"CALL graftdml.restore('{t}', {v})")
             if v != version:
-                snap, era, snap_buckets = history[v]
+                snap, era, snap_buckets, snap_dv = history[v]
                 state.clear()
                 for k, (nm, a) in snap.items():
                     state[k] = (None if n_drops > era else nm, a)
                 buckets = snap_buckets  # layout rolls back; meta does not
+                dv_live = snap_dv       # the target's slices come back verbatim
                 version += 1
-                history[version] = (dict(state), n_drops, buckets)
+                history[version] = (dict(state), n_drops, buckets, dv_live)
             continue
         if kind == "rebucket":
             # layout-only fan-out change: one version bump, NO change rows,
@@ -124,8 +144,9 @@ def gen_sequence(idx):
             if not (target == buckets and target == meta_buckets):
                 buckets = target
                 meta_buckets = target
+                dv_live = False  # rebucket rewrites everything, DVs applied
                 version += 1
-                history[version] = (dict(state), n_drops, buckets)
+                history[version] = (dict(state), n_drops, buckets, dv_live)
             continue
         if kind == "merge_nmbs":
             # the third MERGE branch: target-only rows (NOT MATCHED BY
@@ -236,9 +257,13 @@ def gen_sequence(idx):
             stmts.append(
                 f"CALL graftdml.optimize(table => '{t}', "
                 f"max_files_per_bucket => 0{extra})")
-            if state:
+            # commits iff any bucket has files: live rows, OR dead rows
+            # still on disk under live delete slices (which optimize is
+            # also the operation that folds away)
+            if state or dv_live:
+                dv_live = False
                 version += 1
-                history[version] = (dict(state), n_drops, buckets)
+                history[version] = (dict(state), n_drops, buckets, dv_live)
             continue
         if kind == "expire_versions":
             stmts.append(f"CALL graftdml.expire_versions('{t}', 3)")  # content no-op
@@ -259,8 +284,9 @@ def gen_sequence(idx):
             state.clear()
             for k, n, a in rows:
                 state[k] = (n, a)
+            dv_live = False  # an overwrite carries nothing over
             version += 1  # the overwrite commit: no change rows
-            history[version] = (dict(state), n_drops, buckets)
+            history[version] = (dict(state), n_drops, buckets, dv_live)
             continue
         if kind == "insert" or not state:
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))
