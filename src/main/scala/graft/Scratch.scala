@@ -246,6 +246,56 @@ object Scratch {
       }
       state.unpersist()
     }
+    // merge-on-read vs copy-on-write on the documented worst case: a
+    // FIXED 5k-key change batch whose keys spread across every bucket.
+    // CoW must grow with the table (rewrites all 64 buckets); MoR must
+    // stay ~flat (after-images + one delete slice, O(changed rows)). Also
+    // measured: the read-side tax while slices are live, and OPTIMIZE
+    // folding them away.
+    for (k <- Seq(1, 10, 100) if want("mor")) {
+      val cat = s"gmor$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_mor").toString)
+      val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id"))
+      // a ~256 B payload per row gives the copy-on-write rewrite real
+      // bytes to move — without it the whole 1M-key table is ~8 MB and
+      // every commit is overhead-bound, hiding the shape under test
+      val state = ev.groupBy($"event_id".as("k"))
+        .agg(max(round($"value" * 100).cast("long")).as("cents"))
+        .withColumn("pay", lpad(conv($"k" * 2654435761L, 10, 16), 256, "x"))
+        .cache()
+      val n = state.count()
+      state.createOrReplaceTempView(s"mor_src_$k")
+      spark.sql(s"SELECT k, cents + 1 AS cents FROM mor_src_$k " +
+        "ORDER BY k LIMIT 5000").cache()
+        .createOrReplaceTempView(s"mor_chg_$k")
+      spark.sql(s"SELECT COUNT(*) FROM mor_chg_$k").head() // materialize
+      for (mode <- Seq("cow", "mor")) {
+        spark.sql(s"CREATE TABLE $cat.t_$mode (k BIGINT NOT NULL, " +
+          "cents BIGINT, pay STRING) USING graft TBLPROPERTIES " +
+          s"('merge_key'='k', 'buckets'='64', 'merge_mode'='$mode')")
+        spark.sql(s"INSERT INTO $cat.t_$mode SELECT * FROM mor_src_$k")
+        time(f"mor x$k%3d ($n%9d keys) MERGE 5k spread updates ($mode)") {
+          spark.sql(s"MERGE INTO $cat.t_$mode x USING mor_chg_$k s " +
+            "ON x.k = s.k WHEN MATCHED THEN UPDATE SET cents = s.cents")
+        }
+        time(f"mor x$k%3d ($n%9d keys) full scan after merge ($mode)") {
+          spark.sql(s"SELECT COUNT(*), SUM(cents) FROM $cat.t_$mode").head()
+        }
+        time(f"mor x$k%3d ($n%9d keys) point lookup after merge ($mode)") {
+          spark.sql(s"SELECT * FROM $cat.t_$mode WHERE k = 4242").count()
+        }
+      }
+      time(f"mor x$k%3d ($n%9d keys) OPTIMIZE folds the delete slices") {
+        spark.sql(s"CALL $cat.optimize(table => 't_mor')")
+      }
+      time(f"mor x$k%3d ($n%9d keys) full scan after optimize (mor)") {
+        spark.sql(s"SELECT COUNT(*), SUM(cents) FROM $cat.t_mor").head()
+      }
+      state.unpersist()
+    }
     for (k <- Seq(1, 4, 16) if want("lineitem")) {
       val li = replicate(Tables.lineitem(spark, d), k, Seq("l_orderkey")).cache()
       val n = li.count()

@@ -609,6 +609,24 @@ object GraftStore {
     * directly. Cost: one small job over the (cap-bounded) delete slices.
     * None when the version has no live deletes. */
   def loadDvProbe(spark: SparkSession, vdir: String, meta: GraftTableMeta)
+      : Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])] = {
+    // version dirs are immutable once published and the physical key
+    // names never change (renames are logical-only), so the probe caches
+    // per directory — scans against a DV-live version pay the slice-read
+    // job ONCE, not once per query
+    val cached = dvProbeCache.get(vdir)
+    if (cached != null) return cached
+    val computed = loadDvProbeUncached(spark, vdir, meta)
+    if (dvProbeCache.size > 64) dvProbeCache.clear()
+    dvProbeCache.put(vdir, computed)
+    computed
+  }
+
+  private val dvProbeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])]]()
+
+  private def loadDvProbeUncached(spark: SparkSession, vdir: String,
+      meta: GraftTableMeta)
       : Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])] =
     readDv(spark, vdir).map { dv =>
       val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
