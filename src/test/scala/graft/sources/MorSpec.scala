@@ -259,6 +259,35 @@ class MorSpec extends SparkTestBase {
     assert(got === (0L until 20L))
   }
 
+  test("streaming upsert into a mor table writes delete slices, not rewrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val m = mkTable("t_up_mor", "mor")
+    seed(m, 50)
+    val baseFiles = GraftStats.listDataFiles(curVdir(m)).toSet
+    val ckpt = Files.createTempDirectory("graft_mor_upsert_ckpt").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDS().toDF("k", "name", "amount")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("upsert", "true").toTable(s"$cat.$m")
+    try {
+      // epoch 1 updates existing keys; epoch 2 mixes update + fresh insert
+      in.addData((1L, "u1", 111L), (2L, "u2", 222L)); q.processAllAvailable()
+      in.addData((1L, "u1b", 112L), (60L, "new", 600L)); q.processAllAvailable()
+    } finally q.stop()
+    val vdir = curVdir(m)
+    // upsert epochs took the merge-on-read path: slices live, every base
+    // file carried untouched through both commits
+    assert(GraftStore.hasLiveDv(vdir), "upsert epochs wrote no delete slice")
+    assert(baseFiles.subsetOf(GraftStats.listDataFiles(vdir).toSet),
+      "an upsert epoch rewrote base bucket files")
+    val got = rows(m).filter(r => r._1 == 1 || r._1 == 2 || r._1 >= 50)
+    assert(got === Seq((1L, "u1b", 112L), (2L, "u2", 222L), (60L, "new", 600L)))
+    // the newest update wins over the epoch-1 slice for the same key
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$m").head().getLong(0) === 51L)
+  }
+
   test("merge-on-read rejects non-atomic merge keys") {
     warehouse
     val e = intercept[Exception](spark.sql(
