@@ -10,7 +10,11 @@ rebucket — then runs `verify`, which checks: contiguous versions, no
 orphan claims, no duplicate keys, live contents == the union of what
 every writer recorded as committed, and changelog replay from v0 == live.
 
-Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash]
+Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor]
+
+--mor creates the table with merge_mode='mor' so every upsert commits a
+merge-on-read delete slice instead of rewriting buckets — the identical
+verifier proves the mode invisible under cross-process interleaving.
 
 --crash adds CRASH INJECTION: after a warm-up, a random subset of writers
 is SIGKILLed mid-commit (claims shortened to 3 s via the
@@ -24,8 +28,9 @@ Requires `sbt -batch compile` to have populated target/scala-2.13/classes.
 """
 import glob, os, random, signal, subprocess, sys, tempfile, time
 
-args = [a for a in sys.argv[1:] if a != "--crash"]
+args = [a for a in sys.argv[1:] if a not in ("--crash", "--mor")]
 crash = "--crash" in sys.argv[1:]
+mor = "--mor" in sys.argv[1:]
 n_writers = int(args[0]) if len(args) > 0 else 3
 n_ops = int(args[1]) if len(args) > 1 else 12
 seed = int(args[2]) if len(args) > 2 else 7
@@ -50,7 +55,7 @@ def run(args, **kw):
     return subprocess.run(java + args, capture_output=True, text=True,
                           timeout=900, **kw)
 
-r = run(["init", table])
+r = run(["init", table] + (["mor"] if mor else []))
 if "[multiwriter] init ok" not in r.stdout:
     print(r.stdout[-2000:]); print(r.stderr[-2000:])
     sys.exit("init failed")

@@ -20,6 +20,52 @@ object Bench {
       expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("apx_q"))
   }
 
+  /** Bench-only: the s11 DML statement sequence against a
+    * merge_mode='mor' twin table — the direct copy-on-write / merge-on-read
+    * A/B the driver tracks per round (compare to s11_sql_dml's number).
+    * The MERGE/UPDATE/DELETE statements commit equality-delete slices
+    * instead of rewriting touched buckets, and the final read goes
+    * through the live slices. No oracle form on purpose: flow
+    * correctness is s26_merge_on_read's gate; this measures the
+    * operator. */
+  private def morDmlOnly(spark: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    operators.DmlFixture.register(spark)
+    val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val ev = Tables.events(spark, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id")).agg(max_by(
+        struct(col("event_id"), col("event_type"), col("cents")),
+        struct(col("ts"), col("event_id"))).as("r"))
+    latest(ev.filter(col("ts") < cutoff && col("user_id") % 3 =!= 0))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.cents").as("cents"))
+      .createOrReplaceTempView("bm_base")
+    latest(ev.filter(col("ts") >= cutoff && col("user_id") % 5 =!= 1))
+      .select(col("user_id"), col("r.event_id").as("c_event"),
+        col("r.cents").as("c_cents"),
+        when(col("r.event_type") === "purchase", "delete")
+          .otherwise("upsert").as("op"))
+      .createOrReplaceTempView("bm_chg")
+    spark.sql("DROP TABLE IF EXISTS graftdml.bench_mor")
+    spark.sql("""CREATE TABLE graftdml.bench_mor
+      (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8',
+        'merge_mode'='mor')""")
+    spark.sql("INSERT INTO graftdml.bench_mor SELECT user_id, event_id, cents FROM bm_base")
+    spark.sql("""MERGE INTO graftdml.bench_mor t USING bm_chg c
+      ON t.user_id = c.user_id
+      WHEN MATCHED AND c.op = 'delete' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET event_id = c.c_event, cents = c.c_cents
+      WHEN NOT MATCHED AND c.op <> 'delete' THEN
+        INSERT (user_id, event_id, cents) VALUES (c.user_id, c.c_event, c.c_cents)""")
+    spark.sql("UPDATE graftdml.bench_mor SET cents = cents + 100 WHERE user_id % 7 = 0")
+    spark.sql("DELETE FROM graftdml.bench_mor WHERE cents < 500")
+    spark.sql("SELECT user_id, event_id, cents FROM graftdml.bench_mor")
+  }
+
   /** Bench-only: d1's 100 TB path — the single no-Expand sketch aggregate
     * without the exact-distinct verification side the d1/d1_sketch_profile
     * gates carry. Same rationale as a3SketchOnly: measure the operator a
@@ -49,7 +95,8 @@ object Bench {
     val benched: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       SparkEntry.benchNames.map(n => n -> SparkEntry.queries(n)) :+
         ("a3_sketch_only" -> (a3SketchOnly _)) :+
-        ("d1_sketch_only" -> (d1SketchOnly _))
+        ("d1_sketch_only" -> (d1SketchOnly _)) :+
+        ("s26_mor_dml_only" -> (morDmlOnly _))
     benched.foreach { case (_, build) =>
       try build(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }

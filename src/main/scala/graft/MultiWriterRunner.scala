@@ -56,7 +56,12 @@ object MultiWriterRunner {
 
   def main(args: Array[String]): Unit = args(0) match {
     case "init" =>
-      GraftStore.create(args(1), GraftTableMeta(schema, Seq("k"), buckets = 4))
+      // optional 3rd arg: merge mode — 'mor' runs the whole multi-process
+      // interleaving through merge-on-read delete-slice commits (same
+      // verifier: mor must be invisible to contents AND changelog replay)
+      val mode = if (args.length > 2) args(2) else "cow"
+      GraftStore.create(args(1),
+        GraftTableMeta(schema, Seq("k"), buckets = 4, mergeMode = mode))
       println("[multiwriter] init ok")
     case "write" =>
       write(args(1), args(2).toInt, args(3).toInt, args(4).toLong, args(5))

@@ -471,7 +471,8 @@ final class GraftVersionsTable(tableName: String, dir: String)
     StructField("n_files", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("has_changelog", BooleanType, nullable = false),
-    StructField("is_boundary", BooleanType, nullable = false)))
+    StructField("is_boundary", BooleanType, nullable = false),
+    StructField("live_deletes", LongType, nullable = false)))
 
   override def name(): String = tableName
   override def schema(): StructType = schema0
@@ -493,12 +494,17 @@ final class GraftVersionsTable(tableName: String, dir: String)
           // `n_buckets` = non-empty bucket dirs it actually has;
           // `committed_at` = the stamp TIMESTAMP AS OF resolves against;
           // `is_boundary` = restore/truncate/overwrite snapshot boundary
-          // (a CDC fold may not cross it — the stream fails loudly there)
+          // (a CDC fold may not cross it — the stream fails loudly there);
+          // `live_deletes` = merge-on-read delete rows still applied at
+          // scan time (0 on a compacted or copy-on-write version — the
+          // operator signal for scheduling OPTIMIZE; footer counts only,
+          // cap-bounded by the write side)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](v, v == cur, GraftStore.committedAt(dir, v) * 1000L,
               GraftStore.layoutBuckets(dir, v, meta),
               nb, nf, bytes, GraftStore.hasChangelog(dir, v),
-              GraftStore.isBoundary(dir, v)))
+              GraftStore.isBoundary(dir, v),
+              GraftStore.dvLiveRows(GraftStore.versionDir(dir, v))))
         }.toArray
       }
     }

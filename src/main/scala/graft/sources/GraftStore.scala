@@ -1079,15 +1079,6 @@ object GraftStore {
       // the reader's probe set can never exceed the cap).
       val morRequested = meta.mergeMode == "mor" && !allInserts &&
         !overwrite && touched.nonEmpty
-      val newRemoveRows =
-        if (morRequested)
-          ch.filter(col(OpCol).isin("U", "D"))
-            .select(meta.keyCols.map(col): _*).distinct().count()
-        else 0L
-      val mor = morRequested &&
-        dvLiveRows(curDir) + newRemoveRows <= morMaxLiveDeletes
-      val touchedAll =
-        if (morRequested && !mor) touched ++ dvBuckets(curDir) else touched
 
       // Changelog leg: persist the change batch itself, one immutable dir
       // per version. Written to a dot-prefixed STAGING dir now and renamed
@@ -1155,6 +1146,27 @@ object GraftStore {
       // coalesces a small batch to a handful of tasks and skew-splits a
       // huge bucket into target-sized ones (so bucket count never caps
       // write parallelism the way a plain repartition(buckets) would).
+      // the copy-on-write rewrite: anti-join removed keys out of the kept
+      // buckets, union the after-images, write the whole touched set.
+      // `buckets` ⊇ the change batch's touched set; under delete-cap
+      // escalation it also folds in every DV-carrying bucket, whose
+      // (merge-on-read-applied) live rows re-materialize plainly —
+      // clearing the slices.
+      def cowRewrite(rewriteBuckets: Set[Int]): Set[Int] = {
+        val removes = ch.filter(col(OpCol).isin("U", "D"))
+          .select(meta.keyCols.map(col): _*).distinct()
+        val adds = ch.filter(col(OpCol).isin("I", "U"))
+          .select((cols :+ BucketCol).map(col): _*)
+        val keptBase = readVersion(spark, dir, cur)
+          .filter(col(BucketCol).isin(rewriteBuckets.toSeq: _*))
+        val kept = keptBase.join(removes, meta.keyCols, "left_anti")
+          .select((cols :+ BucketCol).map(col): _*)
+        toPhysical(kept.unionByName(adds), meta.schema)
+          .hint("rebalance", col(BucketCol))
+          .write.partitionBy(BucketCol).parquet(buildDir)
+        rewriteBuckets
+      }
+
       val dataLeg: () => Set[Int] = () =>
         if (allInserts) {
           // unconditional write: an empty batch produces an empty version
@@ -1164,39 +1176,41 @@ object GraftStore {
             .hint("rebalance", col(BucketCol))
             .write.partitionBy(BucketCol).parquet(buildDir)
           Set.empty
-        } else if (mor) {
+        } else if (morRequested) {
           // merge-on-read: after-images land like an append; removed keys
           // land as an equality-delete slice under _dv/dseq=<next>. Every
           // base bucket (and every still-live older slice) hard-links over
           // — the commit writes O(changed rows), never O(touched buckets).
+          // The cap decision is made AFTER the slice write from its parquet
+          // footers (free metadata reads) instead of a separate count job —
+          // the common path pays zero extra passes over the change batch;
+          // only the rare over-cap commit discards this small staged write
+          // and escalates.
           toPhysical(ch.filter(col(OpCol).isin("I", "U"))
               .select((cols :+ BucketCol).map(col): _*), meta.schema)
             .hint("rebalance", col(BucketCol))
             .write.partitionBy(BucketCol).parquet(buildDir)
-          if (newRemoveRows > 0)
-            toPhysical(ch.filter(col(OpCol).isin("U", "D"))
-                .select((meta.keyCols :+ BucketCol).map(col): _*).distinct(),
-                meta.schema)
-              .hint("rebalance", col(BucketCol))
-              .write.partitionBy(BucketCol)
-              .parquet(s"$buildDir/$DvDirName/$DvSeqCol=$next")
-          Set.empty
-        } else if (touchedAll.nonEmpty) {
-          val removes = ch.filter(col(OpCol).isin("U", "D"))
-            .select(meta.keyCols.map(col): _*).distinct()
-          val adds = ch.filter(col(OpCol).isin("I", "U"))
-            .select((cols :+ BucketCol).map(col): _*)
-          // touchedAll ⊇ touched: under delete-cap escalation the rewrite
-          // also folds in every DV-carrying bucket, whose (merge-on-read-
-          // applied) live rows re-materialize plainly — clearing the slices
-          val keptBase = readVersion(spark, dir, cur)
-            .filter(col(BucketCol).isin(touchedAll.toSeq: _*))
-          val kept = keptBase.join(removes, meta.keyCols, "left_anti")
-            .select((cols :+ BucketCol).map(col): _*)
-          toPhysical(kept.unionByName(adds), meta.schema)
+          toPhysical(ch.filter(col(OpCol).isin("U", "D"))
+              .select((meta.keyCols :+ BucketCol).map(col): _*).distinct(),
+              meta.schema)
             .hint("rebalance", col(BucketCol))
-            .write.partitionBy(BucketCol).parquet(buildDir)
-          touchedAll
+            .write.partitionBy(BucketCol)
+            .parquet(s"$buildDir/$DvDirName/$DvSeqCol=$next")
+          val newRemoveRows = dvLiveRows(buildDir)
+          if (dvLiveRows(curDir) + newRemoveRows <= morMaxLiveDeletes) {
+            if (newRemoveRows == 0) // nothing removed: no slice to keep
+              deleteRecursively(Paths.get(dvRoot(buildDir)))
+            Set.empty
+          } else {
+            // escalate: discard the staged merge-on-read build and rewrite
+            // (touched ∪ every DV-carrying bucket) copy-on-write, applying
+            // and clearing all slices in one claimed commit — the
+            // LSM-style bound keeping the reader's probe set under the cap
+            deleteRecursively(Paths.get(buildDir))
+            cowRewrite(touched ++ dvBuckets(curDir))
+          }
+        } else if (touched.nonEmpty) {
+          cowRewrite(touched)
         } else {
           Files.createDirectories(Paths.get(buildDir))
           Set.empty

@@ -130,9 +130,15 @@ class MorSpec extends SparkTestBase {
     spark.sql(s"UPDATE $cat.$m SET amount = -1 WHERE k % 11 = 1")
     val before = rows(m)
     assert(GraftStore.hasLiveDv(curVdir(m)))
+    // the operator signal: t$versions surfaces the live delete-row count
+    def liveDeletes(): Long = spark.sql(
+      s"SELECT live_deletes FROM $cat.`$m$$versions` WHERE is_current")
+      .head().getLong(0)
+    assert(liveDeletes() > 0L)
     spark.sql(s"CALL $cat.optimize(`table` => '$m')")
     assert(!GraftStore.hasLiveDv(curVdir(m)),
       "optimize must clear every delete slice")
+    assert(liveDeletes() === 0L)
     assert(rows(m) === before)
     // post-compaction scans restore the exact manifest row count
     assert(GraftStats.manifestRowCount(curVdir(m)) === Some(before.size.toLong))
