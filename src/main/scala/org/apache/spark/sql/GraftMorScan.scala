@@ -133,13 +133,12 @@ final class GraftMorScan(delegate: Scan, requested: Option[StructType],
     private val maxDseq: Map[Int, Long] =
       dv.map { case (b, m) => b -> m.values.max }
 
-    override def planInputPartitions(): Array[InputPartition] = planned
-
-    // Spark's PARTITION_DEFINED columnar mode refuses a plan that mixes
-    // columnar and row partitions, so the whole scan drops to row-based
-    // reads whenever ANY bucket needs delete filtering — a transient cost
-    // (optimize clears the slices and the wrapper disappears entirely).
-    private lazy val planned: Array[InputPartition] = {
+    // Planned FRESH on every call — BatchScanExec re-plans after a
+    // runtime filter lands (SupportsRuntimeV2Filtering), and a cached
+    // plan would silently hand DPP the pre-filter file set. Fresh
+    // planning stays consistent with the constant reader factory because
+    // runtime filters only ever REMOVE files.
+    override def planInputPartitions(): Array[InputPartition] = {
       val parts = innerBatch.planInputPartitions()
       require(parts.forall(_.isInstanceOf[FilePartition]),
         s"merge-on-read scan expected file partitions, got " +
@@ -192,9 +191,15 @@ final class GraftMorScan(delegate: Scan, requested: Option[StructType],
         case Some(r) if r.length != innerSchema.length => Some(r)
         case _ => None
       }
+      // Spark's PARTITION_DEFINED columnar mode refuses a plan that mixes
+      // columnar and row partitions, so the whole scan reads row-based
+      // while the wrapper is active (it only installs when delete slices
+      // exist, and a fresh mor commit's base files always need filtering).
+      // A constant decision also keeps the factory consistent with any
+      // runtime-filtered re-plan. Transient: optimize clears the slices
+      // and the wrapper disappears entirely.
       new GraftMorReaderFactory(innerBatch.createReaderFactory(),
-        keyOrdinals, keyTypes, keepCols,
-        forceRowBased = planned.exists(_.isInstanceOf[GraftMorFilterPartition]))
+        keyOrdinals, keyTypes, keepCols, forceRowBased = true)
     }
   }
 }

@@ -294,6 +294,63 @@ class MorSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$m").head().getLong(0) === 51L)
   }
 
+  test("DPP runtime bucket pruning still narrows a DV-live scan") {
+    import spark.implicits._
+    val m = mkTable("t_dpp_mor", "mor")
+    seed(m, 200)
+    spark.sql(s"CALL $cat.optimize(`table` => '$m', max_files_per_bucket => 0)")
+    // deletes + an update: live slices over the compacted base
+    spark.sql(s"DELETE FROM $cat.$m WHERE k IN (100, 101, 102)")
+    spark.sql(s"UPDATE $cat.$m SET amount = 777 WHERE k = 13")
+    assert(GraftStore.hasLiveDv(curVdir(m)))
+    val dimPath = Files.createTempDirectory("graft_mor_dpp").toString + "/dim"
+    Seq((7L, "a"), (13L, "a"), (55L, "b"), (100L, "a"))
+      .toDF("k", "grp").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("mor_dpp_dim")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case other => other.collectLeaves().flatMap {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case qs: QueryStageExec => leaves(qs.plan)
+        case l => Seq(l)
+      }
+    }
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+      df.collect()
+      val scan = leaves(df.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.toString.contains("GraftMor") => b
+      }.get
+      val n = scan.inputRDDs().head.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions.map {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.length.toLong
+            case mp: org.apache.spark.sql.GraftMorFilterPartition =>
+              mp.files.length.toLong
+            case _ => 0L
+          }
+        case _ => Seq(0L)
+      }.sum
+      (n, scan.runtimeFilters.nonEmpty)
+    }
+    val (full, _) = filesPlanned(
+      spark.sql(s"SELECT k, amount FROM $cat.$m"))
+    val q = spark.sql(s"SELECT t.k, t.amount FROM $cat.$m t " +
+      "JOIN mor_dpp_dim d ON t.k = d.k WHERE d.grp = 'a'")
+    // the deleted key (100) must NOT resurrect through the join, and the
+    // DV-overlaid update must be visible
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((7L, 70L), (13L, 777L)))
+    val (pruned, hasRf) = filesPlanned(q)
+    assert(hasRf, "DPP must plant a runtime filter on the DV-live scan")
+    assert(pruned < full,
+      s"runtime filter should narrow the DV-live scan: $pruned vs $full")
+  }
+
   test("merge-on-read rejects non-atomic merge keys") {
     warehouse
     val e = intercept[Exception](spark.sql(
