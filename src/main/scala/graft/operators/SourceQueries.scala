@@ -1326,6 +1326,57 @@ object SourceQueries {
         SELECT user_id, cents FROM cnts WHERE user_id <= 300)
       ORDER BY user_id""")),
 
+    // ----- S27: atomic CTAS / RTAS through the DSv2 staging catalog. The
+    // CTAS query writes into a full store under a private `.stage-<uuid>`
+    // sibling dir and publishes with ONE atomic rename; REPLACE TABLE AS
+    // SELECT swaps the live table's contents AND schema as one claimed
+    // boundary commit — readers never observe a missing or half-written
+    // table (the drop-then-recreate hole a plain TableCatalog leaves),
+    // and the replaced versions stay retained for time travel. The gate
+    // pins: no stage remnant, the replace being exactly one version bump
+    // flagged as a CDC boundary, the pre-replace contents still
+    // time-travelable, and the post-replace rows against the closed form.
+    GraftQuery("s27_ctas_rtas", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s27_latest")
+      T.events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("s27_counts")
+      s.sql("DROP TABLE IF EXISTS graftdml.ctas_t")
+      s.sql("""CREATE TABLE graftdml.ctas_t USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='4')
+        AS SELECT user_id, cents FROM s27_latest""")
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/ctas_t"
+      val ctasRows = s.sql("SELECT COUNT(*) FROM graftdml.ctas_t").head.getLong(0)
+      val vAfterCtas = G.currentVersion(dir)
+      s.sql("""REPLACE TABLE graftdml.ctas_t USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')
+        AS SELECT user_id, n_events FROM s27_counts""")
+      val vAfterRtas = G.currentVersion(dir)
+      val noStageLeft = new java.io.File(DmlFixture.warehouse)
+        .list().count(_.contains(".stage-")) == 0
+      val boundary = G.isBoundary(dir, vAfterRtas)
+      // the pre-replace snapshot is still one time travel away
+      val ttOk = s.sql("SELECT COUNT(*) FROM graftdml.ctas_t " +
+        s"VERSION AS OF $vAfterCtas").head.getLong(0) == ctasRows
+      s.sql("SELECT user_id, n_events FROM graftdml.ctas_t")
+        .withColumn("one_boundary_commit",
+          lit(vAfterRtas == vAfterCtas + 1 && boundary))
+        .withColumn("no_stage_remnant", lit(noStageLeft))
+        .withColumn("pre_replace_time_travels", lit(ttOk))
+        .orderBy($"user_id")
+    }, Some(s"""
+      SELECT user_id, COUNT(*) AS n_events, TRUE AS one_boundary_commit,
+        TRUE AS no_stage_remnant, TRUE AS pre_replace_time_travels
+      FROM events GROUP BY user_id
+      ORDER BY user_id""")),
+
     // ----- S26: merge-on-read row-level deltas — the s11 DML dataflow on
     // a `merge_mode='mor'` table. Each MERGE/UPDATE/DELETE commits the
     // after-images as ordinary new files plus an equality-delete slice

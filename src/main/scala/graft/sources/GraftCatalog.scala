@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * derives the join, the matched/unmatched actions, and the cardinality
   * checks, and hands this store only (op, row) deltas to commit.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog
+    with StagingTableCatalog {
   import GraftCatalog.ChangesSuffix
 
   private var catalogName: String = _
@@ -131,30 +132,35 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new GraftTable(ident.toString, dir, pinnedVersion = Some(v))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+  /** Shared CREATE/CTAS/RTAS validation: structural checks + the table
+    * meta the store will persist. */
+  private def validatedMeta(ident: Identifier, schema0: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): GraftTableMeta = {
     require(partitions.isEmpty,
       "graft tables hash-bucket internally; PARTITIONED BY is not supported")
-    require(!schema.fieldNames.contains(GraftStore.BucketCol),
+    require(!schema0.fieldNames.contains(GraftStore.BucketCol),
       s"column name ${GraftStore.BucketCol} is reserved")
     require(!ident.name().endsWith(ChangesSuffix) &&
         !ident.name().endsWith(GraftCatalog.VersionsSuffix) &&
         !ident.name().endsWith(GraftCatalog.FilesSuffix),
       "table names ending in the $changes/$versions/$files suffixes are " +
         "reserved for metadata reads")
-    val dir = tableDir(ident)
-    if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
     val keys = props.get("merge_key").map(_.split(",").toSeq.map(_.trim))
-      .getOrElse(Seq(schema.fieldNames.head))
-    keys.foreach(k => require(schema.fieldNames.contains(k),
+      .getOrElse(Seq(schema0.fieldNames.head))
+    keys.foreach(k => require(schema0.fieldNames.contains(k),
       s"merge_key column $k not in schema"))
     // null merge keys would break row identity (SQL equality never matches
     // null = null, so deletes/updates of a null-keyed row could not target
-    // it and upserts would accumulate duplicates) — require NOT NULL up
-    // front instead of corrupting later
-    keys.foreach(k => require(!schema(k).nullable,
-      s"merge_key column $k must be declared NOT NULL"))
+    // it and upserts would accumulate duplicates). The declared schema
+    // therefore always stores keys as NOT NULL: an explicit CREATE must
+    // say so, and a CTAS (whose schema is inferred from the query, which
+    // cannot carry the constraint) gets its key columns TIGHTENED here —
+    // Spark's output resolution then enforces the null check on the CTAS
+    // write and every later INSERT alike.
+    val schema = StructType(schema0.fields.map(f =>
+      if (keys.contains(f.name)) f.copy(nullable = false) else f))
     val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
     require(buckets > 0, "buckets must be positive")
     val mode = props.get("merge_mode").map(_.trim.toLowerCase).getOrElse("cow")
@@ -165,9 +171,45 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (mode == "mor") keys.foreach(k =>
       require(GraftStore.morKeyTypeOk(schema(k).dataType),
         s"merge_mode=mor requires atomic-typed merge keys; $k is ${schema(k).dataType}"))
-    GraftStore.create(dir, GraftTableMeta(schema, keys, buckets, mergeMode = mode))
+    GraftTableMeta(schema, keys, buckets, mergeMode = mode)
+  }
+
+  override def createTable(ident: Identifier, schema0: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
+    GraftStore.create(dir, validatedMeta(ident, schema0, partitions, properties))
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
+
+  /** StagingTableCatalog leg — atomic CTAS / RTAS. The staged table is a
+    * full store under a private `.stage-<uuid>` sibling dir; the CTAS
+    * query writes into it through the normal insert machinery, then
+    * commitStagedChanges publishes: CREATE = one atomic rename, REPLACE =
+    * one claimed boundary commit that swaps the live table's contents AND
+    * schema while preserving its version history
+    * ([[GraftStore.replaceFromStaged]]). Readers never observe a missing
+    * or half-written table; an abandoned stage dir is swept by vacuum. */
+  private def stage(ident: Identifier, info: TableInfo,
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    val dir = tableDir(ident)
+    if (!replace && GraftStore.exists(dir))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !GraftStore.exists(dir))
+      throw new NoSuchTableException(ident)
+    val meta = validatedMeta(ident, info.schema(), info.partitions(),
+      info.properties())
+    val stageDir = s"$dir.stage-${java.util.UUID.randomUUID()}"
+    GraftStore.create(stageDir, meta)
+    new GraftStagedTable(ident, dir, stageDir, replace)
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = false, orCreate = false)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = false)
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
 
   /** Schema evolution — all meta-only, never a data rewrite (the only
     * acceptable cost on a 100 TB table):
@@ -451,6 +493,31 @@ final class GraftFilesTable(tableName: String, dir: String)
         }.toArray
       }
     }
+}
+
+/** A staged CTAS/RTAS table: a fully functional store under a private
+  * `.stage-<uuid>` sibling dir — the query writes into it through the
+  * normal insert machinery — published atomically by
+  * [[GraftStagedTable.commitStagedChanges]]: CREATE renames the stage dir
+  * into place (one atomic move), REPLACE swaps the live table's contents
+  * and schema as one claimed boundary commit with history preserved. */
+final class GraftStagedTable(ident: Identifier, finalDir: String,
+    stageDir: String, replace: Boolean)
+    extends StagedTable with SupportsWrite {
+  private val inner = new GraftTable(ident.toString, stageDir, pinnedVersion = None)
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit =
+    if (replace && GraftStore.exists(finalDir)) {
+      // RTAS onto a live table: claimed in-place swap, then drop the stage
+      GraftStore.replaceFromStaged(finalDir, stageDir)
+      GraftStore.dropStaged(stageDir)
+    } else GraftStore.adoptStaged(stageDir, finalDir)
+  override def abortStagedChanges(): Unit = GraftStore.dropStaged(stageDir)
 }
 
 /** A table's version history as a read-only metadata table (the

@@ -467,6 +467,66 @@ object GraftStore {
     }
   }
 
+  // ------------------------------------------------ atomic CTAS / RTAS
+
+  /** Publish a staged CTAS table under its final name — one atomic
+    * rename, so a crash mid-CTAS leaves only a sweep-able `.stage-` dir
+    * and readers can never observe a half-written table. */
+  def adoptStaged(stageDir: String, finalDir: String): Unit =
+    try Files.move(Paths.get(stageDir), Paths.get(finalDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(Paths.get(stageDir))
+        throw new IllegalStateException(
+          s"table appeared concurrently at $finalDir", e)
+    }
+
+  def dropStaged(stageDir: String): Unit =
+    deleteRecursively(Paths.get(stageDir))
+
+  /** Atomic REPLACE TABLE AS SELECT: swap the table's contents AND schema
+    * to the staged table's current version as ONE claimed, changelog-less
+    * boundary commit. Readers never see a missing table (unlike
+    * drop-then-recreate), concurrent writers serialize through the claim,
+    * and the replaced versions stay retained: time travel across the
+    * REPLACE reads old files under the new schema the same null-filling
+    * way pre-ADD versions do (physical column identities differ by
+    * design — a replace IS a new table in the old table's history).
+    * The meta swap lands just before the pointer flip; the window where a
+    * reader sees the new schema over the old version's data is the same
+    * transient every ALTER has. */
+  def replaceFromStaged(dir: String, stagedDir: String): Long = {
+    recoverChangelog(dir)
+    val stagedMeta = readMeta(stagedDir)
+    val sv = currentVersion(stagedDir)
+    val svDir = versionDir(stagedDir, sv)
+    val cur = currentVersion(dir)
+    val next = cur + 1
+    val (marker, token) = claimCommit(dir, next)
+    try withClaimHeartbeat(Seq(marker,
+        Paths.get(s"${versionDir(dir, next)}.build-$token"))) {
+      if (currentVersion(dir) != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past version $cur during REPLACE; re-run")
+      val nextDir = versionDir(dir, next)
+      val buildDir = s"$nextDir.build-$token"
+      deleteRecursively(Paths.get(buildDir))
+      Files.createDirectories(Paths.get(buildDir))
+      bucketDirs(svDir).foreach(b => linkBucket(svDir, buildDir, b))
+      linkDvCarry(svDir, buildDir, Set.empty) // staged DVs (none today) carry
+      writeFileSeq(buildDir, None, next)
+      GraftStats.writeManifest(buildDir, Some(svDir)) // reuse staged footers
+      writeBucketMarker(buildDir, layoutBuckets(stagedDir, sv, stagedMeta))
+      writeBoundaryMarker(buildDir) // snapshot boundary for CDC consumers
+      withMetaLock(dir) { writeMeta(dir, stagedMeta) }
+      verifyClaim(marker, token)
+      publishVersion(buildDir, nextDir)
+      writePointer(dir, next)
+      next
+    } finally releaseClaim(marker, token)
+  }
+
   /** The bucket count version `v` was written with, if stamped. */
   def versionBuckets(dir: String, v: Long): Option[Int] = {
     val p = Paths.get(versionDir(dir, v), "_buckets")
@@ -1615,6 +1675,21 @@ object GraftStore {
         catch { case _: java.nio.file.NoSuchFileException => -1L }
         if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
       }
+    // abandoned CTAS/RTAS stage dirs and clone builds live as SIBLINGS of
+    // the table dir (`<table>.stage-<uuid>` / `<table>.clonebuild-<uuid>`):
+    // their sessions died before commitStagedChanges/the clone rename
+    val self = Paths.get(dir).getFileName.toString
+    Option(Paths.get(dir).getParent).filter(Files.isDirectory(_)).foreach {
+      parent =>
+        listDir(parent)(_.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(s"$self.stage-") || n.startsWith(s"$self.clonebuild-")
+        }.toList).foreach { p =>
+          val age = try now - Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => -1L }
+          if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
+        }
+    }
     // claim markers for versions AT OR BELOW the pointer are definitionally
     // dead (claims only gate versions above it): their writer committed and
     // was killed before releasing, or lost a takeover race post-flip. The

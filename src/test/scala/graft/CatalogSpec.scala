@@ -883,6 +883,56 @@ class CatalogSpec extends SparkTestBase {
       case _ => Seq(0L)
     }.sum
 
+  test("atomic CTAS and RTAS through the staging catalog") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_ctas")
+    // CTAS: schema inferred from the query (key tightened to NOT NULL),
+    // table appears atomically — no .stage- remnant, no half-written dir
+    spark.sql(s"CREATE TABLE $cat.t_ctas USING graft " +
+      "TBLPROPERTIES ('merge_key'='id', 'buckets'='4') " +
+      "AS SELECT id, id * 2 AS v FROM range(0, 10)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t_ctas").head.getLong(0) === 10L)
+    assert(!spark.table(s"$cat.t_ctas").schema("id").nullable,
+      "CTAS must tighten the merge key to NOT NULL")
+    assert(new java.io.File(warehouse).list().count(_.contains(".stage-")) === 0)
+    // a CTAS whose query produces a NULL key fails at write, not silently
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t_ctas_bad USING graft TBLPROPERTIES " +
+        "('merge_key'='id') AS SELECT CAST(NULL AS BIGINT) AS id"))
+    assert(e.getMessage != null)
+    spark.sql(s"INSERT INTO $cat.t_ctas VALUES (100, 1)") // v2
+    // RTAS: contents AND schema swap as ONE claimed boundary commit —
+    // readers never see a missing table, history stays retained
+    spark.sql(s"REPLACE TABLE $cat.t_ctas USING graft " +
+      "TBLPROPERTIES ('merge_key'='id', 'buckets'='8') " +
+      "AS SELECT id, CAST(id * 3 AS STRING) AS s FROM range(0, 5)")
+    assert(spark.sql(s"SELECT id, s FROM $cat.t_ctas ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      (0L until 5L).map(i => (i, (i * 3).toString)))
+    val hist = spark.sql(s"SELECT version, is_boundary FROM $cat.`t_ctas$$versions` " +
+      "ORDER BY version").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(hist === Seq((0L, false), (1L, false), (2L, false), (3L, true)),
+      s"RTAS must be one boundary commit on top of retained history, got $hist")
+    // time travel ACROSS the replace: old data reads under the new schema
+    // (shared physical names resolve, the replaced-away column is gone,
+    // the new column null-fills) — the same contract as pre-ADD versions
+    val v2 = spark.sql(s"SELECT id, s FROM $cat.t_ctas VERSION AS OF 2")
+    assert(v2.count() === 11L && v2.where("s IS NOT NULL").count() === 0L)
+    // the new fan-out is live: writes land through it
+    spark.sql(s"INSERT INTO $cat.t_ctas VALUES (50, 'x')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t_ctas").head.getLong(0) === 6L)
+    assert(GraftStore.readMeta(s"$warehouse/t_ctas").buckets === 8)
+    // CREATE OR REPLACE on a missing table falls back to create
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_cor")
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.t_cor USING graft " +
+      "TBLPROPERTIES ('merge_key'='id') AS SELECT id FROM range(0, 3)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t_cor").head.getLong(0) === 3L)
+    // REPLACE of a missing table (no OR CREATE) fails
+    assertThrows[Exception](spark.sql(
+      s"REPLACE TABLE $cat.t_missing USING graft TBLPROPERTIES " +
+        "('merge_key'='id') AS SELECT id FROM range(0, 1)"))
+  }
+
   test("maintenance runs as native SQL CALL procedures; TRUNCATE TABLE works") {
     val t = mkTable("t_proc", buckets = 4)
     val dir = s"$warehouse/t_proc"
