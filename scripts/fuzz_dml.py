@@ -84,7 +84,29 @@ def gen_sequence(idx):
                            "optimize", "expire_changes", "expire_versions",
                            "rename", "rename", "drop_readd", "rebucket",
                            "merge_nmbs", "restore", "replace_where",
-                           "set_mode"])
+                           "set_mode", "rtas"])
+        if kind == "rtas":
+            # atomic REPLACE TABLE AS SELECT (identity projection of the
+            # live contents, under the CURRENT logical names): one claimed
+            # boundary commit, contents preserved, fresh layout/meta —
+            # schema identities reset, so later restores must not cross it
+            # (old files' physical names are gone from the new meta);
+            # the model prunes pre-RTAS history accordingly
+            target = rng.choice([2, 4, 8])
+            sel = ", ".join(
+                f"{name} AS {name}" for name, _ in schema_cols)
+            stmts.append(
+                f"REPLACE TABLE graftdml.{t} USING graft TBLPROPERTIES "
+                f"('merge_key'='{cn['k']}', 'buckets'='{target}', "
+                f"'merge_mode'='{mode}') "
+                f"AS SELECT {sel} FROM graftdml.{t}")
+            buckets = target
+            meta_buckets = target
+            dv_live = False        # the staged store is freshly written
+            version += 1           # exactly one boundary commit
+            history.clear()        # restores may not cross the replace
+            history[version] = (dict(state), n_drops, buckets, dv_live)
+            continue
         if kind == "set_mode":
             # meta-only flip, effective from the NEXT row-level commit;
             # existing delete slices stay valid either way (a cow rewrite
