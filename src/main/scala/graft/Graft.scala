@@ -31,6 +31,7 @@ object Graft {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     GraftFunctions.registerAll(s)
+    operators.DmlFixture.allowDefaults(s) // ALTER ... DEFAULT on graft tables
     s
   }
 

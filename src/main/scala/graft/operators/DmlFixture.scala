@@ -19,5 +19,17 @@ object DmlFixture {
     s.conf.set("spark.sql.catalog.graftdml",
       classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graftdml.warehouse", warehouse)
+    allowDefaults(s)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS (... DEFAULT ...)` is additionally
+    * gated per PROVIDER by `spark.sql.defaultColumn.allowedProviders`
+    * (the catalog capability alone only opens CREATE TABLE defaults) —
+    * admit `graft` alongside the built-ins. */
+  def allowDefaults(s: SparkSession): Unit = {
+    val key = "spark.sql.defaultColumn.allowedProviders"
+    val cur = s.conf.getOption(key).getOrElse("csv,json,orc,parquet")
+    if (!cur.split(",").map(_.trim.toLowerCase).contains("graft"))
+      s.conf.set(key, s"$cur,graft")
   }
 }

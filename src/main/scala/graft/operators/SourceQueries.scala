@@ -1326,6 +1326,54 @@ object SourceQueries {
         SELECT user_id, cents FROM cnts WHERE user_id <= 300)
       ORDER BY user_id""")),
 
+    // ----- S28: column DEFAULT values — CREATE TABLE with DEFAULT, the
+    // metadata-only ALTER ADD COLUMN WITH DEFAULT (Spark encodes the
+    // default into CURRENT_DEFAULT/EXISTS_DEFAULT field metadata; inserts
+    // substitute at analysis, and files that PREDATE the column read the
+    // default back at scan time — zero rewrite at any scale, the gate
+    // pins the unchanged version number), SET DEFAULT flipping only
+    // FUTURE inserts. DuckDB reproduces the final table closed-form from
+    // the same constants.
+    GraftQuery("s28_column_defaults", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s28_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.def_t")
+      s.sql("""CREATE TABLE graftdml.def_t
+        (user_id BIGINT NOT NULL, cents BIGINT, tag STRING DEFAULT 'base')
+        USING graft TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.def_t (user_id, cents) " +
+        "SELECT user_id, cents FROM s28_latest")                      // v1
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/def_t"
+      val vBefore = G.currentVersion(dir)
+      s.sql("ALTER TABLE graftdml.def_t ADD COLUMNS (score BIGINT DEFAULT 100)")
+      val metadataOnly = G.currentVersion(dir) == vBefore
+      s.sql("ALTER TABLE graftdml.def_t ALTER COLUMN score SET DEFAULT 200")
+      // fresh keys (offset past the fixture's range): old default rows
+      // keep 100, new inserts take the NEW default
+      s.sql("INSERT INTO graftdml.def_t (user_id, cents) " +
+        "SELECT user_id + 1000000, cents + 1 FROM s28_latest WHERE user_id % 9 = 0")
+      s.sql("SELECT user_id, cents, tag, score FROM graftdml.def_t")
+        .withColumn("add_default_metadata_only", lit(metadataOnly))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id, cents, 'base' AS tag, CAST(100 AS BIGINT) AS score,
+        TRUE AS add_default_metadata_only FROM latest
+      UNION ALL
+      SELECT user_id + 1000000, cents + 1, 'base', CAST(200 AS BIGINT), TRUE
+      FROM latest WHERE user_id % 9 = 0
+      ORDER BY user_id""")),
+
     // ----- S27: atomic CTAS / RTAS through the DSv2 staging catalog. The
     // CTAS query writes into a full store under a private `.stage-<uuid>`
     // sibling dir and publishes with ONE atomic rename; REPLACE TABLE AS

@@ -56,6 +56,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def name(): String = catalogName
 
+  // column DEFAULTs are metadata-only here: Spark encodes them into the
+  // schema's CURRENT_DEFAULT/EXISTS_DEFAULT field metadata, inserts
+  // substitute CURRENT_DEFAULT at analysis, and the parquet readers fill
+  // EXISTS_DEFAULT for files that predate the column — an ADD COLUMN
+  // WITH DEFAULT never rewrites data
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def tableDir(ident: Identifier): String = {
     val parts = ident.namespace().toSeq :+ ident.name()
     parts.foreach(p => require(!p.contains("/") && !p.contains(".."),
@@ -252,10 +260,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         val phys = Iterator.from(0)
           .map(i => if (i == 0) name else s"${name}_p$i")
           .find(!taken.contains(_)).get
-        val md = if (phys == name) Metadata.empty
-          else new MetadataBuilder().putString(GraftStore.PhysicalKey, phys).build()
+        // let Spark build the field itself — that encodes a column DEFAULT
+        // into the standard CURRENT_DEFAULT/EXISTS_DEFAULT metadata keys
+        // (EXISTS_DEFAULT is what old files' rows read back, metadata-only
+        // — no backfill rewrite at any scale) — then graft the physical-
+        // name mapping on top
+        val built = org.apache.spark.sql.GraftSqlShim
+          .applySchemaChanges(m.schema, Seq(add))
+        val f0 = built(name)
+        val md = if (phys == name) f0.metadata
+          else new MetadataBuilder().withMetadata(f0.metadata)
+            .putString(GraftStore.PhysicalKey, phys).build()
         m.copy(schema = StructType(m.schema.fields.toSeq :+
-          StructField(name, add.dataType(), nullable = true, metadata = md)))
+          f0.copy(nullable = true, metadata = md)))
+      case (m, u: TableChange.UpdateColumnDefaultValue) =>
+        // ALTER COLUMN ... SET/DROP DEFAULT: metadata-only, applies to
+        // FUTURE inserts (CURRENT_DEFAULT); what existing files read back
+        // (EXISTS_DEFAULT) is fixed at ADD time by design
+        m.copy(schema = org.apache.spark.sql.GraftSqlShim
+          .applySchemaChanges(m.schema, Seq(u)))
       case (m, rn: TableChange.RenameColumn) =>
         require(rn.fieldNames().length == 1,
           "nested column renames are not supported")

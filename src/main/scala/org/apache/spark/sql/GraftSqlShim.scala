@@ -8,4 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** [[org.apache.spark.sql.connector.catalog.CatalogV2Util.applySchemaChanges]]
+    * is private[sql]; the catalog uses it to encode column DEFAULTs into
+    * the standard CURRENT_DEFAULT/EXISTS_DEFAULT field metadata exactly
+    * the way Spark's own commands do. */
+  def applySchemaChanges(schema: org.apache.spark.sql.types.StructType,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .applySchemaChanges(schema, changes, Some("graft"), "ALTER TABLE")
 }

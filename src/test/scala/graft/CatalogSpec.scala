@@ -883,6 +883,44 @@ class CatalogSpec extends SparkTestBase {
       case _ => Seq(0L)
     }.sum
 
+  test("column DEFAULT values: CREATE, metadata-only ADD, SET DEFAULT") {
+    warehouse
+    operators.DmlFixture.allowDefaults(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_def")
+    spark.sql(s"""CREATE TABLE $cat.t_def
+      (k BIGINT NOT NULL, v BIGINT DEFAULT 42) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.t_def (k) VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.t_def VALUES (2, DEFAULT), (3, 30)")
+    def all() = spark.sql(s"SELECT k, v, w FROM $cat.t_def ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val dir = s"$warehouse/t_def"
+    val vBefore = GraftStore.currentVersion(dir)
+    // ADD COLUMN WITH DEFAULT is metadata-only: NO new version, no
+    // rewrite — existing rows read the default via EXISTS_DEFAULT
+    spark.sql(s"ALTER TABLE $cat.t_def ADD COLUMNS (w BIGINT DEFAULT 7)")
+    assert(GraftStore.currentVersion(dir) === vBefore,
+      "ADD COLUMN DEFAULT must not commit a data version")
+    assert(all() === Seq((1L, 42L, 7L), (2L, 42L, 7L), (3L, 30L, 7L)))
+    // future inserts substitute the CURRENT default; SET DEFAULT changes
+    // it for later inserts while pre-column rows keep reading 7
+    spark.sql(s"INSERT INTO $cat.t_def (k, v) VALUES (4, 40)")
+    spark.sql(s"ALTER TABLE $cat.t_def ALTER COLUMN w SET DEFAULT 9")
+    spark.sql(s"INSERT INTO $cat.t_def (k, v) VALUES (5, 50)")
+    assert(all() === Seq((1L, 42L, 7L), (2L, 42L, 7L), (3L, 30L, 7L),
+      (4L, 40L, 7L), (5L, 50L, 9L)))
+    // the default column renames like any other (metadata rides the field)
+    spark.sql(s"ALTER TABLE $cat.t_def RENAME COLUMN w TO w2")
+    spark.sql(s"INSERT INTO $cat.t_def (k, v) VALUES (6, 60)")
+    assert(spark.sql(s"SELECT w2 FROM $cat.t_def WHERE k = 6").head.getLong(0) === 9L)
+    assert(spark.sql(s"SELECT w2 FROM $cat.t_def WHERE k = 1").head.getLong(0) === 7L)
+    // DML through a defaulted column behaves plainly
+    spark.sql(s"UPDATE $cat.t_def SET w2 = w2 + 1 WHERE k <= 2")
+    assert(spark.sql(s"SELECT SUM(w2) FROM $cat.t_def").head.getLong(0) ===
+      (8 + 8 + 7 + 7 + 9 + 9))
+  }
+
   test("atomic CTAS and RTAS through the staging catalog") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_ctas")
