@@ -1326,6 +1326,65 @@ object SourceQueries {
         SELECT user_id, cents FROM cnts WHERE user_id <= 300)
       ORDER BY user_id""")),
 
+    // ----- S29: CHECK constraints — declarative write-time data quality
+    // on the DML store. CREATE TABLE ... CONSTRAINT c CHECK (pred)
+    // persists the predicate in the table meta and the table reports it
+    // enforced, so Spark plans the check into EVERY write: a violating
+    // INSERT/UPDATE/MERGE fails before the commit point and the store
+    // publishes nothing (the claimed build dir is abandoned — pinned as
+    // version-number-unchanged booleans). ALTER ADD CONSTRAINT validates
+    // existing rows first; NULL predicates pass per SQL semantics. The
+    // final contents hash against the same closed form as an
+    // unconstrained twin — constraints must never change what VALID
+    // writes produce.
+    GraftQuery("s29_check_constraints", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s29_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.chk_t")
+      s.sql("""CREATE TABLE graftdml.chk_t
+        (user_id BIGINT NOT NULL, cents BIGINT,
+         CONSTRAINT nonneg CHECK (cents >= 0))
+        USING graft TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.chk_t SELECT * FROM s29_latest")
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/chk_t"
+      val v1 = G.currentVersion(dir)
+      def rejected(sql: String): Boolean =
+        try { s.sql(sql); false } catch { case _: Exception => true }
+      val insRejected =
+        rejected("INSERT INTO graftdml.chk_t VALUES (999999, -1)")
+      val updRejected = rejected(
+        "UPDATE graftdml.chk_t SET cents = -5 WHERE user_id % 2 = 0")
+      // failed writes published NOTHING: the version pointer never moved
+      val noPartial = G.currentVersion(dir) == v1
+      val retroRejected = rejected(
+        "ALTER TABLE graftdml.chk_t ADD CONSTRAINT impossible CHECK (cents > 100000000)")
+      val retroNotRecorded = !G.readMeta(dir).checks.exists(_._1 == "impossible")
+      // a valid write through the constraint still lands normally
+      s.sql("UPDATE graftdml.chk_t SET cents = cents + 10 WHERE user_id % 5 = 0")
+      s.sql("SELECT user_id, cents FROM graftdml.chk_t")
+        .withColumn("insert_rejected", lit(insRejected))
+        .withColumn("update_rejected", lit(updRejected))
+        .withColumn("no_partial_commit", lit(noPartial))
+        .withColumn("retro_add_rejected", lit(retroRejected && retroNotRecorded))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id,
+        CASE WHEN user_id % 5 = 0 THEN cents + 10 ELSE cents END AS cents,
+        TRUE AS insert_rejected, TRUE AS update_rejected,
+        TRUE AS no_partial_commit, TRUE AS retro_add_rejected
+      FROM latest ORDER BY user_id""")),
+
     // ----- S28: column DEFAULT values — CREATE TABLE with DEFAULT, the
     // metadata-only ALTER ADD COLUMN WITH DEFAULT (Spark encodes the
     // default into CURRENT_DEFAULT/EXISTS_DEFAULT field metadata; inserts

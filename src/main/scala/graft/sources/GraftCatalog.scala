@@ -62,7 +62,35 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   // EXISTS_DEFAULT for files that predate the column — an ADD COLUMN
   // WITH DEFAULT never rewrites data
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CHECK constraints persist as (name, predicateSql) in the table meta
+    * and are ENFORCED on every write (Spark plans the check into v2
+    * writes from [[GraftTable.constraints]]); PRIMARY KEY / UNIQUE /
+    * FOREIGN KEY are rejected — this store would treat them as unverified
+    * hints, and a constraint that silently doesn't hold is worse than an
+    * error. */
+  private def checksFrom(
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Seq[(String, String)] =
+    cs.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+          s"CHECK constraint ${c.name()} has no SQL form")
+        c.name() -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported, got: ${other.toDDL}")
+    }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val dir = tableDir(ident)
+    if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
+    val meta = validatedMeta(ident, info.schema(), info.partitions(),
+      info.properties()).copy(checks = checksFrom(info.constraints()))
+    GraftStore.create(dir, meta)
+    new GraftTable(ident.toString, dir, pinnedVersion = None)
+  }
 
   private def tableDir(ident: Identifier): String = {
     val parts = ident.namespace().toSeq :+ ident.name()
@@ -206,7 +234,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (replace && !orCreate && !GraftStore.exists(dir))
       throw new NoSuchTableException(ident)
     val meta = validatedMeta(ident, info.schema(), info.partitions(),
-      info.properties())
+      info.properties()).copy(checks = checksFrom(info.constraints()))
     val stageDir = s"$dir.stage-${java.util.UUID.randomUUID()}"
     GraftStore.create(stageDir, meta)
     new GraftStagedTable(ident, dir, stageDir, replace)
@@ -340,6 +368,29 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           "(only lossless widening: byte/short/int -> wider int, float -> double)")
         m.copy(schema = StructType(m.schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f).toSeq))
+      case (m, ac: TableChange.AddConstraint) =>
+        val added = checksFrom(Array(ac.constraint()))
+        added.foreach { case (n, _) =>
+          require(!m.checks.exists(_._1 == n), s"constraint $n already exists") }
+        // ALTER ADD CONSTRAINT validates EXISTING rows (one scan): a
+        // constraint that fails retroactively must be rejected, not
+        // silently recorded as if it held
+        val spark = SparkSession.active
+        added.foreach { case (n, sqlText) =>
+          val bad = GraftStore
+            .readVersion(spark, dir, GraftStore.currentVersion(dir))
+            .filter(!org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.expr(sqlText),
+              org.apache.spark.sql.functions.lit(true)))
+            .limit(1).count()
+          require(bad == 0L,
+            s"cannot add CHECK constraint $n ($sqlText): existing rows violate it")
+        }
+        m.copy(checks = m.checks ++ added)
+      case (m, dc: TableChange.DropConstraint) =>
+        require(dc.ifExists() || m.checks.exists(_._1 == dc.name()),
+          s"no such constraint: ${dc.name()}")
+        m.copy(checks = m.checks.filterNot(_._1 == dc.name()))
       case (m, sp: TableChange.SetProperty) if sp.property() == "merge_mode" =>
         // ALTER TABLE t SET TBLPROPERTIES('merge_mode'='mor'|'cow') — takes
         // effect on the NEXT row-level commit; existing delete slices stay
@@ -678,6 +729,20 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
+
+  /** Persisted CHECK constraints, reported enforced+validated: writes are
+    * validated on ADD (one scan) and on every INSERT/UPDATE/MERGE (the
+    * write path raises on the first violating row). */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    meta.checks.map { case (n, sqlText) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sqlText).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .rely(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** Delegate scans to Spark's parquet DSv2 table over the resolved
     * version directory: pruning/pushdown/vectorization are the stock

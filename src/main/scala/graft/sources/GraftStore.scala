@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   * metadata under [[GraftStore.PhysicalKey]]. A 100 TB rename is therefore
   * a metadata write, with every read path mapping physical↔logical. */
 final case class GraftTableMeta(schema: StructType, keyCols: Seq[String],
-    buckets: Int, tombstones: Seq[String] = Nil, mergeMode: String = "cow")
+    buckets: Int, tombstones: Seq[String] = Nil, mergeMode: String = "cow",
+    checks: Seq[(String, String)] = Nil)
 
 /** Versioned, hash-bucketed, copy-on-write parquet store backing the
   * [[GraftCatalog]] SQL DML surface (SURVEY §2.2 S9's `MERGE INTO` /
@@ -210,9 +211,14 @@ object GraftStore {
     // bucket count as adjacent lines — no JSON library needed to parse.
     // Staged + atomic rename (same discipline as the version pointer): a
     // crash mid-ALTER must not truncate the meta of a live table.
+    // CHECK constraints: one URL-encoded name=sql pair per comma slot —
+    // predicate SQL may contain commas/newlines, encoding keeps the
+    // line-oriented meta format intact
+    val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
     val body = meta.schema.json + "\n" + meta.keyCols.mkString(",") + "\n" +
       meta.buckets + "\n" + meta.tombstones.mkString(",") + "\n" +
-      meta.mergeMode
+      meta.mergeMode + "\n" +
+      meta.checks.map { case (n, s) => s"${enc(n)}=${enc(s)}" }.mkString(",")
     val tmp = Paths.get(dir, "_meta.json.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -226,7 +232,14 @@ object GraftStore {
       // 4th line absent in pre-evolution metas
       if (lines.length > 3) lines(3).split(",").toSeq.filter(_.nonEmpty) else Nil,
       // 5th line absent in pre-MoR metas (copy-on-write deltas)
-      if (lines.length > 4 && lines(4).trim.nonEmpty) lines(4).trim else "cow")
+      if (lines.length > 4 && lines(4).trim.nonEmpty) lines(4).trim else "cow",
+      // 6th line absent in pre-constraint metas
+      if (lines.length > 5) lines(5).split(",").toSeq.filter(_.nonEmpty).map {
+        pair =>
+          val Array(n, s) = pair.split("=", 2)
+          val dec = (v: String) => java.net.URLDecoder.decode(v, "UTF-8")
+          (dec(n), dec(s))
+      } else Nil)
   }
 
   def currentVersion(dir: String): Long =

@@ -883,6 +883,49 @@ class CatalogSpec extends SparkTestBase {
       case _ => Seq(0L)
     }.sum
 
+  test("CHECK constraints: enforced on INSERT/UPDATE/MERGE, validated on ADD") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_chk")
+    spark.sql(s"""CREATE TABLE $cat.t_chk
+      (k BIGINT NOT NULL, v BIGINT, CONSTRAINT pos CHECK (v > 0))
+      USING graft TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.t_chk VALUES (1, 10)")
+    // a violating INSERT fails and commits NOTHING (no partial version)
+    val vBefore = GraftStore.currentVersion(s"$warehouse/t_chk")
+    assertThrows[Exception](spark.sql(s"INSERT INTO $cat.t_chk VALUES (2, -5)"))
+    assert(GraftStore.currentVersion(s"$warehouse/t_chk") === vBefore)
+    // UPDATE and MERGE are enforced through the same planned check
+    assertThrows[Exception](spark.sql(
+      s"UPDATE $cat.t_chk SET v = -1 WHERE k = 1"))
+    assertThrows[Exception](spark.sql(
+      s"MERGE INTO $cat.t_chk x USING (SELECT 1 AS k, -7 AS v) s " +
+        "ON x.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v"))
+    // NULL passes (SQL CHECK semantics: only FALSE violates)
+    spark.sql(s"INSERT INTO $cat.t_chk VALUES (3, NULL)")
+    // ADD CONSTRAINT validates existing rows; a retroactively-violated
+    // one is rejected, a satisfied one lands and enforces future writes
+    spark.sql(s"ALTER TABLE $cat.t_chk ADD CONSTRAINT small CHECK (k < 1000)")
+    // (Spark validates ahead of the catalog hook; the store re-validates
+    // in alterTable as defense in depth — either layer must reject)
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t_chk ADD CONSTRAINT nope CHECK (v > 100)"))
+    assert(!GraftStore.readMeta(s"$warehouse/t_chk").checks.exists(_._1 == "nope"),
+      "a retroactively-violated constraint must not be recorded")
+    assertThrows[Exception](spark.sql(s"INSERT INTO $cat.t_chk VALUES (5000, 1)"))
+    spark.sql(s"ALTER TABLE $cat.t_chk DROP CONSTRAINT small")
+    spark.sql(s"INSERT INTO $cat.t_chk VALUES (5000, 1)") // dropped: allowed
+    assert(spark.sql(s"SELECT k FROM $cat.t_chk ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 5000L))
+    // constraints survive the meta round-trip and ride RTAS staging
+    assert(GraftStore.readMeta(s"$warehouse/t_chk").checks ===
+      Seq("pos" -> "v > 0"))
+    // non-CHECK constraints are rejected loudly, not recorded as hints
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t_chk ADD CONSTRAINT pk PRIMARY KEY (k)"))
+    assert(causeChain(e2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("only CHECK constraints")))
+  }
+
   test("column DEFAULT values: CREATE, metadata-only ADD, SET DEFAULT") {
     warehouse
     operators.DmlFixture.allowDefaults(spark)
@@ -1116,16 +1159,22 @@ class CatalogSpec extends SparkTestBase {
     assert(batch === 5L)
   }
 
-  test("CREATE rejects nullable merge keys") {
+  test("nullable merge keys are tightened to NOT NULL; null inserts fail") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_nullkey")
-    val e = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE $cat.t_nullkey
-        (k BIGINT, v STRING) USING graft
-        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
-    }
-    assert(causeChain(e).exists(t => t.getMessage != null &&
-      t.getMessage.contains("must be declared NOT NULL")), s"got $e")
+    // the stored schema always declares keys NOT NULL: a CREATE (or a
+    // CTAS, whose inferred schema cannot carry the constraint) with a
+    // nullable key gets it TIGHTENED, and Spark's output resolution then
+    // enforces the null check on every write
+    spark.sql(s"""CREATE TABLE $cat.t_nullkey
+      (k BIGINT, v STRING) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    assert(!spark.table(s"$cat.t_nullkey").schema("k").nullable)
+    spark.sql(s"INSERT INTO $cat.t_nullkey VALUES (1, 'a')")
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.t_nullkey VALUES (CAST(NULL AS BIGINT), 'b')"))
+    assert(e.getMessage != null)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t_nullkey").head.getLong(0) === 1L)
   }
 
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {
