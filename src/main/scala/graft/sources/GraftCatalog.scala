@@ -87,7 +87,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     val meta = validatedMeta(ident, info.schema(), info.partitions(),
-      info.properties()).copy(checks = checksFrom(info.constraints()))
+      info.properties(), tightenKeys = false)
+      .copy(checks = checksFrom(info.constraints()))
     GraftStore.create(dir, meta)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
@@ -169,10 +170,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   /** Shared CREATE/CTAS/RTAS validation: structural checks + the table
-    * meta the store will persist. */
+    * meta the store will persist. `tightenKeys` is the CTAS/RTAS mode —
+    * an inferred schema cannot carry NOT NULL, so staged creates TIGHTEN
+    * nullable merge keys; an explicit CREATE must declare them. */
   private def validatedMeta(ident: Identifier, schema0: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): GraftTableMeta = {
+      properties: util.Map[String, String],
+      tightenKeys: Boolean): GraftTableMeta = {
     require(partitions.isEmpty,
       "graft tables hash-bucket internally; PARTITIONED BY is not supported")
     require(!schema0.fieldNames.contains(GraftStore.BucketCol),
@@ -191,10 +195,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     // null = null, so deletes/updates of a null-keyed row could not target
     // it and upserts would accumulate duplicates). The declared schema
     // therefore always stores keys as NOT NULL: an explicit CREATE must
-    // say so, and a CTAS (whose schema is inferred from the query, which
-    // cannot carry the constraint) gets its key columns TIGHTENED here —
-    // Spark's output resolution then enforces the null check on the CTAS
-    // write and every later INSERT alike.
+    // say so (loud rejection — a silent rewrite of declared DDL would
+    // surprise later), while a CTAS/RTAS (whose schema is inferred from
+    // the query, which cannot carry the constraint) gets its key columns
+    // TIGHTENED — Spark's output resolution then enforces the null check
+    // on the CTAS write and every later INSERT alike.
+    if (!tightenKeys) keys.foreach(k => require(!schema0(k).nullable,
+      s"merge_key column $k must be declared NOT NULL"))
     val schema = StructType(schema0.fields.map(f =>
       if (keys.contains(f.name)) f.copy(nullable = false) else f))
     val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
@@ -214,7 +221,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
-    GraftStore.create(dir, validatedMeta(ident, schema0, partitions, properties))
+    GraftStore.create(dir,
+      validatedMeta(ident, schema0, partitions, properties, tightenKeys = false))
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
 
@@ -233,8 +241,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !GraftStore.exists(dir))
       throw new NoSuchTableException(ident)
-    val meta = validatedMeta(ident, info.schema(), info.partitions(),
-      info.properties()).copy(checks = checksFrom(info.constraints()))
+    val meta0 = validatedMeta(ident, info.schema(), info.partitions(),
+      info.properties(), tightenKeys = true)
+      .copy(checks = checksFrom(info.constraints()))
+    // REPLACE physical identities: a column that keeps its logical name
+    // AND type INHERITS the old physical identity (time travel across the
+    // replace stays readable for the recompute-in-place case); anything
+    // else — new column, or a reused name with a different type — gets a
+    // FRESH identity, so the staged files can never clash with any
+    // retained version\'s physical columns (null-fill, never a parquet
+    // type error). Every old physical name not inherited becomes a
+    // tombstone: a later ADD COLUMN may not mint a physical name that
+    // pre-replace files still carry bytes for.
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val meta = if (!replace || !GraftStore.exists(dir)) meta0
+      else {
+        val old = GraftStore.readMeta(dir)
+        val oldByName = old.schema.fields.map(f => f.name -> f).toMap
+        val fields = meta0.schema.fields.map { f =>
+          oldByName.get(f.name) match {
+            case Some(of) if of.dataType == f.dataType =>
+              val md = new MetadataBuilder().withMetadata(f.metadata)
+                .putString(GraftStore.PhysicalKey,
+                  GraftStore.physicalName(of)).build()
+              f.copy(metadata = md)
+            case _ =>
+              val md = new MetadataBuilder().withMetadata(f.metadata)
+                .putString(GraftStore.PhysicalKey, s"${f.name}__r$stamp").build()
+              f.copy(metadata = md)
+          }
+        }
+        val inherited = fields.map(GraftStore.physicalName).toSet
+        val tomb = (old.tombstones.toSet ++
+          old.schema.fields.map(GraftStore.physicalName)) -- inherited
+        meta0.copy(schema = StructType(fields), tombstones = tomb.toSeq.sorted)
+      }
     val stageDir = s"$dir.stage-${java.util.UUID.randomUUID()}"
     GraftStore.create(stageDir, meta)
     new GraftStagedTable(ident, dir, stageDir, replace)

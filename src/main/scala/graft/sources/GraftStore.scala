@@ -144,8 +144,16 @@ object GraftStore {
     * and the last writeMeta silently drops the other's DDL (worst case a
     * lost DROP tombstone lets a later ADD resurrect dropped data). ALTERs
     * are milliseconds, so the stale-break window is short. */
+  // re-entrancy: readMeta's backup recovery can run while THIS thread
+  // already holds the lock (alterTable reads meta under it) — re-acquiring
+  // our own lock would spin against ourselves
+  private val metaLockHeld = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   private[sources] def withMetaLock[A](dir: String,
       staleMs: Long = 60000L)(f: => A): A = {
+    if (metaLockHeld.get.contains(dir)) return f
     val lock = Paths.get(dir, "_meta_lock")
     // ownership token (same discipline as claimCommit): release only
     // deletes the lock if it still holds OUR token, and a stale lock is
@@ -176,8 +184,10 @@ object GraftStore {
             false
         }
       if (acquired) {
+        metaLockHeld.set(metaLockHeld.get + dir)
         try return f
         finally {
+          metaLockHeld.set(metaLockHeld.get - dir)
           // token check: after a stale takeover, the ORIGINAL holder's
           // release must not remove the successor's lock
           try {
@@ -225,7 +235,48 @@ object GraftStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Roll back the meta of an ABANDONED atomic-REPLACE: the swap writes
+    * the old meta to `_meta_backup` (stamped with the target version)
+    * before installing the staged meta, and deletes it after the pointer
+    * flip. A backup whose target version never published AND whose commit
+    * claim has gone stale means the replacer died between the meta swap
+    * and the flip — restore the old meta so readers never keep seeing the
+    * new schema over the old data. Idempotent and race-safe: a LIVE
+    * replace keeps its claim heartbeated (fresh ⇒ untouched), and
+    * concurrent restorers write identical bytes. */
+  private def recoverMetaBackup(dir: String): Unit = {
+    val b = Paths.get(dir, MetaBackupName)
+    if (!Files.exists(b)) return
+    try {
+      val bytes = Files.readAllBytes(b)
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl <= 0) { Files.deleteIfExists(b); return }
+      val target = new String(bytes, 0, nl, "UTF-8").trim.toLong
+      if (currentVersion(dir) >= target) { Files.deleteIfExists(b); return }
+      val claim = Paths.get(dir, f"_commit-$target%010d")
+      val fresh = Files.exists(claim) && (System.currentTimeMillis() -
+        Files.getLastModifiedTime(claim).toMillis) <= defaultStaleClaimMillis
+      if (fresh) return // in-flight replace: leave it alone
+      // under the meta lock so a concurrent ALTER can't be clobbered by
+      // the rollback; re-check the backup inside (another reader may have
+      // already restored it)
+      withMetaLock(dir) {
+        if (Files.exists(b) && currentVersion(dir) < target) {
+          val tmp = Paths.get(dir, "_meta.json.rollback")
+          Files.write(tmp,
+            java.util.Arrays.copyOfRange(bytes, nl + 1, bytes.length))
+          Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.deleteIfExists(b)
+        }
+      }
+    } catch { case _: java.nio.file.NoSuchFileException => () }
+  }
+
+  private[sources] val MetaBackupName = "_meta_backup"
+
   def readMeta(dir: String): GraftTableMeta = {
+    recoverMetaBackup(dir)
     val lines = new String(Files.readAllBytes(metaPath(dir)), "UTF-8").split("\n")
     GraftTableMeta(DataType.fromJson(lines(0)).asInstanceOf[StructType],
       lines(1).split(",").toSeq.filter(_.nonEmpty), lines(2).trim.toInt,
@@ -485,7 +536,8 @@ object GraftStore {
   /** Publish a staged CTAS table under its final name — one atomic
     * rename, so a crash mid-CTAS leaves only a sweep-able `.stage-` dir
     * and readers can never observe a half-written table. */
-  def adoptStaged(stageDir: String, finalDir: String): Unit =
+  def adoptStaged(stageDir: String, finalDir: String): Unit = {
+    invalidateDvCache(finalDir) // an adopted path is a NEW identity
     try Files.move(Paths.get(stageDir), Paths.get(finalDir),
       StandardCopyOption.ATOMIC_MOVE)
     catch {
@@ -493,7 +545,15 @@ object GraftStore {
         deleteRecursively(Paths.get(stageDir))
         throw new IllegalStateException(
           s"table appeared concurrently at $finalDir", e)
+      // Linux rename(2) onto an existing non-empty dir fails ENOTEMPTY,
+      // which maps to a plain FileSystemException — same race, same answer
+      case e: java.nio.file.FileSystemException
+          if Files.exists(Paths.get(finalDir)) =>
+        deleteRecursively(Paths.get(stageDir))
+        throw new IllegalStateException(
+          s"table appeared concurrently at $finalDir", e)
     }
+  }
 
   def dropStaged(stageDir: String): Unit =
     deleteRecursively(Paths.get(stageDir))
@@ -532,10 +592,33 @@ object GraftStore {
       GraftStats.writeManifest(buildDir, Some(svDir)) // reuse staged footers
       writeBucketMarker(buildDir, layoutBuckets(stagedDir, sv, stagedMeta))
       writeBoundaryMarker(buildDir) // snapshot boundary for CDC consumers
-      withMetaLock(dir) { writeMeta(dir, stagedMeta) }
-      verifyClaim(marker, token)
-      publishVersion(buildDir, nextDir)
-      writePointer(dir, next)
+      // crash-safe meta swap: stamp the OLD meta + target version into
+      // _meta_backup first. If this commit dies between the meta write
+      // and the pointer flip (in-process failure handled right here;
+      // process death handled by recoverMetaBackup once the claim goes
+      // stale), the old meta comes back — the new schema is never left
+      // permanently applied to the old data.
+      val backup = Paths.get(dir, MetaBackupName)
+      val oldMeta = Files.readAllBytes(metaPath(dir))
+      val tmpB = Paths.get(dir, MetaBackupName + ".tmp")
+      Files.write(tmpB, s"$next\n".getBytes("UTF-8") ++ oldMeta)
+      Files.move(tmpB, backup, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      try {
+        withMetaLock(dir) { writeMeta(dir, stagedMeta) }
+        verifyClaim(marker, token)
+        publishVersion(buildDir, nextDir)
+        writePointer(dir, next)
+      } catch {
+        case e: Throwable =>
+          val tmpR = Paths.get(dir, "_meta.json.rollback")
+          Files.write(tmpR, oldMeta)
+          Files.move(tmpR, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.deleteIfExists(backup)
+          throw e
+      }
+      Files.deleteIfExists(backup)
       next
     } finally releaseClaim(marker, token)
   }
@@ -698,6 +781,12 @@ object GraftStore {
   private val dvProbeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])]]()
 
+  /** Drop cached probes under a table dir — version-dir paths stop being
+    * unique identities the moment a table is dropped/recreated/adopted at
+    * the same path. */
+  private[sources] def invalidateDvCache(tableDir: String): Unit =
+    dvProbeCache.keySet.removeIf(_.startsWith(tableDir))
+
   private def loadDvProbeUncached(spark: SparkSession, vdir: String,
       meta: GraftTableMeta)
       : Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])] =
@@ -785,6 +874,7 @@ object GraftStore {
 
   /** Create an empty table: meta, empty v0, empty changelog, pointer. */
   def create(dir: String, meta: GraftTableMeta): Unit = {
+    invalidateDvCache(dir) // a recreated path is a NEW identity
     writeMeta(dir, meta)
     Files.createDirectories(Paths.get(versionDir(dir, 0L)))
     writeBucketMarker(versionDir(dir, 0L), meta.buckets)
@@ -862,7 +952,10 @@ object GraftStore {
     } finally releaseClaim(marker, token)
   }
 
-  def dropTable(dir: String): Unit = deleteRecursively(Paths.get(dir))
+  def dropTable(dir: String): Unit = {
+    invalidateDvCache(dir)
+    deleteRecursively(Paths.get(dir))
+  }
 
   /** Keep the newest `keepLast` versions, delete older directories (the
     * pointer always stays within the kept set). */
@@ -1270,7 +1363,10 @@ object GraftStore {
             .write.partitionBy(BucketCol)
             .parquet(s"$buildDir/$DvDirName/$DvSeqCol=$next")
           val newRemoveRows = dvLiveRows(buildDir)
-          if (dvLiveRows(curDir) + newRemoveRows <= morMaxLiveDeletes) {
+          // subtraction form: dvLiveRows saturates to Long.MaxValue on a
+          // corrupt footer, and MaxValue + n would WRAP past the cap —
+          // `live <= cap - new` keeps the forced escalation intact
+          if (dvLiveRows(curDir) <= morMaxLiveDeletes - newRemoveRows) {
             if (newRemoveRows == 0) // nothing removed: no slice to keep
               deleteRecursively(Paths.get(dvRoot(buildDir)))
             Set.empty
@@ -1698,8 +1794,20 @@ object GraftStore {
           val n = p.getFileName.toString
           n.startsWith(s"$self.stage-") || n.startsWith(s"$self.clonebuild-")
         }.toList).foreach { p =>
-          val age = try now - Files.getLastModifiedTime(p).toMillis
-          catch { case _: java.nio.file.NoSuchFileException => -1L }
+          // liveness = the NEWEST mtime anywhere in the subtree: a live
+          // CTAS/RTAS keeps writing files deep inside the stage dir
+          // without touching its root mtime, and killing an in-flight
+          // statement is worse than keeping an orphan another hour
+          val age = try {
+            val walk = Files.walk(p)
+            val newest =
+              try walk.iterator().asScala
+                .map(f => try Files.getLastModifiedTime(f).toMillis
+                  catch { case _: Exception => now })
+                .foldLeft(0L)(math.max)
+              finally walk.close()
+            now - newest
+          } catch { case _: Exception => -1L }
           if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
         }
     }

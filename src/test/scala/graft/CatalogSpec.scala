@@ -1012,6 +1012,26 @@ class CatalogSpec extends SparkTestBase {
     assertThrows[Exception](spark.sql(
       s"REPLACE TABLE $cat.t_missing USING graft TBLPROPERTIES " +
         "('merge_key'='id') AS SELECT id FROM range(0, 1)"))
+    // RTAS that REUSES a column name with a DIFFERENT type: the staged
+    // meta gets fresh physical identities, so time travel across the
+    // replace null-fills instead of exploding on a physical type clash
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_retype")
+    spark.sql(s"CREATE TABLE $cat.t_retype (id BIGINT NOT NULL, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('merge_key'='id', 'buckets'='4')")
+    spark.sql(s"INSERT INTO $cat.t_retype VALUES (1, 10)")         // v1
+    spark.sql(s"REPLACE TABLE $cat.t_retype USING graft " +
+      "TBLPROPERTIES ('merge_key'='id') " +
+      "AS SELECT id, CAST('s' || id AS STRING) AS v FROM range(0, 3)")
+    assert(spark.sql(s"SELECT v FROM $cat.t_retype WHERE id = 1")
+      .head.getString(0) === "s1")
+    val old = spark.sql(s"SELECT id, v FROM $cat.t_retype VERSION AS OF 1")
+      .collect()
+    // id kept its name+type → inherits the physical identity and stays
+    // readable across the replace; v changed type → fresh identity, so
+    // the old BIGINT bytes null-fill instead of throwing a parquet error
+    assert(old.length === 1 && old.head.getLong(0) === 1L &&
+      old.head.isNullAt(1),
+      s"inherit-or-fresh physical identities broken: ${old.mkString}")
   }
 
   test("maintenance runs as native SQL CALL procedures; TRUNCATE TABLE works") {
@@ -1159,22 +1179,20 @@ class CatalogSpec extends SparkTestBase {
     assert(batch === 5L)
   }
 
-  test("nullable merge keys are tightened to NOT NULL; null inserts fail") {
+  test("explicit CREATE rejects nullable merge keys; CTAS tightens them") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_nullkey")
-    // the stored schema always declares keys NOT NULL: a CREATE (or a
-    // CTAS, whose inferred schema cannot carry the constraint) with a
-    // nullable key gets it TIGHTENED, and Spark's output resolution then
-    // enforces the null check on every write
-    spark.sql(s"""CREATE TABLE $cat.t_nullkey
-      (k BIGINT, v STRING) USING graft
-      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
-    assert(!spark.table(s"$cat.t_nullkey").schema("k").nullable)
-    spark.sql(s"INSERT INTO $cat.t_nullkey VALUES (1, 'a')")
-    val e = intercept[Exception](spark.sql(
-      s"INSERT INTO $cat.t_nullkey VALUES (CAST(NULL AS BIGINT), 'b')"))
-    assert(e.getMessage != null)
-    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t_nullkey").head.getLong(0) === 1L)
+    // an EXPLICIT CREATE must declare keys NOT NULL (silently rewriting
+    // declared DDL would surprise later); only CTAS/RTAS — whose inferred
+    // schemas cannot carry the constraint — tighten, with the null check
+    // enforced on every write (covered in the CTAS spec)
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.t_nullkey
+        (k BIGINT, v STRING) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    }
+    assert(causeChain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("must be declared NOT NULL")), s"got $e")
   }
 
   test("copy-on-write rewrites only touched buckets; others are hard-linked") {

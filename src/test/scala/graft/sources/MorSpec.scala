@@ -351,6 +351,21 @@ class MorSpec extends SparkTestBase {
       s"runtime filter should narrow the DV-live scan: $pruned vs $full")
   }
 
+  test("DROP + re-CREATE at the same path never serves a stale delete probe") {
+    // version-dir paths repeat across table lifetimes: a cached probe for
+    // old-table v2 must not filter (or skip filtering) new-table v2
+    val m = mkTable("t_cachebust", "mor")
+    seed(m, 30)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k < 20") // v2 with live DVs
+    assert(rows(m).map(_._1) === (20L until 30L))  // probe now cached for v2
+    spark.sql(s"DROP TABLE $cat.$m")
+    mkTable("t_cachebust", "mor")
+    seed(m, 30)                                    // new table's v1
+    spark.sql(s"DELETE FROM $cat.$m WHERE k >= 25") // new v2, DIFFERENT DVs
+    assert(rows(m).map(_._1) === (0L until 25L),
+      "stale cached delete probe applied to the recreated table")
+  }
+
   test("merge-on-read rejects non-atomic merge keys") {
     warehouse
     val e = intercept[Exception](spark.sql(
