@@ -119,18 +119,23 @@ object Bench {
     // loop_ms: fixed single-thread arithmetic (JIT-warmed) — CPU speed.
     // sleep_ms: 100 x 1ms sleeps — scheduler/timer wakeup latency
     // (healthy ~110-150ms; an oversubscribed hypervisor shows 2-5x).
-    val loopMs = {
-      def spin(): Long = { var x = 0L; var i = 0L
-        while (i < 30000000L) { x += i * i; i += 1 }; x }
-      spin() // JIT warm
-      val t0 = System.nanoTime(); spin(); (System.nanoTime() - t0) / 1000000
-    }
+    // eff_cores: 32 threads each running the SAME spin loop concurrently;
+    //   effective cores = 32 * single_thread_ms / parallel_wall_ms. The r6
+    //   incident measured "~10 effective cores" under hypervisor steal while
+    //   the single-thread probes read healthy — this is the probe that
+    //   single-thread loop_ms cannot substitute for. Healthy: ~25-32.
+    // dio_w_mbps: 32 MiB O_DIRECT write (dd oflag=direct, bypasses page
+    //   cache) — the r6 incident measured 8.3 MB/s vs healthy 250-450.
+    //   Write-heavy rows (s10/s11/s26, g3's localCheckpoints) inflate with
+    //   this number while CPU probes stay green.
+    val (loopMs, effCores) = HostProbe.cpu()
     val sleepMs = {
       val t0 = System.nanoTime()
       var i = 0; while (i < 100) { Thread.sleep(1); i += 1 }
       (System.nanoTime() - t0) / 1000000
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","host":{"loop_ms":$loopMs,"sleep100x1ms_ms":$sleepMs}}""")
+    val dioMbps = HostProbe.directIoWriteMbps()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","host":{"loop_ms":$loopMs,"sleep100x1ms_ms":$sleepMs,"eff_cores":$effCores%.1f,"dio_w_mbps":$dioMbps%.1f}}""")
     spark.stop()
   }
 }

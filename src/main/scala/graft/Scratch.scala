@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    if (args.contains("--probe")) {
+      // host-state stamp without starting Spark — run before/after any
+      // timing session to prove what the host was doing
+      val (loopMs, eff) = HostProbe.cpu()
+      val dio = HostProbe.directIoWriteMbps()
+      println(f"[probe] loop_ms=$loopMs eff_cores=$eff%.1f dio_w_mbps=$dio%.1f")
+      return
+    }
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
