@@ -32,10 +32,17 @@ def gen_sequence(idx):
     # merge-on-read must be semantically invisible: the SAME model covers
     # both modes (identical contents AND identical changelog); half the
     # programs start 'mor' and a set_mode template flips it mid-program
-    mode = rng.choice(["cow", "mor"])
+    # a third of the programs run PARTITIONED BY (name): identity
+    # partition dirs above the buckets, rows MOVING partitions on every
+    # rename/update of the name, plus the expire_partitions template.
+    # Partitioning requires cow (store guard), and the partition column
+    # cannot be dropped, so those templates are skipped when partitioned.
+    partitioned = rng.random() < 0.34
+    mode = "cow" if partitioned else rng.choice(["cow", "mor"])
+    part_clause = " PARTITIONED BY (name)" if partitioned else ""
     stmts = [f"DROP TABLE IF EXISTS graftdml.{t}",
              f"CREATE TABLE graftdml.{t} (k BIGINT NOT NULL, name STRING, "
-             f"amount BIGINT) USING graft TBLPROPERTIES "
+             f"amount BIGINT) USING graft{part_clause} TBLPROPERTIES "
              f"('merge_key'='k', 'buckets'='4', 'merge_mode'='{mode}')"]
     version = 0
     altered = 0          # extra columns added so far
@@ -84,7 +91,28 @@ def gen_sequence(idx):
                            "optimize", "expire_changes", "expire_versions",
                            "rename", "rename", "drop_readd", "rebucket",
                            "merge_nmbs", "restore", "replace_where",
-                           "set_mode", "rtas"])
+                           "set_mode", "rtas", "expire_partitions",
+                           "merge_evolve"])
+        if partitioned and kind in ("set_mode", "drop_readd", "rtas"):
+            continue  # mode flips need mor; partition column undroppable;
+                      # the generated RTAS would silently de-partition
+        if kind == "expire_partitions":
+            if not partitioned:
+                continue
+            # metadata-only boundary commit: drop every partition whose
+            # name sorts below the cut; one version bump iff any matched,
+            # NO changelog slice (like overwrite/restore)
+            cut = rng.choice(NAMES[1:])  # never below the minimum
+            stmts.append(f"CALL graftdml.expire_partitions("
+                         f"table => '{t}', below => '{cut}')")
+            dropped = [k for k in state
+                       if state[k][0] is not None and state[k][0] < cut]
+            if dropped:
+                for k in dropped:
+                    del state[k]
+                version += 1
+                history[version] = (dict(state), n_drops, buckets, dv_live)
+            continue
         if kind == "rtas":
             # atomic REPLACE TABLE AS SELECT (identity projection of the
             # live contents, under the CURRENT logical names): one claimed
@@ -208,6 +236,42 @@ def gen_sequence(idx):
                         del state[k]; ops.append("D")
                     else:
                         state[k] = (n, a + 5); ops.append("U")
+            commit(ops)
+            continue
+        if kind == "merge_evolve":
+            # MERGE WITH SCHEMA EVOLUTION: the source carries a column the
+            # target doesn't have — the analyzer auto-ADDs it through the
+            # catalog (metadata-only), then the merge lands values in it.
+            # The model only tracks the core roles, so contents-wise this
+            # is a plain upsert merge; the schema grows by one extra.
+            altered += 1
+            evo = f"evo_{idx}_{altered}"
+            src_rows = []
+            for k in rng.sample(sorted(state), min(len(state), rng.randint(0, 2))):
+                src_rows.append((k, rng.choice(NAMES), rng.randint(0, 1000)))
+            for k in fresh_keys(rng.randint(1, 2)):
+                src_rows.append((k, rng.choice(NAMES), rng.randint(0, 1000)))
+            # types must MATCH the target exactly: the evolution rule
+            # diffs source vs target schemas and would otherwise request a
+            # merge-key type change the store (correctly) rejects
+            vals = ", ".join(
+                f"(CAST({k} AS BIGINT), '{n}', CAST({a} AS BIGINT), 'e{k}')"
+                for k, n, a in src_rows)
+            stmts.append(
+                f"MERGE WITH SCHEMA EVOLUTION INTO graftdml.{t} x "
+                f"USING (SELECT * FROM (VALUES {vals}) "
+                f"AS v(k, name, amount, {evo})) s ON x.{cn['k']} = s.k "
+                f"WHEN MATCHED THEN UPDATE SET {cn['name']} = s.name, "
+                f"{cn['amount']} = s.amount, {evo} = s.{evo} "
+                f"WHEN NOT MATCHED THEN INSERT ({cn['k']}, {cn['name']}, "
+                f"{cn['amount']}, {evo}) VALUES (s.k, s.name, s.amount, s.{evo})")
+            schema_cols.append([evo, "extra"])
+            ops = []
+            for k, n, a in src_rows:
+                if k in state:
+                    state[k] = (n, a); ops.append("U")
+                else:
+                    state[k] = (n, a); ops.append("I")
             commit(ops)
             continue
         if kind == "rename":

@@ -254,6 +254,42 @@ object Scratch {
       }
       state.unpersist()
     }
+    // commit-metadata cost vs TABLE FILE COUNT — the r12 manifest-commit
+    // claim: a single-key delta's commit time is flat as the table's live
+    // file count grows (the pre-r12 layout hard-linked every untouched
+    // file forward, so this same probe grew linearly). One table, grown by
+    // small appends (each adds ~buckets files); at checkpoints, time a
+    // one-bucket CoW update and report the live file count it paid for.
+    for (k <- Seq(1) if want("files")) {
+      import graft.sources.{GraftStore, GraftTableMeta}
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft_scale_files")
+        .toString + "/t"
+      val schema = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("cents", LongType, nullable = true)))
+      GraftStore.create(dir, GraftTableMeta(schema, Seq("k"), buckets = 8))
+      var appended = 0
+      def appendOnce(): Unit = {
+        val lo = appended * 100L
+        GraftStore.applyChanges(spark, dir,
+          spark.range(lo, lo + 100).select($"id".as("k"), ($"id" * 3).as("cents"))
+            .withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
+        appended += 1
+      }
+      Seq(10, 50, 250).foreach { target =>
+        while (appended < target) appendOnce()
+        val v = GraftStore.currentVersion(dir)
+        val (_, nFiles, _) = GraftStore.versionStats(dir, v)
+        time(f"files  ($nFiles%5d live files, $appended%3d appends) single-key delta commit") {
+          GraftStore.applyChanges(spark, dir,
+            Seq((7L, 999L)).toDF("k", "cents")
+              .withColumn(GraftStore.OpCol, lit("U")))
+        }
+        GraftStore.expireVersions(dir, keepLast = 2) // bound dir growth
+      }
+      GraftStore.dropTable(dir)
+    }
     // merge-on-read vs copy-on-write on the documented worst case: a
     // FIXED 5k-key change batch whose keys spread across every bucket.
     // CoW must grow with the table (rewrites all 64 buckets); MoR must

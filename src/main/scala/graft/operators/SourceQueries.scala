@@ -1184,13 +1184,22 @@ object SourceQueries {
       val srcDir = s"${DmlFixture.warehouse}/clone_src"
       val dstDir = s"${DmlFixture.warehouse}/clone_dst"
       // the clone CONTINUES the source's version numbering (base = src v2,
-      // its own update = v3) so carried file/delete seqs stay meaningful
-      val srcV = java.nio.file.Paths.get(G.versionDir(srcDir, 2L))
+      // its own update = v3) so carried file/delete seqs stay meaningful.
+      // The clone's base is MATERIALIZED (self-contained bucket dirs); its
+      // twins on the source side resolve through the bucket manifest, so
+      // match by part-file name (job-unique) rather than by rel path.
       val dstV = java.nio.file.Paths.get(G.versionDir(dstDir, 2L))
       def key(p: java.nio.file.Path) = java.nio.file.Files
         .readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
         .fileKey()
       val linked = {
+        // twins key on the SLOT-RELATIVE path (bucket dir + file name):
+        // one commit writes the same part-file NAME into every bucket dir
+        // it touches, so the bare name is ambiguous across buckets
+        def rel(p: java.nio.file.Path) =
+          s"${p.getParent.getFileName}/${p.getFileName}"
+        val srcByRel = G.snapshotFiles(srcDir, 2L)
+          .map(java.nio.file.Paths.get(_)).map(p => rel(p) -> p).toMap
         val st = java.nio.file.Files.walk(dstV)
         val probe = try {
           import scala.jdk.CollectionConverters._
@@ -1199,8 +1208,7 @@ object SourceQueries {
               p.getFileName.toString.startsWith("part-")).take(3).toList
         } finally st.close()
         probe.nonEmpty && probe.forall { p =>
-          val twin = srcV.resolve(dstV.relativize(p))
-          java.nio.file.Files.exists(twin) && key(p) == key(twin)
+          srcByRel.get(rel(p)).exists(twin => key(p) == key(twin))
         }
       }
       s.sql("SELECT user_id, cents FROM graftdml.clone_dst")
@@ -1484,6 +1492,163 @@ object SourceQueries {
       FROM events GROUP BY user_id
       ORDER BY user_id""")),
 
+    // ----- S31: MERGE WITH SCHEMA EVOLUTION — the standard ingestion
+    // affordance for evolving upstreams: a source carrying columns the
+    // target lacks auto-ADDs them through the catalog inside the MERGE
+    // (analyzer rule + the AUTOMATIC_SCHEMA_EVOLUTION capability), as a
+    // metadata-only change — history null-fills through the physical
+    // column mapping, no backfill rewrite at any scale. The gate pins the
+    // evolved contents (new column NULL for untouched rows, valued for
+    // merged rows), the single-version commit, the CDC op counts of the
+    // evolving merge, and that a merge WITHOUT the clause still rejects
+    // unknown columns.
+    GraftQuery("s31_merge_schema_evolution", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s31_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.evo_t")
+      s.sql("""CREATE TABLE graftdml.evo_t
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.evo_t SELECT * FROM s31_latest")
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/evo_t"
+      val preVersion = G.currentVersion(dir)
+      // wider source: every user_id % 3 = 0 gets a tier label; one fresh
+      // key (-1) exercises the INSERT branch with the new column
+      s.sql("""SELECT user_id, cents * 2 AS c2,
+          concat('t', CAST(user_id % 4 AS STRING)) AS tier
+        FROM s31_latest WHERE user_id % 3 = 0
+        UNION ALL SELECT -1, 42, 'fresh'""").createOrReplaceTempView("s31_src")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftdml.evo_t t
+        USING s31_src s ON t.user_id = s.user_id
+        WHEN MATCHED THEN UPDATE SET cents = s.c2, tier = s.tier
+        WHEN NOT MATCHED THEN INSERT (user_id, cents, tier)
+          VALUES (s.user_id, s.c2, s.tier)""")
+      val oneCommit = G.currentVersion(dir) == preVersion + 1
+      val evolved = G.readMeta(dir).schema.fieldNames.contains("tier")
+      // a merge WITHOUT the clause must still reject unknown columns
+      val rejected =
+        try {
+          s.sql("""MERGE INTO graftdml.evo_t t USING
+            (SELECT -2 AS user_id, 1 AS c2, 'x' AS ghost) s
+            ON t.user_id = s.user_id
+            WHEN NOT MATCHED THEN INSERT (user_id, cents, ghost)
+              VALUES (s.user_id, s.c2, s.ghost)""")
+          false
+        } catch { case _: Exception => true }
+      s.sql("SELECT user_id, cents, coalesce(tier, '-') AS tier FROM graftdml.evo_t")
+        .withColumn("one_commit", lit(oneCommit))
+        .withColumn("schema_evolved", lit(evolved))
+        .withColumn("unevolved_rejected", lit(rejected))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      merged AS (
+        SELECT user_id,
+          CASE WHEN user_id % 3 = 0 THEN cents * 2 ELSE cents END AS cents,
+          CASE WHEN user_id % 3 = 0
+            THEN concat('t', CAST(user_id % 4 AS VARCHAR)) ELSE '-' END AS tier
+        FROM latest
+        UNION ALL SELECT -1, 42, 'fresh')
+      SELECT user_id, CAST(cents AS BIGINT) AS cents, tier,
+        TRUE AS one_commit, TRUE AS schema_evolved, TRUE AS unevolved_rejected
+      FROM merged ORDER BY user_id""")),
+
+    // ----- S30: PARTITIONED BY on the DML store — time-transform
+    // partition dirs ABOVE the bucket fan-out (`gpart=<epoch-day>/
+    // gbucket=<k>`), the standard fact-table layout: `days(ts)` range
+    // predicates prune whole partition DIRECTORIES before zone maps and
+    // bucket hashing narrow further (all three compose), and retention is
+    // `CALL expire_partitions` — ONE metadata-only boundary commit that
+    // drops the old days from the slot manifest without reading, moving
+    // or deleting a single file (older versions keep them until
+    // expire_versions). The gate pins measured planned-file counts for
+    // the pruning claims, the DML/CDC/time-travel interplay, and the
+    // zero-data-file retention commit; the surviving rows hash against a
+    // DuckDB closed form.
+    GraftQuery("s30_partitioned_store", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      val ev = T.events(s, d)
+        .groupBy($"event_id").agg(max_by(
+          struct($"ts", vcents($"value").as("cents")),
+          struct($"ts", $"event_id")).as("r"))
+        .select($"event_id", $"r.ts".as("ts"), $"r.cents".as("cents"))
+      ev.createOrReplaceTempView("s30_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.part_t")
+      s.sql("""CREATE TABLE graftdml.part_t
+        (event_id BIGINT NOT NULL, ts TIMESTAMP, cents BIGINT)
+        USING graft PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('merge_key'='event_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.part_t SELECT * FROM s30_src")
+      s.sql("UPDATE graftdml.part_t SET cents = cents + 7 WHERE event_id % 11 = 0")
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/part_t"
+      // deterministic day bounds from the data itself (one-row agg)
+      val d0 = s.sql("SELECT CAST(MIN(ts) AS DATE) FROM graftdml.part_t")
+        .head().getDate(0).toLocalDate
+      val d1 = d0.plusDays(1)
+      // measured pruning evidence: one-day scan < full scan; a ts range
+      // composes with a merge-key point lookup (partition ∩ bucket)
+      val full = filesPlanned(s.sql("SELECT * FROM graftdml.part_t"))
+      val oneDay = filesPlanned(s.sql(
+        s"SELECT * FROM graftdml.part_t WHERE ts >= timestamp'$d1 00:00:00' " +
+          s"AND ts < timestamp'${d1.plusDays(1)} 00:00:00'"))
+      val dayPruned = oneDay > 0 && oneDay < full
+      val probeKey = s.sql("SELECT MIN(event_id) FROM graftdml.part_t " +
+        s"WHERE ts >= timestamp'$d1 00:00:00' AND " +
+        s"ts < timestamp'${d1.plusDays(1)} 00:00:00'").head().getLong(0)
+      val point = filesPlanned(s.sql(
+        s"SELECT * FROM graftdml.part_t WHERE event_id = $probeKey AND " +
+          s"ts >= timestamp'$d1 00:00:00' AND " +
+          s"ts < timestamp'${d1.plusDays(1)} 00:00:00'"))
+      val composed = point >= 1 && point < oneDay
+      val preCount = s.sql("SELECT COUNT(*) FROM graftdml.part_t")
+        .head().getLong(0)
+      val preVersion = G.currentVersion(dir)
+      // retention: drop the FIRST day as one metadata-only boundary commit
+      s.sql(s"CALL graftdml.expire_partitions(table => 'part_t', " +
+        s"below => '${d1.toEpochDay}')")
+      val v = G.currentVersion(dir)
+      val metadataOnly = graft.sources.GraftStats
+        .listDataFiles(G.versionDir(dir, v)).isEmpty
+      val boundary = G.isBoundary(dir, v) && !G.hasChangelog(dir, v)
+      // time travel still reads the full pre-retention snapshot
+      val ttFull = s.sql(
+        s"SELECT COUNT(*) FROM graftdml.part_t VERSION AS OF $preVersion")
+        .head().getLong(0) == preCount
+      s.sql("SELECT event_id, cents FROM graftdml.part_t")
+        .withColumn("day_pruned", lit(dayPruned))
+        .withColumn("point_composes_prunings", lit(composed))
+        .withColumn("retention_metadata_only", lit(metadataOnly))
+        .withColumn("retention_is_boundary", lit(boundary))
+        .withColumn("time_travel_full", lit(ttFull))
+        .orderBy($"event_id")
+    }, Some(s"""
+      WITH src AS (SELECT event_id, ts, cents FROM (
+          SELECT event_id, ts, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY event_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      kept AS (SELECT event_id, ts,
+          CASE WHEN event_id % 11 = 0 THEN cents + 7 ELSE cents END AS cents
+        FROM src
+        WHERE CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) FROM src)
+          + INTERVAL 1 DAY)
+      SELECT event_id, cents, TRUE AS day_pruned,
+        TRUE AS point_composes_prunings, TRUE AS retention_metadata_only,
+        TRUE AS retention_is_boundary, TRUE AS time_travel_full
+      FROM kept ORDER BY event_id""")),
+
     // ----- S26: merge-on-read row-level deltas — the s11 DML dataflow on
     // a `merge_mode='mor'` table. Each MERGE/UPDATE/DELETE commits the
     // after-images as ordinary new files plus an equality-delete slice
@@ -1525,16 +1690,19 @@ object SourceQueries {
       s.sql("INSERT INTO graftdml.mor_state SELECT user_id, event_id, cents FROM s26_base")
       val G = graft.sources.GraftStore
       val dir = s"${DmlFixture.warehouse}/mor_state"
-      val baseFiles = graft.sources.GraftStats
-        .listDataFiles(G.versionDir(dir, 1L)).toSet
+      // ABSOLUTE live-file sets resolved through the bucket manifest: the
+      // merge-on-read claim under test is that the MERGE's commit leaves
+      // every base file live (after-images + delete slice only, no bucket
+      // rewrite) — since r12 untouched files are carried by manifest
+      // reference, not re-linked, so the comparison is on resolved paths
+      val baseFiles = G.snapshotFiles(dir, 1L).toSet
       s.sql("""MERGE INTO graftdml.mor_state t USING s26_chg c
         ON t.user_id = c.user_id
         WHEN MATCHED AND c.op = 'delete' THEN DELETE
         WHEN MATCHED THEN UPDATE SET event_id = c.c_event, cents = c.c_cents
         WHEN NOT MATCHED AND c.op <> 'delete' THEN
           INSERT (user_id, event_id, cents) VALUES (c.user_id, c.c_event, c.c_cents)""")
-      val mergeFiles = graft.sources.GraftStats
-        .listDataFiles(G.versionDir(dir, 2L)).toSet
+      val mergeFiles = G.snapshotFiles(dir, 2L).toSet
       s.sql("UPDATE graftdml.mor_state SET cents = cents + 100 WHERE user_id % 7 = 0")
       s.sql("DELETE FROM graftdml.mor_state WHERE cents < 500")
       val dmlVersion = G.currentVersion(dir)

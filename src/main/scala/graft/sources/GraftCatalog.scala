@@ -177,10 +177,49 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       partitions: Array[Transform],
       properties: util.Map[String, String],
       tightenKeys: Boolean): GraftTableMeta = {
-    require(partitions.isEmpty,
-      "graft tables hash-bucket internally; PARTITIONED BY is not supported")
+    // PARTITIONED BY: at most ONE transform — identity(col) or a time
+    // transform (years/months/days/hours) over a date/timestamp column.
+    // The partition directory sits ABOVE the hash-bucket fan-out
+    // (`gpart=<ordinal>/gbucket=<k>`), giving date-grained retention
+    // (`CALL expire_partitions`) and coarse partition pruning that
+    // composes with bucket pruning; the bucket fan-out is still what
+    // scopes the copy-on-write rewrite.
+    require(partitions.length <= 1,
+      "graft tables take at most ONE PARTITIONED BY transform " +
+        "(identity | years | months | days | hours); the hash-bucket " +
+        "fan-out below it comes from TBLPROPERTIES ('buckets'=...)")
+    val partSpec: Option[(String, String)] = partitions.headOption.map { t =>
+      val fn = t.name() match {
+        case "identity" => "identity"
+        case n @ ("years" | "months" | "days" | "hours") => n
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform $other " +
+            "(supported: identity | years | months | days | hours)")
+      }
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"partition transform must reference exactly one top-level column: $t")
+      val c = refs(0).fieldNames()(0)
+      require(schema0.fieldNames.contains(c), s"partition column $c not in schema")
+      val dt = schema0(c).dataType
+      if (fn == "identity")
+        require(Seq(ByteType, ShortType, IntegerType, LongType,
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.DateType,
+            org.apache.spark.sql.types.BooleanType).contains(dt),
+          s"identity partitioning needs an integral/string/date/boolean " +
+            s"column; $c is $dt")
+      else
+        require(dt == org.apache.spark.sql.types.DateType ||
+            dt == TimestampType ||
+            dt == org.apache.spark.sql.types.TimestampNTZType,
+          s"$fn() partitioning needs a date/timestamp column; $c is $dt")
+      (fn, c) // physical == logical at CREATE time
+    }
     require(!schema0.fieldNames.contains(GraftStore.BucketCol),
       s"column name ${GraftStore.BucketCol} is reserved")
+    require(!schema0.fieldNames.contains(GraftStore.PartCol),
+      s"column name ${GraftStore.PartCol} is reserved")
     require(!ident.name().endsWith(ChangesSuffix) &&
         !ident.name().endsWith(GraftCatalog.VersionsSuffix) &&
         !ident.name().endsWith(GraftCatalog.FilesSuffix),
@@ -214,7 +253,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (mode == "mor") keys.foreach(k =>
       require(GraftStore.morKeyTypeOk(schema(k).dataType),
         s"merge_mode=mor requires atomic-typed merge keys; $k is ${schema(k).dataType}"))
-    GraftTableMeta(schema, keys, buckets, mergeMode = mode)
+    // scope bound, not a semantic conflict: the mor scan wrapper's schema
+    // plumbing doesn't yet account for the extra partition column
+    require(mode == "cow" || partSpec.isEmpty,
+      "PARTITIONED BY currently requires merge_mode='cow'")
+    GraftTableMeta(schema, keys, buckets, mergeMode = mode,
+      partition = partSpec)
   }
 
   override def createTable(ident: Identifier, schema0: StructType,
@@ -376,6 +420,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         } else {
           require(!m.keyCols.contains(name),
             s"cannot drop merge-key column $name")
+          require(!m.partition.exists(_._2 ==
+              GraftStore.physicalName(m.schema(name))),
+            s"cannot drop partition column $name")
           require(m.schema.length > 1, "cannot drop the last column")
           val f = m.schema(name)
           m.copy(
@@ -575,15 +622,12 @@ final class GraftFilesTable(tableName: String, dir: String)
         val meta = GraftStore.readMeta(dir)
         val physToLog = meta.schema.fields
           .map(f => GraftStore.physicalName(f) -> f.name).toMap
-        val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
-        val manifest = GraftStats.readManifest(vdir)
-        val bucketRe = (GraftStore.BucketCol + "=(\\d+)/").r
-        def mk(rel: String, col: Option[(String, GraftStats.ColStats)]) = {
+        val cur = GraftStore.currentVersion(dir)
+        def mk(rel: String, bucket: Int, abs: java.nio.file.Path,
+            col: Option[(String, GraftStats.ColStats)]) = {
           val size =
-            try java.nio.file.Files.size(java.nio.file.Paths.get(vdir, rel))
+            try java.nio.file.Files.size(abs)
             catch { case _: Exception => 0L }
-          val bucket: Any = bucketRe.findFirstMatchIn(rel)
-            .map(_.group(1).toInt).orNull
           // no tuple destructuring here: a typed pattern (even `: Any`)
           // never matches null in Scala 2.13, so the stats-less legs would
           // MatchError instead of producing the documented null row
@@ -599,11 +643,24 @@ final class GraftFilesTable(tableName: String, dir: String)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](UTF8String.fromString(rel), bucket, size) ++ tail)
         }
-        GraftStats.listDataFiles(vdir).flatMap { rel =>
-          manifest.get(rel) match {
-            case Some(cols) if cols.nonEmpty =>
-              cols.toSeq.sortBy(_._1).map(c => mk(rel, Some(c)))
-            case _ => Seq(mk(rel, None))
+        // live files resolved through the bucket manifest; each file's
+        // stats come from its OWNING version dir's zone-map manifest
+        val manifests = scala.collection.mutable.Map
+          .empty[String, Map[String, GraftStats.FileStats]]
+        GraftStore.resolvedSlotDirs(dir, cur).flatMap { case (slot, ds) =>
+          val b = GraftStore.slotBucket(slot)
+          ds.flatMap { d =>
+            val ownerDir = d.stripSuffix(s"/$slot")
+            val manifest = manifests.getOrElseUpdate(ownerDir,
+              GraftStats.readManifest(ownerDir))
+            GraftStore.listBucketFiles(d).flatMap { f =>
+              val rel = s"$slot/${f.getFileName}"
+              manifest.get(rel) match {
+                case Some(cols) if cols.nonEmpty =>
+                  cols.toSeq.sortBy(_._1).map(c => mk(rel, b, f, Some(c)))
+                case _ => Seq(mk(rel, b, f, None))
+              }
+            }
           }
         }.toArray
       }
@@ -766,10 +823,17 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       "current_version" -> GraftStore.currentVersion(dir).toString).asJava
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE INTO t WITH SCHEMA EVOLUTION`
+    // lets the analyzer auto-ADD source-only columns (and widen types)
+    // through the catalog's alterTable before planning the merge — the
+    // store's ADD path is metadata-only (null-backfill via the physical
+    // column mapping), so an evolving upstream never blocks ingestion
+    // and never rewrites a byte of history
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Persisted CHECK constraints, reported enforced+validated: writes are
     * validated on ADD (one scan) and on every INSERT/UPDATE/MERGE (the
@@ -926,9 +990,12 @@ object GraftTable {
     val vdir = GraftStore.versionDir(dir, version)
     val withBucket = StructType(GraftStore.physicalSchema(meta.schema).fields :+
       StructField(GraftStore.BucketCol, IntegerType, nullable = true))
-    val delegate = ParquetTable(s"graft:$tableName@v$version", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), Seq(vdir), Some(withBucket),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+    // manifest-resolved snapshot scan: the file index is authored from
+    // `_bucketmap` (files live in their writing versions' dirs), partition
+    // values served per bucket dir — see GraftSnapshotScan
+    val delegate = org.apache.spark.sql.GraftSnapshotScan.parquetScanBuilder(
+      SparkSession.active, dir, version, meta,
+      GraftStore.physicalSchema(meta.schema), options)
     // always wrapped: name mapping is identity for never-renamed tables
     // (aggregate pushdown forwards), and the wrapper adds merge-key →
     // bucket file pruning for point/IN lookups on every table
@@ -943,15 +1010,25 @@ object GraftTable {
     // the slices (hasLiveDv gates them below and in the renaming scan)
     val morProbe =
       if (!GraftStore.hasLiveDv(vdir)) None
-      else GraftStore.loadDvProbe(SparkSession.active, vdir, meta)
+      else GraftStore.loadDvProbe(SparkSession.active, dir, version, meta)
     val renaming = new org.apache.spark.sql.GraftRenamingScanBuilder(
-      delegate.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
+      delegate,
       l2p, mapFlat(l2p), mapFlat(p2l),
       if (morProbe.isDefined) identity else wrapScan.getOrElse(identity),
       Some(new org.apache.spark.sql.GraftBucketDerivation(
         meta.keyCols, GraftStore.layoutBuckets(dir, version, meta),
         GraftStore.BucketCol)),
-      versionDir = Some(vdir))
+      versionDir = Some(vdir),
+      colStats = () => GraftStats.readTableColStats(dir)
+        .map(_._2.flatMap { case (phys, st) =>
+          p2l.get(phys).map(_ -> st)
+        }).getOrElse(Map.empty),
+      partitioning = meta.partition.map { case (fn, physCol) =>
+        new org.apache.spark.sql.GraftPartDerivation(fn,
+          p2l.getOrElse(physCol, physCol),
+          org.apache.spark.sql.GraftSnapshotScan.partType(meta,
+            GraftStore.physicalSchema(meta.schema)).get)
+      })
     morProbe match {
       case None => renaming
       case Some((fileSeq, dv)) =>

@@ -289,22 +289,22 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
     * rides in the PARTITIONS (planned against `v`), so the factory being
     * built from a later version can't skew the snapshot. */
   private def rawSnapshotScanBuilder(v: Long) = {
-    val vdir = GraftStore.versionDir(dir, v)
     val withBucket = org.apache.spark.sql.types.StructType(
       GraftStore.physicalSchema(meta.schema).fields :+
         org.apache.spark.sql.types.StructField(GraftStore.BucketCol,
           org.apache.spark.sql.types.IntegerType, nullable = true))
-    val opts = new CaseInsensitiveStringMap(java.util.Map.of("basePath", vdir))
-    (ParquetTable(s"graft-table-stream-snap:$dir", spark, opts,
-      Seq(vdir), Some(withBucket), classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()), withBucket, vdir)
+    // manifest-resolved snapshot (bucket map → owner dirs), same path the
+    // batch table scan plans from — see GraftSnapshotScan
+    (org.apache.spark.sql.GraftSnapshotScan.parquetScanBuilder(spark, dir,
+      v, meta, GraftStore.physicalSchema(meta.schema),
+      CaseInsensitiveStringMap.empty()), withBucket)
   }
 
   private def rawSnapshotScan(v: Long) = rawSnapshotScanBuilder(v)._1.build()
 
   private def snapshotScan(v: Long) = {
-    val (raw, withBucket, vdir) = rawSnapshotScanBuilder(v)
-    GraftStore.loadDvProbe(spark, vdir, meta) match {
+    val (raw, withBucket) = rawSnapshotScanBuilder(v)
+    GraftStore.loadDvProbe(spark, dir, v, meta) match {
       case None => raw.build()
       case Some((fileSeq, dv)) =>
         val physKeys = meta.keyCols.map(k =>

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * a one-row result summarizing what happened. */
 object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "rebucket", "clone", "restore",
-    "expire_versions", "expire_changes", "vacuum")
+    "expire_versions", "expire_changes", "expire_partitions", "vacuum",
+    "analyze")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact buckets with more than max_files_per_bucket " +
@@ -39,8 +40,14 @@ object GraftProcedures {
       "re-snapshot across it)"),
     "expire_versions" -> "keep the newest keep_last versions, delete older",
     "expire_changes" -> "drop changelog slices below keep_from_version",
+    "expire_partitions" -> ("drop every partition whose ordinal is below " +
+      "the bound as ONE metadata-only boundary commit (no file I/O; " +
+      "older versions retain the data until expire_versions)"),
     "vacuum" -> ("remove abandoned staging dirs and stale claim tombs " +
-      "older than older_than_ms (committed data is never touched)"))
+      "older than older_than_ms (committed data is never touched)"),
+    "analyze" -> ("compute per-column NDV/null/min-max over the current " +
+      "version (one aggregate job) and persist them for the planner's " +
+      "join-size estimation"))
 
   private[sources] def params(name: String): Array[ProcedureParameter] = name match {
     case "optimize" => Array(
@@ -66,10 +73,15 @@ object GraftProcedures {
     case "expire_changes" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_from_version", LongType).build())
+    case "expire_partitions" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("below", StringType).build())
     case "vacuum" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("older_than_ms", LongType)
         .defaultValue("3600000").build())
+    case "analyze" => Array(
+      ProcedureParameter.in("table", StringType).build())
   }
 }
 
@@ -117,6 +129,11 @@ final class GraftProcedure(procName: String, tableDir: String => String)
         case "expire_changes" =>
           GraftStore.expireChanges(dir, input.getLong(1))
           ("changes_from_version", input.getLong(1))
+        case "expire_partitions" =>
+          ("version", GraftStore.expirePartitions(dir,
+            input.getUTF8String(1).toString))
+        case "analyze" =>
+          ("version", GraftStore.analyzeTable(spark, dir))
         case "vacuum" =>
           ("entries_removed", GraftStore.vacuum(dir, input.getLong(1)))
       }

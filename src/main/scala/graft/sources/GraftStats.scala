@@ -101,6 +101,21 @@ object GraftStats {
       sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Write a manifest from PRE-AGGREGATED entries (clone/RTAS
+    * materialization: the copied files' stats are already in the source
+    * owners' manifests — no footer re-reads). */
+  def writeManifestEntries(buildDir: String,
+      entries: Map[String, FileStats]): Unit = {
+    val sb = new StringBuilder
+    entries.toSeq.sortBy(_._1).foreach { case (rel, fs) =>
+      fs.foreach { case (col, cs) =>
+        sb.append(encodeLine(rel, col, cs)).append('\n')
+      }
+    }
+    Files.write(Paths.get(buildDir, ManifestName),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Relative paths (`gbucket=N/part-...`) of the data files in a version
     * dir, sorted for deterministic manifests. */
   def listDataFiles(versionDir: String): Seq[String] =
@@ -328,6 +343,61 @@ object GraftStats {
       }
       .groupBy(_._1)
       .map { case (rel, es) => rel -> es.map(e => e._2 -> e._3).toMap }
+  }
+
+  // ------------------------------------------------- table column stats
+  //
+  // ANALYZE output: per-column NDV / null count / min / max over one
+  // analyzed VERSION, persisted at the table level (`_colstats`, staged +
+  // atomic rename) and served to Spark's planner through the scan's
+  // `Statistics.columnStats()` — the join-ordering/estimation input a
+  // store⋈store fact join is blind without. One aggregate job per ANALYZE
+  // (never per query); like every warehouse, stats are advisory estimates
+  // and may lag the table until the next `CALL analyze`.
+
+  val ColStatsName = "_colstats"
+
+  /** One analyzed column: comparison kind (same domain tags as zone maps),
+    * approximate distinct count, null count, min/max (External values). */
+  final case class TableColStat(kind: String, ndv: Long, nullCount: Long,
+      min: Option[Any], max: Option[Any])
+
+  def writeTableColStats(dir: String, version: Long,
+      stats: Map[String, TableColStat]): Unit = {
+    val sb = new StringBuilder
+    sb.append(version).append('\n')
+    stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+      sb.append(Seq(c, s.kind, s.ndv.toString, s.nullCount.toString,
+        enc(s.kind, s.min), enc(s.kind, s.max)).mkString("\t")).append('\n')
+    }
+    val tmp = Paths.get(dir, ColStatsName + ".tmp")
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, ColStatsName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (analyzed version, per-PHYSICAL-column stats), or None if never
+    * analyzed. */
+  def readTableColStats(dir: String): Option[(Long, Map[String, TableColStat])] = {
+    val p = Paths.get(dir, ColStatsName)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    try {
+      val v = lines.head.trim.toLong
+      val m = lines.tail.flatMap { line =>
+        line.split('\t') match {
+          case Array(c, kind, ndv, nulls, mn, mx) =>
+            try Some(c -> TableColStat(kind, ndv.toLong, nulls.toLong,
+              dec(kind, mn), dec(kind, mx)))
+            catch { case _: Exception => None }
+          case _ => None
+        }
+      }.toMap
+      Some((v, m))
+    } catch { case _: Exception => None }
   }
 
   // ----------------------------------------------------------- evaluation

@@ -23,7 +23,13 @@ import org.apache.spark.sql.types._
   * a metadata write, with every read path mapping physical↔logical. */
 final case class GraftTableMeta(schema: StructType, keyCols: Seq[String],
     buckets: Int, tombstones: Seq[String] = Nil, mergeMode: String = "cow",
-    checks: Seq[(String, String)] = Nil)
+    checks: Seq[(String, String)] = Nil,
+    /** `PARTITIONED BY` transform: (fn ∈ identity|years|months|days|hours,
+      * source column's PHYSICAL name). Partition dirs sit ABOVE the bucket
+      * fan-out (`gpart=<ordinal>/gbucket=<k>`), composing date-grained
+      * retention and coarse pruning with key-hash bucketing. Physical
+      * name so RENAME COLUMN stays metadata-only. */
+    partition: Option[(String, String)] = None)
 
 /** Versioned, hash-bucketed, copy-on-write parquet store backing the
   * [[GraftCatalog]] SQL DML surface (SURVEY §2.2 S9's `MERGE INTO` /
@@ -38,25 +44,30 @@ final case class GraftTableMeta(schema: StructType, keyCols: Seq[String],
   * {{{
   *   <dir>/_meta.json            schema + key columns + bucket count
   *   <dir>/_current              atomic pointer: current version number
-  *   <dir>/v0000000007/          one immutable directory per version
-  *     gbucket=<k>/part-*.parquet
+  *   <dir>/v0000000007/          one immutable directory per version:
+  *     _bucketmap                  bucket → owner versions (the manifest)
+  *     gbucket=<k>/part-*.parquet  ONLY the files THIS commit wrote
   *   <dir>/_staging/<queryId>/   delta-write staging frames
   * }}}
   *
   * Commit = copy-on-write at BUCKET granularity: a change batch only
-  * rewrites the buckets its keys hash into; untouched buckets are
-  * hard-linked file-for-file into the new version directory (an object
-  * store deployment would reference them from a manifest instead — same
-  * commit protocol as [[graft.streaming.CompactingSink.snapshot]]). The
-  * version pointer flips last with an atomic rename, so readers resolve a
-  * complete version or the previous one, never a half-written directory.
+  * rewrites the buckets its keys hash into. Untouched buckets carry by
+  * MANIFEST REFERENCE — the new version's `_bucketmap` names, per bucket,
+  * the versions whose dirs physically hold its live files — so commit
+  * metadata costs O(changed files + buckets), never O(table files) (the
+  * pre-r12 layout hard-linked every untouched file forward; at ~1M files
+  * that driver-side pass was the commit bottleneck). A data file lives
+  * forever in the version dir that wrote it, which is also what makes its
+  * write-version derivable from its path. The version pointer flips last
+  * with an atomic rename, so readers resolve a complete version or the
+  * previous one, never a half-written directory.
   *
   * Scale shape: the rewrite job is `base buckets ⟕anti changes ∪ changes`
   * — one shuffle join keyed on the merge key, partitioned output, nothing
   * collected (the only driver-side materialization is the set of touched
   * bucket ids, ≤ `buckets` ints). At 100 TB you raise `buckets` so a
   * bucket is a few GB and a merge touching 1% of keys rewrites ~1% of
-  * files.
+  * files — and the commit's metadata write stays a few KB regardless.
   *
   * Multi-writer safety: every version commit first CLAIMS its version
   * number with a create-exclusive `_commit-N` marker and re-verifies the
@@ -203,16 +214,238 @@ object GraftStore {
       s"meta lock busy for $dir")
   }
 
-  /** Hard-link one bucket's data files from `srcVersionDir` into
-    * `nextDir` — the carry-over step shared by commit and compaction (an
-    * object store would manifest-reference instead; local links are free). */
-  private def linkBucket(srcVersionDir: String, nextDir: String, b: Int): Unit = {
-    val src = Paths.get(srcVersionDir, s"$BucketCol=$b")
-    val dst = Paths.get(nextDir, s"$BucketCol=$b")
-    Files.createDirectories(dst)
-    listDir(src)(_.filter(f => Files.isRegularFile(f) &&
-        !f.getFileName.toString.startsWith("."))
-      .foreach(f => Files.createLink(dst.resolve(f.getFileName), f)))
+  // -------------------------------------------------- slot-owner manifest
+  //
+  // Commit metadata is O(changed files + slots), never O(table files): a
+  // version dir physically holds ONLY the files its commit wrote, plus a
+  // `_bucketmap` manifest naming, per SLOT, the versions whose dirs hold
+  // that slot's live files (its OWNERS, ascending — the version of a
+  // file's enclosing dir is by construction the version that wrote it).
+  // A slot is one leaf data directory of the layout: `gbucket=<k>` for an
+  // unpartitioned table, `gpart=<ordinal>/gbucket=<k>` for a PARTITIONED
+  // BY table (partition above bucket — the standard fact-table layout, so
+  // date-grained retention and coarse pruning compose with the key-hash
+  // fan-out). Untouched slots are carried by rewriting one manifest line,
+  // not by re-linking every file the way pre-r12 commits did — at 100 TB /
+  // ~1M files the per-commit hard-link pass was the store's last O(table)
+  // driver-side cost. Readers resolve a snapshot to (slot → owner dirs)
+  // and scan those paths directly; expireVersions keeps an old version
+  // dir's referenced slots alive (marked `_expired`, excluded from the
+  // version listing) until no retained snapshot references them.
+
+  val BucketMapName = "_bucketmap"
+
+  /** Partition-ordinal directory name (above [[BucketCol]]). Like the
+    * bucket column it must NOT start with `_`/`.` (partition discovery
+    * would hide it). */
+  val PartCol = "gpart"
+
+  /** Bucket id of a slot (`[gpart=<v>/]gbucket=<k>` → k). */
+  def slotBucket(slot: String): Int =
+    slot.substring(slot.lastIndexOf('=') + 1).toInt
+
+  /** Partition-ordinal STRING of a slot, if partitioned
+    * (`gpart=<v>/gbucket=<k>` → v). */
+  def slotPart(slot: String): Option[String] = {
+    val i = slot.indexOf('/')
+    if (i < 0) None else Some(slot.substring(PartCol.length + 1, i))
+  }
+
+  /** Write-side partition-ordinal expression (over PHYSICAL column names;
+    * evaluate AFTER toPhysical). Ordinals are monotone in the source
+    * column so range predicates prune partitions: identity = the value;
+    * years = calendar year; months = year*12+month-1; days = days since
+    * epoch; hours = hours since epoch. UTC session timezone assumed (all
+    * entry points pin it). */
+  def partitionExpr(meta: GraftTableMeta): Option[Column] =
+    meta.partition.map { case (fn, physCol) =>
+      val c = col(physCol)
+      fn match {
+        case "identity" => c
+        case "years" => year(c.cast(DateType))
+        case "months" =>
+          (year(c.cast(DateType)) * 12 + month(c.cast(DateType)) - 1)
+        case "days" => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+        case "hours" =>
+          floor(unix_micros(c.cast(TimestampType)) / 3600000000L).cast(IntegerType)
+        case other => throw new IllegalArgumentException(
+          s"unknown partition transform: $other")
+      }
+    }
+
+  /** Stamp the partition-ordinal column onto a PHYSICAL-named frame (no-op
+    * for unpartitioned tables). */
+  private def withPartCol(df: DataFrame, meta: GraftTableMeta): DataFrame =
+    partitionExpr(meta).map(e => df.withColumn(PartCol, e)).getOrElse(df)
+
+  /** The layout's partition directory columns, innermost last. */
+  private def layoutCols(meta: GraftTableMeta): Seq[String] =
+    if (meta.partition.isDefined) Seq(PartCol, BucketCol) else Seq(BucketCol)
+
+  private[sources] def writeBucketMap(buildDir: String,
+      map: Map[String, Seq[Long]]): Unit = {
+    val sb = new StringBuilder
+    map.toSeq.sortBy(_._1).foreach { case (slot, vs) =>
+      if (vs.nonEmpty)
+        sb.append(slot).append('\t').append(vs.mkString(",")).append('\n')
+    }
+    Files.write(Paths.get(buildDir, BucketMapName),
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  /** Slots PHYSICALLY present in a version/build dir (its own files only):
+    * `gbucket=k` entries plus `gpart=v/gbucket=k` one level down. */
+  private[sources] def localSlots(vdir: String): Seq[String] = {
+    val p = Paths.get(vdir)
+    if (!Files.isDirectory(p)) return Seq.empty
+    listDir(p)(_.flatMap { e =>
+      val n = e.getFileName.toString
+      if (n.startsWith(s"$BucketCol=")) Seq(n)
+      else if (n.startsWith(s"$PartCol=") && Files.isDirectory(e))
+        listDir(e)(_.map(_.getFileName.toString)
+          .filter(_.startsWith(s"$BucketCol=")).map(b => s"$n/$b").toSeq)
+      else Seq.empty
+    }.toSeq)
+  }
+
+  /** Per-slot owner versions of version `v` (ascending). Versions
+    * predating the manifest format are self-contained (hard-linked), so
+    * the fallback is the physical listing owning itself. */
+  def ownersOf(dir: String, v: Long): Map[String, Seq[Long]] = {
+    val p = Paths.get(versionDir(dir, v), BucketMapName)
+    if (!Files.exists(p))
+      return localSlots(versionDir(dir, v)).map(s => s -> Seq(v)).toMap
+    Files.readAllLines(p, java.nio.charset.StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(slot, vs) =>
+            try Some(slot -> vs.split(',').map(_.toLong).toSeq)
+            catch { case _: Exception => None }
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** Physical slot directories of a snapshot: slot → the owner versions'
+    * dirs (existing ones only), optionally restricted to a bucket set —
+    * the resolution every read path plans from. */
+  def resolvedSlotDirs(dir: String, v: Long,
+      buckets: Option[Set[Int]] = None): Seq[(String, Seq[String])] =
+    ownersOf(dir, v).toSeq
+      .filter { case (s, _) => buckets.forall(_.contains(slotBucket(s))) }
+      .sortBy(_._1)
+      .map { case (s, os) =>
+        s -> os.map(o => s"${versionDir(dir, o)}/$s")
+          .filter(d => Files.isDirectory(Paths.get(d)))
+      }
+      .filter(_._2.nonEmpty)
+
+  /** Data files of one physical slot dir (no recursion — slot dirs hold
+    * only files). */
+  private[sources] def listBucketFiles(slotDir: String): Seq[Path] =
+    listDir(Paths.get(slotDir))(_.filter { f =>
+      val n = f.getFileName.toString
+      Files.isRegularFile(f) && !n.startsWith(".") && !n.startsWith("_")
+    }.toSeq)
+
+  /** ABSOLUTE paths of every live data file of a snapshot, resolved
+    * through the slot manifest (spanning owner version dirs). */
+  def snapshotFiles(dir: String, v: Long): Seq[String] =
+    resolvedSlotDirs(dir, v).flatMap { case (_, ds) =>
+      ds.flatMap(d => listBucketFiles(d).map(_.toString))
+    }
+
+  /** Per-bucket live data-file count of a snapshot (summed over a
+    * partitioned bucket's slots) — the fragmentation signal [[optimize]]
+    * acts on. */
+  def bucketFileCounts(dir: String, v: Long): Map[Int, Int] =
+    resolvedSlotDirs(dir, v)
+      .groupBy { case (s, _) => slotBucket(s) }
+      .map { case (b, entries) =>
+        b -> entries.flatMap(_._2).map(d => listBucketFiles(d).size).sum
+      }
+
+  /** Merged per-file write-version map of a snapshot: each owner dir's
+    * local `_fileseq` (rel → version), rel paths being identical relative
+    * to whichever version dir physically holds the file — exactly how the
+    * scan extracts them from file paths. */
+  def resolvedFileSeq(dir: String, v: Long): Map[String, Long] = {
+    val owners = ownersOf(dir, v).values.flatten.toSet + v
+    owners.toSeq.sorted.foldLeft(Map.empty[String, Long])(
+      (acc, o) => acc ++ readFileSeq(versionDir(dir, o)))
+  }
+
+  /** Upper bound on the rows of a snapshot that can match `conjuncts`
+    * (physical-named pushed filters): the sum of rowCounts over files the
+    * zone maps cannot prove empty — the planner-facing twin of the scan's
+    * file skipping, exact when pruning is decisive. None when any
+    * surviving file lacks stats. */
+  def estimatedMatchingRows(dir: String, v: Long,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Long] = {
+    val manifests = scala.collection.mutable.Map
+      .empty[String, Map[String, GraftStats.FileStats]]
+    val perFile: Seq[Option[Long]] = for {
+      (slot, ds) <- resolvedSlotDirs(dir, v)
+      d <- ds
+      man = manifests.getOrElseUpdate(ownerDirOf(d, slot),
+        GraftStats.readManifest(ownerDirOf(d, slot)))
+      f <- listBucketFiles(d)
+      stats = man.get(s"$slot/${f.getFileName}")
+      if stats.forall(GraftStats.mayContain(conjuncts, _))
+    } yield stats.flatMap(_.values.map(_.rowCount).filter(_ >= 0).headOption)
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+  }
+
+  /** Exact live-row count of a snapshot from the owner dirs' zone-map
+    * manifests — None when any resolved file lacks a footer rowCount. The
+    * caller gates on live delete slices separately. */
+  def snapshotRowCount(dir: String, v: Long): Option[Long] = {
+    val manifests = scala.collection.mutable.Map
+      .empty[String, Map[String, GraftStats.FileStats]]
+    val perFile: Seq[Option[Long]] = for {
+      (slot, ds) <- resolvedSlotDirs(dir, v)
+      d <- ds
+      man = manifests.getOrElseUpdate(ownerDirOf(d, slot),
+        GraftStats.readManifest(ownerDirOf(d, slot)))
+      f <- listBucketFiles(d)
+    } yield man.get(s"$slot/${f.getFileName}")
+      .flatMap(_.values.map(_.rowCount).filter(_ >= 0).headOption)
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+  }
+
+  /** The version dir that owns slot dir `d` (strips the slot's one or two
+    * path segments). */
+  private def ownerDirOf(d: String, slot: String): String =
+    d.stripSuffix(s"/$slot")
+
+  /** Owner VERSION NUMBER of a slot dir. */
+  private def ownerVersionOf(d: String, slot: String): Long =
+    Paths.get(ownerDirOf(d, slot)).getFileName.toString.drop(1).toLong
+
+  /** Hard-link EVERY live file of snapshot (`srcDir`, `srcV`) into
+    * `buildDir`, flattening multi-owner slots into self-contained slot
+    * dirs — the cross-table materialization clone/RTAS need (their source
+    * dirs get dropped or evolve independently, so manifest references
+    * would dangle). Returns rel → write version for the linked files so
+    * the caller can persist seqs that keep delete ordering meaningful. */
+  private def materializeInto(srcDir: String, srcV: Long,
+      buildDir: String): Map[String, Long] = {
+    val seq = resolvedFileSeq(srcDir, srcV)
+    val out = Map.newBuilder[String, Long]
+    resolvedSlotDirs(srcDir, srcV).foreach { case (slot, ds) =>
+      val dst = Paths.get(buildDir, slot)
+      Files.createDirectories(dst)
+      ds.foreach { d =>
+        val ownerV = ownerVersionOf(d, slot)
+        listBucketFiles(d).foreach { f =>
+          Files.createLink(dst.resolve(f.getFileName), f)
+          val rel = s"$slot/${f.getFileName}"
+          out += rel -> seq.getOrElse(rel, ownerV)
+        }
+      }
+    }
+    out.result()
   }
 
   def writeMeta(dir: String, meta: GraftTableMeta): Unit = {
@@ -228,7 +461,8 @@ object GraftStore {
     val body = meta.schema.json + "\n" + meta.keyCols.mkString(",") + "\n" +
       meta.buckets + "\n" + meta.tombstones.mkString(",") + "\n" +
       meta.mergeMode + "\n" +
-      meta.checks.map { case (n, s) => s"${enc(n)}=${enc(s)}" }.mkString(",")
+      meta.checks.map { case (n, s) => s"${enc(n)}=${enc(s)}" }.mkString(",") +
+      "\n" + meta.partition.map { case (fn, c) => s"$fn:${enc(c)}" }.getOrElse("")
     val tmp = Paths.get(dir, "_meta.json.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -290,7 +524,12 @@ object GraftStore {
           val Array(n, s) = pair.split("=", 2)
           val dec = (v: String) => java.net.URLDecoder.decode(v, "UTF-8")
           (dec(n), dec(s))
-      } else Nil)
+      } else Nil,
+      // 7th line absent in pre-partitioning metas
+      if (lines.length > 6 && lines(6).trim.nonEmpty) {
+        val Array(fn, c) = lines(6).trim.split(":", 2)
+        Some((fn, java.net.URLDecoder.decode(c, "UTF-8")))
+      } else None)
   }
 
   def currentVersion(dir: String): Long =
@@ -299,6 +538,10 @@ object GraftStore {
   def listVersions(dir: String): Seq[Long] =
     listDir(Paths.get(dir))(_.map(_.getFileName.toString)
       .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq.sorted)
+      // retired-but-still-referenced file hosts (see expireVersions) are
+      // not readable versions
+      .filterNot(v => Files.exists(
+        Paths.get(versionDir(dir, v), "_expired")))
 
   /** Multi-writer commit coordination: version `next` is CLAIMED by
     * create-exclusive marker file before any commit work begins, so two
@@ -513,10 +756,16 @@ object GraftStore {
     // comparison meaningful with zero rewrites.
     val base = versionDir(tmp, cur)
     Files.createDirectories(Paths.get(base))
-    bucketDirs(srcV).foreach(b => linkBucket(srcV, base, b))
+    // materialize (hard-link) the source snapshot's resolved files into a
+    // SELF-CONTAINED base: the clone must survive the source's vacuum /
+    // expire independently, so manifest references across tables are out.
+    // Linked files keep their ORIGINAL write versions in the clone's
+    // fileseq so carried delete seqs stay meaningful.
+    val linkedSeq = materializeInto(srcDir, cur, base)
     linkDvCarry(srcV, base, Set.empty)
-    writeFileSeq(base, Some(srcV), cur)
-    GraftStats.writeManifest(base, Some(srcV))
+    writeBucketMap(base, localSlots(base).map(s => s -> Seq(cur)).toMap)
+    writeFileSeqEntries(base, linkedSeq)
+    GraftStats.writeManifestEntries(base, mergedManifest(srcDir, cur))
     writeBucketMarker(base, layoutBuckets(srcDir, cur, meta))
     Files.createDirectories(Paths.get(changesRoot(tmp)))
     writePointer(tmp, cur)
@@ -586,10 +835,17 @@ object GraftStore {
       val buildDir = s"$nextDir.build-$token"
       deleteRecursively(Paths.get(buildDir))
       Files.createDirectories(Paths.get(buildDir))
-      bucketDirs(svDir).foreach(b => linkBucket(svDir, buildDir, b))
+      // materialize the staged table's resolved snapshot — the stage dir
+      // is dropped right after the swap, so references into it would
+      // dangle; the staged data is this statement's own output, so the
+      // link pass is O(new files) by construction
+      materializeInto(stagedDir, sv, buildDir)
       linkDvCarry(svDir, buildDir, Set.empty) // staged DVs (none today) carry
+      writeBucketMap(buildDir,
+        localSlots(buildDir).map(s => s -> Seq(next)).toMap)
       writeFileSeq(buildDir, None, next)
-      GraftStats.writeManifest(buildDir, Some(svDir)) // reuse staged footers
+      GraftStats.writeManifestEntries(buildDir,
+        mergedManifest(stagedDir, sv)) // reuse staged footers
       writeBucketMarker(buildDir, layoutBuckets(stagedDir, sv, stagedMeta))
       writeBoundaryMarker(buildDir) // snapshot boundary for CDC consumers
       // crash-safe meta swap: stamp the OLD meta + target version into
@@ -764,15 +1020,17 @@ object GraftStore {
     * CATALYST form so executors compare them against `InternalRow.get`
     * directly. Cost: one small job over the (cap-bounded) delete slices.
     * None when the version has no live deletes. */
-  def loadDvProbe(spark: SparkSession, vdir: String, meta: GraftTableMeta)
+  def loadDvProbe(spark: SparkSession, dir: String, v: Long,
+      meta: GraftTableMeta)
       : Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])] = {
     // version dirs are immutable once published and the physical key
     // names never change (renames are logical-only), so the probe caches
     // per directory — scans against a DV-live version pay the slice-read
     // job ONCE, not once per query
+    val vdir = versionDir(dir, v)
     val cached = dvProbeCache.get(vdir)
     if (cached != null) return cached
-    val computed = loadDvProbeUncached(spark, vdir, meta)
+    val computed = loadDvProbeUncached(spark, dir, v, meta)
     if (dvProbeCache.size > 64) dvProbeCache.clear()
     dvProbeCache.put(vdir, computed)
     computed
@@ -787,10 +1045,10 @@ object GraftStore {
   private[sources] def invalidateDvCache(tableDir: String): Unit =
     dvProbeCache.keySet.removeIf(_.startsWith(tableDir))
 
-  private def loadDvProbeUncached(spark: SparkSession, vdir: String,
+  private def loadDvProbeUncached(spark: SparkSession, dir: String, v: Long,
       meta: GraftTableMeta)
       : Option[(Map[String, Long], Map[Int, Map[Seq[Any], Long]])] =
-    readDv(spark, vdir).map { dv =>
+    readDv(spark, versionDir(dir, v)).map { dv =>
       val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
       val keyTypes = meta.keyCols.map(k => meta.schema(k).dataType)
       val rows = dv.groupBy((BucketCol +: physKeys).map(col): _*)
@@ -805,7 +1063,7 @@ object GraftStore {
           key -> r.getLong(n + 1)
         }.toMap
       }
-      (readFileSeq(vdir), m)
+      (resolvedFileSeq(dir, v), m)
     }
 
   // ------------------------------------------------- per-file sequence map
@@ -837,6 +1095,39 @@ object GraftStore {
     }
     Files.write(Paths.get(buildDir, FileSeqName),
       sb.toString.getBytes("UTF-8"))
+  }
+
+  /** Write an EXPLICIT rel → seq map (clone: linked files keep their
+    * original write versions). */
+  private[sources] def writeFileSeqEntries(buildDir: String,
+      entries: Map[String, Long]): Unit = {
+    val sb = new StringBuilder
+    entries.toSeq.sorted.foreach { case (rel, s) =>
+      sb.append(rel).append('\t').append(s).append('\n')
+    }
+    Files.write(Paths.get(buildDir, FileSeqName),
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  /** Zone-map entries of every live file of a snapshot, merged across its
+    * owner versions' manifests — what a MATERIALIZED copy of the snapshot
+    * (clone/RTAS) persists as its own manifest, reusing footer reads. */
+  private[sources] def mergedManifest(dir: String, v: Long)
+      : Map[String, GraftStats.FileStats] = {
+    val manifests = scala.collection.mutable.Map
+      .empty[String, Map[String, GraftStats.FileStats]]
+    val out = Map.newBuilder[String, GraftStats.FileStats]
+    resolvedSlotDirs(dir, v).foreach { case (slot, ds) =>
+      ds.foreach { d =>
+        val od = d.stripSuffix(s"/$slot")
+        val man = manifests.getOrElseUpdate(od, GraftStats.readManifest(od))
+        listBucketFiles(d).foreach { f =>
+          val rel = s"$slot/${f.getFileName}"
+          man.get(rel).foreach(out += rel -> _)
+        }
+      }
+    }
+    out.result()
   }
 
   def readFileSeq(vdir: String): Map[String, Long] = {
@@ -877,6 +1168,7 @@ object GraftStore {
     invalidateDvCache(dir) // a recreated path is a NEW identity
     writeMeta(dir, meta)
     Files.createDirectories(Paths.get(versionDir(dir, 0L)))
+    writeBucketMap(versionDir(dir, 0L), Map.empty)
     writeBucketMarker(versionDir(dir, 0L), meta.buckets)
     Files.createDirectories(Paths.get(changesRoot(dir)))
     writePointer(dir, 0L)
@@ -944,6 +1236,7 @@ object GraftStore {
       val bd = s"$nd.build-$token"
       deleteRecursively(Paths.get(bd))
       Files.createDirectories(Paths.get(bd))
+      writeBucketMap(bd, Map.empty) // manifest-format marker: no data
       writeBucketMarker(bd, layoutBuckets(dir, cur, readMeta(dir)))
       writeBoundaryMarker(bd) // truncation = snapshot boundary for CDC
       verifyClaim(marker, token)
@@ -957,46 +1250,74 @@ object GraftStore {
     deleteRecursively(Paths.get(dir))
   }
 
-  /** Keep the newest `keepLast` versions, delete older directories (the
-    * pointer always stays within the kept set). */
+  /** Keep the newest `keepLast` versions readable, retire older ones. A
+    * retired version whose dir still OWNS files a kept snapshot references
+    * (via `_bucketmap`) is marked `_expired` — dropped from the version
+    * listing (no time travel to it, no restore) but kept on disk as a file
+    * host, with its UNREFERENCED bucket dirs and delete slices reclaimed;
+    * its zone-map/fileseq manifests stay (kept snapshots look entries up
+    * by owning dir). A retired dir nothing references is deleted outright,
+    * and previously-retired hosts are re-swept each call so they shrink to
+    * nothing as references age out. */
   def expireVersions(dir: String, keepLast: Int): Unit = {
-    val keep = listVersions(dir).takeRight(math.max(1, keepLast)).toSet
-    listVersions(dir).filterNot(keep).foreach { v =>
+    val live = listVersions(dir)
+    val keep = live.takeRight(math.max(1, keepLast)).toSet
+    // (owner version, bucket) pairs some kept snapshot still reads
+    val referenced: Set[(Long, String)] = keep.flatMap(v =>
+      ownersOf(dir, v).toSeq.flatMap { case (s, os) => os.map(o => (o, s)) })
+    val retired = live.filterNot(keep) ++ expiredVersions(dir)
+    retired.distinct.foreach { v =>
+      val vdir = versionDir(dir, v)
       // promote the snapshot-boundary marker BEFORE the dir goes away
       // (write-then-delete, so a crash can only leave a true boundary
       // recorded twice, never lose one) — a resuming CDC stream must keep
       // detecting the boundary after the version itself is expired
-      if (Files.exists(Paths.get(versionDir(dir, v), "_boundary"))) {
+      if (Files.exists(Paths.get(vdir, "_boundary"))) {
         Files.createDirectories(Paths.get(changesRoot(dir)))
         val m = Paths.get(changesRoot(dir), f"_boundary-$v%010d")
         if (!Files.exists(m)) Files.write(m, Array.empty[Byte])
       }
-      deleteRecursively(Paths.get(versionDir(dir, v)))
+      val refSlots = referenced.collect { case (`v`, s) => s }
+      if (refSlots.isEmpty) deleteRecursively(Paths.get(vdir))
+      else {
+        localSlots(vdir).filterNot(refSlots).foreach { s =>
+          deleteRecursively(Paths.get(vdir, s))
+          // clean an emptied gpart parent dir
+          val parent = Paths.get(vdir, s).getParent
+          if (parent.getFileName.toString.startsWith(s"$PartCol=") &&
+              listDir(parent)(_.isEmpty))
+            Files.deleteIfExists(parent)
+        }
+        deleteRecursively(Paths.get(dvRoot(vdir))) // kept snapshots hold links
+        Files.write(Paths.get(vdir, ExpiredMarker), Array.empty[Byte])
+      }
     }
   }
 
-  /** Layout stats for one retained version: (bucket dirs, data files,
-    * total bytes). Directory metadata only — never reads data. */
+  /** Marker excluding a retired-but-still-referenced version dir from the
+    * version listing (see [[expireVersions]]). */
+  private[sources] val ExpiredMarker = "_expired"
+
+  private def expiredVersions(dir: String): Seq[Long] =
+    listDir(Paths.get(dir))(_.map(_.getFileName.toString)
+      .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq.sorted)
+      .filter(v => Files.exists(Paths.get(versionDir(dir, v), ExpiredMarker)))
+
+  /** Layout stats for one retained version: (buckets, data files, total
+    * bytes) over its RESOLVED live file set. Directory metadata only —
+    * never reads data. */
   def versionStats(dir: String, v: Long): (Int, Long, Long) = {
-    val vdir = Paths.get(versionDir(dir, v))
-    if (!Files.isDirectory(vdir)) return (0, 0L, 0L)
+    if (!Files.isDirectory(Paths.get(versionDir(dir, v)))) return (0, 0L, 0L)
     var files = 0L
     var bytes = 0L
-    val s = Files.walk(vdir)
-    // hidden check covers every path segment under the version dir, so
-    // `_dv/...` delete files (metadata) never count as data files
-    try s.iterator().asScala.foreach { p =>
-      val rel = vdir.relativize(p)
-      val hidden = (0 until rel.getNameCount).exists { i =>
-        val n = rel.getName(i).toString
-        n.startsWith(".") || n.startsWith("_")
-      }
-      if (Files.isRegularFile(p) && !hidden) {
+    val res = resolvedSlotDirs(dir, v)
+    res.foreach { case (_, ds) =>
+      ds.foreach(d => listBucketFiles(d).foreach { f =>
         files += 1
-        bytes += Files.size(p)
-      }
-    } finally s.close()
-    (bucketDirs(versionDir(dir, v)).size, files, bytes)
+        bytes += (try Files.size(f) catch { case _: Exception => 0L })
+      })
+    }
+    (res.map(e => slotBucket(e._1)).distinct.size, files, bytes)
   }
 
   /** Whether version `v`'s changelog slice is still retained. */
@@ -1020,19 +1341,29 @@ object GraftStore {
     * new as the key's newest delete entry (broadcast joins — the delete
     * set and the file-seq map are both cap-bounded small). */
   private def readVersionPhysical(spark: SparkSession, dir: String,
-      meta: GraftTableMeta, v: Long): DataFrame = {
+      meta: GraftTableMeta, v: Long,
+      buckets: Option[Set[Int]] = None): DataFrame = {
     val vdir = versionDir(dir, v)
     val withBucket = StructType(physicalSchema(meta.schema).fields :+
       StructField(BucketCol, IntegerType, nullable = true))
-    if (bucketDirs(vdir).isEmpty)
+    // resolution-based read: the roots are the owner versions' bucket
+    // dirs (leaf dirs holding only files — no partition discovery), with
+    // the bucket id re-derived from each file's `gbucket=` path segment.
+    // A bucket restriction prunes at FILE-LIST time, the manifest-format
+    // equivalent of the old layout's partition pruning.
+    val roots = resolvedSlotDirs(dir, v, buckets).flatMap(_._2)
+    if (roots.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), withBucket)
     else {
-      val base = spark.read.schema(withBucket).parquet(vdir)
+      val base = spark.read.schema(physicalSchema(meta.schema))
+        .parquet(roots: _*)
+        .withColumn(BucketCol, regexp_extract(input_file_name(),
+          s"$BucketCol=(\\d+)/", 1).cast(IntegerType))
       readDv(spark, vdir) match {
         case None => base
         case Some(dv) =>
           val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
-          val seqRows = readFileSeq(vdir).toSeq.map {
+          val seqRows = resolvedFileSeq(dir, v).toSeq.map {
             case (rel, s) => Row(rel, s)
           }
           val seqDf = spark.createDataFrame(seqRows.asJava,
@@ -1057,9 +1388,10 @@ object GraftStore {
   /** Read one version as a logical-named DataFrame including the
     * [[BucketCol]] partition column (empty-but-typed when the version has
     * no data yet). */
-  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+  def readVersion(spark: SparkSession, dir: String, v: Long,
+      buckets: Option[Set[Int]] = None): DataFrame = {
     val meta = readMeta(dir)
-    toLogical(readVersionPhysical(spark, dir, meta, v), meta.schema)
+    toLogical(readVersionPhysical(spark, dir, meta, v, buckets), meta.schema)
   }
 
   /** Re-base a change batch built against a WRITER-PINNED schema onto the
@@ -1233,7 +1565,6 @@ object GraftStore {
     deleteRecursively(Paths.get(buildDir))
     val cols = meta.schema.fieldNames.toSeq
     locally {
-      val existing = bucketDirs(versionDir(dir, cur)).toSet
       val curDir = versionDir(dir, cur)
 
       // Merge-on-read decision. A 'mor' table's row-level delta writes the
@@ -1277,8 +1608,7 @@ object GraftStore {
             col(ChangeBeforeCol).cast(physBefore)), meta.schema)
           .hint("rebalance")
           .write.parquet(chDir)
-      val baseTouched = () => readVersion(spark, dir, cur)
-        .filter(col(BucketCol).isin(touched.toSeq: _*))
+      val baseTouched = () => readVersion(spark, dir, cur, Some(touched))
       val changelogLeg: () => Unit = () =>
         if (allInserts) {
           writeChangelog(ch.select((OpCol +: cols).map(col) :+ nullBefore: _*)
@@ -1323,13 +1653,12 @@ object GraftStore {
           .select(meta.keyCols.map(col): _*).distinct()
         val adds = ch.filter(col(OpCol).isin("I", "U"))
           .select((cols :+ BucketCol).map(col): _*)
-        val keptBase = readVersion(spark, dir, cur)
-          .filter(col(BucketCol).isin(rewriteBuckets.toSeq: _*))
+        val keptBase = readVersion(spark, dir, cur, Some(rewriteBuckets))
         val kept = keptBase.join(removes, meta.keyCols, "left_anti")
           .select((cols :+ BucketCol).map(col): _*)
-        toPhysical(kept.unionByName(adds), meta.schema)
-          .hint("rebalance", col(BucketCol))
-          .write.partitionBy(BucketCol).parquet(buildDir)
+        withPartCol(toPhysical(kept.unionByName(adds), meta.schema), meta)
+          .hint("rebalance", layoutCols(meta).map(col): _*)
+          .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
         rewriteBuckets
       }
 
@@ -1338,9 +1667,10 @@ object GraftStore {
           // unconditional write: an empty batch produces an empty version
           // dir, and skipping the touched-set job saves one Spark action
           // per append
-          toPhysical(ch.select((cols :+ BucketCol).map(col): _*), meta.schema)
-            .hint("rebalance", col(BucketCol))
-            .write.partitionBy(BucketCol).parquet(buildDir)
+          withPartCol(toPhysical(
+              ch.select((cols :+ BucketCol).map(col): _*), meta.schema), meta)
+            .hint("rebalance", layoutCols(meta).map(col): _*)
+            .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
           Set.empty
         } else if (morRequested) {
           // merge-on-read: after-images land like an append; removed keys
@@ -1352,10 +1682,10 @@ object GraftStore {
           // the common path pays zero extra passes over the change batch;
           // only the rare over-cap commit discards this small staged write
           // and escalates.
-          toPhysical(ch.filter(col(OpCol).isin("I", "U"))
-              .select((cols :+ BucketCol).map(col): _*), meta.schema)
-            .hint("rebalance", col(BucketCol))
-            .write.partitionBy(BucketCol).parquet(buildDir)
+          withPartCol(toPhysical(ch.filter(col(OpCol).isin("I", "U"))
+              .select((cols :+ BucketCol).map(col): _*), meta.schema), meta)
+            .hint("rebalance", layoutCols(meta).map(col): _*)
+            .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
           toPhysical(ch.filter(col(OpCol).isin("U", "D"))
               .select((meta.keyCols :+ BucketCol).map(col): _*).distinct(),
               meta.schema)
@@ -1403,19 +1733,34 @@ object GraftStore {
         } catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
 
-      // Hard-link carried-over files into the new version (an object
-      // store would manifest-reference them; local FS links are free).
-      // An overwrite carries nothing over — the new data IS the version.
-      val carried = if (overwrite) Set.empty[Int] else existing -- rewritten
-      carried.foreach(linkBucket(versionDir(dir, cur), buildDir, _))
+      // Carry untouched buckets by MANIFEST REFERENCE: the new version's
+      // `_bucketmap` points at the owner versions still holding their
+      // files — one line per bucket, never a per-file pass. Buckets this
+      // commit rewrote own themselves; buckets it appended to gain `next`
+      // as an additional owner; an overwrite carries nothing (the new
+      // data IS the version).
+      val local = localSlots(buildDir).toSet
+      val prevOwners =
+        if (overwrite) Map.empty[String, Seq[Long]] else ownersOf(dir, cur)
+      val newMap = (prevOwners.keySet ++ local).flatMap { slot =>
+        val owners =
+          if (rewritten.contains(slotBucket(slot)) || overwrite)
+            if (local.contains(slot)) Seq(next) else Seq.empty
+          else prevOwners.getOrElse(slot, Seq.empty) ++
+            (if (local.contains(slot)) Seq(next) else Seq.empty)
+        if (owners.isEmpty) None else Some(slot -> owners)
+      }.toMap
+      writeBucketMap(buildDir, newMap)
       // carry still-live delete slices for buckets NOT rewritten this
       // commit (a rewrite APPLIES its buckets' deletes; an overwrite
-      // starts from nothing)
+      // starts from nothing). Physical links stay correct here: the live
+      // delete set is cap-bounded, so this is O(changed rows), not
+      // O(table).
       if (!overwrite) linkDvCarry(curDir, buildDir, rewritten)
-      // per-file write-version manifest — the merge-on-read read side's
-      // "is this file older than that delete" evidence; carried files keep
-      // their original seq, new files stamp `next`
-      writeFileSeq(buildDir, if (overwrite) None else Some(curDir), next)
+      // per-file write-version manifest for the LOCAL files (all stamped
+      // `next` — a file now lives forever in the version dir that wrote
+      // it); carried files keep their seqs in their own owners' manifests
+      writeFileSeq(buildDir, None, next)
       // A remnant final-named change dir for `next` can only predate this
       // commit (publication always happens after the flip, so a live one
       // would imply pointer >= next). Clear it BEFORE the flip — after the
@@ -1425,9 +1770,11 @@ object GraftStore {
       // (r7 ADVICE race).
       val chFinal = Paths.get(changesDir(dir, next))
       deleteRecursively(chFinal)
-      // zone maps: footer stats for the NEW files, carried entries for the
-      // hard-linked ones — after the links, so the manifest covers both
-      GraftStats.writeManifest(buildDir, Some(versionDir(dir, cur)))
+      // zone maps: footer stats for the LOCAL files only (cost ∝ files
+      // written); carried files' entries live in their owner versions'
+      // manifests, which is where the scan looks them up (per-file path →
+      // owning version dir)
+      GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, buckets)
       if (overwrite) writeBoundaryMarker(buildDir) // snapshot boundary for CDC
       // a commit that outlived even the heartbeat-refreshed stale window
@@ -1495,11 +1842,8 @@ object GraftStore {
     // read delete slices: compaction rewrites them from the DV-applied
     // read, so OPTIMIZE is also the operation that returns a 'mor' table
     // to plain scans (no probe, restored agg pushdown / exact stats)
-    val fragmented = (bucketDirs(curDir).filter { b =>
-      listDir(Paths.get(curDir, s"$BucketCol=$b"))(
-        _.count(f => Files.isRegularFile(f) &&
-          !f.getFileName.toString.startsWith(".") &&
-          !f.getFileName.toString.startsWith("_"))) > maxFilesPerBucket
+    val fragmented = (bucketFileCounts(dir, cur).collect {
+      case (b, n) if n > maxFilesPerBucket => b
     } ++ dvBuckets(curDir)).toSet
     if (fragmented.isEmpty) return cur
     val next = cur + 1
@@ -1518,8 +1862,8 @@ object GraftStore {
       // never touches the logical mapping.
       val meta = readMeta(dir)
       val sortPhys = sortWithin.map(c => physicalName(meta.schema(c)))
-      val rep = readVersionPhysical(spark, dir, meta, cur)
-        .filter(col(BucketCol).isin(fragmented.toSeq: _*))
+      val rep = withPartCol(
+          readVersionPhysical(spark, dir, meta, cur, Some(fragmented)), meta)
         .repartition(fragmented.size, col(BucketCol))
       val clustered =
         if (zorderBy.nonEmpty) {
@@ -1533,15 +1877,23 @@ object GraftStore {
         if (targetFileRows > 0)
           clustered.write.option("maxRecordsPerFile", targetFileRows)
         else clustered.write
-      writer.partitionBy(BucketCol).parquet(buildDir)
-      (bucketDirs(curDir).toSet -- fragmented)
-        .foreach(linkBucket(curDir, buildDir, _))
+      writer.partitionBy(layoutCols(meta): _*).parquet(buildDir)
+      // carry the un-fragmented buckets by manifest reference; rewritten
+      // buckets own themselves (a bucket whose live rows all fell to
+      // deletes simply leaves the map)
+      val local = localSlots(buildDir).toSet
+      writeBucketMap(buildDir, (ownersOf(dir, cur).keySet ++ local)
+        .flatMap { slot =>
+          if (fragmented.contains(slotBucket(slot)))
+            if (local.contains(slot)) Some(slot -> Seq(next)) else None
+          else ownersOf(dir, cur).get(slot).map(slot -> _)
+        }.toMap)
       // every DV-carrying bucket is in `fragmented`, so no delete slice
-      // survives compaction; file seqs: carried keep theirs, rewrites
-      // stamp `next` (≥ any dseq — stale entries could never match even
-      // if one leaked)
-      writeFileSeq(buildDir, Some(curDir), next)
-      GraftStats.writeManifest(buildDir, Some(curDir))
+      // survives compaction; rewrites stamp `next` (≥ any dseq — stale
+      // entries could never match even if one leaked); carried files keep
+      // their seqs in their owners' manifests
+      writeFileSeq(buildDir, None, next)
+      GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
       verifyClaim(marker, token)
       publishVersion(buildDir, nextDir)
@@ -1603,11 +1955,13 @@ object GraftStore {
       val buildDir = s"$nextDir.build-$token"
       deleteRecursively(Paths.get(buildDir))
       val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
-      readVersionPhysical(spark, dir, meta, cur)
-        .drop(BucketCol)
-        .withColumn(BucketCol, bucketExpr(physKeys, newBuckets))
+      withPartCol(readVersionPhysical(spark, dir, meta, cur)
+          .drop(BucketCol)
+          .withColumn(BucketCol, bucketExpr(physKeys, newBuckets)), meta)
         .repartition(newBuckets, col(BucketCol))
-        .write.partitionBy(BucketCol).parquet(buildDir)
+        .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
+      writeBucketMap(buildDir,
+        localSlots(buildDir).map(s => s -> Seq(next)).toMap)
       writeFileSeq(buildDir, None, next) // every file rewritten (DVs applied)
       GraftStats.writeManifest(buildDir, None) // every file rewritten
       writeBucketMarker(buildDir, newBuckets)
@@ -1655,15 +2009,131 @@ object GraftStore {
       val buildDir = s"$nextDir.build-$token"
       deleteRecursively(Paths.get(buildDir))
       Files.createDirectories(Paths.get(buildDir))
-      bucketDirs(srcV).foreach(b => linkBucket(srcV, buildDir, b))
-      // the restored state includes the target's live delete slices and
-      // file seqs verbatim — a merge-on-read version restores to exactly
-      // the rows it read as
+      // pure metadata commit: the new version's bucket map is the
+      // target's resolved owner map verbatim — O(buckets), no per-file
+      // pass at any table size
+      writeBucketMap(buildDir, ownersOf(dir, toVersion))
+      // the restored state includes the target's live delete slices
+      // verbatim (physical cap-bounded links) — a merge-on-read version
+      // restores to exactly the rows it read as; file seqs stay in the
+      // owner versions' manifests
       linkDvCarry(srcV, buildDir, Set.empty)
-      writeFileSeq(buildDir, Some(srcV), next)
-      GraftStats.writeManifest(buildDir, Some(srcV))
+      writeFileSeq(buildDir, None, next)
+      GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, layoutBuckets(dir, toVersion, meta))
       writeBoundaryMarker(buildDir) // restore = snapshot boundary for CDC
+      verifyClaim(marker, token)
+      publishVersion(buildDir, nextDir)
+      writePointer(dir, next)
+      next
+    } finally releaseClaim(marker, token)
+  }
+
+  /** ANALYZE — `CALL analyze(table)`: ONE aggregate job over the current
+    * version computing per-column approximate NDV, null count, and
+    * min/max (atomic columns), persisted at the table level and served to
+    * the planner through the scan's `Statistics.columnStats()`
+    * ([[org.apache.spark.sql.GraftRenamingScan.estimateStatistics]]) — the
+    * cardinality input Spark's CBO join estimation works from. Returns the
+    * analyzed version. Values normalize into the zone-map comparison
+    * domains (dates → epoch days, timestamps → micros), so the planner
+    * sees catalyst-comparable endpoints. */
+  def analyzeTable(spark: SparkSession, dir: String): Long = {
+    val meta = readMeta(dir)
+    val cur = currentVersion(dir)
+    val supported = meta.schema.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    if (supported.isEmpty) return cur
+    val df = readVersion(spark, dir, cur)
+    val aggs = supported.flatMap { f =>
+      val c = col(f.name)
+      Seq(approx_count_distinct(c).as(s"ndv_${f.name}"),
+        count(when(c.isNull, 1)).as(s"nulls_${f.name}"),
+        min(c).as(s"min_${f.name}"), max(c).as(s"max_${f.name}"))
+    }
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    def norm(dt: DataType, v: Any): (String, Option[Any]) = (dt, v) match {
+      case (_, null) => (kindOfType(dt), None)
+      case (DateType, d: java.sql.Date) =>
+        ("l", Some(d.toLocalDate.toEpochDay))
+      case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+        ("l", Some(t.toInstant.getEpochSecond * 1000000L +
+          t.toInstant.getNano / 1000L))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        ("l", Some(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond *
+          1000000L + t.getNano / 1000L))
+      case (_, n: java.lang.Number)
+          if kindOfType(dt) == "l" => ("l", Some(n.longValue()))
+      case (_, n: java.lang.Number)
+          if kindOfType(dt) == "d" => ("d", Some(n.doubleValue()))
+      case (_, b: java.lang.Boolean) => ("b", Some(b.booleanValue()))
+      case (_, s: String) => ("s", Some(s))
+      case _ => (kindOfType(dt), None)
+    }
+    val stats = supported.zipWithIndex.map { case (f, i) =>
+      val ndv = row.getLong(i * 4)
+      val nulls = row.getLong(i * 4 + 1)
+      val (kind, mn) = norm(f.dataType, row.get(i * 4 + 2))
+      val (_, mx) = norm(f.dataType, row.get(i * 4 + 3))
+      physicalName(f) -> GraftStats.TableColStat(kind, ndv, nulls, mn, mx)
+    }.toMap
+    GraftStats.writeTableColStats(dir, cur, stats)
+    cur
+  }
+
+  private def kindOfType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => "l"
+    case FloatType | DoubleType => "d"
+    case BooleanType => "b"
+    case _ => "s"
+  }
+
+  /** Partition-scoped retention — `CALL expire_partitions(table, below)`:
+    * ONE claimed commit whose new version simply OMITS every slot whose
+    * partition ordinal is below the bound from its `_bucketmap`. Pure
+    * metadata at any table size (no file is read, moved, or deleted —
+    * older versions still reference the dropped partitions until
+    * [[expireVersions]] reclaims them), which is exactly what makes
+    * date-grained retention viable at 100 TB. Like TRUNCATE/overwrite it
+    * writes NO changelog slice and stamps the snapshot-boundary marker:
+    * rows disappeared without per-row D entries, so a CDC fold across it
+    * must re-snapshot. Ordinals compare numerically when both sides parse
+    * as integers (the time transforms and integral identity), else as
+    * strings. Returns the new version (or the current one if nothing
+    * matched). */
+  def expirePartitions(dir: String, below: String): Long = {
+    recoverChangelog(dir)
+    val meta = readMeta(dir)
+    require(meta.partition.isDefined,
+      s"table $dir has no PARTITIONED BY transform")
+    val cur = currentVersion(dir)
+    def lt(a: String): Boolean = (a.toLongOption, below.toLongOption) match {
+      case (Some(x), Some(y)) => x < y
+      case _ => a < below
+    }
+    val keepMap = ownersOf(dir, cur).filter { case (slot, _) =>
+      !slotPart(slot).exists(lt)
+    }
+    if (keepMap.size == ownersOf(dir, cur).size) return cur
+    val next = cur + 1
+    val (marker, token) = claimCommit(dir, next)
+    try withClaimHeartbeat(Seq(marker,
+        Paths.get(s"${versionDir(dir, next)}.build-$token"))) {
+      if (currentVersion(dir) != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past version $cur during EXPIRE PARTITIONS")
+      val nextDir = versionDir(dir, next)
+      val buildDir = s"$nextDir.build-$token"
+      deleteRecursively(Paths.get(buildDir))
+      Files.createDirectories(Paths.get(buildDir))
+      writeBucketMap(buildDir, keepMap)
+      writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
+      writeBoundaryMarker(buildDir) // rows vanish with no changelog slice
       verifyClaim(marker, token)
       publishVersion(buildDir, nextDir)
       writePointer(dir, next)

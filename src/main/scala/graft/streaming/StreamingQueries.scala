@@ -833,6 +833,120 @@ object StreamingQueries {
         (SELECT CAST(SUM(pop) AS BIGINT) FROM upd)
       ORDER BY phase""")),
 
+    // ----- T13b: the t13 base-table stream over a merge_mode='mor' table
+    // WHILE equality-delete slices are LIVE — the mode×mode cell the
+    // registry didn't gate: (a) a fresh stream's SNAPSHOT batch over a
+    // DV-live version applies the slices (updated values, no resurrected
+    // rows), (b) tailing a mor UPDATE under ignoreChanges emits the
+    // after-images, a mor DELETE under ignoreDeletes emits nothing, and
+    // (c) skipChangeCommits classifies a mor UPDATE version from its
+    // changelog footer stats and drops it whole while a later INSERT
+    // still arrives. Booleans pin that slices were genuinely live at each
+    // snapshot (no OPTIMIZE ran).
+    GraftQuery("t13b_table_stream_mor", (s, d) => {
+      import s.implicits._
+      graft.operators.DmlFixture.register(s)
+      T.nation(s, d).select($"n_nationkey".cast("long").as("k"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("t13b_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.ts_mor")
+      s.sql("""CREATE TABLE graftdml.ts_mor
+        (k BIGINT NOT NULL, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4', 'merge_mode'='mor')""")
+      s.sql("INSERT INTO graftdml.ts_mor SELECT * FROM t13b_src")        // v1
+      s.sql("UPDATE graftdml.ts_mor SET pop = pop + 1000 WHERE k % 3 = 0") // v2: live DV
+      val G = graft.sources.GraftStore
+      val dir = s"${graft.operators.DmlFixture.warehouse}/ts_mor"
+      def dvLiveNow(): Boolean =
+        G.hasLiveDv(G.versionDir(dir, G.currentVersion(dir)))
+      val phase = new java.util.concurrent.atomic.AtomicReference("a_snapshot")
+      val acc = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      val dvLiveA = dvLiveNow()
+      locally {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_t13b_ckptA").toString
+        val q = s.readStream.option("ignoreChanges", "true")
+          .option("ignoreDeletes", "true")
+          .table("graftdml.ts_mor")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ph = phase.get()
+            val rows = df.select($"k", $"pop").collect()
+              .map(x => (ph, x.getLong(0), x.getLong(1)))
+            acc.synchronized { acc ++= rows }
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try {
+          q.processAllAvailable()                          // snapshot over live DVs
+          phase.set("a_delete_tail")
+          s.sql("DELETE FROM graftdml.ts_mor WHERE k >= 20")             // v3
+          q.processAllAvailable()                          // D rows dropped
+          phase.set("a_update_tail")
+          s.sql("UPDATE graftdml.ts_mor SET pop = pop + 7 WHERE k < 3")  // v4
+          q.processAllAvailable()                          // after-images
+        } finally q.stop()
+      }
+      val dvLiveB = dvLiveNow()                            // still live (no optimize)
+      phase.set("b_snapshot")
+      locally {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_t13b_ckptB").toString
+        val q = s.readStream.option("skipChangeCommits", "true")
+          .table("graftdml.ts_mor")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ph = phase.get()
+            val rows = df.select($"k", $"pop").collect()
+              .map(x => (ph, x.getLong(0), x.getLong(1)))
+            acc.synchronized { acc ++= rows }
+            ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        try {
+          q.processAllAvailable()                          // snapshot (live DVs)
+          phase.set("b_skip_tail")
+          s.sql("UPDATE graftdml.ts_mor SET pop = pop + 100000 WHERE k = 5") // v5: skipped whole
+          q.processAllAvailable()
+          phase.set("b_insert_tail")
+          s.sql("INSERT INTO graftdml.ts_mor VALUES (900, 9007), (901, 9017), (902, 9027)") // v6
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val collected = acc.synchronized { acc.toSeq }
+      val aDeleteEmitted = collected.exists(_._1 == "a_delete_tail")
+      val bSkipEmitted = collected.exists(_._1 == "b_skip_tail")
+      collected.toDF("phase", "k", "pop")
+        .groupBy($"phase")
+        .agg(count(lit(1)).as("n_rows"), sum($"pop").as("sum_pop"))
+        .withColumn("dv_live_at_a_snapshot", lit(dvLiveA))
+        .withColumn("dv_live_at_b_snapshot", lit(dvLiveB))
+        .withColumn("delete_tail_silent", lit(!aDeleteEmitted))
+        .withColumn("skipped_update_silent", lit(!bSkipEmitted))
+        .orderBy($"phase")
+    }, Some("""
+      WITH src AS (SELECT CAST(i AS BIGINT) AS k,
+                     CAST(i * 10 + 7 AS BIGINT) AS pop FROM range(25) t(i)),
+      v2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+             FROM src),
+      v3 AS (SELECT * FROM v2 WHERE k < 20),
+      v4u AS (SELECT k, pop + 7 AS pop FROM v3 WHERE k < 3),
+      v4 AS (SELECT k, CASE WHEN k < 3 THEN pop + 7 ELSE pop END AS pop FROM v3)
+      SELECT 'a_snapshot' AS phase,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS n_rows,
+        (SELECT CAST(SUM(pop) AS BIGINT) FROM v2) AS sum_pop,
+        TRUE AS dv_live_at_a_snapshot, TRUE AS dv_live_at_b_snapshot,
+        TRUE AS delete_tail_silent, TRUE AS skipped_update_silent
+      UNION ALL SELECT 'a_update_tail',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM v4u),
+        (SELECT CAST(SUM(pop) AS BIGINT) FROM v4u), TRUE, TRUE, TRUE, TRUE
+      UNION ALL SELECT 'b_snapshot',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM v4),
+        (SELECT CAST(SUM(pop) AS BIGINT) FROM v4), TRUE, TRUE, TRUE, TRUE
+      UNION ALL SELECT 'b_insert_tail', 3, 9007 + 9017 + 9027,
+        TRUE, TRUE, TRUE, TRUE
+      ORDER BY phase""")),
+
     // ----- T11: declarative streaming UPSERT into the DML store —
     // `writeStream.option("upsert","true").toTable(...)` commits each
     // epoch's rows as keyed updates (delete-old + insert-new per merge

@@ -38,7 +38,10 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
     mapSchemaToLog: StructType => StructType,
     wrapScan: Scan => Scan = identity,
     bucketing: Option[GraftBucketDerivation] = None,
-    versionDir: Option[String] = None)
+    versionDir: Option[String] = None,
+    partitioning: Option[GraftPartDerivation] = None,
+    colStats: () => Map[String, graft.sources.GraftStats.TableColStat] =
+      () => Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters with SupportsPushDownAggregates {
 
@@ -85,7 +88,13 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
     // lookup on a 100 TB table then touches 1/buckets of the files. The
     // original key filters stay in the residue, so a derivation that
     // finds no buckets still returns correct (empty) results.
-    val synthetic = bucketing.flatMap(_.deriveFilter(filters)).toSeq
+    // Partition pruning: filters on the partition SOURCE column derive
+    // same-direction bounds on the gpart ordinal — a partition filter the
+    // delegated file index prunes directories with (see
+    // GraftPartDerivation). Like the bucket filter, the original
+    // predicate stays in the residue.
+    val synthetic = bucketing.flatMap(_.deriveFilter(filters)).toSeq ++
+      partitioning.flatMap(_.deriveFilter(filters)).toSeq
     val residue = delegate.pushFilters(renamed.map(_._1) ++ synthetic)
     // FileScanBuilder returns a subset of the expressions it was given;
     // identity-match them back to the caller's originals so the post-scan
@@ -103,7 +112,97 @@ final class GraftRenamingScanBuilder(delegate: FileScanBuilder,
 
   override def build(): Scan =
     wrapScan(new GraftRenamingScan(delegate.build(), mapSchemaToLog, bucketing,
-      statsFilters, versionDir))
+      statsFilters, versionDir, colStats))
+}
+
+/** Derives `gpart` partition-column predicates from pushed filters on the
+  * PARTITION SOURCE column — the transform-aware pruning that makes
+  * `WHERE ts >= X` on a `PARTITIONED BY (days(ts))` table plan only the
+  * matching partition dirs (Iceberg-style). Sound because every supported
+  * transform's ordinal is MONOTONE in the source value: a bound on the
+  * value maps to the same-direction bound on the ordinal (inclusive at
+  * the boundary — a partition holds a RANGE of values, so `ts > X` still
+  * admits X's own partition). Unrecognized shapes derive nothing (scan
+  * everything); the original predicate always stays in the residue, so
+  * derivation can only narrow, never change results. */
+final class GraftPartDerivation(fn: String, srcCol: String,
+    partType: org.apache.spark.sql.types.DataType) extends Serializable {
+  import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+  private def attr = AttributeReference(
+    graft.sources.GraftStore.PartCol, partType, nullable = true)()
+
+  /** Transform ordinal of one literal (catalyst-internal value). */
+  private def ordinal(l: Literal): Option[Any] = {
+    if (l.value == null) return None
+    if (fn == "identity") return Some(l.value)
+    val epochDay: Option[Long] = (l.dataType, l.value) match {
+      case (DateType, d: java.lang.Integer) => Some(d.longValue())
+      case (TimestampType | TimestampNTZType, us: java.lang.Long) =>
+        Some(Math.floorDiv(us, 86400000000L))
+      case _ => None
+    }
+    val hour: Option[Long] = (l.dataType, l.value) match {
+      case (DateType, d: java.lang.Integer) => Some(d.longValue() * 24)
+      case (TimestampType | TimestampNTZType, us: java.lang.Long) =>
+        Some(Math.floorDiv(us, 3600000000L))
+      case _ => None
+    }
+    fn match {
+      case "days" => epochDay.map(_.toInt)
+      case "hours" => hour.map(_.toInt)
+      case "months" => epochDay.map { d =>
+        val ld = java.time.LocalDate.ofEpochDay(d)
+        ld.getYear * 12 + ld.getMonthValue - 1
+      }
+      case "years" =>
+        epochDay.map(d => java.time.LocalDate.ofEpochDay(d).getYear)
+      case _ => None
+    }
+  }
+
+  private def isSrc(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.name == srcCol
+    case _ => false
+  }
+
+  /** Conjunction of derived `gpart` predicates, if any filter qualifies. */
+  def deriveFilter(filters: Seq[Expression]): Option[Expression] = {
+    val derived = filters.flatMap {
+      case EqualTo(a, l: Literal) if isSrc(a) =>
+        ordinal(l).map(o => EqualTo(attr, Literal(o, partType)))
+      case EqualTo(l: Literal, a) if isSrc(a) =>
+        ordinal(l).map(o => EqualTo(attr, Literal(o, partType)))
+      case EqualNullSafe(a, l: Literal) if isSrc(a) && l.value != null =>
+        ordinal(l).map(o => EqualTo(attr, Literal(o, partType)))
+      case GreaterThanOrEqual(a, l: Literal) if isSrc(a) =>
+        ordinal(l).map(o => GreaterThanOrEqual(attr, Literal(o, partType)))
+      case GreaterThan(a, l: Literal) if isSrc(a) =>
+        ordinal(l).map(o => GreaterThanOrEqual(attr, Literal(o, partType)))
+      case LessThanOrEqual(a, l: Literal) if isSrc(a) =>
+        ordinal(l).map(o => LessThanOrEqual(attr, Literal(o, partType)))
+      case LessThan(a, l: Literal) if isSrc(a) =>
+        ordinal(l).map(o => LessThanOrEqual(attr, Literal(o, partType)))
+      // literal-on-the-left comparisons flip direction
+      case GreaterThanOrEqual(l: Literal, a) if isSrc(a) => // src <= l
+        ordinal(l).map(o => LessThanOrEqual(attr, Literal(o, partType)))
+      case GreaterThan(l: Literal, a) if isSrc(a) =>
+        ordinal(l).map(o => LessThanOrEqual(attr, Literal(o, partType)))
+      case LessThanOrEqual(l: Literal, a) if isSrc(a) => // src >= l
+        ordinal(l).map(o => GreaterThanOrEqual(attr, Literal(o, partType)))
+      case LessThan(l: Literal, a) if isSrc(a) =>
+        ordinal(l).map(o => GreaterThanOrEqual(attr, Literal(o, partType)))
+      case In(a, vs) if isSrc(a) && vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Literal] &&
+            v.asInstanceOf[Literal].value != null) =>
+        val os = vs.map(v => ordinal(v.asInstanceOf[Literal]))
+        if (os.exists(_.isEmpty)) None
+        else Some(In(attr, os.flatten.distinct.map(o => Literal(o, partType))))
+      case _ => None
+    }
+    derived.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+  }
 }
 
 /** Derives the set of store buckets a conjunction of pushed filters can
@@ -391,11 +490,53 @@ final class GraftStreamableScan(delegate: Scan,
   }
 }
 
+object GraftRenamingScan {
+  /** `<tableDir>/v<10 digits>` — splits a version-dir path back into
+    * (table dir, version) for manifest resolution. */
+  private[sql] val TableVersionRe = "^(.*)/v(\\d{10})$".r
+
+  /** ANALYZE stats as a V2 ColumnStatistics, min/max lifted into the
+    * COLUMN's catalyst representation (estimation math casts by type —
+    * serving a Long where an Int is expected would blow it up). Strings
+    * serve NDV/nulls only. */
+  private[sql] def v2ColStat(s: graft.sources.GraftStats.TableColStat,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.read.colstats.ColumnStatistics = {
+    import org.apache.spark.sql.types._
+    def lift(v: Any): Option[Object] = (dt, v) match {
+      case (ByteType, l: Long) => Some(java.lang.Byte.valueOf(l.toByte))
+      case (ShortType, l: Long) => Some(java.lang.Short.valueOf(l.toShort))
+      case (IntegerType | DateType, l: Long) =>
+        Some(java.lang.Integer.valueOf(l.toInt))
+      case (LongType | TimestampType | TimestampNTZType, l: Long) =>
+        Some(java.lang.Long.valueOf(l))
+      case (FloatType, d: Double) => Some(java.lang.Float.valueOf(d.toFloat))
+      case (DoubleType, d: Double) => Some(java.lang.Double.valueOf(d))
+      case (BooleanType, b: Boolean) => Some(java.lang.Boolean.valueOf(b))
+      case _ => None
+    }
+    val mn = s.min.flatMap(lift)
+    val mx = s.max.flatMap(lift)
+    new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+      override def distinctCount() = java.util.OptionalLong.of(s.ndv)
+      override def nullCount() = java.util.OptionalLong.of(s.nullCount)
+      override def min() = mn
+        .map(java.util.Optional.of[Object]).getOrElse(java.util.Optional.empty())
+      override def max() = mx
+        .map(java.util.Optional.of[Object]).getOrElse(java.util.Optional.empty())
+    }
+  }
+}
+
 final class GraftRenamingScan(delegate: Scan,
     mapSchemaToLog: StructType => StructType,
     bucketing: Option[GraftBucketDerivation] = None,
     statsFilters: Seq[Expression] = Nil,
-    versionDir: Option[String] = None)
+    versionDir: Option[String] = None,
+    /** ANALYZE output keyed by LOGICAL column name, served through
+      * `Statistics.columnStats()` (empty when never analyzed). */
+    colStats: () => Map[String, graft.sources.GraftStats.TableColStat] =
+      () => Map.empty)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -496,24 +637,69 @@ final class GraftRenamingScan(delegate: Scan,
         override def numRows() = java.util.OptionalLong.empty()
       }
     }
-    val exact =
-      if (statsFilters.nonEmpty || base.numRows().isPresent) None
-      else versionDir.flatMap { vd =>
-        val local =
-          if (vd.startsWith("file:"))
-            java.nio.file.Paths.get(java.net.URI.create(vd)).toString
-          else vd
-        // live merge-on-read delete slices: footer counts include dead
-        // rows — keep the delegate's conservative estimate instead
-        if (graft.sources.GraftStore.hasLiveDv(local)) None
-        else graft.sources.GraftStats.manifestRowCount(local)
+    val localVdir = versionDir.map { vd =>
+      if (vd.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(vd)).toString
+      else vd
+    }
+    // live merge-on-read delete slices: footer counts include dead rows —
+    // keep the delegate's conservative estimates for everything below
+    val tableVersion: Option[(String, Long)] = localVdir
+      .filterNot(graft.sources.GraftStore.hasLiveDv)
+      .collect { case GraftRenamingScan.TableVersionRe(tdir, v) =>
+        (tdir, v.toLong)
       }
-    exact match {
-      case None => base
-      case Some(n) => new Statistics {
-        override def sizeInBytes() = base.sizeInBytes()
-        override def numRows() = java.util.OptionalLong.of(n)
+    // exact live-row count from the resolved zone-map manifests; for a
+    // PUSHED-FILTER scan, the same per-file stats that drive file skipping
+    // bound the matching rows (sum over files the conjuncts cannot prove
+    // empty) — a date-filtered fact table then reports a small scan and
+    // BECOMES broadcast-able, the single biggest join-planning lever the
+    // store controls
+    val estRows: Option[Long] = tableVersion.flatMap { case (tdir, v) =>
+      if (statsFilters.isEmpty)
+        graft.sources.GraftStore.snapshotRowCount(tdir, v)
+      else graft.sources.GraftStore
+        .estimatedMatchingRows(tdir, v, statsFilters)
+    }
+    // ANALYZE column stats (unfiltered scans only — table-level NDVs over
+    // a filtered scan would mislead the estimator), names already logical
+    val cols: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (statsFilters.nonEmpty || tableVersion.isEmpty)
+        java.util.Collections.emptyMap()
+      else {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val stats = colStats()
+        readSchema().fields.foreach { f =>
+          stats.get(f.name).foreach { s =>
+            out.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name), GraftRenamingScan.v2ColStat(s, f.dataType))
+          }
+        }
+        out
       }
+    if (estRows.isEmpty && cols.isEmpty) return base
+    // scale the delegate's byte estimate by the matching-row ratio so a
+    // filter-pruned scan reports proportionally fewer bytes (the broadcast
+    // threshold compares BYTES); denominator = the snapshot's total rows
+    val scaledBytes: java.util.OptionalLong =
+      (estRows, tableVersion, base.sizeInBytes().isPresent) match {
+        case (Some(r), Some((tdir, v)), true) if statsFilters.nonEmpty =>
+          graft.sources.GraftStore.snapshotRowCount(tdir, v) match {
+            case Some(total) if total > 0 =>
+              java.util.OptionalLong.of(math.max(1L,
+                (base.sizeInBytes().getAsLong.toDouble * r / total).toLong))
+            case _ => base.sizeInBytes()
+          }
+        case _ => base.sizeInBytes()
+      }
+    new Statistics {
+      override def sizeInBytes() = scaledBytes
+      override def numRows() = estRows
+        .map(java.util.OptionalLong.of).getOrElse(base.numRows())
+      override def columnStats() = cols
     }
   }
 }

@@ -324,17 +324,12 @@ class CatalogSpec extends SparkTestBase {
     val dir = s"$warehouse/t_opt"
     val preVersion = GraftStore.currentVersion(dir)
     val preRows = rows(t)
-    def filesPerBucket(v: Long): Map[String, Int] = {
-      val vd = java.nio.file.Paths.get(GraftStore.versionDir(dir, v))
-      java.nio.file.Files.list(vd).iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"${GraftStore.BucketCol}="))
-        .map(d => d.getFileName.toString ->
-          java.nio.file.Files.list(d).iterator().asScala.count(f =>
-            java.nio.file.Files.isRegularFile(f) &&
-              !f.getFileName.toString.startsWith(".") &&
-              !f.getFileName.toString.startsWith("_")))
-        .toMap
-    }
+    // LIVE file counts per bucket, resolved through the bucket manifest
+    // (appended files accumulate across owner version dirs since r12)
+    def filesPerBucket(v: Long): Map[String, Int] =
+      GraftStore.bucketFileCounts(dir, v).map { case (b, n) =>
+        s"${GraftStore.BucketCol}=$b" -> n
+      }
     val pre = filesPerBucket(preVersion)
     assert(pre.values.exists(_ > 2), "fixture must fragment")
     val v2 = GraftStore.optimize(spark, dir, maxFilesPerBucket = 2)
@@ -1195,37 +1190,43 @@ class CatalogSpec extends SparkTestBase {
       t.getMessage.contains("must be declared NOT NULL")), s"got $e")
   }
 
-  test("copy-on-write rewrites only touched buckets; others are hard-linked") {
+  test("copy-on-write rewrites only touched buckets; others carry by reference") {
     val t = mkTable("t_cow", buckets = 8)
     warehouse
     spark.sql(s"INSERT INTO $cat.$t SELECT id, CAST(id AS STRING), id * 10 " +
       "FROM range(0, 64)")
     val dir = s"$warehouse/t_cow"
     val v1 = GraftStore.currentVersion(dir)
+    val beforeFiles = GraftStore.snapshotFiles(dir, v1).toSet
     spark.sql(s"UPDATE $cat.$t SET amount = 0 WHERE k = 7")
     val v2 = GraftStore.currentVersion(dir)
     assert(v2 === v1 + 1)
-    // the bucket holding k=7 was rewritten; every other bucket's files are
-    // hard links to the previous version (same inode ⇒ same fileKey)
+    // the bucket holding k=7 was rewritten (its files live in v2's dir);
+    // every other bucket carries by MANIFEST REFERENCE — the new version
+    // physically holds nothing for it, the owner map still points at v1
+    // and the resolved file set is byte-identical (same absolute paths)
     val touched = spark.sql(
       s"SELECT pmod(xxhash64(CAST(7 AS BIGINT)), 8)").head().getLong(0).toInt
-    val v1d = java.nio.file.Paths.get(GraftStore.versionDir(dir, v1))
-    val v2d = java.nio.file.Paths.get(GraftStore.versionDir(dir, v2))
-    import scala.jdk.CollectionConverters._
-    val linked = Files.list(v2d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(s"${GraftStore.BucketCol}="))
-      .filterNot(_.getFileName.toString.endsWith(s"=$touched"))
-      .flatMap(d => Files.list(d).iterator().asScala)
-      .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
-      .toSeq
-    assert(linked.nonEmpty)
-    linked.foreach { f =>
-      val twin = v1d.resolve(v2d.relativize(f))
-      assert(Files.exists(twin), s"linked file without a v1 twin: $f")
-      val k1 = Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-      val k2 = Files.readAttributes(twin, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-      assert(k1 == k2, s"untouched bucket file was copied, not linked: $f")
+    val owners = GraftStore.ownersOf(dir, v2)
+    assert(owners(s"${GraftStore.BucketCol}=$touched") === Seq(v2),
+      "touched bucket must own itself")
+    owners.collect { case (s, os)
+        if GraftStore.slotBucket(s) != touched => (s, os) }.foreach {
+      case (s, os) => assert(os === Seq(v1), s"slot $s should carry from v1")
     }
+    val afterFiles = GraftStore.snapshotFiles(dir, v2).toSet
+    val untouchedBefore = beforeFiles.filterNot(
+      _.contains(s"${GraftStore.BucketCol}=$touched/"))
+    assert(untouchedBefore.nonEmpty)
+    assert(untouchedBefore.subsetOf(afterFiles),
+      "untouched buckets' files must carry into the new snapshot untouched")
+    // and the v2 dir physically holds ONLY the rewritten bucket
+    import scala.jdk.CollectionConverters._
+    val v2d = java.nio.file.Paths.get(GraftStore.versionDir(dir, v2))
+    val physical = Files.list(v2d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(s"${GraftStore.BucketCol}=")).toSeq
+    assert(physical === Seq(s"${GraftStore.BucketCol}=$touched"))
     assert(rows(t).find(_._1 == 7L).get._3 === 0L)
   }
 
@@ -1567,8 +1568,15 @@ class CatalogSpec extends SparkTestBase {
     // unfiltered scan: exact count from the zone-map manifest — Spark's
     // join-size estimation works from real numbers, not byte guesses
     assert(leafStats(spark.table(s"$cat.$t")).rowCount.contains(BigInt(137)))
-    // filtered scan: no exact claim (manifest only knows whole versions)
-    assert(leafStats(spark.table(s"$cat.$t").filter("amount > 5")).rowCount.isEmpty)
+    // filtered scan (r12): the zone maps bound the matching rows — the
+    // sum of rowCounts over files the conjuncts can't prove empty. A
+    // broad predicate reports at most the table; a provably-empty one
+    // reports zero (which is what flips selective fact joins to
+    // broadcast — PlannerStatsSpec)
+    val broad = leafStats(spark.table(s"$cat.$t").filter("amount > 5")).rowCount
+    assert(broad.exists(n => n > 0 && n <= 137), s"got $broad")
+    assert(leafStats(spark.table(s"$cat.$t")
+      .filter("amount > 1000000000")).rowCount.contains(BigInt(0)))
   }
 
   test("optimize zorder_by: files narrow in BOTH dimensions, zone maps prune either") {

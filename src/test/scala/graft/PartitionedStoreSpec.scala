@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{GraftCatalog, GraftStore}
+
+/** `PARTITIONED BY` on the DML store: time-transform partition dirs above
+  * the bucket fan-out (`gpart=<ordinal>/gbucket=<k>`), transform-aware
+  * partition pruning composed with bucket pruning, DML/CDC/time-travel
+  * interplay, and metadata-only partition retention. */
+class PartitionedStoreSpec extends SparkTestBase {
+
+  private lazy val cat = "graftpart"
+  private lazy val warehouse: String = {
+    val p = Files.createTempDirectory("graft_part_spec")
+    p.toFile.deleteOnExit()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", p.toString)
+    p.toString
+  }
+
+  private def mkDays(name: String, buckets: Int = 4): String = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$name")
+    spark.sql(s"""CREATE TABLE $cat.$name
+      (k BIGINT NOT NULL, ts TIMESTAMP, amount BIGINT) USING graft
+      PARTITIONED BY (days(ts))
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='$buckets')""")
+    name
+  }
+
+  private def seedDays(t: String): Unit =
+    // 3 distinct days x 8 keys each
+    spark.sql(s"""INSERT INTO $cat.$t
+      SELECT id AS k,
+        timestamp'2024-03-01 00:00:00' + make_interval(0,0,0, CAST(id / 8 AS INT), 0,0,0) AS ts,
+        id * 10 AS amount
+      FROM range(0, 24)""")
+
+  private def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case other => other.collectLeaves().flatMap {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case qs: QueryStageExec => leaves(qs.plan)
+        case l => Seq(l)
+      }
+    }
+    leaves(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDDs().head.partitions.map {
+          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            p.inputPartitions.map {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.length.toLong
+              case _ => 0L
+            }.sum
+          case _ => 0L
+        }.sum
+    }.sum
+  }
+
+  test("layout: partition dirs above buckets, slot-keyed manifest") {
+    val t = mkDays("t_layout")
+    seedDays(t)
+    val dir = s"$warehouse/$t"
+    val slots = GraftStore.ownersOf(dir, GraftStore.currentVersion(dir)).keySet
+    assert(slots.nonEmpty)
+    assert(slots.forall(_.matches("gpart=\\d+/gbucket=\\d+")), s"got $slots")
+    // 2024-03-01..03 are epoch days 19783..19785
+    assert(slots.map(_.split("/")(0)) ===
+      Set("gpart=19783", "gpart=19784", "gpart=19785"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t").head().getLong(0) === 24L)
+  }
+
+  test("partition pruning: a ts range plans only matching partitions; composes with bucket pruning") {
+    val t = mkDays("t_prune")
+    seedDays(t)
+    val full = filesPlanned(spark.sql(s"SELECT * FROM $cat.$t"))
+    val oneDay = filesPlanned(spark.sql(
+      s"SELECT * FROM $cat.$t WHERE ts >= timestamp'2024-03-02 00:00:00' " +
+        "AND ts < timestamp'2024-03-03 00:00:00'"))
+    assert(oneDay > 0 && oneDay < full, s"one-day=$oneDay full=$full")
+    val tail = filesPlanned(spark.sql(
+      s"SELECT * FROM $cat.$t WHERE ts >= timestamp'2024-03-03 00:00:00'"))
+    assert(tail > 0 && tail <= oneDay, s"tail=$tail oneDay=$oneDay")
+    // a bound with no matching rows plans ZERO files: the partition
+    // qualifies (same day) but the zone maps prove its files empty —
+    // partition pruning and file skipping COMPOSE
+    assert(filesPlanned(spark.sql(
+      s"SELECT * FROM $cat.$t WHERE ts >= timestamp'2024-03-03 12:00:00'")) === 0L)
+    // point lookup composes BOTH prunings: one bucket within one day
+    val point = filesPlanned(spark.sql(
+      s"SELECT * FROM $cat.$t WHERE k = 9 " + // id 9 → day 2024-03-02
+        "AND ts >= timestamp'2024-03-02 00:00:00' " +
+        "AND ts < timestamp'2024-03-03 00:00:00'"))
+    assert(point >= 1 && point < oneDay, s"point=$point oneDay=$oneDay")
+    // correctness alongside the pruning booleans
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t WHERE " +
+      "ts >= timestamp'2024-03-02 00:00:00' AND " +
+      "ts < timestamp'2024-03-03 00:00:00'").head().getLong(0) === 8L)
+  }
+
+  test("DML on a partitioned table: update, delete, CDC, time travel") {
+    val t = mkDays("t_dml")
+    seedDays(t)
+    spark.sql(s"UPDATE $cat.$t SET amount = 0 WHERE k % 8 = 1")
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t").head().getLong(0) === 23L)
+    assert(spark.sql(s"SELECT SUM(amount) FROM $cat.$t WHERE k % 8 = 1")
+      .head().getLong(0) === 0L)
+    // CDC: the UPDATE logged before-images
+    val ch = spark.sql(s"SELECT change_op, COUNT(*) FROM $cat.`$t$$changes` " +
+      "WHERE change_version = 2 GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch === Map("U" -> 3L))
+    // time travel reads the pre-DML snapshot
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t VERSION AS OF 1")
+      .head().getLong(0) === 24L)
+    // a key UPDATE that MOVES the row's partition (ts shifts a day):
+    // after-image lands in the new partition dir, count stays stable
+    spark.sql(s"UPDATE $cat.$t SET ts = ts + INTERVAL 1 DAY WHERE k = 3")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t").head().getLong(0) === 23L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t WHERE " +
+      "ts >= timestamp'2024-03-02 00:00:00' AND " +
+      "ts < timestamp'2024-03-03 00:00:00'").head().getLong(0) === 9L)
+  }
+
+  test("expire_partitions: metadata-only boundary commit drops old days") {
+    val t = mkDays("t_retire")
+    seedDays(t)
+    val dir = s"$warehouse/$t"
+    val before = GraftStore.snapshotFiles(dir, GraftStore.currentVersion(dir))
+    // drop everything before 2024-03-02 (epoch day 19784)
+    spark.sql(s"CALL $cat.expire_partitions(table => '$t', below => '19784')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t").head().getLong(0) === 16L)
+    assert(spark.sql(s"SELECT MIN(ts) FROM $cat.$t").head()
+      .getTimestamp(0).toString.startsWith("2024-03-02"))
+    val v = GraftStore.currentVersion(dir)
+    // metadata-only: the new version dir holds NO data files of its own,
+    // and every pre-existing file still exists on disk (older versions
+    // retain the dropped partitions until expire_versions)
+    assert(graft.sources.GraftStats
+      .listDataFiles(GraftStore.versionDir(dir, v)).isEmpty)
+    assert(before.forall(f => Files.exists(java.nio.file.Paths.get(f))))
+    // boundary semantics: no changelog slice, boundary stamped
+    assert(!GraftStore.hasChangelog(dir, v))
+    assert(GraftStore.isBoundary(dir, v))
+    // time travel still reads the full pre-retention snapshot
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t VERSION AS OF ${v - 1}")
+      .head().getLong(0) === 24L)
+    // idempotent when nothing matches
+    spark.sql(s"CALL $cat.expire_partitions(table => '$t', below => '19784')")
+    assert(GraftStore.currentVersion(dir) === v)
+    // writes keep working after retention
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      "(100, timestamp'2024-03-05 00:00:00', 1000)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$t").head().getLong(0) === 17L)
+  }
+
+  test("identity partitioning, optimize, and rebucket keep layout + contents") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_id")
+    spark.sql(s"""CREATE TABLE $cat.t_id
+      (k BIGINT NOT NULL, region STRING, amount BIGINT) USING graft
+      PARTITIONED BY (region)
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO $cat.t_id " +
+      s"SELECT id, CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END, id * $i " +
+      s"FROM range(${i * 10}, ${i * 10 + 10})"))
+    val dir = s"$warehouse/t_id"
+    val pre = spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.t_id").head()
+    val slots = GraftStore.ownersOf(dir, GraftStore.currentVersion(dir)).keySet
+    assert(slots.map(_.split("/")(0)) === Set("gpart=eu", "gpart=us"))
+    // identity pruning on the source column
+    val full = filesPlanned(spark.sql(s"SELECT * FROM $cat.t_id"))
+    val eu = filesPlanned(spark.sql(s"SELECT * FROM $cat.t_id WHERE region = 'eu'"))
+    assert(eu > 0 && eu < full, s"eu=$eu full=$full")
+    // optimize compacts fragmented buckets across partitions
+    spark.sql(s"CALL $cat.optimize(table => 't_id', max_files_per_bucket => 2)")
+    assert(spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.t_id").head() === pre)
+    // rebucket rewrites the fan-out, partition dirs intact
+    spark.sql(s"CALL $cat.rebucket(table => 't_id', buckets => 4)")
+    assert(spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.t_id").head() === pre)
+    val slots2 = GraftStore.ownersOf(dir, GraftStore.currentVersion(dir)).keySet
+    assert(slots2.forall(_.matches("gpart=(eu|us)/gbucket=\\d+")))
+    assert(filesPlanned(spark.sql(
+      s"SELECT * FROM $cat.t_id WHERE region = 'eu'")) <
+      filesPlanned(spark.sql(s"SELECT * FROM $cat.t_id")))
+  }
+
+  test("guards: one transform only, mor rejected, partition column undropppable") {
+    warehouse
+    val e1 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.t_bad (k BIGINT NOT NULL, ts TIMESTAMP, a BIGINT)
+         USING graft PARTITIONED BY (days(ts), years(ts))
+         TBLPROPERTIES ('merge_key'='k')"""))
+    assert(e1.getMessage.contains("at most ONE"))
+    val e2 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.t_bad (k BIGINT NOT NULL, ts TIMESTAMP, a BIGINT)
+         USING graft PARTITIONED BY (days(ts))
+         TBLPROPERTIES ('merge_key'='k', 'merge_mode'='mor')"""))
+    assert(e2.getMessage.contains("cow"))
+    val t = mkDays("t_guard")
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.$t DROP COLUMN ts"))
+    assert(e3.getMessage.contains("partition column"))
+    // RENAME of the partition column is metadata-only and keeps working
+    spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN ts TO event_ts")
+    seedDaysRenamed(t)
+    assert(filesPlanned(spark.sql(s"SELECT * FROM $cat.$t WHERE " +
+      "event_ts >= timestamp'2024-03-03 00:00:00'")) <
+      filesPlanned(spark.sql(s"SELECT * FROM $cat.$t")))
+  }
+
+  private def seedDaysRenamed(t: String): Unit =
+    spark.sql(s"""INSERT INTO $cat.$t
+      SELECT id AS k,
+        timestamp'2024-03-01 00:00:00' + make_interval(0,0,0, CAST(id / 8 AS INT), 0,0,0) AS event_ts,
+        id * 10 AS amount
+      FROM range(0, 24)""")
+}

@@ -161,20 +161,27 @@ class GraftStatsSpec extends SparkTestBase {
         concat(lit("name"), $"id").as("name"), ($"id" * 10).as("amount"))
         .withColumn(GraftStore.OpCol, lit("I")), allInserts = true)
     insert(0L, 50L)   // v1
-    insert(50L, 90L)  // v2: v1's files carried by hard link
+    insert(50L, 90L)  // v2: v1's files carried by manifest reference
     val m1 = GraftStats.readManifest(GraftStore.versionDir(dir, 1L))
     val m2 = GraftStats.readManifest(GraftStore.versionDir(dir, 2L))
-    assert(m1.nonEmpty && m2.size > m1.size)
-    // carried entries byte-identical (no footer re-read can drift them)
-    m1.foreach { case (rel, st) => assert(m2(rel) === st,
-      s"carried entry for $rel must round-trip unchanged") }
+    // each version's manifest covers ONLY its own files (cost ∝ commit);
+    // carried files keep their entries in their OWNING version's manifest,
+    // byte-identical by construction (no footer re-read can drift them) —
+    // the resolved snapshot view merges both
+    assert(m1.nonEmpty && m2.nonEmpty)
+    assert(m1.keySet.intersect(m2.keySet).isEmpty,
+      "a file's stats entry must live in exactly its writing version")
+    val merged = GraftStore.mergedManifest(dir, 2L)
+    assert(merged.size === m1.size + m2.size)
+    m1.foreach { case (rel, st) => assert(merged(rel) === st,
+      s"carried entry for $rel must resolve unchanged") }
     // amount stats cover the inserted ranges exactly
-    val amounts = m2.values.flatMap(_.get("amount")).toSeq
+    val amounts = merged.values.flatMap(_.get("amount")).toSeq
     assert(amounts.nonEmpty)
     assert(amounts.flatMap(_.min).map(_.asInstanceOf[Long]).min === 0L)
     assert(amounts.flatMap(_.max).map(_.asInstanceOf[Long]).max === 890L)
     // string stats present with the string kind
-    assert(m2.values.flatMap(_.get("name")).forall(_.kind == "s"))
+    assert(merged.values.flatMap(_.get("name")).forall(_.kind == "s"))
     // a version with no manifest reads as empty (legacy: nothing skips)
     Files.delete(Paths.get(GraftStore.versionDir(dir, 2L), GraftStats.ManifestName))
     assert(GraftStats.readManifest(GraftStore.versionDir(dir, 2L)).isEmpty)

@@ -74,25 +74,26 @@ class MorSpec extends SparkTestBase {
   test("mor delta carries base files instead of rewriting buckets") {
     val m = mkTable("t_carry", "mor")
     seed(m, 400)
-    val v1 = curVdir(m)
-    val before = GraftStats.listDataFiles(v1).toSet
+    val v1num = GraftStore.currentVersion(dir(m))
+    val before = GraftStore.snapshotFiles(dir(m), v1num).toSet
     // a SPREAD update: touches (almost) every bucket — the cow path would
-    // rewrite them all; mor must keep every base file byte-identical
+    // rewrite them all; mor must keep every base file untouched, carried
+    // by manifest REFERENCE (same absolute path, zero relinks/copies)
     spark.sql(s"UPDATE $cat.$m SET amount = 0 WHERE k % 10 = 1")
-    val v2 = curVdir(m)
-    assert(v2 != v1)
-    val after = GraftStats.listDataFiles(v2).toSet
-    assert(before.subsetOf(after),
-      "every pre-delta data file must carry into the mor version")
-    // carried files are HARD LINKS of the originals, not copies
-    val carried = before.head
-    assert(Files.getAttribute(Paths.get(v2, carried), "unix:ino") ===
-      Files.getAttribute(Paths.get(v1, carried), "unix:ino"))
-    // and the file-seq manifest stamps only the new files with v2's number
-    val seqs = GraftStore.readFileSeq(v2)
     val v2num = GraftStore.currentVersion(dir(m))
-    assert(before.forall(f => seqs(f) < v2num))
-    assert((after -- before).forall(f => seqs(f) == v2num))
+    assert(v2num === v1num + 1)
+    val after = GraftStore.snapshotFiles(dir(m), v2num).toSet
+    assert(before.subsetOf(after),
+      "every pre-delta data file must stay live in the mor version")
+    // carried files stay IN the version dir that wrote them — the commit
+    // never touches them (no link pass, no copy)
+    assert(before.forall(_.contains(f"/v$v1num%010d/")))
+    // the v2 dir physically holds ONLY the after-images, all stamped v2
+    val seqs = GraftStore.resolvedFileSeq(dir(m), v2num)
+    def rel(abs: String) = abs.replaceFirst("^.*/v\\d{10}/", "")
+    assert(before.forall(f => seqs(rel(f)) < v2num))
+    assert((after -- before).forall(f => seqs(rel(f)) == v2num))
+    assert((after -- before).forall(_.contains(f"/v$v2num%010d/")))
   }
 
   test("delete then re-insert keeps exactly the re-inserted row") {
@@ -271,7 +272,8 @@ class MorSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val m = mkTable("t_up_mor", "mor")
     seed(m, 50)
-    val baseFiles = GraftStats.listDataFiles(curVdir(m)).toSet
+    val baseFiles =
+      GraftStore.snapshotFiles(dir(m), GraftStore.currentVersion(dir(m))).toSet
     val ckpt = Files.createTempDirectory("graft_mor_upsert_ckpt").toString
     val in = MemoryStream[(Long, String, Long)]
     val q = in.toDS().toDF("k", "name", "amount")
@@ -286,7 +288,8 @@ class MorSpec extends SparkTestBase {
     // upsert epochs took the merge-on-read path: slices live, every base
     // file carried untouched through both commits
     assert(GraftStore.hasLiveDv(vdir), "upsert epochs wrote no delete slice")
-    assert(baseFiles.subsetOf(GraftStats.listDataFiles(vdir).toSet),
+    assert(baseFiles.subsetOf(GraftStore.snapshotFiles(dir(m),
+        GraftStore.currentVersion(dir(m))).toSet),
       "an upsert epoch rewrote base bucket files")
     val got = rows(m).filter(r => r._1 == 1 || r._1 == 2 || r._1 >= 50)
     assert(got === Seq((1L, "u1b", 112L), (2L, "u2", 222L), (60L, "new", 600L)))
