@@ -69,12 +69,20 @@ object HostProbe {
           "bs=1M", s"count=$mb", "oflag=direct", "conv=fsync")
           .redirectErrorStream(true).start()
         p.getInputStream.readAllBytes()
-        val ok = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) &&
-          p.exitValue == 0
+        val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        // a dd that outlives the timeout is exactly the degraded-storage
+        // case — kill it rather than leave a runaway writer competing
+        // with the benchmark this probe is stamped onto
+        if (!done) p.destroyForcibly()
+        val ok = done && p.exitValue == 0
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok && sec > 0) mb / sec else -1.0
       } catch { case _: Throwable => -1.0 }
-    try math.max(once(), once()) // best-of-2 capacity reading
-    finally java.nio.file.Files.deleteIfExists(f)
+    try {
+      val first = once()
+      // a timed-out/failed first probe already proves the point — don't
+      // launch a second two-minute writer on a dying disk
+      if (first < 0) first else math.max(first, once())
+    } finally java.nio.file.Files.deleteIfExists(f)
   }
 }

@@ -366,8 +366,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         require(add.isNullable,
           s"added column $name must be nullable (existing rows have no value)")
         require(!m.schema.fieldNames.contains(name), s"column $name already exists")
-        require(name != GraftStore.BucketCol,
-          s"column name ${GraftStore.BucketCol} is reserved")
+        require(name != GraftStore.BucketCol && name != GraftStore.PartCol,
+          s"column name $name is reserved")
         val taken = m.schema.fields.map(GraftStore.physicalName).toSet ++
           m.tombstones
         val phys = Iterator.from(0)
@@ -399,8 +399,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         val to = rn.newName()
         require(m.schema.fieldNames.contains(from), s"no column $from")
         require(!m.schema.fieldNames.contains(to), s"column $to already exists")
-        require(to != GraftStore.BucketCol,
-          s"column name ${GraftStore.BucketCol} is reserved")
+        require(to != GraftStore.BucketCol && to != GraftStore.PartCol,
+          s"column name $to is reserved")
         val sch = StructType(m.schema.fields.map { f =>
           if (f.name != from) f
           else f.copy(name = to, metadata = new MetadataBuilder()
@@ -489,6 +489,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         if (mode == "mor") m.keyCols.foreach(k =>
           require(GraftStore.morKeyTypeOk(m.schema(k).dataType),
             s"merge_mode=mor requires atomic-typed merge keys; $k is ${m.schema(k).dataType}"))
+        // the CREATE-time guard must hold under ALTER too: the mor scan
+        // wrapper's schema plumbing doesn't account for the partition
+        // column, and a silent mismatch would misbind scanned columns
+        require(mode == "cow" || m.partition.isEmpty,
+          "PARTITIONED BY tables require merge_mode='cow'")
         m.copy(mergeMode = mode)
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen " +

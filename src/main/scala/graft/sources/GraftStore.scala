@@ -255,19 +255,39 @@ object GraftStore {
     * evaluate AFTER toPhysical). Ordinals are monotone in the source
     * column so range predicates prune partitions: identity = the value;
     * years = calendar year; months = year*12+month-1; days = days since
-    * epoch; hours = hours since epoch. UTC session timezone assumed (all
-    * entry points pin it). */
+    * epoch; hours = hours since epoch. SESSION-TIMEZONE-INDEPENDENT by
+    * construction — TIMESTAMP ordinals come from `unix_micros` (UTC
+    * instants) with the calendar read via `date_from_unix_date`, and
+    * DATE/TIMESTAMP_NTZ ordinals are wall-clock functions that never
+    * consult the zone — so the scan-side literal derivation
+    * (GraftPartDerivation, fixed UTC/wall math) always agrees with what
+    * was written, no matter what zone an embedding session runs under. */
   def partitionExpr(meta: GraftTableMeta): Option[Column] =
     meta.partition.map { case (fn, physCol) =>
       val c = col(physCol)
+      // exact floorDiv in long arithmetic ((x - pmod) is divisible, so the
+      // double division is exact at ordinal magnitudes)
+      def fdiv(x: Column, n: Long): Column =
+        ((x - pmod(x, lit(n))) / lit(n)).cast(IntegerType)
+      val isTs = meta.schema.fields
+        .find(f => physicalName(f) == physCol)
+        .exists(_.dataType == TimestampType)
+      // wall-clock date for DATE (identity cast) and TIMESTAMP_NTZ
+      // (tz-free cast); UTC date for TIMESTAMP (via unix_micros)
+      def utcDays: Column = fdiv(unix_micros(c), 86400000000L)
+      def calDate: Column =
+        if (isTs) date_from_unix_date(utcDays) else c.cast(DateType)
+      def days: Column =
+        if (isTs) utcDays
+        else datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
       fn match {
         case "identity" => c
-        case "years" => year(c.cast(DateType))
-        case "months" =>
-          (year(c.cast(DateType)) * 12 + month(c.cast(DateType)) - 1)
-        case "days" => datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+        case "years" => year(calDate)
+        case "months" => (year(calDate) * 12 + month(calDate) - 1)
+        case "days" => days
         case "hours" =>
-          floor(unix_micros(c.cast(TimestampType)) / 3600000000L).cast(IntegerType)
+          if (isTs) fdiv(unix_micros(c), 3600000000L)
+          else (days * 24 + hour(c)).cast(IntegerType)
         case other => throw new IllegalArgumentException(
           s"unknown partition transform: $other")
       }
@@ -375,6 +395,43 @@ object GraftStore {
       (acc, o) => acc ++ readFileSeq(versionDir(dir, o)))
   }
 
+  /** One live file of a snapshot, with its zone-map manifest entry (from
+    * the owning version dir) when one exists. */
+  final case class SnapshotFile(slot: String, rel: String, path: String,
+      stats: Option[GraftStats.FileStats]) {
+    def rowCount: Option[Long] =
+      stats.flatMap(_.values.map(_.rowCount).filter(_ >= 0).headOption)
+  }
+
+  // published version dirs are immutable, so the resolved (file, stats)
+  // view of a snapshot caches per version dir — the planner may ask for
+  // statistics several times per query and must not pay the O(live files)
+  // metadata walk each time (same discipline as dvProbeCache)
+  private val snapshotFilesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[SnapshotFile]]()
+
+  /** Every live data file of snapshot (`dir`, `v`) with its stats entry —
+    * ONE resolution walk, cached per immutable version dir; the shared
+    * backbone of row counting, match estimation and manifest merging. */
+  def snapshotFileEntries(dir: String, v: Long): Seq[SnapshotFile] = {
+    val key = versionDir(dir, v)
+    val cached = snapshotFilesCache.get(key)
+    if (cached != null) return cached
+    val manifests = scala.collection.mutable.Map
+      .empty[String, Map[String, GraftStats.FileStats]]
+    val computed: Seq[SnapshotFile] = for {
+      (slot, ds) <- resolvedSlotDirs(dir, v)
+      d <- ds
+      man = manifests.getOrElseUpdate(ownerDirOf(d, slot),
+        GraftStats.readManifest(ownerDirOf(d, slot)))
+      f <- listBucketFiles(d)
+      rel = s"$slot/${f.getFileName}"
+    } yield SnapshotFile(slot, rel, f.toString, man.get(rel))
+    if (snapshotFilesCache.size > 64) snapshotFilesCache.clear()
+    snapshotFilesCache.put(key, computed)
+    computed
+  }
+
   /** Upper bound on the rows of a snapshot that can match `conjuncts`
     * (physical-named pushed filters): the sum of rowCounts over files the
     * zone maps cannot prove empty — the planner-facing twin of the scan's
@@ -383,17 +440,9 @@ object GraftStore {
   def estimatedMatchingRows(dir: String, v: Long,
       conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Option[Long] = {
-    val manifests = scala.collection.mutable.Map
-      .empty[String, Map[String, GraftStats.FileStats]]
-    val perFile: Seq[Option[Long]] = for {
-      (slot, ds) <- resolvedSlotDirs(dir, v)
-      d <- ds
-      man = manifests.getOrElseUpdate(ownerDirOf(d, slot),
-        GraftStats.readManifest(ownerDirOf(d, slot)))
-      f <- listBucketFiles(d)
-      stats = man.get(s"$slot/${f.getFileName}")
-      if stats.forall(GraftStats.mayContain(conjuncts, _))
-    } yield stats.flatMap(_.values.map(_.rowCount).filter(_ >= 0).headOption)
+    val perFile = snapshotFileEntries(dir, v)
+      .filter(e => e.stats.forall(GraftStats.mayContain(conjuncts, _)))
+      .map(_.rowCount)
     if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
   }
 
@@ -401,16 +450,7 @@ object GraftStore {
     * manifests — None when any resolved file lacks a footer rowCount. The
     * caller gates on live delete slices separately. */
   def snapshotRowCount(dir: String, v: Long): Option[Long] = {
-    val manifests = scala.collection.mutable.Map
-      .empty[String, Map[String, GraftStats.FileStats]]
-    val perFile: Seq[Option[Long]] = for {
-      (slot, ds) <- resolvedSlotDirs(dir, v)
-      d <- ds
-      man = manifests.getOrElseUpdate(ownerDirOf(d, slot),
-        GraftStats.readManifest(ownerDirOf(d, slot)))
-      f <- listBucketFiles(d)
-    } yield man.get(s"$slot/${f.getFileName}")
-      .flatMap(_.values.map(_.rowCount).filter(_ >= 0).headOption)
+    val perFile = snapshotFileEntries(dir, v).map(_.rowCount)
     if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
   }
 
@@ -1042,8 +1082,10 @@ object GraftStore {
   /** Drop cached probes under a table dir — version-dir paths stop being
     * unique identities the moment a table is dropped/recreated/adopted at
     * the same path. */
-  private[sources] def invalidateDvCache(tableDir: String): Unit =
+  private[sources] def invalidateDvCache(tableDir: String): Unit = {
     dvProbeCache.keySet.removeIf(_.startsWith(tableDir))
+    snapshotFilesCache.keySet.removeIf(_.startsWith(tableDir))
+  }
 
   private def loadDvProbeUncached(spark: SparkSession, dir: String, v: Long,
       meta: GraftTableMeta)
@@ -1113,22 +1155,9 @@ object GraftStore {
     * owner versions' manifests — what a MATERIALIZED copy of the snapshot
     * (clone/RTAS) persists as its own manifest, reusing footer reads. */
   private[sources] def mergedManifest(dir: String, v: Long)
-      : Map[String, GraftStats.FileStats] = {
-    val manifests = scala.collection.mutable.Map
-      .empty[String, Map[String, GraftStats.FileStats]]
-    val out = Map.newBuilder[String, GraftStats.FileStats]
-    resolvedSlotDirs(dir, v).foreach { case (slot, ds) =>
-      ds.foreach { d =>
-        val od = d.stripSuffix(s"/$slot")
-        val man = manifests.getOrElseUpdate(od, GraftStats.readManifest(od))
-        listBucketFiles(d).foreach { f =>
-          val rel = s"$slot/${f.getFileName}"
-          man.get(rel).foreach(out += rel -> _)
-        }
-      }
-    }
-    out.result()
-  }
+      : Map[String, GraftStats.FileStats] =
+    snapshotFileEntries(dir, v)
+      .flatMap(e => e.stats.map(e.rel -> _)).toMap
 
   def readFileSeq(vdir: String): Map[String, Long] = {
     val p = Paths.get(vdir, FileSeqName)
@@ -1326,13 +1355,6 @@ object GraftStore {
 
   def bucketExpr(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast(IntegerType)
-
-  private def bucketDirs(vdir: String): Seq[Int] = {
-    val p = Paths.get(vdir)
-    if (!Files.isDirectory(p)) Seq.empty
-    else listDir(p)(_.map(_.getFileName.toString)
-      .filter(_.startsWith(s"$BucketCol=")).map(_.split("=")(1).toInt).toSeq)
-  }
 
   /** Read one version with PHYSICAL column names + [[BucketCol]] — the
     * exact file layout, for maintenance rewrites that must write the same
@@ -1882,11 +1904,12 @@ object GraftStore {
       // buckets own themselves (a bucket whose live rows all fell to
       // deletes simply leaves the map)
       val local = localSlots(buildDir).toSet
-      writeBucketMap(buildDir, (ownersOf(dir, cur).keySet ++ local)
+      val prevOwners = ownersOf(dir, cur)
+      writeBucketMap(buildDir, (prevOwners.keySet ++ local)
         .flatMap { slot =>
           if (fragmented.contains(slotBucket(slot)))
             if (local.contains(slot)) Some(slot -> Seq(next)) else None
-          else ownersOf(dir, cur).get(slot).map(slot -> _)
+          else prevOwners.get(slot).map(slot -> _)
         }.toMap)
       // every DV-carrying bucket is in `fragmented`, so no delete slice
       // survives compaction; rewrites stamp `next` (≥ any dseq — stale
@@ -2112,9 +2135,19 @@ object GraftStore {
     require(meta.partition.isDefined,
       s"table $dir has no PARTITIONED BY transform")
     val cur = currentVersion(dir)
-    def lt(a: String): Boolean = (a.toLongOption, below.toLongOption) match {
-      case (Some(x), Some(y)) => x < y
-      case _ => a < below
+    // compare UNESCAPED values (partitionBy escapes special chars into the
+    // dir name) and never drop the null-partition sentinel — NULL cannot
+    // satisfy an ordering bound
+    val defaultName = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    def lt(rawDir: String): Boolean = {
+      if (rawDir == defaultName) return false
+      val a = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(rawDir)
+      (a.toLongOption, below.toLongOption) match {
+        case (Some(x), Some(y)) => x < y
+        case _ => a < below
+      }
     }
     val keepMap = ownersOf(dir, cur).filter { case (slot, _) =>
       !slotPart(slot).exists(lt)

@@ -217,6 +217,36 @@ class PartitionedStoreSpec extends SparkTestBase {
       filesPlanned(spark.sql(s"SELECT * FROM $cat.$t")))
   }
 
+  test("ALTER guards: mor flip rejected on partitioned; reserved names; null/escaped partition values in retention") {
+    val t = mkDays("t_alter_guard")
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.$t SET TBLPROPERTIES ('merge_mode'='mor')"))
+    assert(e1.getMessage.contains("cow"))
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (gpart STRING)"))
+    assert(e2.getMessage.contains("reserved"))
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN amount TO gbucket"))
+    assert(e3.getMessage.contains("reserved"))
+    // identity partitioning over a NULLABLE string with values needing
+    // dir escaping: retention must compare UNESCAPED values and never
+    // drop the null-partition sentinel on an ordering bound
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_nullpart")
+    spark.sql(s"""CREATE TABLE $cat.t_nullpart
+      (k BIGINT NOT NULL, region STRING, amount BIGINT) USING graft
+      PARTITIONED BY (region)
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.t_nullpart VALUES " +
+      "(1, 'a b', 10), (2, 'a c', 20), (3, NULL, 30), (4, 'z', 40)")
+    // below => 'a c': drops only 'a b' (unescaped compare — the dir name
+    // is 'a%20b'); NULL and 'a c'/'z' survive
+    spark.sql(s"CALL $cat.expire_partitions(table => 't_nullpart', " +
+      "below => 'a c')")
+    val got = spark.sql(s"SELECT k FROM $cat.t_nullpart ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 3L, 4L), s"got $got")
+  }
+
   private def seedDaysRenamed(t: String): Unit =
     spark.sql(s"""INSERT INTO $cat.$t
       SELECT id AS k,
