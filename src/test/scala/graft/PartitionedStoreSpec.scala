@@ -247,6 +247,42 @@ class PartitionedStoreSpec extends SparkTestBase {
     assert(got === Seq(2L, 3L, 4L), s"got $got")
   }
 
+  test("clone, CTAS and version expiry compose with partitioned layouts") {
+    val t = mkDays("t_compose")
+    seedDays(t)
+    spark.sql(s"UPDATE $cat.$t SET amount = amount + 5 WHERE k % 4 = 0")
+    val pre = spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.$t").head()
+    // clone materializes multi-owner partitioned slots into a
+    // self-contained base (gpart=/gbucket= two-level dirs)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_compose_clone")
+    spark.sql(s"CALL $cat.clone(table => 't_compose', target => 't_compose_clone')")
+    assert(spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.t_compose_clone")
+      .head() === pre)
+    val cloneDir = s"$warehouse/t_compose_clone"
+    assert(GraftStore.readMeta(cloneDir).partition.exists(_._1 == "days"))
+    assert(GraftStore.ownersOf(cloneDir, GraftStore.currentVersion(cloneDir))
+      .keySet.forall(_.matches("gpart=\\d+/gbucket=\\d+")))
+    // CTAS with PARTITIONED BY goes through the staging catalog
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_ctas_part")
+    spark.sql(s"""CREATE TABLE $cat.t_ctas_part USING graft
+      PARTITIONED BY (days(ts))
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='2')
+      AS SELECT k, ts, amount FROM $cat.$t""")
+    assert(spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.t_ctas_part")
+      .head() === pre)
+    assert(GraftStore.ownersOf(s"$warehouse/t_ctas_part", 1L)
+      .keySet.forall(_.matches("gpart=\\d+/gbucket=\\d+")))
+    // version expiry on the partitioned table: old version dirs referenced
+    // by the kept snapshot become _expired file hosts; contents intact
+    val dir = s"$warehouse/$t"
+    (1 to 3).foreach(i => spark.sql(
+      s"INSERT INTO $cat.$t VALUES (${200 + i}, timestamp'2024-03-0$i 06:00:00', $i)"))
+    val post = spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.$t").head()
+    GraftStore.expireVersions(dir, keepLast = 1)
+    assert(GraftStore.listVersions(dir).size === 1)
+    assert(spark.sql(s"SELECT SUM(amount), COUNT(*) FROM $cat.$t").head() === post)
+  }
+
   private def seedDaysRenamed(t: String): Unit =
     spark.sql(s"""INSERT INTO $cat.$t
       SELECT id AS k,
