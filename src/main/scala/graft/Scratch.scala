@@ -290,6 +290,54 @@ object Scratch {
       }
       GraftStore.dropTable(dir)
     }
+    // PARTITIONED BY at scale: a days(ts)-partitioned store table grown
+    // ×1/×10/×100 — the claims: a one-day range scan costs ∝ the DAY (flat
+    // as the table grows, directory-level pruning before any file opens),
+    // a point lookup composes partition ∩ bucket pruning, and
+    // expire_partitions stays a flat metadata commit at every size.
+    for (k <- Seq(1, 10, 100) if want("part")) {
+      val cat = s"gpart$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_part").toString)
+      // replicate events; spread replicas across REPLICA-MANY DAYS so the
+      // partition count grows with k (the retention/pruning shape)
+      val ev = Tables.events(spark, d)
+        .withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+        .select(($"event_id" * k + $"__r").as("k"),
+          ($"ts" + expr("make_interval(0,0,0,__r,0,0,0)")).as("ts"),
+          round($"value" * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView(s"part_src_$k")
+      spark.sql(s"""CREATE TABLE $cat.t (k BIGINT NOT NULL, ts TIMESTAMP,
+        cents BIGINT) USING graft PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='16')""")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM part_src_$k")
+      val (d0, d1, days) = {
+        val r = spark.sql(s"SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE), " +
+          s"COUNT(DISTINCT CAST(ts AS DATE)) FROM $cat.t").head()
+        (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate, r.getLong(2))
+      }
+      val n = spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      val mid = d0.plusDays((d1.toEpochDay - d0.toEpochDay) / 2)
+      time(f"part   x$k%3d ($n%9d rows, $days%4d days) full scan") {
+        spark.sql(s"SELECT SUM(cents) FROM $cat.t").head()
+      }
+      time(f"part   x$k%3d ($n%9d rows, $days%4d days) one-day range scan (pruned)") {
+        spark.sql(s"SELECT SUM(cents) FROM $cat.t WHERE " +
+          s"ts >= timestamp'$mid 00:00:00' AND " +
+          s"ts < timestamp'${mid.plusDays(1)} 00:00:00'").head()
+      }
+      time(f"part   x$k%3d ($n%9d rows, $days%4d days) point lookup (day ∩ bucket)") {
+        spark.sql(s"SELECT * FROM $cat.t WHERE k = 4242 AND " +
+          s"ts >= timestamp'$mid 00:00:00' AND " +
+          s"ts < timestamp'${mid.plusDays(1)} 00:00:00'").count()
+      }
+      time(f"part   x$k%3d ($n%9d rows, $days%4d days) expire_partitions (metadata)") {
+        spark.sql(s"CALL $cat.expire_partitions(table => 't', " +
+          s"below => '${d0.plusDays(2).toEpochDay}')")
+      }
+    }
     // merge-on-read vs copy-on-write on the documented worst case: a
     // FIXED 5k-key change batch whose keys spread across every bucket.
     // CoW must grow with the table (rewrites all 64 buckets); MoR must

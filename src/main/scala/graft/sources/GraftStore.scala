@@ -396,9 +396,10 @@ object GraftStore {
   }
 
   /** One live file of a snapshot, with its zone-map manifest entry (from
-    * the owning version dir) when one exists. */
+    * the owning version dir) when one exists. `size` is -1 when the owner
+    * manifest predates the size column AND the physical stat failed. */
   final case class SnapshotFile(slot: String, rel: String, path: String,
-      stats: Option[GraftStats.FileStats]) {
+      size: Long, stats: Option[GraftStats.FileStats]) {
     def rowCount: Option[Long] =
       stats.flatMap(_.values.map(_.rowCount).filter(_ >= 0).headOption)
   }
@@ -419,14 +420,39 @@ object GraftStore {
     if (cached != null) return cached
     val manifests = scala.collection.mutable.Map
       .empty[String, Map[String, GraftStats.FileStats]]
+    // per-owner fileseq entries grouped by slot: the manifest, not a
+    // filesystem listing, is the source of the snapshot's file set — at
+    // ~1M files / thousands of slots the per-slot dir listings were the
+    // dominant PLAN-time cost, and a manifest row already carries the
+    // size the scan needs for split planning
+    val bySlot = scala.collection.mutable.Map
+      .empty[String, Map[String, Seq[(String, Long)]]]
+    def ownerSlots(od: String): Map[String, Seq[(String, Long)]] =
+      bySlot.getOrElseUpdate(od,
+        readFileSeqFull(od).toSeq.collect {
+          case (rel, (_, bytes)) if rel.lastIndexOf('/') > 0 =>
+            (rel.substring(0, rel.lastIndexOf('/')), rel, bytes)
+        }.groupBy(_._1).map { case (s, es) =>
+          s -> es.map(e => (e._2, e._3))
+        })
     val computed: Seq[SnapshotFile] = for {
       (slot, ds) <- resolvedSlotDirs(dir, v)
       d <- ds
-      man = manifests.getOrElseUpdate(ownerDirOf(d, slot),
-        GraftStats.readManifest(ownerDirOf(d, slot)))
-      f <- listBucketFiles(d)
-      rel = s"$slot/${f.getFileName}"
-    } yield SnapshotFile(slot, rel, f.toString, man.get(rel))
+      od = ownerDirOf(d, slot)
+      man = manifests.getOrElseUpdate(od, GraftStats.readManifest(od))
+      fromSeq = ownerSlots(od).getOrElse(slot, Seq.empty)
+      entry <- if (fromSeq.nonEmpty && fromSeq.forall(_._2 >= 0))
+        fromSeq.map { case (rel, bytes) =>
+          SnapshotFile(slot, rel, s"$od/$rel", bytes, man.get(rel))
+        }
+      else
+        // fallback for owners predating the size column: one listing
+        listBucketFiles(d).map { f =>
+          val rel = s"$slot/${f.getFileName}"
+          val sz = try Files.size(f) catch { case _: Exception => -1L }
+          SnapshotFile(slot, rel, f.toString, sz, man.get(rel))
+        }
+    } yield entry
     if (snapshotFilesCache.size > 64) snapshotFilesCache.clear()
     snapshotFilesCache.put(key, computed)
     computed
@@ -1133,7 +1159,13 @@ object GraftStore {
         // stamping a carried legacy file as new would stop every same-
         // version delete from applying to it
         if (prevExists(rel)) 0L else version)
-      sb.append(rel).append('\t').append(seq).append('\n')
+      // third column: file SIZE — what lets scans plan from the manifest
+      // with zero filesystem listing (see snapshotFileEntries)
+      val bytes =
+        try Files.size(Paths.get(buildDir, rel))
+        catch { case _: Exception => -1L }
+      sb.append(rel).append('\t').append(seq).append('\t').append(bytes)
+        .append('\n')
     }
     Files.write(Paths.get(buildDir, FileSeqName),
       sb.toString.getBytes("UTF-8"))
@@ -1145,7 +1177,11 @@ object GraftStore {
       entries: Map[String, Long]): Unit = {
     val sb = new StringBuilder
     entries.toSeq.sorted.foreach { case (rel, s) =>
-      sb.append(rel).append('\t').append(s).append('\n')
+      val bytes =
+        try Files.size(Paths.get(buildDir, rel))
+        catch { case _: Exception => -1L }
+      sb.append(rel).append('\t').append(s).append('\t').append(bytes)
+        .append('\n')
     }
     Files.write(Paths.get(buildDir, FileSeqName),
       sb.toString.getBytes("UTF-8"))
@@ -1159,14 +1195,24 @@ object GraftStore {
     snapshotFileEntries(dir, v)
       .flatMap(e => e.stats.map(e.rel -> _)).toMap
 
-  def readFileSeq(vdir: String): Map[String, Long] = {
+  def readFileSeq(vdir: String): Map[String, Long] =
+    readFileSeqFull(vdir).map { case (rel, (seq, _)) => rel -> seq }
+
+  /** rel → (write seq, size bytes or -1 when unrecorded — pre-r12 lines
+    * had no size column). */
+  private[sources] def readFileSeqFull(vdir: String)
+      : Map[String, (Long, Long)] = {
     val p = Paths.get(vdir, FileSeqName)
     if (!Files.exists(p)) return Map.empty
     Files.readAllLines(p, java.nio.charset.StandardCharsets.UTF_8).asScala
       .filter(_.nonEmpty).flatMap { line =>
         line.split('\t') match {
           case Array(rel, seq) =>
-            try Some(rel -> seq.toLong) catch { case _: Exception => None }
+            try Some(rel -> (seq.toLong, -1L))
+            catch { case _: Exception => None }
+          case Array(rel, seq, bytes) =>
+            try Some(rel -> (seq.toLong, bytes.toLong))
+            catch { case _: Exception => None }
           case _ => None
         }
       }.toMap
@@ -1337,16 +1383,13 @@ object GraftStore {
     * never reads data. */
   def versionStats(dir: String, v: Long): (Int, Long, Long) = {
     if (!Files.isDirectory(Paths.get(versionDir(dir, v)))) return (0, 0L, 0L)
-    var files = 0L
-    var bytes = 0L
-    val res = resolvedSlotDirs(dir, v)
-    res.foreach { case (_, ds) =>
-      ds.foreach(d => listBucketFiles(d).foreach { f =>
-        files += 1
-        bytes += (try Files.size(f) catch { case _: Exception => 0L })
-      })
-    }
-    (res.map(e => slotBucket(e._1)).distinct.size, files, bytes)
+    val entries = snapshotFileEntries(dir, v)
+    val bytes = entries.map { e =>
+      if (e.size >= 0) e.size
+      else try Files.size(Paths.get(e.path)) catch { case _: Exception => 0L }
+    }.sum
+    (entries.map(e => slotBucket(e.slot)).distinct.size,
+      entries.size.toLong, bytes)
   }
 
   /** Whether version `v`'s changelog slice is still retained. */
