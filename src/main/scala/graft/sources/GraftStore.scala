@@ -1353,8 +1353,22 @@ object GraftStore {
         if (!Files.exists(m)) Files.write(m, Array.empty[Byte])
       }
       val refSlots = referenced.collect { case (`v`, s) => s }
-      if (refSlots.isEmpty) deleteRecursively(Paths.get(vdir))
-      else {
+      // Exclude the version from the readable listing BEFORE anything is
+      // deleted: a crash mid-sweep must never leave a still-listed version
+      // with some slot dirs gone (`VERSION AS OF` would silently return
+      // partial rows). A marked host is re-swept on every later call, so
+      // marker-then-sweep is crash-resumable in both branches.
+      Files.write(Paths.get(vdir, ExpiredMarker), Array.empty[Byte])
+      if (refSlots.isEmpty) {
+        // sweep children with the marker LAST, so the dir stays excluded
+        // from the listing throughout (deleteRecursively's child order is
+        // unspecified and could drop the marker first)
+        listDir(Paths.get(vdir))(
+          _.filterNot(_.getFileName.toString == ExpiredMarker).toList)
+          .foreach(deleteRecursively)
+        Files.deleteIfExists(Paths.get(vdir, ExpiredMarker))
+        Files.deleteIfExists(Paths.get(vdir))
+      } else {
         localSlots(vdir).filterNot(refSlots).foreach { s =>
           deleteRecursively(Paths.get(vdir, s))
           // clean an emptied gpart parent dir
@@ -1364,9 +1378,11 @@ object GraftStore {
             Files.deleteIfExists(parent)
         }
         deleteRecursively(Paths.get(dvRoot(vdir))) // kept snapshots hold links
-        Files.write(Paths.get(vdir, ExpiredMarker), Array.empty[Byte])
       }
     }
+    // retired version dirs under the table were deleted or mutated — any
+    // cached snapshot resolution keyed by their paths is stale now
+    invalidateDvCache(dir)
   }
 
   /** Marker excluding a retired-but-still-referenced version dir from the
@@ -2078,7 +2094,8 @@ object GraftStore {
       // pure metadata commit: the new version's bucket map is the
       // target's resolved owner map verbatim — O(buckets), no per-file
       // pass at any table size
-      writeBucketMap(buildDir, ownersOf(dir, toVersion))
+      val ownerMap = ownersOf(dir, toVersion)
+      writeBucketMap(buildDir, ownerMap)
       // the restored state includes the target's live delete slices
       // verbatim (physical cap-bounded links) — a merge-on-read version
       // restores to exactly the rows it read as; file seqs stay in the
@@ -2089,6 +2106,25 @@ object GraftStore {
       writeBucketMarker(buildDir, layoutBuckets(dir, toVersion, meta))
       writeBoundaryMarker(buildDir) // restore = snapshot boundary for CDC
       verifyClaim(marker, token)
+      // Re-check against a concurrent expireVersions (a maintenance op that
+      // runs without a commit claim): since restore is a pure metadata
+      // commit, nothing before this point touched the owner slot dirs the
+      // new manifest points at — an expire racing us could have retired the
+      // target and deleted some of them, and publishing anyway would ship a
+      // manifest whose reads silently drop those buckets (resolvedSlotDirs
+      // filters missing dirs). Fail loudly instead; the residual window
+      // between this check and the pointer flip is the same documented
+      // class as the verifyClaim→flip TOCTOU.
+      if (!listVersions(dir).contains(toVersion))
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir version $toVersion was expired during RESTORE; aborting")
+      val gone = ownerMap.toSeq.flatMap { case (s, os) =>
+        os.map(o => s"${versionDir(dir, o)}/$s")
+      }.filterNot(d => Files.isDirectory(Paths.get(d)))
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"RESTORE of $dir to version $toVersion lost referenced slot dirs " +
+            s"to a concurrent expire (${gone.take(3).mkString(", ")}…); aborting")
       publishVersion(buildDir, nextDir)
       writePointer(dir, next)
       next
@@ -2183,14 +2219,35 @@ object GraftStore {
     // satisfy an ordering bound
     val defaultName = org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    // The comparison domain is fixed ONCE by the table's partition
+    // transform, never per-value: time transforms write integer ordinals
+    // and identity over an integral column writes integers → numeric;
+    // identity over string/date/timestamp columns writes (escaped) string
+    // values whose ISO forms order lexicographically → string. Deciding
+    // per-directory by parseability would flip the basis between dirs
+    // (e.g. values '9' and 'abc' against below='10'), so the dropped set
+    // would follow no single total order.
+    val numericDomain = meta.partition.exists { case (fn, physCol) =>
+      fn != "identity" || meta.schema.fields
+        .find(f => physicalName(f) == physCol)
+        .exists(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })
+    }
+    val belowNum = below.toLongOption
+    if (numericDomain) require(belowNum.isDefined,
+      s"expire_partitions bound '$below' must be an integer ordinal for " +
+        s"transform ${meta.partition.map(_._1).getOrElse("?")}")
     def lt(rawDir: String): Boolean = {
       if (rawDir == defaultName) return false
       val a = org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.unescapePathName(rawDir)
-      (a.toLongOption, below.toLongOption) match {
-        case (Some(x), Some(y)) => x < y
-        case _ => a < below
-      }
+      if (numericDomain)
+        // a non-parsing dir value cannot exist for these transforms; if one
+        // ever does, keep it (conservative) rather than guess an order
+        a.toLongOption.exists(_ < belowNum.get)
+      else a < below
     }
     val keepMap = ownersOf(dir, cur).filter { case (slot, _) =>
       !slotPart(slot).exists(lt)
