@@ -1752,6 +1752,257 @@ object SourceQueries {
         TRUE AS dv_live_after_dml, TRUE AS base_files_carried,
         TRUE AS optimize_cleared_dv, TRUE AS contents_stable
       FROM updated WHERE cents >= 500
-      ORDER BY user_id"""))
+      ORDER BY user_id""")),
+
+    // ----- S32: ANALYZE column statistics served to the planner — the
+    // driver gate for `CALL analyze` (PlannerStatsSpec's assertions in
+    // oracle form). ANALYZE runs ONE aggregate job over the current
+    // version and persists per-column NDV/null/min-max; the scan serves
+    // them through `Statistics.columnStats()` so Spark's CBO joins
+    // estimate from real cardinalities, and zone-map-scaled row/byte
+    // estimates make a selectively-filtered store scan broadcast-able.
+    // The gate ingests events in four disjoint cents-window commits,
+    // ANALYZEs, then hash-binds: (a) scan rowCount exact under CBO,
+    // (b) user_id NDV within HLL tolerance of the exact distinct count,
+    // (c) min/max exact, (d) null count exact on a known-null column,
+    // (e) the windowed filter's estimate shrinking below the full scan's,
+    // and (f) the estimate-driven build-side flip — the filtered fact
+    // side broadcasts at a threshold between the two estimates while the
+    // unfiltered twin join stays shuffled. AQE's runtime conversion is
+    // disabled for the two probe joins so the flip measures PLAN
+    // estimates (the thing ANALYZE feeds), not runtime sizes. At 100 TB
+    // this is the difference between a CBO that reorders/broadcasts from
+    // measured NDVs and one guessing from raw file bytes.
+    GraftQuery("s32_analyze_stats", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).select($"event_id", $"user_id",
+          vcents($"value").as("cents"),
+          when($"event_id" % 10 === 0, lit(null).cast(LongType))
+            .otherwise(vcents($"value")).as("c10"))
+        .createOrReplaceTempView("s32_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.an_probe")
+      s.sql("DROP TABLE IF EXISTS graftdml.an_other")
+      s.sql("""CREATE TABLE graftdml.an_probe
+        (event_id BIGINT NOT NULL, user_id BIGINT, cents BIGINT, c10 BIGINT)
+        USING graft TBLPROPERTIES ('merge_key'='event_id', 'buckets'='8')""")
+      // four commits with DISJOINT cents windows → per-commit zone maps
+      // give the selective filter below a sub-linear row estimate
+      val bounds = Seq(Long.MinValue, 2500L, 5000L, 10000L, Long.MaxValue)
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        s.sql("INSERT INTO graftdml.an_probe " +
+          "SELECT event_id, user_id, cents, c10 FROM s32_src " +
+          s"WHERE cents >= $lo AND cents < $hi")
+      case _ => ()
+      }
+      s.sql("""CREATE TABLE graftdml.an_other
+        (event_id BIGINT NOT NULL, v BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='event_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.an_other SELECT event_id, user_id FROM s32_src")
+      s.sql("CALL graftdml.analyze(table => 'an_probe')")
+      // expected values from the source: one driver-side agg, O(1) rows
+      val exp = s.table("s32_src").agg(count(lit(1)), countDistinct($"user_id"),
+        min($"user_id"), max($"user_id"), count(when($"c10".isNull, 1))).head()
+      val (nRows, uNdv, uMin, uMax, nNulls) = (exp.getLong(0), exp.getLong(1),
+        exp.getLong(2), exp.getLong(3), exp.getLong(4))
+      def scanStats(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.stats
+        }.head
+      val savedCbo = s.conf.getOption("spark.sql.cbo.enabled")
+      val (rcExact, ndvOk, mmExact, nullExact) = try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val st = scanStats(
+          s.sql("SELECT event_id, user_id, c10 FROM graftdml.an_probe"))
+        val byName = st.attributeStats.map { case (a, cs) => a.name -> cs }
+        val u = byName("user_id")
+        val c = byName("c10")
+        (st.rowCount.exists(_.toLong == nRows),
+          u.distinctCount.exists(n => math.abs(n.toLong - uNdv) <=
+            math.max(2L, (uNdv * 0.15).toLong)),
+          u.min.contains(uMin) && u.max.contains(uMax) &&
+            u.nullCount.exists(_.toLong == 0L),
+          c.nullCount.exists(_.toLong == nNulls))
+      } finally savedCbo.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+        s.conf.set("spark.sql.cbo.enabled", _))
+      // estimate-driven flip: measure both sides under the JOIN's exact
+      // projection (so column pruning can't shrink a side past the
+      // threshold on its own), pick a threshold strictly between them
+      val sel = "SELECT event_id, cents FROM graftdml.an_probe " +
+        "WHERE cents >= 5000 AND cents < 10000"
+      val fullBytes = scanStats(
+        s.sql("SELECT event_id, cents FROM graftdml.an_probe")).sizeInBytes
+      val selBytes = scanStats(s.sql(sel)).sizeInBytes
+      val otherBytes = scanStats(
+        s.sql("SELECT event_id, v FROM graftdml.an_other")).sizeInBytes
+      val shrinks = selBytes < fullBytes
+      val mid = ((selBytes + fullBytes.min(otherBytes)) / 2).toString
+      val savedThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val savedAqe = s.conf.getOption("spark.sql.adaptive.enabled")
+      val (flipOn, flipOff) = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", mid)
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val j1 = s.sql(s"SELECT SUM(o.v + f.cents) AS x FROM " +
+          s"graftdml.an_other o JOIN ($sel) f ON o.event_id = f.event_id")
+        j1.collect()
+        val j2 = s.sql("SELECT SUM(o.v + f.cents) AS x FROM " +
+          "graftdml.an_other o JOIN " +
+          "(SELECT event_id, cents FROM graftdml.an_probe) f " +
+          "ON o.event_id = f.event_id")
+        j2.collect()
+        (j1.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          !j2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      } finally {
+        savedThr.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        savedAqe.fold(s.conf.unset("spark.sql.adaptive.enabled"))(
+          s.conf.set("spark.sql.adaptive.enabled", _))
+      }
+      s.sql("SELECT user_id, COUNT(*) AS n, SUM(cents) AS sum_cents " +
+          "FROM graftdml.an_probe GROUP BY user_id")
+        .withColumn("row_count_exact", lit(rcExact))
+        .withColumn("ndv_served", lit(ndvOk))
+        .withColumn("minmax_exact", lit(mmExact))
+        .withColumn("nullcount_exact", lit(nullExact))
+        .withColumn("estimate_shrinks", lit(shrinks))
+        .withColumn("filtered_broadcasts", lit(flipOn))
+        .withColumn("unfiltered_stays_shuffled", lit(flipOff))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH e AS (SELECT user_id, ${sql.vcents("value")} AS cents FROM events)
+      SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        TRUE AS row_count_exact, TRUE AS ndv_served, TRUE AS minmax_exact,
+        TRUE AS nullcount_exact, TRUE AS estimate_shrinks,
+        TRUE AS filtered_broadcasts, TRUE AS unfiltered_stays_shuffled
+      FROM e GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- S33: manifest-referenced commit metadata — the driver gate for
+    // the r12 store layout. A commit's version dir physically holds ONLY
+    // the files that commit wrote plus a `_bucketmap` manifest (slot →
+    // owner versions); untouched buckets are carried by REFERENCE, so
+    // commit cost is O(changed files) at any table size and scans resolve
+    // the full snapshot across owner dirs with zero plan-time listing.
+    // The gate runs INSERT + two single-key UPDATEs + a single-key DELETE
+    // and pins with resolved-path set algebra: (a) each DML version's
+    // resolved-file delta vs its parent equals EXACTLY the files physically
+    // local to that version dir, confined to the one touched bucket,
+    // (b) untouched slots still owned by the insert version, (c) every
+    // manifest-resolved path exists on disk, (d) expire_versions keeps
+    // referenced retired dirs as `_expired` file hosts (dropped from the
+    // listing, reads intact), and (e) clone and a restore round-trip
+    // survive on the expired-host layout. Any re-introduced O(table) link
+    // carry, a manifest that forgets a slot, or an expire that deletes a
+    // referenced host breaks a boolean or the row hash itself.
+    GraftQuery("s33_manifest_commits", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.event_id".as("event_id"), $"r.cents".as("cents"))
+        .createOrReplaceTempView("s33_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.mc_probe")
+      s.sql("DROP TABLE IF EXISTS graftdml.mc_clone")
+      s.sql("""CREATE TABLE graftdml.mc_probe
+        (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.mc_probe SELECT * FROM s33_latest") // v1
+      s.sql("UPDATE graftdml.mc_probe SET cents = cents + 100 WHERE user_id = 1") // v2
+      s.sql("UPDATE graftdml.mc_probe SET cents = cents + 100 WHERE user_id = 2") // v3
+      s.sql("DELETE FROM graftdml.mc_probe WHERE user_id = 3") // v4
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/mc_probe"
+      import java.nio.file.{Files => F, Paths => P, Path, FileVisitResult, SimpleFileVisitor}
+      import java.nio.file.attribute.BasicFileAttributes
+      // independent physical listing (doesn't trust the store's own
+      // resolution code): every data file under one version dir
+      def localDataFiles(vd: String): Set[String] = {
+        val root = P.get(vd)
+        if (!F.isDirectory(root)) return Set.empty
+        val out = scala.collection.mutable.Set.empty[String]
+        F.walkFileTree(root, new SimpleFileVisitor[Path] {
+          override def preVisitDirectory(p: Path, a: BasicFileAttributes) = {
+            val n = p.getFileName.toString
+            if (p != root && (n.startsWith("_") || n.startsWith(".")))
+              FileVisitResult.SKIP_SUBTREE
+            else FileVisitResult.CONTINUE
+          }
+          override def visitFile(p: Path, a: BasicFileAttributes) = {
+            val n = p.getFileName.toString
+            if (!n.startsWith("_") && !n.startsWith(".")) out += p.toString
+            FileVisitResult.CONTINUE
+          }
+        })
+        out.toSet
+      }
+      def bucketsOf(ps: Set[String]): Set[String] =
+        ps.flatMap("gbucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+      // (a) per-DML-version set algebra: resolved delta == the version
+      // dir's own files, confined to the single touched bucket
+      val ownOnly = (2L to 4L).forall { v =>
+        val prev = G.snapshotFiles(dir, v - 1).toSet
+        val cur = G.snapshotFiles(dir, v).toSet
+        val added = cur -- prev
+        val removed = prev -- cur
+        added == localDataFiles(G.versionDir(dir, v)) && added.nonEmpty &&
+          removed.nonEmpty && bucketsOf(added ++ removed).size == 1
+      }
+      // (b) untouched slots carried by reference to the INSERT version
+      val owners = G.ownersOf(dir, 4L)
+      val carried = owners.nonEmpty && owners.values.forall(_.size == 1) &&
+        owners.count { case (_, os) => os == Seq(1L) } >= owners.size - 3
+      // (c) the manifest resolves only files that exist
+      val resolved = G.snapshotFiles(dir, 4L)
+      val allExist = resolved.nonEmpty &&
+        resolved.forall(p => F.exists(P.get(p)))
+      val v3State = s.sql("SELECT user_id, event_id, cents FROM " +
+        "graftdml.mc_probe VERSION AS OF 3").localCheckpoint(true)
+      val v4State = s.sql("SELECT user_id, event_id, cents FROM " +
+        "graftdml.mc_probe").localCheckpoint(true)
+      // (d) retention on the manifest layout: referenced retired dirs
+      // become _expired file hosts, reads stay complete
+      s.sql("CALL graftdml.expire_versions(table => 'mc_probe', keep_last => 2)")
+      val hostsKept = G.listVersions(dir) == Seq(3L, 4L) &&
+        F.exists(P.get(G.versionDir(dir, 1L), "_expired")) &&
+        F.exists(P.get(G.versionDir(dir, 2L), "_expired"))
+      val afterExpire = s.sql(
+        "SELECT user_id, event_id, cents FROM graftdml.mc_probe")
+      val expireIntact = afterExpire.exceptAll(v4State).isEmpty &&
+        v4State.exceptAll(afterExpire).isEmpty
+      // (e) clone + restore round-trip on the expired-host layout
+      s.sql("CALL graftdml.clone(table => 'mc_probe', target => 'mc_clone')")
+      val cloneDf = s.sql(
+        "SELECT user_id, event_id, cents FROM graftdml.mc_clone")
+      val cloneOk = cloneDf.exceptAll(v4State).isEmpty &&
+        v4State.exceptAll(cloneDf).isEmpty
+      s.sql("CALL graftdml.restore(table => 'mc_probe', version => 3)")
+      val r3 = s.sql("SELECT user_id, event_id, cents FROM graftdml.mc_probe")
+      val back3 = r3.exceptAll(v3State).isEmpty && v3State.exceptAll(r3).isEmpty
+      s.sql("CALL graftdml.restore(table => 'mc_probe', version => 4)")
+      val r4 = s.sql("SELECT user_id, event_id, cents FROM graftdml.mc_probe")
+      val back4 = r4.exceptAll(v4State).isEmpty && v4State.exceptAll(r4).isEmpty
+      r4.withColumn("commit_dirs_hold_own_files_only", lit(ownOnly))
+        .withColumn("untouched_carried_by_reference", lit(carried))
+        .withColumn("manifest_resolves_existing_files", lit(allExist))
+        .withColumn("expired_hosts_kept", lit(hostsKept))
+        .withColumn("reads_survive_expire", lit(expireIntact))
+        .withColumn("clone_matches", lit(cloneOk))
+        .withColumn("restore_roundtrip", lit(back3 && back4))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, event_id, cents FROM (
+          SELECT user_id, event_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id, event_id,
+        CASE WHEN user_id IN (1, 2) THEN cents + 100 ELSE cents END AS cents,
+        TRUE AS commit_dirs_hold_own_files_only,
+        TRUE AS untouched_carried_by_reference,
+        TRUE AS manifest_resolves_existing_files,
+        TRUE AS expired_hosts_kept, TRUE AS reads_survive_expire,
+        TRUE AS clone_matches, TRUE AS restore_roundtrip
+      FROM latest WHERE user_id <> 3 ORDER BY user_id"""))
   )
 }
