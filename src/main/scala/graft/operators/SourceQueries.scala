@@ -47,12 +47,17 @@ object SourceQueries {
     }
     leaves(df.queryExecution.executedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-          if b.toString.contains("GraftRenaming") =>
+          if b.toString.contains("GraftRenaming") ||
+            b.toString.contains("GraftMor") =>
         b.inputRDDs().head.partitions.map {
           case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
             p.inputPartitions.map {
               case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
                 fp.files.length.toLong
+              // a DV-live scan plans a bucket's filtered files as one
+              // mor partition — those files are planned reads too
+              case mp: org.apache.spark.sql.GraftMorFilterPartition =>
+                mp.files.length.toLong
               case _ => 0L
             }.sum
           case _ => 0L
@@ -1647,6 +1652,95 @@ object SourceQueries {
       SELECT event_id, cents, TRUE AS day_pruned,
         TRUE AS point_composes_prunings, TRUE AS retention_metadata_only,
         TRUE AS retention_is_boundary, TRUE AS time_travel_full
+      FROM kept ORDER BY event_id""")),
+
+    // ----- S30b: merge-on-read × PARTITIONED BY (the r12 scope bound,
+    // lifted in r13). A days-partitioned `merge_mode='mor'` table runs the
+    // s26 statement sequence: row-level deltas commit after-images into
+    // their partition dirs plus BUCKET-scoped equality-delete slices
+    // (deliberately NOT partition-scoped — a partition-moving UPDATE
+    // cannot know the old partition value without reading the base, so a
+    // delete entry must suppress the key's older rows in EVERY partition;
+    // pruning stays sound because delete application only removes rows).
+    // The gate hash-binds: (a) live slices after the DML, (b) every base
+    // file carried untouched (no bucket rewrite), (c) partition pruning
+    // measured WHILE slices are live, (d) `expire_partitions` carrying
+    // the slices across its metadata-only boundary commit (dropping them
+    // would resurrect deleted rows in kept partitions), and (e) OPTIMIZE
+    // folding the slices away with contents byte-identical.
+    GraftQuery("s30b_partitioned_mor", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d)
+        .groupBy($"event_id").agg(max_by(
+          struct($"ts", vcents($"value").as("cents")),
+          struct($"ts", $"event_id")).as("r"))
+        .select($"event_id", $"r.ts".as("ts"), $"r.cents".as("cents"))
+        .createOrReplaceTempView("s30b_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.pmor_t")
+      s.sql("""CREATE TABLE graftdml.pmor_t
+        (event_id BIGINT NOT NULL, ts TIMESTAMP, cents BIGINT)
+        USING graft PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('merge_key'='event_id', 'buckets'='8',
+          'merge_mode'='mor')""")
+      s.sql("INSERT INTO graftdml.pmor_t SELECT * FROM s30b_src")
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/pmor_t"
+      val baseFiles = G.snapshotFiles(dir, 1L).toSet
+      s.sql("UPDATE graftdml.pmor_t SET cents = cents + 7 WHERE event_id % 11 = 0")
+      s.sql("DELETE FROM graftdml.pmor_t WHERE event_id % 13 = 0")
+      val dmlVersion = G.currentVersion(dir)
+      val dvLive = G.hasLiveDv(G.versionDir(dir, dmlVersion))
+      val baseCarried =
+        baseFiles.subsetOf(G.snapshotFiles(dir, dmlVersion).toSet)
+      val d0 = s.sql("SELECT CAST(MIN(ts) AS DATE) FROM s30b_src")
+        .head().getDate(0).toLocalDate
+      val d1 = d0.plusDays(1)
+      // partition pruning measured WHILE delete slices are live
+      val full = filesPlanned(s.sql("SELECT * FROM graftdml.pmor_t"))
+      val oneDay = filesPlanned(s.sql(
+        s"SELECT * FROM graftdml.pmor_t WHERE ts >= timestamp'$d1 00:00:00' " +
+          s"AND ts < timestamp'${d1.plusDays(1)} 00:00:00'"))
+      val dayPruned = oneDay > 0 && oneDay < full
+      // drop the first day: the metadata-only boundary commit must CARRY
+      // the live slices — deleted keys stay deleted in kept partitions
+      s.sql(s"CALL graftdml.expire_partitions(table => 'pmor_t', " +
+        s"below => '${d1.toEpochDay}')")
+      val v = G.currentVersion(dir)
+      val expireCarriesDv = G.hasLiveDv(G.versionDir(dir, v))
+      val boundary = G.isBoundary(dir, v) && !G.hasChangelog(dir, v)
+      val before = s.sql("SELECT event_id, cents FROM graftdml.pmor_t")
+        .localCheckpoint(true)
+      s.sql("CALL graftdml.optimize(table => 'pmor_t')")
+      val dvCleared = !G.hasLiveDv(G.versionDir(dir, G.currentVersion(dir)))
+      val after = s.sql("SELECT event_id, cents FROM graftdml.pmor_t")
+      val stable = after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty
+      after
+        .withColumn("dv_live_after_dml", lit(dvLive))
+        .withColumn("base_files_carried", lit(baseCarried))
+        .withColumn("day_pruned_with_live_dv", lit(dayPruned))
+        .withColumn("expire_carries_deletes", lit(expireCarriesDv))
+        .withColumn("retention_is_boundary", lit(boundary))
+        .withColumn("optimize_cleared_dv", lit(dvCleared))
+        .withColumn("contents_stable", lit(stable))
+        .orderBy($"event_id")
+    }, Some(s"""
+      WITH src AS (SELECT event_id, ts, cents FROM (
+          SELECT event_id, ts, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY event_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      upd AS (SELECT event_id, ts,
+          CASE WHEN event_id % 11 = 0 THEN cents + 7 ELSE cents END AS cents
+        FROM src WHERE event_id % 13 <> 0),
+      kept AS (SELECT event_id, cents FROM upd
+        WHERE CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) FROM src)
+          + INTERVAL 1 DAY)
+      SELECT event_id, cents, TRUE AS dv_live_after_dml,
+        TRUE AS base_files_carried, TRUE AS day_pruned_with_live_dv,
+        TRUE AS expire_carries_deletes, TRUE AS retention_is_boundary,
+        TRUE AS optimize_cleared_dv, TRUE AS contents_stable
       FROM kept ORDER BY event_id""")),
 
     // ----- S26: merge-on-read row-level deltas — the s11 DML dataflow on

@@ -253,10 +253,6 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (mode == "mor") keys.foreach(k =>
       require(GraftStore.morKeyTypeOk(schema(k).dataType),
         s"merge_mode=mor requires atomic-typed merge keys; $k is ${schema(k).dataType}"))
-    // scope bound, not a semantic conflict: the mor scan wrapper's schema
-    // plumbing doesn't yet account for the extra partition column
-    require(mode == "cow" || partSpec.isEmpty,
-      "PARTITIONED BY currently requires merge_mode='cow'")
     GraftTableMeta(schema, keys, buckets, mergeMode = mode,
       partition = partSpec)
   }
@@ -489,11 +485,6 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         if (mode == "mor") m.keyCols.foreach(k =>
           require(GraftStore.morKeyTypeOk(m.schema(k).dataType),
             s"merge_mode=mor requires atomic-typed merge keys; $k is ${m.schema(k).dataType}"))
-        // the CREATE-time guard must hold under ALTER too: the mor scan
-        // wrapper's schema plumbing doesn't account for the partition
-        // column, and a silent mismatch would misbind scanned columns
-        require(mode == "cow" || m.partition.isEmpty,
-          "PARTITIONED BY tables require merge_mode='cow'")
         m.copy(mergeMode = mode)
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen " +

@@ -2265,6 +2265,16 @@ object GraftStore {
       deleteRecursively(Paths.get(buildDir))
       Files.createDirectories(Paths.get(buildDir))
       writeBucketMap(buildDir, keepMap)
+      // a merge-on-read table's live delete slices MUST carry across the
+      // retention commit: slices are keyed (bucket, key), deliberately NOT
+      // partition-scoped (an update that moves a row between partitions
+      // cannot know the old partition value without reading the base —
+      // the read mor exists to avoid), so dropping partitions never makes
+      // a slice obsolete and dropping the slices would resurrect deleted
+      // rows in every KEPT partition. Cap-bounded links, O(changed rows).
+      linkDvCarry(versionDir(dir, cur), buildDir, Set.empty)
+      writeFileSeq(buildDir, None, next)
+      GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
       writeBoundaryMarker(buildDir) // rows vanish with no changelog slice
       verifyClaim(marker, token)

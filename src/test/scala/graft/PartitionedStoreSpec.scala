@@ -193,18 +193,21 @@ class PartitionedStoreSpec extends SparkTestBase {
       filesPlanned(spark.sql(s"SELECT * FROM $cat.t_id")))
   }
 
-  test("guards: one transform only, mor rejected, partition column undropppable") {
+  test("guards: one transform only, mor composes, partition column undropppable") {
     warehouse
     val e1 = intercept[Exception](spark.sql(
       s"""CREATE TABLE $cat.t_bad (k BIGINT NOT NULL, ts TIMESTAMP, a BIGINT)
          USING graft PARTITIONED BY (days(ts), years(ts))
          TBLPROPERTIES ('merge_key'='k')"""))
     assert(e1.getMessage.contains("at most ONE"))
-    val e2 = intercept[Exception](spark.sql(
-      s"""CREATE TABLE $cat.t_bad (k BIGINT NOT NULL, ts TIMESTAMP, a BIGINT)
+    // merge_mode='mor' composes with PARTITIONED BY since r13 — the full
+    // behavioral contract is PartitionedMorSpec; here just pin that the
+    // CREATE is accepted
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_pmor_ok")
+    spark.sql(
+      s"""CREATE TABLE $cat.t_pmor_ok (k BIGINT NOT NULL, ts TIMESTAMP, a BIGINT)
          USING graft PARTITIONED BY (days(ts))
-         TBLPROPERTIES ('merge_key'='k', 'merge_mode'='mor')"""))
-    assert(e2.getMessage.contains("cow"))
+         TBLPROPERTIES ('merge_key'='k', 'merge_mode'='mor')""")
     val t = mkDays("t_guard")
     val e3 = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.$t DROP COLUMN ts"))
@@ -217,11 +220,12 @@ class PartitionedStoreSpec extends SparkTestBase {
       filesPlanned(spark.sql(s"SELECT * FROM $cat.$t")))
   }
 
-  test("ALTER guards: mor flip rejected on partitioned; reserved names; null/escaped partition values in retention") {
+  test("ALTER guards: mor flip accepted on partitioned; reserved names; null/escaped partition values in retention") {
     val t = mkDays("t_alter_guard")
-    val e1 = intercept[Exception](spark.sql(
-      s"ALTER TABLE $cat.$t SET TBLPROPERTIES ('merge_mode'='mor')"))
-    assert(e1.getMessage.contains("cow"))
+    // flipping a partitioned table to merge-on-read is allowed since r13
+    // (behavioral contract in PartitionedMorSpec)
+    spark.sql(s"ALTER TABLE $cat.$t SET TBLPROPERTIES ('merge_mode'='mor')")
+    spark.sql(s"ALTER TABLE $cat.$t SET TBLPROPERTIES ('merge_mode'='cow')")
     val e2 = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (gpart STRING)"))
     assert(e2.getMessage.contains("reserved"))
