@@ -1015,10 +1015,10 @@ object GraftTable {
         meta.keyCols, GraftStore.layoutBuckets(dir, version, meta),
         GraftStore.BucketCol)),
       versionDir = Some(vdir),
-      colStats = () => GraftStats.readTableColStats(dir)
-        .map(_._2.flatMap { case (phys, st) =>
-          p2l.get(phys).map(_ -> st)
-        }).getOrElse(Map.empty),
+      // staleness-gated: heavy DML past the analyzed version withholds
+      // the column stats rather than serving pre-mutation NDV/min-max
+      colStats = () => GraftStore.freshTableColStats(dir, version)
+        .flatMap { case (phys, st) => p2l.get(phys).map(_ -> st) },
       partitioning = meta.partition.map { case (fn, physCol) =>
         new org.apache.spark.sql.GraftPartDerivation(fn,
           p2l.getOrElse(physCol, physCol),

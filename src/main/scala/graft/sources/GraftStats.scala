@@ -363,9 +363,19 @@ object GraftStats {
       min: Option[Any], max: Option[Any])
 
   def writeTableColStats(dir: String, version: Long,
-      stats: Map[String, TableColStat]): Unit = {
+      stats: Map[String, TableColStat]): Unit =
+    writeTableColStats(dir, version, None, stats)
+
+  /** `analyzedRows` (the snapshot's row count at analyze time) rides in
+    * the header — the staleness signal serve-time compares against the
+    * CURRENT snapshot's manifest row count
+    * ([[GraftStore.freshTableColStats]]). */
+  def writeTableColStats(dir: String, version: Long,
+      analyzedRows: Option[Long], stats: Map[String, TableColStat]): Unit = {
     val sb = new StringBuilder
-    sb.append(version).append('\n')
+    sb.append(version)
+    analyzedRows.foreach(r => sb.append('\t').append(r))
+    sb.append('\n')
     stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
       sb.append(Seq(c, s.kind, s.ndv.toString, s.nullCount.toString,
         enc(s.kind, s.min), enc(s.kind, s.max)).mkString("\t")).append('\n')
@@ -379,14 +389,22 @@ object GraftStats {
 
   /** (analyzed version, per-PHYSICAL-column stats), or None if never
     * analyzed. */
-  def readTableColStats(dir: String): Option[(Long, Map[String, TableColStat])] = {
+  def readTableColStats(dir: String): Option[(Long, Map[String, TableColStat])] =
+    readTableColStatsFull(dir).map { case (v, _, m) => (v, m) }
+
+  /** (analyzed version, analyzed row count if recorded — pre-r13 files
+    * carry none, per-PHYSICAL-column stats). */
+  def readTableColStatsFull(dir: String)
+      : Option[(Long, Option[Long], Map[String, TableColStat])] = {
     val p = Paths.get(dir, ColStatsName)
     if (!Files.exists(p)) return None
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       .filter(_.nonEmpty)
     if (lines.isEmpty) return None
     try {
-      val v = lines.head.trim.toLong
+      val header = lines.head.trim.split('\t')
+      val v = header(0).toLong
+      val arows = if (header.length > 1) header(1).toLongOption else None
       val m = lines.tail.flatMap { line =>
         line.split('\t') match {
           case Array(c, kind, ndv, nulls, mn, mx) =>
@@ -396,7 +414,7 @@ object GraftStats {
           case _ => None
         }
       }.toMap
-      Some((v, m))
+      Some((v, arows, m))
     } catch { case _: Exception => None }
   }
 

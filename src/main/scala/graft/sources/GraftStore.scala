@@ -2151,13 +2151,16 @@ object GraftStore {
     })
     if (supported.isEmpty) return cur
     val df = readVersion(spark, dir, cur)
-    val aggs = supported.flatMap { f =>
+    // count(*) rides in the same one-pass aggregate: the analyzed row
+    // count is the staleness signal freshTableColStats compares against
+    val aggs = count(lit(1)).as("__rows") +: supported.flatMap { f =>
       val c = col(f.name)
       Seq(approx_count_distinct(c).as(s"ndv_${f.name}"),
         count(when(c.isNull, 1)).as(s"nulls_${f.name}"),
         min(c).as(s"min_${f.name}"), max(c).as(s"max_${f.name}"))
     }
     val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val analyzedRows = row.getLong(0)
     def norm(dt: DataType, v: Any): (String, Option[Any]) = (dt, v) match {
       case (_, null) => (kindOfType(dt), None)
       case (DateType, d: java.sql.Date) =>
@@ -2177,15 +2180,47 @@ object GraftStore {
       case _ => (kindOfType(dt), None)
     }
     val stats = supported.zipWithIndex.map { case (f, i) =>
-      val ndv = row.getLong(i * 4)
-      val nulls = row.getLong(i * 4 + 1)
-      val (kind, mn) = norm(f.dataType, row.get(i * 4 + 2))
-      val (_, mx) = norm(f.dataType, row.get(i * 4 + 3))
+      val ndv = row.getLong(1 + i * 4)
+      val nulls = row.getLong(1 + i * 4 + 1)
+      val (kind, mn) = norm(f.dataType, row.get(1 + i * 4 + 2))
+      val (_, mx) = norm(f.dataType, row.get(1 + i * 4 + 3))
       physicalName(f) -> GraftStats.TableColStat(kind, ndv, nulls, mn, mx)
     }.toMap
-    GraftStats.writeTableColStats(dir, cur, stats)
+    GraftStats.writeTableColStats(dir, cur, Some(analyzedRows), stats)
     cur
   }
+
+  /** Staleness bound for served ANALYZE stats: column stats survive DML
+    * after the analyzed version only while the CURRENT snapshot's row
+    * count stays within this fraction of the analyzed one (default 0.5 —
+    * a table that grew or shrank past ±50% serves estimates worse than
+    * none, so the scan withholds them until the next `CALL analyze`). */
+  private[sources] def statsMaxStaleFraction: Double =
+    sys.props.get("graft.store.statsMaxStaleFraction").map(_.toDouble)
+      .getOrElse(0.5)
+
+  /** ANALYZE column stats for scanning (`dir`, `version`) — EMPTY when the
+    * persisted stats are stale. Fresh means: analyzed at this exact
+    * version, or the analyzed row count is recorded (r13+) and the
+    * scanned snapshot's manifest row count drifted less than
+    * [[statsMaxStaleFraction]] from it. Row/byte estimates are per-scan
+    * from zone maps and never go through here — only column NDV/min-max
+    * age. Legacy `_colstats` without a recorded row count serve only at
+    * their own analyzed version (conservative; the next analyze upgrades
+    * the format). */
+  def freshTableColStats(dir: String, version: Long)
+      : Map[String, GraftStats.TableColStat] =
+    GraftStats.readTableColStatsFull(dir) match {
+      case Some((av, _, m)) if av == version => m
+      case Some((_, Some(arows), m)) =>
+        snapshotRowCount(dir, version) match {
+          case Some(cur)
+              if math.abs(cur - arows).toDouble <=
+                statsMaxStaleFraction * math.max(arows, 1L) => m
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
 
   private def kindOfType(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |

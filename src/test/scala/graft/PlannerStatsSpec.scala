@@ -51,6 +51,39 @@ class PlannerStatsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.cbo.enabled", _))
   }
 
+  test("stale column stats are withheld after heavy DML; re-analyze restores them") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_stale")
+    spark.sql(s"""CREATE TABLE $cat.t_stale
+      (k BIGINT NOT NULL, grp BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    spark.sql(s"INSERT INTO $cat.t_stale SELECT id, id % 5 FROM range(0, 1000)")
+    spark.sql(s"CALL $cat.analyze(table => 't_stale')")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def attrStats() =
+        scanStats(spark.sql(s"SELECT k, grp FROM $cat.t_stale")).attributeStats
+      assert(attrStats().nonEmpty, "freshly analyzed stats must serve")
+      // a small append (10% drift) keeps the stats advisory-fresh
+      spark.sql(s"INSERT INTO $cat.t_stale SELECT id, id % 5 FROM range(1000, 1100)")
+      assert(attrStats().nonEmpty,
+        "sub-threshold drift must keep serving column stats")
+      // heavy DML: rows double → 100%+ drift past the 50% staleness bound
+      spark.sql(s"INSERT INTO $cat.t_stale SELECT id, id % 5 FROM range(1100, 2400)")
+      assert(attrStats().isEmpty,
+        "a heavily-mutated table must not serve pre-mutation column stats")
+      // the per-scan zone-map row count stays fresh regardless
+      assert(scanStats(spark.sql(s"SELECT k, grp FROM $cat.t_stale"))
+        .rowCount.exists(_.toLong == 2400L))
+      spark.sql(s"CALL $cat.analyze(table => 't_stale')")
+      val served = attrStats().map { case (a, cs) => a.name -> cs }
+      assert(served.nonEmpty, "re-analyze must restore column stats")
+      assert(served("grp").min.contains(0L) && served("grp").max.contains(4L))
+    } finally saved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
+
   test("zone-map row estimates make a selective fact filter broadcast-able") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.fact")
