@@ -10,11 +10,18 @@ rebucket — then runs `verify`, which checks: contiguous versions, no
 orphan claims, no duplicate keys, live contents == the union of what
 every writer recorded as committed, and changelog replay from v0 == live.
 
-Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor]
+Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part]
 
 --mor creates the table with merge_mode='mor' so every upsert commits a
 merge-on-read delete slice instead of rewriting buckets — the identical
 verifier proves the mode invisible under cross-process interleaving.
+
+--part creates the table with a days(ts) PARTITIONED BY layout: writers
+place keys on deterministic days, upserts MOVE rows between partitions,
+and `expire_partitions` commits interleave with live writers as claim
+contenders; sacrificial keys (k%7==0) land on an old day that is expired
+before verification, and changelog replay runs segment-wise between the
+expire boundaries. Composes with --mor (partitioned merge-on-read).
 
 --crash adds CRASH INJECTION: after a warm-up, a random subset of writers
 is SIGKILLed mid-commit (claims shortened to 3 s via the
@@ -28,9 +35,10 @@ Requires `sbt -batch compile` to have populated target/scala-2.13/classes.
 """
 import glob, os, random, signal, subprocess, sys, tempfile, time
 
-args = [a for a in sys.argv[1:] if a not in ("--crash", "--mor")]
+args = [a for a in sys.argv[1:] if a not in ("--crash", "--mor", "--part")]
 crash = "--crash" in sys.argv[1:]
 mor = "--mor" in sys.argv[1:]
+part = "--part" in sys.argv[1:]
 n_writers = int(args[0]) if len(args) > 0 else 3
 n_ops = int(args[1]) if len(args) > 1 else 12
 seed = int(args[2]) if len(args) > 2 else 7
@@ -55,7 +63,8 @@ def run(args, **kw):
     return subprocess.run(java + args, capture_output=True, text=True,
                           timeout=900, **kw)
 
-r = run(["init", table] + (["mor"] if mor else []))
+spec = ",".join((["mor"] if mor else []) + (["part"] if part else []))
+r = run(["init", table] + ([spec] if spec else []))
 if "[multiwriter] init ok" not in r.stdout:
     print(r.stdout[-2000:]); print(r.stderr[-2000:])
     sys.exit("init failed")
@@ -107,5 +116,6 @@ if not fail:
 
 print(f"multiproc fuzz: {'FAIL' if fail else 'PASS'} "
       f"(writers={n_writers} ops={n_ops} seed={seed}"
-      f"{' crash-injected=' + str(sorted(killed)) if crash else ''})")
+      f"{' crash-injected=' + str(sorted(killed)) if crash else ''}"
+      f"{' mor' if mor else ''}{' part' if part else ''})")
 sys.exit(1 if fail else 0)

@@ -66,6 +66,69 @@ object Bench {
     spark.sql("SELECT user_id, event_id, cents FROM graftdml.bench_mor")
   }
 
+  /** Bench-only: the plan-from-metadata guard. Builds a days()-partitioned
+    * store table whose slot count is LARGE relative to its data (~150 days
+    * × 8 buckets ≈ 1200 leaf dirs), then runs a batch of pruned one-day
+    * aggregates and partition∩bucket point lookups across the span. With
+    * [[org.apache.spark.sql.GraftSlotFileIndex]] authoring the scan's file
+    * listing from the `_bucketmap`/`_fileseq` manifests, each pruned query
+    * plans from metadata in milliseconds regardless of slot count; a
+    * regression to plan-time directory listing multiplies this row several
+    * times over (the pre-r12 shape measured ~4 s PER QUERY at 2k slots —
+    * Scratch `--scale part`). No oracle form on purpose: pruning
+    * correctness is s30/s30b's gate; this row pins plan-time COST into the
+    * driver's bench series. */
+  private def planMetadataOnly(spark: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    operators.DmlFixture.register(spark)
+    // thin the events stream hard, then spread 60 day-shifted replicas so
+    // the partition count is high while the per-day data stays tiny — the
+    // row measures planning, not scanning (slot count ~90 days × 4
+    // buckets ≈ 360 regardless of scale factor; row count stays small —
+    // the fixture INSERT's cost is writer-opens per slot, so slot count
+    // balances build overhead against plan-regression signal)
+    Tables.events(spark, d).filter(col("event_id") % 170 === 0)
+      .withColumn("__r", explode(sequence(lit(0), lit(59))))
+      .select((col("event_id") * 120 + col("__r")).as("k"),
+        (col("ts") + expr("make_interval(0,0,0,__r,0,0,0)")).as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("bp_src")
+    spark.sql("DROP TABLE IF EXISTS graftdml.bench_part")
+    spark.sql("""CREATE TABLE graftdml.bench_part
+      (k BIGINT NOT NULL, ts TIMESTAMP, cents BIGINT) USING graft
+      PARTITIONED BY (days(ts))
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    // the fixture INSERT writes ~1200 near-empty slot files; at the
+    // default 64 MB advisory size AQE's rebalance coalesces them into ONE
+    // task that opens 1200 parquet writers serially — shrink the advisory
+    // size for the build so writer opens fan out across the cores (the
+    // row measures plan cost, not fixture-build serialization)
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val savedAdvisory = spark.conf.getOption(advisoryKey)
+    spark.conf.set(advisoryKey, "1KB")
+    val tIns0 = System.nanoTime()
+    try spark.sql("INSERT INTO graftdml.bench_part SELECT * FROM bp_src")
+    finally savedAdvisory.fold(spark.conf.unset(advisoryKey))(
+      spark.conf.set(advisoryKey, _))
+    System.err.println(f"[bp] insert ${(System.nanoTime() - tIns0) / 1e9}%.2f s")
+    val r = spark.sql("SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) " +
+      "FROM graftdml.bench_part").head()
+    val (d0, d1) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    val span = (d1.toEpochDay - d0.toEpochDay).toInt
+    val tQ0 = System.nanoTime()
+    (1 to 12).foreach { i =>
+      val day = d0.plusDays(math.max(1L, i.toLong * span / 13))
+      spark.sql(s"SELECT SUM(cents) FROM graftdml.bench_part WHERE " +
+        s"ts >= timestamp'$day 00:00:00' AND " +
+        s"ts < timestamp'${day.plusDays(1)} 00:00:00'").head()
+      spark.sql(s"SELECT * FROM graftdml.bench_part WHERE k = ${i * 1207} " +
+        s"AND ts >= timestamp'$day 00:00:00' AND " +
+        s"ts < timestamp'${day.plusDays(1)} 00:00:00'").count()
+    }
+    System.err.println(f"[bp] 24 pruned queries ${(System.nanoTime() - tQ0) / 1e9}%.2f s")
+    spark.sql("SELECT SUM(cents) AS s, COUNT(*) AS n FROM graftdml.bench_part")
+  }
+
   /** Bench-only: d1's 100 TB path — the single no-Expand sketch aggregate
     * without the exact-distinct verification side the d1/d1_sketch_profile
     * gates carry. Same rationale as a3SketchOnly: measure the operator a
@@ -92,11 +155,20 @@ object Bench {
     // whole-stage-codegen classes and JITs the same paths — the measured
     // numbers below are then engine throughput at sfDir, not compiler
     // latency (methodology recorded in BASELINE.md)
-    val benched: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    val all: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       SparkEntry.benchNames.map(n => n -> SparkEntry.queries(n)) :+
         ("a3_sketch_only" -> (a3SketchOnly _)) :+
         ("d1_sketch_only" -> (d1SketchOnly _)) :+
-        ("s26_mor_dml_only" -> (morDmlOnly _))
+        ("s26_mor_dml_only" -> (morDmlOnly _)) :+
+        ("s30_plan_metadata_only" -> (planMetadataOnly _))
+    // local-iteration filter (the driver never sets it): run only the
+    // named rows — total then covers the subset, so compare per-row only
+    val benched = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).toSet
+        all.filter { case (n, _) => want.contains(n) }
+      case None => all
+    }
     benched.foreach { case (_, build) =>
       try build(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }

@@ -54,14 +54,47 @@ object MultiWriterRunner {
     s
   }
 
+  /** Partitioned-mode layout (the S30 fuzz surface): a days(ts) partition
+    * above the bucket fan-out. Writers place every key on a deterministic
+    * day in 2024-03-01..05 (epoch days 19783..87), EXCEPT sacrificial keys
+    * (k ≡ 0 mod 7) which land on 2024-02-01 (epoch day 19754) and are
+    * never recorded as expected — the harness expires everything below
+    * 19760 before verification, so the final content check is exact while
+    * `expire_partitions` commits interleave with live writers as real
+    * claim contenders. */
+  private val partSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("amount", LongType, nullable = true)))
+
+  private val OldEpochDay = 19754L // 2024-02-01
+  private val BaseEpochDay = 19783L // 2024-03-01
+  private[graft] val ExpireBound = "19760"
+
+  private def isSacrificial(k: Long): Boolean = k % 7 == 0
+
+  /** Deterministic day for key `k` at its `gen`-th upsert — gen > 0 MOVES
+    * the row between partitions (the partition-moving-update interleaving
+    * under test; in mor mode it exercises the delete-slice + after-image
+    * path across partition dirs). */
+  private def dayOf(k: Long, gen: Int): Long =
+    if (isSacrificial(k)) OldEpochDay else BaseEpochDay + ((k + gen) % 5)
+
   def main(args: Array[String]): Unit = args(0) match {
     case "init" =>
       // optional 3rd arg: merge mode — 'mor' runs the whole multi-process
       // interleaving through merge-on-read delete-slice commits (same
-      // verifier: mor must be invisible to contents AND changelog replay)
-      val mode = if (args.length > 2) args(2) else "cow"
+      // verifier: mor must be invisible to contents AND changelog replay).
+      // A 'part' token (e.g. 'cow,part' / 'mor,part') adds a days(ts)
+      // PARTITIONED BY layout; writers detect it from the table meta.
+      val spec = if (args.length > 2) args(2) else "cow"
+      val mode = if (spec.contains("mor")) "mor" else "cow"
+      val part = spec.contains("part")
       GraftStore.create(args(1),
-        GraftTableMeta(schema, Seq("k"), buckets = 4, mergeMode = mode))
+        GraftTableMeta(if (part) partSchema else schema, Seq("k"),
+          buckets = 4, mergeMode = mode,
+          partition = if (part) Some(("days", "ts")) else None))
       println("[multiwriter] init ok")
     case "write" =>
       write(args(1), args(2).toInt, args(3).toInt, args(4).toLong, args(5))
@@ -84,6 +117,20 @@ object MultiWriterRunner {
     val base = writerId.toLong * 1000000L
     val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
     var nextKey = 0L
+    // partitioned mode is detected from the table meta, not an argument
+    val part = GraftStore.readMeta(dir).partition.isDefined
+    // per-key upsert generation: each upsert MOVES the row to the next
+    // deterministic day (the partition-moving-update interleaving)
+    val gen = scala.collection.mutable.Map.empty[Long, Int]
+    def toDf(rows: Seq[(Long, String, Long)], upsert: Boolean) =
+      if (!part) rows.toDF("k", "name", "amount")
+      else rows.map { case (k, n, a) =>
+        val g = if (upsert) gen.getOrElse(k, 0) + 1 else 0
+        gen(k) = g
+        (k, dayOf(k, g), n, a)
+      }.toDF("k", "day", "name", "amount")
+        .withColumn("ts", expr("timestamp(date_from_unix_date(CAST(day AS int)))"))
+        .select("k", "ts", "name", "amount")
     // the record is rewritten (staged+atomic) after EVERY committed op, so
     // a SIGKILLed writer's file is accurate up to at most one in-flight op
     // — the crash-injection harness relies on that
@@ -104,17 +151,21 @@ object MultiWriterRunner {
             (base + nextKey, s"w$writerId", rng.nextInt(1000).toLong)
           }
           GraftStore.applyChanges(spark, dir,
-            rows.toDF("k", "name", "amount")
+            toDf(rows, upsert = false)
               .withColumn(GraftStore.OpCol, lit("I")),
             allInserts = true)
-          rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+          // sacrificial keys (old partition) are appended but never
+          // recorded: the harness expires their partition before verify
+          rows.foreach { case (k, n, a) =>
+            if (!(part && isSacrificial(k))) expected(k) = (n, a)
+          }
           flushRecord()
         case r if r < 8 => // keyed upsert over own keys (some existing)
           if (expected.nonEmpty) {
             val ks = rng.shuffle(expected.keys.toSeq).take(1 + rng.nextInt(3))
             val rows = ks.map(k => (k, s"w$writerId-u$i", rng.nextInt(1000).toLong))
             GraftStore.applyChanges(spark, dir,
-              rows.toDF("k", "name", "amount")
+              toDf(rows, upsert = true)
                 .withColumn(GraftStore.OpCol, lit("U")),
               commutative = true)
             rows.foreach { case (k, n, a) => expected(k) = (n, a) }
@@ -122,6 +173,12 @@ object MultiWriterRunner {
           }
         case 8 => // compaction: layout-only, may lose a cross-process race
           try GraftStore.optimize(spark, dir, maxFilesPerBucket = 2)
+          catch { case _: java.util.ConcurrentModificationException => () }
+        case _ if part && rng.nextBoolean() =>
+          // partition retention racing live writers: a claimed boundary
+          // commit that drops the sacrificial day's slots (content-neutral
+          // for every recorded key, and a claim contender by construction)
+          try GraftStore.expirePartitions(dir, ExpireBound)
           catch { case _: java.util.ConcurrentModificationException => () }
         case _ => // fan-out change: the claim-heaviest maintenance op
           try GraftStore.rebucket(spark, dir, if (rng.nextBoolean()) 8 else 4)
@@ -143,6 +200,11 @@ object MultiWriterRunner {
     val expectedFiles = if (partial) args0.tail else args0
     val spark = session("graft-multiwriter-verify")
     if (partial) GraftStore.vacuum(dir, olderThanMillis = 0L)
+    val part = GraftStore.readMeta(dir).partition.isDefined
+    // partitioned mode: one final retention pass clears the sacrificial
+    // day (writers never record those keys), making the content check
+    // exact; mid-run expires may already have dropped some of them
+    if (part) GraftStore.expirePartitions(dir, ExpireBound)
     val expected = expectedFiles.flatMap { f =>
       new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
         .split("\n").filter(_.nonEmpty).map { line =>
@@ -173,6 +235,8 @@ object MultiWriterRunner {
       .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toSeq
     check(live.size == live.map(_._1).distinct.size,
       "duplicate keys in the live table")
+    if (part) check(!live.exists(r => isSacrificial(r._1)),
+      s"expired-partition keys survived: ${live.map(_._1).filter(isSacrificial).take(5)}")
     val liveMap0 = live.toMap
     // in partial mode, compare only the ranges the survivor files cover
     val liveMap =
@@ -187,20 +251,41 @@ object MultiWriterRunner {
         s"extra=${(liveMap.keySet -- expected.keySet).take(5)} " +
         s"diff=${expected.collect { case (k, v) if liveMap.get(k).exists(_ != v) => k }.take(5)}")
 
-    // the changelog, folded from the empty v0 snapshot, must reproduce the
-    // live table — maintenance commits wrote no slices and drop out
-    val replayed = GraftStore.replayChanges(
-      GraftStore.readVersion(spark, dir, 0L),
-      GraftStore.readChanges(spark, dir, 1L, cur),
-      GraftStore.readMeta(dir))
-      .select("k", "name", "amount").collect()
-      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
-    // replay must reproduce the LIVE table exactly — in partial (crash)
+    // Changelog replay, SEGMENT-WISE between snapshot boundaries: a fold
+    // must never cross a boundary (expire_partitions drops rows with no
+    // changelog slice — folding past it would resurrect them), so each
+    // [boundary, next-boundary) segment replays onto its boundary snapshot
+    // and must reproduce the segment-final version; the last segment's
+    // result is the live table. A run with no boundaries (un-partitioned
+    // mode) is one 0..cur segment — the original invariant. Maintenance
+    // commits (optimize/rebucket) wrote no slices and drop out of every
+    // fold.
+    val meta = GraftStore.readMeta(dir)
+    val bounds = GraftStore.boundariesIn(dir, 1L, cur)
+    val starts = (0L +: bounds).distinct.sorted
+    val segments = starts.zip(starts.drop(1).map(_ - 1) :+ cur)
+    var lastReplay = Map.empty[Long, (String, Long)]
+    segments.foreach { case (from, to) =>
+      val replayed = GraftStore.replayChanges(
+        GraftStore.readVersion(spark, dir, from),
+        GraftStore.readChanges(spark, dir, from + 1, to),
+        meta)
+        .select("k", "name", "amount").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+      val target = GraftStore.readVersion(spark, dir, to)
+        .select("k", "name", "amount").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+      check(replayed == target,
+        s"changelog replay mismatch over segment v$from..v$to: " +
+          s"replay=${replayed.size} target=${target.size}")
+      lastReplay = replayed
+    }
+    // the final segment's replay IS the live table — in partial (crash)
     // mode that is the atomicity proof covering killed writers' rows too
-    check(replayed == liveMap0,
-      s"changelog replay mismatch vs live: replay=${replayed.size} live=${liveMap0.size}")
-    if (!partial)
-      check(replayed == expected, "changelog replay mismatch vs expected state")
+    check(lastReplay == liveMap0,
+      s"changelog replay mismatch vs live: replay=${lastReplay.size} live=${liveMap0.size}")
+    if (!partial && !part)
+      check(lastReplay == expected, "changelog replay mismatch vs expected state")
 
     println(if (ok) "[multiwriter] VERIFY OK" else "[multiwriter] VERIFY FAILED")
     spark.stop()
