@@ -27,8 +27,9 @@ object GraftProcedures {
     "analyze")
 
   private[sources] val Descriptions: Map[String, String] = Map(
-    "optimize" -> ("compact buckets with more than max_files_per_bucket " +
-      "files into one file each (new version, no changelog entry)"),
+    "optimize" -> ("compact leaf slots (partition x bucket dirs) with more " +
+      "than max_files_per_bucket files into one file each " +
+      "(new version, no changelog entry)"),
     "rebucket" -> ("rewrite the table under a new hash-bucket fan-out " +
       "(one claimed commit, no changelog entry; pruning/SPJ/CoW follow " +
       "the new count, old versions keep their own)"),

@@ -376,14 +376,24 @@ object GraftStore {
     }
 
   /** Per-bucket live data-file count of a snapshot (summed over a
-    * partitioned bucket's slots) — the fragmentation signal [[optimize]]
-    * acts on. */
+    * partitioned bucket's slots). */
   def bucketFileCounts(dir: String, v: Long): Map[Int, Int] =
     resolvedSlotDirs(dir, v)
       .groupBy { case (s, _) => slotBucket(s) }
       .map { case (b, entries) =>
         b -> entries.flatMap(_._2).map(d => listBucketFiles(d).size).sum
       }
+
+  /** Per-SLOT live data-file count of a snapshot — the fragmentation
+    * signal [[optimize]] acts on. Slot-scoped on purpose: on a partitioned
+    * table a per-BUCKET count sums across every partition, so a long
+    * date-partitioned table with one healthy file per day-slot would read
+    * as permanently fragmented and compaction would rewrite whole buckets
+    * across all history instead of just the hot slots. */
+  def slotFileCounts(dir: String, v: Long): Map[String, Int] =
+    resolvedSlotDirs(dir, v).map { case (s, ds) =>
+      s -> ds.map(d => listBucketFiles(d).size).sum
+    }.toMap
 
   /** Merged per-file write-version map of a snapshot: each owner dir's
     * local `_fileseq` (rel → version), rel paths being identical relative
@@ -1423,16 +1433,19 @@ object GraftStore {
     * set and the file-seq map are both cap-bounded small). */
   private def readVersionPhysical(spark: SparkSession, dir: String,
       meta: GraftTableMeta, v: Long,
-      buckets: Option[Set[Int]] = None): DataFrame = {
+      buckets: Option[Set[Int]] = None,
+      slots: Option[Set[String]] = None): DataFrame = {
     val vdir = versionDir(dir, v)
     val withBucket = StructType(physicalSchema(meta.schema).fields :+
       StructField(BucketCol, IntegerType, nullable = true))
     // resolution-based read: the roots are the owner versions' bucket
     // dirs (leaf dirs holding only files — no partition discovery), with
     // the bucket id re-derived from each file's `gbucket=` path segment.
-    // A bucket restriction prunes at FILE-LIST time, the manifest-format
-    // equivalent of the old layout's partition pruning.
-    val roots = resolvedSlotDirs(dir, v, buckets).flatMap(_._2)
+    // A bucket (or finer slot) restriction prunes at FILE-LIST time, the
+    // manifest-format equivalent of the old layout's partition pruning.
+    val roots = resolvedSlotDirs(dir, v, buckets)
+      .filter { case (s, _) => slots.forall(_.contains(s)) }
+      .flatMap(_._2)
     if (roots.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), withBucket)
     else {
@@ -1878,11 +1891,12 @@ object GraftStore {
     }
   }
 
-  /** Compact fragmented buckets — the maintenance pass that keeps the
-    * append fast path honest: INSERT lands new files next to hard links,
-    * so a bucket accumulates one file per append until rewritten. Buckets
-    * with more than `maxFilesPerBucket` files are rewritten (one partition
-    * per bucket → one compact file each); the rest are hard-linked. The
+  /** Compact fragmented slots — the maintenance pass that keeps the
+    * append fast path honest: INSERT lands new files next to carried
+    * references, so a slot accumulates one file per append until
+    * rewritten. Leaf slot dirs (`[gpart=v/]gbucket=k` — the bucket itself
+    * on unpartitioned tables) with more than `maxFilesPerBucket` files are
+    * rewritten (→ one compact file each); the rest carry by reference. The
     * commit is a normal version bump with NO changelog entry — compaction
     * changes layout, not content, so CDC consumers see nothing. Old
     * versions still reference the fragmented files (time travel is
@@ -1919,13 +1933,22 @@ object GraftStore {
     recoverChangelog(dir)
     val cur = currentVersion(dir)
     val curDir = versionDir(dir, cur)
-    // fragmented by file count, plus every bucket carrying live merge-on-
-    // read delete slices: compaction rewrites them from the DV-applied
-    // read, so OPTIMIZE is also the operation that returns a 'mor' table
-    // to plain scans (no probe, restored agg pushdown / exact stats)
-    val fragmented = (bucketFileCounts(dir, cur).collect {
-      case (b, n) if n > maxFilesPerBucket => b
-    } ++ dvBuckets(curDir)).toSet
+    // Fragmentation is SLOT-scoped: a leaf dir (`[gpart=v/]gbucket=k`)
+    // over the threshold rewrites ALONE — compacting a hot day's bucket
+    // never rewrites that bucket's cold history (pre-r13 the count summed
+    // across partitions, so a long date-partitioned table read as
+    // permanently fragmented and every optimize rewrote whole buckets
+    // across every partition — O(bucket × history) instead of O(hot
+    // slots)). Unpartitioned tables are unchanged (slot == bucket).
+    // Buckets carrying live merge-on-read delete slices rewrite ALL their
+    // slots: a delete entry can suppress rows in any partition, so
+    // clearing the slice requires applying it everywhere — which is what
+    // returns a 'mor' table to plain scans (no probe, restored agg
+    // pushdown / exact stats).
+    val dvB = dvBuckets(curDir)
+    val fragmented = slotFileCounts(dir, cur).collect {
+      case (s, n) if n > maxFilesPerBucket || dvB.contains(slotBucket(s)) => s
+    }.toSet
     if (fragmented.isEmpty) return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
@@ -1937,41 +1960,49 @@ object GraftStore {
       val nextDir = versionDir(dir, next)
       val buildDir = s"$nextDir.build-$token"
       deleteRecursively(Paths.get(buildDir))
-      // repartition BY the bucket column: each bucket's rows land wholly in
-      // one task, so partitionBy writes exactly one compact file per
-      // bucket. Physical-named read → physical-named write: compaction
-      // never touches the logical mapping.
+      // repartition BY the layout columns: each slot's rows land wholly in
+      // one task, so partitionBy writes exactly one compact file per slot.
+      // Task count caps at 4× the cores — a full compaction of a
+      // many-slot table hashes several slots per task without losing the
+      // one-file-per-slot property (partitionBy splits by dir). Physical-
+      // named read → physical-named write: compaction never touches the
+      // logical mapping.
       val meta = readMeta(dir)
       val sortPhys = sortWithin.map(c => physicalName(meta.schema(c)))
+      val nTasks = math.max(1, math.min(fragmented.size,
+        spark.sparkContext.defaultParallelism * 4))
       val rep = withPartCol(
-          readVersionPhysical(spark, dir, meta, cur, Some(fragmented)), meta)
-        .repartition(fragmented.size, col(BucketCol))
+          readVersionPhysical(spark, dir, meta, cur, slots = Some(fragmented)),
+          meta)
+        .repartition(nTasks, layoutCols(meta).map(col): _*)
       val clustered =
         if (zorderBy.nonEmpty) {
           val Seq(zx, zy) = zorderBy.map(c => physicalName(meta.schema(c)))
           graft.Graft.withZValue(rep, zx, zy, "__z")
-            .sortWithinPartitions(col(BucketCol), col("__z"))
+            .sortWithinPartitions(layoutCols(meta).map(col) :+ col("__z"): _*)
             .drop("__z")
         } else if (sortPhys.isEmpty) rep
-        else rep.sortWithinPartitions((BucketCol +: sortPhys).map(col): _*)
+        else rep.sortWithinPartitions(
+          (layoutCols(meta) ++ sortPhys).map(col): _*)
       val writer =
         if (targetFileRows > 0)
           clustered.write.option("maxRecordsPerFile", targetFileRows)
         else clustered.write
       writer.partitionBy(layoutCols(meta): _*).parquet(buildDir)
-      // carry the un-fragmented buckets by manifest reference; rewritten
-      // buckets own themselves (a bucket whose live rows all fell to
-      // deletes simply leaves the map)
+      // carry the un-fragmented slots by manifest reference; rewritten
+      // slots own themselves (a slot whose live rows all fell to deletes
+      // simply leaves the map)
       val local = localSlots(buildDir).toSet
       val prevOwners = ownersOf(dir, cur)
       writeBucketMap(buildDir, (prevOwners.keySet ++ local)
         .flatMap { slot =>
-          if (fragmented.contains(slotBucket(slot)))
+          if (fragmented.contains(slot))
             if (local.contains(slot)) Some(slot -> Seq(next)) else None
           else prevOwners.get(slot).map(slot -> _)
         }.toMap)
-      // every DV-carrying bucket is in `fragmented`, so no delete slice
-      // survives compaction; rewrites stamp `next` (≥ any dseq — stale
+      // every slot of every DV-carrying bucket is in `fragmented`, so no
+      // delete slice survives compaction; rewrites stamp `next` (≥ any
+      // dseq — stale
       // entries could never match even if one leaked); carried files keep
       // their seqs in their owners' manifests
       writeFileSeq(buildDir, None, next)

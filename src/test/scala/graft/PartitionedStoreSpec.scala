@@ -193,6 +193,44 @@ class PartitionedStoreSpec extends SparkTestBase {
       filesPlanned(spark.sql(s"SELECT * FROM $cat.t_id")))
   }
 
+  test("OPTIMIZE is slot-scoped: compacting a hot day never rewrites cold partitions") {
+    val t = mkDays("t_slotopt")
+    seedDays(t) // v1: one file per (day, bucket) slot
+    val dir = s"$warehouse/$t"
+    // fragment ONLY day 2 (2024-03-02, epoch day 19784): three more
+    // appends whose rows all land on that day
+    (0 until 3).foreach { i =>
+      spark.sql(s"""INSERT INTO $cat.$t
+        SELECT 100 + $i * 10 + id AS k,
+          timestamp'2024-03-02 0$i:00:00' AS ts, id AS amount
+        FROM range(0, 8)""")
+    }
+    val before = spark.sql(s"SELECT k, amount FROM $cat.$t ORDER BY k").collect().toSeq
+    val preOwners = GraftStore.ownersOf(dir, GraftStore.currentVersion(dir))
+    val coldSlots = preOwners.keySet.filterNot(_.startsWith("gpart=19784/"))
+    assert(coldSlots.nonEmpty)
+    spark.sql(s"CALL $cat.optimize(table => 't_slotopt', max_files_per_bucket => 2)")
+    val v = GraftStore.currentVersion(dir)
+    val owners = GraftStore.ownersOf(dir, v)
+    // cold slots carried by reference with their ORIGINAL owner versions —
+    // the compaction never read or rewrote them
+    coldSlots.foreach { s =>
+      assert(owners.get(s) === preOwners.get(s),
+        s"cold slot $s was rewritten by a hot-day compaction")
+    }
+    // the hot day's fragmented slots own themselves now, one file each
+    val hot = owners.keys.filter(_.startsWith("gpart=19784/")).toSeq
+    assert(hot.nonEmpty)
+    hot.foreach { s =>
+      assert(owners(s) === Seq(v), s"hot slot $s not compacted")
+    }
+    assert(GraftStore.slotFileCounts(dir, v)
+      .filter(_._1.startsWith("gpart=19784/")).values.forall(_ == 1))
+    // contents unchanged
+    assert(spark.sql(s"SELECT k, amount FROM $cat.$t ORDER BY k")
+      .collect().toSeq === before)
+  }
+
   test("guards: one transform only, mor composes, partition column undropppable") {
     warehouse
     val e1 = intercept[Exception](spark.sql(
