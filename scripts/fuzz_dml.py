@@ -35,10 +35,13 @@ def gen_sequence(idx):
     # a third of the programs run PARTITIONED BY (name): identity
     # partition dirs above the buckets, rows MOVING partitions on every
     # rename/update of the name, plus the expire_partitions template.
-    # Partitioning requires cow (store guard), and the partition column
-    # cannot be dropped, so those templates are skipped when partitioned.
+    # Since r13 partitioning composes with merge_mode='mor' (bucket-scoped
+    # delete slices suppress a key's older rows in every partition), so
+    # partitioned programs draw their mode like any other; the partition
+    # column still cannot be dropped, and the generated RTAS would
+    # silently de-partition, so those two templates stay skipped.
     partitioned = rng.random() < 0.34
-    mode = "cow" if partitioned else rng.choice(["cow", "mor"])
+    mode = rng.choice(["cow", "mor"])
     part_clause = " PARTITIONED BY (name)" if partitioned else ""
     stmts = [f"DROP TABLE IF EXISTS graftdml.{t}",
              f"CREATE TABLE graftdml.{t} (k BIGINT NOT NULL, name STRING, "
@@ -93,8 +96,8 @@ def gen_sequence(idx):
                            "merge_nmbs", "restore", "replace_where",
                            "set_mode", "rtas", "expire_partitions",
                            "merge_evolve"])
-        if partitioned and kind in ("set_mode", "drop_readd", "rtas"):
-            continue  # mode flips need mor; partition column undroppable;
+        if partitioned and kind in ("drop_readd", "rtas"):
+            continue  # partition column undroppable;
                       # the generated RTAS would silently de-partition
         if kind == "expire_partitions":
             if not partitioned:

@@ -68,4 +68,48 @@ class MergeEvolutionSpec extends SparkTestBase {
       WHEN MATCHED THEN UPDATE SET extra2 = s.extra2"""))
     assert(e.getMessage.toLowerCase.contains("extra2"))
   }
+
+  test("evolving merge on a partitioned merge-on-read table: auto-ADD + delete slices compose") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_evo_pmor")
+    spark.sql(s"""CREATE TABLE $cat.t_evo_pmor
+      (k BIGINT NOT NULL, ts TIMESTAMP, amount BIGINT) USING graft
+      PARTITIONED BY (days(ts))
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4', 'merge_mode'='mor')""")
+    spark.sql(s"""INSERT INTO $cat.t_evo_pmor
+      SELECT id, timestamp'2024-03-01 00:00:00'
+        + make_interval(0,0,0, CAST(id % 3 AS INT), 0,0,0), id * 10
+      FROM range(0, 12)""")
+    val dir = s"$warehouse/t_evo_pmor"
+    val baseFiles = GraftStore.snapshotFiles(dir, 1L).toSet
+    spark.sql("""SELECT id AS k, timestamp'2024-03-02 12:00:00' AS ts,
+        id * 100 AS amount, concat('v', id) AS ver
+      FROM range(9, 14)""").createOrReplaceTempView("evo_pmor_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t_evo_pmor t
+      USING evo_pmor_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET amount = s.amount, ts = s.ts, ver = s.ver
+      WHEN NOT MATCHED THEN INSERT (k, ts, amount, ver)
+        VALUES (s.k, s.ts, s.amount, s.ver)""")
+    val vdir = GraftStore.versionDir(dir, GraftStore.currentVersion(dir))
+    // the evolving merge stayed merge-on-read: slices live, base carried
+    assert(GraftStore.hasLiveDv(vdir),
+      "evolving merge on a mor table must still commit delete slices")
+    assert(baseFiles.subsetOf(
+      GraftStore.snapshotFiles(dir, GraftStore.currentVersion(dir)).toSet))
+    assert(GraftStore.readMeta(dir).schema.fieldNames.contains("ver"))
+    val got = spark.sql(
+      s"SELECT k, amount, ver FROM $cat.t_evo_pmor ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSeq
+    assert(got === ((0L until 9L).map(k => (k, k * 10, "-")) ++
+      (9L until 14L).map(k => (k, k * 100, s"v$k"))))
+    // updated keys MOVED to the 03-02 partition; a pruned scan of that
+    // day sees them (and the widened column) while slices are live
+    val day2 = spark.sql(s"SELECT k, ver FROM $cat.t_evo_pmor WHERE " +
+      "ts >= timestamp'2024-03-02 00:00:00' AND " +
+      "ts < timestamp'2024-03-03 00:00:00'").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"))).toSet
+    assert((9L until 14L).forall(k => day2.contains((k, s"v$k"))))
+    assert(!day2.exists(_._1 == 3L) || day2.contains((3L, "-")))
+  }
 }
