@@ -338,6 +338,52 @@ object Scratch {
           s"below => '${d0.plusDays(2).toEpochDay}')")
       }
     }
+    // Slot-scoped compaction (r13): a days(ts)-partitioned table grown
+    // ×1/×10/×100 in HISTORY (day count), with a FIXED number of hot-day
+    // appends fragmenting one day. The claim: optimize rewrites the hot
+    // day's slots alone, so its cost is flat as history grows — the
+    // pre-r13 per-bucket trigger would have rewritten every bucket across
+    // ALL days (O(bucket × history)). Also pinned: cold-slot owner maps
+    // unchanged by the compaction.
+    for (k <- Seq(1, 10, 100) if want("slotopt")) {
+      val cat = s"gslotopt$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_slotopt").toString)
+      val ev = Tables.events(spark, d)
+        .withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+        .select(($"event_id" * k + $"__r").as("k"),
+          ($"ts" + expr("make_interval(0,0,0,__r,0,0,0)")).as("ts"),
+          round($"value" * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView(s"slotopt_src_$k")
+      spark.sql(s"""CREATE TABLE $cat.t (k BIGINT NOT NULL, ts TIMESTAMP,
+        cents BIGINT) USING graft PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='8')""")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM slotopt_src_$k")
+      val dir = s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/t"
+      val G = graft.sources.GraftStore
+      val (d0, days) = {
+        val r = spark.sql(s"SELECT CAST(MIN(ts) AS DATE), " +
+          s"COUNT(DISTINCT CAST(ts AS DATE)) FROM $cat.t").head()
+        (r.getDate(0).toLocalDate, r.getLong(1))
+      }
+      // fragment ONE day with 6 fixed-size appends
+      (0 until 6).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.t SELECT -1000000 - ${i * 5000} - id, " +
+          s"timestamp'$d0 0$i:30:00', id FROM range(0, 5000)")
+      }
+      val preOwners = G.ownersOf(dir, G.currentVersion(dir))
+      val cold = preOwners.keySet.filterNot(_.startsWith(s"gpart=${d0.toEpochDay}/"))
+      val n = spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      time(f"slotopt x$k%3d ($n%9d rows, $days%4d days) hot-day optimize") {
+        spark.sql(s"CALL $cat.optimize(table => 't', max_files_per_bucket => 2)")
+      }
+      val owners = G.ownersOf(dir, G.currentVersion(dir))
+      val coldUntouched = cold.forall(s => owners.get(s) == preOwners.get(s))
+      println(s"[scale] slotopt x$k cold slots untouched: $coldUntouched " +
+        s"(${cold.size} cold slots)")
+    }
     // merge-on-read vs copy-on-write on the documented worst case: a
     // FIXED 5k-key change batch whose keys spread across every bucket.
     // CoW must grow with the table (rewrites all 64 buckets); MoR must
