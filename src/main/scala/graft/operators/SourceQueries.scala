@@ -1953,8 +1953,30 @@ object SourceQueries {
         savedAqe.fold(s.conf.unset("spark.sql.adaptive.enabled"))(
           s.conf.set("spark.sql.adaptive.enabled", _))
       }
-      s.sql("SELECT user_id, COUNT(*) AS n, SUM(cents) AS sum_cents " +
-          "FROM graftdml.an_probe GROUP BY user_id")
+      val resultBase = s.sql(
+        "SELECT user_id, COUNT(*) AS n, SUM(cents) AS sum_cents " +
+          "FROM graftdml.an_probe GROUP BY user_id").localCheckpoint(true)
+      // staleness gate (r13): heavy DML past the analyzed version must
+      // WITHHOLD the column stats (serving pre-mutation NDV/min-max would
+      // be worse than none), and a fresh analyze restores them — the
+      // rowCount stays exact throughout because it is per-scan from the
+      // zone maps, never from _colstats
+      val savedCbo2 = s.conf.getOption("spark.sql.cbo.enabled")
+      val (staleWithheld, freshRestored) = try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.sql("INSERT INTO graftdml.an_probe SELECT event_id + 1000000000, " +
+          "user_id, cents, c10 FROM s32_src") // rows double: 100% drift
+        val withheld = scanStats(s.sql(
+          "SELECT event_id, user_id FROM graftdml.an_probe"))
+          .attributeStats.isEmpty
+        s.sql("CALL graftdml.analyze(table => 'an_probe')")
+        val restored = scanStats(s.sql(
+          "SELECT event_id, user_id FROM graftdml.an_probe"))
+          .attributeStats.nonEmpty
+        (withheld, restored)
+      } finally savedCbo2.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+        s.conf.set("spark.sql.cbo.enabled", _))
+      resultBase
         .withColumn("row_count_exact", lit(rcExact))
         .withColumn("ndv_served", lit(ndvOk))
         .withColumn("minmax_exact", lit(mmExact))
@@ -1962,13 +1984,16 @@ object SourceQueries {
         .withColumn("estimate_shrinks", lit(shrinks))
         .withColumn("filtered_broadcasts", lit(flipOn))
         .withColumn("unfiltered_stays_shuffled", lit(flipOff))
+        .withColumn("stale_stats_withheld", lit(staleWithheld))
+        .withColumn("reanalyze_restores_stats", lit(freshRestored))
         .orderBy($"user_id")
     }, Some(s"""
       WITH e AS (SELECT user_id, ${sql.vcents("value")} AS cents FROM events)
       SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
         TRUE AS row_count_exact, TRUE AS ndv_served, TRUE AS minmax_exact,
         TRUE AS nullcount_exact, TRUE AS estimate_shrinks,
-        TRUE AS filtered_broadcasts, TRUE AS unfiltered_stays_shuffled
+        TRUE AS filtered_broadcasts, TRUE AS unfiltered_stays_shuffled,
+        TRUE AS stale_stats_withheld, TRUE AS reanalyze_restores_stats
       FROM e GROUP BY user_id ORDER BY user_id""")),
 
     // ----- S33: manifest-referenced commit metadata — the driver gate for
