@@ -119,7 +119,8 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
     if (crossed.nonEmpty) throw new IllegalStateException(
       s"changes stream for $dir would fold across snapshot boundary " +
         s"version(s) ${crossed.mkString("v", ", v", "")} (TRUNCATE / " +
-        "INSERT OVERWRITE / CALL restore write no changelog slice; " +
+        "INSERT OVERWRITE / CALL restore / CALL expire_partitions " +
+        "write no changelog slice; " +
         "folding past one resurrects undone rows) — restart the " +
         "consumer from a fresh table snapshot")
     val dirs = ((s + 1) to e)
@@ -222,8 +223,9 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
     if (crossed.nonEmpty) throw new IllegalStateException(
       s"table stream for $dir would fold across snapshot boundary " +
         s"version(s) ${crossed.mkString("v", ", v", "")} (TRUNCATE / " +
-        "INSERT OVERWRITE / CALL restore) — restart the stream from a " +
-        "fresh checkpoint (it re-snapshots the table)")
+        "INSERT OVERWRITE / CALL restore / CALL expire_partitions) — " +
+        "restart the stream from a fresh checkpoint (it re-snapshots " +
+        "the table)")
     val snap: Array[InputPartition] =
       if (!s0.pending) Array.empty
       else snapshotScan(s0.v).toBatch.planInputPartitions()

@@ -193,6 +193,36 @@ class PartitionedStoreSpec extends SparkTestBase {
       filesPlanned(spark.sql(s"SELECT * FROM $cat.t_id")))
   }
 
+  test("a tailing table stream fails loudly across an expire_partitions boundary") {
+    val t = mkDays("t_stream_exp")
+    seedDays(t)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_part_stream_ckpt").toString
+    def runStream(): Unit = {
+      val q = spark.readStream.table(s"$cat.$t")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runStream() // snapshot consumed, checkpoint at the current version
+    // retention drops day 1 — rows vanish with NO changelog slice; a
+    // resuming tail folding past it would keep the dropped rows forever
+    spark.sql(s"CALL $cat.expire_partitions(`table` => '$t', below => '19784')")
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      s"(100, timestamp'2024-03-03 12:00:00', 1)")
+    val e = intercept[Exception](runStream())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("boundary") &&
+        m.contains("expire_partitions")),
+      s"expected a boundary failure naming expire_partitions, got: ${msgs(e)}")
+  }
+
   test("OPTIMIZE is slot-scoped: compacting a hot day never rewrites cold partitions") {
     val t = mkDays("t_slotopt")
     seedDays(t) // v1: one file per (day, bucket) slot
