@@ -1631,12 +1631,20 @@ object SourceQueries {
       val ttFull = s.sql(
         s"SELECT COUNT(*) FROM graftdml.part_t VERSION AS OF $preVersion")
         .head().getLong(0) == preCount
+      // the t$partitions metadata table tracks the manifest: after the
+      // retention commit it lists ONLY ordinals at/above the bound
+      val partsListed = s.sql(
+        "SELECT partition FROM graftdml.`part_t$partitions`")
+        .collect().map(_.getString(0)).toSeq
+      val partsTrack = partsListed.nonEmpty &&
+        partsListed.forall(_.toLong >= d1.toEpochDay)
       s.sql("SELECT event_id, cents FROM graftdml.part_t")
         .withColumn("day_pruned", lit(dayPruned))
         .withColumn("point_composes_prunings", lit(composed))
         .withColumn("retention_metadata_only", lit(metadataOnly))
         .withColumn("retention_is_boundary", lit(boundary))
         .withColumn("time_travel_full", lit(ttFull))
+        .withColumn("partitions_meta_tracks", lit(partsTrack))
         .orderBy($"event_id")
     }, Some(s"""
       WITH src AS (SELECT event_id, ts, cents FROM (
@@ -1651,7 +1659,8 @@ object SourceQueries {
           + INTERVAL 1 DAY)
       SELECT event_id, cents, TRUE AS day_pruned,
         TRUE AS point_composes_prunings, TRUE AS retention_metadata_only,
-        TRUE AS retention_is_boundary, TRUE AS time_travel_full
+        TRUE AS retention_is_boundary, TRUE AS time_travel_full,
+        TRUE AS partitions_meta_tracks
       FROM kept ORDER BY event_id""")),
 
     // ----- S30b: merge-on-read × PARTITIONED BY (the r12 scope bound,

@@ -139,6 +139,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftFilesTable(ident.toString, dir)
     }
+    // `t$partitions` is the current version's partition-level layout
+    // (SHOW PARTITIONS + per-partition sizing in one table) — the
+    // retention operator's view: which ordinals exist, how big, what an
+    // `expire_partitions` bound would drop
+    if (ident.name().endsWith(GraftCatalog.PartitionsSuffix)) {
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(GraftCatalog.PartitionsSuffix))
+      val dir = tableDir(baseIdent)
+      if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+      return new GraftPartitionsTable(ident.toString, dir)
+    }
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
@@ -222,9 +233,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       s"column name ${GraftStore.PartCol} is reserved")
     require(!ident.name().endsWith(ChangesSuffix) &&
         !ident.name().endsWith(GraftCatalog.VersionsSuffix) &&
-        !ident.name().endsWith(GraftCatalog.FilesSuffix),
-      "table names ending in the $changes/$versions/$files suffixes are " +
-        "reserved for metadata reads")
+        !ident.name().endsWith(GraftCatalog.FilesSuffix) &&
+        !ident.name().endsWith(GraftCatalog.PartitionsSuffix),
+      "table names ending in the $changes/$versions/$files/$partitions " +
+        "suffixes are reserved for metadata reads")
     val props = properties.asScala
     val keys = props.get("merge_key").map(_.split(",").toSeq.map(_.trim))
       .getOrElse(Seq(schema0.fieldNames.head))
@@ -530,9 +542,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(!newIdent.name().endsWith(ChangesSuffix) &&
         !newIdent.name().endsWith(GraftCatalog.VersionsSuffix) &&
-        !newIdent.name().endsWith(GraftCatalog.FilesSuffix),
-      "table names ending in the $changes/$versions/$files suffixes are " +
-        "reserved for metadata reads")
+        !newIdent.name().endsWith(GraftCatalog.FilesSuffix) &&
+        !newIdent.name().endsWith(GraftCatalog.PartitionsSuffix),
+      "table names ending in the $changes/$versions/$files/$partitions " +
+        "suffixes are reserved for metadata reads")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
@@ -581,6 +594,9 @@ object GraftCatalog {
   /** Identifier suffix routing to a table's current file-level layout and
     * zone-map stats, e.g. `` cat.`orders$files` ``. */
   val FilesSuffix = "$files"
+  /** Identifier suffix routing to a table's current partition-level
+    * layout, e.g. `` cat.`orders$partitions` ``. */
+  val PartitionsSuffix = "$partitions"
 }
 
 /** The current version's files as a read-only metadata table (the
@@ -659,6 +675,71 @@ final class GraftFilesTable(tableName: String, dir: String)
             }
           }
         }.toArray
+      }
+    }
+}
+
+/** The current version's PARTITIONS as a read-only metadata table (SHOW
+  * PARTITIONS + per-partition sizing in one place): one row per partition
+  * ordinal with its slot/file/byte footprint and footer row count — what
+  * a retention operator reads to pick an `expire_partitions` bound.
+  * Driver-local, manifest metadata only, never data. Unpartitioned
+  * tables read as ONE null-partition row covering the whole table.
+  * `file_rows` is the footer sum over the partition's live files —
+  * nullable (a file without footer stats), and an OVERCOUNT while
+  * merge-on-read delete slices are live (slices are bucket-scoped, not
+  * attributable per partition; `` t$versions.live_deletes `` carries the
+  * table-wide live-delete row count). */
+final class GraftPartitionsTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val schema0 = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("transform", StringType, nullable = true),
+    StructField("source_column", StringType, nullable = true),
+    StructField("n_buckets", IntegerType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("file_rows", LongType, nullable = true)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"GraftPartitions($tableName)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        val meta = GraftStore.readMeta(dir)
+        val cur = GraftStore.currentVersion(dir)
+        val (fn, logCol) = meta.partition match {
+          case Some((f, physCol)) =>
+            val log = meta.schema.fields
+              .find(x => GraftStore.physicalName(x) == physCol)
+              .map(_.name).getOrElse(physCol)
+            (UTF8String.fromString(f), UTF8String.fromString(log))
+          case None => (null, null)
+        }
+        GraftStore.snapshotFileEntries(dir, cur)
+          .groupBy(e => GraftStore.slotPart(e.slot))
+          .toSeq.sortBy(_._1)
+          .map { case (part, es) =>
+            val rows = es.map(_.rowCount)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](
+                part.map(p => UTF8String.fromString(
+                  org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                    .unescapePathName(p))).orNull,
+                fn, logCol,
+                es.map(e => GraftStore.slotBucket(e.slot)).distinct.size,
+                es.size.toLong,
+                es.map(e => math.max(0L, e.size)).sum,
+                if (rows.exists(_.isEmpty)) null else rows.flatten.sum))
+          }.toArray
       }
     }
 }

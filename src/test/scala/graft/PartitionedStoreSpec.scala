@@ -193,6 +193,34 @@ class PartitionedStoreSpec extends SparkTestBase {
       filesPlanned(spark.sql(s"SELECT * FROM $cat.t_id")))
   }
 
+  test("t$partitions surfaces the partition-level layout; unpartitioned reads one row") {
+    val t = mkDays("t_meta_parts")
+    seedDays(t)
+    val rows = spark.sql(s"SELECT partition, transform, source_column, " +
+      s"n_buckets, n_files, file_rows FROM $cat.`$t$$partitions` " +
+      "ORDER BY partition").collect()
+    // 3 seeded days = epoch days 19783..85, 8 rows each
+    assert(rows.map(_.getString(0)).toSeq === Seq("19783", "19784", "19785"))
+    assert(rows.forall(r => r.getString(1) == "days" && r.getString(2) == "ts"))
+    assert(rows.map(_.getLong(5)).sum === 24L)
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getLong(4) >= 1L))
+    // retention drops a day; the metadata table follows the manifest
+    spark.sql(s"CALL $cat.expire_partitions(`table` => '$t', below => '19784')")
+    assert(spark.sql(s"SELECT partition FROM $cat.`$t$$partitions` " +
+      "ORDER BY partition").collect().map(_.getString(0)).toSeq ===
+      Seq("19784", "19785"))
+    // unpartitioned table: one null-partition row covering everything
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_meta_flat")
+    spark.sql(s"""CREATE TABLE $cat.t_meta_flat
+      (k BIGINT NOT NULL, amount BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.t_meta_flat SELECT id, id FROM range(0, 10)")
+    val flat = spark.sql("SELECT partition, transform, file_rows FROM " +
+      s"$cat.`t_meta_flat$$partitions`").collect()
+    assert(flat.length === 1 && flat.head.isNullAt(0) &&
+      flat.head.isNullAt(1) && flat.head.getLong(2) === 10L)
+  }
+
   test("a tailing table stream fails loudly across an expire_partitions boundary") {
     val t = mkDays("t_stream_exp")
     seedDays(t)
