@@ -724,22 +724,28 @@ final class GraftPartitionsTable(tableName: String, dir: String)
             (UTF8String.fromString(f), UTF8String.fromString(log))
           case None => (null, null)
         }
-        GraftStore.snapshotFileEntries(dir, cur)
+        val grouped = GraftStore.snapshotFileEntries(dir, cur)
           .groupBy(e => GraftStore.slotPart(e.slot))
           .toSeq.sortBy(_._1)
-          .map { case (part, es) =>
-            val rows = es.map(_.rowCount)
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](
-                part.map(p => UTF8String.fromString(
-                  org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                    .unescapePathName(p))).orNull,
-                fn, logCol,
-                es.map(e => GraftStore.slotBucket(e.slot)).distinct.size,
-                es.size.toLong,
-                es.map(e => math.max(0L, e.size)).sum,
-                if (rows.exists(_.isEmpty)) null else rows.flatten.sum))
-          }.toArray
+        // an EMPTY unpartitioned table still reads as its one (null)
+        // partition row — zero footprint, not zero rows (the documented
+        // contract; consumers distinguish 'no table' from 'no data')
+        val withEmpty =
+          if (grouped.nonEmpty || meta.partition.isDefined) grouped
+          else Seq(None -> Seq.empty[GraftStore.SnapshotFile])
+        withEmpty.map { case (part, es) =>
+          val rows = es.map(_.rowCount)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              part.map(p => UTF8String.fromString(
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(p))).orNull,
+              fn, logCol,
+              es.map(e => GraftStore.slotBucket(e.slot)).distinct.size,
+              es.size.toLong,
+              es.map(e => math.max(0L, e.size)).sum,
+              if (rows.exists(_.isEmpty)) null else rows.flatten.sum))
+        }.toArray
       }
     }
 }

@@ -362,10 +362,6 @@ object GraftStats {
   final case class TableColStat(kind: String, ndv: Long, nullCount: Long,
       min: Option[Any], max: Option[Any])
 
-  def writeTableColStats(dir: String, version: Long,
-      stats: Map[String, TableColStat]): Unit =
-    writeTableColStats(dir, version, None, stats)
-
   /** `analyzedRows` (the snapshot's row count at analyze time) rides in
     * the header — the staleness signal serve-time compares against the
     * CURRENT snapshot's manifest row count
@@ -386,11 +382,6 @@ object GraftStats {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
-
-  /** (analyzed version, per-PHYSICAL-column stats), or None if never
-    * analyzed. */
-  def readTableColStats(dir: String): Option[(Long, Map[String, TableColStat])] =
-    readTableColStatsFull(dir).map { case (v, _, m) => (v, m) }
 
   /** (analyzed version, analyzed row count if recorded — pre-r13 files
     * carry none, per-PHYSICAL-column stats). */

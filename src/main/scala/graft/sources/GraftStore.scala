@@ -1370,14 +1370,17 @@ object GraftStore {
       // marker-then-sweep is crash-resumable in both branches.
       Files.write(Paths.get(vdir, ExpiredMarker), Array.empty[Byte])
       if (refSlots.isEmpty) {
-        // sweep children with the marker LAST, so the dir stays excluded
-        // from the listing throughout (deleteRecursively's child order is
-        // unspecified and could drop the marker first)
-        listDir(Paths.get(vdir))(
-          _.filterNot(_.getFileName.toString == ExpiredMarker).toList)
-          .foreach(deleteRecursively)
-        Files.deleteIfExists(Paths.get(vdir, ExpiredMarker))
-        Files.deleteIfExists(Paths.get(vdir))
+        // rename the whole dir OUT of the version namespace first (the
+        // tomb name no longer matches v\d{10}, so it can never be listed
+        // again), then sweep the tomb. Deleting in place has a crash
+        // window: marker gone, dir still present → the retired version
+        // resurrects as a listed, empty, manifest-less version that
+        // `VERSION AS OF` silently reads as zero rows and restore accepts.
+        val tomb = Paths.get(s"$vdir.expired-${System.nanoTime()}")
+        try {
+          Files.move(Paths.get(vdir), tomb, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(tomb)
+        } catch { case _: java.nio.file.NoSuchFileException => () }
       } else {
         localSlots(vdir).filterNot(refSlots).foreach { s =>
           deleteRecursively(Paths.get(vdir, s))
@@ -2315,10 +2318,11 @@ object GraftStore {
         a.toLongOption.exists(_ < belowNum.get)
       else a < below
     }
-    val keepMap = ownersOf(dir, cur).filter { case (slot, _) =>
+    val owners = ownersOf(dir, cur)
+    val keepMap = owners.filter { case (slot, _) =>
       !slotPart(slot).exists(lt)
     }
-    if (keepMap.size == ownersOf(dir, cur).size) return cur
+    if (keepMap.size == owners.size) return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
     try withClaimHeartbeat(Seq(marker,
@@ -2455,13 +2459,19 @@ object GraftStore {
       }).toList)
       .foreach { p => Files.deleteIfExists(p); removed += 1 }
     // abandoned writer-private build dirs (vN.build-<token>): their
-    // writers died or lost a takeover; the publish rename never happened
-    listDir(Paths.get(dir))(_.filter(
-        _.getFileName.toString.matches("v\\d{10}\\.build-.*")).toList)
+    // writers died or lost a takeover; the publish rename never happened.
+    // vN.expired-<nonce> tombs are expireVersions' rename-then-sweep
+    // remnants (a crash between the move and the recursive delete) —
+    // already invisible to the version listing, reclaim immediately.
+    listDir(Paths.get(dir))(_.filter { p =>
+        val n = p.getFileName.toString
+        n.matches("v\\d{10}\\.build-.*") || n.matches("v\\d{10}\\.expired-\\d+")
+      }.toList)
       .foreach { p =>
+        val isTomb = p.getFileName.toString.contains(".expired-")
         val age = try now - Files.getLastModifiedTime(p).toMillis
         catch { case _: java.nio.file.NoSuchFileException => -1L }
-        if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
+        if (isTomb || age > olderThanMillis) { deleteRecursively(p); removed += 1 }
       }
     // abandoned CTAS/RTAS stage dirs and clone builds live as SIBLINGS of
     // the table dir (`<table>.stage-<uuid>` / `<table>.clonebuild-<uuid>`):
@@ -2635,9 +2645,22 @@ object GraftStore {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      val s = Files.walk(p)
+      // deleteIfExists + swallowed NoSuchFile: two sweepers can race on
+      // the same debris tree (vacuum vs expireVersions' tomb sweep) and
+      // concurrent deletion of the same entry must not crash either
+      val s = try Files.walk(p)
+      catch { case _: java.nio.file.NoSuchFileException => return }
       try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+        .iterator().asScala.foreach { f =>
+          try Files.deleteIfExists(f)
+          catch {
+            case _: java.nio.file.NoSuchFileException => ()
+            // a dir whose child was re-listed by our walk but deleted by
+            // the other sweeper can briefly read non-empty; the other
+            // sweeper (or the next vacuum) finishes it
+            case _: java.nio.file.DirectoryNotEmptyException => ()
+          }
+        }
       finally s.close()
     }
 }

@@ -37,32 +37,6 @@ class PartitionedStoreSpec extends SparkTestBase {
         id * 10 AS amount
       FROM range(0, 24)""")
 
-  private def filesPlanned(df: org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    df.collect()
-    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-      case qs: QueryStageExec => leaves(qs.plan)
-      case other => other.collectLeaves().flatMap {
-        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-        case qs: QueryStageExec => leaves(qs.plan)
-        case l => Seq(l)
-      }
-    }
-    leaves(df.queryExecution.executedPlan).collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.inputRDDs().head.partitions.map {
-          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
-            p.inputPartitions.map {
-              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-                fp.files.length.toLong
-              case _ => 0L
-            }.sum
-          case _ => 0L
-        }.sum
-    }.sum
-  }
 
   test("layout: partition dirs above buckets, slot-keyed manifest") {
     val t = mkDays("t_layout")
