@@ -1121,6 +1121,7 @@ object GraftStore {
   private[sources] def invalidateDvCache(tableDir: String): Unit = {
     dvProbeCache.keySet.removeIf(_.startsWith(tableDir))
     snapshotFilesCache.keySet.removeIf(_.startsWith(tableDir))
+    org.apache.spark.sql.GraftSnapshotScan.invalidate(tableDir)
   }
 
   private def loadDvProbeUncached(spark: SparkSession, dir: String, v: Long,

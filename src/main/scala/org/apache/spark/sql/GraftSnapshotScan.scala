@@ -57,37 +57,60 @@ object GraftSnapshotScan {
     * 129-day × 16-bucket table paid a ~2000-directory listing job per
     * query (measured ~4 s at 10M rows); planning from metadata is the
     * object-store design point this store exists for. */
+  // the authored (PartitionSpec, dir → files) of a snapshot is a pure
+  // function of the immutable version dir (+ the partition-column type),
+  // but building it is O(slots) — a plan-heavy workload (many pruned
+  // queries against one snapshot) must not re-author 100k PartitionPath /
+  // FileStatus objects per query. Same cache discipline as
+  // GraftStore.snapshotFilesCache: keyed by version dir, cleared at 64,
+  // invalidated per table by GraftStore on drop/recreate/expire.
+  private val authoredCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PartitionSpec, Map[Path, Array[FileStatus]])]()
+
+  /** Drop cached authored indexes under a table dir (public: the store's
+    * invalidateDvCache calls across packages on drop/recreate/expire). */
+  def invalidate(tableDir: String): Unit =
+    authoredCache.keySet.removeIf(_.startsWith(tableDir))
+
   def parquetScanBuilder(spark: SparkSession, tableDir: String, v: Long,
       meta: GraftTableMeta, physSchema: StructType,
       options: CaseInsensitiveStringMap): ParquetScanBuilder = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val fs = new Path(tableDir).getFileSystem(hconf)
-    def qualified(p: String): Path = fs.makeQualified(new Path(p))
     val pt = partType(meta, physSchema)
     val partCols = StructType(
       pt.map(t => StructField(GraftStore.PartCol, t, nullable = true)).toSeq :+
         StructField(GraftStore.BucketCol, IntegerType, nullable = true))
-    // size < 0 = the manifest predates the size column AND the physical
-    // stat failed (file gone) — nothing a scan could read anyway
-    val entries = GraftStore.snapshotFileEntries(tableDir, v)
-      .filter(_.size >= 0)
-    val bySlotDir = entries.groupBy(e =>
-      e.path.stripSuffix("/" + e.rel.substring(e.rel.lastIndexOf('/') + 1)))
-    val parts = bySlotDir.toSeq.sortBy(_._1).map { case (d, es) =>
-      val slot = es.head.slot
-      val b = GraftStore.slotBucket(slot)
-      val values: Array[Any] = pt match {
-        case Some(t) => Array(
-          GraftStore.slotPart(slot).map(partInternal(_, t)).orNull, b)
-        case None => Array(b)
+    val key = GraftStore.versionDir(tableDir, v) +
+      pt.map(t => s"#${t.sql}").getOrElse("")
+    val cached = authoredCache.get(key)
+    val (spec, filesByDir) = if (cached != null) cached else {
+      val hconf = spark.sessionState.newHadoopConf()
+      val fs = new Path(tableDir).getFileSystem(hconf)
+      def qualified(p: String): Path = fs.makeQualified(new Path(p))
+      // size < 0 = the manifest predates the size column AND the physical
+      // stat failed (file gone) — nothing a scan could read anyway
+      val entries = GraftStore.snapshotFileEntries(tableDir, v)
+        .filter(_.size >= 0)
+      val bySlotDir = entries.groupBy(e =>
+        e.path.stripSuffix("/" + e.rel.substring(e.rel.lastIndexOf('/') + 1)))
+      val parts = bySlotDir.toSeq.sortBy(_._1).map { case (d, es) =>
+        val slot = es.head.slot
+        val b = GraftStore.slotBucket(slot)
+        val values: Array[Any] = pt match {
+          case Some(t) => Array(
+            GraftStore.slotPart(slot).map(partInternal(_, t)).orNull, b)
+          case None => Array(b)
+        }
+        val files = es.map(e => new FileStatus(e.size, false, 1, 134217728L,
+          0L, qualified(e.path))).toArray
+        (PartitionPath(new GenericInternalRow(values), qualified(d)), files)
       }
-      val files = es.map(e => new FileStatus(e.size, false, 1, 134217728L,
-        0L, qualified(e.path))).toArray
-      (PartitionPath(new GenericInternalRow(values), qualified(d)), files)
+      val computed = (PartitionSpec(partCols, parts.map(_._1)),
+        parts.map(p => p._1.path -> p._2).toMap)
+      if (authoredCache.size > 64) authoredCache.clear()
+      authoredCache.put(key, computed)
+      computed
     }
-    val spec = PartitionSpec(partCols, parts.map(_._1))
-    val index = new GraftSlotFileIndex(spark, spec,
-      parts.map(p => p._1.path -> p._2).toMap)
+    val index = new GraftSlotFileIndex(spark, spec, filesByDir)
     ParquetScanBuilder(spark,
       index, StructType(physSchema.fields ++ partCols.fields), physSchema,
       options)
