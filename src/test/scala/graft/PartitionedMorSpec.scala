@@ -212,6 +212,25 @@ class PartitionedMorSpec extends SparkTestBase {
     assert(changes(m) === changes(c))
   }
 
+  test("RENAME of the partition source column: pruning follows the new name, deletes still apply") {
+    val m = mkDays("t_ren", "mor")
+    seedDays(m)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k % 6 = 2") // DV slices live
+    spark.sql(s"ALTER TABLE $cat.$m RENAME COLUMN ts TO event_ts")
+    // partition pruning derives from the NEW logical name (the partition
+    // meta stores the physical name; the derivation maps it back)
+    val full = filesPlanned(spark.sql(s"SELECT k FROM $cat.$m"))
+    val day2 = spark.sql(s"SELECT k FROM $cat.$m WHERE " +
+      "event_ts >= timestamp'2024-03-02 00:00:00' AND " +
+      "event_ts < timestamp'2024-03-03 00:00:00'")
+    val oneDay = filesPlanned(day2)
+    assert(oneDay > 0 && oneDay < full,
+      s"pruning must follow the renamed column: $oneDay vs $full")
+    // deleted keys of that day (8, 14 ≡ 2 mod 6) stay deleted post-rename
+    assert(day2.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(9L, 10L, 11L, 12L, 13L, 15L))
+  }
+
   test("streaming table read snapshots a partitioned DV-live version") {
     val m = mkDays("t_stream", "mor")
     seedDays(m)
