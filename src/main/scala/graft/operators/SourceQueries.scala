@@ -2005,6 +2005,75 @@ object SourceQueries {
         TRUE AS stale_stats_withheld, TRUE AS reanalyze_restores_stats
       FROM e GROUP BY user_id ORDER BY user_id""")),
 
+    // ----- S34: per-column parquet bloom filters (r13). A table property
+    // (`bloom_filter_columns`) makes every commit write footer bloom
+    // filters for the declared columns; the stock vectorized reader's
+    // row-group filtering then skips groups proven key-absent on `=`/IN
+    // predicates — the scan-narrowing lever for HIGH-CARDINALITY NON-KEY
+    // columns that zone maps can't help (scattered values ⇒ useless
+    // min/max spans) and bucket pruning doesn't cover (not the merge
+    // key). The gate pins footer PRESENCE on every live file (read from
+    // the parquet footers themselves, insert and cow-delta files alike)
+    // and hashes point/IN lookups on the bloomed column against the
+    // oracle.
+    GraftQuery("s34_bloom_skipping", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d)
+        .groupBy($"event_id").agg(max_by(
+          struct(vcents($"value").as("cents"), $"user_id"),
+          struct($"ts", $"event_id")).as("r"))
+        .select($"event_id", $"r.cents".as("cents"), $"r.user_id".as("user_id"))
+        .createOrReplaceTempView("s34_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.bloom_t")
+      s.sql("""CREATE TABLE graftdml.bloom_t
+        (event_id BIGINT NOT NULL, cents BIGINT, user_id BIGINT)
+        USING graft TBLPROPERTIES ('merge_key'='event_id', 'buckets'='8',
+          'bloom_filter_columns'='cents')""")
+      s.sql("INSERT INTO graftdml.bloom_t SELECT * FROM s34_src")
+      s.sql("UPDATE graftdml.bloom_t SET user_id = user_id + 1 " +
+        "WHERE event_id % 9 = 0")
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/bloom_t"
+      // footer presence, read from the files themselves: every live file
+      // (insert AND cow-delta rewrites) blooms cents and nothing else
+      import scala.jdk.CollectionConverters._
+      def bloomed(f: String): Set[String] = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(_.getBloomFilterOffset >= 0)
+          .map(_.getPath.toDotString).toSet
+        finally r.close()
+      }
+      val files = G.snapshotFiles(dir, G.currentVersion(dir))
+      val present = files.nonEmpty &&
+        files.forall(f => bloomed(f) == Set("cents"))
+      // point + IN lookups on the bloomed column, literal-pushed (the
+      // shape the row-group filter serves); values from 20 known keys
+      val probes = s.sql(
+        "SELECT cents FROM s34_src WHERE event_id <= 20")
+        .collect().map(_.getLong(0)).distinct.sorted
+      s.sql(s"SELECT event_id, cents, user_id FROM graftdml.bloom_t " +
+          s"WHERE cents IN (${probes.mkString(",")})")
+        .withColumn("blooms_present", lit(present))
+        .orderBy($"event_id")
+    }, Some(s"""
+      WITH src AS (SELECT event_id, cents, user_id FROM (
+          SELECT event_id, ${sql.vcents("value")} AS cents, user_id,
+            ROW_NUMBER() OVER (PARTITION BY event_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      upd AS (SELECT event_id, cents,
+          CASE WHEN event_id % 9 = 0 THEN user_id + 1 ELSE user_id END
+            AS user_id
+        FROM src)
+      SELECT event_id, cents, user_id, TRUE AS blooms_present
+      FROM upd WHERE cents IN (SELECT cents FROM src WHERE event_id <= 20)
+      ORDER BY event_id""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

@@ -265,8 +265,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (mode == "mor") keys.foreach(k =>
       require(GraftStore.morKeyTypeOk(schema(k).dataType),
         s"merge_mode=mor requires atomic-typed merge keys; $k is ${schema(k).dataType}"))
+    // bloom_filter_columns: logical names validated against the schema,
+    // stored as PHYSICAL names (identical at CREATE time) so later
+    // renames stay metadata-only; atomic-typed columns only (parquet
+    // bloom filters hash primitive values)
+    val bloom = props.get("bloom_filter_columns")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    bloom.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"bloom_filter_columns column $c not in schema")
+      require(GraftStore.morKeyTypeOk(schema(c).dataType),
+        s"bloom_filter_columns needs atomic-typed columns; " +
+          s"$c is ${schema(c).dataType}")
+    }
     GraftTableMeta(schema, keys, buckets, mergeMode = mode,
-      partition = partSpec)
+      partition = partSpec, bloomCols = bloom)
   }
 
   override def createTable(ident: Identifier, schema0: StructType,
@@ -435,7 +449,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           val f = m.schema(name)
           m.copy(
             schema = StructType(m.schema.fields.filterNot(_.name == name).toSeq),
-            tombstones = m.tombstones :+ GraftStore.physicalName(f))
+            tombstones = m.tombstones :+ GraftStore.physicalName(f),
+            // a dropped column's bloom declaration goes with it
+            bloomCols = m.bloomCols
+              .filterNot(_ == GraftStore.physicalName(f)))
         }
       case (m, upd: TableChange.UpdateColumnType) =>
         require(upd.fieldNames().length == 1,
@@ -498,9 +515,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           require(GraftStore.morKeyTypeOk(m.schema(k).dataType),
             s"merge_mode=mor requires atomic-typed merge keys; $k is ${m.schema(k).dataType}"))
         m.copy(mergeMode = mode)
+      case (m, sp: TableChange.SetProperty)
+          if sp.property() == "bloom_filter_columns" =>
+        // takes effect on the NEXT commit's files; existing files keep
+        // their (bloom-less) footers until OPTIMIZE rewrites them
+        val cols = sp.value().split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val phys = cols.map { c =>
+          require(m.schema.fieldNames.contains(c),
+            s"bloom_filter_columns column $c not in schema")
+          require(GraftStore.morKeyTypeOk(m.schema(c).dataType),
+            s"bloom_filter_columns needs atomic-typed columns; " +
+              s"$c is ${m.schema(c).dataType}")
+          GraftStore.physicalName(m.schema(c))
+        }
+        m.copy(bloomCols = phys)
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen " +
-          "type, SET TBLPROPERTIES merge_mode)")
+          "type, SET TBLPROPERTIES merge_mode/bloom_filter_columns)")
     }
     GraftStore.writeMeta(dir, newMeta)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
@@ -899,11 +930,16 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
-  override def properties(): util.Map[String, String] =
-    Map("merge_key" -> meta.keyCols.mkString(","),
+  override def properties(): util.Map[String, String] = {
+    val p2l = GraftStore.logToPhys(meta.schema).map(_.swap)
+    (Map("merge_key" -> meta.keyCols.mkString(","),
       "buckets" -> meta.buckets.toString,
       "merge_mode" -> meta.mergeMode,
-      "current_version" -> GraftStore.currentVersion(dir).toString).asJava
+      "current_version" -> GraftStore.currentVersion(dir).toString) ++
+      (if (meta.bloomCols.isEmpty) Map.empty[String, String]
+       else Map("bloom_filter_columns" -> meta.bloomCols
+         .map(c => p2l.getOrElse(c, c)).mkString(",")))).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE INTO t WITH SCHEMA EVOLUTION`

@@ -29,7 +29,16 @@ final case class GraftTableMeta(schema: StructType, keyCols: Seq[String],
       * fan-out (`gpart=<ordinal>/gbucket=<k>`), composing date-grained
       * retention and coarse pruning with key-hash bucketing. Physical
       * name so RENAME COLUMN stays metadata-only. */
-    partition: Option[(String, String)] = None)
+    partition: Option[(String, String)] = None,
+    /** `bloom_filter_columns` (PHYSICAL names): every commit writes its
+      * parquet files with per-column bloom filters for these, so `=`/IN
+      * predicates skip row groups the stock reader proves key-absent —
+      * the scan-narrowing lever for HIGH-CARDINALITY NON-KEY columns that
+      * zone maps can't help (scattered values make min/max spans useless)
+      * and bucket pruning doesn't cover (not the merge key). Applies to
+      * files written AFTER the property is set; OPTIMIZE retrofits the
+      * rewritten slots. Physical names so RENAME stays metadata-only. */
+    bloomCols: Seq[String] = Nil)
 
 /** Versioned, hash-bucketed, copy-on-write parquet store backing the
   * [[GraftCatalog]] SQL DML surface (SURVEY §2.2 S9's `MERGE INTO` /
@@ -302,6 +311,15 @@ object GraftStore {
   private def layoutCols(meta: GraftTableMeta): Seq[String] =
     if (meta.partition.isDefined) Seq(PartCol, BucketCol) else Seq(BucketCol)
 
+  /** Parquet writer options enabling per-column bloom filters for the
+    * table's declared `bloom_filter_columns` — applied by every data-file
+    * write (commit legs, OPTIMIZE, rebucket), consumed automatically by
+    * the stock vectorized reader's row-group filtering on `=`/IN
+    * predicates. Physical column names match what files store. */
+  private def bloomOptions(meta: GraftTableMeta): Map[String, String] =
+    meta.bloomCols
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   private[sources] def writeBucketMap(buildDir: String,
       map: Map[String, Seq[Long]]): Unit = {
     val sb = new StringBuilder
@@ -538,7 +556,8 @@ object GraftStore {
       meta.buckets + "\n" + meta.tombstones.mkString(",") + "\n" +
       meta.mergeMode + "\n" +
       meta.checks.map { case (n, s) => s"${enc(n)}=${enc(s)}" }.mkString(",") +
-      "\n" + meta.partition.map { case (fn, c) => s"$fn:${enc(c)}" }.getOrElse("")
+      "\n" + meta.partition.map { case (fn, c) => s"$fn:${enc(c)}" }.getOrElse("") +
+      "\n" + meta.bloomCols.map(enc).mkString(",")
     val tmp = Paths.get(dir, "_meta.json.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -605,7 +624,10 @@ object GraftStore {
       if (lines.length > 6 && lines(6).trim.nonEmpty) {
         val Array(fn, c) = lines(6).trim.split(":", 2)
         Some((fn, java.net.URLDecoder.decode(c, "UTF-8")))
-      } else None)
+      } else None,
+      // 8th line absent in pre-bloom metas
+      if (lines.length > 7) lines(7).split(",").toSeq.filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")) else Nil)
   }
 
   def currentVersion(dir: String): Long =
@@ -1756,7 +1778,8 @@ object GraftStore {
           .select((cols :+ BucketCol).map(col): _*)
         withPartCol(toPhysical(kept.unionByName(adds), meta.schema), meta)
           .hint("rebalance", layoutCols(meta).map(col): _*)
-          .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
+          .write.options(bloomOptions(meta))
+            .partitionBy(layoutCols(meta): _*).parquet(buildDir)
         rewriteBuckets
       }
 
@@ -1768,7 +1791,8 @@ object GraftStore {
           withPartCol(toPhysical(
               ch.select((cols :+ BucketCol).map(col): _*), meta.schema), meta)
             .hint("rebalance", layoutCols(meta).map(col): _*)
-            .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
+            .write.options(bloomOptions(meta))
+            .partitionBy(layoutCols(meta): _*).parquet(buildDir)
           Set.empty
         } else if (morRequested) {
           // merge-on-read: after-images land like an append; removed keys
@@ -1783,7 +1807,8 @@ object GraftStore {
           withPartCol(toPhysical(ch.filter(col(OpCol).isin("I", "U"))
               .select((cols :+ BucketCol).map(col): _*), meta.schema), meta)
             .hint("rebalance", layoutCols(meta).map(col): _*)
-            .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
+            .write.options(bloomOptions(meta))
+            .partitionBy(layoutCols(meta): _*).parquet(buildDir)
           toPhysical(ch.filter(col(OpCol).isin("U", "D"))
               .select((meta.keyCols :+ BucketCol).map(col): _*).distinct(),
               meta.schema)
@@ -1989,9 +2014,9 @@ object GraftStore {
         else rep.sortWithinPartitions(
           (layoutCols(meta) ++ sortPhys).map(col): _*)
       val writer =
-        if (targetFileRows > 0)
+        (if (targetFileRows > 0)
           clustered.write.option("maxRecordsPerFile", targetFileRows)
-        else clustered.write
+        else clustered.write).options(bloomOptions(meta))
       writer.partitionBy(layoutCols(meta): _*).parquet(buildDir)
       // carry the un-fragmented slots by manifest reference; rewritten
       // slots own themselves (a slot whose live rows all fell to deletes
@@ -2076,7 +2101,8 @@ object GraftStore {
           .drop(BucketCol)
           .withColumn(BucketCol, bucketExpr(physKeys, newBuckets)), meta)
         .repartition(newBuckets, col(BucketCol))
-        .write.partitionBy(layoutCols(meta): _*).parquet(buildDir)
+        .write.options(bloomOptions(meta))
+            .partitionBy(layoutCols(meta): _*).parquet(buildDir)
       writeBucketMap(buildDir,
         localSlots(buildDir).map(s => s -> Seq(next)).toMap)
       writeFileSeq(buildDir, None, next) // every file rewritten (DVs applied)

@@ -212,6 +212,41 @@ class PartitionedMorSpec extends SparkTestBase {
     assert(changes(m) === changes(c))
   }
 
+  test("streaming upsert into a partitioned mor table: slices written, rows land in their partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val m = mkDays("t_up", "mor")
+    seedDays(m)
+    val baseFiles =
+      GraftStore.snapshotFiles(dir(m), GraftStore.currentVersion(dir(m))).toSet
+    val ckpt = Files.createTempDirectory("graft_pmor_upsert_ckpt").toString
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = in.toDS().toDF("k", "ts", "amount")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("upsert", "true").toTable(s"$cat.$m")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // epoch 1: update key 1 (moves it to day 3) + fresh key 50 on day 2
+      in.addData((1L, ts("2024-03-03 08:00:00"), 111L),
+        (50L, ts("2024-03-02 09:00:00"), 500L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(GraftStore.hasLiveDv(curVdir(m)),
+      "a partitioned upsert epoch must take the merge-on-read path")
+    assert(baseFiles.subsetOf(
+      GraftStore.snapshotFiles(dir(m), GraftStore.currentVersion(dir(m))).toSet))
+    // the moved key reads from its NEW partition only; count stable + 1
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$m").head().getLong(0) === 25L)
+    val day3 = spark.sql(s"SELECT k, amount FROM $cat.$m WHERE " +
+      "ts >= timestamp'2024-03-03 00:00:00'").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(day3.get(1L) === Some(111L))
+    assert(spark.sql(s"SELECT k FROM $cat.$m WHERE " +
+      "ts < timestamp'2024-03-02 00:00:00'").collect()
+      .map(_.getLong(0)).toSet.contains(1L) === false)
+  }
+
   test("RENAME of the partition source column: pruning follows the new name, deletes still apply") {
     val m = mkDays("t_ren", "mor")
     seedDays(m)
