@@ -95,7 +95,7 @@ def gen_sequence(idx):
                            "rename", "rename", "drop_readd", "rebucket",
                            "merge_nmbs", "restore", "replace_where",
                            "set_mode", "rtas", "expire_partitions",
-                           "merge_evolve"])
+                           "merge_evolve", "set_bloom"])
         if partitioned and kind in ("drop_readd", "rtas"):
             continue  # partition column undroppable;
                       # the generated RTAS would silently de-partition
@@ -145,6 +145,16 @@ def gen_sequence(idx):
             mode = "mor" if mode == "cow" else "cow"
             stmts.append(f"ALTER TABLE graftdml.{t} SET TBLPROPERTIES "
                          f"('merge_mode'='{mode}')")
+            continue
+        if kind == "set_bloom":
+            # content-neutral: toggles per-column parquet bloom filters on
+            # the amount column (or clears them) — later commits write the
+            # declared footers, queries must be unaffected; interleaves
+            # with every other template including mode flips and RTAS
+            # (which resets table properties)
+            cols = rng.choice(["amount", ""])
+            stmts.append(f"ALTER TABLE graftdml.{t} SET TBLPROPERTIES "
+                         f"('bloom_filter_columns'='{cols}')")
             continue
         if kind == "replace_where":
             # predicate-scoped atomic overwrite: delete the amount > cut
