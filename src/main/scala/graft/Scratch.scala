@@ -338,6 +338,49 @@ object Scratch {
           s"below => '${d0.plusDays(2).toEpochDay}')")
       }
     }
+    // Per-column bloom filters (r13): two identical tables — one with
+    // `bloom_filter_columns` on a high-cardinality SCATTERED column, one
+    // without — compacted into row-group-bounded files, then needle `=`
+    // and IN lookups on that column. Zone maps can't skip (every file's
+    // min/max spans the domain — values are scattered by construction),
+    // bucket pruning can't help (not the merge key): the bloomed table's
+    // reader must win by row-group skipping alone.
+    for (k <- Seq(1, 10) if want("bloom")) {
+      val cat = s"gbloom$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_bloom").toString)
+      val ev = replicate(Tables.events(spark, d), k * 10, Seq("event_id"))
+        .select($"event_id".as("k"),
+          // scattered probe column: a multiplicative hash of the key —
+          // high cardinality, uniform across every file's range
+          (pmod($"event_id" * 2654435761L, lit(1000000007L))).as("probe"),
+          round($"value" * 100).cast("long").as("cents"))
+      ev.createOrReplaceTempView(s"bloom_src_$k")
+      Seq("on" -> ", 'bloom_filter_columns'='probe'", "off" -> "").foreach {
+        case (tag, prop) =>
+          spark.sql(s"""CREATE TABLE $cat.t_$tag (k BIGINT NOT NULL,
+            probe BIGINT, cents BIGINT) USING graft
+            TBLPROPERTIES ('merge_key'='k', 'buckets'='4'$prop)""")
+          spark.sql(s"INSERT INTO $cat.t_$tag SELECT * FROM bloom_src_$k")
+          // bounded files → many row groups per bucket
+          spark.sql(s"CALL $cat.optimize(table => 't_$tag', " +
+            "max_files_per_bucket => 0, target_file_rows => 50000)")
+      }
+      val n = spark.sql(s"SELECT COUNT(*) FROM $cat.t_on").head().getLong(0)
+      val needles = spark.sql(
+        s"SELECT probe FROM $cat.t_on WHERE k % 100000 = 7 LIMIT 8")
+        .collect().map(_.getLong(0))
+      Seq("off", "on").foreach { tag =>
+        time(f"bloom  x$k%3d ($n%9d rows) needle IN-lookup [$tag]") {
+          (0 until 5).foreach { _ =>
+            spark.sql(s"SELECT k, cents FROM $cat.t_$tag WHERE " +
+              s"probe IN (${needles.mkString(",")})").collect()
+          }
+        }
+      }
+    }
     // Slot-scoped compaction (r13): a days(ts)-partitioned table grown
     // ×1/×10/×100 in HISTORY (day count), with a FIXED number of hot-day
     // appends fragmenting one day. The claim: optimize rewrites the hot
