@@ -2074,6 +2074,86 @@ object SourceQueries {
       FROM upd WHERE cents IN (SELECT cents FROM src WHERE event_id <= 20)
       ORDER BY event_id""")),
 
+    // ----- S35: maintenance report (r13) — `CALL maintenance_report`
+    // folds the store's health signals (slot fragmentation, merge-on-read
+    // delete-cap pressure, column-stats staleness, retention debt) into
+    // one read-only row each with the triggered flag and the CALL that
+    // addresses it. The gate walks the lifecycle: fragment one slot with
+    // same-bucket appends → triggered; never-analyzed → stale triggered;
+    // analyze → cleared; mor deletes observed under the cap; optimize →
+    // fragmentation and slices cleared — then hashes the FINAL (healthy)
+    // report against the closed form. Metadata-only: the report itself
+    // never bumps a version.
+    GraftQuery("s35_maintenance_report", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d)
+        .groupBy($"event_id").agg(max_by(
+          struct(vcents($"value").as("cents")),
+          struct($"ts", $"event_id")).as("r"))
+        .select($"event_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s35_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.maint_t")
+      s.sql("""CREATE TABLE graftdml.maint_t
+        (event_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='event_id', 'buckets'='8',
+          'merge_mode'='mor')""")
+      s.sql("INSERT INTO graftdml.maint_t SELECT * FROM s35_src")
+      def report(): Map[String, (Boolean, Option[Long])] =
+        s.sql("CALL graftdml.maintenance_report(`table` => 'maint_t')")
+          .collect().map(r => r.getString(0) ->
+            ((r.getBoolean(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val G = graft.sources.GraftStore
+      val dir = s"${DmlFixture.warehouse}/maint_t"
+      val r0 = report()
+      val readOnly = G.currentVersion(dir) == 1L
+      val staleDetected = r0("stale_column_stats")._1 // never analyzed
+      val freshClean = !r0("fragmented_slots")._1 && !r0("live_deletes")._1
+      // fragment ONE slot: 5 single-key appends hashing to bucket 0
+      val sameBucket = Iterator.from(2000000000).filter { k =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(k.toLong, org.apache.spark.sql.types.LongType, 42L)
+        ((h % 8) + 8) % 8 == 0
+      }.take(5).toSeq
+      sameBucket.zipWithIndex.foreach { case (k, i) =>
+        s.sql(s"INSERT INTO graftdml.maint_t VALUES ($k, $i)") }
+      val fragDetected = report()("fragmented_slots")._1
+      s.sql("CALL graftdml.analyze(table => 'maint_t')")
+      val staleCleared = !report()("stale_column_stats")._1
+      s.sql("DELETE FROM graftdml.maint_t WHERE event_id IN " +
+        s"(${sameBucket.take(3).mkString(",")})")
+      val dvObserved = report()("live_deletes")._2.contains(3L)
+      s.sql("CALL graftdml.optimize(table => 'maint_t')")
+      val rF = report()
+      val allClear = !rF("fragmented_slots")._1 && !rF("live_deletes")._1 &&
+        !rF("stale_column_stats")._1
+      s.sql("CALL graftdml.maintenance_report(`table` => 'maint_t')")
+        .select($"signal", $"triggered", $"action")
+        .withColumn("report_read_only", lit(readOnly))
+        .withColumn("fresh_table_clean", lit(freshClean))
+        .withColumn("never_analyzed_detected", lit(staleDetected))
+        .withColumn("fragmentation_detected", lit(fragDetected))
+        .withColumn("analyze_clears_staleness", lit(staleCleared))
+        .withColumn("dv_pressure_observed", lit(dvObserved))
+        .withColumn("lifecycle_ends_clear", lit(allClear))
+        .orderBy($"signal")
+    }, Some("""
+      SELECT signal, FALSE AS triggered, action,
+        TRUE AS report_read_only, TRUE AS fresh_table_clean,
+        TRUE AS never_analyzed_detected, TRUE AS fragmentation_detected,
+        TRUE AS analyze_clears_staleness, TRUE AS dv_pressure_observed,
+        TRUE AS lifecycle_ends_clear
+      FROM (VALUES
+        ('fragmented_slots',
+         'CALL optimize(table => ..., max_files_per_bucket => 4)'),
+        ('live_deletes', 'CALL optimize(table => ...)'),
+        ('retained_versions',
+         'CALL expire_versions(table => ..., keep_last => ...)'),
+        ('stale_column_stats', 'CALL analyze(table => ...)'))
+        AS t(signal, action)
+      ORDER BY signal""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
 object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "rebucket", "clone", "restore",
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
-    "analyze")
+    "analyze", "maintenance_report")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact leaf slots (partition x bucket dirs) with more " +
@@ -48,7 +48,12 @@ object GraftProcedures {
       "older than older_than_ms (committed data is never touched)"),
     "analyze" -> ("compute per-column NDV/null/min-max over the current " +
       "version (one aggregate job) and persist them for the planner's " +
-      "join-size estimation"))
+      "join-size estimation"),
+    "maintenance_report" -> ("read-only health report: one row per " +
+      "maintenance signal (slot fragmentation, merge-on-read delete-cap " +
+      "pressure, column-stats staleness, retention debt) with the " +
+      "triggered flag and the CALL that addresses it — metadata only, " +
+      "no commit, no data read"))
 
   private[sources] def params(name: String): Array[ProcedureParameter] = name match {
     case "optimize" => Array(
@@ -83,7 +88,67 @@ object GraftProcedures {
         .defaultValue("3600000").build())
     case "analyze" => Array(
       ProcedureParameter.in("table", StringType).build())
+    case "maintenance_report" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_files_per_bucket", IntegerType)
+        .defaultValue("4").build())
   }
+
+  /** The `maintenance_report` rows for one table: (signal, triggered,
+    * observed, threshold, action). Metadata-only — manifests, footers and
+    * the stats file; never a data read, never a commit. */
+  private[sources] def maintenanceReport(dir: String,
+      maxFilesPerSlot: Int): Array[InternalRow] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cur = GraftStore.currentVersion(dir)
+    val vdir = GraftStore.versionDir(dir, cur)
+    def row(signal: String, triggered: Boolean, observed: Any,
+        threshold: Any, action: String) =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(signal),
+        triggered, observed, threshold, UTF8String.fromString(action)))
+    // slot fragmentation → optimize (slot-scoped since r13)
+    val fragmented = GraftStore.slotFileCounts(dir, cur)
+      .count(_._2 > maxFilesPerSlot).toLong
+    // merge-on-read delete-cap pressure → optimize folds the slices; the
+    // write side escalates at the full cap, so alert at half
+    val dvRows = GraftStore.dvLiveRows(vdir)
+    val dvCap = GraftStore.morMaxLiveDeletes
+    // column-stats staleness → analyze (observed = row drift %, when known)
+    val stats = graft.sources.GraftStats.readTableColStatsFull(dir)
+    val curRows = GraftStore.snapshotRowCount(dir, cur)
+    val (statsTriggered, drift): (Boolean, Any) = stats match {
+      case None => (true, null) // never analyzed: the planner is blind
+      case Some((_, arows, _)) =>
+        val fresh = GraftStore.freshTableColStats(dir, cur).nonEmpty
+        val pct: Any = (arows, curRows) match {
+          case (Some(a), Some(c)) if a > 0 =>
+            math.abs(c - a) * 100L / a
+          case _ => null
+        }
+        (!fresh, pct)
+    }
+    // retention debt: retained versions and still-referenced expired
+    // hosts (observed-only — the right keep_last is a policy choice)
+    val versions = GraftStore.listVersions(dir).size.toLong
+    Array(
+      row("fragmented_slots", fragmented > 0, fragmented,
+        maxFilesPerSlot.toLong,
+        s"CALL optimize(table => ..., max_files_per_bucket => $maxFilesPerSlot)"),
+      row("live_deletes", dvRows * 2 > dvCap, dvRows, dvCap,
+        "CALL optimize(table => ...)"),
+      row("stale_column_stats", statsTriggered, drift, 50L,
+        "CALL analyze(table => ...)"),
+      row("retained_versions", false, versions, null,
+        "CALL expire_versions(table => ..., keep_last => ...)"))
+  }
+
+  private[sources] val MaintenanceReportSchema = StructType(Seq(
+    StructField("signal", StringType, nullable = false),
+    StructField("triggered", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("observed", LongType, nullable = true),
+    StructField("threshold", LongType, nullable = true),
+    StructField("action", StringType, nullable = false)))
 }
 
 final class GraftProcedure(procName: String, tableDir: String => String)
@@ -102,6 +167,12 @@ final class GraftProcedure(procName: String, tableDir: String => String)
       val table = input.getUTF8String(0).toString
       val dir = tableDir(table)
       require(GraftStore.exists(dir), s"no such graft table: $table")
+      if (procName == "maintenance_report") {
+        val maxFiles = if (input.isNullAt(1)) 4 else input.getInt(1)
+        return util.Collections.singletonList[Scan](new GraftResultScan(
+          GraftProcedures.MaintenanceReportSchema,
+          GraftProcedures.maintenanceReport(dir, maxFiles))).iterator()
+      }
       val (col, value) = procName match {
         case "optimize" =>
           val sortBy =
