@@ -152,7 +152,7 @@ def gen_sequence(idx):
             # declared footers, queries must be unaffected; interleaves
             # with every other template including mode flips and RTAS
             # (which resets table properties)
-            cols = rng.choice(["amount", ""])
+            cols = rng.choice([cn["amount"], ""])
             stmts.append(f"ALTER TABLE graftdml.{t} SET TBLPROPERTIES "
                          f"('bloom_filter_columns'='{cols}')")
             continue

@@ -1978,7 +1978,12 @@ object GraftStore {
     val fragmented = slotFileCounts(dir, cur).collect {
       case (s, n) if n > maxFilesPerBucket || dvB.contains(slotBucket(s)) => s
     }.toSet
-    if (fragmented.isEmpty) return cur
+    // a DV-carrying bucket whose live slots ALL fell away (e.g. an
+    // expire_partitions dropped every partition it had files in) leaves
+    // orphaned slices: unreachable-dead for reads, but they'd keep the
+    // table in mor-scan mode (probe + withheld stats) forever — the
+    // clearing commit below must still run, with nothing to rewrite
+    if (fragmented.isEmpty && dvB.isEmpty) return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
     try withClaimHeartbeat(Seq(marker,

@@ -247,6 +247,30 @@ class PartitionedMorSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet.contains(1L) === false)
   }
 
+  test("OPTIMIZE clears orphaned slices after expire_partitions emptied their buckets") {
+    // found by fuzz_dml seed 777: expire every partition a DV-carrying
+    // bucket had files in → no fragmented slot exists, but the orphaned
+    // slices must still be folded away or the table stays in mor-scan
+    // mode (probe + withheld stats) forever
+    val m = mkDays("t_orphan", "mor")
+    seedDays(m)
+    spark.sql(s"DELETE FROM $cat.$m WHERE k IN (3, 11)") // slices live
+    assert(GraftStore.hasLiveDv(curVdir(m)))
+    // drop EVERY partition (bound above the last day, epoch day 19785)
+    spark.sql(s"CALL $cat.expire_partitions(`table` => '$m', below => '19790')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.$m").head().getLong(0) === 0L)
+    assert(GraftStore.hasLiveDv(curVdir(m)), "slices carry across expire")
+    val pre = GraftStore.currentVersion(dir(m))
+    spark.sql(s"CALL $cat.optimize(`table` => '$m', max_files_per_bucket => 0)")
+    assert(GraftStore.currentVersion(dir(m)) === pre + 1,
+      "the clearing commit must run even with nothing to rewrite")
+    assert(!GraftStore.hasLiveDv(curVdir(m)),
+      "orphaned delete slices must not survive optimize")
+    // and the table keeps working
+    spark.sql(s"INSERT INTO $cat.$m VALUES (1, timestamp'2024-03-05 00:00:00', 7)")
+    assert(rows(m) === Seq((1L, 7L)))
+  }
+
   test("RENAME of the partition source column: pruning follows the new name, deletes still apply") {
     val m = mkDays("t_ren", "mor")
     seedDays(m)
