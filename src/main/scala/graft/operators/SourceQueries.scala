@@ -2145,6 +2145,10 @@ object SourceQueries {
         TRUE AS analyze_clears_staleness, TRUE AS dv_pressure_observed,
         TRUE AS lifecycle_ends_clear
       FROM (VALUES
+        ('changelog_slices',
+         'CALL expire_changes(table => ..., keep_from_version => ...)'),
+        ('expired_file_hosts',
+         'CALL expire_versions(table => ..., keep_last => ...) re-sweeps'),
         ('fragmented_slots',
          'CALL optimize(table => ..., max_files_per_bucket => 4)'),
         ('live_deletes', 'CALL optimize(table => ...)'),

@@ -127,9 +127,22 @@ object GraftProcedures {
         }
         (!fresh, pct)
     }
-    // retention debt: retained versions and still-referenced expired
-    // hosts (observed-only — the right keep_last is a policy choice)
+    // retention debt (observed-only — the right keep_last/horizon is a
+    // policy choice): retained versions, retained changelog slices, and
+    // retired-but-still-referenced `_expired` file hosts (shrink as
+    // later expire_versions calls re-sweep them)
     val versions = GraftStore.listVersions(dir).size.toLong
+    val changeSlices = {
+      val root = java.nio.file.Paths.get(GraftStore.changesRoot(dir))
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else GraftStore.listDir(root)(_.count(_.getFileName.toString
+        .startsWith(s"${GraftStore.ChangeVersionCol}=")).toLong)
+    }
+    val expiredHosts = GraftStore.listDir(java.nio.file.Paths.get(dir))(
+      _.count { p =>
+        p.getFileName.toString.matches("v\\d{10}") && java.nio.file.Files
+          .exists(p.resolve(GraftStore.ExpiredMarker))
+      }.toLong)
     Array(
       row("fragmented_slots", fragmented > 0, fragmented,
         maxFilesPerSlot.toLong,
@@ -139,7 +152,11 @@ object GraftProcedures {
       row("stale_column_stats", statsTriggered, drift, 50L,
         "CALL analyze(table => ...)"),
       row("retained_versions", false, versions, null,
-        "CALL expire_versions(table => ..., keep_last => ...)"))
+        "CALL expire_versions(table => ..., keep_last => ...)"),
+      row("changelog_slices", false, changeSlices, null,
+        "CALL expire_changes(table => ..., keep_from_version => ...)"),
+      row("expired_file_hosts", false, expiredHosts, null,
+        "CALL expire_versions(table => ..., keep_last => ...) re-sweeps"))
   }
 
   private[sources] val MaintenanceReportSchema = StructType(Seq(
