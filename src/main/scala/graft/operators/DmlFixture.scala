@@ -22,6 +22,17 @@ object DmlFixture {
     allowDefaults(s)
   }
 
+  /** The first `n` long keys at/above `from` whose store bucket (xxhash64,
+    * seed 42 — byte-for-byte [[graft.sources.GraftStore.bucketExpr]]) is
+    * `bucket` under a `buckets` fan-out — fixture plumbing for gates that
+    * need same-slot appends (fragmentation probes). */
+  def keysForBucket(from: Long, buckets: Int, bucket: Int, n: Int): Seq[Long] =
+    Iterator.iterate(from)(_ + 1).filter { k =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(k, org.apache.spark.sql.types.LongType, 42L)
+      ((h % buckets) + buckets) % buckets == bucket
+    }.take(n).toSeq
+
   /** `ALTER TABLE ... ADD COLUMNS (... DEFAULT ...)` is additionally
     * gated per PROVIDER by `spark.sql.defaultColumn.allowedProviders`
     * (the catalog capability alone only opens CREATE TABLE defaults) —

@@ -2037,20 +2037,10 @@ object SourceQueries {
       val dir = s"${DmlFixture.warehouse}/bloom_t"
       // footer presence, read from the files themselves: every live file
       // (insert AND cow-delta rewrites) blooms cents and nothing else
-      import scala.jdk.CollectionConverters._
-      def bloomed(f: String): Set[String] = {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f),
-          new org.apache.hadoop.conf.Configuration())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
-          .filter(_.getBloomFilterOffset >= 0)
-          .map(_.getPath.toDotString).toSet
-        finally r.close()
-      }
       val files = G.snapshotFiles(dir, G.currentVersion(dir))
-      val present = files.nonEmpty &&
-        files.forall(f => bloomed(f) == Set("cents"))
+      val present = files.nonEmpty && files.forall(f =>
+        graft.sources.GraftStats.bloomedColumns(
+          java.nio.file.Paths.get(f)) == Set("cents"))
       // point + IN lookups on the bloomed column, literal-pushed (the
       // shape the row-group filter serves); values from 20 known keys
       val probes = s.sql(
@@ -2111,11 +2101,7 @@ object SourceQueries {
       val staleDetected = r0("stale_column_stats")._1 // never analyzed
       val freshClean = !r0("fragmented_slots")._1 && !r0("live_deletes")._1
       // fragment ONE slot: 5 single-key appends hashing to bucket 0
-      val sameBucket = Iterator.from(2000000000).filter { k =>
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(k.toLong, org.apache.spark.sql.types.LongType, 42L)
-        ((h % 8) + 8) % 8 == 0
-      }.take(5).toSeq
+      val sameBucket = DmlFixture.keysForBucket(2000000000L, 8, 0, 5)
       sameBucket.zipWithIndex.foreach { case (k, i) =>
         s.sql(s"INSERT INTO graftdml.maint_t VALUES ($k, $i)") }
       val fragDetected = report()("fragmented_slots")._1

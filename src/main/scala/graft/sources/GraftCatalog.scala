@@ -266,19 +266,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       require(GraftStore.morKeyTypeOk(schema(k).dataType),
         s"merge_mode=mor requires atomic-typed merge keys; $k is ${schema(k).dataType}"))
     // bloom_filter_columns: logical names validated against the schema,
-    // stored as PHYSICAL names (identical at CREATE time) so later
-    // renames stay metadata-only; atomic-typed columns only (parquet
-    // bloom filters hash primitive values)
-    val bloom = props.get("bloom_filter_columns")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Nil)
-    bloom.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"bloom_filter_columns column $c not in schema")
-      require(GraftStore.morKeyTypeOk(schema(c).dataType),
-        s"bloom_filter_columns needs atomic-typed columns; " +
-          s"$c is ${schema(c).dataType}")
-    }
+    // stored as PHYSICAL names (identical at CREATE time; the RTAS
+    // identity rewrite remaps them) so later renames stay metadata-only
+    val bloom = GraftCatalog.validatedBloomCols(schema,
+      props.get("bloom_filter_columns"))
     GraftTableMeta(schema, keys, buckets, mergeMode = mode,
       partition = partSpec, bloomCols = bloom)
   }
@@ -340,7 +331,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         val inherited = fields.map(GraftStore.physicalName).toSet
         val tomb = (old.tombstones.toSet ++
           old.schema.fields.map(GraftStore.physicalName)) -- inherited
-        meta0.copy(schema = StructType(fields), tombstones = tomb.toSeq.sorted)
+        // column-referencing meta (partition transform, bloom columns)
+        // was validated against LOGICAL names (== physical at validation
+        // time); the identity rewrite above may have assigned different
+        // physical names — remap by logical name or the declarations
+        // dangle (blooms silently never written, partition writes failing
+        // on a missing column)
+        val newSchema = StructType(fields)
+        def physOf(logical: String): String =
+          newSchema.fields.find(_.name == logical)
+            .map(GraftStore.physicalName).getOrElse(logical)
+        meta0.copy(schema = newSchema, tombstones = tomb.toSeq.sorted,
+          partition = meta0.partition.map { case (fn, c) => (fn, physOf(c)) },
+          bloomCols = meta0.bloomCols.map(physOf))
       }
     val stageDir = s"$dir.stage-${java.util.UUID.randomUUID()}"
     GraftStore.create(stageDir, meta)
@@ -519,16 +522,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           if sp.property() == "bloom_filter_columns" =>
         // takes effect on the NEXT commit's files; existing files keep
         // their (bloom-less) footers until OPTIMIZE rewrites them
-        val cols = sp.value().split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        val phys = cols.map { c =>
-          require(m.schema.fieldNames.contains(c),
-            s"bloom_filter_columns column $c not in schema")
-          require(GraftStore.morKeyTypeOk(m.schema(c).dataType),
-            s"bloom_filter_columns needs atomic-typed columns; " +
-              s"$c is ${m.schema(c).dataType}")
-          GraftStore.physicalName(m.schema(c))
-        }
-        m.copy(bloomCols = phys)
+        val cols = GraftCatalog.validatedBloomCols(m.schema,
+          Some(sp.value()))
+        m.copy(bloomCols =
+          cols.map(c => GraftStore.physicalName(m.schema(c))))
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen " +
           "type, SET TBLPROPERTIES merge_mode/bloom_filter_columns)")
@@ -628,6 +625,28 @@ object GraftCatalog {
   /** Identifier suffix routing to a table's current partition-level
     * layout, e.g. `` cat.`orders$partitions` ``. */
   val PartitionsSuffix = "$partitions"
+
+  /** Parse + validate a `bloom_filter_columns` property value against a
+    * schema (the ONE rule CREATE and ALTER share): columns must exist and
+    * be bloom-hashable. parquet-mr blooms the primitive families EXCEPT
+    * boolean — its hash path throws at READ time on a boolean predicate
+    * (and a 2-value domain has nothing to bloom anyway), so booleans are
+    * rejected here rather than crashing the first filtered scan. */
+  private[sources] def validatedBloomCols(schema: StructType,
+      prop: Option[String]): Seq[String] = {
+    val cols = prop.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"bloom_filter_columns column $c not in schema")
+      val dt = schema(c).dataType
+      require(GraftStore.morKeyTypeOk(dt) &&
+          dt != org.apache.spark.sql.types.BooleanType,
+        s"bloom_filter_columns needs atomic non-boolean columns " +
+          s"(parquet cannot bloom-hash $dt); $c is $dt")
+    }
+    cols
+  }
 }
 
 /** The current version's files as a read-only metadata table (the

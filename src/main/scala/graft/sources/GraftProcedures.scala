@@ -127,6 +127,10 @@ object GraftProcedures {
         }
         (!fresh, pct)
     }
+    // the threshold COLUMN must mirror the configurable bound the
+    // triggered flag is computed from, or the row contradicts itself
+    // under a non-default graft.store.statsMaxStaleFraction
+    val stalePct = math.round(GraftStore.statsMaxStaleFraction * 100)
     // retention debt (observed-only — the right keep_last/horizon is a
     // policy choice): retained versions, retained changelog slices, and
     // retired-but-still-referenced `_expired` file hosts (shrink as
@@ -149,7 +153,7 @@ object GraftProcedures {
         s"CALL optimize(table => ..., max_files_per_bucket => $maxFilesPerSlot)"),
       row("live_deletes", dvRows * 2 > dvCap, dvRows, dvCap,
         "CALL optimize(table => ...)"),
-      row("stale_column_stats", statsTriggered, drift, 50L,
+      row("stale_column_stats", statsTriggered, drift, stalePct,
         "CALL analyze(table => ...)"),
       row("retained_versions", false, versions, null,
         "CALL expire_versions(table => ..., keep_last => ...)"),

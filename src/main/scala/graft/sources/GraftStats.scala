@@ -146,6 +146,21 @@ object GraftStats {
     try readFooterStats(file, new Configuration())
     catch { case _: Exception => Map.empty }
 
+  /** PHYSICAL column names carrying a bloom filter in one parquet file's
+    * footer (empty on read failure) — how [[GraftTableMeta.bloomCols]]
+    * declarations are verified against what files actually store (the S34
+    * driver gate and BloomFilterSpec both read through here). */
+  def bloomedColumns(file: Path): Set[String] =
+    try {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .filter(_.getBloomFilterOffset >= 0)
+        .map(_.getPath.toDotString).toSet
+      finally r.close()
+    } catch { case _: Exception => Set.empty }
+
   /** Exact row count of one parquet file from its footer (block counts),
     * or None if the footer is unreadable. */
   def fileRowCount(file: Path): Option[Long] =

@@ -446,6 +446,7 @@ object GraftStore {
     val key = versionDir(dir, v)
     val cached = snapshotFilesCache.get(key)
     if (cached != null) return cached
+    val epoch0 = cacheEpoch.get()
     val manifests = scala.collection.mutable.Map
       .empty[String, Map[String, GraftStats.FileStats]]
     // per-owner fileseq entries grouped by slot: the manifest, not a
@@ -482,7 +483,7 @@ object GraftStore {
         }
     } yield entry
     if (snapshotFilesCache.size > 64) snapshotFilesCache.clear()
-    snapshotFilesCache.put(key, computed)
+    if (cacheEpoch.get() == epoch0) snapshotFilesCache.put(key, computed)
     computed
   }
 
@@ -1128,9 +1129,10 @@ object GraftStore {
     val vdir = versionDir(dir, v)
     val cached = dvProbeCache.get(vdir)
     if (cached != null) return cached
+    val epoch0 = cacheEpoch.get()
     val computed = loadDvProbeUncached(spark, dir, v, meta)
     if (dvProbeCache.size > 64) dvProbeCache.clear()
-    dvProbeCache.put(vdir, computed)
+    if (cacheEpoch.get() == epoch0) dvProbeCache.put(vdir, computed)
     computed
   }
 
@@ -1140,7 +1142,13 @@ object GraftStore {
   /** Drop cached probes under a table dir — version-dir paths stop being
     * unique identities the moment a table is dropped/recreated/adopted at
     * the same path. */
+  /** Bumped by every invalidation — computing threads racing a concurrent
+    * drop/recreate skip their put instead of re-inserting a stale entry
+    * after the sweep (the get-miss → compute → put window). */
+  private val cacheEpoch = new java.util.concurrent.atomic.AtomicLong()
+
   private[sources] def invalidateDvCache(tableDir: String): Unit = {
+    cacheEpoch.incrementAndGet()
     dvProbeCache.keySet.removeIf(_.startsWith(tableDir))
     snapshotFilesCache.keySet.removeIf(_.startsWith(tableDir))
     org.apache.spark.sql.GraftSnapshotScan.invalidate(tableDir)

@@ -67,10 +67,18 @@ object GraftSnapshotScan {
   private val authoredCache = new java.util.concurrent.ConcurrentHashMap[
     String, (PartitionSpec, Map[Path, Array[FileStatus]])]()
 
+  /** Bumped by every invalidation: a scan that was COMPUTING its index
+    * across a concurrent drop/recreate must not re-insert the stale entry
+    * after invalidate() already swept the map (get-miss → compute → put
+    * races the sweep) — the put is skipped when the epoch moved. */
+  private val invalidationEpoch = new java.util.concurrent.atomic.AtomicLong()
+
   /** Drop cached authored indexes under a table dir (public: the store's
     * invalidateDvCache calls across packages on drop/recreate/expire). */
-  def invalidate(tableDir: String): Unit =
+  def invalidate(tableDir: String): Unit = {
+    invalidationEpoch.incrementAndGet()
     authoredCache.keySet.removeIf(_.startsWith(tableDir))
+  }
 
   def parquetScanBuilder(spark: SparkSession, tableDir: String, v: Long,
       meta: GraftTableMeta, physSchema: StructType,
@@ -82,6 +90,7 @@ object GraftSnapshotScan {
     val key = GraftStore.versionDir(tableDir, v) +
       pt.map(t => s"#${t.sql}").getOrElse("")
     val cached = authoredCache.get(key)
+    val epoch0 = invalidationEpoch.get()
     val (spec, filesByDir) = if (cached != null) cached else {
       val hconf = spark.sessionState.newHadoopConf()
       val fs = new Path(tableDir).getFileSystem(hconf)
@@ -107,7 +116,7 @@ object GraftSnapshotScan {
       val computed = (PartitionSpec(partCols, parts.map(_._1)),
         parts.map(p => p._1.path -> p._2).toMap)
       if (authoredCache.size > 64) authoredCache.clear()
-      authoredCache.put(key, computed)
+      if (invalidationEpoch.get() == epoch0) authoredCache.put(key, computed)
       computed
     }
     val index = new GraftSlotFileIndex(spark, spec, filesByDir)

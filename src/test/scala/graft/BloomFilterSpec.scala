@@ -2,8 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import scala.jdk.CollectionConverters._
-
 import graft.sources.{GraftCatalog, GraftStore}
 
 /** `bloom_filter_columns`: per-column parquet bloom filters written by
@@ -26,16 +24,8 @@ class BloomFilterSpec extends SparkTestBase {
   private def dir(name: String) = s"$warehouse/$name"
 
   /** Physical column names with a bloom filter in `file`'s footer. */
-  private def bloomedCols(file: String): Set[String] = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
-      .filter(_.getBloomFilterOffset >= 0)
-      .map(_.getPath.toDotString).toSet
-    finally r.close()
-  }
+  private def bloomedCols(file: String): Set[String] =
+    graft.sources.GraftStats.bloomedColumns(java.nio.file.Paths.get(file))
 
   private def liveFiles(name: String): Seq[String] =
     GraftStore.snapshotFiles(dir(name),
@@ -102,7 +92,7 @@ class BloomFilterSpec extends SparkTestBase {
       .head().getLong(0) === 1L)
   }
 
-  test("guards: unknown column and non-atomic types rejected") {
+  test("guards: unknown column, non-atomic, and boolean types rejected") {
     warehouse
     val e1 = intercept[Exception](spark.sql(
       s"""CREATE TABLE $cat.t_bad (k BIGINT NOT NULL, v BIGINT) USING graft
@@ -112,5 +102,44 @@ class BloomFilterSpec extends SparkTestBase {
       s"""CREATE TABLE $cat.t_bad (k BIGINT NOT NULL, v ARRAY<INT>) USING graft
          TBLPROPERTIES ('merge_key'='k', 'bloom_filter_columns'='v')"""))
     assert(e2.getMessage.contains("atomic"))
+    // parquet-mr cannot bloom-hash booleans: its read-side hash throws on
+    // the first filtered scan, so CREATE/ALTER must reject them up front
+    val e3 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.t_bad (k BIGINT NOT NULL, v BOOLEAN) USING graft
+         TBLPROPERTIES ('merge_key'='k', 'bloom_filter_columns'='v')"""))
+    assert(e3.getMessage.contains("boolean"))
+  }
+
+  test("RTAS remaps the declaration through rewritten physical identities") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_rtas")
+    spark.sql(s"""CREATE TABLE $cat.t_rtas
+      (k BIGINT NOT NULL, v BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.t_rtas SELECT id, id FROM range(0, 50)")
+    // rename v away so the REPLACE's redeclared 'v' is a NEW column with
+    // a FRESH physical identity (v__r<stamp>) — the declaration must
+    // follow it or blooms silently never get written
+    spark.sql(s"ALTER TABLE $cat.t_rtas RENAME COLUMN v TO w")
+    spark.sql(s"""REPLACE TABLE $cat.t_rtas USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='2',
+        'bloom_filter_columns'='v')
+      AS SELECT k, w AS v FROM $cat.t_rtas""")
+    val files = liveFiles("t_rtas")
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val b = bloomedCols(f)
+      assert(b.size == 1 && b.head.startsWith("v"),
+        s"$f must bloom the rewritten physical column: $b")
+    }
+    // and later commits keep blooming under the remapped identity
+    spark.sql(s"INSERT INTO $cat.t_rtas SELECT id, id FROM range(50, 80)")
+    val dirPath = dir("t_rtas")
+    val newFiles = liveFiles("t_rtas").filter(_.contains(
+      f"/v${GraftStore.currentVersion(dirPath)}%010d/"))
+    assert(newFiles.nonEmpty)
+    newFiles.foreach(f => assert(bloomedCols(f).exists(_.startsWith("v"))))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t_rtas WHERE v = 60")
+      .head().getLong(0) === 1L)
   }
 }

@@ -49,11 +49,7 @@ class MaintenanceReportSpec extends SparkTestBase {
 
     // fragment ONE slot: 5 single-key appends whose keys all hash to the
     // same bucket (the store buckets by xxhash64, seed 42)
-    val sameBucket = Iterator.from(1000).filter { k =>
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(k.toLong, org.apache.spark.sql.types.LongType, 42L)
-      ((h % 4) + 4) % 4 == 0
-    }.take(5).toSeq
+    val sameBucket = graft.operators.DmlFixture.keysForBucket(1000L, 4, 0, 5)
     sameBucket.zipWithIndex.foreach { case (k, i) =>
       spark.sql(s"INSERT INTO $cat.t_m VALUES ($k, $i)") }
     val r1 = report("t_m")
