@@ -2144,6 +2144,93 @@ object SourceQueries {
         AS t(signal, action)
       ORDER BY signal""")),
 
+    // ----- S36: named refs (tags) — `CALL create_tag` pins a committed
+    // version under a name; `VERSION AS OF '<name>'` resolves it and
+    // expire_versions keeps the pinned version readable (with the owner
+    // slots its snapshot references intact on disk) regardless of
+    // keep_last. The operational story: tag the version a training run /
+    // release consumed, retention can then run aggressively without ever
+    // reclaiming an auditable snapshot, and the tag name — not a raw
+    // version number — is what downstream configs carry. The gate walks
+    // the lifecycle: tag v1, DML past it, tag the head, expire keep_last=1
+    // (v1 survives ONLY via its tag; the untagged middle version is
+    // reclaimed), hash the pinned snapshot read BY NAME against the
+    // closed form, then drop_tag + expire and pin that the version is
+    // reclaimed and the name gone; duplicate/unknown names fail loudly
+    // and a clone starts with no tags (refs index the SOURCE's history).
+    GraftQuery("s36_named_refs", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s36_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.refs_t")
+      s.sql("""CREATE TABLE graftdml.refs_t
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.refs_t SELECT * FROM s36_latest")       // v1
+      s.sql("CALL graftdml.create_tag(`table` => 'refs_t', name => 'baseline', version => 1)")
+      s.sql("UPDATE graftdml.refs_t SET cents = cents + 7 WHERE user_id % 3 = 0") // v2
+      s.sql("DELETE FROM graftdml.refs_t WHERE user_id % 5 = 0")          // v3
+      s.sql("CALL graftdml.create_tag(`table` => 'refs_t', name => 'post-dml')")
+      s.sql("CALL graftdml.expire_versions(`table` => 'refs_t', keep_last => 1)")
+      val dir = s"${DmlFixture.warehouse}/refs_t"
+      val G = graft.sources.GraftStore
+      // v1 pinned by 'baseline', v3 by keep_last AND 'post-dml'; v0/v2 gone
+      val retentionOk = G.listVersions(dir) == Seq(1L, 3L)
+      // the pinned snapshot read BY NAME matches the closed form exactly
+      val byName = s.sql(
+        "SELECT user_id, cents FROM graftdml.refs_t VERSION AS OF 'baseline'")
+      val v1 = s.sql("SELECT * FROM s36_latest")
+      val tagReadOk = byName.exceptAll(v1).isEmpty && v1.exceptAll(byName).isEmpty
+      // t$versions carries the tags column, version-for-version
+      val tagsListed = s.sql(
+        "SELECT version, tags FROM graftdml.`refs_t$versions` ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList ==
+        List((1L, List("baseline")), (3L, List("post-dml")))
+      // loud failure modes: duplicate name, unknown name
+      val dupLoud = try {
+        s.sql("CALL graftdml.create_tag(`table` => 'refs_t', name => 'baseline', version => 3)")
+        false
+      } catch { case e: Exception => e.getMessage.contains("already exists") }
+      val unknownLoud = try {
+        s.sql("SELECT * FROM graftdml.refs_t VERSION AS OF 'ghost'").collect()
+        false
+      } catch { case e: Exception => e.getMessage.contains("no tag 'ghost'") }
+      // a clone starts with no tags (refs index the source's history)
+      s.sql("DROP TABLE IF EXISTS graftdml.refs_t2")
+      s.sql("CALL graftdml.clone(`table` => 'refs_t', target => 'refs_t2')")
+      val cloneClean = G.listTags(s"${DmlFixture.warehouse}/refs_t2").isEmpty
+      // drop the pin: the next expire reclaims v1 and the name is gone
+      s.sql("CALL graftdml.drop_tag(`table` => 'refs_t', name => 'baseline')")
+      s.sql("CALL graftdml.expire_versions(`table` => 'refs_t', keep_last => 1)")
+      val reclaimedOk = G.listVersions(dir) == Seq(3L) &&
+        G.listTags(dir) == Map("post-dml" -> 3L)
+      s.sql("SELECT user_id, cents FROM graftdml.refs_t")
+        .withColumn("pinned_survives_expire", lit(retentionOk))
+        .withColumn("tag_read_matches_v1", lit(tagReadOk))
+        .withColumn("versions_meta_lists_tags", lit(tagsListed))
+        .withColumn("duplicate_tag_fails", lit(dupLoud))
+        .withColumn("unknown_tag_fails", lit(unknownLoud))
+        .withColumn("clone_starts_untagged", lit(cloneClean))
+        .withColumn("dropped_pin_reclaimed", lit(reclaimedOk))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id,
+        CASE WHEN user_id % 3 = 0 THEN cents + 7 ELSE cents END AS cents,
+        TRUE AS pinned_survives_expire, TRUE AS tag_read_matches_v1,
+        TRUE AS versions_meta_lists_tags, TRUE AS duplicate_tag_fails,
+        TRUE AS unknown_tag_fails, TRUE AS clone_starts_untagged,
+        TRUE AS dropped_pin_reclaimed
+      FROM latest WHERE user_id % 5 <> 0 ORDER BY user_id""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

@@ -156,11 +156,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   /** `VERSION AS OF <n>` time travel: pin the scan to one committed
-    * version directory. */
+    * version directory. A NON-NUMERIC literal is a named ref —
+    * `VERSION AS OF 'release-2026-08'` resolves the tag created by
+    * `CALL create_tag` (tag names start with a letter, so the two
+    * namespaces can never collide). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
-    val v = version.toLong
+    val v = version.toLongOption.getOrElse {
+      GraftStore.resolveRef(dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $ident has no tag '$version' (have " +
+            s"${GraftStore.listTags(dir).keys.toSeq.sorted
+              .mkString("[", ", ", "]")}) — CALL create_tag to pin one"))
+    }
     require(GraftStore.listVersions(dir).contains(v),
       s"table $ident has no version $v (have ${GraftStore.listVersions(dir)})")
     new GraftTable(ident.toString, dir, pinnedVersion = Some(v))
@@ -844,7 +853,9 @@ final class GraftVersionsTable(tableName: String, dir: String)
     StructField("size_bytes", LongType, nullable = false),
     StructField("has_changelog", BooleanType, nullable = false),
     StructField("is_boundary", BooleanType, nullable = false),
-    StructField("live_deletes", LongType, nullable = false)))
+    StructField("live_deletes", LongType, nullable = false),
+    StructField("tags", ArrayType(StringType, containsNull = false),
+      nullable = false)))
 
   override def name(): String = tableName
   override def schema(): StructType = schema0
@@ -859,6 +870,10 @@ final class GraftVersionsTable(tableName: String, dir: String)
         GraftStore.recoverChangelog(dir)
         val cur = GraftStore.currentVersion(dir)
         val meta = GraftStore.readMeta(dir)
+        // tags (named refs) grouped by the version they pin — the
+        // operator's view of what retention will NOT reclaim
+        val tagsByV = GraftStore.listTags(dir).toSeq
+          .groupMap(_._2)(_._1).view.mapValues(_.sorted).toMap
         GraftStore.listVersions(dir).map { v =>
           val (nb, nf, bytes) = GraftStore.versionStats(dir, v)
           // `buckets` = the fan-out this version was WRITTEN with (the
@@ -876,7 +891,11 @@ final class GraftVersionsTable(tableName: String, dir: String)
               GraftStore.layoutBuckets(dir, v, meta),
               nb, nf, bytes, GraftStore.hasChangelog(dir, v),
               GraftStore.isBoundary(dir, v),
-              GraftStore.dvLiveRows(GraftStore.versionDir(dir, v))))
+              GraftStore.dvLiveRows(GraftStore.versionDir(dir, v)),
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+                tagsByV.getOrElse(v, Nil)
+                  .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+                  .toArray[Any])))
         }.toArray
       }
     }

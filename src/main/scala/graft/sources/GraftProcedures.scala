@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
 object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "rebucket", "clone", "restore",
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
-    "analyze", "maintenance_report")
+    "analyze", "maintenance_report", "create_tag", "drop_tag")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact leaf slots (partition x bucket dirs) with more " +
@@ -53,7 +53,13 @@ object GraftProcedures {
       "maintenance signal (slot fragmentation, merge-on-read delete-cap " +
       "pressure, column-stats staleness, retention debt) with the " +
       "triggered flag and the CALL that addresses it — metadata only, " +
-      "no commit, no data read"))
+      "no commit, no data read"),
+    "create_tag" -> ("pin a committed version under a name: " +
+      "`VERSION AS OF '<name>'` resolves it and expire_versions keeps " +
+      "the pinned version readable regardless of keep_last (version " +
+      "defaults to the current one; names start with a letter)"),
+    "drop_tag" -> ("remove a named ref; the version it pinned becomes " +
+      "expirable again on the next expire_versions"))
 
   private[sources] def params(name: String): Array[ProcedureParameter] = name match {
     case "optimize" => Array(
@@ -92,6 +98,13 @@ object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
         .defaultValue("4").build())
+    case "create_tag" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+    case "drop_tag" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
   }
 
   /** The `maintenance_report` rows for one table: (signal, triggered,
@@ -229,6 +242,14 @@ final class GraftProcedure(procName: String, tableDir: String => String)
           ("version", GraftStore.analyzeTable(spark, dir))
         case "vacuum" =>
           ("entries_removed", GraftStore.vacuum(dir, input.getLong(1)))
+        case "create_tag" =>
+          val v0 = if (input.isNullAt(2)) -1L else input.getLong(2)
+          val v = if (v0 < 0) GraftStore.currentVersion(dir) else v0
+          GraftStore.createTag(dir, input.getUTF8String(1).toString, v)
+          ("version", v)
+        case "drop_tag" =>
+          GraftStore.dropTag(dir, input.getUTF8String(1).toString)
+          ("tags_left", GraftStore.listTags(dir).size.toLong)
       }
       val schema = StructType(Seq(StructField(col, LongType, nullable = false)))
       util.Collections.singletonList[Scan](new GraftResultScan(schema,

@@ -1366,6 +1366,78 @@ object GraftStore {
     deleteRecursively(Paths.get(dir))
   }
 
+  // --------------------------------------------------------------------
+  // Named refs (tags): a tag is a named pin on one committed version —
+  // `VERSION AS OF '<name>'` resolves it, and expireVersions keeps the
+  // pinned version readable regardless of keep_last. One file per tag
+  // under `_refs/` whose content is the version number; create-exclusive,
+  // so two writers can never both own a name. Tags are NOT copied by
+  // CALL clone (the clone's history is its own) and die with the table.
+  // --------------------------------------------------------------------
+
+  private def refsRoot(dir: String): Path = Paths.get(dir, "_refs")
+
+  /** Tag-name grammar: must start with a letter so a name can never be
+    * confused with a numeric `VERSION AS OF` literal. */
+  private[sources] val RefNamePattern = "[A-Za-z][A-Za-z0-9_.-]{0,254}"
+
+  /** All tags of a table: name → pinned version. Unreadable entries (a
+    * concurrent create_tag mid-write) are skipped — callers re-list. */
+  def listTags(dir: String): Map[String, Long] = {
+    val root = refsRoot(dir)
+    if (!Files.isDirectory(root)) Map.empty
+    else listDir(root)(_.flatMap { p =>
+      val n = p.getFileName.toString
+      if (!n.matches(RefNamePattern)) None
+      else try Some(n -> new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+      catch { case _: Exception => None }
+    }.toMap)
+  }
+
+  def resolveRef(dir: String, name: String): Option[Long] =
+    listTags(dir).get(name)
+
+  /** Pin `version` under `name`. Write-then-verify: the ref file is
+    * created FIRST (create-exclusive — a concurrent create_tag of the
+    * same name loses loudly), then the version is re-checked against the
+    * readable listing. If an expireVersions raced us and retired the
+    * version (its `_expired` marker is the expiry commit point), the ref
+    * is removed and the create fails — combined with expire's post-marker
+    * ref re-check (see [[expireVersions]]), a tag can never end up
+    * pointing at a version that is gone. */
+  def createTag(dir: String, name: String, version: Long): Unit = {
+    require(name.matches(RefNamePattern),
+      s"invalid tag name '$name': must match $RefNamePattern " +
+        "(starts with a letter; letters, digits, '_', '.', '-')")
+    require(listVersions(dir).contains(version),
+      s"table $dir has no retained version $version to tag " +
+        s"(have ${listVersions(dir)})")
+    Files.createDirectories(refsRoot(dir))
+    val p = refsRoot(dir).resolve(name)
+    try Files.write(p, version.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists on $dir (pinned to version " +
+            s"${resolveRef(dir, name).getOrElse("?")}) — CALL drop_tag first")
+    }
+    if (!listVersions(dir).contains(version)) {
+      Files.deleteIfExists(p)
+      throw new IllegalStateException(
+        s"version $version of $dir was expired while tagging — the tag " +
+          "was not created")
+    }
+  }
+
+  def dropTag(dir: String, name: String): Unit = {
+    val p = refsRoot(dir).resolve(name)
+    require(name.matches(RefNamePattern) && Files.exists(p),
+      s"table $dir has no tag '$name' (have " +
+        s"${listTags(dir).keys.toSeq.sorted.mkString("[", ", ", "]")})")
+    Files.delete(p)
+  }
+
   /** Keep the newest `keepLast` versions readable, retire older ones. A
     * retired version whose dir still OWNS files a kept snapshot references
     * (via `_bucketmap`) is marked `_expired` — dropped from the version
@@ -1377,7 +1449,10 @@ object GraftStore {
     * nothing as references age out. */
   def expireVersions(dir: String, keepLast: Int): Unit = {
     val live = listVersions(dir)
-    val keep = live.takeRight(math.max(1, keepLast)).toSet
+    // tagged versions are PINNED: a named ref keeps its version readable
+    // (and its referenced slots on disk) regardless of keep_last
+    val keep = live.takeRight(math.max(1, keepLast)).toSet ++
+      listTags(dir).values.toSet.intersect(live.toSet)
     // (owner version, bucket) pairs some kept snapshot still reads
     val referenced: Set[(Long, String)] = keep.flatMap(v =>
       ownersOf(dir, v).toSeq.flatMap { case (s, os) => os.map(o => (o, s)) })
@@ -1400,7 +1475,29 @@ object GraftStore {
       // partial rows). A marked host is re-swept on every later call, so
       // marker-then-sweep is crash-resumable in both branches.
       Files.write(Paths.get(vdir, ExpiredMarker), Array.empty[Byte])
-      if (refSlots.isEmpty) {
+      // a create_tag racing this expiry: the marker is the expiry commit
+      // point, so re-check the refs AFTER it and resurrect (unmark, skip)
+      // if the version got tagged — create_tag's own write-then-verify
+      // (ref first, listing second) makes the two orderings safe: either
+      // its verify sees our marker and the create fails, or its ref
+      // landed before this re-check and the version survives intact.
+      // Only a FRESHLY-retired version may resurrect — a re-swept
+      // `_expired` file host is already partial and must stay retired
+      // (createTag can never have accepted it: the listing filters marked
+      // dirs before anything is deleted) — and only while every owner
+      // slot its snapshot references is still intact: a version whose
+      // owner slots were already swept earlier IN THIS LOOP (they were
+      // unreferenced when the keep-set was computed, pre-tag) would come
+      // back partial, so it stays retired and the racing create_tag's
+      // verify fails loudly instead.
+      def slotsIntact: Boolean = ownersOf(dir, v).forall { case (s, os) =>
+        os.forall(o => Files.isDirectory(
+          Paths.get(s"${versionDir(dir, o)}/$s")))
+      }
+      if (live.contains(v) && listTags(dir).values.exists(_ == v) &&
+          slotsIntact) {
+        Files.deleteIfExists(Paths.get(vdir, ExpiredMarker))
+      } else if (refSlots.isEmpty) {
         // rename the whole dir OUT of the version namespace first (the
         // tomb name no longer matches v\d{10}, so it can never be listed
         // again), then sweep the tomb. Deleting in place has a crash
