@@ -923,9 +923,12 @@ final class GraftChangesTable(tableName: String, dir: String)
     GraftStore.recoverChangelog(dir)
     val batch = batchScanBuilder(options)
     // `readStream.table` on this table streams the changelog with
-    // VERSION-ALIGNED micro-batches (GraftChangesMicroBatchStream)
+    // VERSION-ALIGNED micro-batches (GraftChangesMicroBatchStream);
+    // maxVersionsPerTrigger / maxRowsPerTrigger bound each batch
     new org.apache.spark.sql.GraftStreamableScanBuilder(batch,
-      () => new GraftChangesMicroBatchStream(dir, meta))
+      () => new GraftChangesMicroBatchStream(dir, meta,
+        GraftStreamLimits.parse(options, "maxVersionsPerTrigger"),
+        GraftStreamLimits.parse(options, "maxRowsPerTrigger")))
   }
 
   private def batchScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1039,7 +1042,11 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       () => new GraftTableAppendStream(dir, meta,
         ignoreDeletes = options.getBoolean("ignoreDeletes", false),
         ignoreChanges = options.getBoolean("ignoreChanges", false),
-        skipChangeCommits = options.getBoolean("skipChangeCommits", false)))
+        skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+        maxVersionsPerTrigger =
+          GraftStreamLimits.parse(options, "maxVersionsPerTrigger"),
+        maxRowsPerTrigger =
+          GraftStreamLimits.parse(options, "maxRowsPerTrigger")))
   }
 
   /** INSERT INTO / INSERT OVERWRITE / CTAS append path: a V1 fallback write

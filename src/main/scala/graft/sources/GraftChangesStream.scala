@@ -4,10 +4,72 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Admission control for the store's version-aligned streams: both rate
+  * limits keep batches TRANSACTION-ALIGNED — a version is never split
+  * across batches, so `maxRowsPerTrigger` is a budget the batch fills
+  * version-by-version, not a hard row cap. Row counts come from the slice
+  * files' parquet footers (metadata only, cached — slices are immutable
+  * once published). The scale point: an unbounded first batch over a
+  * long-retained changelog (or a fleet of consumers restarting at once)
+  * is the classic backfill stampede; a bounded batch keeps state-store
+  * and sink pressure flat no matter how far behind a consumer is. */
+private[sources] object GraftStreamLimits {
+  private val sliceRows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Rows of one changelog slice (0 for a changelog-less version). */
+  def sliceRowCount(dir: String, v: Long): Long = {
+    val sliceDir =
+      s"${GraftStore.changesRoot(dir)}/${GraftStore.ChangeVersionCol}=$v"
+    if (!Files.isDirectory(Paths.get(sliceDir))) 0L
+    else {
+      if (sliceRows.size > 4096) sliceRows.clear() // backstop, not LRU
+      sliceRows.computeIfAbsent(sliceDir, _ =>
+        GraftStats.listDataFiles(sliceDir).map(rel =>
+          GraftStats.fileRowCount(Paths.get(sliceDir, rel))
+            .getOrElse(0L)).sum)
+    }
+  }
+
+  /** Largest end version in (startV, latest] admitted by the limits:
+    * at most `maxVersions` versions, and versions are admitted while the
+    * cumulative slice row count stays within `maxRows` (the FIRST version
+    * is always admitted — a single over-budget transaction must still
+    * flow, else the stream starves). */
+  def clampEnd(dir: String, startV: Long, latest: Long,
+      maxVersions: Option[Long], maxRows: Option[Long]): Long = {
+    var end = latest
+    maxVersions.foreach(n => end = math.min(end, startV + n))
+    maxRows.foreach { budget =>
+      var v = startV
+      var rows = 0L
+      var full = false
+      while (v < end && !full) {
+        val next = sliceRowCount(dir, v + 1)
+        if (rows == 0L || rows + next <= budget) { v += 1; rows += next }
+        else full = true
+      }
+      end = v
+    }
+    math.max(end, startV)
+  }
+
+  /** Parse a positive-long stream option, loudly. */
+  def parse(options: CaseInsensitiveStringMap, key: String): Option[Long] =
+    Option(options.get(key)).map { s =>
+      val n = try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option $key must be a positive integer, got '$s'")
+      }
+      require(n > 0, s"option $key must be positive, got $n")
+      n
+    }
+}
 
 /** Stream offset = committed store version (exclusive lower bound when used
   * as a range start). */
@@ -39,11 +101,46 @@ final case class GraftVersionOffset(v: Long) extends Offset {
   * downstream fold (consumers needing older history re-snapshot). Snapshot
   * boundaries (restore/truncate/overwrite) fail the same way via their
   * per-version `_boundary` stamps — see [[GraftStore.writeBoundaryMarker]];
-  * a fresh stream auto-starts past the latest boundary. */
-final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
-    extends MicroBatchStream {
+  * a fresh stream auto-starts past the latest boundary.
+  *
+  * Rate limiting (`option("maxVersionsPerTrigger", n)` /
+  * `option("maxRowsPerTrigger", n)`) clamps each batch's version range —
+  * see [[GraftStreamLimits]]; batches stay version-aligned either way.
+  * Under `Trigger.AvailableNow` the target version is pinned at start, so
+  * a rate-limited run drains history in bounded batches and terminates at
+  * the pinned version even while writers keep committing. */
+final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // pointer first, recovery second — same reasoning as latestOffset
+    val v = GraftStore.currentVersion(dir)
+    GraftStore.recoverChangelog(dir)
+    availableNowTarget = Some(v)
+  }
+
+  // the limits live in this stream's own options, so the engine-side
+  // ReadLimit is pass-through; latestOffset(start, _) applies ours
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val real = GraftStore.currentVersion(dir)
+    GraftStore.recoverChangelog(dir)
+    val target = availableNowTarget.map(math.min(_, real)).getOrElse(real)
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    GraftVersionOffset(GraftStreamLimits.clampEnd(dir, s,
+      math.max(target, s), maxVersionsPerTrigger, maxRowsPerTrigger))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftVersionOffset(GraftStore.currentVersion(dir))
 
   private def retainedVersions: Seq[Long] = {
     val root = Paths.get(GraftStore.changesRoot(dir))
@@ -70,17 +167,15 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta)
     GraftVersionOffset(math.max(base, floor))
   }
 
-  override def latestOffset(): Offset = {
-    // pointer FIRST, recovery second: recovery keyed off a later pointer
-    // read could miss a writer that flips the pointer after the recover
-    // ran but crashes before publishing its changelog staging — the batch
-    // range would then cover a version whose dir only appears after the
-    // NEXT recovery, and plan-time must not have already skipped it (it
-    // re-recovers too, belt and braces)
-    val v = GraftStore.currentVersion(dir)
-    GraftStore.recoverChangelog(dir)
-    GraftVersionOffset(v)
-  }
+  // pointer FIRST, recovery second (inside latestOffset(start, limit)):
+  // recovery keyed off a later pointer read could miss a writer that
+  // flips the pointer after the recover ran but crashes before publishing
+  // its changelog staging — the batch range would then cover a version
+  // whose dir only appears after the NEXT recovery, and plan-time must
+  // not have already skipped it (it re-recovers too, belt and braces)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
@@ -178,22 +273,53 @@ final case class GraftTableOffset(v: Long, pending: Boolean) extends Offset {
   * once (per key-state at snapshot time). */
 final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
-    skipChangeCommits: Boolean = false) extends MicroBatchStream {
+    skipChangeCommits: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val v = GraftStore.currentVersion(dir)
+    GraftStore.recoverChangelog(dir)
+    availableNowTarget = Some(v)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def initialOffset(): Offset = {
     GraftStore.recoverChangelog(dir)
     GraftTableOffset(GraftStore.currentVersion(dir), pending = true)
   }
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // pointer first, recovery second — same crash-window reasoning as the
     // changes stream's latestOffset
-    val v = GraftStore.currentVersion(dir)
+    val real = GraftStore.currentVersion(dir)
     GraftStore.recoverChangelog(dir)
-    GraftTableOffset(v, pending = false)
+    val target = availableNowTarget.map(math.min(_, real)).getOrElse(real)
+    val s0 = start.asInstanceOf[GraftTableOffset]
+    if (s0.pending &&
+        (maxVersionsPerTrigger.isDefined || maxRowsPerTrigger.isDefined))
+      // under a rate limit the snapshot ALONE is the first batch (it is
+      // already one bounded scan of one version); the tail starts next
+      GraftTableOffset(s0.v, pending = false)
+    else
+      GraftTableOffset(GraftStreamLimits.clampEnd(dir, s0.v,
+        math.max(target, s0.v), maxVersionsPerTrigger, maxRowsPerTrigger),
+        pending = false)
   }
+
+  override def reportLatestOffset(): Offset =
+    GraftTableOffset(GraftStore.currentVersion(dir), pending = false)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim

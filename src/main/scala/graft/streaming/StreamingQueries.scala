@@ -947,6 +947,127 @@ object StreamingQueries {
         TRUE, TRUE, TRUE, TRUE
       ORDER BY phase""")),
 
+    // ----- T14: admission control on the store's streams —
+    // `option("maxVersionsPerTrigger", n)` / `option("maxRowsPerTrigger",
+    // n)` bound each micro-batch while batches stay TRANSACTION-ALIGNED
+    // (a version is never split; the row budget admits whole versions
+    // until full, always at least one). The 100 TB point: an unbounded
+    // first batch over a long-retained changelog is the backfill
+    // stampede — a restarting consumer fleet re-reading months of history
+    // as ONE batch each; bounded batches keep sink/state pressure flat no
+    // matter how far behind a consumer is, and `Trigger.AvailableNow`
+    // pins its target at start so a bounded drain terminates even while
+    // writers keep committing. The gate commits 4 DML versions with
+    // closed-form row counts, drains the changelog three ways (one
+    // version per batch; a 10-row budget that must group the versions
+    // exactly {1},{2,3},{4} — over-budget v1 flows alone; unlimited) and
+    // pins the batch boundaries AND the per-version fold equal across all
+    // three; a rate-limited base-table stream must emit its snapshot as
+    // one batch of exactly the table's rows.
+    GraftQuery("t14_rate_limited_stream", (s, d) => {
+      import s.implicits._
+      graft.operators.DmlFixture.register(s)
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("t14_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.rate_state")
+      s.sql("""CREATE TABLE graftdml.rate_state
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.rate_state SELECT * FROM t14_src")     // v1: 25 I
+      s.sql("UPDATE graftdml.rate_state SET pop = pop + 5 WHERE r = 2")  // v2: 5 U
+      s.sql("DELETE FROM graftdml.rate_state WHERE k % 5 = 0")           // v3: 5 D
+      s.sql("""INSERT INTO graftdml.rate_state VALUES
+        (100, 0, 1), (101, 1, 2), (102, 2, 3)""")                        // v4: 3 I
+
+      // drain the changelog under a limit, capturing batch boundaries
+      def drain(opts: Map[String, String]): Seq[(Set[Long], Long)] = {
+        val batches =
+          new scala.collection.mutable.ArrayBuffer[(Set[Long], Long)]()
+        var r = s.readStream
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        val q = r.table("graftdml.`rate_state$changes`").writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.select($"change_version").collect().map(_.getLong(0))
+            if (rows.nonEmpty)
+              batches.synchronized { batches += ((rows.toSet, rows.length.toLong)) }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000L), "drain did not terminate")
+        finally q.stop()
+        batches.synchronized { batches.toSeq }
+      }
+      val perVersion = drain(Map("maxVersionsPerTrigger" -> "1"))
+      val budgeted = drain(Map("maxRowsPerTrigger" -> "10"))
+      val unlimited = drain(Map.empty)
+      val versionAligned =
+        perVersion.map(_._1) == Seq(Set(1L), Set(2L), Set(3L), Set(4L))
+      val budgetGroups =
+        budgeted.map(_._1) == Seq(Set(1L), Set(2L, 3L), Set(4L))
+      val oneBatchUnlimited =
+        unlimited.map(_._1) == Seq(Set(1L, 2L, 3L, 4L))
+      val sameTotal = perVersion.map(_._2).sum == unlimited.map(_._2).sum &&
+        budgeted.map(_._2).sum == unlimited.map(_._2).sum
+      // rate-limited BASE-TABLE stream: the snapshot is one batch of
+      // exactly the current rows (AvailableNow pins at the snapshot)
+      val snapSizes = {
+        val sizes = new scala.collection.mutable.ArrayBuffer[Long]()
+        val q = s.readStream.option("maxVersionsPerTrigger", "1")
+          .table("graftdml.rate_state").writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val n = df.count()
+            if (n > 0) sizes.synchronized { sizes += n }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000L), "snapshot did not terminate")
+        finally q.stop()
+        sizes.synchronized { sizes.toSeq }
+      }
+      val tableCount = s.table("graftdml.rate_state").count()
+      val snapshotAlone = snapSizes == Seq(tableCount)
+      // result: per-version change rows (the fold all three drains agree
+      // on) + the batch-boundary booleans
+      graft.sources.GraftStore
+        .readChanges(s, s"${graft.operators.DmlFixture.warehouse}/rate_state",
+          1L, 4L)
+        .groupBy($"change_version")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"change_op" === "I", 1L).otherwise(0L)).as("n_ins"),
+          sum(when($"change_op" === "U", 1L).otherwise(0L)).as("n_upd"),
+          sum(when($"change_op" === "D", 1L).otherwise(0L)).as("n_del"))
+        .withColumn("version_aligned_batches", lit(versionAligned))
+        .withColumn("row_budget_groups_exact", lit(budgetGroups))
+        .withColumn("unlimited_single_batch", lit(oneBatchUnlimited))
+        .withColumn("all_drains_same_total", lit(sameTotal))
+        .withColumn("snapshot_alone_one_batch", lit(snapshotAlone))
+        .orderBy($"change_version")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r FROM nation),
+      counts AS (
+        SELECT 1 AS change_version,
+          (SELECT COUNT(*) FROM src) AS n_ins, 0 AS n_upd, 0 AS n_del
+        UNION ALL
+        SELECT 2, 0, (SELECT COUNT(*) FROM src WHERE r = 2), 0
+        UNION ALL
+        SELECT 3, 0, 0, (SELECT COUNT(*) FROM src WHERE k % 5 = 0)
+        UNION ALL
+        SELECT 4, 3, 0, 0)
+      SELECT CAST(change_version AS BIGINT) AS change_version,
+        CAST(n_ins + n_upd + n_del AS BIGINT) AS n_rows,
+        CAST(n_ins AS BIGINT) AS n_ins, CAST(n_upd AS BIGINT) AS n_upd,
+        CAST(n_del AS BIGINT) AS n_del,
+        TRUE AS version_aligned_batches, TRUE AS row_budget_groups_exact,
+        TRUE AS unlimited_single_batch, TRUE AS all_drains_same_total,
+        TRUE AS snapshot_alone_one_batch
+      FROM counts ORDER BY change_version""")),
+
     // ----- T11: declarative streaming UPSERT into the DML store —
     // `writeStream.option("upsert","true").toTable(...)` commits each
     // epoch's rows as keyed updates (delete-old + insert-new per merge
