@@ -2231,6 +2231,82 @@ object SourceQueries {
         TRUE AS dropped_pin_reclaimed
       FROM latest WHERE user_id % 5 <> 0 ORDER BY user_id""")),
 
+    // ----- S37: idempotent writer commits — `txnAppId`/`txnVersion`
+    // write options make a retried batch write a NO-OP once its (appId,
+    // version) is at or below the table's recorded high-water. The 100 TB
+    // operational story: every serious pipeline retries (task retries,
+    // workflow re-runs, at-least-once upstreams), and without write-side
+    // idempotence each retry duplicates rows silently; the record is a
+    // `_txn` file inside the version dir — atomic with the commit itself,
+    // so a crash can never leave "recorded but not committed" (lost
+    // write) or "committed but not recorded" (duplicate) — and version
+    // expiry promotes it to `_txns/<appId>` so the guarantee outlives
+    // retention. The gate appends two disjoint halves under (loader, 1) /
+    // (loader, 2), retries both with DIFFERENT payloads (must not land),
+    // expires the recording versions and retries again (promotion), and
+    // hashes the final rows — any duplicate or lost write breaks the hash,
+    // not just a boolean.
+    GraftQuery("s37_idempotent_writes", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s37_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.txn_t")
+      s.sql("""CREATE TABLE graftdml.txn_t
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      val dir = s"${DmlFixture.warehouse}/txn_t"
+      val G = graft.sources.GraftStore
+      def put(df: org.apache.spark.sql.DataFrame, ver: Long): Unit =
+        df.writeTo("graftdml.txn_t")
+          .option("txnAppId", "loader").option("txnVersion", ver.toString)
+          .append()
+      val evens = s.sql("SELECT * FROM s37_latest WHERE user_id % 2 = 0")
+      val odds = s.sql("SELECT * FROM s37_latest WHERE user_id % 2 = 1")
+      // poison payloads: if a retry lands, the row hash breaks loudly
+      val poison = s.sql("SELECT user_id + 1000000, cents + 999 FROM s37_latest")
+        .toDF("user_id", "cents")
+      put(evens, 1)                                        // v1: applied
+      val v1 = G.currentVersion(dir)
+      put(poison, 1)                                       // retry: no-op
+      val retryNoBump = G.currentVersion(dir) == v1
+      put(odds, 2)                                         // v2: applied
+      put(poison, 1)                                       // stale: no-op
+      val staleSkipped = G.currentVersion(dir) == v1 + 1
+      // retention must not forget the high-water: expire the recording
+      // versions outright, then retry both — still no-ops via _txns/
+      s.sql("INSERT INTO graftdml.txn_t VALUES (999999, 0)") // v3
+      s.sql("CALL graftdml.expire_versions(`table` => 'txn_t', keep_last => 1)")
+      val expired = !G.listVersions(dir).contains(v1)
+      put(poison, 1)                                       // no-op
+      put(poison, 2)                                       // no-op
+      val survivesExpiry = G.currentVersion(dir) == v1 + 2 &&
+        G.lastTxnVersion(dir, "loader").contains(2L)
+      // a fresh version under the SAME app lands normally
+      put(s.sql("SELECT CAST(999998 AS BIGINT), CAST(7 AS BIGINT)")
+        .toDF("user_id", "cents"), 3)                      // v4: applied
+      s.sql("SELECT user_id, cents FROM graftdml.txn_t")
+        .withColumn("retry_no_version_bump", lit(retryNoBump))
+        .withColumn("stale_version_skipped", lit(staleSkipped))
+        .withColumn("recorder_version_expired", lit(expired))
+        .withColumn("highwater_survives_expiry", lit(survivesExpiry))
+        .orderBy($"user_id")
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1)
+      SELECT user_id, cents,
+        TRUE AS retry_no_version_bump, TRUE AS stale_version_skipped,
+        TRUE AS recorder_version_expired, TRUE AS highwater_survives_expiry
+      FROM (SELECT user_id, cents FROM latest
+            UNION ALL VALUES (999999, 0), (999998, 7))
+      ORDER BY user_id""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

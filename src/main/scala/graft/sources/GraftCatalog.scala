@@ -1086,7 +1086,14 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
           (data, overwrite) => {
             val spark = data.sparkSession
             import org.apache.spark.sql.functions.{col, lit}
-            if (replaceWhere.nonEmpty) {
+            // idempotent writer commits: an (txnAppId, txnVersion) pair at
+            // or below the table's recorded high-water makes the whole
+            // write a no-op — the retried-batch-job contract
+            val txn = GraftStore.parseTxnOptions(info.options())
+            if (txn.exists { case (a, v) =>
+                  GraftStore.lastTxnVersion(dir, a).exists(_ >= v) }) {
+              // already applied — skip before planning any job
+            } else if (replaceWhere.nonEmpty) {
               val pred = replaceWhere.map(GraftCatalog.filterToColumn)
                 .reduce(_ && _)
               val snapshot = GraftStore.currentVersion(dir)
@@ -1114,7 +1121,7 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
                   dup.head.toSeq.init.mkString("(", ",", ")") +
                   "; dedupe or aggregate per key first")
               GraftStore.applyChanges(spark, dir, dels.unionByName(ups),
-                expectedVersion = Some(snapshot))
+                expectedVersion = Some(snapshot), txn = txn)
             } else {
               // overwrite is a SINGLE version commit (write new data, link
               // nothing, flip once) — never a truncate-then-append pair,
@@ -1122,7 +1129,8 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
               // leave one behind on a crash between the halves.
               GraftStore.applyChanges(spark, dir,
                 data.withColumn(GraftStore.OpCol, lit("I")),
-                allInserts = true, overwrite = doTruncate || overwrite)
+                allInserts = true, overwrite = doTruncate || overwrite,
+                txn = txn)
             }
           }
         override def toStreaming:

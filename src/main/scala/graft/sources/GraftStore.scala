@@ -1438,6 +1438,98 @@ object GraftStore {
     Files.delete(p)
   }
 
+  // --------------------------------------------------------------------
+  // Idempotent writer commits (txnAppId / txnVersion write options): a
+  // batch writer stamps each write with an application id and a
+  // monotonically increasing version; a write whose (appId, version) is
+  // at or below the table's recorded high-water for that app is a NO-OP —
+  // so a retried job (Spark task retry frameworks, workflow engines
+  // re-running a failed stage, an at-least-once upstream) can never
+  // double-append. The record is a `_txn` file INSIDE the version dir —
+  // written into the writer-private build dir, so it publishes atomically
+  // with the commit itself (no record-vs-data crash window in either
+  // order). Expiry promotes records to `_txns/<appId>` so the guarantee
+  // survives retention (same pattern as boundary-marker promotion).
+  // --------------------------------------------------------------------
+
+  private def txnsRoot(dir: String): Path = Paths.get(dir, "_txns")
+  private[sources] val TxnMarker = "_txn"
+  private[sources] val TxnAppIdPattern = "[A-Za-z0-9._-]{1,200}"
+
+  /** The recorded high-water txnVersion for `appId`, across retained
+    * version dirs (including retired-but-referenced `_expired` hosts —
+    * their commits were real) and expiry-promoted records. */
+  def lastTxnVersion(dir: String, appId: String): Option[Long] = {
+    val promoted = {
+      val p = txnsRoot(dir).resolve(appId)
+      if (!Files.exists(p)) None
+      else try Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+      catch { case _: Exception => None }
+    }
+    val inVersions = listDir(Paths.get(dir))(_.filter(
+        _.getFileName.toString.matches("v\\d{10}")).toSeq)
+      .flatMap { vp =>
+        val p = vp.resolve(TxnMarker)
+        if (!Files.exists(p)) None
+        else try {
+          new String(Files.readAllBytes(p), "UTF-8").trim.split('\t') match {
+            case Array(app, v) if app == appId => Some(v.toLong)
+            case _ => None
+          }
+        } catch { case _: Exception => None }
+      }
+    (promoted.toSeq ++ inVersions).maxOption
+  }
+
+  private[sources] def writeTxnMarker(buildDir: String, appId: String,
+      v: Long): Unit =
+    Files.write(Paths.get(buildDir, TxnMarker),
+      s"$appId\t$v".getBytes("UTF-8"))
+
+  /** Promote a retiring version dir's `_txn` record to `_txns/<appId>`
+    * (keeping the max — re-promotion after a crash is idempotent). */
+  private def promoteTxnMarker(vdir: String, dir: String): Unit = {
+    val p = Paths.get(vdir, TxnMarker)
+    if (!Files.exists(p)) return
+    try {
+      new String(Files.readAllBytes(p), "UTF-8").trim.split('\t') match {
+        case Array(app, v) if app.matches(TxnAppIdPattern) =>
+          Files.createDirectories(txnsRoot(dir))
+          val dst = txnsRoot(dir).resolve(app)
+          val existing =
+            if (!Files.exists(dst)) None
+            else try Some(new String(Files.readAllBytes(dst), "UTF-8").trim.toLong)
+            catch { case _: Exception => None }
+          val hi = math.max(v.toLong, existing.getOrElse(Long.MinValue))
+          Files.write(dst, hi.toString.getBytes("UTF-8"))
+        case _ => ()
+      }
+    } catch { case _: Exception => () }
+  }
+
+  /** Parse the txnAppId/txnVersion write-option pair, loudly: both or
+    * neither, path-safe app id, non-negative version. */
+  def parseTxnOptions(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : Option[(String, Long)] = {
+    val app = Option(options.get("txnAppId"))
+    val ver = Option(options.get("txnVersion"))
+    (app, ver) match {
+      case (None, None) => None
+      case (Some(a), Some(v)) =>
+        require(a.matches(TxnAppIdPattern),
+          s"txnAppId must match $TxnAppIdPattern, got '$a'")
+        val n = try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"txnVersion must be an integer, got '$v'")
+        }
+        require(n >= 0, s"txnVersion must be non-negative, got $n")
+        Some((a, n))
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together (idempotent writes " +
+          "need both the application id and its monotone version)")
+    }
+  }
+
   /** Keep the newest `keepLast` versions readable, retire older ones. A
     * retired version whose dir still OWNS files a kept snapshot references
     * (via `_bucketmap`) is marked `_expired` — dropped from the version
@@ -1468,6 +1560,9 @@ object GraftStore {
         val m = Paths.get(changesRoot(dir), f"_boundary-$v%010d")
         if (!Files.exists(m)) Files.write(m, Array.empty[Byte])
       }
+      // same write-then-delete discipline for idempotent-write records:
+      // the (appId, txnVersion) high-water must survive the version dir
+      promoteTxnMarker(vdir, dir)
       val refSlots = referenced.collect { case (`v`, s) => s }
       // Exclude the version from the readable listing BEFORE anything is
       // deleted: a crash mid-sweep must never leave a still-listed version
@@ -1671,8 +1766,15 @@ object GraftStore {
       commutative: Boolean = false,
       expectedVersion: Option[Long] = None,
       heartbeatPaths: Seq[Path] = Nil,
-      capturedMeta: Option[GraftTableMeta] = None): Long = {
+      capturedMeta: Option[GraftTableMeta] = None,
+      txn: Option[(String, Long)] = None): Long = {
     require(!overwrite || allInserts, "overwrite implies an all-insert batch")
+    // idempotent-write fast path: an (appId, version) at or below the
+    // recorded high-water is a retry of an already-applied write — no-op
+    // before any job runs. The authoritative re-check happens under the
+    // commit claim below (two racing retries serialize there).
+    if (txn.exists { case (a, v) => lastTxnVersion(dir, a).exists(_ >= v) })
+      return currentVersion(dir)
     val meta = readMeta(dir)
     // align against the SAME meta snapshot this commit buckets and selects
     // with — callers aligning separately and then racing a fresh ALTER
@@ -1752,9 +1854,16 @@ object GraftStore {
               // heartbeat also covers the writer-private build dir so a
               // very long rewrite can't age past vacuum's threshold
               val buildPath = Paths.get(s"${versionDir(dir, next)}.build-$token")
-              committed = withClaimHeartbeat(marker +: buildPath +: heartbeatPaths) {
+              // authoritative idempotence check: the claim serializes
+              // writers per version, so a racing retry of the same
+              // (appId, txnVersion) that lost the earlier claim sees the
+              // winner's published record here and no-ops
+              if (txn.exists { case (a, v) =>
+                    lastTxnVersion(dir, a).exists(_ >= v) }) {
+                committed = cur
+              } else committed = withClaimHeartbeat(marker +: buildPath +: heartbeatPaths) {
                 commitVersion(spark, dir, meta, ch, touched,
-                  cur, allInserts, overwrite, bucketedFor, marker, token)
+                  cur, allInserts, overwrite, bucketedFor, marker, token, txn)
               }
             } else {
               // claim won but the pointer moved first (stale pre-claim
@@ -1781,7 +1890,8 @@ object GraftStore {
   private def commitVersion(spark: SparkSession, dir: String,
       meta: GraftTableMeta, ch: DataFrame, touched: Set[Int], cur: Long,
       allInserts: Boolean, overwrite: Boolean, buckets: Int,
-      marker: Path, token: String): Long = {
+      marker: Path, token: String,
+      txn: Option[(String, Long)] = None): Long = {
     val next = cur + 1
     val nextDir = versionDir(dir, next)
     // writer-private build dir: the final vN name appears only after the
@@ -2005,6 +2115,11 @@ object GraftStore {
       GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, buckets)
       if (overwrite) writeBoundaryMarker(buildDir) // snapshot boundary for CDC
+      // idempotent-write record publishes atomically WITH the commit: in
+      // the build dir before the rename, so neither "recorded but not
+      // committed" (lost write on retry) nor "committed but not recorded"
+      // (duplicate on retry) can exist after a crash
+      txn.foreach { case (a, v) => writeTxnMarker(buildDir, a, v) }
       // a commit that outlived even the heartbeat-refreshed stale window
       // (or whose heartbeat was starved) may have lost its claim to a
       // takeover — re-verify ownership at the last instant so we never
