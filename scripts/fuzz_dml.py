@@ -87,6 +87,8 @@ def gen_sequence(idx):
     # layout; a restore to a DV-live version brings back its slices.
     history = {0: ({}, 0, 4, False)}
     n_drops = 0
+    live_tags = []       # named refs created and not yet dropped (S36)
+    tag_n = 0
     n_stmt = rng.randint(5, 9)
     for _ in range(n_stmt):
         kind = rng.choice(["insert", "insert", "merge", "merge", "update",
@@ -95,7 +97,7 @@ def gen_sequence(idx):
                            "rename", "rename", "drop_readd", "rebucket",
                            "merge_nmbs", "restore", "replace_where",
                            "set_mode", "rtas", "expire_partitions",
-                           "merge_evolve", "set_bloom"])
+                           "merge_evolve", "set_bloom", "tag_cycle"])
         if partitioned and kind in ("drop_readd", "rtas"):
             continue  # partition column undroppable;
                       # the generated RTAS would silently de-partition
@@ -145,6 +147,25 @@ def gen_sequence(idx):
             mode = "mor" if mode == "cow" else "cow"
             stmts.append(f"ALTER TABLE graftdml.{t} SET TBLPROPERTIES "
                          f"('merge_mode'='{mode}')")
+            continue
+        if kind == "tag_cycle":
+            # content-neutral named refs (S36): pin a recent version under
+            # a tag (expire_versions must then keep it and every owner
+            # slot it references — the real interplay surface with
+            # manifests, mor slices and partition dirs), or drop a live
+            # tag so a later expire reclaims the version. Never touches
+            # contents or the changelog.
+            if live_tags and rng.random() < 0.5:
+                name = live_tags.pop(rng.randrange(len(live_tags)))
+                stmts.append(f"CALL graftdml.drop_tag('{t}', '{name}')")
+            else:
+                tag_n += 1
+                name = f"fz-tag-{tag_n}"
+                v = rng.randint(max(0, version - 2), version)
+                stmts.append(f"CALL graftdml.create_tag("
+                             f"table => '{t}', name => '{name}', "
+                             f"version => {v})")
+                live_tags.append(name)
             continue
         if kind == "set_bloom":
             # content-neutral: toggles per-column parquet bloom filters on
