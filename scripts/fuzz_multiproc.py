@@ -10,7 +10,16 @@ rebucket — then runs `verify`, which checks: contiguous versions, no
 orphan claims, no duplicate keys, live contents == the union of what
 every writer recorded as committed, and changelog replay from v0 == live.
 
-Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part]
+Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part] [--tags]
+
+--tags forks TWO extra `refloop` processes that race the writers and each
+other with create_tag + aggressive expire_versions churn (S36): a create
+may cleanly lose to an expire (loud failure, ref removed), but a
+surviving tag must always resolve to a readable version whose referenced
+owner slots all exist — asserted after every round and by the final
+verify, which runs with --expired (history legitimately starts above v0;
+contiguity and changelog replay anchor at the earliest version of the
+retained window ending at current).
 
 --mor creates the table with merge_mode='mor' so every upsert commits a
 merge-on-read delete slice instead of rewriting buckets — the identical
@@ -35,10 +44,12 @@ Requires `sbt -batch compile` to have populated target/scala-2.13/classes.
 """
 import glob, os, random, signal, subprocess, sys, tempfile, time
 
-args = [a for a in sys.argv[1:] if a not in ("--crash", "--mor", "--part")]
+args = [a for a in sys.argv[1:]
+        if a not in ("--crash", "--mor", "--part", "--tags")]
 crash = "--crash" in sys.argv[1:]
 mor = "--mor" in sys.argv[1:]
 part = "--part" in sys.argv[1:]
+tags = "--tags" in sys.argv[1:]
 n_writers = int(args[0]) if len(args) > 0 else 3
 n_ops = int(args[1]) if len(args) > 1 else 12
 seed = int(args[2]) if len(args) > 2 else 7
@@ -77,6 +88,20 @@ def start_writer(w, ops):
     return w, p, out
 
 procs = [start_writer(w, n_ops) for w in range(1, n_writers + 1)]
+
+# --tags: TWO named-ref churn processes race the writers AND each other —
+# concurrent create_tag × expire_versions × expire_versions across JVMs,
+# the file-based protocol's worst case. Each asserts after every round
+# that a surviving tag reads whole; verify re-asserts at the end and
+# switches to --expired invariants (history legitimately starts above v0).
+ref_procs = []
+if tags:
+    for j in (1, 2):
+        p = subprocess.Popen(
+            java + ["refloop", table, str(max(6, n_ops)), str(seed * 10 + j)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        ref_procs.append((j, p))
+
 killed = set()
 if crash:
     # let everyone get past session startup and some commits, then
@@ -105,8 +130,17 @@ for w, p, out in procs:
     else:
         outs.append(out)
 
+for j, p in ref_procs:
+    so, se = p.communicate(timeout=900)
+    line = next((l for l in so.splitlines() if "[multiwriter]" in l), "?")
+    print(f"refloop {j}: rc={p.returncode} {line}")
+    if p.returncode != 0 or "FAIL" in so:
+        fail = True
+        print(so[-2000:]); print(se[-3000:])
+
 if not fail:
-    r = run((["verify", table, "--partial"] if crash else ["verify", table]) + outs)
+    vflags = (["--partial"] if crash else []) + (["--expired"] if tags else [])
+    r = run(["verify", table] + vflags + outs)
     for l in r.stdout.splitlines():
         if "[multiwriter]" in l:
             print(l)
@@ -117,5 +151,6 @@ if not fail:
 print(f"multiproc fuzz: {'FAIL' if fail else 'PASS'} "
       f"(writers={n_writers} ops={n_ops} seed={seed}"
       f"{' crash-injected=' + str(sorted(killed)) if crash else ''}"
-      f"{' mor' if mor else ''}{' part' if part else ''})")
+      f"{' mor' if mor else ''}{' part' if part else ''}"
+      f"{' tags' if tags else ''})")
 sys.exit(1 if fail else 0)

@@ -98,9 +98,61 @@ object MultiWriterRunner {
       println("[multiwriter] init ok")
     case "write" =>
       write(args(1), args(2).toInt, args(3).toInt, args(4).toLong, args(5))
+    case "refloop" =>
+      refloop(args(1), args(2).toInt, args(3).toLong)
     case "verify" =>
       verify(args(1), args.drop(2).toSeq)
     case other => sys.error(s"unknown mode $other")
+  }
+
+  /** One named-ref churn process racing the writers (and, when the
+    * harness forks two of these, racing ANOTHER expirer): tag the current
+    * version, expire aggressively — the tag must pin its version and
+    * every owner slot its snapshot references — then check the tag reads
+    * WHOLE if it survived creation, and usually drop it so later expires
+    * reclaim. The create×expire protocol explicitly allows a create to
+    * LOSE (loud failure, ref removed — both caught here as benign); what
+    * it must never allow is a surviving tag pointing at a missing or
+    * partially-swept version, which is asserted after every round and
+    * again by `verify --expired`. */
+  private def refloop(dir: String, nOps: Int, seed: Long): Unit = {
+    val rng = new scala.util.Random(seed)
+    var ok = true
+    (0 until nOps).foreach { i =>
+      val name = s"fzref-$seed-$i"
+      val created =
+        try { GraftStore.createTag(dir, name, GraftStore.currentVersion(dir)); true }
+        catch {
+          // lost the race to a concurrent expire (version retired between
+          // the read and the pin) — the loud-failure contract, benign here
+          case _: IllegalStateException => false
+          case _: IllegalArgumentException => false
+        }
+      GraftStore.expireVersions(dir, keepLast = 1 + rng.nextInt(3))
+      if (created) GraftStore.resolveRef(dir, name).foreach { tv =>
+        if (!GraftStore.listVersions(dir).contains(tv)) {
+          ok = false
+          println(s"[multiwriter] FAIL: tag $name pins v$tv but the " +
+            "version is not readable")
+        }
+        GraftStore.ownersOf(dir, tv).foreach { case (slot, os) =>
+          os.foreach { o =>
+            if (!Files.isDirectory(Paths.get(
+                s"${GraftStore.versionDir(dir, o)}/$slot"))) {
+              ok = false
+              println(s"[multiwriter] FAIL: tag $name pins v$tv but " +
+                s"owner slot v$o/$slot is missing on disk")
+            }
+          }
+        }
+        // usually release the pin so later expires reclaim; every ~4th
+        // tag stays live for verify's end-state tag invariants
+        if (rng.nextInt(4) != 0) GraftStore.dropTag(dir, name)
+      }
+      Thread.sleep(rng.nextInt(200).toLong)
+    }
+    println(s"[multiwriter] refloop $seed ${if (ok) "ok" else "FAILED"}")
+    if (!ok) sys.exit(1)
   }
 
   /** One writer process: `nOps` operations over its own disjoint key range
@@ -196,8 +248,13 @@ object MultiWriterRunner {
     * not value-for-value, and dead claim debris is swept by vacuum first
     * (a SIGKILLed writer legitimately leaves its claim marker behind). */
   private def verify(dir: String, args0: Seq[String]): Unit = {
-    val partial = args0.headOption.contains("--partial")
-    val expectedFiles = if (partial) args0.tail else args0
+    val partial = args0.contains("--partial")
+    // `--expired` = a ref-churn process ran expire_versions mid-run, so
+    // history legitimately starts above v0: contiguity is checked from
+    // the earliest RETAINED version and changelog replay folds from its
+    // snapshot instead of the empty v0
+    val expired = args0.contains("--expired")
+    val expectedFiles = args0.filterNot(Set("--partial", "--expired"))
     val spark = session("graft-multiwriter-verify")
     if (partial) GraftStore.vacuum(dir, olderThanMillis = 0L)
     val part = GraftStore.readMeta(dir).partition.isDefined
@@ -219,8 +276,24 @@ object MultiWriterRunner {
 
     val cur = GraftStore.currentVersion(dir)
     val versions = GraftStore.listVersions(dir)
-    check(versions == (0L to cur),
+    if (expired)
+      // expiry ran: the retained range must still END at current; gaps
+      // below it are tag-pinned survivors + the contiguous recent window,
+      // each of which must read whole (tag invariants below)
+      check(versions.nonEmpty && versions.last == cur,
+        s"retained versions don't reach current: $versions (current $cur)")
+    else check(versions == (0L to cur),
       s"versions not contiguous: $versions (current $cur)")
+    // every surviving tag resolves to a readable version whose referenced
+    // owner slots all exist — the "no partial pinned snapshot" invariant
+    GraftStore.listTags(dir).foreach { case (name, tv) =>
+      check(versions.contains(tv), s"tag $name pins unreadable v$tv")
+      GraftStore.ownersOf(dir, tv).foreach { case (slot, os) =>
+        os.foreach { o => check(Files.isDirectory(Paths.get(
+            s"${GraftStore.versionDir(dir, o)}/$slot")),
+          s"tag $name pins v$tv with missing owner slot v$o/$slot") }
+      }
+    }
     import scala.jdk.CollectionConverters._
     val claims = {
       val s = Files.list(Paths.get(dir))
@@ -261,8 +334,15 @@ object MultiWriterRunner {
     // commits (optimize/rebucket) wrote no slices and drop out of every
     // fold.
     val meta = GraftStore.readMeta(dir)
-    val bounds = GraftStore.boundariesIn(dir, 1L, cur)
-    val starts = (0L +: bounds).distinct.sorted
+    // replay floor: v0 normally; after mid-run expiry, the earliest
+    // version of the CONTIGUOUS retained window ending at current (tag-
+    // pinned survivors below a gap are snapshots, not fold anchors)
+    val floor =
+      if (!expired) 0L
+      else versions.reverse.zipWithIndex
+        .takeWhile { case (v, i) => v == cur - i }.last._1
+    val bounds = GraftStore.boundariesIn(dir, floor + 1, cur)
+    val starts = (floor +: bounds).distinct.sorted
     val segments = starts.zip(starts.drop(1).map(_ - 1) :+ cur)
     var lastReplay = Map.empty[Long, (String, Long)]
     segments.foreach { case (from, to) =>
