@@ -22,6 +22,8 @@ object DmlRunner {
       .config("spark.sql.catalog.graftdml",
         classOf[graft.sources.GraftCatalog].getName)
       .config("spark.sql.catalog.graftdml.warehouse", warehouse)
+      .config("spark.sql.extensions",
+        classOf[graft.sources.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -18,6 +18,8 @@ object Verify {
       // from threads that don't see a runtime conf.set (see Tables.eventsRaw)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions",
+        classOf[graft.sources.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

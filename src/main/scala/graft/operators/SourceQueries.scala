@@ -2307,6 +2307,95 @@ object SourceQueries {
             UNION ALL VALUES (999999, 0), (999998, 7))
       ORDER BY user_id""")),
 
+    // ----- S38: SQL views over the catalog (DSv2 ViewCatalog + session-
+    // extension wiring — Spark 4.1 ships the SPI but connects neither DDL
+    // nor reads to it; the extension closes the gap the documented
+    // Iceberg way, two analyzer rules in the pre-resolution Hints batch,
+    // no parser changes). Views are the interface-stability layer a
+    // 100 TB warehouse runs on: consumers read `metrics.daily_revenue`,
+    // not a 40-line SELECT, and the definition swaps atomically under
+    // them. The gate creates a view with computed columns over a store
+    // table, reads THROUGH it (hash vs the DuckDB closed form), nests a
+    // view on the view, swaps the outer definition with OR REPLACE,
+    // pins that the view tracks later DML (definition, not snapshot),
+    // and that cycles / table-name collisions / duplicate creates all
+    // fail loudly.
+    GraftQuery("s38_sql_views", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.events(s, d).withColumn("cents", vcents($"value"))
+        .groupBy($"user_id").agg(max_by(
+          struct($"event_id", $"cents"), struct($"ts", $"event_id")).as("r"))
+        .select($"user_id", $"r.cents".as("cents"))
+        .createOrReplaceTempView("s38_latest")
+      s.sql("DROP TABLE IF EXISTS graftdml.views_t")
+      s.sql("DROP VIEW IF EXISTS graftdml.v_cents")
+      s.sql("DROP VIEW IF EXISTS graftdml.v_heavy")
+      s.sql("""CREATE TABLE graftdml.views_t
+        (user_id BIGINT NOT NULL, cents BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+      s.sql("INSERT INTO graftdml.views_t SELECT * FROM s38_latest")
+      s.sql("""CREATE VIEW graftdml.v_cents AS
+        SELECT user_id, cents, cents * 2 AS dbl
+        FROM graftdml.views_t""")
+      s.sql("""CREATE VIEW graftdml.v_heavy AS
+        SELECT user_id, dbl FROM graftdml.v_cents WHERE cents >= 500""")
+      // the view is a DEFINITION: DML through the base table shows through
+      s.sql("UPDATE graftdml.views_t SET cents = cents + 3 WHERE user_id % 4 = 1")
+      val viaNested = s.sql(
+        "SELECT user_id, dbl FROM graftdml.v_heavy ORDER BY user_id")
+      // OR REPLACE swaps the outer definition atomically
+      s.sql("""CREATE OR REPLACE VIEW graftdml.v_heavy AS
+        SELECT user_id, dbl FROM graftdml.v_cents WHERE cents < 500""")
+      val viaReplaced = s.sql("SELECT user_id FROM graftdml.v_heavy")
+      val replacedDisjoint = viaReplaced.join(viaNested, Seq("user_id"),
+        "inner").count() == 0 &&
+        viaReplaced.count() + viaNested.count() ==
+          s.table("graftdml.views_t").count()
+      val listed = s.sql("SHOW VIEWS IN graftdml").collect()
+        .map(_.getString(1)).toSet == Set("v_cents", "v_heavy")
+      val cycleLoud = try {
+        s.sql("CREATE OR REPLACE VIEW graftdml.v_cents AS " +
+          "SELECT user_id, dbl AS cents, dbl FROM graftdml.v_heavy")
+        false
+      } catch { case e: Exception => e.getMessage.contains("cycle") }
+      val collisionLoud = try {
+        s.sql("CREATE VIEW graftdml.views_t AS SELECT 1 AS x")
+        false
+      } catch { case e: Exception =>
+        e.getMessage.contains("share one namespace") ||
+          e.getMessage.contains("already exists") }
+      val dupLoud = try {
+        s.sql("CREATE VIEW graftdml.v_cents AS SELECT 1 AS x")
+        false
+      } catch { case e: Exception =>
+        e.getMessage.toUpperCase.contains("ALREADY_EXISTS") ||
+          e.getMessage.contains("already exists") }
+      s.sql("DROP VIEW graftdml.v_heavy")
+      val dropGone = s.sql("SHOW VIEWS IN graftdml").collect()
+        .map(_.getString(1)).toSet == Set("v_cents")
+      viaNested
+        .withColumn("replaced_complements", lit(replacedDisjoint))
+        .withColumn("show_views_lists", lit(listed))
+        .withColumn("cycle_fails", lit(cycleLoud))
+        .withColumn("table_collision_fails", lit(collisionLoud))
+        .withColumn("duplicate_fails", lit(dupLoud))
+        .withColumn("drop_removes", lit(dropGone))
+    }, Some(s"""
+      WITH latest AS (SELECT user_id, cents FROM (
+          SELECT user_id, ${sql.vcents("value")} AS cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1),
+      bumped AS (SELECT user_id,
+          CASE WHEN user_id % 4 = 1 THEN cents + 3 ELSE cents END AS cents
+        FROM latest)
+      SELECT user_id, cents * 2 AS dbl,
+        TRUE AS replaced_complements, TRUE AS show_views_lists,
+        TRUE AS cycle_fails, TRUE AS table_collision_fails,
+        TRUE AS duplicate_fails, TRUE AS drop_removes
+      FROM bumped WHERE cents >= 500 ORDER BY user_id""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

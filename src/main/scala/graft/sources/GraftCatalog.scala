@@ -41,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * checks, and hands this store only (op, row) deltas to commit.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with ViewCatalog {
   import GraftCatalog.ChangesSuffix
 
   private var catalogName: String = _
@@ -84,6 +84,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
+    requireNoView(ident)
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     val meta = validatedMeta(ident, info.schema(), info.partitions(),
@@ -285,6 +286,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def createTable(ident: Identifier, schema0: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    requireNoView(ident)
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     GraftStore.create(dir,
@@ -359,8 +361,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     new GraftStagedTable(ident, dir, stageDir, replace)
   }
 
-  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    requireNoView(ident)
     stage(ident, info, replace = false, orCreate = false)
+  }
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
     stage(ident, info, replace = true, orCreate = false)
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
@@ -548,6 +552,113 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) false
     else { GraftStore.dropTable(dir); true }
+  }
+
+  // ---------------------------------------------------------------------
+  // ViewCatalog leg (S38): persisted SQL views — `CREATE [OR REPLACE]
+  // VIEW cat.v AS SELECT ...`, `DROP VIEW`, `ALTER VIEW ... SET/UNSET
+  // TBLPROPERTIES`, `SHOW VIEWS`. One JSON definition per view under
+  // `<warehouse>/_views/` (see [[GraftViewStore]]); the stored catalog +
+  // namespace context makes unqualified names in the text keep meaning
+  // what they meant at CREATE time. Views and tables share one namespace:
+  // creating either over the other's name fails loudly.
+  // ---------------------------------------------------------------------
+
+  private def viewPath(ident: Identifier): java.nio.file.Path = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach(p => require(!p.contains("/") && !p.contains(".."),
+      s"illegal view identifier part: $p"))
+    java.nio.file.Paths.get(warehouse, "_views", parts.mkString(".") + ".json")
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    java.nio.file.Files.exists(viewPath(ident))
+
+  /** Definition-file path for the extension rules (read-only use). */
+  private[sources] def viewDirUnsafe(ident: Identifier): String =
+    viewPath(ident).toString
+
+  private[sources] def requireNoView(ident: Identifier): Unit =
+    if (viewExists(ident)) throw new IllegalArgumentException(
+      s"a VIEW named $ident already exists in catalog $catalogName — " +
+        "tables and views share one namespace (DROP VIEW first)")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
+    val root = java.nio.file.Paths.get(warehouse, "_views")
+    if (!java.nio.file.Files.isDirectory(root)) Array.empty
+    else GraftStore.listDir(root)(_.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
+        n.startsWith(prefix))
+      .map(n => Identifier.of(namespace.toArray,
+        n.stripSuffix(".json").stripPrefix(prefix))).toArray)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewPath(ident)
+    if (!java.nio.file.Files.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    new GraftView(ident.toString, GraftViewStore.read(p))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (tableExists(info.ident())) throw new IllegalArgumentException(
+      s"a TABLE named ${info.ident()} already exists in catalog " +
+        s"$catalogName — tables and views share one namespace")
+    if (viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    GraftViewStore.write(viewPath(info.ident()), info, createNew = true)
+    loadView(info.ident())
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (tableExists(info.ident())) throw new IllegalArgumentException(
+      s"a TABLE named ${info.ident()} already exists in catalog " +
+        s"$catalogName — tables and views share one namespace")
+    if (!viewExists(info.ident()) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident())
+    GraftViewStore.write(viewPath(info.ident()), info, createNew = false)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val p = viewPath(ident)
+    if (!java.nio.file.Files.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val s0 = GraftViewStore.read(p)
+    val props = changes.foldLeft(s0.properties) {
+      case (acc, c: ViewChange.SetProperty) => acc + (c.property() -> c.value())
+      case (acc, c: ViewChange.RemoveProperty) => acc - c.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported view change: $other")
+    }
+    GraftViewStore.writeStored(p, s0.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    java.nio.file.Files.deleteIfExists(viewPath(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = viewPath(oldIdent)
+    if (!java.nio.file.Files.exists(from))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    if (tableExists(newIdent)) throw new IllegalArgumentException(
+      s"a TABLE named $newIdent already exists in catalog $catalogName — " +
+        "tables and views share one namespace")
+    java.nio.file.Files.createDirectories(viewPath(newIdent).getParent)
+    try java.nio.file.Files.move(from, viewPath(newIdent))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(newIdent)
+    }
   }
 
   /** FunctionCatalog leg: exposes the store's `bucket` transform so
