@@ -91,6 +91,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       info.properties(), tightenKeys = false)
       .copy(checks = checksFrom(info.constraints()))
     GraftStore.create(dir, meta)
+    // create-then-verify against a racing CREATE VIEW (see createView)
+    if (viewExists(ident)) {
+      GraftStore.dropTable(dir)
+      throw new IllegalArgumentException(
+        s"a VIEW named $ident was created concurrently in catalog " +
+          s"$catalogName — the table was not created")
+    }
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
 
@@ -291,6 +298,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     GraftStore.create(dir,
       validatedMeta(ident, schema0, partitions, properties, tightenKeys = false))
+    if (viewExists(ident)) {
+      GraftStore.dropTable(dir)
+      throw new IllegalArgumentException(
+        s"a VIEW named $ident was created concurrently in catalog " +
+          s"$catalogName — the table was not created")
+    }
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
 
@@ -365,10 +378,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     requireNoView(ident)
     stage(ident, info, replace = false, orCreate = false)
   }
-  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    requireNoView(ident)
     stage(ident, info, replace = true, orCreate = false)
-  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+  }
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    requireNoView(ident)
     stage(ident, info, replace = true, orCreate = true)
+  }
 
   /** Schema evolution — all meta-only, never a data rewrite (the only
     * acceptable cost on a 100 TB table):
@@ -590,8 +607,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     else GraftStore.listDir(root)(_.map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
         n.startsWith(prefix))
-      .map(n => Identifier.of(namespace.toArray,
-        n.stripSuffix(".json").stripPrefix(prefix))).toArray)
+      .map(_.stripSuffix(".json").stripPrefix(prefix))
+      // exact-namespace scoping: a child namespace's views (remainder
+      // still dotted) do not belong in this listing
+      .filter(!_.contains("."))
+      .map(Identifier.of(namespace.toArray, _)).toArray)
   }
 
   override def loadView(ident: Identifier): View = {
@@ -609,6 +629,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(info.ident())
     GraftViewStore.write(viewPath(info.ident()), info, createNew = true)
+    // write-then-verify (same discipline as createTag × expire): a
+    // CREATE TABLE racing this create re-checks views after ITS commit
+    // too, so at least one side always observes the other and fails
+    if (tableExists(info.ident())) {
+      java.nio.file.Files.deleteIfExists(viewPath(info.ident()))
+      throw new IllegalArgumentException(
+        s"a TABLE named ${info.ident()} was created concurrently in " +
+          s"catalog $catalogName — the view was not created")
+    }
     loadView(info.ident())
   }
 

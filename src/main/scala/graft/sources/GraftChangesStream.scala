@@ -22,6 +22,12 @@ private[sources] object GraftStreamLimits {
   private val sliceRows =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Drop cached slice counts under a table dir — a DROPPED table
+    * recreated at the same path restarts version numbering, so a stale
+    * `change_version=N` count would mis-clamp the new table's batches. */
+  private[sources] def invalidate(tableDir: String): Unit =
+    sliceRows.keySet.removeIf(_.startsWith(tableDir))
+
   /** Rows of one changelog slice (0 for a changelog-less version). */
   def sliceRowCount(dir: String, v: Long): Long = {
     val sliceDir =

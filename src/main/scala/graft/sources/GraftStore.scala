@@ -1363,6 +1363,7 @@ object GraftStore {
 
   def dropTable(dir: String): Unit = {
     invalidateDvCache(dir)
+    GraftStreamLimits.invalidate(dir)
     deleteRecursively(Paths.get(dir))
   }
 
@@ -1428,6 +1429,20 @@ object GraftStore {
         s"version $version of $dir was expired while tagging — the tag " +
           "was not created")
     }
+    // ... and every owner slot the pinned snapshot references must still
+    // exist: a concurrent expire that had already swept an older owner
+    // dir (before this ref was visible to it) must fail THIS create, not
+    // leave a tag pointing at a partially-reclaimed snapshot
+    val missing = ownersOf(dir, version).exists { case (s, os) =>
+      os.exists(o =>
+        !Files.isDirectory(Paths.get(s"${versionDir(dir, o)}/$s")))
+    }
+    if (missing) {
+      Files.deleteIfExists(p)
+      throw new IllegalStateException(
+        s"version $version of $dir lost owner slots to a concurrent " +
+          "expire_versions while tagging — the tag was not created")
+    }
   }
 
   def dropTag(dir: String, name: String): Unit = {
@@ -1487,21 +1502,34 @@ object GraftStore {
       s"$appId\t$v".getBytes("UTF-8"))
 
   /** Promote a retiring version dir's `_txn` record to `_txns/<appId>`
-    * (keeping the max — re-promotion after a crash is idempotent). */
+    * (keeping the max — re-promotion after a crash is idempotent). The
+    * read-modify-write runs under the table's meta lock and publishes by
+    * temp + atomic rename: two CONCURRENT expire_versions calls promoting
+    * different versions of the same app must never interleave into a
+    * regressed high-water (a lost update here silently re-admits a
+    * duplicate write — the exact corruption txn records exist to stop),
+    * and a torn file must never parse as "no record". */
   private def promoteTxnMarker(vdir: String, dir: String): Unit = {
     val p = Paths.get(vdir, TxnMarker)
     if (!Files.exists(p)) return
     try {
       new String(Files.readAllBytes(p), "UTF-8").trim.split('\t') match {
         case Array(app, v) if app.matches(TxnAppIdPattern) =>
-          Files.createDirectories(txnsRoot(dir))
-          val dst = txnsRoot(dir).resolve(app)
-          val existing =
-            if (!Files.exists(dst)) None
-            else try Some(new String(Files.readAllBytes(dst), "UTF-8").trim.toLong)
-            catch { case _: Exception => None }
-          val hi = math.max(v.toLong, existing.getOrElse(Long.MinValue))
-          Files.write(dst, hi.toString.getBytes("UTF-8"))
+          withMetaLock(dir) {
+            Files.createDirectories(txnsRoot(dir))
+            val dst = txnsRoot(dir).resolve(app)
+            val existing =
+              if (!Files.exists(dst)) None
+              else try Some(new String(Files.readAllBytes(dst), "UTF-8").trim.toLong)
+              catch { case _: Exception => None }
+            val hi = math.max(v.toLong, existing.getOrElse(Long.MinValue))
+            if (!existing.contains(hi)) {
+              val tmp = dst.resolveSibling(s".${app}.tmp-${System.nanoTime()}")
+              Files.write(tmp, hi.toString.getBytes("UTF-8"))
+              Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+                StandardCopyOption.ATOMIC_MOVE)
+            }
+          }
         case _ => ()
       }
     } catch { case _: Exception => () }
@@ -1548,8 +1576,17 @@ object GraftStore {
     // (owner version, bucket) pairs some kept snapshot still reads
     val referenced: Set[(Long, String)] = keep.flatMap(v =>
       ownersOf(dir, v).toSeq.flatMap { case (s, os) => os.map(o => (o, s)) })
-    val retired = live.filterNot(keep) ++ expiredVersions(dir)
-    retired.distinct.foreach { v =>
+    // DESCENDING order: a version is marked retired BEFORE any older
+    // version that hosts its files is swept. Combined with the per-version
+    // tag re-read below, this closes the create_tag window in which a tag
+    // on a newer version could verify successfully while this same pass
+    // had already deleted the older owner slots its snapshot references —
+    // with the marker landing high-to-low, the create's verify either
+    // sees the marker (fails loudly, removes its ref) or the tag is
+    // visible before any of its owner slots are considered for deletion.
+    val retired = (live.filterNot(keep) ++ expiredVersions(dir))
+      .distinct.sorted(Ordering[Long].reverse)
+    retired.foreach { v =>
       val vdir = versionDir(dir, v)
       // promote the snapshot-boundary marker BEFORE the dir goes away
       // (write-then-delete, so a crash can only leave a true boundary
@@ -1563,7 +1600,17 @@ object GraftStore {
       // same write-then-delete discipline for idempotent-write records:
       // the (appId, txnVersion) high-water must survive the version dir
       promoteTxnMarker(vdir, dir)
-      val refSlots = referenced.collect { case (`v`, s) => s }
+      // slots of THIS version some kept snapshot references — re-reading
+      // the tags here (not just in the keep-set upfront) so a tag that
+      // landed (or a version that resurrected) mid-pass still protects
+      // the owner slots its snapshot reads
+      val tagRef: Set[String] = listTags(dir).values.toSet
+        .intersect(listVersions(dir).toSet)
+        .flatMap { tv: Long =>
+          ownersOf(dir, tv).toSeq.flatMap { case (s, os) =>
+            if (os.contains(v)) Some(s) else None }
+        }
+      val refSlots = referenced.collect { case (`v`, s) => s } ++ tagRef
       // Exclude the version from the readable listing BEFORE anything is
       // deleted: a crash mid-sweep must never leave a still-listed version
       // with some slot dirs gone (`VERSION AS OF` would silently return
@@ -2426,7 +2473,8 @@ object GraftStore {
     * analyzed version. Values normalize into the zone-map comparison
     * domains (dates → epoch days, timestamps → micros), so the planner
     * sees catalyst-comparable endpoints. */
-  def analyzeTable(spark: SparkSession, dir: String): Long = {
+  def analyzeTable(spark: SparkSession, dir: String,
+      histogramBins: Int = 0): Long = {
     val meta = readMeta(dir)
     val cur = currentVersion(dir)
     val supported = meta.schema.fields.filter(f => f.dataType match {
@@ -2472,8 +2520,69 @@ object GraftStore {
       val (_, mx) = norm(f.dataType, row.get(1 + i * 4 + 3))
       physicalName(f) -> GraftStats.TableColStat(kind, ndv, nulls, mn, mx)
     }.toMap
-    GraftStats.writeTableColStats(dir, cur, Some(analyzedRows), stats)
+    val withHists =
+      if (histogramBins <= 1) stats
+      else stats ++ histograms(spark, df, supported.toSeq, stats,
+        histogramBins, analyzedRows)
+        .map { case (c, h) => c -> stats(c).copy(histogram = Some(h)) }
+    GraftStats.writeTableColStats(dir, cur, Some(analyzedRows), withHists)
     cur
+  }
+
+  /** Equi-height histograms for the numeric/date/timestamp columns (kind
+    * 'l'/'d'): bin edges from one `percentile_approx` pass over every
+    * column at once, per-bin NDV from one more aggregate pass (bins ×
+    * columns `approx_count_distinct(when(...))` aggregates — two extra
+    * distributed jobs total, never per-column). This is the skew signal
+    * min/max interpolation can't carry: Catalyst's filter and join
+    * estimation consume the bins directly under CBO, so a predicate into
+    * a sparse range estimates small even when min/max span is huge. */
+  private def histograms(spark: SparkSession, df: DataFrame,
+      supported: Seq[StructField], stats: Map[String, GraftStats.TableColStat],
+      bins: Int, analyzedRows: Long): Map[String, GraftStats.ColHistogram] = {
+    val histCols = supported.filter { f =>
+      val k = stats(physicalName(f)).kind
+      (k == "l" || k == "d") && stats(physicalName(f)).min.isDefined
+    }
+    if (histCols.isEmpty) return Map.empty
+    def asD(f: StructField): Column = f.dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(f.name)).cast(DoubleType)
+      case DateType => datediff(col(f.name), lit(java.sql.Date.valueOf(
+        "1970-01-01"))).cast(DoubleType)
+      case _ => col(f.name).cast(DoubleType)
+    }
+    val fractions = (0 to bins).map(_.toDouble / bins)
+    val pctAggs = histCols.map(f => percentile_approx(asD(f),
+      lit(fractions.toArray), lit(10000)).as(s"p_${f.name}"))
+    val pctRow = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+    val edges: Map[String, Seq[Double]] = histCols.zipWithIndex.map {
+      case (f, i) => f.name -> pctRow.getSeq[Double](i) }.toMap
+    // per-bin NDV, all columns in one pass: bin membership by edge range
+    // (upper-inclusive, first bin closed at both ends — Spark's own
+    // histogram bin convention)
+    val ndvAggs = histCols.flatMap { f =>
+      val es = edges(f.name)
+      (0 until bins).map { b =>
+        val lo = es(b); val hi = es(b + 1)
+        val cond =
+          if (b == 0) asD(f) >= lo && asD(f) <= hi
+          else asD(f) > lo && asD(f) <= hi
+        approx_count_distinct(when(cond, asD(f))).as(s"h_${f.name}_$b")
+      }
+    }
+    val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+    histCols.zipWithIndex.map { case (f, fi) =>
+      val es = edges(f.name)
+      val binStats = (0 until bins).map { b =>
+        (es(b), es(b + 1), math.max(1L, ndvRow.getLong(fi * bins + b)))
+      }
+      val s = stats(physicalName(f))
+      // equi-height by construction (percentile edges): height =
+      // non-null rows / bins, the invariant Catalyst's estimation assumes
+      physicalName(f) -> GraftStats.ColHistogram(
+        (analyzedRows - s.nullCount).toDouble / bins, binStats)
+    }.toMap
   }
 
   /** Staleness bound for served ANALYZE stats: column stats survive DML

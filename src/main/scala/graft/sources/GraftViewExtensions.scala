@@ -59,16 +59,42 @@ private[sources] object GraftViewResolution {
     }
   }
 
-  /** CTE names defined anywhere in a parsed (unanalyzed) tree — exempt
-    * from definer-context qualification (they are not tables). */
-  private def cteNames(plan: LogicalPlan): Set[String] = {
-    val acc = scala.collection.mutable.Set.empty[String]
-    plan.foreach {
-      case w: UnresolvedWith => acc ++= w.cteRelations.map(_._1.toLowerCase)
-      case _ => ()
+  /** Qualify a view body's table references with the DEFINER's stored
+    * context, scope-correctly: a 1-part name that is NOT a CTE in lexical
+    * scope gets catalog + namespace prepended; a multi-part name whose
+    * head is NOT a registered catalog gets the definer CATALOG prepended
+    * (it was namespace-relative at CREATE time). CTE scope is carried
+    * explicitly — a name shadowed by a `WITH` binding in one subtree is
+    * still a table elsewhere in the same statement. */
+  private def qualify(spark: SparkSession, plan: LogicalPlan,
+      stored: GraftViewStore.Stored, scope: Set[String]): LogicalPlan = {
+    val cm = spark.sessionState.catalogManager
+    def qualifyRel(r: UnresolvedRelation, sc: Set[String]): UnresolvedRelation =
+      r.multipartIdentifier match {
+        case Seq(one) if !sc.contains(one.toLowerCase) =>
+          r.copy(multipartIdentifier =
+            (stored.currentCatalog +: stored.currentNamespace.toSeq) :+ one)
+        case parts if parts.length >= 2 &&
+            !cm.isCatalogRegistered(parts.head) =>
+          r.copy(multipartIdentifier = stored.currentCatalog +: parts)
+        case _ => r
+      }
+    def walk(p: LogicalPlan, sc: Set[String]): LogicalPlan = {
+      val stepped = p match {
+        case w: UnresolvedWith =>
+          val inner = sc ++ w.cteRelations.map(_._1.toLowerCase)
+          w.copy(cteRelations = w.cteRelations.map { case (n, sq, hint) =>
+            (n, walk(sq, inner).asInstanceOf[SubqueryAlias], hint) },
+            child = walk(w.child, inner))
+        case r: UnresolvedRelation => qualifyRel(r, sc)
+        case other => other.mapChildren(walk(_, sc))
+      }
+      stepped.transformExpressions {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          sq.withNewPlan(walk(sq.plan, sc))
+      }
     }
-    plan.subqueriesAll.foreach(sq => acc ++= cteNames(sq))
-    acc.toSet
+    walk(plan, scope)
   }
 
   /** Parse a stored view body and expand it: unqualified table references
@@ -79,16 +105,13 @@ private[sources] object GraftViewResolution {
     if (visiting.length > 32) throw new IllegalStateException(
       s"view nesting deeper than 32 levels: ${visiting.reverse.mkString(" -> ")}")
     val parsed = spark.sessionState.sqlParser.parsePlan(stored.sql)
-    val ctes = cteNames(parsed)
-    val qualified = parsed.transformWithSubqueries {
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
-          !ctes.contains(r.multipartIdentifier.head.toLowerCase) =>
-        // definer context: the body means what it meant at CREATE time
-        r.copy(multipartIdentifier =
-          (stored.currentCatalog +: stored.currentNamespace.toSeq) ++
-            r.multipartIdentifier)
-    }
-    expandReferences(spark, qualified, visiting)
+    val qualified = qualify(spark, parsed, stored, Set.empty)
+    val expanded = expandReferences(spark, qualified, visiting)
+    // the analyzer's Substitution batch (CTE binding) runs BEFORE the
+    // Hints batch this expansion is spliced in, so a WITH inside the body
+    // would never be substituted — bind it here (idempotent on bodies
+    // without CTEs; nested views were already bound by their own pass)
+    org.apache.spark.sql.catalyst.analysis.CTESubstitution(expanded)
   }
 
   /** Substitute every graft-view reference in `plan` (recursively). */
@@ -273,11 +296,15 @@ final case class GraftShowViewsCommand(cat: String, g: GraftCatalog,
     ns: Seq[String], pattern: Option[String],
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val re = pattern.map(p => ("(?i)" + p.replace("*", ".*").replace("|", "|")).r)
-    g.listViews(ns: _*).toSeq
-      .filter(id => re.forall(_.pattern.matcher(id.name()).matches()))
-      .sortBy(_.name())
-      .map(id => Row(ns.mkString("."), id.name(), false))
+    val names = g.listViews(ns: _*).toSeq.map(_.name()).sorted
+    // Spark's SHOW-pattern contract: '*' any-sequence, '|' alternation,
+    // everything else literal — the shared catalyst helper, not raw regex
+    val kept = pattern match {
+      case Some(p) =>
+        org.apache.spark.sql.catalyst.util.StringUtils.filterPattern(names, p)
+      case None => names
+    }
+    kept.map(n => Row(ns.mkString("."), n, false))
   }
 }
 

@@ -189,6 +189,48 @@ class ViewsSpec extends SparkTestBase {
         x.getMessage.toUpperCase.contains("NOT_FOUND"))), s"got $e")
   }
 
+  test("definer context qualifies 2-part names and respects CTE scope") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.t_q")
+    spark.sql(s"""CREATE TABLE $cat.ns.t_q
+      (k BIGINT NOT NULL, amount BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+    spark.sql(s"INSERT INTO $cat.ns.t_q VALUES (1, 11)")
+    val t = mkTable("t_q_flat")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (2, 22)")
+    val prevCat = spark.catalog.currentCatalog()
+    spark.catalog.setCurrentCatalog(cat)
+    try {
+      // 2-part name (namespace-relative at CREATE time) + a CTE that
+      // SHADOWS the flat table's name in one subtree only
+      spark.sql(s"CREATE VIEW $cat.v_q AS " +
+        s"SELECT amount FROM ns.t_q UNION ALL SELECT amount FROM $t")
+      spark.sql(s"CREATE VIEW $cat.v_cte AS " +
+        s"SELECT amount FROM $t UNION ALL " +
+        s"SELECT * FROM (WITH $t AS (SELECT 99 AS a) SELECT a FROM $t)")
+    } finally spark.catalog.setCurrentCatalog(prevCat)
+    // read from a DIFFERENT current catalog: both the 2-part and 1-part
+    // body names must resolve in the DEFINER's catalog, while the
+    // CTE-shadowed inner reference stays a CTE
+    assert(spark.sql(s"SELECT amount FROM $cat.v_q").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(11L, 22L))
+    assert(spark.sql(s"SELECT * FROM $cat.v_cte").collect()
+      .map(r => r.getLong(0)).sorted.toSeq === Seq(22L, 99L))
+  }
+
+  test("REPLACE TABLE over a view name fails loudly") {
+    val t = mkTable("t_v_rtas")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 1)")
+    spark.sql(s"CREATE VIEW $cat.v_rtas AS SELECT k FROM $cat.$t")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.v_rtas USING graft " +
+        s"TBLPROPERTIES ('merge_key'='k', 'buckets'='2') " +
+        s"AS SELECT k FROM $cat.$t")
+    }
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("share one namespace")), s"got $e")
+  }
+
   test("time travel pinned inside a view definition") {
     val t = mkTable("t_v_tt")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 10), (2, 20)") // v1
