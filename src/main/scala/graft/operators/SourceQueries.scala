@@ -2307,6 +2307,80 @@ object SourceQueries {
             UNION ALL VALUES (999999, 0), (999998, 7))
       ORDER BY user_id""")),
 
+    // ----- S32b: ANALYZE equi-height histograms → the scan's row
+    // estimate. Zone maps bound matching rows at FILE granularity; a
+    // column where 95% of values sit on one point (status codes, default
+    // timestamps, null-sentinels — everywhere in real 100 TB tables) has
+    // every file spanning the full domain, so a range filter into the
+    // sparse tail estimates ~50% when the truth is ~2% — and a join that
+    // should broadcast doesn't. `CALL analyze(histogram_bins => n)` adds
+    // two aggregate passes (percentile edges for every numeric column at
+    // once, then per-bin NDV) and the scan folds the histogram
+    // selectivity of pushed conjuncts into its reported rows/bytes — the
+    // exact numbers the broadcast decision reads. The gate builds the
+    // 95/5 skew from lineitem, pins the zone-map-only estimate COARSE
+    // (>30% of rows), the histogram estimate ≥5× tighter, the histogram
+    // itself served under CBO (32 bins, equi-height), and hashes the
+    // filtered rows against the DuckDB closed form.
+    GraftQuery("s32b_histogram_stats", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.lineitem(s, d)
+        .select(($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("k"),
+          when(($"l_orderkey" * 10 + $"l_linenumber") % 19 === 0,
+            ($"l_orderkey" * 10 + $"l_linenumber") % 1009 + 1)
+            .otherwise(0L).cast("long").as("v"))
+        .createOrReplaceTempView("s32b_src")
+      s.sql("DROP TABLE IF EXISTS graftdml.hist_t")
+      s.sql("""CREATE TABLE graftdml.hist_t
+        (k BIGINT NOT NULL, v BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.hist_t SELECT * FROM s32b_src")
+      def scanRows(): BigInt =
+        s.sql("SELECT * FROM graftdml.hist_t WHERE v > 500")
+          .queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => r.stats.rowCount
+          }.flatten.head
+      val total = s.table("graftdml.hist_t").count()
+      s.sql("CALL graftdml.analyze(`table` => 'hist_t')")
+      val coarse = scanRows()
+      s.sql("CALL graftdml.analyze(`table` => 'hist_t', histogram_bins => 32)")
+      val sharp = scanRows()
+      val zoneCoarse = coarse * 10 > BigInt(total) * 3 // >30% of rows
+      val sharpened = sharp * 5 < coarse
+      // the histogram itself reaches the optimizer's attributeStats
+      val served = {
+        val saved = s.conf.getOption("spark.sql.cbo.enabled")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        try s.sql("SELECT k, v FROM graftdml.hist_t")
+          .queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => r.stats.attributeStats.collect {
+              case (a, cs) if a.name == "v" => cs.histogram
+            }
+          }.flatten.flatten.headOption.exists { h =>
+            h.bins.length == 32 && math.abs(h.height - total / 32.0) < 2.0
+          }
+        finally saved.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+          s.conf.set("spark.sql.cbo.enabled", _))
+      }
+      s.sql("SELECT k, v FROM graftdml.hist_t WHERE v > 500")
+        .withColumn("zone_estimate_coarse", lit(zoneCoarse))
+        .withColumn("histogram_estimate_sharper", lit(sharpened))
+        .withColumn("histogram_served_cbo", lit(served))
+        .orderBy($"k")
+    }, Some("""
+      WITH src AS (
+        SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k,
+          CAST(CASE WHEN (l_orderkey * 10 + l_linenumber) % 19 = 0
+            THEN (l_orderkey * 10 + l_linenumber) % 1009 + 1
+            ELSE 0 END AS BIGINT) AS v
+        FROM lineitem)
+      SELECT k, v, TRUE AS zone_estimate_coarse,
+        TRUE AS histogram_estimate_sharper, TRUE AS histogram_served_cbo
+      FROM src WHERE v > 500 ORDER BY k""")),
+
     // ----- S38: SQL views over the catalog (DSv2 ViewCatalog + session-
     // extension wiring — Spark 4.1 ships the SPI but connects neither DDL
     // nor reads to it; the extension closes the gap the documented

@@ -48,7 +48,9 @@ object GraftProcedures {
       "older than older_than_ms (committed data is never touched)"),
     "analyze" -> ("compute per-column NDV/null/min-max over the current " +
       "version (one aggregate job) and persist them for the planner's " +
-      "join-size estimation"),
+      "join-size estimation; histogram_bins > 1 adds equi-height " +
+      "histograms for numeric/date/timestamp columns (two more aggregate " +
+      "jobs) — the skew signal range-filter estimation needs under CBO"),
     "maintenance_report" -> ("read-only health report: one row per " +
       "maintenance signal (slot fragmentation, merge-on-read delete-cap " +
       "pressure, column-stats staleness, retention debt) with the " +
@@ -93,7 +95,9 @@ object GraftProcedures {
       ProcedureParameter.in("older_than_ms", LongType)
         .defaultValue("3600000").build())
     case "analyze" => Array(
-      ProcedureParameter.in("table", StringType).build())
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("histogram_bins", IntegerType)
+        .defaultValue("0").build())
     case "maintenance_report" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
@@ -239,7 +243,8 @@ final class GraftProcedure(procName: String, tableDir: String => String)
           ("version", GraftStore.expirePartitions(dir,
             input.getUTF8String(1).toString))
         case "analyze" =>
-          ("version", GraftStore.analyzeTable(spark, dir))
+          val bins = if (input.isNullAt(1)) 0 else input.getInt(1)
+          ("version", GraftStore.analyzeTable(spark, dir, bins))
         case "vacuum" =>
           ("entries_removed", GraftStore.vacuum(dir, input.getLong(1)))
         case "create_tag" =>

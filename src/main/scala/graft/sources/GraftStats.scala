@@ -374,8 +374,31 @@ object GraftStats {
 
   /** One analyzed column: comparison kind (same domain tags as zone maps),
     * approximate distinct count, null count, min/max (External values). */
+  /** Equi-height histogram: common bin height (rows per bin) + bins as
+    * (lo, hi, ndv) over the column's DOUBLE domain — the exact shape
+    * Catalyst's filter/join estimation consumes. */
+  final case class ColHistogram(height: Double, bins: Seq[(Double, Double, Long)])
+
   final case class TableColStat(kind: String, ndv: Long, nullCount: Long,
-      min: Option[Any], max: Option[Any])
+      min: Option[Any], max: Option[Any],
+      histogram: Option[ColHistogram] = None)
+
+  private def encHist(h: Option[ColHistogram]): String = h match {
+    case None => "-"
+    case Some(ColHistogram(height, bins)) =>
+      height.toString + "|" + bins.map { case (lo, hi, ndv) =>
+        s"$lo:$hi:$ndv" }.mkString(";")
+  }
+
+  private def decHist(s: String): Option[ColHistogram] =
+    if (s == "-" || s.isEmpty) None
+    else try {
+      val Array(h, rest) = s.split('|')
+      Some(ColHistogram(h.toDouble, rest.split(';').toSeq.map { b =>
+        val Array(lo, hi, ndv) = b.split(':')
+        (lo.toDouble, hi.toDouble, ndv.toLong)
+      }))
+    } catch { case _: Exception => None }
 
   /** `analyzedRows` (the snapshot's row count at analyze time) rides in
     * the header — the staleness signal serve-time compares against the
@@ -389,7 +412,8 @@ object GraftStats {
     sb.append('\n')
     stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
       sb.append(Seq(c, s.kind, s.ndv.toString, s.nullCount.toString,
-        enc(s.kind, s.min), enc(s.kind, s.max)).mkString("\t")).append('\n')
+        enc(s.kind, s.min), enc(s.kind, s.max), encHist(s.histogram))
+        .mkString("\t")).append('\n')
     }
     val tmp = Paths.get(dir, ColStatsName + ".tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -416,6 +440,10 @@ object GraftStats {
           case Array(c, kind, ndv, nulls, mn, mx) =>
             try Some(c -> TableColStat(kind, ndv.toLong, nulls.toLong,
               dec(kind, mn), dec(kind, mx)))
+            catch { case _: Exception => None }
+          case Array(c, kind, ndv, nulls, mn, mx, hist) =>
+            try Some(c -> TableColStat(kind, ndv.toLong, nulls.toLong,
+              dec(kind, mn), dec(kind, mx), decHist(hist)))
             catch { case _: Exception => None }
           case _ => None
         }
@@ -493,6 +521,122 @@ object GraftStats {
         cs.nullCount >= 0 && cs.rowCount >= 0 && cs.nullCount == cs.rowCount)
     case _ => false
   }
+
+  // ------------------------------------------------ histogram selectivity
+
+  /** Estimated fraction of rows matching `conjuncts`, from the ANALYZE
+    * histograms (equi-height bins over the columns' double domains) —
+    * None when no conjunct has a usable histogram. This is the SCAN-level
+    * skew signal: zone maps bound matching rows at file granularity, but
+    * within-file skew (95% of a column at one value) is invisible to
+    * min/max; the histogram carries it, and the scan's row/byte estimate
+    * is where the planner's broadcast decision actually reads it.
+    * Conjuncts without a histogram contribute selectivity 1 (never
+    * tighter than the evidence); Or needs both sides known. */
+  def histogramSelectivity(conjuncts: Seq[Expression],
+      stats: Map[String, TableColStat]): Option[Double] = {
+    val sels = conjuncts.flatMap(c => selOf(c, stats))
+    if (sels.isEmpty) None
+    else Some(math.min(1.0, math.max(0.0, sels.product)))
+  }
+
+  private def litToDouble(l: Literal): Option[Double] = l.value match {
+    case null => None
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  private def histOf(stats: Map[String, TableColStat],
+      col: String): Option[ColHistogram] =
+    stats.get(col).flatMap(_.histogram).filter(_.bins.nonEmpty)
+
+  /** Fraction of NON-NULL rows inside (lo, hi) with the given bound
+    * inclusivity; None bound = unbounded. Continuous interpolation inside
+    * non-degenerate bins; degenerate (single-value) bins — the skew
+    * spikes — honor bound strictness exactly. */
+  private def selRange(h: ColHistogram, loB: Option[Double], loInc: Boolean,
+      hiB: Option[Double], hiInc: Boolean): Double = {
+    val total = h.height * h.bins.length
+    if (total <= 0) return 1.0
+    val rows = h.bins.map { case (lo, hi, _) =>
+      if (hi > lo) {
+        val a = math.max(lo, loB.getOrElse(Double.NegativeInfinity))
+        val b = math.min(hi, hiB.getOrElse(Double.PositiveInfinity))
+        if (b < a) 0.0 else h.height * ((b - a) / (hi - lo))
+      } else {
+        val inLo = loB.forall(x => lo > x || (loInc && lo == x))
+        val inHi = hiB.forall(x => lo < x || (hiInc && lo == x))
+        if (inLo && inHi) h.height else 0.0
+      }
+    }.sum
+    math.min(1.0, rows / total)
+  }
+
+  /** Fraction of non-null rows equal to `v`: each bin containing `v`
+    * contributes height/ndv (its rows spread over its distinct values). */
+  private def selEq(h: ColHistogram, v: Double): Double = {
+    val total = h.height * h.bins.length
+    if (total <= 0) return 1.0
+    val rows = h.bins.map { case (lo, hi, ndv) =>
+      if (v < lo || v > hi) 0.0 else h.height / math.max(ndv, 1L).toDouble
+    }.sum
+    math.min(1.0, rows / total)
+  }
+
+  private def selOf(e: Expression,
+      stats: Map[String, TableColStat]): Option[Double] = e match {
+    case And(l, r) =>
+      val (sl, sr) = (selOf(l, stats), selOf(r, stats))
+      if (sl.isEmpty && sr.isEmpty) None
+      else Some(sl.getOrElse(1.0) * sr.getOrElse(1.0))
+    case Or(l, r) => for { a <- selOf(l, stats); b <- selOf(r, stats) }
+      yield math.min(1.0, a + b)
+    case EqualTo(a: AttributeReference, l: Literal) => eqSel(stats, a.name, l)
+    case EqualTo(l: Literal, a: AttributeReference) => eqSel(stats, a.name, l)
+    case EqualNullSafe(a: AttributeReference, l: Literal)
+        if l.value != null => eqSel(stats, a.name, l)
+    case EqualNullSafe(l: Literal, a: AttributeReference)
+        if l.value != null => eqSel(stats, a.name, l)
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      rangeSel(stats, a.name, l)(v => (Some(v), false, None, false))
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      rangeSel(stats, a.name, l)(v => (None, false, Some(v), false))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      rangeSel(stats, a.name, l)(v => (Some(v), true, None, false))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      rangeSel(stats, a.name, l)(v => (None, false, Some(v), true))
+    case LessThan(a: AttributeReference, l: Literal) =>
+      rangeSel(stats, a.name, l)(v => (None, false, Some(v), false))
+    case LessThan(l: Literal, a: AttributeReference) =>
+      rangeSel(stats, a.name, l)(v => (Some(v), false, None, false))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      rangeSel(stats, a.name, l)(v => (None, false, Some(v), true))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      rangeSel(stats, a.name, l)(v => (Some(v), true, None, false))
+    case In(a: AttributeReference, vs) if vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      val sels = vs.map(v => eqSel(stats, a.name, v.asInstanceOf[Literal]))
+      if (sels.exists(_.isEmpty)) None
+      else Some(math.min(1.0, sels.flatten.sum))
+    case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+      val sels = hset.toSeq.map(v =>
+        eqSel(stats, a.name, Literal(v, a.dataType)))
+      if (sels.exists(_.isEmpty)) None
+      else Some(math.min(1.0, sels.flatten.sum))
+    case _ => None
+  }
+
+  private def eqSel(stats: Map[String, TableColStat], col: String,
+      l: Literal): Option[Double] =
+    for { h <- histOf(stats, col); v <- litToDouble(l) } yield selEq(h, v)
+
+  private def rangeSel(stats: Map[String, TableColStat], col: String,
+      l: Literal)(bounds: Double =>
+      (Option[Double], Boolean, Option[Double], Boolean)): Option[Double] =
+    for { h <- histOf(stats, col); v <- litToDouble(l) } yield {
+      val (lo, loInc, hi, hiInc) = bounds(v)
+      selRange(h, lo, loInc, hi, hiInc)
+    }
 
   private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
 

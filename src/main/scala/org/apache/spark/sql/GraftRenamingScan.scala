@@ -517,6 +517,24 @@ object GraftRenamingScan {
     }
     val mn = s.min.flatMap(lift)
     val mx = s.max.flatMap(lift)
+    // equi-height histogram (ANALYZE ... histogram_bins): Spark's v2-stats
+    // conversion lifts it into the catalyst ColumnStat, where filter and
+    // join estimation consume the bins — the skew signal min/max
+    // interpolation can't carry
+    val hist = s.histogram.map { h =>
+      new org.apache.spark.sql.connector.read.colstats.Histogram {
+        override def height(): Double = h.height
+        override def bins()
+            : Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+          h.bins.map { case (l, u, n) =>
+            new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+              override def lo(): Double = l
+              override def hi(): Double = u
+              override def ndv(): Long = n
+            }
+          }.toArray
+      }
+    }
     new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
       override def distinctCount() = java.util.OptionalLong.of(s.ndv)
       override def nullCount() = java.util.OptionalLong.of(s.nullCount)
@@ -524,6 +542,10 @@ object GraftRenamingScan {
         .map(java.util.Optional.of[Object]).getOrElse(java.util.Optional.empty())
       override def max() = mx
         .map(java.util.Optional.of[Object]).getOrElse(java.util.Optional.empty())
+      override def histogram() = hist
+        .map(java.util.Optional.of[
+          org.apache.spark.sql.connector.read.colstats.Histogram])
+        .getOrElse(java.util.Optional.empty())
     }
   }
 }
@@ -658,8 +680,24 @@ final class GraftRenamingScan(delegate: Scan,
     val estRows: Option[Long] = tableVersion.flatMap { case (tdir, v) =>
       if (statsFilters.isEmpty)
         graft.sources.GraftStore.snapshotRowCount(tdir, v)
-      else graft.sources.GraftStore
-        .estimatedMatchingRows(tdir, v, statsFilters)
+      else {
+        val zone = graft.sources.GraftStore
+          .estimatedMatchingRows(tdir, v, statsFilters)
+        // within-file skew correction: ANALYZE histograms (when fresh)
+        // estimate the pushed conjuncts' selectivity over the whole
+        // snapshot — zone maps are a FILE-granular upper bound and can't
+        // see 95% of a column sitting on one value; take the tighter of
+        // the two (both estimate the same matching-row quantity)
+        val hist = for {
+          total <- graft.sources.GraftStore.snapshotRowCount(tdir, v)
+          sel <- graft.sources.GraftStats.histogramSelectivity(statsFilters,
+            graft.sources.GraftStore.freshTableColStats(tdir, v))
+        } yield math.max(1L, math.ceil(total * sel).toLong)
+        (zone, hist) match {
+          case (Some(z), Some(h)) => Some(math.min(z, h))
+          case (z, h) => z.orElse(h)
+        }
+      }
     }
     // ANALYZE column stats (unfiltered scans only — table-level NDVs over
     // a filtered scan would mislead the estimator), names already logical

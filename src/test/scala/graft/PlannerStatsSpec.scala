@@ -139,4 +139,46 @@ class PlannerStatsSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
+
+  test("ANALYZE histograms sharpen skewed-range estimates under CBO") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_hist")
+    spark.sql(s"""CREATE TABLE $cat.t_hist
+      (k BIGINT NOT NULL, v BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    // heavy skew min/max interpolation cannot see: 95% of rows at v=0,
+    // 5% spread over 1..1000
+    spark.sql(s"""INSERT INTO $cat.t_hist
+      SELECT id, CASE WHEN id % 20 = 0 THEN (id % 1000) + 1 ELSE 0 END
+      FROM range(0, 10000)""")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // the estimate the broadcast decision reads: the SCAN's reported
+      // row count (pushed-filter scans withhold column stats by design —
+      // the histogram's skew signal lands in the scan estimate itself)
+      def estimate(): BigInt =
+        spark.sql(s"SELECT * FROM $cat.t_hist WHERE v > 500")
+          .queryExecution.optimizedPlan.collect {
+            case r: DataSourceV2ScanRelation => r.stats.rowCount
+          }.flatten.head
+      spark.sql(s"CALL $cat.analyze(table => 't_hist')")
+      val without = estimate()
+      // zone maps keep every file (each spans the full 0..1000 domain)
+      assert(without > BigInt(3000), s"expected coarse zone-map estimate, got $without")
+      spark.sql(s"CALL $cat.analyze(table => 't_hist', histogram_bins => 32)")
+      // the histogram is served end-to-end (attributeStats carries bins)
+      val st = scanStats(spark.sql(s"SELECT k, v FROM $cat.t_hist"))
+      val vStat = st.attributeStats.collectFirst {
+        case (a, cs) if a.name == "v" => cs }.get
+      assert(vStat.histogram.isDefined, s"no histogram in $vStat")
+      assert(vStat.histogram.get.bins.length === 32)
+      assert(math.abs(vStat.histogram.get.height - 10000.0 / 32) < 1.0)
+      // ... and the skewed-range estimate collapses toward the truth (~500)
+      val withHist = estimate()
+      assert(withHist * 5 < without,
+        s"histogram estimate $withHist not sharper than uniform $without")
+    } finally saved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
 }
