@@ -583,13 +583,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   private def viewPath(ident: Identifier): java.nio.file.Path = {
     val parts = ident.namespace().toSeq :+ ident.name()
-    parts.foreach(p => require(!p.contains("/") && !p.contains(".."),
+    // '.' is the flattening separator — a part containing one would
+    // collide with a same-spelling namespaced view's file
+    parts.foreach(p => require(
+      !p.contains("/") && !p.contains("..") && !p.contains("."),
       s"illegal view identifier part: $p"))
     java.nio.file.Paths.get(warehouse, "_views", parts.mkString(".") + ".json")
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    java.nio.file.Files.exists(viewPath(ident))
+    // an identifier no view can have (dotted part) simply isn't one —
+    // table paths tolerate dots, so existence probes must not throw
+    (ident.namespace().toSeq :+ ident.name()).forall(p =>
+      !p.contains("/") && !p.contains("..") && !p.contains(".")) &&
+      java.nio.file.Files.exists(viewPath(ident))
 
   /** Definition-file path for the extension rules (read-only use). */
   private[sources] def viewDirUnsafe(ident: Identifier): String =
@@ -725,6 +732,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         "suffixes are reserved for metadata reads")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    requireNoView(newIdent) // tables and views share one namespace
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
       java.nio.file.Paths.get(tableDir(newIdent)))
   }

@@ -626,17 +626,24 @@ object GraftStats {
     case _ => None
   }
 
+  // A ZERO histogram selectivity is "no evidence", not a fact: the stats
+  // may be up to statsMaxStaleFraction stale, and rows inserted after
+  // ANALYZE can live beyond the analyzed domain (or in a gap) — letting a
+  // stale zero collapse the estimate to 1 row would override the
+  // always-current zone-map bound and broadcast a huge scan side. Zones
+  // keep the floor; the histogram only ever TIGHTENS with positive mass.
   private def eqSel(stats: Map[String, TableColStat], col: String,
       l: Literal): Option[Double] =
-    for { h <- histOf(stats, col); v <- litToDouble(l) } yield selEq(h, v)
+    (for { h <- histOf(stats, col); v <- litToDouble(l) }
+      yield selEq(h, v)).filter(_ > 0.0)
 
   private def rangeSel(stats: Map[String, TableColStat], col: String,
       l: Literal)(bounds: Double =>
       (Option[Double], Boolean, Option[Double], Boolean)): Option[Double] =
-    for { h <- histOf(stats, col); v <- litToDouble(l) } yield {
+    (for { h <- histOf(stats, col); v <- litToDouble(l) } yield {
       val (lo, loInc, hi, hiInc) = bounds(v)
       selRange(h, lo, loInc, hi, hiInc)
-    }
+    }).filter(_ > 0.0)
 
   private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
 

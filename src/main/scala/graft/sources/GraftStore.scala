@@ -1586,6 +1586,8 @@ object GraftStore {
     // visible before any of its owner slots are considered for deletion.
     val retired = (live.filterNot(keep) ++ expiredVersions(dir))
       .distinct.sorted(Ordering[Long].reverse)
+    val taggedOwnersCache =
+      scala.collection.mutable.Map.empty[Long, Map[String, Seq[Long]]]
     retired.foreach { v =>
       val vdir = versionDir(dir, v)
       // promote the snapshot-boundary marker BEFORE the dir goes away
@@ -1603,13 +1605,18 @@ object GraftStore {
       // slots of THIS version some kept snapshot references — re-reading
       // the tags here (not just in the keep-set upfront) so a tag that
       // landed (or a version that resurrected) mid-pass still protects
-      // the owner slots its snapshot reads
-      val tagRef: Set[String] = listTags(dir).values.toSet
-        .intersect(listVersions(dir).toSet)
-        .flatMap { tv: Long =>
-          ownersOf(dir, tv).toSeq.flatMap { case (s, os) =>
-            if (os.contains(v)) Some(s) else None }
+      // the owner slots its snapshot reads. listTags is one dir listing;
+      // a tagged version's manifest is immutable, so its owner map is
+      // read ONCE per pass (the cache below), keeping the sweep linear.
+      val tagRef: Set[String] = {
+        val tagged = listTags(dir).values.toSet
+        if (tagged.isEmpty) Set.empty
+        else tagged.intersect(listVersions(dir).toSet).flatMap { tv: Long =>
+          taggedOwnersCache.getOrElseUpdate(tv, ownersOf(dir, tv))
+            .toSeq.flatMap { case (s, os) =>
+              if (os.contains(v)) Some(s) else None }
         }
+      }
       val refSlots = referenced.collect { case (`v`, s) => s } ++ tagRef
       // Exclude the version from the readable listing BEFORE anything is
       // deleted: a crash mid-sweep must never leave a still-listed version

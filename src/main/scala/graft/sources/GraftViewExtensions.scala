@@ -114,13 +114,29 @@ private[sources] object GraftViewResolution {
     org.apache.spark.sql.catalyst.analysis.CTESubstitution(expanded)
   }
 
-  /** Substitute every graft-view reference in `plan` (recursively). */
+  /** Substitute every graft-view reference in `plan` (recursively) — an
+    * EXPLICIT walk, because `UnresolvedWith.cteRelations` are
+    * innerChildren (invisible to transform*): a view reference inside a
+    * WITH clause must expand through the same `visiting` cycle guard as
+    * everywhere else, or a replace-built cycle would validate at CREATE
+    * and loop the analyzer at read. */
   def expandReferences(spark: SparkSession, plan: LogicalPlan,
-      visiting: List[String]): LogicalPlan =
-    plan.transformWithSubqueries {
+      visiting: List[String]): LogicalPlan = {
+    def walk(p: LogicalPlan): LogicalPlan = p match {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sq, hint) =>
+          (n, walk(sq).asInstanceOf[SubqueryAlias], hint) },
+          child = walk(w.child))
       case r: UnresolvedRelation =>
+        // a substituted subtree is already FULLY expanded by its own pass
         substitute(spark, r, visiting).getOrElse(r)
+      case other => other.mapChildren(walk).transformExpressions {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          sq.withNewPlan(walk(sq.plan))
+      }
     }
+    walk(plan)
+  }
 
   /** Expanded subtree for one relation reference if it names a graft
     * view; None if it is not ours. */
@@ -219,14 +235,34 @@ final case class GraftViewDdlRule(spark: SparkSession)
 
 /** Substitutes reads of graft views with their expanded definitions. Only
   * EXPLICITLY qualified references (`gcat.v`) are claimed, so temp views,
-  * CTE names and session-catalog tables are never shadowed. */
+  * CTE names and session-catalog tables are never shadowed. A view as a
+  * WRITE target fails with a clear read-only error here — substituting
+  * it would feed the write resolver a subquery and die unreadably. */
 final case class GraftViewReadRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformWithSubqueries {
-      case r: UnresolvedRelation =>
-        GraftViewResolution.substitute(spark, r, Nil).getOrElse(r)
+  private def rejectViewTarget(t: LogicalPlan): Unit =
+    t.collectFirst { case r: UnresolvedRelation => r }.foreach { r =>
+      GraftViewResolution.graftTarget(spark, r.multipartIdentifier)
+        .foreach { case (cat, g, id) =>
+          if (g.viewExists(id)) throw new UnsupportedOperationException(
+            s"cannot write to view $cat.${(id.namespace() :+ id.name())
+              .mkString(".")} — views are read-only definitions; " +
+              "write to the base table instead")
+        }
     }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan match {
+      case i: InsertIntoStatement => rejectViewTarget(i.table)
+      case d: DeleteFromTable => rejectViewTarget(d.table)
+      case u: UpdateTable => rejectViewTarget(u.table)
+      case m: MergeIntoTable => rejectViewTarget(m.targetTable)
+      case _ => ()
+    }
+    // with view targets rejected above, substitution can only fire on
+    // READ references (a table target never matches a view)
+    GraftViewResolution.expandReferences(spark, plan, Nil)
+  }
 }
 
 /** CREATE [OR REPLACE] VIEW / ALTER VIEW ... AS against a graft catalog.

@@ -231,6 +231,41 @@ class ViewsSpec extends SparkTestBase {
       x.getMessage.contains("share one namespace")), s"got $e")
   }
 
+  test("writes to a view fail with a clear read-only error") {
+    val t = mkTable("t_v_wr")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 1)")
+    spark.sql(s"CREATE VIEW $cat.v_wr AS SELECT k, amount FROM $cat.$t")
+    def loud(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(chain(e).exists(x => x.getMessage != null &&
+        x.getMessage.contains("read-only")), s"for [$sql] got $e")
+    }
+    loud(s"INSERT INTO $cat.v_wr VALUES (2, 2)")
+    loud(s"DELETE FROM $cat.v_wr WHERE k = 1")
+    loud(s"UPDATE $cat.v_wr SET amount = 9 WHERE k = 1")
+    loud(s"MERGE INTO $cat.v_wr t USING (SELECT 1 AS k) s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE")
+    // a view in the MERGE SOURCE is a read — still works
+    spark.sql(s"MERGE INTO $cat.$t t USING $cat.v_wr s ON t.k = s.k + 1 " +
+      "WHEN NOT MATCHED THEN INSERT (k, amount) VALUES (s.k + 1, s.amount)")
+    assert(spark.table(s"$cat.$t").count() === 2)
+    // rename of a TABLE onto a view name is the namespace guard too
+    val eRen = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.$t RENAME TO v_wr")
+    }
+    assert(chain(eRen).exists(x => x.getMessage != null &&
+      x.getMessage.contains("share one namespace")), s"got $eRen")
+  }
+
+  test("view names with dots are rejected (the flattening separator)") {
+    val e = intercept[Exception] {
+      warehouse
+      spark.sql(s"CREATE VIEW $cat.`a.b` AS SELECT 1 AS x")
+    }
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("illegal view identifier")), s"got $e")
+  }
+
   test("time travel pinned inside a view definition") {
     val t = mkTable("t_v_tt")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 10), (2, 20)") // v1
