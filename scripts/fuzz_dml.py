@@ -474,12 +474,24 @@ def gen_sequence(idx):
     hi = lo + rng.randint(50, 500)
     pk = rng.choice(sorted(used)) if used else 1
     sel = f"{cn['k']} AS k, {cn['name']} AS name, {cn['amount']} AS amount"
+    # a third of the programs read their FINAL STATE through a SQL view
+    # (S38): the view body captures the end-of-program column names, so
+    # the probes exercise view expansion over every schema-evolution /
+    # mor / partition end state the program produced — pruning through
+    # the expanded body must behave exactly like the direct read
+    if rng.random() < 0.34:
+        stmts.append(f"CREATE OR REPLACE VIEW graftdml.v_{t} AS "
+                     f"SELECT {sel} FROM graftdml.{t}")
+        src, selv, a_col, k_col = f"graftdml.v_{t}", \
+            "k AS k, name AS name, amount AS amount", "amount", "k"
+    else:
+        src, selv, a_col, k_col = f"graftdml.{t}", sel, cn['amount'], cn['k']
     stmts.append(
-        f"SELECT 'full' AS probe, {sel} FROM graftdml.{t} "
-        f"UNION ALL SELECT 'rng', {sel} FROM graftdml.{t} "
-        f"WHERE {cn['amount']} BETWEEN {lo} AND {hi} "
-        f"UNION ALL SELECT 'key', {sel} FROM graftdml.{t} "
-        f"WHERE {cn['k']} = {pk} ORDER BY 1, 2")
+        f"SELECT 'full' AS probe, {selv} FROM {src} "
+        f"UNION ALL SELECT 'rng', {selv} FROM {src} "
+        f"WHERE {a_col} BETWEEN {lo} AND {hi} "
+        f"UNION ALL SELECT 'key', {selv} FROM {src} "
+        f"WHERE {k_col} = {pk} ORDER BY 1, 2")
     exp_rows = sorted(
         [("full", k, n, a) for k, (n, a) in state.items()] +
         [("rng", k, n, a) for k, (n, a) in state.items()
