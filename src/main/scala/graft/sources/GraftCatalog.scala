@@ -581,22 +581,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   // creating either over the other's name fails loudly.
   // ---------------------------------------------------------------------
 
+  /** One legality rule for view identifier parts: '.' is the flattening
+    * separator (a part containing one would collide with a same-spelling
+    * namespaced view's file) and '/' escapes the dir. PROBES (exists /
+    * drop / load) treat an illegal name as "not a view" — table names
+    * tolerate dots, so shared-namespace checks must never throw — while
+    * CREATE paths reject it loudly via [[viewPath]]. */
+  private def legalViewPart(p: String): Boolean =
+    !p.contains("/") && !p.contains(".")
+
+  private def legalViewIdent(ident: Identifier): Boolean =
+    (ident.namespace().toSeq :+ ident.name()).forall(legalViewPart)
+
   private def viewPath(ident: Identifier): java.nio.file.Path = {
     val parts = ident.namespace().toSeq :+ ident.name()
-    // '.' is the flattening separator — a part containing one would
-    // collide with a same-spelling namespaced view's file
-    parts.foreach(p => require(
-      !p.contains("/") && !p.contains("..") && !p.contains("."),
+    parts.foreach(p => require(legalViewPart(p),
       s"illegal view identifier part: $p"))
     java.nio.file.Paths.get(warehouse, "_views", parts.mkString(".") + ".json")
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    // an identifier no view can have (dotted part) simply isn't one —
-    // table paths tolerate dots, so existence probes must not throw
-    (ident.namespace().toSeq :+ ident.name()).forall(p =>
-      !p.contains("/") && !p.contains("..") && !p.contains(".")) &&
-      java.nio.file.Files.exists(viewPath(ident))
+    legalViewIdent(ident) && java.nio.file.Files.exists(viewPath(ident))
 
   /** Definition-file path for the extension rules (read-only use). */
   private[sources] def viewDirUnsafe(ident: Identifier): String =
@@ -622,10 +627,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def loadView(ident: Identifier): View = {
-    val p = viewPath(ident)
-    if (!java.nio.file.Files.exists(p))
+    if (!viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    new GraftView(ident.toString, GraftViewStore.read(p))
+    new GraftView(ident.toString, GraftViewStore.read(viewPath(ident)))
   }
 
   override def createView(info: ViewInfo): View = {
@@ -660,9 +664,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val p = viewPath(ident)
-    if (!java.nio.file.Files.exists(p))
+    if (!viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val p = viewPath(ident)
     val s0 = GraftViewStore.read(p)
     val props = changes.foldLeft(s0.properties) {
       case (acc, c: ViewChange.SetProperty) => acc + (c.property() -> c.value())
@@ -675,13 +679,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def dropView(ident: Identifier): Boolean =
-    java.nio.file.Files.deleteIfExists(viewPath(ident))
+    viewExists(ident) && java.nio.file.Files.deleteIfExists(viewPath(ident))
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = viewPath(oldIdent)
-    if (!java.nio.file.Files.exists(from))
+    if (!viewExists(oldIdent))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(oldIdent)
+    val from = viewPath(oldIdent)
     if (viewExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
@@ -735,6 +739,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     requireNoView(newIdent) // tables and views share one namespace
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
       java.nio.file.Paths.get(tableDir(newIdent)))
+    // move-then-verify (same discipline as createTable/createView): a
+    // CREATE VIEW racing this rename re-checks tables after ITS write,
+    // so at least one side always observes the other and rolls back
+    if (viewExists(newIdent)) {
+      java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(newIdent)),
+        java.nio.file.Paths.get(tableDir(oldIdent)))
+      throw new IllegalArgumentException(
+        s"a VIEW named $newIdent was created concurrently in catalog " +
+          s"$catalogName — the table keeps its old name $oldIdent")
+    }
   }
 }
 

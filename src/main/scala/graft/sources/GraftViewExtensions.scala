@@ -59,6 +59,33 @@ private[sources] object GraftViewResolution {
     }
   }
 
+  /** The ONE scope-carrying tree walker view resolution uses (both
+    * qualification and expansion — two copies of this walk WOULD drift):
+    * visits every plan node INCLUDING `UnresolvedWith.cteRelations`
+    * (innerChildren, invisible to the stock transform*) and subquery
+    * expressions, threading the lexical CTE scope, and rewrites each
+    * relation reference through `onRel`. */
+  private def walkPlan(plan: LogicalPlan, scope: Set[String])(
+      onRel: (UnresolvedRelation, Set[String]) => LogicalPlan): LogicalPlan = {
+    def go(p: LogicalPlan, sc: Set[String]): LogicalPlan = p match {
+      case w: UnresolvedWith =>
+        val inner = sc ++ w.cteRelations.map(_._1.toLowerCase)
+        w.copy(cteRelations = w.cteRelations.map { case (n, sq, hint) =>
+          (n, go(sq, inner).asInstanceOf[SubqueryAlias], hint) },
+          child = go(w.child, inner))
+          .transformExpressions {
+            case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              sq.withNewPlan(go(sq.plan, inner))
+          }
+      case r: UnresolvedRelation => onRel(r, sc) // leaf, no expressions
+      case other => other.mapChildren(go(_, sc)).transformExpressions {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          sq.withNewPlan(go(sq.plan, sc))
+      }
+    }
+    go(plan, scope)
+  }
+
   /** Qualify a view body's table references with the DEFINER's stored
     * context, scope-correctly: a 1-part name that is NOT a CTE in lexical
     * scope gets catalog + namespace prepended; a multi-part name whose
@@ -69,7 +96,7 @@ private[sources] object GraftViewResolution {
   private def qualify(spark: SparkSession, plan: LogicalPlan,
       stored: GraftViewStore.Stored, scope: Set[String]): LogicalPlan = {
     val cm = spark.sessionState.catalogManager
-    def qualifyRel(r: UnresolvedRelation, sc: Set[String]): UnresolvedRelation =
+    walkPlan(plan, scope) { (r, sc) =>
       r.multipartIdentifier match {
         case Seq(one) if !sc.contains(one.toLowerCase) =>
           r.copy(multipartIdentifier =
@@ -79,22 +106,7 @@ private[sources] object GraftViewResolution {
           r.copy(multipartIdentifier = stored.currentCatalog +: parts)
         case _ => r
       }
-    def walk(p: LogicalPlan, sc: Set[String]): LogicalPlan = {
-      val stepped = p match {
-        case w: UnresolvedWith =>
-          val inner = sc ++ w.cteRelations.map(_._1.toLowerCase)
-          w.copy(cteRelations = w.cteRelations.map { case (n, sq, hint) =>
-            (n, walk(sq, inner).asInstanceOf[SubqueryAlias], hint) },
-            child = walk(w.child, inner))
-        case r: UnresolvedRelation => qualifyRel(r, sc)
-        case other => other.mapChildren(walk(_, sc))
-      }
-      stepped.transformExpressions {
-        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          sq.withNewPlan(walk(sq.plan, sc))
-      }
     }
-    walk(plan, scope)
   }
 
   /** Parse a stored view body and expand it: unqualified table references
@@ -114,29 +126,16 @@ private[sources] object GraftViewResolution {
     org.apache.spark.sql.catalyst.analysis.CTESubstitution(expanded)
   }
 
-  /** Substitute every graft-view reference in `plan` (recursively) — an
-    * EXPLICIT walk, because `UnresolvedWith.cteRelations` are
-    * innerChildren (invisible to transform*): a view reference inside a
-    * WITH clause must expand through the same `visiting` cycle guard as
-    * everywhere else, or a replace-built cycle would validate at CREATE
-    * and loop the analyzer at read. */
+  /** Substitute every graft-view reference in `plan` (recursively),
+    * INCLUDING inside WITH clauses — a view reference in a CTE definition
+    * must expand through the same `visiting` cycle guard as everywhere
+    * else, or a replace-built cycle would validate at CREATE and loop
+    * the analyzer at read. A substituted subtree is already fully
+    * expanded by its own pass. */
   def expandReferences(spark: SparkSession, plan: LogicalPlan,
-      visiting: List[String]): LogicalPlan = {
-    def walk(p: LogicalPlan): LogicalPlan = p match {
-      case w: UnresolvedWith =>
-        w.copy(cteRelations = w.cteRelations.map { case (n, sq, hint) =>
-          (n, walk(sq).asInstanceOf[SubqueryAlias], hint) },
-          child = walk(w.child))
-      case r: UnresolvedRelation =>
-        // a substituted subtree is already FULLY expanded by its own pass
-        substitute(spark, r, visiting).getOrElse(r)
-      case other => other.mapChildren(walk).transformExpressions {
-        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          sq.withNewPlan(walk(sq.plan))
-      }
-    }
-    walk(plan)
-  }
+      visiting: List[String]): LogicalPlan =
+    walkPlan(plan, Set.empty)((r, _) =>
+      substitute(spark, r, visiting).getOrElse(r))
 
   /** Expanded subtree for one relation reference if it names a graft
     * view; None if it is not ours. */
@@ -252,11 +251,17 @@ final case class GraftViewReadRule(spark: SparkSession)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    plan match {
+    // write statements can sit BELOW the root (multi-insert unions) and
+    // the DataFrameWriterV2 path arrives as v2 write nodes — check every
+    // node, not just the top
+    plan.foreach {
       case i: InsertIntoStatement => rejectViewTarget(i.table)
       case d: DeleteFromTable => rejectViewTarget(d.table)
       case u: UpdateTable => rejectViewTarget(u.table)
       case m: MergeIntoTable => rejectViewTarget(m.targetTable)
+      case a: AppendData => rejectViewTarget(a.table)
+      case o: OverwriteByExpression => rejectViewTarget(o.table)
+      case o: OverwritePartitionsDynamic => rejectViewTarget(o.table)
       case _ => ()
     }
     // with view targets rejected above, substitution can only fire on

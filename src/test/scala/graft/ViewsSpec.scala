@@ -264,6 +264,38 @@ class ViewsSpec extends SparkTestBase {
     }
     assert(chain(e).exists(x => x.getMessage != null &&
       x.getMessage.contains("illegal view identifier")), s"got $e")
+    // PROBES on an illegal name must not throw: no view can have it
+    spark.sql(s"DROP VIEW IF EXISTS $cat.`a.b`") // no-op, not an error
+    val eLoad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`a.b`").collect()
+    }
+    assert(chain(eLoad).exists(x => x.getMessage != null &&
+      (x.getMessage.contains("cannot be found") ||
+        x.getMessage.toUpperCase.contains("NOT_FOUND"))), s"got $eLoad")
+  }
+
+  test("nested write targets and writeTo hit the read-only guard too") {
+    import spark.implicits._
+    val t = mkTable("t_v_wr2")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 1)")
+    spark.sql(s"CREATE VIEW $cat.v_wr2 AS SELECT k, amount FROM $cat.$t")
+    // Hive-style multi-insert: the write statements sit BELOW the root
+    val eMulti = intercept[Exception] {
+      spark.sql(s"FROM $cat.$t " +
+        s"INSERT INTO $cat.v_wr2 SELECT k, amount " +
+        s"INSERT INTO $cat.$t SELECT k + 100, amount")
+    }
+    assert(chain(eMulti).exists(x => x.getMessage != null &&
+      x.getMessage.contains("read-only")), s"got $eMulti")
+    // DataFrameWriterV2 arrives as v2 write nodes, not InsertIntoStatement
+    val eV2 = intercept[Exception] {
+      Seq((9L, 9L)).toDF("k", "amount").writeTo(s"$cat.v_wr2").append()
+    }
+    assert(chain(eV2).exists(x => x.getMessage != null &&
+      (x.getMessage.contains("read-only") ||
+        x.getMessage.toUpperCase.contains("NOT_FOUND") ||
+        x.getMessage.contains("cannot be found"))), s"got $eV2")
+    assert(spark.table(s"$cat.$t").count() === 1, "nothing landed")
   }
 
   test("time travel pinned inside a view definition") {
