@@ -388,6 +388,60 @@ object Scratch {
     // pre-r13 per-bucket trigger would have rewritten every bucket across
     // ALL days (O(bucket × history)). Also pinned: cold-slot owner maps
     // unchanged by the compaction.
+    // Rate-limited changelog drain (T14) across a ×4/×16/×64 BACKLOG: a
+    // consumer restarting against k committed versions drains with
+    // maxVersionsPerTrigger=8 under AvailableNow. The claims: (a) the
+    // drain terminates in exactly ceil(k/8) version-aligned batches,
+    // (b) PER-BATCH cost stays flat as the backlog grows (each batch
+    // plans only its 8 slices — an unbounded first batch would grow
+    // linearly and is printed alongside for contrast), (c) the
+    // admission-control poll (slice footer row counts) never re-reads a
+    // slice (process-wide cache, immutable slices).
+    val streamKs = sys.props.get("graft.scale.ks")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(16, 64, 256))
+    for (k <- streamKs if want("stream")) {
+      val cat = s"gstream$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_stream").toString)
+      spark.sql(s"""CREATE TABLE $cat.t (k BIGINT NOT NULL, v BIGINT)
+        USING graft TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      val dir = s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/t"
+      time(f"stream x$k%3d fixture: $k commits of 100 rows") {
+        (0 until k).foreach { i =>
+          graft.sources.GraftStore.applyChanges(spark, dir,
+            spark.range(i * 100L, i * 100L + 100)
+              .select($"id".as("k"), ($"id" * 7).as("v"))
+              .withColumn(graft.sources.GraftStore.OpCol, lit("I")),
+            allInserts = true)
+        }
+      }
+      def drain(opts: Map[String, String], label: String): Unit = {
+        val batches = new java.util.concurrent.atomic.AtomicLong()
+        val rows = new java.util.concurrent.atomic.AtomicLong()
+        val t0 = System.nanoTime()
+        var r = spark.readStream
+        opts.foreach { case (kk, vv) => r = r.option(kk, vv) }
+        val q = r.table(s"$cat.`t$$changes`").writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val n = df.count()
+            if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(600000L), "drain did not terminate")
+        q.stop()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] stream x$k%3d $label: $secs%.2f s, " +
+          f"${batches.get()}%3d batches, ${rows.get()}%7d rows, " +
+          f"${secs / math.max(batches.get(), 1)}%.3f s/batch")
+      }
+      drain(Map("maxVersionsPerTrigger" -> "8"), "rate-limited ( 8/batch)")
+      drain(Map.empty, "unlimited    (1 batch )")
+    }
+
     for (k <- Seq(1, 10, 100) if want("slotopt")) {
       val cat = s"gslotopt$k"
       spark.conf.set(s"spark.sql.catalog.$cat",

@@ -231,10 +231,15 @@ final class GraftChangesMicroBatchStream(dir: String, meta: GraftTableMeta,
     batchScan(dirs).toBatch.planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    // schema-driven, not file-driven: one factory serves every batch's
-    // file partitions (they all share the physical changes schema)
+  // schema-driven, not file-driven: ONE factory serves every batch's
+  // file partitions (they all share the physical changes schema). Built
+  // lazily and CACHED — Spark asks for it per micro-batch, and building
+  // it lists the whole changes root, so an uncached factory makes a
+  // rate-limited drain of a k-version backlog cost O(k²) listings.
+  private lazy val readerFactory: PartitionReaderFactory =
     batchScan(Seq(GraftStore.changesRoot(dir))).toBatch.createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   private def batchScan(paths: Seq[String]) = {
     val opts = new CaseInsensitiveStringMap(
@@ -390,7 +395,9 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
       }
     }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  // cached like the changes stream's factory (schema-driven; Spark asks
+  // per micro-batch and building it lists the whole changes root)
+  private lazy val readerFactory: PartitionReaderFactory = {
     // the snapshot factory ALWAYS routes through the merge-on-read
     // dispatcher: partitions were planned against the OFFSET version (they
     // carry their own delete slices when that version had live DVs), while
@@ -415,6 +422,8 @@ final class GraftTableAppendStream(dir: String, meta: GraftTableMeta,
       // the reader is an internal inconsistency the default branches catch
       ignoreDeletes, ignoreChanges)
   }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   /** Stock parquet scan of one version dir (physical schema + the bucket
     * partition column — the same layout the batch table scan reads). A
