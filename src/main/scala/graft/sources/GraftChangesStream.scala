@@ -25,8 +25,11 @@ private[sources] object GraftStreamLimits {
   /** Drop cached slice counts under a table dir — a DROPPED table
     * recreated at the same path restarts version numbering, so a stale
     * `change_version=N` count would mis-clamp the new table's batches. */
-  private[sources] def invalidate(tableDir: String): Unit =
-    sliceRows.keySet.removeIf(_.startsWith(tableDir))
+  private[sources] def invalidate(tableDir: String): Unit = {
+    // path-segment-scoped: dropping 'wh/t' must not evict 'wh/t2'
+    val prefix = tableDir + java.io.File.separator
+    sliceRows.keySet.removeIf(k => k == tableDir || k.startsWith(prefix))
+  }
 
   /** Rows of one changelog slice (0 for a changelog-less version). */
   def sliceRowCount(dir: String, v: Long): Long = {

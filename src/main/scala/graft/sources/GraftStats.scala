@@ -572,13 +572,23 @@ object GraftStats {
     math.min(1.0, rows / total)
   }
 
-  /** Fraction of non-null rows equal to `v`: each bin containing `v`
-    * contributes height/ndv (its rows spread over its distinct values). */
+  /** Fraction of non-null rows equal to `v`: each bin OWNING `v`
+    * contributes height/ndv (its rows spread over its distinct values).
+    * Ownership follows the build-side membership convention
+    * (upper-inclusive, first bin closed at both ends) so a literal lying
+    * exactly on a shared edge is attributed to ONE bin, not both
+    * neighbors; degenerate (spike) bins own their value outright — a
+    * heavy value's mass spans several percentile-equal bins and each
+    * carries `height` rows of it by the equi-height construction. */
   private def selEq(h: ColHistogram, v: Double): Double = {
     val total = h.height * h.bins.length
     if (total <= 0) return 1.0
-    val rows = h.bins.map { case (lo, hi, ndv) =>
-      if (v < lo || v > hi) 0.0 else h.height / math.max(ndv, 1L).toDouble
+    val rows = h.bins.zipWithIndex.map { case ((lo, hi, ndv), b) =>
+      val owns =
+        if (lo == hi) v == lo
+        else if (b == 0) v >= lo && v <= hi
+        else v > lo && v <= hi
+      if (owns) h.height / math.max(ndv, 1L).toDouble else 0.0
     }.sum
     math.min(1.0, rows / total)
   }
@@ -615,7 +625,9 @@ object GraftStats {
       rangeSel(stats, a.name, l)(v => (Some(v), true, None, false))
     case In(a: AttributeReference, vs) if vs.nonEmpty &&
         vs.forall(_.isInstanceOf[Literal]) =>
-      val sels = vs.map(v => eqSel(stats, a.name, v.asInstanceOf[Literal]))
+      // repeated literals match the same rows once — dedupe before summing
+      val sels = vs.map(_.asInstanceOf[Literal]).distinct
+        .map(v => eqSel(stats, a.name, v))
       if (sels.exists(_.isEmpty)) None
       else Some(math.min(1.0, sels.flatten.sum))
     case InSet(a: AttributeReference, hset) if hset.nonEmpty =>

@@ -1149,8 +1149,11 @@ object GraftStore {
 
   private[sources] def invalidateDvCache(tableDir: String): Unit = {
     cacheEpoch.incrementAndGet()
-    dvProbeCache.keySet.removeIf(_.startsWith(tableDir))
-    snapshotFilesCache.keySet.removeIf(_.startsWith(tableDir))
+    // path-segment-scoped: dropping 'wh/t' must not evict 'wh/t2'
+    val prefix = tableDir + java.io.File.separator
+    dvProbeCache.keySet.removeIf(k => k == tableDir || k.startsWith(prefix))
+    snapshotFilesCache.keySet.removeIf(k =>
+      k == tableDir || k.startsWith(prefix))
     org.apache.spark.sql.GraftSnapshotScan.invalidate(tableDir)
   }
 
@@ -1508,31 +1511,40 @@ object GraftStore {
     * different versions of the same app must never interleave into a
     * regressed high-water (a lost update here silently re-admits a
     * duplicate write — the exact corruption txn records exist to stop),
-    * and a torn file must never parse as "no record". */
+    * and a torn file must never parse as "no record". IO failures
+    * PROPAGATE: the caller must abort this version's retirement (the
+    * sweep is crash-resumable), never sweep away the only copy of the
+    * high-water record — a swallowed failure here silently re-admits
+    * the duplicate write the record exists to block. Only a marker
+    * whose CONTENT doesn't parse (torn write of the marker itself, or
+    * a foreign file) is treated as carrying no promotable record. */
   private def promoteTxnMarker(vdir: String, dir: String): Unit = {
     val p = Paths.get(vdir, TxnMarker)
     if (!Files.exists(p)) return
-    try {
+    val parsed: Option[(String, Long)] =
       new String(Files.readAllBytes(p), "UTF-8").trim.split('\t') match {
         case Array(app, v) if app.matches(TxnAppIdPattern) =>
-          withMetaLock(dir) {
-            Files.createDirectories(txnsRoot(dir))
-            val dst = txnsRoot(dir).resolve(app)
-            val existing =
-              if (!Files.exists(dst)) None
-              else try Some(new String(Files.readAllBytes(dst), "UTF-8").trim.toLong)
-              catch { case _: Exception => None }
-            val hi = math.max(v.toLong, existing.getOrElse(Long.MinValue))
-            if (!existing.contains(hi)) {
-              val tmp = dst.resolveSibling(s".${app}.tmp-${System.nanoTime()}")
-              Files.write(tmp, hi.toString.getBytes("UTF-8"))
-              Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
-                StandardCopyOption.ATOMIC_MOVE)
-            }
-          }
-        case _ => ()
+          try Some((app, v.toLong))
+          catch { case _: NumberFormatException => None }
+        case _ => None
       }
-    } catch { case _: Exception => () }
+    parsed.foreach { case (app, v) =>
+      withMetaLock(dir) {
+        Files.createDirectories(txnsRoot(dir))
+        val dst = txnsRoot(dir).resolve(app)
+        val existing =
+          if (!Files.exists(dst)) None
+          else try Some(new String(Files.readAllBytes(dst), "UTF-8").trim.toLong)
+          catch { case _: NumberFormatException => None }
+        val hi = math.max(v, existing.getOrElse(Long.MinValue))
+        if (!existing.contains(hi)) {
+          val tmp = dst.resolveSibling(s".${app}.tmp-${System.nanoTime()}")
+          Files.write(tmp, hi.toString.getBytes("UTF-8"))
+          Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
   }
 
   /** Parse the txnAppId/txnVersion write-option pair, loudly: both or

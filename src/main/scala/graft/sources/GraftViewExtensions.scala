@@ -69,13 +69,22 @@ private[sources] object GraftViewResolution {
       onRel: (UnresolvedRelation, Set[String]) => LogicalPlan): LogicalPlan = {
     def go(p: LogicalPlan, sc: Set[String]): LogicalPlan = p match {
       case w: UnresolvedWith =>
-        val inner = sc ++ w.cteRelations.map(_._1.toLowerCase)
-        w.copy(cteRelations = w.cteRelations.map { case (n, sq, hint) =>
-          (n, go(sq, inner).asInstanceOf[SubqueryAlias], hint) },
-          child = go(w.child, inner))
+        // Scope is threaded INCREMENTALLY for a non-recursive WITH: each
+        // definition sees only the outer scope plus PREVIOUSLY defined
+        // names — a table reference that merely shares a later CTE's name
+        // must still be definer-qualified. WITH RECURSIVE keeps the full
+        // scope (self/forward references are part of its semantics).
+        val all = sc ++ w.cteRelations.map(_._1.toLowerCase)
+        var seen = sc
+        val rels = w.cteRelations.map { case (n, sq, hint) =>
+          val defScope = if (w.allowRecursion) all else seen
+          seen = seen + n.toLowerCase
+          (n, go(sq, defScope).asInstanceOf[SubqueryAlias], hint)
+        }
+        w.copy(cteRelations = rels, child = go(w.child, all))
           .transformExpressions {
             case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-              sq.withNewPlan(go(sq.plan, inner))
+              sq.withNewPlan(go(sq.plan, all))
           }
       case r: UnresolvedRelation => onRel(r, sc) // leaf, no expressions
       case other => other.mapChildren(go(_, sc)).transformExpressions {

@@ -77,7 +77,9 @@ object GraftSnapshotScan {
     * invalidateDvCache calls across packages on drop/recreate/expire). */
   def invalidate(tableDir: String): Unit = {
     invalidationEpoch.incrementAndGet()
-    authoredCache.keySet.removeIf(_.startsWith(tableDir))
+    // path-segment-scoped: dropping 'wh/t' must not evict 'wh/t2'
+    val prefix = tableDir + java.io.File.separator
+    authoredCache.keySet.removeIf(k => k == tableDir || k.startsWith(prefix))
   }
 
   def parquetScanBuilder(spark: SparkSession, tableDir: String, v: Long,
