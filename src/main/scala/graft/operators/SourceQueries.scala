@@ -2470,6 +2470,93 @@ object SourceQueries {
         TRUE AS duplicate_fails, TRUE AS drop_removes
       FROM bumped WHERE cents >= 500 ORDER BY user_id""")),
 
+    // ----- S39: first-class materialized views — `CREATE MATERIALIZED
+    // VIEW` persists the definition AND materializes the query into a
+    // backing state table; `CALL refresh_mv` folds EXACTLY the changelog
+    // versions committed since the last refresh (the S15 delta algebra,
+    // now wired end-to-end: after-images add, before-images retract,
+    // one full-outer merge, extinction at count zero), stamping the
+    // watermark INTO the state commit via the S37 txn marker so a
+    // crashed-and-retried refresh can never double-fold. Cost of a
+    // refresh ∝ changes + |view| — at 100 TB you maintain the view, you
+    // never recompute it. The gate runs the s15 hard-case DML (fresh
+    // inserts, group-MOVING updates, deletes, a value-threshold purge)
+    // against the SOURCE, refreshes once, and pins: the refreshed state
+    // hashes the full-recompute oracle (rows are the output), the
+    // refresh ran on the incremental lane, a second refresh is a no-op,
+    // reads before the refresh served the stale STATE (definition-
+    // not-passthrough), and `mv$mv` metadata flipped stale→fresh.
+    GraftQuery("s39_materialized_view", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s39_src_rows")
+      s.sql("""SELECT k, (r + 1) % 5 AS r, pop + 1000 AS pop, 'upsert' AS op
+               FROM s39_src_rows WHERE k % 3 = 0 AND k % 7 <> 4
+               UNION ALL
+               SELECT k, r, pop, 'delete' FROM s39_src_rows WHERE k % 7 = 4
+               UNION ALL
+               SELECT id + 100, (id + 100) % 5, (id + 100) * 10 + 7, 'upsert'
+               FROM range(5)""").createOrReplaceTempView("s39_chg")
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.s39_mv")
+      s.sql("DROP TABLE IF EXISTS graftdml.s39_src")
+      s.sql("""CREATE TABLE graftdml.s39_src
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.s39_src SELECT k, r, pop FROM s39_src_rows")
+      s.sql("""CREATE MATERIALIZED VIEW graftdml.s39_mv AS
+        SELECT r, COUNT(*) AS n, SUM(pop) AS s
+        FROM graftdml.s39_src GROUP BY r""")
+      // the s15 hard-case slice, against the SOURCE this time
+      s.sql("""MERGE INTO graftdml.s39_src t USING s39_chg c ON t.k = c.k
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET r = c.r, pop = c.pop
+        WHEN NOT MATCHED AND c.op <> 'delete' THEN
+          INSERT (k, r, pop) VALUES (c.k, c.r, c.pop)""")
+      s.sql("UPDATE graftdml.s39_src SET pop = pop + 3 WHERE r = 2")
+      s.sql("DELETE FROM graftdml.s39_src WHERE pop > 1200")
+      def recompute() = s.sql(
+        "SELECT r, COUNT(*) AS n, SUM(pop) AS s FROM graftdml.s39_src GROUP BY r")
+      def mvRows() = s.sql("SELECT r, n, s FROM graftdml.s39_mv")
+      def sameAs(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      // definition-not-passthrough: pre-refresh reads serve the old state
+      val servedStale = !sameAs(mvRows(), recompute())
+      val staleBefore = s.sql(
+        "SELECT stale FROM graftdml.`s39_mv$mv`").head().getBoolean(0)
+      val r1 = s.sql("CALL graftdml.refresh_mv(view => 's39_mv')").head()
+      val r2 = s.sql("CALL graftdml.refresh_mv(view => 's39_mv')").head()
+      val freshAfter = !s.sql(
+        "SELECT stale FROM graftdml.`s39_mv$mv`").head().getBoolean(0)
+      mvRows()
+        .withColumn("served_state_pre_refresh", lit(servedStale))
+        .withColumn("stale_flag_flipped", lit(staleBefore && freshAfter))
+        .withColumn("incremental_lane", lit(r1.getString(1) == "incremental"))
+        .withColumn("second_refresh_noop", lit(r2.getString(1) == "noop"))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      ins AS (SELECT CAST(i + 100 AS BIGINT) AS k, CAST((i + 100) % 5 AS BIGINT) AS r,
+                CAST((i + 100) * 10 + 7 AS BIGINT) AS pop FROM range(5) t(i)),
+      after2 AS (
+        SELECT k, CASE WHEN k % 3 = 0 THEN (r + 1) % 5 ELSE r END AS r,
+          CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+        FROM src WHERE k % 7 <> 4
+        UNION ALL SELECT k, r, pop FROM ins),
+      after3 AS (SELECT k, r, CASE WHEN r = 2 THEN pop + 3 ELSE pop END AS pop
+                 FROM after2),
+      after4 AS (SELECT * FROM after3 WHERE pop <= 1200)
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
+        TRUE AS served_state_pre_refresh, TRUE AS stale_flag_flipped,
+        TRUE AS incremental_lane, TRUE AS second_refresh_noop
+      FROM after4 GROUP BY r ORDER BY r""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

@@ -85,6 +85,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     requireNoView(ident)
+    requireNoMv(ident)
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     val meta = validatedMeta(ident, info.schema(), info.partitions(),
@@ -157,6 +158,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       val dir = tableDir(baseIdent)
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftPartitionsTable(ident.toString, dir)
+    }
+    // `mv$mv` is a materialized view's freshness metadata: one row per
+    // source table — refreshed-through vs current version, staleness,
+    // whether the next refresh can fold the changelog incrementally
+    if (ident.name().endsWith(GraftCatalog.MvSuffix)) {
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(GraftCatalog.MvSuffix))
+      if (!mvExists(baseIdent)) throw new NoSuchTableException(ident)
+      return new GraftMvInfoTable(ident.toString, this, baseIdent)
     }
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
@@ -251,9 +261,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     require(!ident.name().endsWith(ChangesSuffix) &&
         !ident.name().endsWith(GraftCatalog.VersionsSuffix) &&
         !ident.name().endsWith(GraftCatalog.FilesSuffix) &&
-        !ident.name().endsWith(GraftCatalog.PartitionsSuffix),
-      "table names ending in the $changes/$versions/$files/$partitions " +
-        "suffixes are reserved for metadata reads")
+        !ident.name().endsWith(GraftCatalog.PartitionsSuffix) &&
+        !ident.name().endsWith(GraftCatalog.MvSuffix),
+      "table names ending in the $changes/$versions/$files/$partitions/" +
+        "$mv suffixes are reserved for metadata reads")
     val props = properties.asScala
     val keys = props.get("merge_key").map(_.split(",").toSeq.map(_.trim))
       .getOrElse(Seq(schema0.fieldNames.head))
@@ -294,6 +305,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   override def createTable(ident: Identifier, schema0: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     requireNoView(ident)
+    requireNoMv(ident)
     val dir = tableDir(ident)
     if (GraftStore.exists(dir)) throw new TableAlreadyExistsException(ident)
     GraftStore.create(dir,
@@ -376,14 +388,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     requireNoView(ident)
+    requireNoMv(ident)
     stage(ident, info, replace = false, orCreate = false)
   }
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
     requireNoView(ident)
+    requireNoMv(ident)
     stage(ident, info, replace = true, orCreate = false)
   }
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable = {
     requireNoView(ident)
+    requireNoMv(ident)
     stage(ident, info, replace = true, orCreate = true)
   }
 
@@ -612,6 +627,46 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       s"a VIEW named $ident already exists in catalog $catalogName — " +
         "tables and views share one namespace (DROP VIEW first)")
 
+  // Materialized views (S39) share the table/view namespace too: one JSON
+  // record per MV under `<warehouse>/_mvs/` plus a backing state table
+  // named `__mv_state_<name>` (see [[GraftMaterializedViews]]).
+  private[sources] def warehouseDir: String = warehouse
+
+  private[sources] def mvPath(ident: Identifier): java.nio.file.Path = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach(p => require(legalViewPart(p),
+      s"illegal materialized view identifier part: $p"))
+    java.nio.file.Paths.get(warehouse, "_mvs", parts.mkString(".") + ".json")
+  }
+
+  private[sources] def mvExists(ident: Identifier): Boolean =
+    legalViewIdent(ident) && java.nio.file.Files.exists(mvPath(ident))
+
+  private[sources] def mvStateIdent(ident: Identifier): Identifier =
+    Identifier.of(ident.namespace(),
+      GraftMaterializedViews.StatePrefix + ident.name())
+
+  private[sources] def mvStateDir(ident: Identifier): String =
+    tableDir(mvStateIdent(ident))
+
+  private[sources] def requireNoMv(ident: Identifier): Unit =
+    if (mvExists(ident)) throw new IllegalArgumentException(
+      s"a MATERIALIZED VIEW named $ident already exists in catalog " +
+        s"$catalogName — tables, views and materialized views share one " +
+        "namespace (DROP MATERIALIZED VIEW first)")
+
+  private[sources] def listMvs(namespace: Seq[String]): Seq[Identifier] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
+    val root = java.nio.file.Paths.get(warehouse, "_mvs")
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else GraftStore.listDir(root)(_.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith(".") &&
+        n.startsWith(prefix))
+      .map(_.stripSuffix(".json").stripPrefix(prefix))
+      .filter(!_.contains("."))
+      .map(Identifier.of(namespace.toArray, _)).toSeq)
+  }
+
   override def listViews(namespace: String*): Array[Identifier] = {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
     val root = java.nio.file.Paths.get(warehouse, "_views")
@@ -633,6 +688,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def createView(info: ViewInfo): View = {
+    requireNoMv(info.ident())
     if (tableExists(info.ident())) throw new IllegalArgumentException(
       s"a TABLE named ${info.ident()} already exists in catalog " +
         s"$catalogName — tables and views share one namespace")
@@ -653,6 +709,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    requireNoMv(info.ident())
     if (tableExists(info.ident())) throw new IllegalArgumentException(
       s"a TABLE named ${info.ident()} already exists in catalog " +
         s"$catalogName — tables and views share one namespace")
@@ -724,19 +781,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       new GraftProcedure(ident.name(), { t =>
         require(!t.contains("/") && !t.contains(".."), s"illegal table name: $t")
         s"$warehouse/$t"
-      })
+      }, this)
     else throw new RuntimeException(s"no such procedure: $ident")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     require(!newIdent.name().endsWith(ChangesSuffix) &&
         !newIdent.name().endsWith(GraftCatalog.VersionsSuffix) &&
         !newIdent.name().endsWith(GraftCatalog.FilesSuffix) &&
-        !newIdent.name().endsWith(GraftCatalog.PartitionsSuffix),
-      "table names ending in the $changes/$versions/$files/$partitions " +
-        "suffixes are reserved for metadata reads")
+        !newIdent.name().endsWith(GraftCatalog.PartitionsSuffix) &&
+        !newIdent.name().endsWith(GraftCatalog.MvSuffix),
+      "table names ending in the $changes/$versions/$files/$partitions/" +
+        "$mv suffixes are reserved for metadata reads")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
     requireNoView(newIdent) // tables and views share one namespace
+    requireNoMv(newIdent)
     java.nio.file.Files.move(java.nio.file.Paths.get(tableDir(oldIdent)),
       java.nio.file.Paths.get(tableDir(newIdent)))
     // move-then-verify (same discipline as createTable/createView): a
@@ -796,6 +855,10 @@ object GraftCatalog {
   /** Identifier suffix routing to a table's current partition-level
     * layout, e.g. `` cat.`orders$partitions` ``. */
   val PartitionsSuffix = "$partitions"
+  /** Identifier suffix routing to a materialized view's freshness
+    * metadata, e.g. `` cat.`daily_mv$mv` `` — one row per source table
+    * with the refreshed-through vs current version and staleness. */
+  val MvSuffix = "$mv"
 
   /** Parse + validate a `bloom_filter_columns` property value against a
     * schema (the ONE rule CREATE and ALTER share): columns must exist and
@@ -1063,6 +1126,43 @@ final class GraftVersionsTable(tableName: String, dir: String)
     }
 }
 
+/** A materialized view's freshness metadata as a read-only DSv2 table
+  * (`` mv$mv ``): one row per source table — the version the state is
+  * refreshed through, the source's current version, staleness, and
+  * whether the next refresh can fold the changelog incrementally. */
+final class GraftMvInfoTable(tableName: String, g: GraftCatalog,
+    baseIdent: Identifier) extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val schema0 = StructType(Seq(
+    StructField("source_table", StringType, nullable = false),
+    StructField("state_table", StringType, nullable = false),
+    StructField("refreshed_version", LongType, nullable = true),
+    StructField("source_version", LongType, nullable = false),
+    StructField("stale", BooleanType, nullable = false),
+    StructField("incremental", BooleanType, nullable = false)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"GraftMvInfo($tableName)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        import org.apache.spark.unsafe.types.UTF8String
+        GraftMaterializedViews.infoRows(SparkSession.active, g.name(), g,
+          baseIdent).map { case (src, st, refreshed, cur, stale, incr) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(src), UTF8String.fromString(st),
+              refreshed.map(Long.box).orNull, cur, stale, incr))
+        }.toArray
+      }
+    }
+}
+
 /** A table's changelog as a read-only DSv2 table: every committed change
   * row (full image + `change_op` I/U/D) Hive-partitioned by
   * `change_version`, scanned through the stock parquet DSv2 path so a
@@ -1125,6 +1225,11 @@ final class GraftChangesTable(tableName: String, dir: String)
 final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with TruncatableTable {
+
+  /** Store directory + pinned version, for in-package plan analysis
+    * (materialized-view shape extraction reads them off the relation). */
+  private[sources] def tableDir: String = dir
+  private[sources] def pinned: Option[Long] = pinnedVersion
 
   /** SQL `TRUNCATE TABLE`: one claimed empty-version commit. */
   override def truncateTable(): Boolean = { GraftStore.truncate(dir); true }

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
 object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "rebucket", "clone", "restore",
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
-    "analyze", "maintenance_report", "create_tag", "drop_tag")
+    "analyze", "maintenance_report", "create_tag", "drop_tag",
+    "refresh_mv")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact leaf slots (partition x bucket dirs) with more " +
@@ -61,7 +62,13 @@ object GraftProcedures {
       "the pinned version readable regardless of keep_last (version " +
       "defaults to the current one; names start with a letter)"),
     "drop_tag" -> ("remove a named ref; the version it pinned becomes " +
-      "expirable again on the next expire_versions"))
+      "expirable again on the next expire_versions"),
+    "refresh_mv" -> ("bring a materialized view's state up to its " +
+      "sources' current versions: no-op when already fresh, an " +
+      "incremental changelog fold when the definition is a " +
+      "self-maintainable aggregate and the changelog covers the gap, a " +
+      "full recompute otherwise (returns the version refreshed through " +
+      "and which mode ran)"))
 
   private[sources] def params(name: String): Array[ProcedureParameter] = name match {
     case "optimize" => Array(
@@ -109,6 +116,8 @@ object GraftProcedures {
     case "drop_tag" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
+    case "refresh_mv" => Array(
+      ProcedureParameter.in("view", StringType).build())
   }
 
   /** The `maintenance_report` rows for one table: (signal, triggered,
@@ -189,8 +198,8 @@ object GraftProcedures {
     StructField("action", StringType, nullable = false)))
 }
 
-final class GraftProcedure(procName: String, tableDir: String => String)
-    extends UnboundProcedure {
+final class GraftProcedure(procName: String, tableDir: String => String,
+    catalog: GraftCatalog = null) extends UnboundProcedure {
   override def name(): String = procName
   override def description(): String = GraftProcedures.Descriptions(procName)
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -202,6 +211,22 @@ final class GraftProcedure(procName: String, tableDir: String => String)
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val spark = SparkSession.active
+      if (procName == "refresh_mv") {
+        import org.apache.spark.unsafe.types.UTF8String
+        require(catalog != null,
+          "refresh_mv needs a catalog-bound procedure (CALL <cat>.sys.refresh_mv)")
+        val parts = input.getUTF8String(0).toString.split('.').toSeq
+        val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init.toArray, parts.last)
+        val (v, mode) =
+          GraftMaterializedViews.refresh(spark, catalog.name(), catalog, id)
+        val schema = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("mode", StringType, nullable = false)))
+        return util.Collections.singletonList[Scan](new GraftResultScan(
+          schema, Array(new GenericInternalRow(
+            Array[Any](v, UTF8String.fromString(mode)))))).iterator()
+      }
       val table = input.getUTF8String(0).toString
       val dir = tableDir(table)
       require(GraftStore.exists(dir), s"no such graft table: $table")

@@ -38,6 +38,10 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // materialized-view DDL (CREATE/DROP/REFRESH MATERIALIZED VIEW) is
+    // the one statement family the stock grammar can't parse — claimed
+    // by a delegating parser, everything else passes through verbatim
+    ext.injectParser((_, p) => new GraftMvParser(p))
     ext.injectHintResolutionRule(s => GraftViewDdlRule(s))
     ext.injectHintResolutionRule(s => GraftViewReadRule(s))
   }
@@ -151,7 +155,7 @@ private[sources] object GraftViewResolution {
   def substitute(spark: SparkSession, r: UnresolvedRelation,
       visiting: List[String]): Option[LogicalPlan] =
     graftTarget(spark, r.multipartIdentifier).flatMap { case (cat, g, id) =>
-      if (!g.viewExists(id)) None
+      if (!g.viewExists(id)) substituteMv(spark, r, cat, g, id)
       else {
         val key = (cat +: id.namespace().toSeq :+ id.name()).mkString(".")
         if (visiting.contains(key)) throw new IllegalStateException(
@@ -168,6 +172,30 @@ private[sources] object GraftViewResolution {
         Some(SubqueryAlias(key, aliased))
       }
     }
+
+  /** A materialized-view reference reads the STATE table — one projection
+    * of the public columns over `__mv_state_<name>`, never a recompute.
+    * Reading an MV whose state was never built (crash between CREATE's
+    * publish and its first refresh) fails loudly toward the fix. */
+  private def substituteMv(spark: SparkSession, r: UnresolvedRelation,
+      cat: String, g: GraftCatalog, id: Identifier): Option[LogicalPlan] = {
+    if (!g.mvExists(id)) return None
+    val key = (cat +: id.namespace().toSeq :+ id.name()).mkString(".")
+    if (r.isStreaming) throw new UnsupportedOperationException(
+      s"materialized view $key cannot be read as a stream; stream its " +
+        "base table")
+    if (!g.tableExists(g.mvStateIdent(id))) throw new IllegalStateException(
+      s"materialized view $key has no state yet — run " +
+        s"CALL $cat.sys.refresh_mv(view => '${(id.namespace() :+ id.name())
+          .mkString(".")}')")
+    val rec = GraftMaterializedViews.readRecord(g.mvPath(id))
+    val stateParts =
+      (cat +: id.namespace().toSeq) :+ g.mvStateIdent(id).name()
+    Some(SubqueryAlias(key, Project(
+      rec.outputSchema.fieldNames.toIndexedSeq.map(n =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))),
+      UnresolvedRelation(stateParts))))
+  }
 
   /** Multipart name from the unresolved child of a view DDL plan. */
   def partsOf(child: LogicalPlan): Option[Seq[String]] = child match {
@@ -256,6 +284,10 @@ final case class GraftViewReadRule(spark: SparkSession)
             s"cannot write to view $cat.${(id.namespace() :+ id.name())
               .mkString(".")} — views are read-only definitions; " +
               "write to the base table instead")
+          if (g.mvExists(id)) throw new UnsupportedOperationException(
+            s"cannot write to materialized view $cat.${(id.namespace() :+
+              id.name()).mkString(".")} — its state is maintained by " +
+              "CALL refresh_mv; write to the base table instead")
         }
     }
 

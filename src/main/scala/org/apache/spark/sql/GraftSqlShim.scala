@@ -18,4 +18,18 @@ object GraftSqlShim {
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.connector.catalog.CatalogV2Util
       .applySchemaChanges(schema, changes, Some("graft"), "ALTER TABLE")
+
+  /** `Dataset.ofRows` is private[sql]; materialized-view maintenance
+    * executes catalyst plans it assembled directly (the view's analyzed
+    * body with its base relation swapped for a change-image frame). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame (`queryExecution` lives
+    * on the classic Dataset). */
+  def analyzedPlan(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }

@@ -1,0 +1,265 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{GraftCatalog, GraftMaterializedViews, GraftStore}
+
+/** Materialized views (S39): `CREATE MATERIALIZED VIEW` persists the
+  * definition and materializes the query into a backing state table;
+  * `CALL refresh_mv` / `REFRESH MATERIALIZED VIEW` folds exactly the
+  * source changelog since the last refresh when the definition is a
+  * self-maintainable aggregate (COUNT/SUM over one table), recomputing
+  * otherwise; reads serve the state. The spec pins the refresh contract
+  * the driver gate can't: group extinction, null-correct SUMs, the
+  * restore/snapshot-boundary fallback, noop detection across maintenance
+  * commits, and the shared-namespace failure modes. */
+class MvSpec extends SparkTestBase {
+
+  private lazy val cat = "graftmv"
+  private lazy val warehouse: String = {
+    val p = Files.createTempDirectory("graft_mv_spec")
+    p.toFile.deleteOnExit()
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", p.toString)
+    p.toString
+  }
+
+  private def mkTable(name: String): String = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$name")
+    spark.sql(s"""CREATE TABLE $cat.$name
+      (k BIGINT NOT NULL, grp BIGINT, amount BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+    name
+  }
+
+  private def refresh(mv: String): (Long, String) = {
+    val r = spark.sql(s"CALL $cat.refresh_mv(view => '$mv')").collect()(0)
+    (r.getLong(0), r.getString(1))
+  }
+
+  private def rowsOf(mv: String): Seq[(Long, Long, Any)] =
+    spark.sql(s"SELECT * FROM $cat.$mv ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+
+  private def recompute(t: String): Seq[(Long, Long, Any)] =
+    spark.sql(s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t " +
+        "GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+
+  private def chain(x: Throwable): Seq[Throwable] =
+    Option(x).toSeq.flatMap(t => t +: chain(t.getCause))
+
+  test("create materializes, read serves state, refresh is incremental") {
+    val t = mkTable("mv_base")
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      "(1, 0, 10), (2, 0, 20), (3, 1, 30), (4, 1, 40), (5, 2, 50)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_agg AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    // the definition and the state table are both on disk
+    assert(Files.exists(java.nio.file.Paths.get(warehouse, "_mvs",
+      "mv_agg.json")))
+    assert(GraftStore.exists(s"$warehouse/__mv_state_mv_agg"))
+    assert(rowsOf("mv_agg") === recompute(t))
+    // reads serve the STATE: source DML does NOT show through until refresh
+    spark.sql(s"INSERT INTO $cat.$t VALUES (6, 2, 60)")
+    assert(rowsOf("mv_agg") !== recompute(t))
+    // every self-maintainable hard case in one slice: fresh insert, a
+    // group-moving update, a plain update, a delete
+    spark.sql(s"UPDATE $cat.$t SET grp = 1, amount = 11 WHERE k = 1")
+    spark.sql(s"UPDATE $cat.$t SET amount = 21 WHERE k = 2")
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 4")
+    val (_, mode) = refresh("mv_agg")
+    assert(mode === "incremental")
+    assert(rowsOf("mv_agg") === recompute(t))
+    // already folded → noop, contents stable
+    val (_, mode2) = refresh("mv_agg")
+    assert(mode2 === "noop")
+    assert(rowsOf("mv_agg") === recompute(t))
+  }
+
+  test("group extinction and resurrection across refreshes") {
+    val t = mkTable("t_mv_ext")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 7, 10), (2, 7, 20), (3, 8, 30)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_ext AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    spark.sql(s"DELETE FROM $cat.$t WHERE grp = 7")
+    assert(refresh("mv_ext")._2 === "incremental")
+    assert(rowsOf("mv_ext") === Seq((8L, 1L, 30L)))
+    spark.sql(s"INSERT INTO $cat.$t VALUES (9, 7, 70)")
+    assert(refresh("mv_ext")._2 === "incremental")
+    assert(rowsOf("mv_ext") === Seq((7L, 1L, 70L), (8L, 1L, 30L)))
+  }
+
+  test("SUM stays null-correct through incremental maintenance") {
+    val t = mkTable("t_mv_null")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, NULL), (2, 0, 5), (3, 1, NULL)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_null AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    // group 1 is all-null from the start: SUM must be NULL, not 0
+    assert(rowsOf("mv_null") === Seq((0L, 2L, 5L), (1L, 1L, null)))
+    // deleting the only non-null contributor flips group 0's SUM to NULL
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")
+    assert(refresh("mv_null")._2 === "incremental")
+    assert(rowsOf("mv_null") === Seq((0L, 1L, null), (1L, 1L, null)))
+    // and a non-null arrival flips it back
+    spark.sql(s"INSERT INTO $cat.$t VALUES (4, 1, 9)")
+    assert(refresh("mv_null")._2 === "incremental")
+    assert(rowsOf("mv_null") === Seq((0L, 1L, null), (1L, 2L, 9L)))
+  }
+
+  test("WHERE in the definition: updates move rows across the filter") {
+    val t = mkTable("t_mv_filt")
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      "(1, 0, 10), (2, 0, 100), (3, 1, 200)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_filt AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t " +
+      "WHERE amount >= 50 GROUP BY grp")
+    assert(rowsOf("mv_filt") === Seq((0L, 1L, 100L), (1L, 1L, 200L)))
+    // k=1 enters the filtered set, k=3 leaves it
+    spark.sql(s"UPDATE $cat.$t SET amount = 60 WHERE k = 1")
+    spark.sql(s"UPDATE $cat.$t SET amount = 40 WHERE k = 3")
+    assert(refresh("mv_filt")._2 === "incremental")
+    assert(rowsOf("mv_filt") === Seq((0L, 2L, 160L)))
+  }
+
+  test("grouping on an expression and a global (no GROUP BY) aggregate") {
+    val t = mkTable("t_mv_expr")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 0, 20), (3, 0, 30)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_expr AS " +
+      s"SELECT k % 2 AS odd, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t " +
+      "GROUP BY k % 2")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_glob AS " +
+      s"SELECT COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t")
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")
+    assert(refresh("mv_expr")._2 === "incremental")
+    assert(refresh("mv_glob")._2 === "incremental")
+    val expr = spark.sql(s"SELECT * FROM $cat.mv_expr ORDER BY odd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expr === Seq((0L, 0L, 0L), (1L, 2L, 40L))
+      .filter(_._2 > 0)) // extinct even-group dropped
+    // the global aggregate keeps its one row even when the table empties
+    spark.sql(s"DELETE FROM $cat.$t WHERE k IN (1, 3)")
+    assert(refresh("mv_glob")._2 === "incremental")
+    val glob = spark.sql(s"SELECT * FROM $cat.mv_glob").collect()(0)
+    assert(glob.getLong(0) === 0L && glob.isNullAt(1))
+  }
+
+  test("a snapshot boundary on the source forces a full recompute") {
+    val t = mkTable("mv_restore")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)") // v1
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_rst AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 1, 30)") // v2
+    assert(refresh("mv_rst")._2 === "incremental")
+    // restore commits a NEW version with no changelog slice and a
+    // boundary marker: the delta path is poisoned, refresh must recompute
+    spark.sql(s"CALL $cat.restore(table => '$t', version => 1)")
+    assert(refresh("mv_rst")._2 === "full")
+    assert(rowsOf("mv_rst") === recompute(t))
+    // and the lane heals: post-restore DML folds incrementally again
+    spark.sql(s"INSERT INTO $cat.$t VALUES (4, 0, 40)")
+    assert(refresh("mv_rst")._2 === "incremental")
+    assert(rowsOf("mv_rst") === recompute(t))
+  }
+
+  test("pure-maintenance source commits are a noop, not a recompute") {
+    val t = mkTable("mv_maint")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_mnt AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    spark.sql(s"CALL $cat.optimize(table => '$t', max_files_per_bucket => 0)")
+    spark.sql(s"CALL $cat.analyze(table => '$t')")
+    assert(refresh("mv_mnt")._2 === "noop")
+    assert(rowsOf("mv_mnt") === recompute(t))
+  }
+
+  test("non-maintainable shapes fall back to a correct full recompute") {
+    val t = mkTable("mv_fb")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 0, 20), (3, 1, 30)")
+    // MIN is not incrementally maintainable under deletes
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_min AS " +
+      s"SELECT grp, MIN(amount) AS lo FROM $cat.$t GROUP BY grp")
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 1")
+    assert(refresh("mv_min")._2 === "full")
+    val got = spark.sql(s"SELECT * FROM $cat.mv_min ORDER BY grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 20L), (1L, 30L)))
+    // fresh → noop even on the fallback lane
+    assert(refresh("mv_min")._2 === "noop")
+  }
+
+  test("REFRESH MATERIALIZED VIEW statement and $mv freshness metadata") {
+    val t = mkTable("t_mv_meta")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
+    spark.sql(s"CREATE MATERIALIZED VIEW IF NOT EXISTS $cat.mv_meta AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    val fresh = spark.sql(s"SELECT * FROM $cat.`mv_meta$$mv`").collect()(0)
+    assert(fresh.getString(0).contains(t))
+    assert(fresh.getString(1) === "__mv_state_mv_meta")
+    assert(!fresh.getBoolean(4)) // not stale
+    assert(fresh.getBoolean(5))  // incremental-eligible
+    spark.sql(s"INSERT INTO $cat.$t VALUES (2, 0, 20)")
+    assert(spark.sql(s"SELECT stale FROM $cat.`mv_meta$$mv`")
+      .collect()(0).getBoolean(0))
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv_meta").collect()(0)
+    assert(r.getString(1) === "incremental")
+    assert(!spark.sql(s"SELECT stale FROM $cat.`mv_meta$$mv`")
+      .collect()(0).getBoolean(0))
+  }
+
+  test("namespace sharing, write rejection, drop removes both halves") {
+    val t = mkTable("t_mv_ns")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_ns AS " +
+      s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp")
+    // CREATE TABLE / CREATE VIEW over the MV name fail loudly
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.mv_ns (x BIGINT NOT NULL) USING graft")
+    }
+    assert(chain(e1).exists(_.getMessage.contains("MATERIALIZED VIEW")))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.mv_ns AS SELECT 1 AS one")
+    }
+    assert(chain(e2).exists(_.getMessage.contains("MATERIALIZED VIEW")))
+    // an MV over an existing table name fails
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.$t AS SELECT 1 AS one")
+    }
+    assert(chain(e3).exists(_.getMessage.contains("share one namespace")))
+    // writes to the MV are rejected toward the base table
+    val e4 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.mv_ns VALUES (1, 1)")
+    }
+    assert(chain(e4).exists(_.getMessage.contains("refresh_mv")))
+    // DROP removes the definition AND the state table
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.mv_ns")
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "_mvs",
+      "mv_ns.json")))
+    assert(!GraftStore.exists(s"$warehouse/__mv_state_mv_ns"))
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.mv_ns").collect() }
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv_ns") // idempotent
+  }
+
+  test("a retried refresh of the same slice cannot double-fold") {
+    val t = mkTable("mv_retry")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_rty AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 0, 30)")
+    assert(refresh("mv_rty")._2 === "incremental")
+    // simulate the crashed-then-retried refresh: re-fold the SAME slice
+    // directly through the engine — the state commit's txn watermark
+    // makes the duplicate apply a no-op inside the store
+    val g = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "mv_rty")
+    val before = rowsOf("mv_rty")
+    assert(GraftMaterializedViews.refresh(spark, cat, g, id)._2 === "noop")
+    assert(rowsOf("mv_rty") === before)
+    assert(before === recompute(t))
+  }
+}
