@@ -2198,7 +2198,8 @@ object SourceQueries {
       val unknownLoud = try {
         s.sql("SELECT * FROM graftdml.refs_t VERSION AS OF 'ghost'").collect()
         false
-      } catch { case e: Exception => e.getMessage.contains("no tag 'ghost'") }
+      } catch { case e: Exception =>
+        e.getMessage.contains("no tag or branch 'ghost'") }
       // a clone starts with no tags (refs index the source's history)
       s.sql("DROP TABLE IF EXISTS graftdml.refs_t2")
       s.sql("CALL graftdml.clone(`table` => 'refs_t', target => 'refs_t2')")
@@ -2556,6 +2557,107 @@ object SourceQueries {
         TRUE AS served_state_pre_refresh, TRUE AS stale_flag_flipped,
         TRUE AS incremental_lane, TRUE AS second_refresh_noop
       FROM after4 GROUP BY r ORDER BY r""")),
+
+    // ----- S40: writable branches — the WAP (write-audit-publish)
+    // workflow at table-format parity: `CALL create_branch` forks a
+    // self-contained zero-copy clone addressable as `t$branch$<name>`
+    // (full DML/MERGE/maintenance) and readable via
+    // `VERSION AS OF '<name>'`; main and branch evolve independently;
+    // `CALL fast_forward` publishes the branch into main COMMIT-BY-COMMIT
+    // (version dirs + changelog slices adopt by hard link with the slot-
+    // owner references rewritten onto main's manifests — O(branch files),
+    // zero data copied, zero bytes of main rewritten) when main hasn't
+    // moved off the fork point, and conflicts loudly when it has. At
+    // 100 TB this is the experiment-branch lever: load/validate on the
+    // branch, publish with one pointer flip. The gate pins: branch
+    // isolation in BOTH directions, read-by-name of both heads, the
+    // divergence conflict (branch intact after), per-commit history
+    // surviving the publish (time travel to a mid-branch version), CDC
+    // continuity (change ops for every adopted commit), and the final
+    // published contents hashing the DuckDB closed form.
+    GraftQuery("s40_branches", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s40_rows")
+      s.sql("DROP TABLE IF EXISTS graftdml.s40_t")
+      s.sql("""CREATE TABLE graftdml.s40_t
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.s40_t SELECT k, r, pop FROM s40_rows") // v1
+      s.sql("CALL graftdml.create_branch(table => 's40_t', name => 'wap')")
+      // three branch commits: insert, group-moving update, threshold purge
+      s.sql("""INSERT INTO graftdml.`s40_t$branch$wap`
+        SELECT id + 100, (id + 100) % 5, (id + 100) * 10 + 7
+        FROM range(5)""") // v2
+      s.sql("""UPDATE graftdml.`s40_t$branch$wap`
+        SET r = (r + 1) % 5, pop = pop + 1000 WHERE k % 3 = 0""") // v3
+      s.sql("DELETE FROM graftdml.`s40_t$branch$wap` WHERE pop > 1200") // v4
+      def cnt(q: String) = s.sql(q).head().getLong(0)
+      // isolation both ways: main unchanged, branch readable by name
+      val mainIsolated =
+        cnt("SELECT COUNT(*) FROM graftdml.s40_t") == 25L
+      val branchByName = cnt(
+        "SELECT COUNT(*) FROM graftdml.s40_t VERSION AS OF 'wap'") ==
+        cnt("SELECT COUNT(*) FROM graftdml.`s40_t$branch$wap`")
+      val listed = s.sql("SELECT name, fork_version, commits_ahead FROM " +
+          "graftdml.`s40_t$branches`").collect()
+      val branchListed = listed.length == 1 &&
+        listed(0).getString(0) == "wap" && listed(0).getLong(1) == 1L &&
+        listed(0).getLong(2) == 3L
+      // a DIVERGED second branch conflicts loudly and survives the reject
+      s.sql("CALL graftdml.create_branch(table => 's40_t', name => 'late')")
+      s.sql("INSERT INTO graftdml.`s40_t$branch$late` VALUES (999, 0, 1)")
+      s.sql("CALL graftdml.fast_forward(table => 's40_t', name => 'wap')")
+      val conflictLoud = try {
+        s.sql("CALL graftdml.fast_forward(table => 's40_t', name => 'late')")
+        false
+      } catch { case e: Exception =>
+        (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+          .contains("fork point") }
+      val lateIntact =
+        cnt("SELECT COUNT(*) FROM graftdml.`s40_t$branch$late`") == 26L
+      s.sql("CALL graftdml.drop_branch(table => 's40_t', name => 'late')")
+      // per-commit history survived the publish: v3 = post-update,
+      // pre-purge — and CDC rows exist for every adopted commit
+      val midBranch = cnt(
+        "SELECT COUNT(*) FROM graftdml.s40_t VERSION AS OF 3") == 30L
+      val cdcOps = s.sql("""SELECT change_version, change_op, COUNT(*) AS c
+          FROM graftdml.`s40_t$changes` WHERE change_version >= 2
+          GROUP BY 1, 2 ORDER BY 1, 2""").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSeq
+      val cdcContinuous = cdcOps.map(_._1).distinct == Seq(2L, 3L, 4L) &&
+        cdcOps.contains((3L, "U")) && cdcOps.contains((4L, "D"))
+      s.sql("SELECT k, r, pop FROM graftdml.s40_t")
+        .withColumn("main_isolated", lit(mainIsolated))
+        .withColumn("branch_by_name", lit(branchByName))
+        .withColumn("branch_listed", lit(branchListed))
+        .withColumn("conflict_loud", lit(conflictLoud))
+        .withColumn("diverged_branch_intact", lit(lateIntact))
+        .withColumn("mid_branch_time_travel", lit(midBranch))
+        .withColumn("cdc_continuous", lit(cdcContinuous))
+        .orderBy($"k")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation
+                   UNION ALL
+                   SELECT CAST(i + 100 AS BIGINT),
+                     CAST((i + 100) % 5 AS BIGINT),
+                     CAST((i + 100) * 10 + 7 AS BIGINT) FROM range(5) t(i)),
+      upd AS (SELECT k,
+                CASE WHEN k % 3 = 0 THEN (r + 1) % 5 ELSE r END AS r,
+                CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+              FROM src),
+      fin AS (SELECT * FROM upd WHERE pop <= 1200)
+      SELECT k, r, pop, TRUE AS main_isolated, TRUE AS branch_by_name,
+        TRUE AS branch_listed, TRUE AS conflict_loud,
+        TRUE AS diverged_branch_intact, TRUE AS mid_branch_time_travel,
+        TRUE AS cdc_continuous
+      FROM fin ORDER BY k""")),
 
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY

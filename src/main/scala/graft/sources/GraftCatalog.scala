@@ -120,13 +120,40 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def tableExists(ident: Identifier): Boolean = GraftStore.exists(tableDir(ident))
 
+  /** Store dir for a plain OR branch-addressed base name: the branch
+    * infix routes to the branch's self-contained clone dir. */
+  private def dirOf(baseIdent: Identifier): String = {
+    val n = baseIdent.name()
+    val i = n.indexOf(GraftCatalog.BranchInfix)
+    if (i < 0) tableDir(baseIdent)
+    else {
+      val base = Identifier.of(baseIdent.namespace(), n.substring(0, i))
+      val branch = n.substring(i + GraftCatalog.BranchInfix.length)
+      val dir = tableDir(base)
+      if (!GraftStore.exists(dir)) throw new NoSuchTableException(base)
+      require(GraftStore.branchExists(dir, branch),
+        s"table $base has no branch '$branch' (have " +
+          s"${GraftStore.listBranches(dir).mkString("[", ", ", "]")}) — " +
+          "CALL create_branch first")
+      GraftStore.branchDir(dir, branch)
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
+    // `t$branches` lists a table's branches (name, fork, head)
+    if (ident.name().endsWith(GraftCatalog.BranchesSuffix)) {
+      val baseIdent = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(GraftCatalog.BranchesSuffix))
+      val dir = dirOf(baseIdent)
+      if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
+      return new GraftBranchesTable(ident.toString, dir)
+    }
     // `t$changes` is t's changelog as a read-only metadata table:
     //   SELECT * FROM cat.`t$changes` WHERE change_version BETWEEN 2 AND 4
     if (ident.name().endsWith(ChangesSuffix)) {
       val baseIdent = Identifier.of(ident.namespace(),
         ident.name().stripSuffix(ChangesSuffix))
-      val dir = tableDir(baseIdent)
+      val dir = dirOf(baseIdent)
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftChangesTable(ident.toString, dir)
     }
@@ -135,7 +162,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (ident.name().endsWith(GraftCatalog.VersionsSuffix)) {
       val baseIdent = Identifier.of(ident.namespace(),
         ident.name().stripSuffix(GraftCatalog.VersionsSuffix))
-      val dir = tableDir(baseIdent)
+      val dir = dirOf(baseIdent)
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftVersionsTable(ident.toString, dir)
     }
@@ -144,7 +171,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (ident.name().endsWith(GraftCatalog.FilesSuffix)) {
       val baseIdent = Identifier.of(ident.namespace(),
         ident.name().stripSuffix(GraftCatalog.FilesSuffix))
-      val dir = tableDir(baseIdent)
+      val dir = dirOf(baseIdent)
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftFilesTable(ident.toString, dir)
     }
@@ -155,7 +182,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (ident.name().endsWith(GraftCatalog.PartitionsSuffix)) {
       val baseIdent = Identifier.of(ident.namespace(),
         ident.name().stripSuffix(GraftCatalog.PartitionsSuffix))
-      val dir = tableDir(baseIdent)
+      val dir = dirOf(baseIdent)
       if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
       return new GraftPartitionsTable(ident.toString, dir)
     }
@@ -168,7 +195,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       if (!mvExists(baseIdent)) throw new NoSuchTableException(ident)
       return new GraftMvInfoTable(ident.toString, this, baseIdent)
     }
-    val dir = tableDir(ident)
+    val dir = dirOf(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
   }
@@ -182,11 +209,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse {
-      GraftStore.resolveRef(dir, version).getOrElse(
+      GraftStore.resolveRef(dir, version).getOrElse {
+        // a branch name reads the branch HEAD (a live ref, like Iceberg's
+        // branch reads — it tracks the branch as it advances)
+        if (GraftStore.branchExists(dir, version))
+          return new GraftTable(ident.toString,
+            GraftStore.branchDir(dir, version), pinnedVersion = None)
         throw new IllegalArgumentException(
-          s"table $ident has no tag '$version' (have " +
+          s"table $ident has no tag or branch '$version' (have tags " +
             s"${GraftStore.listTags(dir).keys.toSeq.sorted
-              .mkString("[", ", ", "]")}) — CALL create_tag to pin one"))
+              .mkString("[", ", ", "]")}, branches " +
+            s"${GraftStore.listBranches(dir).mkString("[", ", ", "]")}) — " +
+            "CALL create_tag or create_branch first")
+      }
     }
     require(GraftStore.listVersions(dir).contains(v),
       s"table $ident has no version $v (have ${GraftStore.listVersions(dir)})")
@@ -262,9 +297,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         !ident.name().endsWith(GraftCatalog.VersionsSuffix) &&
         !ident.name().endsWith(GraftCatalog.FilesSuffix) &&
         !ident.name().endsWith(GraftCatalog.PartitionsSuffix) &&
-        !ident.name().endsWith(GraftCatalog.MvSuffix),
+        !ident.name().endsWith(GraftCatalog.MvSuffix) &&
+        !ident.name().endsWith(GraftCatalog.BranchesSuffix) &&
+        !ident.name().contains(GraftCatalog.BranchInfix),
       "table names ending in the $changes/$versions/$files/$partitions/" +
-        "$mv suffixes are reserved for metadata reads")
+        "$mv/$branches suffixes (or containing $branch$) are reserved")
     val props = properties.asScala
     val keys = props.get("merge_key").map(_.split(",").toSeq.map(_.trim))
       .getOrElse(Seq(schema0.fieldNames.head))
@@ -422,7 +459,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     *    merge-key columns cannot be dropped.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = tableDir(ident)
+    val dir = dirOf(ident) // ALTER on a branch evolves the branch only
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     // the read-fold-write below is serialized under the meta lock —
     // concurrent ALTERs must not silently drop each other's DDL
@@ -780,7 +817,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     if (GraftProcedures.Names.contains(ident.name()))
       new GraftProcedure(ident.name(), { t =>
         require(!t.contains("/") && !t.contains(".."), s"illegal table name: $t")
-        s"$warehouse/$t"
+        // maintenance on a BRANCH: `table => 't$branch$b'` routes to the
+        // branch's own store dir (optimize/analyze/expire a branch
+        // without touching main)
+        val i = t.indexOf(GraftCatalog.BranchInfix)
+        if (i < 0) s"$warehouse/$t"
+        else GraftStore.branchDir(s"$warehouse/${t.substring(0, i)}",
+          t.substring(i + GraftCatalog.BranchInfix.length))
       }, this)
     else throw new RuntimeException(s"no such procedure: $ident")
 
@@ -789,9 +832,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         !newIdent.name().endsWith(GraftCatalog.VersionsSuffix) &&
         !newIdent.name().endsWith(GraftCatalog.FilesSuffix) &&
         !newIdent.name().endsWith(GraftCatalog.PartitionsSuffix) &&
-        !newIdent.name().endsWith(GraftCatalog.MvSuffix),
+        !newIdent.name().endsWith(GraftCatalog.MvSuffix) &&
+        !newIdent.name().endsWith(GraftCatalog.BranchesSuffix) &&
+        !newIdent.name().contains(GraftCatalog.BranchInfix),
       "table names ending in the $changes/$versions/$files/$partitions/" +
-        "$mv suffixes are reserved for metadata reads")
+        "$mv/$branches suffixes (or containing $branch$) are reserved")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
     requireNoView(newIdent) // tables and views share one namespace
@@ -859,6 +904,13 @@ object GraftCatalog {
     * metadata, e.g. `` cat.`daily_mv$mv` `` — one row per source table
     * with the refreshed-through vs current version and staleness. */
   val MvSuffix = "$mv"
+  /** Identifier infix addressing a BRANCH of a table as a full
+    * read-write table, e.g. `` cat.`orders$branch$exp1` `` — DML, MERGE,
+    * time travel and maintenance all run against the branch. */
+  val BranchInfix = "$branch$"
+  /** Identifier suffix routing to a table's branch listing, e.g.
+    * `` cat.`orders$branches` ``. */
+  val BranchesSuffix = "$branches"
 
   /** Parse + validate a `bloom_filter_columns` property value against a
     * schema (the ONE rule CREATE and ALTER share): columns must exist and
@@ -1121,6 +1173,42 @@ final class GraftVersionsTable(tableName: String, dir: String)
                 tagsByV.getOrElse(v, Nil)
                   .map(org.apache.spark.unsafe.types.UTF8String.fromString)
                   .toArray[Any])))
+        }.toArray
+      }
+    }
+}
+
+/** A table's branches as a read-only DSv2 table (`` t$branches ``):
+  * one row per branch — name, fork version, current head, and how many
+  * commits it is ahead of the fork. */
+final class GraftBranchesTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val schema0 = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("fork_version", LongType, nullable = false),
+    StructField("head_version", LongType, nullable = false),
+    StructField("commits_ahead", LongType, nullable = false)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"GraftBranches($tableName)"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        import org.apache.spark.unsafe.types.UTF8String
+        GraftStore.listBranches(dir).map { b =>
+          val fork = GraftStore.branchForkBase(dir, b)
+          val head = GraftStore.currentVersion(GraftStore.branchDir(dir, b))
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(b), fork, head,
+              GraftStore.listVersions(GraftStore.branchDir(dir, b))
+                .count(_ > fork).toLong))
         }.toArray
       }
     }

@@ -25,7 +25,7 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "rebucket", "clone", "restore",
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
     "analyze", "maintenance_report", "create_tag", "drop_tag",
-    "refresh_mv")
+    "refresh_mv", "create_branch", "drop_branch", "fast_forward")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact leaf slots (partition x bucket dirs) with more " +
@@ -68,7 +68,18 @@ object GraftProcedures {
       "incremental changelog fold when the definition is a " +
       "self-maintainable aggregate and the changelog covers the gap, a " +
       "full recompute otherwise (returns the version refreshed through " +
-      "and which mode ran)"))
+      "and which mode ran)"),
+    "create_branch" -> ("fork a writable branch at the table's current " +
+      "version: a self-contained zero-copy clone addressable as " +
+      "`t$branch$<name>` (full DML) and readable via " +
+      "`VERSION AS OF '<name>'` (tracks the branch head); main and " +
+      "branch evolve independently until fast_forward"),
+    "drop_branch" -> "discard a branch and its commits (main untouched)",
+    "fast_forward" -> ("publish a branch into main commit-by-commit when " +
+      "main has not moved off the fork point (loud conflict otherwise): " +
+      "version dirs and changelog slices adopt by hard link, time " +
+      "travel/CDC/MV refresh see the branch's individual commits, the " +
+      "pointer flip is the single atomic publish, the branch is consumed"))
 
   private[sources] def params(name: String): Array[ProcedureParameter] = name match {
     case "optimize" => Array(
@@ -118,6 +129,9 @@ object GraftProcedures {
       ProcedureParameter.in("name", StringType).build())
     case "refresh_mv" => Array(
       ProcedureParameter.in("view", StringType).build())
+    case "create_branch" | "drop_branch" | "fast_forward" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
   }
 
   /** The `maintenance_report` rows for one table: (signal, triggered,
@@ -280,6 +294,16 @@ final class GraftProcedure(procName: String, tableDir: String => String,
         case "drop_tag" =>
           GraftStore.dropTag(dir, input.getUTF8String(1).toString)
           ("tags_left", GraftStore.listTags(dir).size.toLong)
+        case "create_branch" =>
+          GraftStore.createBranch(dir, input.getUTF8String(1).toString)
+          ("version", GraftStore.branchForkBase(dir,
+            input.getUTF8String(1).toString))
+        case "drop_branch" =>
+          GraftStore.dropBranch(dir, input.getUTF8String(1).toString)
+          ("branches_left", GraftStore.listBranches(dir).size.toLong)
+        case "fast_forward" =>
+          ("version", GraftStore.fastForward(dir,
+            input.getUTF8String(1).toString))
       }
       val schema = StructType(Seq(StructField(col, LongType, nullable = false)))
       util.Collections.singletonList[Scan](new GraftResultScan(schema,

@@ -1413,6 +1413,9 @@ object GraftStore {
     require(name.matches(RefNamePattern),
       s"invalid tag name '$name': must match $RefNamePattern " +
         "(starts with a letter; letters, digits, '_', '.', '-')")
+    require(!branchExists(dir, name),
+      s"a branch named '$name' exists on $dir — tags and branches share " +
+        "the VERSION AS OF namespace (drop_branch first)")
     require(listVersions(dir).contains(version),
       s"table $dir has no retained version $version to tag " +
         s"(have ${listVersions(dir)})")
@@ -1454,6 +1457,227 @@ object GraftStore {
       s"table $dir has no tag '$name' (have " +
         s"${listTags(dir).keys.toSeq.sorted.mkString("[", ", ", "]")})")
     Files.delete(p)
+  }
+
+  // --------------------------------------------------------------------
+  // Writable branches (S40). A branch is a SELF-CONTAINED shallow clone
+  // under `<table>/_branches/<name>` stamped with its fork version: the
+  // clone machinery already gives it hard-linked zero-copy creation, its
+  // own linear history continuing the source's numbering (file/delete
+  // seqs stay meaningful), and full independence from the source's
+  // expire/vacuum — so EVERY table operation (DML, MERGE, optimize,
+  // time travel, CDC) works on a branch with zero new write-path code.
+  // `fastForward` publishes the branch into main when main hasn't moved
+  // off the fork point: each branch-era version dir is hard-link-adopted
+  // into main with its slot-owner references at the fork REWRITTEN from
+  // the branch's materialized base to main's real owner map (the clone's
+  // base is physical, main's is manifest-referenced — same files, same
+  // inodes, different owner indirection), changelog slices ride the
+  // standard staging discipline under per-version commit claims, and the
+  // pointer flip to the branch head is the single atomic publish. Main
+  // keeps the branch's COMMIT-BY-COMMIT history — time travel, CDC and
+  // incremental MV refresh all see the branch's individual commits, not
+  // one squashed adoption. The branch is consumed on publish.
+  // --------------------------------------------------------------------
+
+  private[sources] def branchesRoot(dir: String): Path =
+    Paths.get(dir, "_branches")
+  private[sources] val ForkBaseName = "_forkbase"
+
+  def branchDir(dir: String, name: String): String = {
+    require(name.matches(RefNamePattern),
+      s"invalid branch name '$name': must match $RefNamePattern")
+    s"$dir/_branches/$name"
+  }
+
+  /** Branches with a completed create (fork stamp present) — a crashed
+    * half-create is invisible here and swept by its temp naming. */
+  def listBranches(dir: String): Seq[String] = {
+    val root = branchesRoot(dir)
+    if (!Files.isDirectory(root)) Nil
+    else listDir(root)(_.map(_.getFileName.toString)
+      .filter(n => n.matches(RefNamePattern) &&
+        Files.exists(root.resolve(n).resolve(ForkBaseName))).toSeq.sorted)
+  }
+
+  def branchExists(dir: String, name: String): Boolean =
+    name.matches(RefNamePattern) &&
+      Files.exists(branchesRoot(dir).resolve(name).resolve(ForkBaseName))
+
+  def branchForkBase(dir: String, name: String): Long =
+    new String(Files.readAllBytes(
+      branchesRoot(dir).resolve(name).resolve(ForkBaseName)), "UTF-8")
+      .trim.toLong
+
+  /** Create branch `name` at the table's current version: one clone into
+    * a temp sibling + fork stamp + atomic rename — readers never observe
+    * a half-built branch, racing creates of the same name lose loudly.
+    * Tags and branches share the `VERSION AS OF '<name>'` namespace, so
+    * cross-creation is rejected both ways. */
+  def createBranch(dir: String, name: String): Unit = {
+    require(name.matches(RefNamePattern),
+      s"invalid branch name '$name': must match $RefNamePattern " +
+        "(starts with a letter; letters, digits, '_', '.', '-')")
+    require(resolveRef(dir, name).isEmpty,
+      s"a tag named '$name' exists on $dir — tags and branches share " +
+        "the VERSION AS OF namespace (drop_tag first)")
+    require(!branchExists(dir, name),
+      s"branch '$name' already exists on $dir")
+    val bd = Paths.get(branchDir(dir, name))
+    require(!Files.exists(bd),
+      s"a half-created branch dir blocks '$name' on $dir — remove " +
+        s"$bd and retry")
+    Files.createDirectories(branchesRoot(dir))
+    val tmp = s"${branchesRoot(dir)}/.creating-$name-" +
+      java.util.UUID.randomUUID()
+    cloneTable(dir, tmp)
+    Files.write(Paths.get(tmp, ForkBaseName),
+      currentVersion(tmp).toString.getBytes("UTF-8"))
+    try Files.move(Paths.get(tmp), bd, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(Paths.get(tmp))
+        throw new IllegalArgumentException(
+          s"branch '$name' was created concurrently on $dir", e)
+    }
+    // write-then-verify against a concurrent create_tag of the same name
+    if (resolveRef(dir, name).isDefined) {
+      deleteRecursively(bd)
+      throw new IllegalArgumentException(
+        s"a tag named '$name' was created concurrently on $dir — the " +
+          "branch was not created")
+    }
+  }
+
+  def dropBranch(dir: String, name: String): Unit = {
+    require(branchExists(dir, name),
+      s"table $dir has no branch '$name' (have " +
+        s"${listBranches(dir).mkString("[", ", ", "]")})")
+    invalidateDvCache(branchDir(dir, name))
+    deleteRecursively(Paths.get(branchDir(dir, name)))
+  }
+
+  /** Hard-link-copy a directory tree (dirs recreated, files linked). */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    val walk = Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
+      val rel = src.relativize(p)
+      if (rel.toString.nonEmpty) {
+        val t = dst.resolve(rel)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else if (Files.isRegularFile(p)) Files.createLink(t, p)
+      }
+    } finally walk.close()
+  }
+
+  /** Re-point a fast-forwarded version dir's slot-owner references from
+    * the branch's materialized fork base to MAIN's owner map at the fork:
+    * the branch base physically holds every fork-snapshot file (clones
+    * are self-contained), main's fork version references most of them
+    * through older owners — same files, different indirection. Owners
+    * above the fork are branch-era commits adopted alongside and keep
+    * their numbers. */
+  private def rewriteOwnerRefs(buildDir: String, fork: Long,
+      mainOwners: Map[String, Seq[Long]]): Unit = {
+    val p = Paths.get(buildDir, BucketMapName)
+    if (!Files.exists(p)) return // pre-manifest self-contained dir
+    val rewritten = Files.readAllLines(p,
+        java.nio.charset.StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).flatMap { line =>
+        line.split('	') match {
+          case Array(slot, vs) =>
+            try Some(slot -> vs.split(',').map(_.toLong).toSeq)
+            catch { case _: Exception => None }
+          case _ => None
+        }
+      }.map { case (slot, os) =>
+        slot -> os.flatMap { o =>
+          if (o > fork) Seq(o)
+          else mainOwners.getOrElse(slot, Seq(o))
+        }.distinct.sorted
+      }.toMap
+    writeBucketMap(buildDir, rewritten)
+  }
+
+  /** Publish branch `name` into main — a TRUE fast-forward: requires main
+    * still at the fork point (loud conflict otherwise), adopts every
+    * branch-era version dir (including `_expired` file hosts) and
+    * changelog slice commit-by-commit, flips the pointer to the branch
+    * head as the single atomic publish, and consumes the branch. All
+    * metadata + hard links: O(branch's own files), never a data copy or
+    * a byte of main rewritten. Crash-safe: the branch stays intact until
+    * the pointer flips (adopted dirs above the pointer are invisible and
+    * a retry skips them), changelog slices stage under per-version commit
+    * claims and publish only once the pointer covers them. Schema-
+    * diverged branches (ALTER on the branch) are rejected — re-create the
+    * table via RTAS instead. */
+  def fastForward(dir: String, name: String): Long = {
+    require(branchExists(dir, name),
+      s"table $dir has no branch '$name' (have " +
+        s"${listBranches(dir).mkString("[", ", ", "]")})")
+    recoverChangelog(dir)
+    val bd = branchDir(dir, name)
+    recoverChangelog(bd)
+    val fork = branchForkBase(dir, name)
+    val bHead = currentVersion(bd)
+    if (bHead == fork) { // nothing to publish: consume the branch
+      dropBranch(dir, name)
+      return currentVersion(dir)
+    }
+    require(readMeta(dir) == readMeta(bd),
+      s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
+        "(ALTER on a branch cannot fast-forward; use RTAS to adopt it)")
+    val branchVs = listDir(Paths.get(bd))(_.map(_.getFileName.toString)
+      .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq)
+      .filter(_ > fork).sorted
+    require(branchVs.nonEmpty, s"branch '$name' advanced its pointer to " +
+      s"v$bHead but retains no version dirs above the fork v$fork")
+    // claim EVERY version being adopted: the fork+1 claim serializes
+    // against normal writers; the higher claims keep a concurrent
+    // reader's recoverChangelog from sweeping the staged slices (it
+    // preserves stagings whose version holds a live claim).
+    val claims = branchVs.map(v => claimCommit(dir, v))
+    try withClaimHeartbeat(claims.map(_._1)) {
+      if (currentVersion(dir) != fork)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past the fork point v$fork of branch " +
+            s"'$name' (now v${currentVersion(dir)}); fast_forward " +
+            "aborted — re-branch from the new head and replay")
+      val mainOwners = ownersOf(dir, fork)
+      val token = claims.head._2
+      branchVs.foreach { v =>
+        val dst = Paths.get(versionDir(dir, v))
+        if (!Files.isDirectory(dst)) { // a crashed retry already adopted it
+          val build = Paths.get(s"${versionDir(dir, v)}.build-$token")
+          deleteRecursively(build)
+          linkTree(Paths.get(versionDir(bd, v)), build)
+          rewriteOwnerRefs(build.toString, fork, mainOwners)
+          publishVersion(build.toString, versionDir(dir, v))
+        }
+        val srcSlice = Paths.get(s"${changesRoot(bd)}/$ChangeVersionCol=$v")
+        val dstSlice = Paths.get(s"${changesRoot(dir)}/$ChangeVersionCol=$v")
+        val stage = Paths.get(s"${changesRoot(dir)}/.staging-$v")
+        if (Files.isDirectory(srcSlice) && !Files.exists(dstSlice) &&
+            !Files.exists(stage)) {
+          Files.createDirectories(Paths.get(changesRoot(dir)))
+          linkTree(srcSlice, stage)
+        }
+        // expiry-promoted boundary markers on the branch follow along
+        val bm = Paths.get(changesRoot(bd), f"_boundary-$v%010d")
+        if (Files.exists(bm)) {
+          Files.createDirectories(Paths.get(changesRoot(dir)))
+          val m = Paths.get(changesRoot(dir), f"_boundary-$v%010d")
+          if (!Files.exists(m)) Files.write(m, Array.empty[Byte])
+        }
+      }
+      claims.foreach { case (m, t) => verifyClaim(m, t) }
+      writePointer(dir, bHead)
+      invalidateDvCache(dir)
+    } finally claims.foreach { case (m, t) => releaseClaim(m, t) }
+    recoverChangelog(dir) // the pointer now covers the staged slices
+    dropBranch(dir, name) // a fast-forward consumes the branch
+    bHead
   }
 
   // --------------------------------------------------------------------

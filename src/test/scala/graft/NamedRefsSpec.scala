@@ -122,7 +122,7 @@ class NamedRefsSpec extends SparkTestBase {
     val eRes = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.$t VERSION AS OF 'ghost'").collect()
     }
-    assert(eRes.getMessage.contains("no tag 'ghost'"), eRes.getMessage)
+    assert(eRes.getMessage.contains("no tag or branch 'ghost'"), eRes.getMessage)
     val eDrop = intercept[Exception] {
       spark.sql(s"CALL $cat.drop_tag(table => '$t', name => 'ghost')")
     }
