@@ -2659,6 +2659,86 @@ object SourceQueries {
         TRUE AS cdc_continuous
       FROM fin ORDER BY k""")),
 
+    // ----- S41: ALTER COLUMN TYPE widening — lossless, metadata-only
+    // schema drift absorption (int-family -> wider int, float -> double)
+    // for NON-KEY columns: the physical-name mapping keeps file bytes
+    // untouched, the parquet reader up-converts narrow stored values on
+    // read (vectorized and row-based alike, probed on this Spark), new
+    // DML writes the wide type, and one scan serves mixed-width files.
+    // Merge keys stay rejected (bucket hashes are type-sensitive) and so
+    // does narrowing. At 100 TB this is the long-lived-ingest lever: a
+    // counter outgrowing INT32 never forces a table rewrite. The gate
+    // pins: widen is metadata-only (no version bump), pre-widen files
+    // read widened, a post-widen INSERT carries a value ABOVE the narrow
+    // max (impossible unless the type really changed), DML through the
+    // widened column, time travel to the pre-widen version reading under
+    // the current schema, the changelog spanning the widen (narrow flat
+    // + before-image fields up-convert), and loud narrow/key rejections.
+    GraftQuery("s41_type_widening", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      val G = graft.sources.GraftStore
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_nationkey".cast("int").as("cnt"),
+          ($"n_regionkey" + 0.5).cast("float").as("ratio"))
+        .createOrReplaceTempView("s41_rows")
+      s.sql("DROP TABLE IF EXISTS graftdml.s41_t")
+      s.sql("""CREATE TABLE graftdml.s41_t
+        (k BIGINT NOT NULL, cnt INT, ratio FLOAT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("INSERT INTO graftdml.s41_t SELECT * FROM s41_rows") // v1
+      val dir = s"${DmlFixture.warehouse}/s41_t"
+      s.sql("ALTER TABLE graftdml.s41_t ALTER COLUMN cnt TYPE BIGINT")
+      s.sql("ALTER TABLE graftdml.s41_t ALTER COLUMN ratio TYPE DOUBLE")
+      val metadataOnly = G.currentVersion(dir) == 1L
+      // a value no INT32 can hold proves the column really widened
+      s.sql("INSERT INTO graftdml.s41_t VALUES (100, 4000000000, 0.25)") // v2
+      s.sql("UPDATE graftdml.s41_t SET cnt = cnt + 1000000000 WHERE k % 5 = 0") // v3
+      // pre-widen files read up-converted under the current schema
+      val tt = s.sql("""SELECT CAST(SUM(cnt) AS BIGINT) AS sc,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM graftdml.s41_t VERSION AS OF 1""").head()
+      val timeTravelOk = tt.getLong(1) == 25L && tt.getLong(0) == 300L
+      // the changelog spans the widen: v1 slices store INT32 (flat AND
+      // inside the before-image struct), v3 stores INT64 — one read
+      val ch = G.readChanges(s, dir, 1L, G.currentVersion(dir))
+      val chOk = ch.count() == 32 &&
+        ch.filter("change_op = 'U' AND change_before.cnt IS NOT NULL")
+          .count() == 6
+      val narrowLoud = try {
+        s.sql("ALTER TABLE graftdml.s41_t ALTER COLUMN cnt TYPE INT"); false
+      } catch { case e: Exception =>
+        // Spark's own analysis rejects the narrowing (Cast.canUpCast)
+        // before the catalog's widening gate even runs — either is loud
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+          e.getMessage.contains("widen") }
+      val keyLoud = try {
+        s.sql("ALTER TABLE graftdml.s41_t ALTER COLUMN k TYPE DECIMAL(38,0)")
+        false
+      } catch { case e: Exception => e.getMessage.contains("merge-key") }
+      s.sql("SELECT k, cnt, CAST(ratio AS DOUBLE) AS ratio FROM graftdml.s41_t")
+        .withColumn("widen_metadata_only", lit(metadataOnly))
+        .withColumn("pre_widen_time_travel", lit(timeTravelOk))
+        .withColumn("changelog_spans_widen", lit(chOk))
+        .withColumn("narrowing_fails", lit(narrowLoud))
+        .withColumn("key_widening_fails", lit(keyLoud))
+        .orderBy($"k")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_nationkey AS BIGINT) AS cnt,
+                     CAST(CAST(n_regionkey + 0.5 AS FLOAT) AS DOUBLE) AS ratio
+                   FROM nation
+                   UNION ALL SELECT 100, 4000000000, 0.25),
+      upd AS (SELECT k,
+                CASE WHEN k % 5 = 0 THEN cnt + 1000000000 ELSE cnt END AS cnt,
+                ratio
+              FROM src)
+      SELECT k, cnt, ratio, TRUE AS widen_metadata_only,
+        TRUE AS pre_widen_time_travel, TRUE AS changelog_spans_widen,
+        TRUE AS narrowing_fails, TRUE AS key_widening_fails
+      FROM upd ORDER BY k""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →
