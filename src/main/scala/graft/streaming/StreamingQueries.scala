@@ -1078,6 +1078,82 @@ object StreamingQueries {
     // requires one row per key per epoch), in week order, so the table
     // must converge to the global latest-per-user and commit exactly one
     // store version per week.
+    // ----- S20: the DDL-during-live-writer contract as a driver row —
+    // the last §2.2 ID that was spec/fuzz-pinned only. A LIVE streaming
+    // upsert keeps writing through ADD COLUMN, RENAME COLUMN, DROP +
+    // re-ADD of a column it still emits, and a mid-stream REBUCKET:
+    // epochs re-base by PHYSICAL column identity (the rename is
+    // followed, the tombstoned column's values must NOT resurrect under
+    // the fresh same-named column, new columns null-fill) and re-derive
+    // the bucket fan-out per commit attempt (post-rebucket epochs land
+    // in the 8-way layout). Final contents hash a closed form; booleans
+    // pin the version arithmetic (3 epochs + 1 rebucket) and the
+    // post-rebucket physical bucket dir of an epoch-3 key.
+    GraftQuery("s20_ddl_live_writer", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      graft.operators.DmlFixture.register(s)
+      val G = graft.sources.GraftStore
+      s.sql("DROP TABLE IF EXISTS graftdml.s20_t")
+      s.sql("""CREATE TABLE graftdml.s20_t
+        (k BIGINT NOT NULL, name STRING, amount BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      val dir = s"${graft.operators.DmlFixture.warehouse}/s20_t"
+      val base = T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val in = MemoryStream[(Long, String, Long)]
+      val q = in.toDS().toDF("k", "name", "amount")
+        .writeStream
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_s20_ckpt").toString)
+        .option("upsert", "true")
+        .toTable("graftdml.s20_t")
+      try {
+        // epoch 1: the full keyspace under the CREATE-time schema
+        in.addData(base.map { case (k, n) => (k, n, k * 10) })
+        q.processAllAvailable()
+        // live DDL: widen the surface, rename the column the stream emits
+        s.sql("ALTER TABLE graftdml.s20_t ADD COLUMNS (extra STRING)")
+        s.sql("ALTER TABLE graftdml.s20_t RENAME COLUMN amount TO amt")
+        // epoch 2: the stream still emits `amount` — physical identity
+        // routes it into `amt`, `extra` null-fills
+        in.addData(base.filter(_._1 % 3 == 0)
+          .map { case (k, n) => (k, n + "!", k * 10 + 1000) })
+        q.processAllAvailable()
+        // live DDL: drop + re-add the column the stream still emits,
+        // then change the bucket fan-out under it
+        s.sql("ALTER TABLE graftdml.s20_t DROP COLUMN name")
+        s.sql("ALTER TABLE graftdml.s20_t ADD COLUMNS (name STRING)")
+        G.rebucket(s, dir, 8)
+        // epoch 3: the stream's `name` belongs to the TOMBSTONED physical
+        // column — it must not resurrect; the upsert lands in the 8-way
+        // layout with `amt` still following by physical identity
+        in.addData(base.filter(_._1 % 5 == 0)
+          .map { case (k, _) => (k, "ghost",
+            k * 10 + (if (k % 3 == 0) 1000L else 0L) + 7L) })
+        q.processAllAvailable()
+      } finally q.stop()
+      val versionsOk = G.currentVersion(dir) == 4L // 3 epochs + rebucket
+      val b8 = s.sql("SELECT pmod(xxhash64(CAST(5 AS BIGINT)), 8)")
+        .head().getLong(0).toInt
+      val vdir = G.versionDir(dir, G.currentVersion(dir))
+      val bucketOk = java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(vdir, s"${G.BucketCol}=$b8"))
+      s.sql("SELECT k, amt, name, extra FROM graftdml.s20_t")
+        .withColumn("version_arithmetic", lit(versionsOk))
+        .withColumn("post_rebucket_layout", lit(bucketOk))
+        .orderBy($"k")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+        CAST(n_nationkey * 10
+          + CASE WHEN n_nationkey % 3 = 0 THEN 1000 ELSE 0 END
+          + CASE WHEN n_nationkey % 5 = 0 THEN 7 ELSE 0 END AS BIGINT) AS amt,
+        CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS extra,
+        TRUE AS version_arithmetic, TRUE AS post_rebucket_layout
+      FROM nation ORDER BY k""")),
+
     GraftQuery("t11_stream_upsert", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
