@@ -2813,6 +2813,120 @@ object SourceQueries {
         TRUE AS report_all_clear
       FROM range(1, 26) t(i) ORDER BY k""")),
 
+    // ----- S42: partition-spec evolution — `CALL set_partition_spec`
+    // changes a time-partitioned table's GRAIN (days(ts) -> hours(ts))
+    // for FUTURE commits as ONE metadata-only commit: no data file
+    // touched, no changelog slice, not a boundary. Old owner dirs keep
+    // the ordinals they were written with under per-version `_partspec`
+    // markers (the `_buckets` pattern mirrored), so old versions keep
+    // PRUNING under their own grain; mixed-era snapshots read exactly
+    // with pruning paused (the source-column predicate always stays in
+    // the residue), and `CALL rebucket` re-grains everything so pruning
+    // resumes under the new spec. At 100 TB this is how a table that
+    // outgrew its daily grain moves to hourly without rewriting history.
+    // The gate pins measured planned-file pruning on BOTH sides of the
+    // boundary, physical ordinals per era, time travel across the
+    // change, exact mixed-era reads (the hash), the mixed-era
+    // expire_partitions guard, and hour-grain retention after re-grain.
+    GraftQuery("s42_repartition_transform", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      val G = graft.sources.GraftStore
+      s.sql("DROP TABLE IF EXISTS graftdml.s42_t")
+      s.sql("""CREATE TABLE graftdml.s42_t
+        (k BIGINT NOT NULL, ts TIMESTAMP, v BIGINT) USING graft
+        PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+      val dir = s"${DmlFixture.warehouse}/s42_t"
+      T.nation(s, d).createOrReplaceTempView("s42_nation")
+      // v1: three days at day grain, driven from nation keys
+      s.sql("""INSERT INTO graftdml.s42_t
+        SELECT CAST(n_nationkey AS BIGINT),
+          TIMESTAMP'2026-01-01 00:00:00'
+            + make_interval(0, 0, 0, CAST(n_nationkey % 3 AS INT),
+                CAST(n_nationkey % 24 AS INT), 0, 0),
+          CAST(n_nationkey * 10 AS BIGINT)
+        FROM s42_nation""")
+      val prunedOld = filesPlanned(s.sql("SELECT * FROM graftdml.s42_t " +
+        "WHERE ts >= TIMESTAMP'2026-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP'2026-01-03 00:00:00'"))
+      val fullOld = filesPlanned(s.sql("SELECT * FROM graftdml.s42_t"))
+      val oldGrainPrunes = prunedOld < fullOld
+      s.sql("CALL graftdml.set_partition_spec(table => 's42_t', " +
+        "transform => 'hours(ts)')") // v2: metadata-only
+      val metadataOnly = !G.hasChangelog(dir, 2L) && !G.isBoundary(dir, 2L)
+      // v3: new rows land at HOUR grain
+      s.sql("""INSERT INTO graftdml.s42_t
+        SELECT CAST(n_nationkey + 100 AS BIGINT),
+          TIMESTAMP'2026-01-02 00:00:00'
+            + make_interval(0, 0, 0, 0, CAST(n_nationkey % 24 AS INT), 0, 0),
+          CAST((n_nationkey + 100) * 10 AS BIGINT)
+        FROM s42_nation""")
+      def ords(v: Long): Set[Long] = {
+        val p = java.nio.file.Paths.get(G.versionDir(dir, v))
+        val ls = java.nio.file.Files.list(p)
+        try {
+          val it = ls.iterator(); var out = Set.empty[Long]
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.startsWith(s"${G.PartCol}="))
+              out += n.stripPrefix(s"${G.PartCol}=").toLong
+          }
+          out
+        } finally ls.close()
+      }
+      val erasPhysical = ords(1L).forall(o => o > 20000 && o < 30000) &&
+        ords(3L).nonEmpty && ords(3L).forall(_ > 400000)
+      // time travel across the boundary: the day-grain snapshot still
+      // prunes under ITS grain
+      val prunedTT = filesPlanned(s.sql("SELECT * FROM graftdml.s42_t " +
+        "VERSION AS OF 1 WHERE ts >= TIMESTAMP'2026-01-02 00:00:00' AND " +
+        "ts < TIMESTAMP'2026-01-03 00:00:00'"))
+      val fullTT = filesPlanned(s.sql(
+        "SELECT * FROM graftdml.s42_t VERSION AS OF 1"))
+      val ttPrunes = prunedTT < fullTT
+      val mixedGuard = try {
+        s.sql("CALL graftdml.expire_partitions(table => 's42_t', " +
+          "below => '1')"); false
+      } catch { case e: Exception =>
+        e.getMessage.contains("mixes partition grains") }
+      // re-grain: same-count rebucket rewrites under the hour spec and
+      // pruning resumes (measured)
+      s.sql("CALL graftdml.rebucket(table => 's42_t', buckets => 2)")
+      val prunedNew = filesPlanned(s.sql("SELECT * FROM graftdml.s42_t " +
+        "WHERE ts >= TIMESTAMP'2026-01-02 12:00:00' AND " +
+        "ts < TIMESTAMP'2026-01-02 13:00:00'"))
+      val fullNew = filesPlanned(s.sql("SELECT * FROM graftdml.s42_t"))
+      val newGrainPrunes = prunedNew < fullNew
+      s.sql("SELECT k, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s, v " +
+          "FROM graftdml.s42_t")
+        .withColumn("old_grain_prunes", lit(oldGrainPrunes))
+        .withColumn("spec_change_metadata_only", lit(metadataOnly))
+        .withColumn("eras_physical", lit(erasPhysical))
+        .withColumn("time_travel_prunes_old_grain", lit(ttPrunes))
+        .withColumn("mixed_expire_guarded", lit(mixedGuard))
+        .withColumn("new_grain_prunes", lit(newGrainPrunes))
+        .orderBy($"k")
+    }, Some("""
+      WITH src AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+          TIMESTAMP '2026-01-01 00:00:00'
+            + INTERVAL (n_nationkey % 3) DAY
+            + INTERVAL (n_nationkey % 24) HOUR AS ts,
+          CAST(n_nationkey * 10 AS BIGINT) AS v
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey + 100 AS BIGINT),
+          TIMESTAMP '2026-01-02 00:00:00'
+            + INTERVAL (n_nationkey % 24) HOUR,
+          CAST((n_nationkey + 100) * 10 AS BIGINT)
+        FROM nation)
+      SELECT k, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, v,
+        TRUE AS old_grain_prunes, TRUE AS spec_change_metadata_only,
+        TRUE AS eras_physical, TRUE AS time_travel_prunes_old_grain,
+        TRUE AS mixed_expire_guarded, TRUE AS new_grain_prunes
+      FROM src ORDER BY k""")),
+
     // ----- S33: manifest-referenced commit metadata — the driver gate for
     // the r12 store layout. A commit's version dir physically holds ONLY
     // the files that commit wrote plus a `_bucketmap` manifest (slot →

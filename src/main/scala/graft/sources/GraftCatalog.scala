@@ -1081,7 +1081,7 @@ final class GraftPartitionsTable(tableName: String, dir: String)
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
         val meta = GraftStore.readMeta(dir)
         val cur = GraftStore.currentVersion(dir)
-        val (fn, logCol) = meta.partition match {
+        val (fn, logCol) = GraftStore.layoutPartSpec(dir, cur, meta) match {
           case Some((f, physCol)) =>
             val log = meta.schema.fields
               .find(x => GraftStore.physicalName(x) == physCol)
@@ -1582,7 +1582,16 @@ object GraftTable {
       // the column stats rather than serving pre-mutation NDV/min-max
       colStats = () => GraftStore.freshTableColStats(dir, version)
         .flatMap { case (phys, st) => p2l.get(phys).map(_ -> st) },
-      partitioning = meta.partition.map { case (fn, physCol) =>
+      // partition pruning is era-aware: sound only when every owner dir
+      // of THIS snapshot was written under one partition grain — a mixed
+      // snapshot (mid set_partition_spec migration) derives nothing (the
+      // source-column predicates stay in the residue, so reads are exact;
+      // CALL rebucket re-grains and pruning resumes)
+      partitioning = (GraftStore.snapshotPartSpecs(dir, version, meta) match {
+        case Seq(one) => Some(one)
+        case Seq() => GraftStore.layoutPartSpec(dir, version, meta)
+        case _ => None // mixed eras
+      }).map { case (fn, physCol) =>
         new org.apache.spark.sql.GraftPartDerivation(fn,
           p2l.getOrElse(physCol, physCol),
           org.apache.spark.sql.GraftSnapshotScan.partType(meta,

@@ -25,7 +25,8 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "rebucket", "clone", "restore",
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
     "analyze", "maintenance_report", "create_tag", "drop_tag",
-    "refresh_mv", "create_branch", "drop_branch", "fast_forward")
+    "refresh_mv", "create_branch", "drop_branch", "fast_forward",
+    "set_partition_spec")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact leaf slots (partition x bucket dirs) with more " +
@@ -79,7 +80,13 @@ object GraftProcedures {
       "main has not moved off the fork point (loud conflict otherwise): " +
       "version dirs and changelog slices adopt by hard link, time " +
       "travel/CDC/MV refresh see the branch's individual commits, the " +
-      "pointer flip is the single atomic publish, the branch is consumed"))
+      "pointer flip is the single atomic publish, the branch is consumed"),
+    "set_partition_spec" -> ("evolve a time-partitioned table's GRAIN " +
+      "(years/months/days/hours) for FUTURE commits as one metadata-only " +
+      "commit: old dirs keep their ordinals under per-version markers, " +
+      "mixed-era snapshots read exactly (pruning pauses until CALL " +
+      "rebucket re-grains), old versions keep pruning under their own " +
+      "grain"))
 
   private[sources] def params(name: String): Array[ProcedureParameter] = name match {
     case "optimize" => Array(
@@ -132,6 +139,9 @@ object GraftProcedures {
     case "create_branch" | "drop_branch" | "fast_forward" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
+    case "set_partition_spec" => Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("transform", StringType).build())
   }
 
   /** The `maintenance_report` rows for one table: (signal, triggered,
@@ -304,6 +314,24 @@ final class GraftProcedure(procName: String, tableDir: String => String,
         case "fast_forward" =>
           ("version", GraftStore.fastForward(dir,
             input.getUTF8String(1).toString))
+        case "set_partition_spec" =>
+          // accept 'hours' or 'hours(col)' — the column is fixed, so a
+          // given one must match the existing source column (loudly)
+          val raw = input.getUTF8String(1).toString.trim
+          val m = "([a-z]+)\\(([^)]+)\\)".r
+          val fn = raw match {
+            case m(f, c) =>
+              val meta = GraftStore.readMeta(dir)
+              val phys = meta.partition.map(_._2)
+              val log = meta.schema.fields.find(x =>
+                phys.contains(GraftStore.physicalName(x))).map(_.name)
+              require(log.contains(c.trim),
+                s"set_partition_spec cannot change the partition COLUMN " +
+                  s"(is ${log.getOrElse("?")}, got ${c.trim}); use RTAS")
+              f
+            case f => f
+          }
+          ("version", GraftStore.setPartitionSpec(dir, fn))
       }
       val schema = StructType(Seq(StructField(col, LongType, nullable = false)))
       util.Collections.singletonList[Scan](new GraftResultScan(schema,

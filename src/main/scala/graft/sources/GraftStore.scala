@@ -279,7 +279,15 @@ object GraftStore {
     * (GraftPartDerivation, fixed UTC/wall math) always agrees with what
     * was written, no matter what zone an embedding session runs under. */
   def partitionExpr(meta: GraftTableMeta): Option[Column] =
-    meta.partition.map { case (fn, physCol) =>
+    partitionExprFor(meta, meta.partition)
+
+  /** [[partitionExpr]] under an EXPLICIT spec — writers derive the spec
+    * from the layout they commit into ([[layoutPartSpec]]), so a
+    * `set_partition_spec` change re-grains NEW commits while old owner
+    * dirs keep the ordinals they were written with. */
+  def partitionExprFor(meta: GraftTableMeta,
+      spec: Option[(String, String)]): Option[Column] =
+    spec.map { case (fn, physCol) =>
       val c = col(physCol)
       // exact floorDiv in long arithmetic ((x - pmod) is divisible, so the
       // double division is exact at ordinal magnitudes)
@@ -310,9 +318,11 @@ object GraftStore {
     }
 
   /** Stamp the partition-ordinal column onto a PHYSICAL-named frame (no-op
-    * for unpartitioned tables). */
-  private def withPartCol(df: DataFrame, meta: GraftTableMeta): DataFrame =
-    partitionExpr(meta).map(e => df.withColumn(PartCol, e)).getOrElse(df)
+    * for unpartitioned tables), under the LAYOUT's spec. */
+  private def withPartCol(df: DataFrame, meta: GraftTableMeta,
+      spec: Option[(String, String)]): DataFrame =
+    partitionExprFor(meta, spec).map(e => df.withColumn(PartCol, e))
+      .getOrElse(df)
 
   /** The layout's partition directory columns, innermost last. */
   private def layoutCols(meta: GraftTableMeta): Seq[String] =
@@ -877,6 +887,7 @@ object GraftStore {
     writeFileSeqEntries(base, linkedSeq)
     GraftStats.writeManifestEntries(base, mergedManifest(srcDir, cur))
     writeBucketMarker(base, layoutBuckets(srcDir, cur, meta))
+    writePartSpecMarker(base, layoutPartSpec(srcDir, cur, meta))
     Files.createDirectories(Paths.get(changesRoot(tmp)))
     writePointer(tmp, cur)
     writeMeta(tmp, meta)
@@ -957,6 +968,7 @@ object GraftStore {
       GraftStats.writeManifestEntries(buildDir,
         mergedManifest(stagedDir, sv)) // reuse staged footers
       writeBucketMarker(buildDir, layoutBuckets(stagedDir, sv, stagedMeta))
+      writePartSpecMarker(buildDir, layoutPartSpec(stagedDir, sv, stagedMeta))
       writeBoundaryMarker(buildDir) // snapshot boundary for CDC consumers
       // crash-safe meta swap: stamp the OLD meta + target version into
       // _meta_backup first. If this commit dies between the meta write
@@ -985,6 +997,97 @@ object GraftStore {
           throw e
       }
       Files.deleteIfExists(backup)
+      next
+    } finally releaseClaim(marker, token)
+  }
+
+  /** Stamp the partition spec a version's OWN dirs were written with —
+    * the per-version layout marker partition-spec evolution reads (the
+    * `_buckets` pattern, mirrored). Only written for partitioned tables;
+    * readers fall back to the CREATE-time meta spec. */
+  private[sources] def writePartSpecMarker(vdir: String,
+      spec: Option[(String, String)]): Unit =
+    spec.foreach { case (fn, c) =>
+      Files.write(Paths.get(vdir, "_partspec"),
+        s"$fn:${java.net.URLEncoder.encode(c, "UTF-8")}".getBytes("UTF-8"))
+    }
+
+  /** The partition spec version `v` was written with, if stamped. */
+  def versionPartSpec(dir: String, v: Long): Option[(String, String)] = {
+    val p = Paths.get(versionDir(dir, v), "_partspec")
+    if (!Files.exists(p)) None
+    else {
+      val Array(fn, c) =
+        new String(Files.readAllBytes(p), "UTF-8").trim.split(":", 2)
+      Some((fn, java.net.URLDecoder.decode(c, "UTF-8")))
+    }
+  }
+
+  /** The partition spec governing version `v`'s OWN dirs: its marker if
+    * stamped, else the CREATE-time meta spec (tables predating markers
+    * can only carry the original spec). */
+  def layoutPartSpec(dir: String, v: Long,
+      meta: GraftTableMeta): Option[(String, String)] =
+    versionPartSpec(dir, v).orElse(meta.partition)
+
+  /** Distinct partition specs among the owner versions of snapshot `v` —
+    * size 1 means era-uniform (partition pruning is sound under that one
+    * spec); size > 1 means mixed grains (pruning derives nothing; the
+    * source-column predicates stay in the residue so reads remain exact,
+    * and `CALL rebucket` re-grains everything under the current spec). */
+  def snapshotPartSpecs(dir: String, v: Long,
+      meta: GraftTableMeta): Seq[(String, String)] =
+    if (meta.partition.isEmpty) Nil
+    else ownersOf(dir, v).values.flatten.toSeq.distinct
+      .flatMap(o => layoutPartSpec(dir, o, meta)).distinct
+
+  /** `CALL set_partition_spec(table, 'hours')`: change the partition
+    * GRAIN for FUTURE commits as one metadata-only commit — no data file
+    * touched, no changelog slice, NOT a boundary (content is unchanged).
+    * Old owner dirs keep the ordinals they were written with and the
+    * per-version markers keep every reader interpreting each dir under
+    * its own era; scans over mixed-era snapshots stay exact (pruning
+    * just derives nothing until `CALL rebucket` re-grains the data).
+    * Time-grain transforms only (years/months/days/hours over the SAME
+    * source column): their ordinals share the int domain, so one
+    * partition-column schema serves every era. */
+  def setPartitionSpec(dir: String, newFn: String): Long = {
+    recoverChangelog(dir)
+    val meta = readMeta(dir)
+    val (curFn, physCol) = meta.partition.getOrElse(throw
+      new IllegalArgumentException(
+        s"table $dir has no PARTITIONED BY transform to evolve"))
+    val timeGrains = Set("years", "months", "days", "hours")
+    require(timeGrains.contains(newFn),
+      s"set_partition_spec supports time grains ${timeGrains.toSeq.sorted
+        .mkString("/")}, got '$newFn'")
+    val cur = currentVersion(dir)
+    val curSpec = layoutPartSpec(dir, cur, meta).get
+    require(timeGrains.contains(curSpec._1),
+      s"cannot evolve an identity-partitioned table's grain " +
+        "(ordinal domains differ); use RTAS")
+    if (curSpec == ((newFn, physCol))) return cur
+    val next = cur + 1
+    val (marker, token) = claimCommit(dir, next)
+    try withClaimHeartbeat(Seq(marker)) {
+      if (currentVersion(dir) != cur)
+        throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced past version $cur during " +
+            "set_partition_spec; re-run")
+      val nextDir = versionDir(dir, next)
+      val buildDir = s"$nextDir.build-$token"
+      deleteRecursively(Paths.get(buildDir))
+      Files.createDirectories(Paths.get(buildDir))
+      // pure metadata commit: carry the whole snapshot by reference
+      writeBucketMap(buildDir, ownersOf(dir, cur))
+      linkDvCarry(versionDir(dir, cur), buildDir, Set.empty)
+      writeFileSeq(buildDir, None, next)
+      GraftStats.writeManifest(buildDir, None)
+      writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
+      writePartSpecMarker(buildDir, Some((newFn, physCol)))
+      verifyClaim(marker, token)
+      publishVersion(buildDir, nextDir)
+      writePointer(dir, next)
       next
     } finally releaseClaim(marker, token)
   }
@@ -1368,6 +1471,7 @@ object GraftStore {
       Files.createDirectories(Paths.get(bd))
       writeBucketMap(bd, Map.empty) // manifest-format marker: no data
       writeBucketMarker(bd, layoutBuckets(dir, cur, readMeta(dir)))
+      writePartSpecMarker(bd, layoutPartSpec(dir, cur, readMeta(dir)))
       writeBoundaryMarker(bd) // truncation = snapshot boundary for CDC
       verifyClaim(marker, token)
       publishVersion(bd, nd)
@@ -2239,6 +2343,12 @@ object GraftStore {
       val morRequested = meta.mergeMode == "mor" && !allInserts &&
         !overwrite && touched.nonEmpty
 
+      // the LAYOUT's partition spec: new dirs are written under the grain
+      // the current layout declares (set_partition_spec evolves it), and
+      // the commit stamps its own marker so readers interpret its dirs
+      // under the era they were written with
+      val curPartSpec = layoutPartSpec(dir, cur, meta)
+
       // Changelog leg: persist the change batch itself, one immutable dir
       // per version. Written to a dot-prefixed STAGING dir now and renamed
       // to its visible `change_version=N` name only after the pointer
@@ -2318,7 +2428,8 @@ object GraftStore {
         val keptBase = readVersion(spark, dir, cur, Some(rewriteBuckets))
         val kept = keptBase.join(removes, meta.keyCols, "left_anti")
           .select((cols :+ BucketCol).map(col): _*)
-        withPartCol(toPhysical(kept.unionByName(adds), meta.schema), meta)
+        withPartCol(toPhysical(kept.unionByName(adds), meta.schema), meta,
+            curPartSpec)
           .hint("rebalance", layoutCols(meta).map(col): _*)
           .write.options(bloomOptions(meta))
             .partitionBy(layoutCols(meta): _*).parquet(buildDir)
@@ -2331,7 +2442,8 @@ object GraftStore {
           // dir, and skipping the touched-set job saves one Spark action
           // per append
           withPartCol(toPhysical(
-              ch.select((cols :+ BucketCol).map(col): _*), meta.schema), meta)
+              ch.select((cols :+ BucketCol).map(col): _*), meta.schema),
+              meta, curPartSpec)
             .hint("rebalance", layoutCols(meta).map(col): _*)
             .write.options(bloomOptions(meta))
             .partitionBy(layoutCols(meta): _*).parquet(buildDir)
@@ -2347,7 +2459,8 @@ object GraftStore {
           // only the rare over-cap commit discards this small staged write
           // and escalates.
           withPartCol(toPhysical(ch.filter(col(OpCol).isin("I", "U"))
-              .select((cols :+ BucketCol).map(col): _*), meta.schema), meta)
+              .select((cols :+ BucketCol).map(col): _*), meta.schema),
+              meta, curPartSpec)
             .hint("rebalance", layoutCols(meta).map(col): _*)
             .write.options(bloomOptions(meta))
             .partitionBy(layoutCols(meta): _*).parquet(buildDir)
@@ -2441,6 +2554,7 @@ object GraftStore {
       // owning version dir)
       GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, buckets)
+      writePartSpecMarker(buildDir, curPartSpec)
       if (overwrite) writeBoundaryMarker(buildDir) // snapshot boundary for CDC
       // idempotent-write record publishes atomically WITH the commit: in
       // the build dir before the rename, so neither "recorded but not
@@ -2554,7 +2668,7 @@ object GraftStore {
         spark.sparkContext.defaultParallelism * 4))
       val rep = withPartCol(
           readVersionPhysical(spark, dir, meta, cur, slots = Some(fragmented)),
-          meta)
+          meta, layoutPartSpec(dir, cur, meta))
         .repartition(nTasks, layoutCols(meta).map(col): _*)
       val clustered =
         if (zorderBy.nonEmpty) {
@@ -2589,6 +2703,7 @@ object GraftStore {
       writeFileSeq(buildDir, None, next)
       GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
+      writePartSpecMarker(buildDir, layoutPartSpec(dir, cur, meta))
       verifyClaim(marker, token)
       publishVersion(buildDir, nextDir)
       writePointer(dir, next)
@@ -2619,7 +2734,13 @@ object GraftStore {
     recoverChangelog(dir)
     val meta = readMeta(dir)
     val cur = currentVersion(dir)
-    if (layoutBuckets(dir, cur, meta) == newBuckets && meta.buckets == newBuckets)
+    // a same-count rebucket is a no-op ONLY when the snapshot is also
+    // partition-era-uniform: after set_partition_spec, `CALL rebucket`
+    // with the existing count is the documented re-grain (full rewrite
+    // under the current grain, pruning resumes)
+    if (layoutBuckets(dir, cur, meta) == newBuckets &&
+        meta.buckets == newBuckets &&
+        snapshotPartSpecs(dir, cur, meta).size <= 1)
       return cur
     val next = cur + 1
     val (marker, token) = claimCommit(dir, next)
@@ -2651,7 +2772,8 @@ object GraftStore {
       val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
       withPartCol(readVersionPhysical(spark, dir, meta, cur)
           .drop(BucketCol)
-          .withColumn(BucketCol, bucketExpr(physKeys, newBuckets)), meta)
+          .withColumn(BucketCol, bucketExpr(physKeys, newBuckets)), meta,
+          layoutPartSpec(dir, cur, meta))
         .repartition(newBuckets, col(BucketCol))
         .write.options(bloomOptions(meta))
             .partitionBy(layoutCols(meta): _*).parquet(buildDir)
@@ -2660,6 +2782,7 @@ object GraftStore {
       writeFileSeq(buildDir, None, next) // every file rewritten (DVs applied)
       GraftStats.writeManifest(buildDir, None) // every file rewritten
       writeBucketMarker(buildDir, newBuckets)
+      writePartSpecMarker(buildDir, layoutPartSpec(dir, cur, meta))
       withMetaLock(dir) {
         val m = readMeta(dir) // re-read: fold over concurrent ALTERs
         writeMeta(dir, m.copy(buckets = newBuckets))
@@ -2717,6 +2840,7 @@ object GraftStore {
       writeFileSeq(buildDir, None, next)
       GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, layoutBuckets(dir, toVersion, meta))
+      writePartSpecMarker(buildDir, layoutPartSpec(dir, toVersion, meta))
       writeBoundaryMarker(buildDir) // restore = snapshot boundary for CDC
       verifyClaim(marker, token)
       // Re-check against a concurrent expireVersions (a maintenance op that
@@ -2924,6 +3048,14 @@ object GraftStore {
     require(meta.partition.isDefined,
       s"table $dir has no PARTITIONED BY transform")
     val cur = currentVersion(dir)
+    // MIXED partition grains make ordinal comparison meaningless across
+    // owner dirs — require era uniformity (rebucket re-grains everything)
+    val eras = snapshotPartSpecs(dir, cur, meta)
+    require(eras.size <= 1,
+      s"table $dir mixes partition grains ${eras.map(_._1).mkString("/")} " +
+        "after set_partition_spec — CALL rebucket to re-grain before " +
+        "expire_partitions")
+    val effSpec = eras.headOption.orElse(layoutPartSpec(dir, cur, meta))
     // compare UNESCAPED values (partitionBy escapes special chars into the
     // dir name) and never drop the null-partition sentinel — NULL cannot
     // satisfy an ordering bound
@@ -2937,7 +3069,7 @@ object GraftStore {
     // per-directory by parseability would flip the basis between dirs
     // (e.g. values '9' and 'abc' against below='10'), so the dropped set
     // would follow no single total order.
-    val numericDomain = meta.partition.exists { case (fn, physCol) =>
+    val numericDomain = effSpec.exists { case (fn, physCol) =>
       fn != "identity" || meta.schema.fields
         .find(f => physicalName(f) == physCol)
         .exists(_.dataType match {
@@ -2948,7 +3080,7 @@ object GraftStore {
     val belowNum = below.toLongOption
     if (numericDomain) require(belowNum.isDefined,
       s"expire_partitions bound '$below' must be an integer ordinal for " +
-        s"transform ${meta.partition.map(_._1).getOrElse("?")}")
+        s"transform ${effSpec.map(_._1).getOrElse("?")}")
     def lt(rawDir: String): Boolean = {
       if (rawDir == defaultName) return false
       val a = org.apache.spark.sql.catalyst.catalog
@@ -2987,6 +3119,7 @@ object GraftStore {
       writeFileSeq(buildDir, None, next)
       GraftStats.writeManifest(buildDir, None)
       writeBucketMarker(buildDir, layoutBuckets(dir, cur, meta))
+      writePartSpecMarker(buildDir, layoutPartSpec(dir, cur, meta))
       writeBoundaryMarker(buildDir) // rows vanish with no changelog slice
       verifyClaim(marker, token)
       publishVersion(buildDir, nextDir)
