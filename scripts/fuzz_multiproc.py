@@ -10,7 +10,7 @@ rebucket — then runs `verify`, which checks: contiguous versions, no
 orphan claims, no duplicate keys, live contents == the union of what
 every writer recorded as committed, and changelog replay from v0 == live.
 
-Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part] [--tags]
+Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part] [--tags] [--branches]
 
 --tags forks TWO extra `refloop` processes that race the writers and each
 other with create_tag + aggressive expire_versions churn (S36): a create
@@ -45,11 +45,12 @@ Requires `sbt -batch compile` to have populated target/scala-2.13/classes.
 import glob, os, random, signal, subprocess, sys, tempfile, time
 
 args = [a for a in sys.argv[1:]
-        if a not in ("--crash", "--mor", "--part", "--tags")]
+        if a not in ("--crash", "--mor", "--part", "--tags", "--branches")]
 crash = "--crash" in sys.argv[1:]
 mor = "--mor" in sys.argv[1:]
 part = "--part" in sys.argv[1:]
 tags = "--tags" in sys.argv[1:]
+branches = "--branches" in sys.argv[1:]
 n_writers = int(args[0]) if len(args) > 0 else 3
 n_ops = int(args[1]) if len(args) > 1 else 12
 seed = int(args[2]) if len(args) > 2 else 7
@@ -102,6 +103,22 @@ if tags:
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         ref_procs.append((j, p))
 
+# --branches: TWO branch-churn processes race the writers and each other —
+# fork / branch-DML / fast_forward / expire across JVMs. Publishes that
+# WIN record their keys like a writer (verify holds the content
+# accountable); publishes that LOSE must leave the branch whole.
+branch_procs = []
+branch_outs = []
+if branches:
+    for j in (1, 2):
+        out = os.path.join(work, f"branch{j}.tsv")
+        p = subprocess.Popen(
+            java + ["branchloop", table, str(max(5, n_ops // 2)),
+                    str(seed * 100 + j), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        branch_procs.append((j, p))
+        branch_outs.append(out)
+
 killed = set()
 if crash:
     # let everyone get past session startup and some commits, then
@@ -130,6 +147,30 @@ for w, p, out in procs:
     else:
         outs.append(out)
 
+for j, p in branch_procs:
+    so, se = p.communicate(timeout=900)
+    line = next((l for l in so.splitlines() if "[multiwriter]" in l), "?")
+    print(f"branchloop {j}: rc={p.returncode} {line}")
+    if p.returncode != 0 or "FAIL" in so:
+        fail = True
+        print(so[-2000:]); print(se[-3000:])
+    else:
+        outs.append(branch_outs[j - 1])
+
+# quiet-phase publish: with the writers done, one sequential branch round
+# must actually WIN its fast_forward (the live-contention loops above
+# mostly exercise the loud-conflict lane)
+if branches and not fail:
+    out = os.path.join(work, "branch_quiet.tsv")
+    r = run(["branchloop", table, "3", str(seed * 100 + 9), out])
+    line = next((l for l in r.stdout.splitlines() if "[multiwriter]" in l), "?")
+    print(f"branchloop quiet: rc={r.returncode} {line}")
+    if r.returncode != 0 or "FAIL" in r.stdout or "(0 keys published)" in line:
+        fail = True
+        print(r.stdout[-2000:]); print(r.stderr[-2000:])
+    else:
+        outs.append(out)
+
 for j, p in ref_procs:
     so, se = p.communicate(timeout=900)
     line = next((l for l in so.splitlines() if "[multiwriter]" in l), "?")
@@ -139,7 +180,8 @@ for j, p in ref_procs:
         print(so[-2000:]); print(se[-3000:])
 
 if not fail:
-    vflags = (["--partial"] if crash else []) + (["--expired"] if tags else [])
+    vflags = (["--partial"] if crash else []) + (
+        ["--expired"] if (tags or branches) else [])
     r = run(["verify", table] + vflags + outs)
     for l in r.stdout.splitlines():
         if "[multiwriter]" in l:
@@ -152,5 +194,5 @@ print(f"multiproc fuzz: {'FAIL' if fail else 'PASS'} "
       f"(writers={n_writers} ops={n_ops} seed={seed}"
       f"{' crash-injected=' + str(sorted(killed)) if crash else ''}"
       f"{' mor' if mor else ''}{' part' if part else ''}"
-      f"{' tags' if tags else ''})")
+      f"{' tags' if tags else ''}{' branches' if branches else ''})")
 sys.exit(1 if fail else 0)

@@ -129,6 +129,45 @@ object Bench {
     spark.sql("SELECT SUM(cents) AS s, COUNT(*) AS n FROM graftdml.bench_part")
   }
 
+  /** Bench-only: the S39 materialized-view lifecycle at bench scale —
+    * events-derived store table, CREATE MATERIALIZED VIEW (initial
+    * materialization), the s26-style DML statement burst, ONE
+    * incremental `refresh_mv` folding it, and the MV read. The refresh
+    * leg is the number that must stay ∝ changes + |view| at any table
+    * size (Scratch `--scale mv` measures the flatness; this row pins the
+    * absolute cost into the driver's series). No oracle form on purpose:
+    * flow correctness is s39_materialized_view's gate. */
+  private def mvRefreshOnly(spark: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    operators.DmlFixture.register(spark)
+    val ev = Tables.events(spark, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    ev.groupBy(col("user_id")).agg(max_by(
+        struct(col("event_id"), col("cents")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.cents").as("cents"))
+      .createOrReplaceTempView("bmv_base")
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.bench_mv")
+    spark.sql("DROP TABLE IF EXISTS graftdml.bench_mv_t")
+    spark.sql("""CREATE TABLE graftdml.bench_mv_t
+      (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+    spark.sql("INSERT INTO graftdml.bench_mv_t SELECT * FROM bmv_base")
+    spark.sql("""CREATE MATERIALIZED VIEW graftdml.bench_mv AS
+      SELECT user_id % 97 AS g, COUNT(*) AS n, SUM(cents) AS s
+      FROM graftdml.bench_mv_t GROUP BY user_id % 97""")
+    spark.sql("UPDATE graftdml.bench_mv_t SET cents = cents + 100 " +
+      "WHERE user_id % 7 = 0")
+    spark.sql("DELETE FROM graftdml.bench_mv_t WHERE cents < 500")
+    spark.sql("INSERT INTO graftdml.bench_mv_t " +
+      "SELECT -1 - id, id, id * 3 FROM range(0, 5000)")
+    val mode = spark.sql("CALL graftdml.refresh_mv(view => 'bench_mv')")
+      .head().getString(1)
+    require(mode == "incremental", s"bench_mv refresh ran '$mode'")
+    spark.sql("SELECT g, n, s FROM graftdml.bench_mv")
+  }
+
   /** Bench-only: d1's 100 TB path — the single no-Expand sketch aggregate
     * without the exact-distinct verification side the d1/d1_sketch_profile
     * gates carry. Same rationale as a3SketchOnly: measure the operator a
@@ -162,7 +201,8 @@ object Bench {
         ("a3_sketch_only" -> (a3SketchOnly _)) :+
         ("d1_sketch_only" -> (d1SketchOnly _)) :+
         ("s26_mor_dml_only" -> (morDmlOnly _)) :+
-        ("s30_plan_metadata_only" -> (planMetadataOnly _))
+        ("s30_plan_metadata_only" -> (planMetadataOnly _)) :+
+        ("s39_mv_refresh_only" -> (mvRefreshOnly _))
     // local-iteration filter (the driver never sets it): run only the
     // named rows — total then covers the subset, so compare per-row only
     val benched = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {

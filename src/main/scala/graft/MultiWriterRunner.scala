@@ -100,6 +100,8 @@ object MultiWriterRunner {
       write(args(1), args(2).toInt, args(3).toInt, args(4).toLong, args(5))
     case "refloop" =>
       refloop(args(1), args(2).toInt, args(3).toLong)
+    case "branchloop" =>
+      branchloop(args(1), args(2).toInt, args(3).toLong, args(4))
     case "verify" =>
       verify(args(1), args.drop(2).toSeq)
     case other => sys.error(s"unknown mode $other")
@@ -152,6 +154,99 @@ object MultiWriterRunner {
       Thread.sleep(rng.nextInt(200).toLong)
     }
     println(s"[multiwriter] refloop $seed ${if (ok) "ok" else "FAILED"}")
+    if (!ok) sys.exit(1)
+  }
+
+  /** One branch-churn process racing the writers: fork a branch at the
+    * current head, land a small batch on the BRANCH, and race
+    * `fast_forward` against everyone else's commits. The expected common
+    * outcome under contention is a LOUD divergence conflict (main moved
+    * off the fork point) — then the branch must still read whole and is
+    * dropped; the occasional publish that wins must land the branch's
+    * keys on main exactly once (recorded like a writer's, so the final
+    * verify holds the content accountable). Aggressive expire_versions
+    * interleaves: branches are self-contained clones, so main's
+    * retention must never make one unreadable. Keys are namespaced like
+    * a writer's (id 9xx) and avoid the sacrificial residue. */
+  private def branchloop(dir: String, nOps: Int, seed: Long,
+      outFile: String): Unit = {
+    val spark = session(s"graft-branchloop-$seed")
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val id = 900 + (seed % 90)
+    val base = id * 1000000L
+    var nextKey = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val part = GraftStore.readMeta(dir).partition.isDefined
+    var ok = true
+    def flushRecord(): Unit = {
+      val out = expected.toSeq.sortBy(_._1)
+        .map { case (k, (n, a)) => s"$k\t$n\t$a" }
+      val tmp = Paths.get(outFile + ".tmp")
+      Files.write(tmp, out.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(outFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    flushRecord() // the harness reads the file even if every publish loses
+    (0 until nOps).foreach { i =>
+      val bname = s"fzbr-$seed-$i"
+      val created =
+        try { GraftStore.createBranch(dir, bname); true }
+        catch {
+          case _: IllegalArgumentException => false // name/tag race: benign
+          case _: IllegalStateException => false
+        }
+      if (created) {
+        val bd = GraftStore.branchDir(dir, bname)
+        val rows = (0 until 1 + rng.nextInt(3)).map { _ =>
+          nextKey += 1
+          // avoid the sacrificial residue: those keys' partition is
+          // expired before verify and must never be recorded
+          val k0 = base + nextKey * 7 + 1
+          (k0, s"br$id", rng.nextInt(1000).toLong)
+        }
+        val df =
+          if (!part) rows.toDF("k", "name", "amount")
+          else rows.map { case (k, n, a) => (k, dayOf(k, 0), n, a) }
+            .toDF("k", "day", "name", "amount")
+            .withColumn("ts",
+              org.apache.spark.sql.functions.expr(
+                "timestamp(date_from_unix_date(CAST(day AS int)))"))
+            .select("k", "ts", "name", "amount")
+        GraftStore.applyChanges(spark, bd,
+          df.withColumn(GraftStore.OpCol,
+            org.apache.spark.sql.functions.lit("I")), allInserts = true)
+        val published =
+          try { GraftStore.fastForward(dir, bname); true }
+          catch {
+            case _: java.util.ConcurrentModificationException => false
+          }
+        if (published) {
+          rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+          flushRecord()
+        } else {
+          // the rejected publish must leave the branch WHOLE
+          val live = GraftStore.readVersion(spark, bd,
+            GraftStore.currentVersion(bd))
+            .select("k").collect().map(_.getLong(0)).toSet
+          rows.foreach { case (k, _, _) =>
+            if (!live.contains(k)) {
+              ok = false
+              println(s"[multiwriter] FAIL: rejected fast_forward of " +
+                s"$bname lost branch key $k")
+            }
+          }
+          try GraftStore.dropBranch(dir, bname)
+          catch { case _: IllegalArgumentException => () }
+        }
+      }
+      if (rng.nextInt(3) == 0)
+        GraftStore.expireVersions(dir, keepLast = 1 + rng.nextInt(3))
+      Thread.sleep(rng.nextInt(150).toLong)
+    }
+    println(s"[multiwriter] branchloop $seed ${if (ok) "ok" else "FAILED"} " +
+      s"(${expected.size} keys published)")
     if (!ok) sys.exit(1)
   }
 

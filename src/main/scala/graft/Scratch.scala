@@ -27,6 +27,8 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions",
+        classOf[graft.sources.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -480,6 +482,47 @@ object Scratch {
       val coldUntouched = cold.forall(s => owners.get(s) == preOwners.get(s))
       println(s"[scale] slotopt x$k cold slots untouched: $coldUntouched " +
         s"(${cold.size} cold slots)")
+    }
+    // materialized-view refresh at scale — the S39 claim: an incremental
+    // refresh costs ∝ changes + |view|, never ∝ |table|. A FIXED 5k-row
+    // slice lands on a table grown ×1/×10/×100 with a FIXED 1000-group
+    // view: the refresh must stay ~flat while the full-recompute contrast
+    // (what a view WITHOUT incremental maintenance pays) grows with the
+    // table. The CREATE (initial materialization) is timed separately —
+    // it IS a full recompute by definition.
+    for (k <- Seq(1, 10, 100) if want("mv")) {
+      val cat = s"gmvs$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_mv").toString)
+      val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id"))
+      val state = ev.groupBy($"event_id".as("k"))
+        .agg(max(round($"value" * 100).cast("long")).as("cents"))
+        .withColumn("grp", pmod($"k", lit(1000L))).cache()
+      val n = state.count()
+      state.createOrReplaceTempView(s"mv_src_$k")
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, cents BIGINT, " +
+        "grp BIGINT) USING graft TBLPROPERTIES ('merge_key'='k', 'buckets'='64')")
+      spark.sql(s"INSERT INTO $cat.t SELECT k, cents, grp FROM mv_src_$k")
+      time(f"mv x$k%3d ($n%9d rows) CREATE MATERIALIZED VIEW (initial full)") {
+        spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS SELECT grp, " +
+          s"COUNT(*) AS n, SUM(cents) AS s FROM $cat.t GROUP BY grp")
+      }
+      // fixed-size slice: 5k fresh inserts + a narrow update
+      spark.sql(s"INSERT INTO $cat.t SELECT -1 - id, id, id % 1000 " +
+        "FROM range(0, 5000)")
+      spark.sql(s"UPDATE $cat.t SET cents = cents + 1 WHERE k < 0 AND k % 7 = 0")
+      time(f"mv x$k%3d ($n%9d rows) incremental refresh (fixed 5k slice)") {
+        val mode = spark.sql(s"CALL $cat.refresh_mv(view => 'mv')")
+          .head().getString(1)
+        require(mode == "incremental", s"expected incremental, got $mode")
+      }
+      time(f"mv x$k%3d ($n%9d rows) full-recompute contrast") {
+        spark.sql(s"SELECT grp, COUNT(*) AS n, SUM(cents) AS s " +
+          s"FROM $cat.t GROUP BY grp").count()
+      }
+      state.unpersist()
     }
     // merge-on-read vs copy-on-write on the documented worst case: a
     // FIXED 5k-key change batch whose keys spread across every bucket.

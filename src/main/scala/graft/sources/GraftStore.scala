@@ -1751,9 +1751,14 @@ object GraftStore {
     // claim EVERY version being adopted: the fork+1 claim serializes
     // against normal writers; the higher claims keep a concurrent
     // reader's recoverChangelog from sweeping the staged slices (it
-    // preserves stagings whose version holds a live claim).
-    val claims = branchVs.map(v => claimCommit(dir, v))
-    try withClaimHeartbeat(claims.map(_._1)) {
+    // preserves stagings whose version holds a live claim). Acquired
+    // INSIDE the try: a mid-acquisition loss (a writer holds fork+1)
+    // must release the claims already taken, not leak them for the
+    // stale-claim window.
+    val claims = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
+    try {
+      branchVs.foreach(v => claims += claimCommit(dir, v))
+      withClaimHeartbeat(claims.map(_._1).toSeq) {
       if (currentVersion(dir) != fork)
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past the fork point v$fork of branch " +
@@ -1789,6 +1794,7 @@ object GraftStore {
       claims.foreach { case (m, t) => verifyClaim(m, t) }
       writePointer(dir, bHead)
       invalidateDvCache(dir)
+      }
     } finally claims.foreach { case (m, t) => releaseClaim(m, t) }
     recoverChangelog(dir) // the pointer now covers the staged slices
     dropBranch(dir, name) // a fast-forward consumes the branch
