@@ -206,7 +206,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * `CALL create_tag` (tag names start with a letter, so the two
     * namespaces can never collide). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = tableDir(ident)
+    val dir = dirOf(ident) // time travel works on branch addresses too
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse {
       GraftStore.resolveRef(dir, version).getOrElse {
@@ -232,7 +232,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * or before the timestamp (micros from Spark), resolved off each
     * version's `_committed_at` stamp. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val dir = tableDir(ident)
+    val dir = dirOf(ident) // time travel works on branch addresses too
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     val v = GraftStore.versionAsOfTimestamp(dir, timestamp / 1000L)
       .getOrElse(throw new IllegalArgumentException(
@@ -763,13 +763,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         .ViewAlreadyExistsException(info.ident())
     GraftViewStore.write(viewPath(info.ident()), info, createNew = true)
     // write-then-verify (same discipline as createTag × expire): a
-    // CREATE TABLE racing this create re-checks views after ITS commit
-    // too, so at least one side always observes the other and fails
-    if (tableExists(info.ident())) {
+    // CREATE TABLE / CREATE MATERIALIZED VIEW racing this create
+    // re-checks views after ITS publish too, so at least one side
+    // always observes the other and fails
+    if (tableExists(info.ident()) || mvExists(info.ident())) {
       java.nio.file.Files.deleteIfExists(viewPath(info.ident()))
       throw new IllegalArgumentException(
-        s"a TABLE named ${info.ident()} was created concurrently in " +
-          s"catalog $catalogName — the view was not created")
+        s"a TABLE or MATERIALIZED VIEW named ${info.ident()} was created " +
+          s"concurrently in catalog $catalogName — the view was not created")
     }
     loadView(info.ident())
   }
@@ -1081,7 +1082,15 @@ final class GraftPartitionsTable(tableName: String, dir: String)
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
         val meta = GraftStore.readMeta(dir)
         val cur = GraftStore.currentVersion(dir)
-        val (fn, logCol) = GraftStore.layoutPartSpec(dir, cur, meta) match {
+        // mid set_partition_spec migration a snapshot mixes grains, so no
+        // single transform labels every ordinal — report it as unknown
+        // (the value column stays the raw dir ordinal either way)
+        val uniformSpec = GraftStore.snapshotPartSpecs(dir, cur, meta) match {
+          case Seq(one) => Some(one)
+          case Seq() => GraftStore.layoutPartSpec(dir, cur, meta)
+          case _ => None
+        }
+        val (fn, logCol) = uniformSpec match {
           case Some((f, physCol)) =>
             val log = meta.schema.fields
               .find(x => GraftStore.physicalName(x) == physCol)

@@ -70,7 +70,14 @@ object GraftMaterializedViews {
     * the state table's txn marker). */
   final case class Record(sql: String, currentCatalog: String,
       currentNamespace: Array[String], outputSchema: StructType,
-      stateTable: String, sources: Map[String, Long])
+      stateTable: String, sources: Map[String, Long],
+      /** The txnAppId lane stamping this MV's state commits. ROTATED when
+        * the source's version history regresses (drop + recreate at the
+        * same name): the old lane's high-water would silently no-op the
+        * healing recompute's overwrite AND mis-gate later incremental
+        * folds against the dead table's version numbers — a fresh lane
+        * starts the watermark clean. */
+      txnApp: String = TxnApp)
 
   def writeRecord(path: Path, rec: Record, createNew: Boolean): Unit = {
     val root = mapper.createObjectNode()
@@ -86,6 +93,7 @@ object GraftMaterializedViews {
       val o = root.putObject("sources")
       rec.sources.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
     }
+    root.put("txnApp", rec.txnApp)
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     Files.createDirectories(path.getParent)
     if (createNew) {
@@ -114,7 +122,8 @@ object GraftMaterializedViews {
         .asInstanceOf[StructType],
       stateTable = root.get("stateTable").asText(),
       sources = root.get("sources").properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      txnApp = Option(root.get("txnApp")).map(_.asText()).getOrElse(TxnApp))
   }
 
   // -------------------------------------------------------------------
@@ -388,12 +397,13 @@ object GraftMaterializedViews {
       s"state table ${g.mvStateIdent(id)} already exists")
     writeRecord(g.mvPath(id),
       rec0.copy(outputSchema = outSchema), createNew = true)
-    // same write-then-verify race closure as createView
-    if (g.tableExists(id)) {
+    // same write-then-verify race closure as createView (both ways:
+    // createView re-checks MVs after ITS publish too)
+    if (g.tableExists(id) || g.viewExists(id)) {
       Files.deleteIfExists(g.mvPath(id))
       throw new IllegalArgumentException(
-        s"a TABLE named ${mvKey(cat, id)} was created concurrently — " +
-          "the materialized view was not created")
+        s"a TABLE or VIEW named ${mvKey(cat, id)} was created " +
+          "concurrently — the materialized view was not created")
     }
     refresh(spark, cat, g, id)
   }
@@ -425,6 +435,20 @@ object GraftMaterializedViews {
     val shape = deriveShape(analyzed)
     val sources = graftSources(analyzed)
     val stateExists = GraftStore.exists(stateDir)
+    // source regression (DROP + recreate at the same name): the recorded
+    // high-water sits ABOVE the new table's versions — rotate the txn
+    // lane so the healing recompute's overwrite isn't no-op'd by the dead
+    // table's watermark and later folds never mis-align against it.
+    // Rotation persists BEFORE any write: a crash after it just means the
+    // fresh lane has no watermark yet → the next refresh recomputes.
+    val rec1 =
+      if (stateExists && sources.size == 1 &&
+          GraftStore.lastTxnVersion(stateDir, rec.txnApp)
+            .exists(_ > GraftStore.currentVersion(sources.head._2))) {
+        val rotated = rec.copy(txnApp = s"__mv_refresh_${System.nanoTime()}")
+        writeRecord(g.mvPath(id), rotated, createNew = false)
+        rotated
+      } else rec
     val stateSchema =
       if (stateExists) GraftStore.readMeta(stateDir).schema
       else stateSchemaFor(rec.outputSchema, shape)
@@ -439,7 +463,7 @@ object GraftMaterializedViews {
     if (stateExists && single) {
       val srcDir = sources.head._2
       val cur = GraftStore.currentVersion(srcDir)
-      val wm = GraftStore.lastTxnVersion(stateDir, TxnApp)
+      val wm = GraftStore.lastTxnVersion(stateDir, rec1.txnApp)
       wm.filter(w => w <= cur) match {
         case Some(w) if w == cur => return (w, "noop")
         case Some(w)
@@ -459,8 +483,9 @@ object GraftMaterializedViews {
               val out = alignToState(next, stateSchema, sh.groupOut,
                 syntheticGid = false)
               GraftStore.applyChanges(spark, stateDir, out,
-                allInserts = true, overwrite = true, txn = Some((TxnApp, cur)))
-              updateSources(g, id, rec, sources.map(s => s._1 -> cur).toMap)
+                allInserts = true, overwrite = true,
+                txn = Some((rec1.txnApp, cur)))
+              updateSources(g, id, rec1, sources.map(s => s._1 -> cur).toMap)
               return (cur, "incremental")
             case None => () // fall through to recompute
           }
@@ -505,12 +530,12 @@ object GraftMaterializedViews {
       case vs => vs.map(_._3).max
     }
     val txn = versionsBefore match {
-      case Seq((_, _, v)) => Some((TxnApp, v))
+      case Seq((_, _, v)) => Some((rec1.txnApp, v))
       case _ => None // multi-source: recompute is idempotent by nature
     }
     GraftStore.applyChanges(spark, stateDir, computed,
       allInserts = true, overwrite = true, txn = txn)
-    updateSources(g, id, rec,
+    updateSources(g, id, rec1,
       versionsBefore.map { case (n, _, v) => n -> v }.toMap)
     (wmV, "full")
   }
@@ -529,8 +554,16 @@ object GraftMaterializedViews {
   }
 
   private def updateSources(g: GraftCatalog, id: Identifier, rec: Record,
-      sources: Map[String, Long]): Unit =
-    writeRecord(g.mvPath(id), rec.copy(sources = sources), createNew = false)
+      sources: Map[String, Long]): Unit = {
+    // a refresh racing DROP MATERIALIZED VIEW must not resurrect the
+    // deleted definition from its in-memory copy — skip the metadata
+    // update when the record is gone (the residual exists→write window
+    // can still lose to a drop, but a stale-sources record on a live MV
+    // only costs an extra recompute; a resurrected record is a ghost)
+    val p = g.mvPath(id)
+    if (Files.exists(p))
+      writeRecord(p, rec.copy(sources = sources), createNew = false)
+  }
 
   /** Freshness metadata served by `` `mv$mv` `` — one row per source. */
   def infoRows(spark: SparkSession, cat: String, g: GraftCatalog,
@@ -545,7 +578,8 @@ object GraftMaterializedViews {
       val cur = GraftStore.currentVersion(d)
       val refreshed =
         if (single && GraftStore.exists(stateDir))
-          GraftStore.lastTxnVersion(stateDir, TxnApp)
+          GraftStore.lastTxnVersion(stateDir, rec.txnApp)
+            .filter(_ <= cur) // a regressed lane is not a real watermark
         else rec.sources.get(n)
       (n, rec.stateTable, refreshed, cur,
         !refreshed.contains(cur), shape.isDefined && single)

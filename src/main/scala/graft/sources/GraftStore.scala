@@ -655,13 +655,26 @@ object GraftStore {
   def currentVersion(dir: String): Long =
     new String(Files.readAllBytes(pointerPath(dir)), "UTF-8").trim.toLong
 
-  def listVersions(dir: String): Seq[Long] =
+  def listVersions(dir: String): Seq[Long] = {
+    // POINTER-CAPPED: a final-named version dir above the pointer is an
+    // in-flight fast_forward adoption (or its crash debris) — not
+    // committed history. Without the cap, a concurrent expireVersions
+    // would count the adopted dirs as the newest keepers and retire the
+    // CURRENT version, and time travel could read uncommitted branch
+    // data. The cap restores the invariant that readable == committed.
+    // A table mid-CREATE has no pointer yet (it lands last) — fall back
+    // to uncapped there, matching the pre-cap tolerance.
+    val cur =
+      try currentVersion(dir)
+      catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
     listDir(Paths.get(dir))(_.map(_.getFileName.toString)
       .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq.sorted)
+      .filter(_ <= cur)
       // retired-but-still-referenced file hosts (see expireVersions) are
       // not readable versions
       .filterNot(v => Files.exists(
         Paths.get(versionDir(dir, v), "_expired")))
+  }
 
   /** Multi-writer commit coordination: version `next` is CLAIMED by
     * create-exclusive marker file before any commit work begins, so two
@@ -1012,15 +1025,32 @@ object GraftStore {
         s"$fn:${java.net.URLEncoder.encode(c, "UTF-8")}".getBytes("UTF-8"))
     }
 
+  /** Per-version-dir partition-spec marker cache: snapshotPartSpecs runs
+    * at every partitioned scan build over every owner version, and the
+    * markers are immutable once a version publishes — without the cache
+    * a long-history table pays O(retained versions) small-file probes
+    * per query at plan time. Epoch-guarded like the DV caches (a
+    * drop/recreate mid-compute must not re-insert a stale entry). */
+  private val partSpecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(String, String)]]()
+
   /** The partition spec version `v` was written with, if stamped. */
   def versionPartSpec(dir: String, v: Long): Option[(String, String)] = {
-    val p = Paths.get(versionDir(dir, v), "_partspec")
-    if (!Files.exists(p)) None
-    else {
-      val Array(fn, c) =
-        new String(Files.readAllBytes(p), "UTF-8").trim.split(":", 2)
-      Some((fn, java.net.URLDecoder.decode(c, "UTF-8")))
-    }
+    val key = versionDir(dir, v)
+    val hit = partSpecCache.get(key)
+    if (hit != null) return hit
+    val e0 = cacheEpoch.get()
+    val p = Paths.get(key, "_partspec")
+    val computed =
+      if (!Files.exists(p)) None
+      else {
+        val Array(fn, c) =
+          new String(Files.readAllBytes(p), "UTF-8").trim.split(":", 2)
+        Some((fn, java.net.URLDecoder.decode(c, "UTF-8")))
+      }
+    if (partSpecCache.size > 65536) partSpecCache.clear() // backstop
+    if (cacheEpoch.get() == e0) partSpecCache.put(key, computed)
+    computed
   }
 
   /** The partition spec governing version `v`'s OWN dirs: its marker if
@@ -1268,6 +1298,7 @@ object GraftStore {
     dvProbeCache.keySet.removeIf(k => k == tableDir || k.startsWith(prefix))
     snapshotFilesCache.keySet.removeIf(k =>
       k == tableDir || k.startsWith(prefix))
+    partSpecCache.keySet.removeIf(k => k == tableDir || k.startsWith(prefix))
     org.apache.spark.sql.GraftSnapshotScan.invalidate(tableDir)
   }
 
@@ -1778,8 +1809,11 @@ object GraftStore {
         val srcSlice = Paths.get(s"${changesRoot(bd)}/$ChangeVersionCol=$v")
         val dstSlice = Paths.get(s"${changesRoot(dir)}/$ChangeVersionCol=$v")
         val stage = Paths.get(s"${changesRoot(dir)}/.staging-$v")
-        if (Files.isDirectory(srcSlice) && !Files.exists(dstSlice) &&
-            !Files.exists(stage)) {
+        if (Files.isDirectory(srcSlice) && !Files.exists(dstSlice)) {
+          // a pre-existing staging is a crashed attempt's possibly-TORN
+          // link pass — we hold this version's claim, the branch slice is
+          // immutable: rebuild it whole rather than publish a partial one
+          deleteRecursively(stage)
           Files.createDirectories(Paths.get(changesRoot(dir)))
           linkTree(srcSlice, stage)
         }
@@ -3253,6 +3287,32 @@ object GraftStore {
         catch { case _: java.nio.file.NoSuchFileException => -1L }
         if (isTomb || age > olderThanMillis) { deleteRecursively(p); removed += 1 }
       }
+    // final-named version dirs ABOVE the pointer are a crashed
+    // fast_forward's adoption debris (a live fast_forward heartbeats a
+    // claim per adopted version — the claim check keeps an in-flight
+    // publish safe). Invisible to listVersions (pointer-capped), so
+    // reclaiming them is pure space hygiene; a retried fast_forward
+    // rebuilds them from the still-intact branch.
+    locally {
+      val cur = currentVersion(dir)
+      listDir(Paths.get(dir))(_.filter { p =>
+          val n = p.getFileName.toString
+          n.matches("v\\d{10}") && n.drop(1).toLong > cur
+        }.toList)
+        .foreach { p =>
+          val v = p.getFileName.toString.drop(1).toLong
+          val claim = Paths.get(dir, f"_commit-$v%010d")
+          val claimFresh = Files.exists(claim) &&
+            (now - (try Files.getLastModifiedTime(claim).toMillis
+              catch { case _: java.nio.file.NoSuchFileException => 0L })) <=
+              olderThanMillis
+          val age = try now - Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => -1L }
+          if (!claimFresh && age > olderThanMillis) {
+            deleteRecursively(p); removed += 1
+          }
+        }
+    }
     // abandoned CTAS/RTAS stage dirs and clone builds live as SIBLINGS of
     // the table dir (`<table>.stage-<uuid>` / `<table>.clonebuild-<uuid>`):
     // their sessions died before commitStagedChanges/the clone rename

@@ -181,6 +181,31 @@ class BranchSpec extends SparkTestBase {
     assert(chain(e4).exists(_.getMessage.contains("no branch")))
   }
 
+  test("time travel works on the branch address; stray dirs stay invisible") {
+    val t = mkTable("br_tt")
+    val dir = s"$warehouse/$t"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)") // v1
+    spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'tt')")
+    spark.sql(s"INSERT INTO $cat.`$t$$branch$$tt` VALUES (2, 0, 20)") // branch v2
+    // VERSION AS OF on the branch ADDRESS reads the branch's own history
+    assert(rows(s"$cat.`$t$$branch$$tt` VERSION AS OF 1") === Seq((1L, 0L, 10L)))
+    assert(rows(s"$cat.`$t$$branch$$tt` VERSION AS OF 2") ===
+      Seq((1L, 0L, 10L), (2L, 0L, 20L)))
+    // a final-named version dir ABOVE main's pointer (a crashed
+    // fast_forward's debris shape) is invisible to the version listing,
+    // unreadable via time travel, and reclaimed by vacuum once unclaimed
+    val stray = java.nio.file.Paths.get(GraftStore.versionDir(dir, 7L))
+    Files.createDirectories(stray)
+    assert(GraftStore.listVersions(dir) === Seq(0L, 1L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.$t VERSION AS OF 7").collect()
+    }
+    assert(chain(e).exists(_.getMessage.contains("no version 7")))
+    GraftStore.vacuum(dir, olderThanMillis = 0L)
+    assert(!Files.isDirectory(stray), "vacuum must reclaim unclaimed FF debris")
+    spark.sql(s"CALL $cat.drop_branch(table => '$t', name => 'tt')")
+  }
+
   test("ALTER on a branch blocks fast_forward loudly") {
     val t = mkTable("br_alter")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")

@@ -243,6 +243,26 @@ class MvSpec extends SparkTestBase {
     spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv_ns") // idempotent
   }
 
+  test("source drop + recreate rotates the watermark lane and heals") {
+    val t = mkTable("t_mv_regen")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)") // v1
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_regen AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 1, 30)") // v2
+    assert(refresh("mv_regen")._2 === "incremental") // watermark = 2
+    // the source is dropped and recreated: version numbering restarts
+    // BELOW the recorded watermark — the old lane must not gate the heal
+    mkTable("t_mv_regen")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (9, 5, 90)") // new table, v1
+    assert(refresh("mv_regen")._2 === "full")
+    assert(rowsOf("mv_regen") === Seq((5L, 1L, 90L)))
+    // fresh lane: noop when unchanged, incremental on new DML
+    assert(refresh("mv_regen")._2 === "noop")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (10, 5, 10)") // v2
+    assert(refresh("mv_regen")._2 === "incremental")
+    assert(rowsOf("mv_regen") === Seq((5L, 2L, 100L)))
+  }
+
   test("a retried refresh of the same slice cannot double-fold") {
     val t = mkTable("mv_retry")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
