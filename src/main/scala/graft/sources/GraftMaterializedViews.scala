@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.QueryPlanningTracker
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -60,6 +60,8 @@ object GraftMaterializedViews {
   val HiddenGid = "__mv_gid"
   val HiddenN = "__mv_n"
   def hiddenNn(i: Int): String = s"__mv_nn_$i"
+  def hiddenAvgSum(i: Int): String = s"__mv_avs_$i"
+  def hiddenAvgN(i: Int): String = s"__mv_avn_$i"
 
   private val mapper = new ObjectMapper()
 
@@ -135,16 +137,28 @@ object GraftMaterializedViews {
     * COUNT columns, and SUM columns (name, operand, declared type). */
   final case class AggShape(rel: DataSourceV2Relation, srcDir: String,
       srcName: String, agg: Aggregate, groupOut: Seq[String],
-      countOut: Seq[String], sums: Seq[(String, Expression, DataType)]) {
+      countOut: Seq[String], sums: Seq[(String, Expression, DataType)],
+      avgs: Seq[(String, Expression, DataType)]) {
     /** The view query with the hidden maintenance aggregates appended:
-      * `count(1) AS __mv_n` plus `count(<operand>) AS __mv_nn_i` per SUM
+      * `count(1) AS __mv_n`, `count(<operand>) AS __mv_nn_i` per SUM
       * (the null-correctness signal: a merged SUM is NULL iff its
-      * maintained non-null operand count is zero). */
+      * maintained non-null operand count is zero), and per AVG the pair
+      * that makes a non-additive mean maintainable — `sum(<operand>) AS
+      * __mv_avs_j` + `count(<operand>) AS __mv_avn_j` (the mean is
+      * FINALIZED from the merged pair, never averaged across deltas). */
     lazy val hidden: Aggregate = {
       val n = Alias(Count(Seq(Literal(1))).toAggregateExpression(), HiddenN)()
       val nns = sums.zipWithIndex.map { case ((_, operand, _), i) =>
         Alias(Count(Seq(operand)).toAggregateExpression(), hiddenNn(i))() }
-      agg.copy(aggregateExpressions = agg.aggregateExpressions ++ (n +: nns))
+      val avs = avgs.zipWithIndex.flatMap { case ((_, operand, _), j) =>
+        Seq(
+          Alias(Sum(org.apache.spark.sql.catalyst.expressions.Cast(operand,
+            org.apache.spark.sql.types.DoubleType))
+            .toAggregateExpression(), hiddenAvgSum(j))(),
+          Alias(Count(Seq(operand)).toAggregateExpression(), hiddenAvgN(j))())
+      }
+      agg.copy(aggregateExpressions =
+        agg.aggregateExpressions ++ (n +: (nns ++ avs)))
     }
   }
 
@@ -183,8 +197,9 @@ object GraftMaterializedViews {
       peel(agg.child).flatMap { rel =>
         rel.table match {
           case t: GraftTable if t.pinned.isEmpty =>
-            classify(agg).map { case (groups, counts, sums) =>
-              AggShape(rel, t.tableDir, t.name(), agg, groups, counts, sums)
+            classify(agg).map { case (groups, counts, sums, avgs) =>
+              AggShape(rel, t.tableDir, t.name(), agg, groups, counts, sums,
+                avgs)
             }
           case _ => None
         }
@@ -199,12 +214,14 @@ object GraftMaterializedViews {
     * non-DISTINCT COUNT or an unfiltered non-DISTINCT SUM, and all
     * expressions are deterministic and subquery-free. */
   private def classify(agg: Aggregate)
-      : Option[(Seq[String], Seq[String], Seq[(String, Expression, DataType)])] = {
+      : Option[(Seq[String], Seq[String], Seq[(String, Expression, DataType)],
+        Seq[(String, Expression, DataType)])] = {
     val gs = agg.groupingExpressions
     if (!gs.forall(cleanExpr)) return None
     var groups = Vector.empty[String]
     var counts = Vector.empty[String]
     var sums = Vector.empty[(String, Expression, DataType)]
+    var avgs = Vector.empty[(String, Expression, DataType)]
     val ok = agg.aggregateExpressions.forall { ne =>
       val expr = stripAlias(ne)
       if (!cleanExpr(expr)) false
@@ -215,6 +232,12 @@ object GraftMaterializedViews {
               counts :+= ne.name; true
             case s: Sum if ae.filter.isEmpty =>
               sums :+= ((ne.name, s.child, ne.dataType)); true
+            case a: Average if ae.filter.isEmpty &&
+                ne.dataType == org.apache.spark.sql.types.DoubleType =>
+              // decimal AVG (DecimalType output) stays on the recompute
+              // lane — maintaining it through a double sum would change
+              // its rounding semantics
+              avgs :+= ((ne.name, a.child, ne.dataType)); true
             case _ => false
           }
         case e if !e.exists(_.isInstanceOf[AggregateExpression]) &&
@@ -228,7 +251,7 @@ object GraftMaterializedViews {
       agg.aggregateExpressions.exists(ne => stripAlias(ne).semanticEquals(g)))
     if (ok && allGroupsProjected && names.distinct.size == names.size &&
         names.forall(!_.startsWith("__mv_")))
-      Some((groups, counts, sums))
+      Some((groups, counts, sums, avgs))
     else None
   }
 
@@ -289,9 +312,13 @@ object GraftMaterializedViews {
   def stateSchemaFor(outputSchema: StructType, shape: Option[AggShape])
       : StructType = {
     val hidden = shape.toSeq.flatMap { sh =>
-      StructField(HiddenN, LongType, nullable = false) +:
+      (StructField(HiddenN, LongType, nullable = false) +:
         sh.sums.indices.map(i =>
-          StructField(hiddenNn(i), LongType, nullable = false))
+          StructField(hiddenNn(i), LongType, nullable = false))) ++
+        sh.avgs.indices.flatMap(j => Seq(
+          StructField(hiddenAvgSum(j),
+            org.apache.spark.sql.types.DoubleType, nullable = true),
+          StructField(hiddenAvgN(j), LongType, nullable = false)))
     }
     StructType((outputSchema.fields.toSeq ++ hidden) :+
       StructField(HiddenGid, LongType, nullable = false))
@@ -321,9 +348,12 @@ object GraftMaterializedViews {
     val minus = evalOver(spark, sh.hidden, sh.rel, before)
 
     val groupCols = sh.groupOut
-    val countCols = sh.countOut :+ HiddenN
+    val countCols = (sh.countOut :+ HiddenN) ++
+      sh.avgs.indices.map(hiddenAvgN)
     val nnCols = sh.sums.indices.map(hiddenNn)
-    val metricCols = (countCols ++ nnCols ++ sh.sums.map(_._1)).toIndexedSeq
+    val avsCols = sh.avgs.indices.map(hiddenAvgSum)
+    val metricCols =
+      (countCols ++ nnCols ++ avsCols ++ sh.sums.map(_._1)).toIndexedSeq
     def signed(df: DataFrame, sign: Int) = df.select(
       (groupCols.map(col) ++ metricCols.map(c =>
         (col(c) * lit(sign)).as(c))): _*)
@@ -343,12 +373,20 @@ object GraftMaterializedViews {
     val gSel = groupCols.map(c => coalesce(col(s"__s.$c"), col(s"__d.$c")).as(c))
     val cntSel = countCols.map(c => merged(c).cast(LongType).as(c))
     val nnSel = nnCols.map(c => merged(c).cast(LongType).as(c))
+    val avsSel = avsCols.map(c =>
+      merged(c).cast(org.apache.spark.sql.types.DoubleType).as(c))
     val sumSel = sh.sums.zipWithIndex.map { case ((name, _, dt), i) =>
       when(merged(hiddenNn(i)) === 0, lit(null))
         .otherwise(merged(name)).cast(dt).as(name)
     }
+    // a mean is FINALIZED from the merged (sum, count) pair
+    val avgSel = sh.avgs.zipWithIndex.map { case ((name, _, dt), j) =>
+      when(merged(hiddenAvgN(j)) === 0, lit(null))
+        .otherwise(merged(hiddenAvgSum(j)) / merged(hiddenAvgN(j)))
+        .cast(dt).as(name)
+    }
     val folded = s.join(d, cond, "full_outer")
-      .select((gSel ++ cntSel ++ nnSel ++ sumSel): _*)
+      .select((gSel ++ cntSel ++ nnSel ++ avsSel ++ sumSel ++ avgSel): _*)
     if (groupCols.isEmpty) folded // a global aggregate keeps its one row
     else folded.filter(col(HiddenN) > 0) // group extinction
   }
@@ -456,7 +494,11 @@ object GraftMaterializedViews {
     // shape declared; a later shape without them must stay on recompute
     val useShape = shape.filter { sh =>
       stateSchema.fieldNames.contains(HiddenN) &&
-        sh.sums.indices.forall(i => stateSchema.fieldNames.contains(hiddenNn(i)))
+        sh.sums.indices.forall(i =>
+          stateSchema.fieldNames.contains(hiddenNn(i))) &&
+        sh.avgs.indices.forall(j =>
+          stateSchema.fieldNames.contains(hiddenAvgSum(j)) &&
+            stateSchema.fieldNames.contains(hiddenAvgN(j)))
     }
 
     val single = sources.size == 1

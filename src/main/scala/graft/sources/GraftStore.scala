@@ -1771,9 +1771,6 @@ object GraftStore {
       dropBranch(dir, name)
       return currentVersion(dir)
     }
-    require(readMeta(dir) == readMeta(bd),
-      s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
-        "(ALTER on a branch cannot fast-forward; use RTAS to adopt it)")
     val branchVs = listDir(Paths.get(bd))(_.map(_.getFileName.toString)
       .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq)
       .filter(_ > fork).sorted
@@ -1795,6 +1792,16 @@ object GraftStore {
           s"table $dir advanced past the fork point v$fork of branch " +
             s"'$name' (now v${currentVersion(dir)}); fast_forward " +
             "aborted — re-branch from the new head and replay")
+      // SCHEMA/layout divergence — an ALTER on the branch, or DDL landing
+      // on main since the fork (ALTER is meta-only, so the fork-point
+      // check above cannot see it). Checked INSIDE the claim so the
+      // version-divergence diagnosis wins when both apply; surfaced as a
+      // retryable conflict (re-branch and replay, or RTAS the branch).
+      if (readMeta(dir) != readMeta(bd))
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
+            "(an ALTER landed on the branch or on main since the fork); " +
+            "fast_forward aborted — re-branch and replay, or use RTAS")
       val mainOwners = ownersOf(dir, fork)
       val token = claims.head._2
       branchVs.foreach { v =>

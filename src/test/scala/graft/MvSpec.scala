@@ -243,6 +243,38 @@ class MvSpec extends SparkTestBase {
     spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv_ns") // idempotent
   }
 
+  test("AVG maintains incrementally via hidden sum+count pairs") {
+    val t = mkTable("t_mv_avg")
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      "(1, 0, 10), (2, 0, 30), (3, 1, NULL), (4, 1, 50)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_avg AS " +
+      s"SELECT grp, COUNT(*) AS n, AVG(amount) AS a, SUM(amount) AS s " +
+      s"FROM $cat.$t GROUP BY grp")
+    def got() = spark.sql(s"SELECT grp, n, a, s FROM $cat.mv_avg ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got() === Seq((0L, 2L, 20.0, 40L), (1L, 2L, 50.0, 50L)))
+    // deletes, a group-moving update, and a null flip all re-finalize the
+    // mean from the maintained (sum, count) pair — never averaged deltas
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")
+    spark.sql(s"UPDATE $cat.$t SET grp = 0, amount = 70 WHERE k = 4")
+    spark.sql(s"UPDATE $cat.$t SET amount = NULL WHERE k = 1")
+    assert(refresh("mv_avg")._2 === "incremental")
+    assert(got() === Seq((0L, 2L, 70.0, 70L), (1L, 1L, null, null)))
+    // the all-null group's AVG is NULL, and a non-null arrival restores it
+    spark.sql(s"INSERT INTO $cat.$t VALUES (5, 1, 5)")
+    assert(refresh("mv_avg")._2 === "incremental")
+    assert(got() === Seq((0L, 2L, 70.0, 70L), (1L, 2L, 5.0, 5L)))
+    // decimal AVG stays on the recompute lane (rounding semantics)
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv_avg_dec")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_avg_dec AS " +
+      s"SELECT grp, AVG(CAST(amount AS DECIMAL(10,2))) AS a " +
+      s"FROM $cat.$t GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (6, 1, 7)")
+    assert(refresh("mv_avg_dec")._2 === "full")
+  }
+
   test("source drop + recreate rotates the watermark lane and heals") {
     val t = mkTable("t_mv_regen")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)") // v1
