@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.QueryPlanningTracker
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -138,7 +138,13 @@ object GraftMaterializedViews {
   final case class AggShape(rel: DataSourceV2Relation, srcDir: String,
       srcName: String, agg: Aggregate, groupOut: Seq[String],
       countOut: Seq[String], sums: Seq[(String, Expression, DataType)],
-      avgs: Seq[(String, Expression, DataType)]) {
+      avgs: Seq[(String, Expression, DataType)],
+      /** MIN/MAX outputs: (name, isMin, type). Maintainable only while a
+        * slice is ALL INSERTS (extrema never retract under appends); a
+        * slice carrying U/D rows sends that refresh to the recompute
+        * lane — checked per slice, so an append-mostly table stays
+        * incremental except for the occasional corrective commit. */
+      minmaxs: Seq[(String, Boolean, DataType)]) {
     /** The view query with the hidden maintenance aggregates appended:
       * `count(1) AS __mv_n`, `count(<operand>) AS __mv_nn_i` per SUM
       * (the null-correctness signal: a merged SUM is NULL iff its
@@ -197,9 +203,9 @@ object GraftMaterializedViews {
       peel(agg.child).flatMap { rel =>
         rel.table match {
           case t: GraftTable if t.pinned.isEmpty =>
-            classify(agg).map { case (groups, counts, sums, avgs) =>
+            classify(agg).map { case (groups, counts, sums, avgs, mms) =>
               AggShape(rel, t.tableDir, t.name(), agg, groups, counts, sums,
-                avgs)
+                avgs, mms)
             }
           case _ => None
         }
@@ -215,13 +221,15 @@ object GraftMaterializedViews {
     * expressions are deterministic and subquery-free. */
   private def classify(agg: Aggregate)
       : Option[(Seq[String], Seq[String], Seq[(String, Expression, DataType)],
-        Seq[(String, Expression, DataType)])] = {
+        Seq[(String, Expression, DataType)],
+        Seq[(String, Boolean, DataType)])] = {
     val gs = agg.groupingExpressions
     if (!gs.forall(cleanExpr)) return None
     var groups = Vector.empty[String]
     var counts = Vector.empty[String]
     var sums = Vector.empty[(String, Expression, DataType)]
     var avgs = Vector.empty[(String, Expression, DataType)]
+    var minmaxs = Vector.empty[(String, Boolean, DataType)]
     val ok = agg.aggregateExpressions.forall { ne =>
       val expr = stripAlias(ne)
       if (!cleanExpr(expr)) false
@@ -238,6 +246,10 @@ object GraftMaterializedViews {
               // lane — maintaining it through a double sum would change
               // its rounding semantics
               avgs :+= ((ne.name, a.child, ne.dataType)); true
+            case _: Min if ae.filter.isEmpty =>
+              minmaxs :+= ((ne.name, true, ne.dataType)); true
+            case _: Max if ae.filter.isEmpty =>
+              minmaxs :+= ((ne.name, false, ne.dataType)); true
             case _ => false
           }
         case e if !e.exists(_.isInstanceOf[AggregateExpression]) &&
@@ -251,7 +263,7 @@ object GraftMaterializedViews {
       agg.aggregateExpressions.exists(ne => stripAlias(ne).semanticEquals(g)))
     if (ok && allGroupsProjected && names.distinct.size == names.size &&
         names.forall(!_.startsWith("__mv_")))
-      Some((groups, counts, sums, avgs))
+      Some((groups, counts, sums, avgs, minmaxs))
     else None
   }
 
@@ -352,13 +364,20 @@ object GraftMaterializedViews {
       sh.avgs.indices.map(hiddenAvgN)
     val nnCols = sh.sums.indices.map(hiddenNn)
     val avsCols = sh.avgs.indices.map(hiddenAvgSum)
-    val metricCols =
+    val addCols =
       (countCols ++ nnCols ++ avsCols ++ sh.sums.map(_._1)).toIndexedSeq
+    val mmCols = sh.minmaxs.map(_._1)
+    val metricCols = addCols ++ mmCols
+    // additive metrics negate on the retract lane; extrema pass through
+    // UNSIGNED (the insert-only guard means the minus frame is empty
+    // whenever extrema are present)
     def signed(df: DataFrame, sign: Int) = df.select(
-      (groupCols.map(col) ++ metricCols.map(c =>
-        (col(c) * lit(sign)).as(c))): _*)
+      (groupCols.map(col) ++ addCols.map(c =>
+        (col(c) * lit(sign)).as(c)) ++ mmCols.map(col)): _*)
     val images = signed(plus, 1).unionByName(signed(minus, -1))
-    val aggs = metricCols.map(c => sum(col(c)).as(c))
+    val aggs = addCols.map(c => sum(col(c)).as(c)) ++
+      sh.minmaxs.map { case (name, isMin, _) =>
+        (if (isMin) min(col(name)) else max(col(name))).as(name) }
     val delta =
       if (groupCols.isEmpty) images.groupBy().agg(aggs.head, aggs.tail: _*)
       else images.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -385,8 +404,15 @@ object GraftMaterializedViews {
         .otherwise(merged(hiddenAvgSum(j)) / merged(hiddenAvgN(j)))
         .cast(dt).as(name)
     }
+    // append-only extrema: least/greatest skip nulls, so an absent side
+    // (untouched group / brand-new group) falls through to the other
+    val mmSel = sh.minmaxs.map { case (name, isMin, dt) =>
+      (if (isMin) least(col(s"__s.$name"), col(s"__d.$name"))
+       else greatest(col(s"__s.$name"), col(s"__d.$name"))).cast(dt).as(name)
+    }
     val folded = s.join(d, cond, "full_outer")
-      .select((gSel ++ cntSel ++ nnSel ++ avsSel ++ sumSel ++ avgSel): _*)
+      .select((gSel ++ cntSel ++ nnSel ++ avsSel ++ sumSel ++ avgSel ++
+        mmSel): _*)
     if (groupCols.isEmpty) folded // a global aggregate keeps its one row
     else folded.filter(col(HiddenN) > 0) // group extinction
   }
@@ -519,6 +545,14 @@ object GraftMaterializedViews {
           useShape match {
             case Some(sh) =>
               val changes = GraftStore.readChanges(spark, srcDir, w + 1, cur)
+              // extrema never retract: a slice carrying U/D rows while the
+              // view has MIN/MAX outputs must recompute (one cheap
+              // existence probe over the slice, ∝ changes)
+              if (sh.minmaxs.nonEmpty &&
+                  !changes.filter(col(GraftStore.ChangeOpCol)
+                    .isin("U", "D")).isEmpty) {
+                // fall through to the recompute lane below
+              } else {
               val state = GraftStore.readVersion(spark, stateDir,
                 GraftStore.currentVersion(stateDir))
               val next = incrementalState(spark, sh, state, changes)
@@ -529,6 +563,7 @@ object GraftMaterializedViews {
                 txn = Some((rec1.txnApp, cur)))
               updateSources(g, id, rec1, sources.map(s => s._1 -> cur).toMap)
               return (cur, "incremental")
+              }
             case None => () // fall through to recompute
           }
         case _ => () // never stamped / source regressed → recompute

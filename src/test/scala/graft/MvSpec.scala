@@ -275,6 +275,33 @@ class MvSpec extends SparkTestBase {
     assert(refresh("mv_avg_dec")._2 === "full")
   }
 
+  test("MIN/MAX fold incrementally for append-only slices, recompute on retraction") {
+    val t = mkTable("t_mv_mm")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_mm AS " +
+      s"SELECT grp, COUNT(*) AS n, MIN(amount) AS lo, MAX(amount) AS hi " +
+      s"FROM $cat.$t GROUP BY grp")
+    def got() = spark.sql(s"SELECT grp, n, lo, hi FROM $cat.mv_mm ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got() === Seq((0L, 1L, 10L, 10L), (1L, 1L, 20L, 20L)))
+    // pure-insert slices fold incrementally: extrema widen, new group lands
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 0, 5), (4, 0, 99), (5, 2, 50)")
+    assert(refresh("mv_mm")._2 === "incremental")
+    assert(got() === Seq((0L, 3L, 5L, 99L), (1L, 1L, 20L, 20L),
+      (2L, 1L, 50L, 50L)))
+    // a retracting slice (DELETE could shrink an extremum) recomputes
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 4")
+    assert(refresh("mv_mm")._2 === "full")
+    assert(got() === Seq((0L, 2L, 5L, 10L), (1L, 1L, 20L, 20L),
+      (2L, 1L, 50L, 50L)))
+    // and the lane heals: the next pure-insert slice folds again
+    spark.sql(s"INSERT INTO $cat.$t VALUES (6, 1, 1)")
+    assert(refresh("mv_mm")._2 === "incremental")
+    assert(got() === Seq((0L, 2L, 5L, 10L), (1L, 2L, 1L, 20L),
+      (2L, 1L, 50L, 50L)))
+  }
+
   test("source drop + recreate rotates the watermark lane and heals") {
     val t = mkTable("t_mv_regen")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)") // v1
