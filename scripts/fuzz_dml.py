@@ -465,6 +465,41 @@ def gen_sequence(idx):
                 if state[k][1] > cut:
                     del state[k]; ops.append("D")
             commit(ops)
+    # a third of the programs close through a MATERIALIZED VIEW (S39):
+    # the MV materializes over the program's end state, two more DML
+    # commits land (the same update/delete templates), and ONE refresh
+    # must fold them — the count/sum per name-group is diffed against the
+    # model below. The refresh rides the incremental lane on clean ranges
+    # and the recompute lane across boundaries/expired slices the program
+    # happened to produce; CONTENT is the contract either way, so this
+    # differential-checks the delta algebra over every merge-mode /
+    # partitioning / schema-evolution end state the fuzzer generates.
+    mv_leg = rng.random() < 0.34
+    if mv_leg:
+        stmts.append(f"DROP MATERIALIZED VIEW IF EXISTS graftdml.mv_{t}")
+        stmts.append(
+            f"CREATE MATERIALIZED VIEW graftdml.mv_{t} AS "
+            f"SELECT COALESCE({cn['name']}, '~') AS g, COUNT(*) AS n, "
+            f"SUM({cn['amount']}) AS s FROM graftdml.{t} "
+            f"GROUP BY COALESCE({cn['name']}, '~')")
+        delta2, mod2, rem2 = rng.randint(1, 50), rng.choice([2, 3, 5]), 0
+        stmts.append(f"UPDATE graftdml.{t} SET {cn['amount']} = "
+                     f"{cn['amount']} + {delta2} "
+                     f"WHERE {cn['k']} % {mod2} = {rem2}")
+        ops = []
+        for k in list(state):
+            if k % mod2 == rem2:
+                n, a = state[k]; state[k] = (n, a + delta2); ops.append("U")
+        commit(ops)
+        cut2 = rng.randint(200, 900)
+        stmts.append(f"DELETE FROM graftdml.{t} WHERE {cn['amount']} > {cut2}")
+        ops = []
+        for k in list(state):
+            if state[k][1] > cut2:
+                del state[k]; ops.append("D")
+        commit(ops)
+        stmts.append(f"CALL graftdml.refresh_mv(view => 'mv_{t}')")
+
     # final read = full scan UNION predicate probes: a range predicate
     # (zone-map file skipping) and a key equality (bucket pruning + zone
     # maps) — if either prunes a file it shouldn't, rows vanish from a
@@ -486,17 +521,32 @@ def gen_sequence(idx):
             "k AS k, name AS name, amount AS amount", "amount", "k"
     else:
         src, selv, a_col, k_col = f"graftdml.{t}", sel, cn['amount'], cn['k']
+    # the mv leg rides the same 4-column diff frame: (probe='mv',
+    # k=count, name=group, amount=sum) — groups are unique per leg, so
+    # the (probe, k, name) sort prefix never compares a NULL
+    mv_union = ("" if not mv_leg else
+                f" UNION ALL SELECT 'mv', n, g, s FROM graftdml.mv_{t}")
     stmts.append(
         f"SELECT 'full' AS probe, {selv} FROM {src} "
         f"UNION ALL SELECT 'rng', {selv} FROM {src} "
         f"WHERE {a_col} BETWEEN {lo} AND {hi} "
         f"UNION ALL SELECT 'key', {selv} FROM {src} "
-        f"WHERE {k_col} = {pk} ORDER BY 1, 2")
+        f"WHERE {k_col} = {pk}{mv_union} ORDER BY 1, 2")
+    mv_exp = []
+    if mv_leg:
+        groups = {}
+        for k, (n, a) in state.items():
+            g = n if n is not None else "~"
+            c, ssum = groups.get(g, (0, 0))
+            groups[g] = (c + 1, ssum + a)
+        mv_exp = [("mv", c, g, ssum) for g, (c, ssum) in groups.items()]
     exp_rows = sorted(
         [("full", k, n, a) for k, (n, a) in state.items()] +
         [("rng", k, n, a) for k, (n, a) in state.items()
          if a is not None and lo <= a <= hi] +
-        [("key", k, n, a) for k, (n, a) in state.items() if k == pk])
+        [("key", k, n, a) for k, (n, a) in state.items() if k == pk] +
+        mv_exp,
+        key=lambda r: (r[0], r[1], r[2] or ""))
     exp_changes = sorted((v, op, c) for v, counts in changes
                          for op, c in counts.items())
     return stmts, exp_rows, exp_changes
@@ -521,7 +571,8 @@ for name, (stmts, exp_rows, exp_changes) in sorted(cases.items()):
     try:
         got = pd.read_parquet(f"{out_dir}/{name}")
         got_rows = sorted(map(tuple,
-            got[["probe", "k", "name", "amount"]].values.tolist()))
+            got[["probe", "k", "name", "amount"]].values.tolist()),
+            key=lambda r: (r[0], r[1], r[2] or ""))
         ch = pd.read_parquet(f"{out_dir}/{name}__changes")
         got_changes = sorted(map(tuple,
             ch[["change_version", "change_op", "n"]].values.tolist()))

@@ -524,6 +524,43 @@ object Scratch {
       }
       state.unpersist()
     }
+    // writable branches at scale — the S40 claims: create_branch is the
+    // clone pass (hard links, O(current files) metadata), branch DML cost
+    // matches main DML cost, and fast_forward is ∝ the BRANCH's own
+    // commits (version-dir links + owner-map rewrites + pointer flip) —
+    // flat as the TABLE grows ×1/×10/×100 under a fixed 3-commit branch.
+    for (k <- Seq(1, 10, 100) if want("branch")) {
+      val cat = s"gbr$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_branch").toString)
+      val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id"))
+      val state = ev.groupBy($"event_id".as("k"))
+        .agg(max(round($"value" * 100).cast("long")).as("cents")).cache()
+      val n = state.count()
+      state.createOrReplaceTempView(s"br_src_$k")
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, cents BIGINT) " +
+        "USING graft TBLPROPERTIES ('merge_key'='k', 'buckets'='64')")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM br_src_$k")
+      time(f"branch x$k%3d ($n%9d keys) create_branch (zero-copy fork)") {
+        spark.sql(s"CALL $cat.create_branch(table => 't', name => 'exp')")
+      }
+      time(f"branch x$k%3d ($n%9d keys) 3 branch commits (fixed size)") {
+        spark.sql(s"INSERT INTO $cat.`t$$branch$$exp` " +
+          "SELECT -1 - id, id FROM range(0, 5000)")
+        spark.sql(s"UPDATE $cat.`t$$branch$$exp` SET cents = cents + 1 " +
+          "WHERE k = 4242")
+        spark.sql(s"DELETE FROM $cat.`t$$branch$$exp` WHERE k = -17")
+      }
+      time(f"branch x$k%3d ($n%9d keys) fast_forward publish") {
+        spark.sql(s"CALL $cat.fast_forward(table => 't', name => 'exp')")
+      }
+      time(f"branch x$k%3d ($n%9d keys) post-publish point lookup") {
+        spark.sql(s"SELECT * FROM $cat.t WHERE k = 4242").count()
+      }
+      state.unpersist()
+    }
     // merge-on-read vs copy-on-write on the documented worst case: a
     // FIXED 5k-key change batch whose keys spread across every bucket.
     // CoW must grow with the table (rewrites all 64 buckets); MoR must
