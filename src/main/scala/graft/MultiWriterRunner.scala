@@ -221,6 +221,10 @@ object MultiWriterRunner {
           try { GraftStore.fastForward(dir, bname); true }
           catch {
             case _: java.util.ConcurrentModificationException => false
+            // a concurrent meta-only ALTER on main (schema divergence) —
+            // never heals by retry; the loop drops the branch like any
+            // other lost publish
+            case _: IllegalStateException => false
           }
         if (published) {
           rows.foreach { case (k, n, a) => expected(k) = (n, a) }

@@ -7,13 +7,13 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.QueryPlanningTracker
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
 
 /** Materialized views (S39): `CREATE MATERIALIZED VIEW mv AS <query>`
   * persists the definition like an S38 view AND materializes the result
@@ -23,18 +23,22 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * scan), never recompute.
   *
   * Refresh is INCREMENTAL when the definition is a self-maintainable
-  * aggregate — one `Aggregate` of `COUNT(*)`/`COUNT(x)`/`SUM(x)` over one
-  * graft table through any deterministic, subquery-free chain of
-  * Filter/Project/Generate, with every grouping expression projected.
-  * The maintenance identity is the classic delta evaluation: the view
-  * query itself is re-run over the changelog slice's AFTER images (+Q)
-  * and BEFORE images (−Q), and the per-group difference folds into the
-  * previous state with one full-outer merge — cost ∝ changes + |view|,
-  * never ∝ |table|, which is the whole point at 100 TB. Groups whose
-  * maintained row count reaches zero drop out (extinction); SUMs stay
-  * null-correct through a per-sum maintained non-null count. Anything
-  * else (joins, MIN/MAX, DISTINCT aggregates, HAVING) falls back to a
-  * full recompute — still one declarative Spark job, just not ∝ changes.
+  * aggregate — one `Aggregate` of `COUNT(*)`/`COUNT(x)`/`SUM(x)`/`AVG(x)`
+  * (plus `MIN`/`MAX` on append-only slices) over one graft table through
+  * any deterministic, subquery-free chain of Filter/Project/Generate,
+  * with every grouping expression projected. The maintenance identity is
+  * the classic delta evaluation: the view query itself is re-run over
+  * the changelog slice's AFTER images (+Q) and BEFORE images (−Q), and
+  * the per-group difference folds into the previous state with one
+  * full-outer merge — cost ∝ changes + |view|, never ∝ |table|, which is
+  * the whole point at 100 TB. Groups whose maintained row count reaches
+  * zero drop out (extinction); SUMs stay null-correct through a per-sum
+  * maintained non-null count; AVG (non-additive) maintains a hidden
+  * (sum, count) pair and is finalized at merge; MIN/MAX fold only while
+  * a slice is pure inserts (extrema never retract under appends) — a
+  * retracting slice sends that refresh to the recompute lane. Anything
+  * else (joins, DISTINCT aggregates, HAVING, decimal AVG) always
+  * recomputes — still one declarative Spark job, just not ∝ changes.
   *
   * Crash-safety: the refresh watermark is NOT a separate record — the
   * state overwrite commit is stamped with the S37 idempotent-write txn
@@ -158,8 +162,8 @@ object GraftMaterializedViews {
         Alias(Count(Seq(operand)).toAggregateExpression(), hiddenNn(i))() }
       val avs = avgs.zipWithIndex.flatMap { case ((_, operand, _), j) =>
         Seq(
-          Alias(Sum(org.apache.spark.sql.catalyst.expressions.Cast(operand,
-            org.apache.spark.sql.types.DoubleType))
+          Alias(Sum(Cast(operand,
+            DoubleType))
             .toAggregateExpression(), hiddenAvgSum(j))(),
           Alias(Count(Seq(operand)).toAggregateExpression(), hiddenAvgN(j))())
       }
@@ -217,8 +221,9 @@ object GraftMaterializedViews {
     * the maintainable algebra. Requirements: every grouping expression is
     * projected (otherwise distinct groups could collapse onto one output
     * row and the state merge would conflate them), every aggregate is a
-    * non-DISTINCT COUNT or an unfiltered non-DISTINCT SUM, and all
-    * expressions are deterministic and subquery-free. */
+    * non-DISTINCT COUNT (FILTER allowed), an unfiltered non-DISTINCT
+    * SUM/AVG (AVG non-decimal) or an unfiltered MIN/MAX (append-only
+    * lane), and all expressions are deterministic and subquery-free. */
   private def classify(agg: Aggregate)
       : Option[(Seq[String], Seq[String], Seq[(String, Expression, DataType)],
         Seq[(String, Expression, DataType)],
@@ -241,7 +246,7 @@ object GraftMaterializedViews {
             case s: Sum if ae.filter.isEmpty =>
               sums :+= ((ne.name, s.child, ne.dataType)); true
             case a: Average if ae.filter.isEmpty &&
-                ne.dataType == org.apache.spark.sql.types.DoubleType =>
+                ne.dataType == DoubleType =>
               // decimal AVG (DecimalType output) stays on the recompute
               // lane — maintaining it through a double sum would change
               // its rounding semantics
@@ -329,7 +334,7 @@ object GraftMaterializedViews {
           StructField(hiddenNn(i), LongType, nullable = false))) ++
         sh.avgs.indices.flatMap(j => Seq(
           StructField(hiddenAvgSum(j),
-            org.apache.spark.sql.types.DoubleType, nullable = true),
+            DoubleType, nullable = true),
           StructField(hiddenAvgN(j), LongType, nullable = false)))
     }
     StructType((outputSchema.fields.toSeq ++ hidden) :+
@@ -349,7 +354,15 @@ object GraftMaterializedViews {
     * hidden query over after images (+) and before images (−), difference
     * per group, one null-safe full-outer merge, extinction on `__mv_n`. */
   private def incrementalState(spark: SparkSession, sh: AggShape,
-      state: DataFrame, changes: DataFrame): DataFrame = {
+      state: DataFrame, changes: DataFrame,
+      sliceInsertOnly: Boolean): DataFrame = {
+    // extrema never retract: folding MIN/MAX over a slice that carries
+    // U/D rows would leave stale-too-wide extrema — the caller routes
+    // retracting slices to the recompute lane, and this keeps the
+    // invariant LOCAL instead of coupled to a distant guard
+    require(sh.minmaxs.isEmpty || sliceInsertOnly,
+      "MIN/MAX views fold only append-only slices; retracting slices " +
+        "must recompute")
     val G = GraftStore
     val srcCols = G.readMeta(sh.srcDir).schema.fieldNames.toIndexedSeq
     val after = changes.filter(col(G.ChangeOpCol).isin("I", "U"))
@@ -393,7 +406,7 @@ object GraftMaterializedViews {
     val cntSel = countCols.map(c => merged(c).cast(LongType).as(c))
     val nnSel = nnCols.map(c => merged(c).cast(LongType).as(c))
     val avsSel = avsCols.map(c =>
-      merged(c).cast(org.apache.spark.sql.types.DoubleType).as(c))
+      merged(c).cast(DoubleType).as(c))
     val sumSel = sh.sums.zipWithIndex.map { case ((name, _, dt), i) =>
       when(merged(hiddenNn(i)) === 0, lit(null))
         .otherwise(merged(name)).cast(dt).as(name)
@@ -544,26 +557,33 @@ object GraftMaterializedViews {
           if (contentVersions.isEmpty) return (w, "noop")
           useShape match {
             case Some(sh) =>
+              // the slice feeds the insert-only probe AND both image
+              // frames of the fold — cache it so each refresh reads the
+              // changelog parquet once
               val changes = GraftStore.readChanges(spark, srcDir, w + 1, cur)
-              // extrema never retract: a slice carrying U/D rows while the
-              // view has MIN/MAX outputs must recompute (one cheap
-              // existence probe over the slice, ∝ changes)
-              if (sh.minmaxs.nonEmpty &&
-                  !changes.filter(col(GraftStore.ChangeOpCol)
-                    .isin("U", "D")).isEmpty) {
-                // fall through to the recompute lane below
-              } else {
-              val state = GraftStore.readVersion(spark, stateDir,
-                GraftStore.currentVersion(stateDir))
-              val next = incrementalState(spark, sh, state, changes)
-              val out = alignToState(next, stateSchema, sh.groupOut,
-                syntheticGid = false)
-              GraftStore.applyChanges(spark, stateDir, out,
-                allInserts = true, overwrite = true,
-                txn = Some((rec1.txnApp, cur)))
-              updateSources(g, id, rec1, sources.map(s => s._1 -> cur).toMap)
-              return (cur, "incremental")
-              }
+                .persist()
+              try {
+                // extrema never retract: a slice carrying U/D rows while
+                // the view has MIN/MAX outputs must recompute (one cheap
+                // existence probe over the cached slice, ∝ changes)
+                val insertOnly = sh.minmaxs.isEmpty ||
+                  changes.filter(col(GraftStore.ChangeOpCol)
+                    .isin("U", "D")).isEmpty
+                if (insertOnly) {
+                  val state = GraftStore.readVersion(spark, stateDir,
+                    GraftStore.currentVersion(stateDir))
+                  val next = incrementalState(spark, sh, state, changes,
+                    sliceInsertOnly = insertOnly)
+                  val out = alignToState(next, stateSchema, sh.groupOut,
+                    syntheticGid = false)
+                  GraftStore.applyChanges(spark, stateDir, out,
+                    allInserts = true, overwrite = true,
+                    txn = Some((rec1.txnApp, cur)))
+                  updateSources(g, id, rec1,
+                    sources.map(s => s._1 -> cur).toMap)
+                  return (cur, "incremental")
+                } // else: fall through to the recompute lane below
+              } finally changes.unpersist()
             case None => () // fall through to recompute
           }
         case _ => () // never stamped / source regressed → recompute

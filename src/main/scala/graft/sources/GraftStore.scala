@@ -1771,6 +1771,14 @@ object GraftStore {
       dropBranch(dir, name)
       return currentVersion(dir)
     }
+    // fail fast on an already-visible schema/layout divergence before
+    // taking any claims (the authoritative re-check runs inside the claim
+    // to close the race window)
+    if (readMeta(dir) != readMeta(bd))
+      throw new IllegalStateException(
+        s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
+          "(an ALTER landed on the branch or on main since the fork); " +
+          "fast_forward aborted — re-branch and replay, or use RTAS")
     val branchVs = listDir(Paths.get(bd))(_.map(_.getFileName.toString)
       .filter(_.matches("v\\d{10}")).map(_.drop(1).toLong).toSeq)
       .filter(_ > fork).sorted
@@ -1792,13 +1800,12 @@ object GraftStore {
           s"table $dir advanced past the fork point v$fork of branch " +
             s"'$name' (now v${currentVersion(dir)}); fast_forward " +
             "aborted — re-branch from the new head and replay")
-      // SCHEMA/layout divergence — an ALTER on the branch, or DDL landing
-      // on main since the fork (ALTER is meta-only, so the fork-point
-      // check above cannot see it). Checked INSIDE the claim so the
-      // version-divergence diagnosis wins when both apply; surfaced as a
-      // retryable conflict (re-branch and replay, or RTAS the branch).
+      // SCHEMA/layout divergence re-check under the claim — an ALTER is
+      // meta-only, so the fork-point check above cannot see it. NOT a
+      // ConcurrentModificationException: retrying never heals a
+      // branch-side ALTER, so conflict-retry loops must not spin on it.
       if (readMeta(dir) != readMeta(bd))
-        throw new java.util.ConcurrentModificationException(
+        throw new IllegalStateException(
           s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
             "(an ALTER landed on the branch or on main since the fork); " +
             "fast_forward aborted — re-branch and replay, or use RTAS")
