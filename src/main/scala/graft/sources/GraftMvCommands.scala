@@ -32,6 +32,8 @@ final class GraftMvParser(delegate: ParserInterface) extends ParserInterface {
         ifExists = ifEx != null))
     case RefreshRe(name) =>
       Some(GraftRefreshMvCommand(delegate.parseMultipartIdentifier(name)))
+    case ShowRe(ns) =>
+      Some(GraftShowMvsCommand(delegate.parseMultipartIdentifier(ns)))
     case _ => None
   }
 
@@ -71,6 +73,9 @@ private object GraftMvParser {
       Ident + """\s*;?\s*""").r
   val RefreshRe =
     ("""(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident + """\s*;?\s*""").r
+  val ShowRe =
+    ("""(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s+(?:IN|FROM)\s+""" +
+      Ident + """\s*;?\s*""").r
 }
 
 private object GraftMvTarget {
@@ -99,6 +104,26 @@ final case class GraftDropMvCommand(nameParts: Seq[String],
       GraftMvTarget(spark, nameParts, "DROP MATERIALIZED VIEW")
     GraftMaterializedViews.drop(g, id, ifExists)
     Nil
+  }
+}
+
+final case class GraftShowMvsCommand(nsParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    // `SHOW MATERIALIZED VIEWS IN <catalog>[.<ns>]` — the namespace form
+    // mirrors SHOW VIEWS; listing is metadata-only (one dir listing)
+    val (cat, g, ns) =
+      GraftViewResolution.graftTarget(spark, nsParts :+ "_") match {
+        case Some((c, g0, id)) => (c, g0, id.namespace().toSeq)
+        case None => throw new UnsupportedOperationException(
+          "SHOW MATERIALIZED VIEWS requires a graft catalog namespace " +
+            s"(<catalog>[.<ns>]), got ${nsParts.mkString(".")}")
+      }
+    g.listMvs(ns).map(id =>
+      Row((cat +: id.namespace().toSeq).mkString("."), id.name())).toSeq
   }
 }
 

@@ -210,6 +210,25 @@ class MvSpec extends SparkTestBase {
       .collect()(0).getBoolean(0))
   }
 
+  test("SHOW MATERIALIZED VIEWS lists the catalog's definitions") {
+    val t = mkTable("t_mv_show")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv_show_a")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.mv_show_b")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_show_a AS " +
+      s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_show_b AS " +
+      s"SELECT grp, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    val listed = spark.sql(s"SHOW MATERIALIZED VIEWS IN $cat").collect()
+      .map(_.getString(1)).toSet
+    assert(Set("mv_show_a", "mv_show_b").subsetOf(listed), listed.toString)
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.mv_show_b")
+    val after = spark.sql(s"SHOW MATERIALIZED VIEWS IN $cat").collect()
+      .map(_.getString(1)).toSet
+    assert(after.contains("mv_show_a") && !after.contains("mv_show_b"))
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.mv_show_a")
+  }
+
   test("namespace sharing, write rejection, drop removes both halves") {
     val t = mkTable("t_mv_ns")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
