@@ -509,6 +509,19 @@ object GraftMaterializedViews {
       s"materialized view ${mvKey(cat, id)}'s query now produces columns " +
         s"${analyzed.schema.fieldNames.toSeq} but the view was created " +
         s"with ${rec.outputSchema.fieldNames.toSeq}; DROP and recreate it")
+    // names alone don't catch a source dropped and recreated with the
+    // same column names at DIFFERENT types — the state table's public
+    // columns were created at the old types, so folding or overwriting
+    // with the new ones would silently cast (or fail deep inside the
+    // align) — diverged types are a DROP-and-recreate, loudly
+    require(analyzed.schema.fields.map(_.dataType)
+        .sameElements(rec.outputSchema.fields.map(_.dataType)),
+      s"materialized view ${mvKey(cat, id)}'s query now produces types " +
+        s"${analyzed.schema.fields.map(_.dataType.simpleString).toSeq} but " +
+        s"the view was created with " +
+        s"${rec.outputSchema.fields.map(_.dataType.simpleString).toSeq} " +
+        "(a source was recreated with different column types?); " +
+        "DROP and recreate it")
     val shape = deriveShape(analyzed)
     val sources = graftSources(analyzed)
     val stateExists = GraftStore.exists(stateDir)
@@ -539,10 +552,32 @@ object GraftMaterializedViews {
           stateSchema.fieldNames.contains(hiddenAvgSum(j)) &&
             stateSchema.fieldNames.contains(hiddenAvgN(j)))
     }
+    // fail-fast guard: a state table carrying hidden maintenance columns
+    // that the CURRENT shape can no longer produce would send every
+    // recompute into an unresolved-column failure deep inside the state
+    // align (the generic lanes evaluate the raw query, which has no
+    // __mv_* outputs) — surface the real remedy instead of the symptom
+    if (stateExists && useShape.isEmpty &&
+        stateSchema.fieldNames.exists(n =>
+          n.startsWith("__mv_") && n != HiddenGid))
+      throw new IllegalStateException(
+        s"materialized view ${mvKey(cat, id)}'s state table carries " +
+          "incremental-maintenance columns its query no longer produces " +
+          "(the query's maintainable shape changed since CREATE); " +
+          "DROP and recreate the materialized view")
 
     val single = sources.size == 1
     if (stateExists && single) {
       val srcDir = sources.head._2
+      // Pin the STATE version before reading the watermark: the fold below
+      // is only correct relative to this exact snapshot+watermark pair. A
+      // concurrent refresh committing between the watermark read and our
+      // state overwrite would otherwise make us fold an already-folded
+      // slice onto its result (our txnVersion being higher slips past the
+      // idempotence fast-path) — passing this pin as applyChanges'
+      // expectedVersion turns that silent double-fold into a loud
+      // conflict; the caller just re-runs the refresh.
+      val stateV = GraftStore.currentVersion(stateDir)
       val cur = GraftStore.currentVersion(srcDir)
       val wm = GraftStore.lastTxnVersion(stateDir, rec1.txnApp)
       wm.filter(w => w <= cur) match {
@@ -570,14 +605,14 @@ object GraftMaterializedViews {
                   changes.filter(col(GraftStore.ChangeOpCol)
                     .isin("U", "D")).isEmpty
                 if (insertOnly) {
-                  val state = GraftStore.readVersion(spark, stateDir,
-                    GraftStore.currentVersion(stateDir))
+                  val state = GraftStore.readVersion(spark, stateDir, stateV)
                   val next = incrementalState(spark, sh, state, changes,
                     sliceInsertOnly = insertOnly)
                   val out = alignToState(next, stateSchema, sh.groupOut,
                     syntheticGid = false)
                   GraftStore.applyChanges(spark, stateDir, out,
                     allInserts = true, overwrite = true,
+                    expectedVersion = Some(stateV),
                     txn = Some((rec1.txnApp, cur)))
                   updateSources(g, id, rec1,
                     sources.map(s => s._1 -> cur).toMap)

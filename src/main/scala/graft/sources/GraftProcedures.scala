@@ -239,7 +239,11 @@ final class GraftProcedure(procName: String, tableDir: String => String,
         import org.apache.spark.unsafe.types.UTF8String
         require(catalog != null,
           "refresh_mv needs a catalog-bound procedure (CALL <cat>.sys.refresh_mv)")
-        val parts = input.getUTF8String(0).toString.split('.').toSeq
+        // parse through the session parser (quoting support): an MV whose
+        // name part contains a dot is legal via backquotes in the DDL
+        // path and must stay addressable here
+        val parts = spark.sessionState.sqlParser
+          .parseMultipartIdentifier(input.getUTF8String(0).toString)
         val id = org.apache.spark.sql.connector.catalog.Identifier.of(
           parts.init.toArray, parts.last)
         val (v, mode) =

@@ -1869,7 +1869,13 @@ object GraftStore {
 
   /** The recorded high-water txnVersion for `appId`, across retained
     * version dirs (including retired-but-referenced `_expired` hosts —
-    * their commits were real) and expiry-promoted records. */
+    * their commits were real; both are at or below the pointer) and
+    * expiry-promoted records. POINTER-CAPPED like [[listVersions]]: a
+    * final-named dir above the pointer is a crashed commit's (or an
+    * in-flight fast_forward adoption's) debris, not committed history —
+    * counting its marker would silently no-op the retried idempotent
+    * write that heals the crash, and for MV refresh would report a
+    * watermark the readable state never folded. */
   def lastTxnVersion(dir: String, appId: String): Option[Long] = {
     val promoted = {
       val p = txnsRoot(dir).resolve(appId)
@@ -1877,8 +1883,13 @@ object GraftStore {
       else try Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
       catch { case _: Exception => None }
     }
-    val inVersions = listDir(Paths.get(dir))(_.filter(
-        _.getFileName.toString.matches("v\\d{10}")).toSeq)
+    val cap =
+      try currentVersion(dir)
+      catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+    val inVersions = listDir(Paths.get(dir))(_.filter { vp =>
+        val n = vp.getFileName.toString
+        n.matches("v\\d{10}") && n.drop(1).toLong <= cap
+      }.toSeq)
       .flatMap { vp =>
         val p = vp.resolve(TxnMarker)
         if (!Files.exists(p)) None
@@ -3353,6 +3364,30 @@ object GraftStore {
           } catch { case _: Exception => -1L }
           if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
         }
+    }
+    // a crashed createBranch leaks its full hard-linked clone under
+    // `_branches/.creating-<name>-<uuid>` — never promoted, invisible to
+    // listBranches, reclaimed here with the same newest-mtime liveness
+    // gate as the stage-dir sweep (a live clone keeps linking files)
+    locally {
+      val broot = branchesRoot(dir)
+      if (Files.isDirectory(broot)) {
+        listDir(broot)(_.filter(
+            _.getFileName.toString.startsWith(".creating-")).toList)
+          .foreach { p =>
+            val age = try {
+              val walk = Files.walk(p)
+              val newest =
+                try walk.iterator().asScala
+                  .map(f => try Files.getLastModifiedTime(f).toMillis
+                    catch { case _: Exception => now })
+                  .foldLeft(0L)(math.max)
+                finally walk.close()
+              now - newest
+            } catch { case _: Exception => -1L }
+            if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
+          }
+      }
     }
     // claim markers for versions AT OR BELOW the pointer are definitionally
     // dead (claims only gate versions above it): their writer committed and

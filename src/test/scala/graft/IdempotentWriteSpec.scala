@@ -106,6 +106,32 @@ class IdempotentWriteSpec extends SparkTestBase {
     assert(spark.table(s"$cat.$t").collect().map(_.getLong(0)).toSeq === Seq(10L))
   }
 
+  test("crash window (published dir, pointer not flipped): the retry lands") {
+    val t = mkTable("t_txn_crash")
+    val dir = s"$warehouse/$t"
+    append(t, 0, 3, "etl", 1) // v1, pointer = 1
+    assert(GraftStore.currentVersion(dir) === 1L)
+    // simulate a crash between publishVersion and writePointer: the final-
+    // named v1 dir (with its _txn marker inside) exists ABOVE the pointer
+    Files.write(java.nio.file.Paths.get(dir, "_current"),
+      "0".getBytes("UTF-8"))
+    // readable == committed: the above-pointer marker must NOT count —
+    // counting it would silently no-op the healing retry below
+    assert(GraftStore.lastTxnVersion(dir, "etl") === None,
+      "above-pointer _txn marker ignored")
+    assert(spark.table(s"$cat.$t").count() === 0, "pointer rules reads")
+    // the retried idempotent write re-applies (rebuilding v1 over the
+    // debris) instead of being swallowed
+    append(t, 0, 3, "etl", 1)
+    assert(GraftStore.currentVersion(dir) === 1L)
+    assert(spark.table(s"$cat.$t").count() === 3, "retry healed the crash")
+    assert(GraftStore.lastTxnVersion(dir, "etl") === Some(1L))
+    // and a SECOND retry is back to a no-op
+    append(t, 0, 3, "etl", 1)
+    assert(GraftStore.currentVersion(dir) === 1L)
+    assert(spark.table(s"$cat.$t").count() === 3)
+  }
+
   test("half-set or malformed txn options fail loudly") {
     import spark.implicits._
     val t = mkTable("t_txn_bad")

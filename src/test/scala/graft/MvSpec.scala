@@ -360,4 +360,27 @@ class MvSpec extends SparkTestBase {
     assert(rowsOf("mv_rty") === before)
     assert(before === recompute(t))
   }
+
+  test("a crashed state commit (pointer not flipped) re-folds, not no-ops") {
+    val t = mkTable("mv_crash")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_crsh AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 0, 30), (4, 2, 40)")
+    assert(refresh("mv_crsh")._2 === "incremental")
+    val stateDir = s"$warehouse/__mv_state_mv_crsh"
+    val v = GraftStore.currentVersion(stateDir)
+    // crash window: the fold's state version dir (carrying the _txn
+    // watermark) published, but the pointer flip never happened — the
+    // readable state is PRE-fold, so the watermark must read pre-fold too
+    // (an uncapped marker scan would report the slice as folded and serve
+    // a silently-stale MV forever)
+    Files.write(java.nio.file.Paths.get(stateDir, "_current"),
+      (v - 1).toString.getBytes("UTF-8"))
+    assert(rowsOf("mv_crsh") !== recompute(t), "readable state is pre-fold")
+    val (_, mode) = refresh("mv_crsh")
+    assert(mode === "incremental", s"healing refresh re-folds, got $mode")
+    assert(rowsOf("mv_crsh") === recompute(t))
+    assert(refresh("mv_crsh")._2 === "noop")
+  }
 }
