@@ -2558,6 +2558,92 @@ object SourceQueries {
         TRUE AS incremental_lane, TRUE AS second_refresh_noop
       FROM after4 GROUP BY r ORDER BY r""")),
 
+    // ----- S39b: incremental MV maintenance over STAR JOINS — the most
+    // common real MV shape (fact ⋈ dims rollup) folds incrementally: the
+    // delta-join identity Δ(F⋈D) = ΔF⋈D holds when the dims are static
+    // (inner joins are per-row linear in both inputs), so a refresh
+    // evaluates the view query over the FACT changelog slice's images
+    // with every dim pinned at its recorded version and folds the
+    // per-group difference — cost ∝ fact-changes ⋈ dims + |view|, never
+    // ∝ |fact|, which is the 100 TB shape (hot fact, slowly-changing
+    // dims). A DIM commit voids the identity and poisons that one
+    // refresh to a loud full recompute (which re-pins); fact-only DML
+    // folds again right after. The gate pins all four lanes: fact DML →
+    // incremental, dim DML → full, post-poison fact DML → incremental,
+    // drained → noop — and the final state hashes the DuckDB closed form
+    // of the whole DML history.
+    GraftQuery("s39b_mv_join", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.s39b_mv")
+      s.sql("DROP TABLE IF EXISTS graftdml.s39b_fact")
+      s.sql("DROP TABLE IF EXISTS graftdml.s39b_dim")
+      s.sql("""CREATE TABLE graftdml.s39b_fact
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("""CREATE TABLE graftdml.s39b_dim
+        (rk BIGINT NOT NULL, nm STRING, w BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='rk', 'buckets'='2')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s39b_fact_rows")
+      T.region(s, d)
+        .select($"r_regionkey".cast("long").as("rk"), $"r_name".as("nm"),
+          ($"r_regionkey" * 3 + 1).cast("long").as("w"))
+        .createOrReplaceTempView("s39b_dim_rows")
+      s.sql("INSERT INTO graftdml.s39b_fact SELECT * FROM s39b_fact_rows")
+      s.sql("INSERT INTO graftdml.s39b_dim SELECT * FROM s39b_dim_rows")
+      s.sql("""CREATE MATERIALIZED VIEW graftdml.s39b_mv AS
+        SELECT d.nm AS nm, COUNT(*) AS n, SUM(f.pop * d.w) AS s
+        FROM graftdml.s39b_fact f JOIN graftdml.s39b_dim d ON f.r = d.rk
+        GROUP BY d.nm""")
+      // lane 1: fact-only DML (insert + update + delete) must FOLD
+      s.sql("UPDATE graftdml.s39b_fact SET pop = pop + 1000 WHERE k % 3 = 0")
+      s.sql("DELETE FROM graftdml.s39b_fact WHERE k % 7 = 4")
+      s.sql("""INSERT INTO graftdml.s39b_fact
+        SELECT id + 100, (id + 100) % 5, (id + 100) * 10 + 7 FROM range(5)""")
+      val r1 = s.sql("CALL graftdml.refresh_mv(view => 's39b_mv')").head()
+      // lane 2: a DIM commit voids ΔF⋈D — must RECOMPUTE (and must
+      // actually overwrite: the fact version didn't move, so a blindly
+      // stamped watermark would no-op the fix away)
+      s.sql("UPDATE graftdml.s39b_dim SET w = w * 2 WHERE rk IN (1, 3)")
+      val r2 = s.sql("CALL graftdml.refresh_mv(view => 's39b_mv')").head()
+      // lane 3: the poison clears — group-moving fact DML folds again
+      s.sql("UPDATE graftdml.s39b_fact SET r = (r + 2) % 5 WHERE k % 5 = 0")
+      val r3 = s.sql("CALL graftdml.refresh_mv(view => 's39b_mv')").head()
+      // lane 4: drained
+      val r4 = s.sql("CALL graftdml.refresh_mv(view => 's39b_mv')").head()
+      s.sql("SELECT nm, n, s FROM graftdml.s39b_mv")
+        .withColumn("fact_fold_incremental", lit(r1.getString(1) == "incremental"))
+        .withColumn("dim_poison_full", lit(r2.getString(1) == "full"))
+        .withColumn("refold_incremental", lit(r3.getString(1) == "incremental"))
+        .withColumn("drained_noop", lit(r4.getString(1) == "noop"))
+        .orderBy($"nm")
+    }, Some("""
+      WITH fact0 AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                       CAST(n_regionkey AS BIGINT) AS r,
+                       CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      f1 AS (SELECT k, r, CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+             FROM fact0),
+      f2 AS (SELECT * FROM f1 WHERE k % 7 <> 4),
+      f3 AS (SELECT * FROM f2
+             UNION ALL
+             SELECT CAST(i + 100 AS BIGINT), CAST((i + 100) % 5 AS BIGINT),
+               CAST((i + 100) * 10 + 7 AS BIGINT) FROM range(5) t(i)),
+      f4 AS (SELECT k, CASE WHEN k % 5 = 0 THEN (r + 2) % 5 ELSE r END AS r, pop
+             FROM f3),
+      dim0 AS (SELECT CAST(r_regionkey AS BIGINT) AS rk, r_name AS nm,
+                 CAST(r_regionkey * 3 + 1 AS BIGINT) AS w FROM region),
+      dim1 AS (SELECT rk, nm, CASE WHEN rk IN (1, 3) THEN w * 2 ELSE w END AS w
+               FROM dim0)
+      SELECT d.nm AS nm, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(f.pop * d.w) AS BIGINT) AS s,
+        TRUE AS fact_fold_incremental, TRUE AS dim_poison_full,
+        TRUE AS refold_incremental, TRUE AS drained_noop
+      FROM f4 f JOIN dim1 d ON f.r = d.rk GROUP BY d.nm ORDER BY d.nm""")),
+
     // ----- S40: writable branches — the WAP (write-audit-publish)
     // workflow at table-format parity: `CALL create_branch` forks a
     // self-contained zero-copy clone addressable as `t$branch$<name>`

@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.QueryPlanningTracker
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -24,21 +25,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, 
   *
   * Refresh is INCREMENTAL when the definition is a self-maintainable
   * aggregate — one `Aggregate` of `COUNT(*)`/`COUNT(x)`/`SUM(x)`/`AVG(x)`
-  * (plus `MIN`/`MAX` on append-only slices) over one graft table through
-  * any deterministic, subquery-free chain of Filter/Project/Generate,
-  * with every grouping expression projected. The maintenance identity is
-  * the classic delta evaluation: the view query itself is re-run over
-  * the changelog slice's AFTER images (+Q) and BEFORE images (−Q), and
-  * the per-group difference folds into the previous state with one
-  * full-outer merge — cost ∝ changes + |view|, never ∝ |table|, which is
-  * the whole point at 100 TB. Groups whose maintained row count reaches
-  * zero drop out (extinction); SUMs stay null-correct through a per-sum
-  * maintained non-null count; AVG (non-additive) maintains a hidden
-  * (sum, count) pair and is finalized at merge; MIN/MAX fold only while
-  * a slice is pure inserts (extrema never retract under appends) — a
-  * retracting slice sends that refresh to the recompute lane. Anything
-  * else (joins, DISTINCT aggregates, HAVING, decimal AVG) always
-  * recomputes — still one declarative Spark job, just not ∝ changes.
+  * (plus `MIN`/`MAX` on append-only slices) over one graft FACT table —
+  * optionally inner/left-outer equi-joined to further graft DIM tables —
+  * through any deterministic, subquery-free chain of
+  * Filter/Project/Join/Generate, with every grouping expression
+  * projected. The maintenance identity is the classic delta evaluation:
+  * the view query itself is re-run over the fact changelog slice's AFTER
+  * images (+Q) and BEFORE images (−Q) with every dim pinned at its
+  * recorded version (the delta-join identity Δ(F⋈D) = ΔF⋈D for static
+  * D — inner joins are per-row linear in both inputs, left-outer in the
+  * left), and the per-group difference folds into the previous state
+  * with one full-outer merge — cost ∝ changes(⋈dims) + |view|, never
+  * ∝ |fact|, which is the whole point at 100 TB. A DIM commit poisons
+  * the fold (the identity needs static dims) and that refresh recomputes
+  * — the star-rollup workload this targets has a hot fact and
+  * slowly-changing dims, so the common refresh stays ∝ changes. Groups
+  * whose maintained row count reaches zero drop out (extinction); SUMs
+  * stay null-correct through a per-sum maintained non-null count; AVG
+  * (non-additive) maintains a hidden (sum, count) pair and is finalized
+  * at merge; MIN/MAX fold only while a slice is pure inserts (extrema
+  * never retract under appends) — a retracting slice sends that refresh
+  * to the recompute lane. Anything else (right/full joins, self-joined
+  * facts, DISTINCT aggregates, HAVING, decimal AVG) always recomputes —
+  * still one declarative Spark job, just not ∝ changes.
   *
   * Crash-safety: the refresh watermark is NOT a separate record — the
   * state overwrite commit is stamped with the S37 idempotent-write txn
@@ -136,11 +145,24 @@ object GraftMaterializedViews {
   // Shape analysis
   // -------------------------------------------------------------------
 
-  /** A self-maintainable aggregate: ONE graft relation under the
-    * Aggregate, outputs classified into projected group expressions,
-    * COUNT columns, and SUM columns (name, operand, declared type). */
+  /** A self-maintainable aggregate: one designated FACT graft relation
+    * (the delta target — changelog slices fold through it) plus zero or
+    * more DIM graft relations joined around it (pinned at their recorded
+    * versions during a fold; any dim commit poisons that refresh to the
+    * recompute lane), outputs classified into projected group
+    * expressions, COUNT columns, and SUM columns (name, operand,
+    * declared type). The join algebra that makes the fact a valid delta
+    * target is PER-ROW LINEARITY: inner joins are linear in both inputs
+    * and left-outer joins in their left input, so each fact row's
+    * contribution to the join output — and hence to every additive
+    * aggregate — is independent of the other fact rows, and
+    * Q(F+ΔF, D) = Q(F, D) + Q(ΔF, D) holds exactly (the classic
+    * ΔF⋈D delta-join identity with static D). A table appearing twice
+    * in the tree (self-join) is quadratic in itself and can never be
+    * the fact. */
   final case class AggShape(rel: DataSourceV2Relation, srcDir: String,
-      srcName: String, agg: Aggregate, groupOut: Seq[String],
+      srcName: String, dims: Seq[(DataSourceV2Relation, String, String)],
+      agg: Aggregate, groupOut: Seq[String],
       countOut: Seq[String], sums: Seq[(String, Expression, DataType)],
       avgs: Seq[(String, Expression, DataType)],
       /** MIN/MAX outputs: (name, isMin, type). Maintainable only while a
@@ -175,16 +197,35 @@ object GraftMaterializedViews {
   private def cleanExpr(e: Expression): Boolean =
     e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
 
-  /** Peel the chain between the Aggregate and its base relation. Every
-    * node here is a deterministic PER-ROW transform, which is exactly
-    * what makes Q(after) − Q(before) an exact delta: each change image
-    * flows through the same row-local pipeline the base rows did. */
-  private def peel(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
-    case f: Filter if cleanExpr(f.condition) => peel(f.child)
-    case pj: Project if pj.projectList.forall(cleanExpr) => peel(pj.child)
-    case s: SubqueryAlias => peel(s.child)
-    case g: Generate if cleanExpr(g.generator) => peel(g.child)
-    case r: DataSourceV2Relation => Some(r)
+  /** Peel the chain between the Aggregate and its base relations. Every
+    * non-join node here is a deterministic PER-ROW transform, which is
+    * exactly what makes Q(after) − Q(before) an exact delta: each change
+    * image flows through the same row-local pipeline the base rows did.
+    * Join nodes are admitted when the delta can flow through them
+    * per-row: INNER (linear in both inputs) and LEFT OUTER (linear in
+    * the left input only — a right-side change can resurrect or kill
+    * null-extended rows non-locally, so right-subtree relations are
+    * marked non-linear and can only ever be pinned dims). Returns every
+    * leaf relation with its linearity, left-to-right, or None when any
+    * node falls outside the admissible algebra. */
+  private def peel(p: LogicalPlan, linear: Boolean = true)
+      : Option[Seq[(DataSourceV2Relation, Boolean)]] = p match {
+    case f: Filter if cleanExpr(f.condition) => peel(f.child, linear)
+    case pj: Project if pj.projectList.forall(cleanExpr) =>
+      peel(pj.child, linear)
+    case s: SubqueryAlias => peel(s.child, linear)
+    case g: Generate if cleanExpr(g.generator) => peel(g.child, linear)
+    case j: Join if j.condition.forall(cleanExpr) =>
+      val rightLinear = j.joinType match {
+        case Inner => linear
+        case LeftOuter => false
+        case _ => return None
+      }
+      for {
+        l <- peel(j.left, linear)
+        r <- peel(j.right, rightLinear)
+      } yield l ++ r
+    case r: DataSourceV2Relation => Some(Seq((r, linear)))
     case _ => None
   }
 
@@ -193,7 +234,12 @@ object GraftMaterializedViews {
     case other => other
   }
 
-  /** Derive the self-maintainable shape, or None → full-recompute MV. */
+  /** Derive the self-maintainable shape, or None → full-recompute MV.
+    * The FACT (delta target) is the first linear relation whose table
+    * appears exactly once in the tree — deterministic given the stored
+    * SQL, so every refresh designates the same fact and the state's txn
+    * watermark stays in one table's version space. The remaining
+    * relations are dims. */
   def deriveShape(analyzed: LogicalPlan): Option[AggShape] = {
     val core = analyzed match {
       case s: Sort => s.child match { // stored state is unordered anyway
@@ -204,14 +250,30 @@ object GraftMaterializedViews {
       case _ => None
     }
     core.flatMap { agg =>
-      peel(agg.child).flatMap { rel =>
-        rel.table match {
-          case t: GraftTable if t.pinned.isEmpty =>
+      peel(agg.child).flatMap { leaves =>
+        // every leaf must be an unpinned graft table (version pinning
+        // and changelog folding are graft-store machinery)
+        val rels0 = leaves.map { case (r, lin) =>
+          r.table match {
+            case t: GraftTable if t.pinned.isEmpty =>
+              Some((r, t.tableDir, t.name(), lin))
+            case _ => None
+          }
+        }
+        if (rels0.exists(_.isEmpty)) None
+        else {
+          val rels = rels0.flatten
+          val dirCounts = rels.groupBy(_._2).view.mapValues(_.size).toMap
+          val fact = rels.find { case (_, dir, _, lin) =>
+            lin && dirCounts(dir) == 1 }
+          fact.flatMap { case (frel, fdir, fname, _) =>
+            val dims = rels.collect {
+              case (r, dir, name, _) if !(r eq frel) => (r, dir, name) }
             classify(agg).map { case (groups, counts, sums, avgs, mms) =>
-              AggShape(rel, t.tableDir, t.name(), agg, groups, counts, sums,
+              AggShape(frel, fdir, fname, dims, agg, groups, counts, sums,
                 avgs, mms)
             }
-          case _ => None
+          }
         }
       }
     }
@@ -296,27 +358,35 @@ object GraftMaterializedViews {
       new QueryPlanningTracker())
   }
 
-  /** Run `plan` with its base relation swapped for `rep` (a frame with
-    * the same logical columns): the replacement's output is projected
-    * onto the relation's attribute ids, so every expression above — the
-    * filters, the grouping, the aggregates — re-binds untouched. Fresh
-    * output aliases per call keep two evaluations joinable. */
+  /** Run `plan` with each listed base relation swapped for its
+    * replacement frame (same logical columns): every replacement's
+    * output is projected onto its relation's attribute ids, so every
+    * expression above — the filters, the join conditions, the grouping,
+    * the aggregates — re-binds untouched. Fresh output aliases per call
+    * keep two evaluations joinable. */
   private def evalOver(spark: SparkSession, plan: LogicalPlan,
-      rel: DataSourceV2Relation, rep: DataFrame): DataFrame = {
-    val repPlan = GraftSqlShim.analyzedPlan(rep)
+      reps: Seq[(DataSourceV2Relation, DataFrame)]): DataFrame = {
     val resolver = spark.sessionState.conf.resolver
-    val aligned = Project(rel.output.map { a =>
-      val src = repPlan.output.find(o => resolver(o.name, a.name)).getOrElse(
-        throw new IllegalStateException(
-          s"change image is missing source column ${a.name}"))
-      Alias(src, a.name)(exprId = a.exprId)
-    }, repPlan)
+    val aligned = reps.map { case (rel, rep) =>
+      val repPlan = GraftSqlShim.analyzedPlan(rep)
+      rel -> Project(rel.output.map { a =>
+        val src = repPlan.output.find(o => resolver(o.name, a.name)).getOrElse(
+          throw new IllegalStateException(
+            s"change image is missing source column ${a.name}"))
+        Alias(src, a.name)(exprId = a.exprId)
+      }, repPlan)
+    }
     val swapped = plan.transform {
-      case r: DataSourceV2Relation if r eq rel => aligned
+      case r: DataSourceV2Relation =>
+        aligned.collectFirst { case (rel, al) if r eq rel => al }.getOrElse(r)
     }
     val out = GraftSqlShim.ofRows(spark, swapped)
     out.select(out.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
   }
+
+  private def evalOver(spark: SparkSession, plan: LogicalPlan,
+      rel: DataSourceV2Relation, rep: DataFrame): DataFrame =
+    evalOver(spark, plan, Seq((rel, rep)))
 
   /** Surrogate merge key for the state table: a hash of the group values
     * (never null — the state write path needs a NOT NULL key, and group
@@ -355,6 +425,7 @@ object GraftMaterializedViews {
     * per group, one null-safe full-outer merge, extinction on `__mv_n`. */
   private def incrementalState(spark: SparkSession, sh: AggShape,
       state: DataFrame, changes: DataFrame,
+      dimReps: Seq[(DataSourceV2Relation, DataFrame)],
       sliceInsertOnly: Boolean): DataFrame = {
     // extrema never retract: folding MIN/MAX over a slice that carries
     // U/D rows would leave stale-too-wide extrema — the caller routes
@@ -369,8 +440,11 @@ object GraftMaterializedViews {
       .select(srcCols.map(col): _*)
     val before = changes.filter(col(G.ChangeOpCol).isin("U", "D"))
       .select(srcCols.map(c => col(s"${G.ChangeBeforeCol}.$c").as(c)): _*)
-    val plus = evalOver(spark, sh.hidden, sh.rel, after)
-    val minus = evalOver(spark, sh.hidden, sh.rel, before)
+    // the delta-join identity: Δfact evaluated against the PINNED dims
+    // (stale-free by the caller's dims-unchanged gate; pinning closes the
+    // mid-fold dim-commit race) — cost ∝ changes ⋈ dims, never ∝ |fact|
+    val plus = evalOver(spark, sh.hidden, (sh.rel, after) +: dimReps)
+    val minus = evalOver(spark, sh.hidden, (sh.rel, before) +: dimReps)
 
     val groupCols = sh.groupOut
     val countCols = (sh.countOut :+ HiddenN) ++
@@ -525,6 +599,13 @@ object GraftMaterializedViews {
     val shape = deriveShape(analyzed)
     val sources = graftSources(analyzed)
     val stateExists = GraftStore.exists(stateDir)
+    // The WATERMARK TABLE: the state's txn marker lives in one table's
+    // version space — the sole source of a single-source MV, or the
+    // shape's designated fact for a join MV (deriveShape designates
+    // deterministically, so the space never silently switches tables).
+    val wmSrc: Option[(String, String)] =
+      if (sources.size == 1) Some(sources.head)
+      else shape.map(sh => (sh.srcName, sh.srcDir))
     // source regression (DROP + recreate at the same name): the recorded
     // high-water sits ABOVE the new table's versions — rotate the txn
     // lane so the healing recompute's overwrite isn't no-op'd by the dead
@@ -532,9 +613,9 @@ object GraftMaterializedViews {
     // Rotation persists BEFORE any write: a crash after it just means the
     // fresh lane has no watermark yet → the next refresh recomputes.
     val rec1 =
-      if (stateExists && sources.size == 1 &&
+      if (stateExists && wmSrc.exists { case (_, d) =>
           GraftStore.lastTxnVersion(stateDir, rec.txnApp)
-            .exists(_ > GraftStore.currentVersion(sources.head._2))) {
+            .exists(_ > GraftStore.currentVersion(d)) }) {
         val rotated = rec.copy(txnApp = s"__mv_refresh_${System.nanoTime()}")
         writeRecord(g.mvPath(id), rotated, createNew = false)
         rotated
@@ -567,8 +648,18 @@ object GraftMaterializedViews {
           "DROP and recreate the materialized view")
 
     val single = sources.size == 1
-    if (stateExists && single) {
-      val srcDir = sources.head._2
+    // Join-MV fold eligibility: every dim sits at the version the last
+    // refresh recorded — the fold's delta-join identity (Δfact ⋈ dims)
+    // only holds against the dims the state was built from, so a dim
+    // commit since poisons this refresh to the recompute lane (which
+    // re-records). A dim name missing from the record (pre-join-MV
+    // record, or the record write crashed) is conservatively a mismatch.
+    val dimsPinned = useShape.forall { sh =>
+      sh.dims.map(d => (d._3, d._2)).distinct.forall { case (n, d) =>
+        rec1.sources.get(n).contains(GraftStore.currentVersion(d)) }
+    }
+    if (stateExists && wmSrc.isDefined && (single || dimsPinned)) {
+      val srcDir = wmSrc.get._2
       // Pin the STATE version before reading the watermark: the fold below
       // is only correct relative to this exact snapshot+watermark pair. A
       // concurrent refresh committing between the watermark read and our
@@ -605,17 +696,28 @@ object GraftMaterializedViews {
                   changes.filter(col(GraftStore.ChangeOpCol)
                     .isin("U", "D")).isEmpty
                 if (insertOnly) {
+                  // dims read AT their recorded versions (not current):
+                  // a dim commit landing mid-fold must not leak into the
+                  // delta evaluation — the pin makes the race harmless
+                  // (that commit is simply the NEXT refresh's poison)
+                  val dimReps = sh.dims.map { case (rel, d, n) =>
+                    (rel, GraftStore.readVersion(spark, d,
+                      rec1.sources(n))) }
                   val state = GraftStore.readVersion(spark, stateDir, stateV)
                   val next = incrementalState(spark, sh, state, changes,
-                    sliceInsertOnly = insertOnly)
+                    dimReps, sliceInsertOnly = insertOnly)
                   val out = alignToState(next, stateSchema, sh.groupOut,
                     syntheticGid = false)
                   GraftStore.applyChanges(spark, stateDir, out,
                     allInserts = true, overwrite = true,
                     expectedVersion = Some(stateV),
                     txn = Some((rec1.txnApp, cur)))
-                  updateSources(g, id, rec1,
-                    sources.map(s => s._1 -> cur).toMap)
+                  // dims stay at their RECORDED versions (what the fold
+                  // actually joined against); only the fact advances
+                  updateSources(g, id, rec1, sources.map { case (n, d) =>
+                    n -> (if (d == srcDir) cur
+                          else rec1.sources.getOrElse(n,
+                            GraftStore.currentVersion(d))) }.toMap)
                   return (cur, "incremental")
                 } // else: fall through to the recompute lane below
               } finally changes.unpersist()
@@ -630,17 +732,21 @@ object GraftMaterializedViews {
           rec.sources.get(n).contains(GraftStore.currentVersion(d)) })
       return (rec.sources.values.max, "noop")
 
-    // Full recompute. Single-source MVs pin the snapshot they compute
-    // from (racing source commits can't skew the stamped watermark);
+    // Full recompute. Shape-eligible MVs pin EVERY relation at the
+    // version captured here (racing source commits can't skew the
+    // stamped watermark or tear the join across versions); other
     // multi-source bodies read current and record the versions observed
     // BEFORE evaluation — a mid-read commit only makes the recorded
     // watermark conservative (extra recompute, never a missed change).
     val versionsBefore = sources.map { case (n, d) =>
       (n, d, GraftStore.currentVersion(d)) }
+    val verOf = versionsBefore.map { case (n, _, v) => n -> v }.toMap
     val computed = (useShape, versionsBefore) match {
-      case (Some(sh), Seq((_, d, v))) =>
-        val snap = GraftStore.readVersion(spark, d, v)
-        alignToState(evalOver(spark, sh.hidden, sh.rel, snap), stateSchema,
+      case (Some(sh), _) =>
+        val reps = ((sh.rel, sh.srcDir, sh.srcName) +: sh.dims).map {
+          case (rel, d, n) =>
+            (rel, GraftStore.readVersion(spark, d, verOf(n))) }
+        alignToState(evalOver(spark, sh.hidden, reps), stateSchema,
           sh.groupOut, syntheticGid = false)
       case (None, Seq((_, d, v))) if singleRelation(analyzed).isDefined =>
         val rel = singleRelation(analyzed).get
@@ -657,13 +763,23 @@ object GraftMaterializedViews {
       GraftStore.create(stateDir, GraftTableMeta(stateSchema,
         keyCols = Seq(HiddenGid), buckets = 8))
     }
-    val wmV = versionsBefore match {
-      case Seq((_, _, v)) => v
-      case vs => vs.map(_._3).max
-    }
-    val txn = versionsBefore match {
-      case Seq((_, _, v)) => Some((rec1.txnApp, v))
-      case _ => None // multi-source: recompute is idempotent by nature
+    // the reported refreshed-through version: the watermark table's when
+    // one is designated, the max observed otherwise (display only)
+    val wmV = wmSrc.flatMap { case (n, _) => verOf.get(n) }
+      .getOrElse(versionsBefore.map(_._3).max)
+    // A join-shape recompute can be triggered by a DIM commit alone — the
+    // fact's version (the txn space) hasn't moved, so stamping it would
+    // hit the idempotence fast-path and silently SKIP the state overwrite
+    // (a stale MV reported fresh). Stamp only a watermark that ADVANCES;
+    // otherwise commit unstamped — the watermark stays correct (the state
+    // still reflects the fact through it) and the overwrite is idempotent
+    // by content anyway.
+    val txn = (single, useShape) match {
+      case (true, _) => Some((rec1.txnApp, wmV))
+      case (false, Some(_))
+          if GraftStore.lastTxnVersion(stateDir, rec1.txnApp)
+            .forall(_ < wmV) => Some((rec1.txnApp, wmV))
+      case _ => None
     }
     GraftStore.applyChanges(spark, stateDir, computed,
       allInserts = true, overwrite = true, txn = txn)
@@ -706,15 +822,18 @@ object GraftMaterializedViews {
     val shape = deriveShape(analyzed)
     val sources = graftSources(analyzed)
     val single = sources.size == 1
+    // the watermark table (sole source, or a join shape's fact) reports
+    // its authoritative txn watermark; dims report the recorded versions
+    val wmName = if (single) Some(sources.head._1) else shape.map(_.srcName)
     sources.map { case (n, d) =>
       val cur = GraftStore.currentVersion(d)
       val refreshed =
-        if (single && GraftStore.exists(stateDir))
+        if (wmName.contains(n) && GraftStore.exists(stateDir))
           GraftStore.lastTxnVersion(stateDir, rec.txnApp)
             .filter(_ <= cur) // a regressed lane is not a real watermark
         else rec.sources.get(n)
       (n, rec.stateTable, refreshed, cur,
-        !refreshed.contains(cur), shape.isDefined && single)
+        !refreshed.contains(cur), shape.exists(_.srcName == n))
     }
   }
 }

@@ -571,12 +571,20 @@ final class GraftRenamingScan(delegate: Scan,
 
   /** Advertise the merge-key columns as runtime-filterable: Spark's
     * dynamic-partition-pruning rule then plants the broadcast side's key
-    * values as an IN predicate on joins over them. */
+    * values as an IN predicate on joins over them. ONLY when every key
+    * column survived column pruning: DPP resolves these refs against the
+    * scan's pruned output and THROWS on a miss (planning-time
+    * AnalysisException on any join whose keys differ from the merge key
+    * and whose projection drops it) — and a pruned-out key can never
+    * carry a join-time filter anyway (no join condition references it). */
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    bucketing.map(_.keyCols.map(
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = readSchema().fieldNames.toSet
+    bucketing.map(_.keyCols).filter(_.forall(out.contains))
+      .map(_.map(
         org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
       .getOrElse(Array.empty)
+  }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =

@@ -361,6 +361,122 @@ class MvSpec extends SparkTestBase {
     assert(before === recompute(t))
   }
 
+  private def mkDim(name: String): String = {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$name")
+    spark.sql(s"""CREATE TABLE $cat.$name
+      (dk BIGINT NOT NULL, label STRING, mult BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='dk', 'buckets'='2')""")
+    name
+  }
+
+  test("star-join MV: fact DML folds incrementally against pinned dims") {
+    val f = mkTable("mvj_fact")
+    val d = mkDim("mvj_dim")
+    spark.sql(s"INSERT INTO $cat.$d VALUES (0, 'a', 2), (1, 'b', 3), (2, 'c', 5)")
+    spark.sql(s"INSERT INTO $cat.$f VALUES " +
+      "(1, 0, 10), (2, 0, 20), (3, 1, 30), (4, 1, 40), (5, 2, 50)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_star AS " +
+      s"SELECT d.label AS label, COUNT(*) AS n, SUM(f.amount * d.mult) AS s " +
+      s"FROM $cat.$f f JOIN $cat.$d d ON f.grp = d.dk GROUP BY d.label")
+    def oracle(): Seq[(String, Long, Any)] =
+      spark.sql(s"SELECT d.label, COUNT(*) AS n, SUM(f.amount * d.mult) AS s " +
+          s"FROM $cat.$f f JOIN $cat.$d d ON f.grp = d.dk " +
+          "GROUP BY d.label ORDER BY d.label")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    def mvRows(): Seq[(String, Long, Any)] =
+      spark.sql(s"SELECT * FROM $cat.mv_star ORDER BY label")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    assert(mvRows() === oracle())
+    // the hard fact slice: insert, group-moving update, delete, and a
+    // row joining a previously-empty dim key (extinction + birth)
+    spark.sql(s"INSERT INTO $cat.$f VALUES (6, 2, 60), (7, 0, 70)")
+    spark.sql(s"UPDATE $cat.$f SET grp = 2 WHERE k = 3")
+    spark.sql(s"DELETE FROM $cat.$f WHERE k = 4")
+    val (_, mode) = refresh("mv_star")
+    assert(mode === "incremental", s"fact-only DML must fold, got $mode")
+    assert(mvRows() === oracle())
+    assert(refresh("mv_star")._2 === "noop")
+    // a fact row with NO dim match contributes nothing (inner join)
+    spark.sql(s"INSERT INTO $cat.$f VALUES (8, 99, 800)")
+    assert(refresh("mv_star")._2 === "incremental")
+    assert(mvRows() === oracle())
+  }
+
+  test("star-join MV: a dim commit poisons the fold to a recompute") {
+    val f = mkTable("mvj_fact2")
+    val d = mkDim("mvj_dim2")
+    spark.sql(s"INSERT INTO $cat.$d VALUES (0, 'a', 2), (1, 'b', 3)")
+    spark.sql(s"INSERT INTO $cat.$f VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_star2 AS " +
+      s"SELECT d.label AS label, SUM(f.amount) AS s " +
+      s"FROM $cat.$f f JOIN $cat.$d d ON f.grp = d.dk GROUP BY d.label")
+    def oracle(): Seq[(String, Any)] =
+      spark.sql(s"SELECT d.label, SUM(f.amount) AS s FROM $cat.$f f " +
+          s"JOIN $cat.$d d ON f.grp = d.dk GROUP BY d.label ORDER BY 1")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    def mvRows(): Seq[(String, Any)] =
+      spark.sql(s"SELECT * FROM $cat.mv_star2 ORDER BY label")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    // dim UPDATE: the ΔF⋈D identity is void — must recompute, and the
+    // recompute must actually overwrite (the fact version didn't move,
+    // so a naively-stamped txn would no-op the fix away)
+    spark.sql(s"UPDATE $cat.$d SET mult = 7, label = 'z' WHERE dk = 0")
+    val (_, mode) = refresh("mv_star2")
+    assert(mode === "full", s"dim commit must recompute, got $mode")
+    assert(mvRows() === oracle())
+    assert(refresh("mv_star2")._2 === "noop")
+    // after the poison clears, fact DML folds incrementally again
+    spark.sql(s"INSERT INTO $cat.$f VALUES (3, 1, 30)")
+    assert(refresh("mv_star2")._2 === "incremental")
+    assert(mvRows() === oracle())
+    // both moving at once also recomputes (and re-records both)
+    spark.sql(s"INSERT INTO $cat.$f VALUES (4, 0, 40)")
+    spark.sql(s"INSERT INTO $cat.$d VALUES (2, 'c', 11)")
+    assert(refresh("mv_star2")._2 === "full")
+    assert(mvRows() === oracle())
+    assert(refresh("mv_star2")._2 === "noop")
+  }
+
+  test("left-outer fact join folds; self-joins and right sides never fold") {
+    val f = mkTable("mvj_fact3")
+    val d = mkDim("mvj_dim3")
+    spark.sql(s"INSERT INTO $cat.$d VALUES (0, 'a', 2)")
+    spark.sql(s"INSERT INTO $cat.$f VALUES (1, 0, 10), (2, 5, 20)")
+    // fact on the PRESERVED side: per-row linear, so Δfact still folds
+    // (unmatched fact rows null-extend row-locally)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_lo AS " +
+      s"SELECT f.grp AS grp, COUNT(*) AS n, SUM(d.mult) AS s " +
+      s"FROM $cat.$f f LEFT JOIN $cat.$d d ON f.grp = d.dk GROUP BY f.grp")
+    def oracle(): Seq[(Long, Long, Any)] =
+      spark.sql(s"SELECT f.grp, COUNT(*) AS n, SUM(d.mult) AS s " +
+          s"FROM $cat.$f f LEFT JOIN $cat.$d d ON f.grp = d.dk " +
+          "GROUP BY f.grp ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    spark.sql(s"INSERT INTO $cat.$f VALUES (3, 0, 30), (4, 6, 40)")
+    spark.sql(s"DELETE FROM $cat.$f WHERE k = 2")
+    assert(refresh("mv_lo")._2 === "incremental")
+    assert(spark.sql(s"SELECT * FROM $cat.mv_lo ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq === oracle())
+    // a SELF-JOINED table is quadratic in itself — never a delta target
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_self AS " +
+      s"SELECT a.grp AS grp, COUNT(*) AS n FROM $cat.$f a " +
+      s"JOIN $cat.$f b ON a.grp = b.grp GROUP BY a.grp")
+    spark.sql(s"INSERT INTO $cat.$f VALUES (9, 0, 90)")
+    assert(refresh("mv_self")._2 === "full")
+    assert(spark.sql(s"SELECT * FROM $cat.mv_self ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      spark.sql(s"SELECT a.grp, COUNT(*) FROM $cat.$f a JOIN $cat.$f b " +
+        "ON a.grp = b.grp GROUP BY a.grp ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("a crashed state commit (pointer not flipped) re-folds, not no-ops") {
     val t = mkTable("mv_crash")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
