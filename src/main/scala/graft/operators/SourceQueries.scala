@@ -2644,6 +2644,97 @@ object SourceQueries {
         TRUE AS refold_incremental, TRUE AS drained_noop
       FROM f4 f JOIN dim1 d ON f.r = d.rk GROUP BY d.nm ORDER BY d.nm""")),
 
+    // ----- S39c: transparent MV rewrite — a resolved aggregate that IS
+    // the body of a FRESH materialized view (exact canonical match: the
+    // candidate body re-analyzes in its definer context, rebases onto the
+    // query's own relation instances, and must sameResult the query's
+    // Aggregate) is answered from the MV state — one |view|-row scan —
+    // without the user naming the MV. The warehouse lever at 100 TB: the
+    // dashboard keeps querying the base tables, someone materializes the
+    // rollup, every matching query drops from a fact-table scan to a
+    // state read. Substitution is freshness-gated (watermark == current
+    // on the watermark table, dims at recorded versions — the `mv$mv`
+    // math), so a rewrite can NEVER change results: a stale MV leaves
+    // the plan untouched and the query reads the base tables. The gate
+    // pins the plan booleans both ways (fresh → state scanned + base
+    // absent + values hash the direct evaluation; stale → base scanned +
+    // values serve the LATEST data) and the final rewritten rows hash
+    // the DuckDB closed form.
+    GraftQuery("s39c_mv_rewrite", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.s39c_mv")
+      s.sql("DROP TABLE IF EXISTS graftdml.s39c_t")
+      s.sql("""CREATE TABLE graftdml.s39c_t
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s39c_rows")
+      s.sql("INSERT INTO graftdml.s39c_t SELECT * FROM s39c_rows")
+      s.sql("""CREATE MATERIALIZED VIEW graftdml.s39c_mv AS
+        SELECT r, COUNT(*) AS n, SUM(pop) AS s
+        FROM graftdml.s39c_t GROUP BY r""")
+      val q = "SELECT r, COUNT(*) AS n, SUM(pop) AS s " +
+        "FROM graftdml.s39c_t GROUP BY r"
+      def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.queryExecution.analyzed.collect {
+          case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            rel.table.name()
+        }.toSet
+      def usesState(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val sc = scans(df)
+        sc.exists(_.contains("__mv_state_s39c_mv")) &&
+          !sc.exists(_.endsWith("s39c_t"))
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      // fresh: the raw aggregate substitutes the state scan, values equal
+      // the direct (rewrite-disabled) evaluation
+      val fresh = s.sql(q)
+      val freshHit = usesState(fresh)
+      val freshRows = rows(fresh)
+      s.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val direct = s.sql(q)
+      val directMiss = !usesState(direct)
+      val valuesMatch = freshRows == rows(direct)
+      s.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      // stale: DML lands, the MV must NOT substitute and the query must
+      // serve the LATEST data straight off the base table
+      s.sql("UPDATE graftdml.s39c_t SET pop = pop + 1000 WHERE k % 3 = 0")
+      s.sql("DELETE FROM graftdml.s39c_t WHERE k % 7 = 4")
+      val stale = s.sql(q)
+      val staleMiss = !usesState(stale)
+      val staleLatest = rows(stale) == rows(
+        s.sql(q.replace("graftdml.s39c_t",
+          "(SELECT * FROM graftdml.s39c_t) x")))
+      // refreshed: the rewrite resumes on the new contents
+      s.sql("CALL graftdml.refresh_mv(view => 's39c_mv')")
+      val again = s.sql(q)
+      val againHit = usesState(again)
+      again
+        .withColumn("fresh_rewrite_hit", lit(freshHit))
+        .withColumn("kill_switch_direct", lit(directMiss))
+        .withColumn("rewrite_values_match", lit(valuesMatch))
+        .withColumn("stale_no_rewrite", lit(staleMiss))
+        .withColumn("stale_serves_latest", lit(staleLatest))
+        .withColumn("refreshed_rewrite_hit", lit(againHit))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      a1 AS (SELECT k, r, CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+             FROM src),
+      a2 AS (SELECT * FROM a1 WHERE k % 7 <> 4)
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
+        TRUE AS fresh_rewrite_hit, TRUE AS kill_switch_direct,
+        TRUE AS rewrite_values_match, TRUE AS stale_no_rewrite,
+        TRUE AS stale_serves_latest, TRUE AS refreshed_rewrite_hit
+      FROM a2 GROUP BY r ORDER BY r""")),
+
     // ----- S40: writable branches — the WAP (write-audit-publish)
     // workflow at table-format parity: `CALL create_branch` forks a
     // self-contained zero-copy clone addressable as `t$branch$<name>`

@@ -78,6 +78,42 @@ object GraftMaterializedViews {
 
   private val mapper = new ObjectMapper()
 
+  /** Set while the MV machinery itself analyzes or evaluates definitions
+    * (create / refresh / freshness probes): the transparent rewrite rule
+    * ([[GraftMvRewriteRule]]) must not fire inside — a recompute whose
+    * body matched its own MV would read back its own STALE state instead
+    * of the source, and candidate-body analysis inside the rule itself
+    * would recurse through the analyzer. Thread-local by nature: every
+    * frame the maintenance path builds is analyzed on the calling
+    * thread. */
+  private[sources] val inMaintenance =
+    new scala.util.DynamicVariable[Boolean](false)
+
+  /** True iff the MV's state table exists and reflects every source's
+    * CURRENT version — the watermark table (sole source, or a join
+    * shape's fact) through the state commit's txn watermark, dims
+    * through the recorded versions. The same math `mv$mv` reports; the
+    * transparent rewrite substitutes only when this holds, so it can
+    * never serve data a direct evaluation wouldn't. */
+  def isFresh(g: GraftCatalog, id: Identifier, rec: Record,
+      analyzed: LogicalPlan): Boolean = {
+    val stateDir = g.mvStateDir(id)
+    GraftStore.exists(stateDir) && {
+      val shape = deriveShape(analyzed)
+      val sources = graftSources(analyzed)
+      val wmName =
+        if (sources.size == 1) Some(sources.head._1) else shape.map(_.srcName)
+      sources.nonEmpty && sources.forall { case (n, d) =>
+        val cur = GraftStore.currentVersion(d)
+        val refreshed =
+          if (wmName.contains(n))
+            GraftStore.lastTxnVersion(stateDir, rec.txnApp).filter(_ <= cur)
+          else rec.sources.get(n)
+        refreshed.contains(cur)
+      }
+    }
+  }
+
   /** Persisted MV definition: the SQL, the definer's resolution context
     * (unqualified names keep meaning what they meant at CREATE), the
     * PUBLIC output schema, and the per-source refreshed-through versions
@@ -517,7 +553,8 @@ object GraftMaterializedViews {
     * between the two leaves a published definition whose state the next
     * refresh (re)builds — reads in that window fail loudly. */
   def create(spark: SparkSession, cat: String, g: GraftCatalog,
-      id: Identifier, sqlText: String, ifNotExists: Boolean): Unit = {
+      id: Identifier, sqlText: String, ifNotExists: Boolean): Unit =
+      inMaintenance.withValue(true) {
     if (g.mvExists(id)) {
       if (ifNotExists) return
       throw new IllegalArgumentException(
@@ -574,7 +611,7 @@ object GraftMaterializedViews {
     * the shape allows and the changelog covers (watermark, current];
     * full recompute otherwise. Returns (version refreshed through, mode). */
   def refresh(spark: SparkSession, cat: String, g: GraftCatalog,
-      id: Identifier): (Long, String) = {
+      id: Identifier): (Long, String) = inMaintenance.withValue(true) {
     require(g.mvExists(id), s"materialized view $id does not exist")
     val rec = readRecord(g.mvPath(id))
     val stateDir = g.mvStateDir(id)
@@ -815,7 +852,8 @@ object GraftMaterializedViews {
 
   /** Freshness metadata served by `` `mv$mv` `` — one row per source. */
   def infoRows(spark: SparkSession, cat: String, g: GraftCatalog,
-      id: Identifier): Seq[(String, String, Option[Long], Long, Boolean, Boolean)] = {
+      id: Identifier): Seq[(String, String, Option[Long], Long, Boolean, Boolean)] =
+      inMaintenance.withValue(true) {
     val rec = readRecord(g.mvPath(id))
     val stateDir = g.mvStateDir(id)
     val analyzed = analyzeBody(spark, rec, mvKey(cat, id))

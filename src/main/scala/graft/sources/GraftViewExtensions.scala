@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, p) => new GraftMvParser(p))
     ext.injectHintResolutionRule(s => GraftViewDdlRule(s))
     ext.injectHintResolutionRule(s => GraftViewReadRule(s))
+    // transparent MV rewrite: post-hoc (the plan is fully resolved, so
+    // aggregates compare canonically); substitutes only FRESH state
+    ext.injectPostHocResolutionRule(s => GraftMvRewriteRule(s))
   }
 }
 
