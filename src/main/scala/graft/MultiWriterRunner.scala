@@ -217,10 +217,42 @@ object MultiWriterRunner {
         GraftStore.applyChanges(spark, bd,
           df.withColumn(GraftStore.OpCol,
             org.apache.spark.sql.functions.lit("I")), allInserts = true)
-        val published =
+        var published =
           try { GraftStore.fastForward(dir, bname); true }
           catch {
-            case _: java.util.ConcurrentModificationException => false
+            case _: java.util.ConcurrentModificationException =>
+              // main moved off the fork — the rebase lane: re-fork at
+              // main's head and replay. Branch keys are process-disjoint
+              // from every writer's, so the key-overlap check should
+              // admit it; any loud refusal (boundary in the window,
+              // expired slices, a racing conflict) is a benign lost
+              // publish like before. After a successful rebase the
+              // branch must read WHOLE before the re-publish.
+              val rebased =
+                try { GraftStore.rebaseBranch(spark, dir, bname); true }
+                catch {
+                  case _: IllegalStateException => false
+                  case _: IllegalArgumentException => false
+                  case _: java.util.ConcurrentModificationException => false
+                }
+              if (rebased) {
+                val live = GraftStore.readVersion(spark, bd,
+                  GraftStore.currentVersion(bd))
+                  .select("k").collect().map(_.getLong(0)).toSet
+                rows.foreach { case (k, _, _) =>
+                  if (!live.contains(k)) {
+                    ok = false
+                    println(s"[multiwriter] FAIL: rebase of $bname lost " +
+                      s"branch key $k")
+                  }
+                }
+              }
+              rebased && (
+                try { GraftStore.fastForward(dir, bname); true }
+                catch {
+                  case _: java.util.ConcurrentModificationException => false
+                  case _: IllegalStateException => false
+                })
             // a concurrent meta-only ALTER on main (schema divergence) —
             // never heals by retry; the loop drops the branch like any
             // other lost publish

@@ -2836,6 +2836,99 @@ object SourceQueries {
         TRUE AS cdc_continuous
       FROM fin ORDER BY k""")),
 
+    // ----- S40b: branch rebase — the recourse when fast_forward
+    // conflicts because main moved off the fork point: `CALL
+    // rebase_branch` re-forks the branch from main's CURRENT head and
+    // replays the branch's changelog slices commit-by-commit through the
+    // standard delta path, after KEY-LEVEL conflict detection — merge
+    // keys changed on BOTH sides since the fork conflict loudly with the
+    // branch left intact (disjoint-key divergence is the automatable
+    // case; overlapping keys need a human). Cost ∝ both sides' changes
+    // plus a zero-copy hard-link clone of main — never a data rewrite of
+    // either history; replay preserves the branch's per-commit history
+    // so the follow-up fast_forward still publishes commit-by-commit.
+    // At 100 TB this closes the WAP loop: a long-running experiment
+    // branch survives main moving underneath it without manual re-apply.
+    // The gate pins: the fast_forward conflict, the rebase re-fork (fork
+    // base == main's pre-rebase head), the published contents hashing
+    // the DuckDB closed form of BOTH sides' DML, and the overlapping-key
+    // scenario conflicting loudly with the branch's content intact.
+    GraftQuery("s40b_rebase", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP TABLE IF EXISTS graftdml.s40b_t")
+      s.sql("DROP TABLE IF EXISTS graftdml.s40b_c")
+      s.sql("""CREATE TABLE graftdml.s40b_t
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s40b_rows")
+      s.sql("INSERT INTO graftdml.s40b_t SELECT * FROM s40b_rows")
+      s.sql("CALL graftdml.create_branch(table => 's40b_t', name => 'exp')")
+      // branch: keys {k%4=1} ∪ {200..204}; main: keys {k%4 ∈ 2,3} — disjoint
+      s.sql("UPDATE graftdml.`s40b_t$branch$exp` SET pop = pop + 500 " +
+        "WHERE k % 4 = 1")
+      s.sql("""INSERT INTO graftdml.`s40b_t$branch$exp`
+        SELECT id + 200, (id + 200) % 5, (id + 200) * 10 + 7 FROM range(5)""")
+      s.sql("DELETE FROM graftdml.s40b_t WHERE k % 4 = 2")
+      s.sql("UPDATE graftdml.s40b_t SET pop = pop + 9 WHERE k % 4 = 3")
+      val ffConflict =
+        try { s.sql("CALL graftdml.fast_forward(table => 's40b_t', " +
+          "name => 'exp')").collect(); false }
+        catch { case e: Exception =>
+          (e.getMessage + Option(e.getCause).map(_.getMessage)
+            .getOrElse("")).contains("fork point") }
+      val mainHead = graft.sources.GraftStore.currentVersion(
+        s"${DmlFixture.warehouse}/s40b_t")
+      s.sql("CALL graftdml.rebase_branch(table => 's40b_t', name => 'exp')")
+      val forkAtHead = graft.sources.GraftStore.branchForkBase(
+        s"${DmlFixture.warehouse}/s40b_t", "exp") == mainHead
+      s.sql("CALL graftdml.fast_forward(table => 's40b_t', name => 'exp')")
+      // overlapping-key scenario: loud conflict, branch intact
+      s.sql("""CREATE TABLE graftdml.s40b_c
+        (k BIGINT NOT NULL, v BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+      s.sql("INSERT INTO graftdml.s40b_c VALUES (1, 10), (2, 20)")
+      s.sql("CALL graftdml.create_branch(table => 's40b_c', name => 'clash')")
+      s.sql("UPDATE graftdml.`s40b_c$branch$clash` SET v = 11 WHERE k = 1")
+      s.sql("UPDATE graftdml.s40b_c SET v = 12 WHERE k = 1")
+      val conflictLoud =
+        try { s.sql("CALL graftdml.rebase_branch(table => 's40b_c', " +
+          "name => 'clash')").collect(); false }
+        catch { case e: Exception =>
+          (e.getMessage + Option(e.getCause).map(_.getMessage)
+            .getOrElse("")).contains("rebase conflict") }
+      val branchIntact = s.sql(
+        "SELECT v FROM graftdml.`s40b_c$branch$clash` WHERE k = 1")
+        .head().getLong(0) == 11L &&
+        s.sql("SELECT v FROM graftdml.s40b_c WHERE k = 1")
+          .head().getLong(0) == 12L
+      s.sql("SELECT k, r, pop FROM graftdml.s40b_t")
+        .withColumn("ff_conflicted", lit(ffConflict))
+        .withColumn("rebase_forked_at_head", lit(forkAtHead))
+        .withColumn("conflict_loud", lit(conflictLoud))
+        .withColumn("conflict_branch_intact", lit(branchIntact))
+        .orderBy($"k")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      m1 AS (SELECT * FROM src WHERE k % 4 <> 2),
+      m2 AS (SELECT k, r, CASE WHEN k % 4 = 3 THEN pop + 9 ELSE pop END AS pop
+             FROM m1),
+      b1 AS (SELECT k, r, CASE WHEN k % 4 = 1 THEN pop + 500 ELSE pop END AS pop
+             FROM m2),
+      fin AS (SELECT * FROM b1
+              UNION ALL
+              SELECT CAST(i + 200 AS BIGINT), CAST((i + 200) % 5 AS BIGINT),
+                CAST((i + 200) * 10 + 7 AS BIGINT) FROM range(5) t(i))
+      SELECT k, r, pop, TRUE AS ff_conflicted, TRUE AS rebase_forked_at_head,
+        TRUE AS conflict_loud, TRUE AS conflict_branch_intact
+      FROM fin ORDER BY k""")),
+
     // ----- S41: ALTER COLUMN TYPE widening — lossless, metadata-only
     // schema drift absorption (int-family -> wider int, float -> double)
     // for NON-KEY columns: the physical-name mapping keeps file bytes

@@ -26,7 +26,7 @@ object GraftProcedures {
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
     "analyze", "maintenance_report", "create_tag", "drop_tag",
     "refresh_mv", "create_branch", "drop_branch", "fast_forward",
-    "set_partition_spec")
+    "rebase_branch", "set_partition_spec")
 
   private[sources] val Descriptions: Map[String, String] = Map(
     "optimize" -> ("compact leaf slots (partition x bucket dirs) with more " +
@@ -76,6 +76,11 @@ object GraftProcedures {
       "`VERSION AS OF '<name>'` (tracks the branch head); main and " +
       "branch evolve independently until fast_forward"),
     "drop_branch" -> "discard a branch and its commits (main untouched)",
+    "rebase_branch" -> ("re-fork a branch from main's CURRENT head when " +
+      "fast_forward conflicts: the branch's changelog slices replay " +
+      "commit-by-commit through the standard delta path after key-level " +
+      "conflict detection — merge keys changed on BOTH sides since the " +
+      "fork conflict loudly with the branch left intact"),
     "fast_forward" -> ("publish a branch into main commit-by-commit when " +
       "main has not moved off the fork point (loud conflict otherwise): " +
       "version dirs and changelog slices adopt by hard link, time " +
@@ -136,7 +141,8 @@ object GraftProcedures {
       ProcedureParameter.in("name", StringType).build())
     case "refresh_mv" => Array(
       ProcedureParameter.in("view", StringType).build())
-    case "create_branch" | "drop_branch" | "fast_forward" => Array(
+    case "create_branch" | "drop_branch" | "fast_forward" |
+        "rebase_branch" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
     case "set_partition_spec" => Array(
@@ -317,6 +323,9 @@ final class GraftProcedure(procName: String, tableDir: String => String,
           ("branches_left", GraftStore.listBranches(dir).size.toLong)
         case "fast_forward" =>
           ("version", GraftStore.fastForward(dir,
+            input.getUTF8String(1).toString))
+        case "rebase_branch" =>
+          ("version", GraftStore.rebaseBranch(spark, dir,
             input.getUTF8String(1).toString))
         case "set_partition_spec" =>
           // accept 'hours' or 'hours(col)' — the column is fixed, so a

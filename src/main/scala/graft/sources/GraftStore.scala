@@ -1849,6 +1849,122 @@ object GraftStore {
     bHead
   }
 
+  /** Rebase branch `name` onto MAIN's current head — the recourse when
+    * `fast_forward` conflicts because main moved off the fork point: the
+    * branch re-forks from main's head and its changelog slices REPLAY
+    * commit-by-commit through the standard delta path, with KEY-LEVEL
+    * conflict detection first — any merge key changed on BOTH sides
+    * since the fork is a loud conflict with the branch left intact
+    * (disjoint-key divergence is the automatable case; overlapping keys
+    * need a human). Cost ∝ both sides' changes plus a zero-copy clone of
+    * main (hard links, O(file count)) — never a data rewrite of either
+    * history.
+    *
+    * Race discipline: main is CLONED FIRST and the rebase builds
+    * entirely inside the private clone — a main commit racing the rebase
+    * lands either before the clone (its keys are checked) or after it
+    * (the rebased branch simply forks one version earlier, which is
+    * exactly the conflict the next fast_forward reports). The swap keeps
+    * the ORIGINAL branch on disk until the rebased one occupies the
+    * name; a crash mid-swap leaves a `.prerebase-` sibling vacuum can
+    * reclaim (or an operator can rename back). Replay preserves the
+    * branch's per-commit history — the rebased branch fast-forwards
+    * commit-by-commit like any other. */
+  def rebaseBranch(spark: SparkSession, dir: String, name: String): Long = {
+    require(branchExists(dir, name),
+      s"table $dir has no branch '$name' (have " +
+        s"${listBranches(dir).mkString("[", ", ", "]")})")
+    val bd = branchDir(dir, name)
+    recoverChangelog(dir)
+    recoverChangelog(bd)
+    val fork = branchForkBase(dir, name)
+    val bHead = currentVersion(bd)
+    if (readMeta(dir) != readMeta(bd))
+      throw new IllegalStateException(
+        s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
+          "(an ALTER landed on the branch or on main since the fork); " +
+          "rebase aborted — re-branch and replay, or use RTAS")
+    if (bHead > fork) {
+      require(changesHorizon(bd) <= fork + 1,
+        s"branch '$name' of $dir expired changelog slices since its fork " +
+          s"v$fork — not replayable; re-branch from main and re-apply")
+      require(boundariesIn(bd, fork + 1, bHead).isEmpty,
+        s"branch '$name' of $dir carries a snapshot boundary " +
+          "(TRUNCATE/INSERT OVERWRITE/RESTORE) since its fork — not " +
+          "replayable; re-branch from main and re-apply")
+    }
+    Files.createDirectories(branchesRoot(dir))
+    val tmp = s"${branchesRoot(dir)}/.creating-rebase-$name-" +
+      java.util.UUID.randomUUID()
+    cloneTable(dir, tmp)
+    try {
+      val mHead = currentVersion(tmp)
+      require(mHead > fork,
+        s"main of $dir is still at branch '$name''s fork point v$fork — " +
+          "nothing to rebase onto; use fast_forward")
+      val meta = readMeta(tmp)
+      if (bHead > fork) {
+        // overlap detection needs MAIN's changelog over the divergence
+        // window; slices for committed versions are immutable, so reading
+        // them after the clone is exact (the clone's own changelog starts
+        // empty — clones have fresh history)
+        require(changesHorizon(dir) <= fork + 1 &&
+            boundariesIn(dir, fork + 1, mHead).isEmpty,
+          s"main of $dir expired changelog slices or carries a snapshot " +
+            s"boundary since branch '$name''s fork v$fork — key-overlap " +
+            "detection impossible; re-branch from main and re-apply")
+        val keyCols = meta.keyCols
+        val bKeys = readChanges(spark, bd, fork + 1, bHead)
+          .select(keyCols.map(col): _*).distinct()
+        val mKeys = readChanges(spark, dir, fork + 1, mHead)
+          .select(keyCols.map(col): _*).distinct()
+        val clash = bKeys.join(mKeys, keyCols).limit(5).collect()
+        if (clash.nonEmpty)
+          throw new IllegalStateException(
+            s"rebase conflict on $dir branch '$name': merge keys changed " +
+              s"on BOTH main and the branch since fork v$fork (e.g. " +
+              clash.map(_.toSeq.mkString("(", ",", ")")).mkString(", ") +
+              "); overlapping-key divergence needs a human — re-branch " +
+              "and reconcile, or drop one side's change")
+        ((fork + 1) to bHead).filter(v => hasChangelog(bd, v)).foreach { v =>
+          val slice = readChanges(spark, bd, v, v)
+          val batch = slice.select((col(ChangeOpCol).as(OpCol) +:
+            meta.schema.fieldNames.toSeq.map(col)): _*)
+          applyChanges(spark, tmp, batch)
+        }
+      }
+      Files.write(Paths.get(tmp, ForkBaseName),
+        mHead.toString.getBytes("UTF-8"))
+      val newHead = currentVersion(tmp)
+      // swap: the ORIGINAL branch stays on disk until the rebased one
+      // occupies the name (never a window with neither recoverable)
+      val pre = s"${branchesRoot(dir)}/.prerebase-$name-" +
+        java.util.UUID.randomUUID()
+      invalidateDvCache(bd)
+      Files.move(Paths.get(bd), Paths.get(pre),
+        StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(Paths.get(tmp), Paths.get(bd),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: Throwable =>
+          // put the original back before surfacing (FileAlreadyExists =
+          // a concurrent create took the name — they win; if the restore
+          // itself fails the .prerebase- sibling holds the content)
+          try Files.move(Paths.get(pre), Paths.get(bd),
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Throwable => () }
+          throw e
+      }
+      invalidateDvCache(bd)
+      deleteRecursively(Paths.get(pre))
+      newHead
+    } catch {
+      case e: Throwable =>
+        if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
+        throw e
+    }
+  }
+
   // --------------------------------------------------------------------
   // Idempotent writer commits (txnAppId / txnVersion write options): a
   // batch writer stamps each write with an application id and a
@@ -3365,15 +3481,19 @@ object GraftStore {
           if (age > olderThanMillis) { deleteRecursively(p); removed += 1 }
         }
     }
-    // a crashed createBranch leaks its full hard-linked clone under
-    // `_branches/.creating-<name>-<uuid>` — never promoted, invisible to
-    // listBranches, reclaimed here with the same newest-mtime liveness
-    // gate as the stage-dir sweep (a live clone keeps linking files)
+    // a crashed createBranch/rebaseBranch leaks its full hard-linked
+    // clone under `_branches/.creating-*` (and a crashed rebase swap the
+    // displaced original under `_branches/.prerebase-*`) — never
+    // promoted, invisible to listBranches, reclaimed here with the same
+    // newest-mtime liveness gate as the stage-dir sweep (a live clone
+    // keeps linking files)
     locally {
       val broot = branchesRoot(dir)
       if (Files.isDirectory(broot)) {
-        listDir(broot)(_.filter(
-            _.getFileName.toString.startsWith(".creating-")).toList)
+        listDir(broot)(_.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(".creating-") || n.startsWith(".prerebase-")
+          }.toList)
           .foreach { p =>
             val age = try {
               val walk = Files.walk(p)

@@ -206,6 +206,94 @@ class BranchSpec extends SparkTestBase {
     spark.sql(s"CALL $cat.drop_branch(table => '$t', name => 'tt')")
   }
 
+  test("rebase replays disjoint-key divergence onto main's head") {
+    val t = mkTable("br_rebase")
+    val dir = s"$warehouse/$t"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20), (3, 2, 30)")
+    spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'rb')")
+    // branch: two commits touching keys {4, 1}
+    spark.sql(s"INSERT INTO $cat.`$t$$branch$$rb` VALUES (4, 0, 40)")
+    spark.sql(s"UPDATE $cat.`$t$$branch$$rb` SET amount = 11 WHERE k = 1")
+    // main: two commits touching keys {5, 2} — disjoint
+    spark.sql(s"INSERT INTO $cat.$t VALUES (5, 1, 50)")
+    spark.sql(s"DELETE FROM $cat.$t WHERE k = 2")
+    // fast_forward must conflict (main moved)
+    val eFf = intercept[Exception] {
+      spark.sql(s"CALL $cat.fast_forward(table => '$t', name => 'rb')")
+    }
+    assert(chain(eFf).exists(x => x.getMessage != null &&
+      x.getMessage.contains("advanced past the fork point")), s"got $eFf")
+    val mainHead = GraftStore.currentVersion(dir)
+    // rebase: re-forks at main's head, replays the branch's two commits
+    val v = spark.sql(s"CALL $cat.rebase_branch(table => '$t', name => 'rb')")
+      .head().getLong(0)
+    assert(v === mainHead + 2, "two replayed commits atop main's head")
+    assert(GraftStore.branchForkBase(dir, "rb") === mainHead)
+    // the rebased branch sees BOTH sides' changes
+    assert(rows(s"$cat.`$t$$branch$$rb`") ===
+      Seq((1L, 0L, 11L), (3L, 2L, 30L), (4L, 0L, 40L), (5L, 1L, 50L)))
+    // main untouched by the rebase
+    assert(rows(s"$cat.$t") ===
+      Seq((1L, 0L, 10L), (3L, 2L, 30L), (5L, 1L, 50L)))
+    // and now fast_forward publishes cleanly, commit-by-commit
+    spark.sql(s"CALL $cat.fast_forward(table => '$t', name => 'rb')")
+    assert(GraftStore.currentVersion(dir) === mainHead + 2)
+    assert(rows(s"$cat.$t") ===
+      Seq((1L, 0L, 11L), (3L, 2L, 30L), (4L, 0L, 40L), (5L, 1L, 50L)))
+    // per-commit history survived: the replayed intermediate version is
+    // time-travelable on main (insert landed, update not yet)
+    assert(rows(s"$cat.$t VERSION AS OF ${mainHead + 1}") ===
+      Seq((1L, 0L, 10L), (3L, 2L, 30L), (4L, 0L, 40L), (5L, 1L, 50L)))
+    // CDC continuity: the adopted replayed commits carry change rows
+    val ops = spark.sql(s"SELECT change_op, COUNT(*) FROM $cat.`$t$$changes` " +
+      s"WHERE change_version > $mainHead GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.getOrElse("I", 0L) === 1L && ops.getOrElse("U", 0L) === 1L)
+  }
+
+  test("rebase conflicts loudly on overlapping keys; branch intact") {
+    val t = mkTable("br_rbconf")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'rbc')")
+    spark.sql(s"UPDATE $cat.`$t$$branch$$rbc` SET amount = 11 WHERE k = 1")
+    spark.sql(s"INSERT INTO $cat.`$t$$branch$$rbc` VALUES (9, 0, 90)")
+    // main touches key 1 too — overlapping divergence
+    spark.sql(s"UPDATE $cat.$t SET amount = 12 WHERE k = 1")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.rebase_branch(table => '$t', name => 'rbc')")
+    }
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("rebase conflict")), s"got $e")
+    // the branch survives the conflict with its content intact
+    assert(rows(s"$cat.`$t$$branch$$rbc`") ===
+      Seq((1L, 0L, 11L), (2L, 1L, 20L), (9L, 0L, 90L)))
+    assert(rows(s"$cat.$t") === Seq((1L, 0L, 12L), (2L, 1L, 20L)))
+    // main at the fork → nothing to rebase onto, loudly toward the fix
+    val t2 = mkTable("br_rbnoop")
+    spark.sql(s"INSERT INTO $cat.$t2 VALUES (1, 0, 10)")
+    spark.sql(s"CALL $cat.create_branch(table => '$t2', name => 'rbn')")
+    spark.sql(s"INSERT INTO $cat.`$t2$$branch$$rbn` VALUES (2, 1, 20)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.rebase_branch(table => '$t2', name => 'rbn')")
+    }
+    assert(chain(e2).exists(x => x.getMessage != null &&
+      x.getMessage.contains("use fast_forward")), s"got $e2")
+  }
+
+  test("rebase refuses boundaries on the branch (not replayable)") {
+    val t = mkTable("br_rbbound")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
+    spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'rbb')")
+    spark.sql(s"INSERT OVERWRITE $cat.`$t$$branch$$rbb` VALUES (7, 7, 70)")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (2, 1, 20)") // main moves
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.rebase_branch(table => '$t', name => 'rbb')")
+    }
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("snapshot boundary")), s"got $e")
+    assert(rows(s"$cat.`$t$$branch$$rbb`") === Seq((7L, 7L, 70L)))
+  }
+
   test("ALTER on a branch blocks fast_forward loudly") {
     val t = mkTable("br_alter")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
