@@ -825,6 +825,58 @@ object GraftMaterializedViews {
     (wmV, "full")
   }
 
+  /** Continuous maintenance (T15): a Structured Streaming query over the
+    * WATERMARK TABLE's changelog (`` src$changes ``, the T12 stream)
+    * whose only job is to TRIGGER an incremental refresh per micro-batch
+    * — always-fresh MVs without an external scheduler. The stream is a
+    * trigger, not a data path: each refresh reads the unfolded changelog
+    * slices itself under the state commit's txn watermark, which is why
+    * exactly-once needs NO (streamId, epoch) bookkeeping — a replayed
+    * epoch after a restart re-runs refresh, which no-ops at the
+    * already-folded watermark; a crash between fold and checkpoint costs
+    * one extra no-op. Batches are pruned to the version column (the
+    * trigger only needs offsets to advance), so the data cost is the
+    * changelog read the refresh itself performs, ∝ changes. Join MVs
+    * watch the FACT's changelog; a dim commit is folded-or-recomputed by
+    * the next fact-triggered refresh (or a manual `CALL refresh_mv`).
+    * The changelog never spans a snapshot boundary (TRUNCATE/OVERWRITE/
+    * RESTORE), so a boundary fails the stream loudly — restart it with a
+    * fresh checkpoint after the source re-baselines. */
+  def maintainStream(spark: SparkSession, cat: String, g: GraftCatalog,
+      id: Identifier, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(g.mvExists(id), s"materialized view $id does not exist")
+    val rec = readRecord(g.mvPath(id))
+    val key = mvKey(cat, id)
+    val (sources, shape) = inMaintenance.withValue(true) {
+      val analyzed = analyzeBody(spark, rec, key)
+      (graftSources(analyzed), deriveShape(analyzed))
+    }
+    val wmSrc =
+      if (sources.size == 1) Some(sources.head._1)
+      else shape.map(_.srcName)
+    require(wmSrc.isDefined,
+      s"continuous maintenance needs a single-source or join-shape " +
+        s"materialized view; $key reads ${sources.size} sources with no " +
+        "maintainable shape — schedule CALL refresh_mv instead")
+    val parts = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(wmSrc.get)
+    def quote(p: String) = "`" + p.replace("`", "``") + "`"
+    val addr = ((cat +: parts.init) :+
+      (parts.last + GraftCatalog.ChangesSuffix)).map(quote).mkString(".")
+    spark.readStream.table(addr)
+      .select(col(GraftStore.ChangeVersionCol))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, cat, g, id)
+        ()
+      }
+      .start()
+  }
+
   private def singleRelation(analyzed: LogicalPlan)
       : Option[DataSourceV2Relation] = {
     val rels = analyzed.collectWithSubqueries {

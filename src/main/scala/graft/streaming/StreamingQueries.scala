@@ -1068,6 +1068,97 @@ object StreamingQueries {
         TRUE AS snapshot_alone_one_batch
       FROM counts ORDER BY change_version""")),
 
+    // ----- T15: streaming MV maintenance — the T12 changelog stream
+    // wired to the S39 incremental fold: a Structured Streaming query on
+    // the watermark table's `$changes` triggers a refresh per micro-batch,
+    // giving ALWAYS-FRESH materialized views without a scheduler. The
+    // stream is a trigger, not a data path — each refresh reads the
+    // unfolded slices itself under the state commit's txn watermark, so
+    // exactly-once needs no (streamId, epoch) bookkeeping: a replayed
+    // epoch after a restart re-runs refresh, which no-ops at the
+    // already-folded watermark. At 100 TB each fold stays ∝ changes +
+    // |view| and the maintenance loop is one long-lived tiny stream. The
+    // gate runs DML bursts WHILE the maintenance stream runs (freshness
+    // observed via `mv$mv` flipping unstale), proves the stream drained
+    // the changelog (a direct refresh no-ops after stop), RESTARTS the
+    // stream from the same checkpoint for a second burst, and hashes the
+    // final state against the DuckDB recompute closed form.
+    GraftQuery("t15_streaming_mv", (s, d) => {
+      import s.implicits._
+      graft.operators.DmlFixture.register(s)
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.t15_mv")
+      s.sql("DROP TABLE IF EXISTS graftdml.t15_src")
+      s.sql("""CREATE TABLE graftdml.t15_src
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("t15_rows")
+      s.sql("INSERT INTO graftdml.t15_src SELECT * FROM t15_rows")
+      s.sql("""CREATE MATERIALIZED VIEW graftdml.t15_mv AS
+        SELECT r, COUNT(*) AS n, SUM(pop) AS s
+        FROM graftdml.t15_src GROUP BY r""")
+      val g = s.sessionState.catalogManager.catalog("graftdml")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "t15_mv")
+      val ckpt = {
+        val p = java.nio.file.Files.createTempDirectory("graft_t15_ckpt")
+        p.toFile.deleteOnExit()
+        p.toString
+      }
+      def stale(): Boolean =
+        s.sql("SELECT stale FROM graftdml.`t15_mv$mv`").head().getBoolean(0)
+      def awaitFresh(): Boolean = {
+        val deadline = System.nanoTime() + 180L * 1000000000L
+        while (stale() && System.nanoTime() < deadline) Thread.sleep(200L)
+        !stale()
+      }
+      def maintainer() = graft.sources.GraftMaterializedViews.maintainStream(
+        s, "graftdml", g, id, ckpt,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "250 milliseconds"))
+      // leg 1: DML bursts land WHILE the maintenance stream runs
+      val q1 = maintainer()
+      val folded1 = try {
+        s.sql("UPDATE graftdml.t15_src SET pop = pop + 1000 WHERE k % 3 = 0")
+        s.sql("DELETE FROM graftdml.t15_src WHERE k % 7 = 4")
+        awaitFresh()
+      } finally q1.stop()
+      // fully folded: a direct refresh has nothing left to do
+      val drained1 = s.sql("CALL graftdml.refresh_mv(view => 't15_mv')")
+        .head().getString(1) == "noop"
+      // leg 2: RESTART from the same checkpoint, another burst
+      s.sql("""INSERT INTO graftdml.t15_src
+        SELECT id + 100, (id + 100) % 5, (id + 100) * 10 + 7 FROM range(5)""")
+      val q2 = maintainer()
+      val folded2 = try awaitFresh() finally q2.stop()
+      val drained2 = s.sql("CALL graftdml.refresh_mv(view => 't15_mv')")
+        .head().getString(1) == "noop"
+      s.sql("SELECT r, n, s FROM graftdml.t15_mv")
+        .withColumn("stream_folded_burst", lit(folded1))
+        .withColumn("drained_after_stop", lit(drained1))
+        .withColumn("restart_folded_more", lit(folded2))
+        .withColumn("drained_after_restart", lit(drained2))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      a1 AS (SELECT k, r, CASE WHEN k % 3 = 0 THEN pop + 1000 ELSE pop END AS pop
+             FROM src),
+      a2 AS (SELECT * FROM a1 WHERE k % 7 <> 4),
+      fin AS (SELECT * FROM a2
+              UNION ALL
+              SELECT CAST(i + 100 AS BIGINT), CAST((i + 100) % 5 AS BIGINT),
+                CAST((i + 100) * 10 + 7 AS BIGINT) FROM range(5) t(i))
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
+        TRUE AS stream_folded_burst, TRUE AS drained_after_stop,
+        TRUE AS restart_folded_more, TRUE AS drained_after_restart
+      FROM fin GROUP BY r ORDER BY r""")),
+
     // ----- T11: declarative streaming UPSERT into the DML store —
     // `writeStream.option("upsert","true").toTable(...)` commits each
     // epoch's rows as keyed updates (delete-old + insert-new per merge
