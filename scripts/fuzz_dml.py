@@ -482,8 +482,21 @@ def gen_sequence(idx):
             f"SELECT COALESCE({cn['name']}, '~') AS g, COUNT(*) AS n, "
             f"SUM({cn['amount']}) AS s FROM graftdml.{t} "
             f"GROUP BY COALESCE({cn['name']}, '~')")
+        # half the MV legs land their two DML commits on a BRANCH that is
+        # fast_forwarded before the refresh: the adopted commit-by-commit
+        # changelog must fold exactly like direct commits (same version
+        # numbers, same per-version op counts — exp_changes unchanged),
+        # differential-checking the S39×S40 interaction over every table
+        # end state the fuzzer generates
+        via_branch = rng.random() < 0.5
+        if via_branch:
+            stmts.append(f"CALL graftdml.create_branch("
+                         f"table => '{t}', name => 'fzmv')")
+            tgt = f"graftdml.`{t}$branch$fzmv`"
+        else:
+            tgt = f"graftdml.{t}"
         delta2, mod2, rem2 = rng.randint(1, 50), rng.choice([2, 3, 5]), 0
-        stmts.append(f"UPDATE graftdml.{t} SET {cn['amount']} = "
+        stmts.append(f"UPDATE {tgt} SET {cn['amount']} = "
                      f"{cn['amount']} + {delta2} "
                      f"WHERE {cn['k']} % {mod2} = {rem2}")
         ops = []
@@ -492,12 +505,15 @@ def gen_sequence(idx):
                 n, a = state[k]; state[k] = (n, a + delta2); ops.append("U")
         commit(ops)
         cut2 = rng.randint(200, 900)
-        stmts.append(f"DELETE FROM graftdml.{t} WHERE {cn['amount']} > {cut2}")
+        stmts.append(f"DELETE FROM {tgt} WHERE {cn['amount']} > {cut2}")
         ops = []
         for k in list(state):
             if state[k][1] > cut2:
                 del state[k]; ops.append("D")
         commit(ops)
+        if via_branch:
+            stmts.append(f"CALL graftdml.fast_forward("
+                         f"table => '{t}', name => 'fzmv')")
         stmts.append(f"CALL graftdml.refresh_mv(view => 'mv_{t}')")
 
     # final read = full scan UNION predicate probes: a range predicate

@@ -561,6 +561,86 @@ object Scratch {
       }
       state.unpersist()
     }
+    // star-join MV maintenance at scale — the S39b claim: an incremental
+    // refresh of fact⋈dim costs ∝ fact-changes ⋈ dim + |view|, never
+    // ∝ |fact|. FIXED 1k-row dim and FIXED 5k-row fact slice against a
+    // fact grown ×1/×10/×100: the fold must stay ~flat while the
+    // recompute contrast (a dim commit's poison lane) grows with the
+    // fact.
+    for (k <- Seq(1, 10, 100) if want("mvjoin")) {
+      val cat = s"gmvj$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_mvjoin").toString)
+      val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id"))
+      val fact = ev.groupBy($"event_id".as("k"))
+        .agg(max(round($"value" * 100).cast("long")).as("cents"))
+        .withColumn("dk", pmod($"k", lit(1000L))).cache()
+      val n = fact.count()
+      fact.createOrReplaceTempView(s"mvj_src_$k")
+      spark.sql(s"CREATE TABLE $cat.f (k BIGINT NOT NULL, cents BIGINT, " +
+        "dk BIGINT) USING graft TBLPROPERTIES ('merge_key'='k', 'buckets'='64')")
+      spark.sql(s"CREATE TABLE $cat.dim (dk BIGINT NOT NULL, grp BIGINT, " +
+        "w BIGINT) USING graft TBLPROPERTIES ('merge_key'='dk', 'buckets'='4')")
+      spark.sql(s"INSERT INTO $cat.f SELECT k, cents, dk FROM mvj_src_$k")
+      spark.sql(s"INSERT INTO $cat.dim SELECT id, id % 37, id % 11 + 1 " +
+        "FROM range(0, 1000)")
+      time(f"mvjoin x$k%3d ($n%9d fact rows) CREATE (initial full)") {
+        spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv AS SELECT d.grp AS g, " +
+          s"COUNT(*) AS n, SUM(f.cents * d.w) AS s FROM $cat.f f " +
+          s"JOIN $cat.dim d ON f.dk = d.dk GROUP BY d.grp")
+      }
+      spark.sql(s"INSERT INTO $cat.f SELECT -1 - id, id, id % 1000 " +
+        "FROM range(0, 5000)")
+      spark.sql(s"UPDATE $cat.f SET cents = cents + 1 WHERE k < 0 AND k % 7 = 0")
+      time(f"mvjoin x$k%3d ($n%9d fact rows) incremental fold (5k slice)") {
+        val mode = spark.sql(s"CALL $cat.refresh_mv(view => 'mv')")
+          .head().getString(1)
+        require(mode == "incremental", s"expected incremental, got $mode")
+      }
+      spark.sql(s"UPDATE $cat.dim SET w = w + 1 WHERE dk = 3")
+      time(f"mvjoin x$k%3d ($n%9d fact rows) dim-poison recompute contrast") {
+        val mode = spark.sql(s"CALL $cat.refresh_mv(view => 'mv')")
+          .head().getString(1)
+        require(mode == "full", s"expected full, got $mode")
+      }
+      fact.unpersist()
+    }
+    // branch rebase at scale — the S40b claim: rebase costs the zero-copy
+    // clone of main (hard links, O(files)) + key-overlap detection and
+    // replay ∝ BOTH SIDES' CHANGES — never a data rewrite of either
+    // history. Fixed 2-commit branch, fixed 1-commit main divergence,
+    // table grown ×1/×10/×100: the rebase must track the clone's link
+    // pass (O(file count)), not the data volume.
+    for (k <- Seq(1, 10, 100) if want("rebase")) {
+      val cat = s"grbs$k"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        java.nio.file.Files.createTempDirectory("graft_scale_rebase").toString)
+      val ev = replicate(Tables.events(spark, d), k, Seq("event_id", "user_id"))
+      val state = ev.groupBy($"event_id".as("k"))
+        .agg(max(round($"value" * 100).cast("long")).as("cents")).cache()
+      val n = state.count()
+      state.createOrReplaceTempView(s"rbs_src_$k")
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT NOT NULL, cents BIGINT) " +
+        "USING graft TBLPROPERTIES ('merge_key'='k', 'buckets'='64')")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM rbs_src_$k")
+      spark.sql(s"CALL $cat.create_branch(table => 't', name => 'exp')")
+      spark.sql(s"INSERT INTO $cat.`t$$branch$$exp` " +
+        "SELECT -1 - id, id FROM range(0, 5000)")
+      spark.sql(s"UPDATE $cat.`t$$branch$$exp` SET cents = cents + 1 " +
+        "WHERE k = -42")
+      spark.sql(s"INSERT INTO $cat.t SELECT -1000000 - id, id FROM range(0, 5000)")
+      time(f"rebase x$k%3d ($n%9d keys) rebase_branch (2 replayed commits)") {
+        spark.sql(s"CALL $cat.rebase_branch(table => 't', name => 'exp')")
+      }
+      time(f"rebase x$k%3d ($n%9d keys) fast_forward after rebase") {
+        spark.sql(s"CALL $cat.fast_forward(table => 't', name => 'exp')")
+      }
+      state.unpersist()
+    }
     // merge-on-read vs copy-on-write on the documented worst case: a
     // FIXED 5k-key change batch whose keys spread across every bucket.
     // CoW must grow with the table (rewrites all 64 buckets); MoR must

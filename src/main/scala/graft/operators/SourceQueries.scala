@@ -2929,6 +2929,105 @@ object SourceQueries {
         TRUE AS conflict_loud, TRUE AS conflict_branch_intact
       FROM fin ORDER BY k""")),
 
+    // ----- S43: keyless APPEND-ONLY tables — the raw-event bronze-layer
+    // shape: `TBLPROPERTIES ('append_only'='true')` creates a table with
+    // NO merge key (previously mandatory, forcing surrogate keys onto
+    // event logs). No row identity means no row-level DML: INSERT /
+    // INSERT OVERWRITE / REPLACE WHERE / retention only, with
+    // UPDATE/DELETE/MERGE and keyed upserts rejected LOUDLY at planning;
+    // buckets fan out from a whole-row hash (deterministic: replays
+    // co-locate, fan-out stays uniform), partitioning/zone-maps/
+    // time-travel/CDC (all-I changelog)/branches all compose unchanged.
+    // Keyless REPLACE WHERE is one whole-table overwrite commit of
+    // (kept ∪ new), snapshot-pinned. At 100 TB this is the ingest shape:
+    // an hourly-partitioned event firehose appends forever, retention is
+    // expire_partitions (metadata-only), and nothing pays keyed-upsert
+    // machinery it never uses. The gate pins: a PLAIN append STREAM into
+    // a partitioned keyless table (two epochs), a batch INSERT alongside,
+    // MEASURED partition pruning (planned files for one partition <
+    // full-scan files) with the pruned read's values in the hash, all
+    // three row-level DML statements rejected with the append-only
+    // error, and REPLACE WHERE swapping one partition — the final state
+    // hashes the DuckDB closed form.
+    GraftQuery("s43_keyless_append", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      DmlFixture.register(s)
+      s.sql("DROP TABLE IF EXISTS graftdml.s43_t")
+      s.sql("""CREATE TABLE graftdml.s43_t
+        (k BIGINT, r BIGINT, pop BIGINT) USING graft
+        PARTITIONED BY (r)
+        TBLPROPERTIES ('append_only'='true', 'buckets'='4')""")
+      val base = T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      // a PLAIN append stream (no upsert option — there is no key)
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = in.toDS().toDF("k", "r", "pop").writeStream
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_s43_ckpt").toString)
+        .toTable("graftdml.s43_t")
+      try {
+        in.addData(base)
+        q.processAllAvailable()
+        in.addData(base.map { case (k, r, pop) => (k + 100, r, pop + 3) })
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = s.table("graftdml.s43_t").count() == 2L * base.size
+      T.nation(s, d).createOrReplaceTempView("s43_nation")
+      s.sql("""INSERT INTO graftdml.s43_t
+        SELECT CAST(n_nationkey AS BIGINT) + 200, CAST(n_regionkey AS BIGINT),
+          CAST(n_nationkey AS BIGINT) * 10 + 18
+        FROM s43_nation""")
+      // row-level DML: rejected loudly at planning, table untouched
+      def rejected(sqlText: String): Boolean =
+        try { s.sql(sqlText).collect(); false }
+        catch { case e: Throwable =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(x => x.getMessage != null &&
+              x.getMessage.contains("APPEND-ONLY")) }
+      val updRej = rejected("UPDATE graftdml.s43_t SET pop = 0 WHERE k = 1")
+      val delRej = rejected("DELETE FROM graftdml.s43_t WHERE k = 1")
+      val mrgRej = rejected("""MERGE INTO graftdml.s43_t t
+        USING (SELECT 1 AS k) c ON t.k = c.k WHEN MATCHED THEN DELETE""")
+      // REPLACE WHERE: swap partition r = 4 for three synthetic rows
+      s.sql("""INSERT INTO graftdml.s43_t REPLACE WHERE r = 4
+        SELECT id + 900, 4, id + 1000 FROM range(3)""")
+      // measured partition pruning: one partition plans fewer files than
+      // the full scan, and its values ride in the output hash
+      val full = filesPlanned(s.table("graftdml.s43_t"))
+      val one = filesPlanned(s.table("graftdml.s43_t").where($"r" === 2))
+      val pruned = one > 0 && one < full
+      s.sql("SELECT r, COUNT(*) AS n, SUM(pop) AS sp FROM graftdml.s43_t " +
+          "GROUP BY r")
+        .withColumn("stream_appended", lit(streamed))
+        .withColumn("update_rejected", lit(updRej))
+        .withColumn("delete_rejected", lit(delRej))
+        .withColumn("merge_rejected", lit(mrgRej))
+        .withColumn("partition_pruned", lit(pruned))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      allrows AS (
+        SELECT k, r, pop FROM src
+        UNION ALL SELECT k + 100, r, pop + 3 FROM src
+        UNION ALL SELECT k + 200, r, pop + 11 FROM src),
+      afterrw AS (
+        SELECT * FROM allrows WHERE r <> 4
+        UNION ALL
+        SELECT CAST(i + 900 AS BIGINT), CAST(4 AS BIGINT),
+          CAST(i + 1000 AS BIGINT) FROM range(3) t(i))
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS sp,
+        TRUE AS stream_appended, TRUE AS update_rejected,
+        TRUE AS delete_rejected, TRUE AS merge_rejected,
+        TRUE AS partition_pruned
+      FROM afterrw GROUP BY r ORDER BY r""")),
+
     // ----- S41: ALTER COLUMN TYPE widening — lossless, metadata-only
     // schema drift absorption (int-family -> wider int, float -> double)
     // for NON-KEY columns: the physical-name mapping keeps file bytes

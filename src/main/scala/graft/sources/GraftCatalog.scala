@@ -303,8 +303,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       "table names ending in the $changes/$versions/$files/$partitions/" +
         "$mv/$branches suffixes (or containing $branch$) are reserved")
     val props = properties.asScala
-    val keys = props.get("merge_key").map(_.split(",").toSeq.map(_.trim))
-      .getOrElse(Seq(schema0.fieldNames.head))
+    // append_only=true: a KEYLESS table — the raw-event bronze-layer
+    // shape. No row identity: INSERT / INSERT OVERWRITE / REPLACE WHERE
+    // and retention only; UPDATE/DELETE/MERGE/mor rejected loudly.
+    // Buckets fan out from a whole-row hash instead of a key.
+    val appendOnly = props.get("append_only").map(_.trim.toLowerCase) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"append_only must be 'true' or 'false', got '$other'")
+    }
+    if (appendOnly) require(!props.contains("merge_key"),
+      "append_only tables take no merge_key (they have no row identity); " +
+        "drop one of the two properties")
+    val keys =
+      if (appendOnly) Nil
+      else props.get("merge_key").map(_.split(",").toSeq.map(_.trim))
+        .getOrElse(Seq(schema0.fieldNames.head))
     keys.foreach(k => require(schema0.fieldNames.contains(k),
       s"merge_key column $k not in schema"))
     // null merge keys would break row identity (SQL equality never matches
@@ -325,6 +341,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     val mode = props.get("merge_mode").map(_.trim.toLowerCase).getOrElse("cow")
     require(mode == "cow" || mode == "mor",
       s"merge_mode must be 'cow' (copy-on-write) or 'mor' (merge-on-read), got '$mode'")
+    require(!appendOnly || mode == "cow",
+      "append_only tables are copy-on-write (merge-on-read deltas need " +
+        "merge keys to probe against)")
     // merge-on-read probes delete entries by key VALUE equality in the
     // scan — atomic key types only (the same family bucket hashing covers)
     if (mode == "mor") keys.foreach(k =>
@@ -1489,6 +1508,29 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
             if (txn.exists { case (a, v) =>
                   GraftStore.lastTxnVersion(dir, a).exists(_ >= v) }) {
               // already applied — skip before planning any job
+            } else if (replaceWhere.nonEmpty && meta.keyCols.isEmpty) {
+              // keyless REPLACE WHERE: no row identity to delta against —
+              // the replacement is ONE whole-table overwrite commit of
+              // (kept ∪ new), pinned to the snapshot it read (a racing
+              // append conflicts instead of being silently dropped).
+              // O(table) rewrite: right for the partition-scoped replaces
+              // this shape uses; pure retention should prefer
+              // expire_partitions (metadata-only)
+              val pred = replaceWhere.map(GraftCatalog.filterToColumn)
+                .reduce(_ && _)
+              val snapshot = GraftStore.currentVersion(dir)
+              val cols = meta.schema.fieldNames.toSeq
+              // keep rows where pred is FALSE or NULL — exactly the rows
+              // the keyed path's delete (filter(pred)) would not target
+              val kept = GraftStore.readVersion(spark, dir, snapshot)
+                .filter(!org.apache.spark.sql.functions
+                  .coalesce(pred, lit(false)))
+                .select(cols.map(col): _*)
+              GraftStore.applyChanges(spark, dir,
+                kept.unionByName(data.toDF(cols: _*).select(cols.map(col): _*))
+                  .withColumn(GraftStore.OpCol, lit("I")),
+                allInserts = true, overwrite = true,
+                expectedVersion = Some(snapshot), txn = txn)
             } else if (replaceWhere.nonEmpty) {
               val pred = replaceWhere.map(GraftCatalog.filterToColumn)
                 .reduce(_ && _)
@@ -1538,8 +1580,16 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
     }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // the clear planning-time error the append-only contract promises:
+    // row-level DML has no key to target rows by
+    if (meta.keyCols.isEmpty) throw new UnsupportedOperationException(
+      s"$tableName is an APPEND-ONLY table (no merge key): " +
+        s"${info.command()} is not supported — use INSERT, " +
+        "INSERT OVERWRITE, REPLACE WHERE, or expire_partitions for " +
+        "retention")
     () => new GraftDeltaOperation(tableName, dir, meta, info.command())
+  }
 }
 
 object GraftTable {

@@ -1904,33 +1904,40 @@ object GraftStore {
           "nothing to rebase onto; use fast_forward")
       val meta = readMeta(tmp)
       if (bHead > fork) {
-        // overlap detection needs MAIN's changelog over the divergence
-        // window; slices for committed versions are immutable, so reading
-        // them after the clone is exact (the clone's own changelog starts
-        // empty — clones have fresh history)
-        require(changesHorizon(dir) <= fork + 1 &&
-            boundariesIn(dir, fork + 1, mHead).isEmpty,
-          s"main of $dir expired changelog slices or carries a snapshot " +
-            s"boundary since branch '$name''s fork v$fork — key-overlap " +
-            "detection impossible; re-branch from main and re-apply")
-        val keyCols = meta.keyCols
-        val bKeys = readChanges(spark, bd, fork + 1, bHead)
-          .select(keyCols.map(col): _*).distinct()
-        val mKeys = readChanges(spark, dir, fork + 1, mHead)
-          .select(keyCols.map(col): _*).distinct()
-        val clash = bKeys.join(mKeys, keyCols).limit(5).collect()
-        if (clash.nonEmpty)
-          throw new IllegalStateException(
-            s"rebase conflict on $dir branch '$name': merge keys changed " +
-              s"on BOTH main and the branch since fork v$fork (e.g. " +
-              clash.map(_.toSeq.mkString("(", ",", ")")).mkString(", ") +
-              "); overlapping-key divergence needs a human — re-branch " +
-              "and reconcile, or drop one side's change")
+        if (meta.keyCols.nonEmpty) {
+          // overlap detection needs MAIN's changelog over the divergence
+          // window; slices for committed versions are immutable, so
+          // reading them after the clone is exact (the clone's own
+          // changelog starts empty — clones have fresh history).
+          // Keyless (append-only) tables skip this: appends commute, so
+          // two-sided divergence never conflicts.
+          require(changesHorizon(dir) <= fork + 1 &&
+              boundariesIn(dir, fork + 1, mHead).isEmpty,
+            s"main of $dir expired changelog slices or carries a snapshot " +
+              s"boundary since branch '$name''s fork v$fork — key-overlap " +
+              "detection impossible; re-branch from main and re-apply")
+          val keyCols = meta.keyCols
+          val bKeys = readChanges(spark, bd, fork + 1, bHead)
+            .select(keyCols.map(col): _*).distinct()
+          val mKeys = readChanges(spark, dir, fork + 1, mHead)
+            .select(keyCols.map(col): _*).distinct()
+          val clash = bKeys.join(mKeys, keyCols).limit(5).collect()
+          if (clash.nonEmpty)
+            throw new IllegalStateException(
+              s"rebase conflict on $dir branch '$name': merge keys changed " +
+                s"on BOTH main and the branch since fork v$fork (e.g. " +
+                clash.map(_.toSeq.mkString("(", ",", ")")).mkString(", ") +
+                "); overlapping-key divergence needs a human — re-branch " +
+                "and reconcile, or drop one side's change")
+        }
         ((fork + 1) to bHead).filter(v => hasChangelog(bd, v)).foreach { v =>
           val slice = readChanges(spark, bd, v, v)
           val batch = slice.select((col(ChangeOpCol).as(OpCol) +:
             meta.schema.fieldNames.toSeq.map(col)): _*)
-          applyChanges(spark, tmp, batch)
+          // keyless slices are insert-only by construction (the append
+          // guard), so their replay rides the append fast path
+          applyChanges(spark, tmp, batch,
+            allInserts = meta.keyCols.isEmpty)
         }
       }
       Files.write(Paths.get(tmp, ForkBaseName),
@@ -2237,6 +2244,13 @@ object GraftStore {
   def bucketExpr(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast(IntegerType)
 
+  /** Bucket fan-out columns: the merge key, or — on APPEND-ONLY (keyless)
+    * tables — every data column, a deterministic row hash: retried
+    * identical batches land in the same slots and the fan-out stays
+    * uniform without any key to hash. */
+  private[sources] def bucketColsOf(meta: GraftTableMeta): Seq[String] =
+    if (meta.keyCols.nonEmpty) meta.keyCols else meta.schema.fieldNames.toSeq
+
   /** Read one version with PHYSICAL column names + [[BucketCol]] — the
     * exact file layout, for maintenance rewrites that must write the same
     * names back ([[optimize]]). Merge-on-read versions apply their live
@@ -2362,6 +2376,13 @@ object GraftStore {
     if (txn.exists { case (a, v) => lastTxnVersion(dir, a).exists(_ >= v) })
       return currentVersion(dir)
     val meta = readMeta(dir)
+    // keyless tables have NO row identity: nothing to anti-join a delete
+    // or upsert against. Appends (and whole-table overwrites) are the
+    // only write shapes — reject the rest before any job runs.
+    require(allInserts || meta.keyCols.nonEmpty,
+      s"$dir is an APPEND-ONLY table (no merge key): UPDATE/DELETE/MERGE " +
+        "and keyed upserts are not supported — use INSERT, " +
+        "INSERT OVERWRITE, REPLACE WHERE, or expire_partitions")
     // align against the SAME meta snapshot this commit buckets and selects
     // with — callers aligning separately and then racing a fresh ALTER
     // here would reintroduce the column-list mismatch
@@ -2381,7 +2402,8 @@ object GraftStore {
     var touched = Set.empty[Int]
     def bucketFor(n: Int): Unit = if (bucketedFor != n) {
       if (ch != null) ch.unpersist()
-      ch = changes.withColumn(BucketCol, bucketExpr(meta.keyCols, n)).persist()
+      ch = changes.withColumn(BucketCol, bucketExpr(bucketColsOf(meta), n))
+        .persist()
       // ≤ `buckets` distinct ints — the one driver-side materialization.
       // The append fast path never reads the base, so it skips this job
       // entirely (its "touched" set would only gate work it doesn't do).
@@ -2950,7 +2972,7 @@ object GraftStore {
       val nextDir = versionDir(dir, next)
       val buildDir = s"$nextDir.build-$token"
       deleteRecursively(Paths.get(buildDir))
-      val physKeys = meta.keyCols.map(k => physicalName(meta.schema(k)))
+      val physKeys = bucketColsOf(meta).map(k => physicalName(meta.schema(k)))
       withPartCol(readVersionPhysical(spark, dir, meta, cur)
           .drop(BucketCol)
           .withColumn(BucketCol, bucketExpr(physKeys, newBuckets)), meta,
@@ -3582,6 +3604,11 @@ object GraftStore {
     * appends within one version replays to one survivor per key. */
   def replayChanges(base: DataFrame, changes: DataFrame, meta: GraftTableMeta): DataFrame = {
     val cols = meta.schema.fieldNames.toSeq
+    // keyless (append-only) changelogs are all-I by the write guard:
+    // replay is a plain union, no per-key folding to do
+    if (meta.keyCols.isEmpty)
+      return base.select(cols.map(col): _*).unionByName(
+        changes.filter(col(ChangeOpCol) === "I").select(cols.map(col): _*))
     // max_by orders by (version, op-rank): a key-reassigning update emits
     // D(old key) and U(new key) in ONE version, so a key can legitimately
     // carry both a delete and a live image at the same version (key swap)

@@ -219,6 +219,10 @@ final class GraftBucketDerivation(val keyCols: Seq[String], nBuckets: Int,
   private val MaxCombos = 128
 
   def deriveFilter(filters: Seq[Expression]): Option[Expression] = {
+    // keyless (append-only) tables bucket by row hash: no predicate can
+    // pin a bucket, and the zero-key fold below would otherwise
+    // degenerate to "one bucket" and prune committed data away
+    if (keyCols.isEmpty) return None
     val valuesPerKey: Seq[Seq[Literal]] = keyCols.map { k =>
       filters.flatMap(keyLiterals(k, _)).headOption.getOrElse(Seq.empty)
     }
@@ -246,6 +250,7 @@ final class GraftBucketDerivation(val keyCols: Seq[String], nBuckets: Int,
     * at RUN time, when the keys literally cannot be in the SQL text.
     * Returns None (no pruning) unless every merge-key column is pinned. */
   def deriveBucketsV2(predicates: Array[Predicate]): Option[Set[Int]] = {
+    if (keyCols.isEmpty) return None // keyless: row-hash buckets, no pruning
     val valuesPerKey: Seq[Seq[(Any, org.apache.spark.sql.types.DataType)]] =
       keyCols.map { k =>
         predicates.toSeq.flatMap(v2KeyLiterals(k, _)).headOption

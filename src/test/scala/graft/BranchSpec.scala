@@ -147,13 +147,37 @@ class BranchSpec extends SparkTestBase {
     spark.sql(s"CALL $cat.optimize(table => '$t$$branch$$load', " +
       "max_files_per_bucket => 0)")
     spark.sql(s"DELETE FROM $cat.`$t$$branch$$load` WHERE k = 1")
+    // freshness across the publish: branch commits are INVISIBLE to main
+    // until the pointer flips, so the MV reports fresh before and stale
+    // exactly at the publish
+    def stale(): Boolean = spark.sql(
+      s"SELECT stale FROM $cat.`br_mv_agg$$mv`").head().getBoolean(0)
+    assert(!stale(), "pre-publish: branch commits must not read as stale")
     spark.sql(s"CALL $cat.fast_forward(table => '$t', name => 'load')")
+    assert(stale(), "the publish makes the MV stale")
     // the MV refresh folds the ADOPTED branch changelog incrementally
     val r = spark.sql(s"CALL $cat.refresh_mv(view => 'br_mv_agg')").head()
     assert(r.getString(1) === "incremental")
+    assert(!stale(), "refresh restores freshness")
     val got = spark.sql(s"SELECT grp, n, s FROM $cat.br_mv_agg ORDER BY grp")
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
     assert(got === Seq((0L, 1L, 20L), (1L, 2L, 70L)))
+    // and the same holds across a REBASE + publish: main moves, the
+    // branch rebases (replayed commits), the publish adopts the replays,
+    // the MV folds them incrementally too
+    spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'load2')")
+    spark.sql(s"INSERT INTO $cat.`$t$$branch$$load2` VALUES (7, 2, 70)")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (8, 0, 80)") // main moves
+    assert(spark.sql(s"CALL $cat.refresh_mv(view => 'br_mv_agg')").head()
+      .getString(1) === "incremental") // fold main's own commit first
+    spark.sql(s"CALL $cat.rebase_branch(table => '$t', name => 'load2')")
+    spark.sql(s"CALL $cat.fast_forward(table => '$t', name => 'load2')")
+    assert(stale())
+    assert(spark.sql(s"CALL $cat.refresh_mv(view => 'br_mv_agg')").head()
+      .getString(1) === "incremental")
+    val got2 = spark.sql(s"SELECT grp, n, s FROM $cat.br_mv_agg ORDER BY grp")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got2 === Seq((0L, 2L, 100L), (1L, 2L, 70L), (2L, 1L, 70L)))
   }
 
   test("name guards: tag collisions both ways, reserved table names") {
