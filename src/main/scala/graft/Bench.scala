@@ -168,6 +168,49 @@ object Bench {
     spark.sql("SELECT g, n, s FROM graftdml.bench_mv")
   }
 
+  /** Bench-only: the S39b star-join MV fold — the s39 lifecycle shape
+    * with the view a fact⋈dim rollup, so the incremental refresh's delta
+    * plan joins the CHANGELOG SLICE to the pinned dim (the fact table
+    * never appears in it). Commit-latency-bound like its single-table
+    * sibling; the scale separation lives in `Scratch --scale mvjoin`. */
+  private def mvJoinRefreshOnly(spark: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    operators.DmlFixture.register(spark)
+    val ev = Tables.events(spark, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    ev.groupBy(col("user_id")).agg(max_by(
+        struct(col("event_id"), col("cents")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.cents").as("cents"),
+        pmod(col("user_id"), lit(997L)).as("dk"))
+      .createOrReplaceTempView("bmvj_base")
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.bench_mvj")
+    spark.sql("DROP TABLE IF EXISTS graftdml.bench_mvj_f")
+    spark.sql("DROP TABLE IF EXISTS graftdml.bench_mvj_d")
+    spark.sql("""CREATE TABLE graftdml.bench_mvj_f
+      (user_id BIGINT NOT NULL, cents BIGINT, dk BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+    spark.sql("""CREATE TABLE graftdml.bench_mvj_d
+      (dk BIGINT NOT NULL, grp BIGINT, w BIGINT) USING graft
+      TBLPROPERTIES ('merge_key'='dk', 'buckets'='2')""")
+    spark.sql("INSERT INTO graftdml.bench_mvj_f SELECT * FROM bmvj_base")
+    spark.sql("INSERT INTO graftdml.bench_mvj_d " +
+      "SELECT id, id % 97, id % 11 + 1 FROM range(0, 997)")
+    spark.sql("""CREATE MATERIALIZED VIEW graftdml.bench_mvj AS
+      SELECT d.grp AS g, COUNT(*) AS n, SUM(f.cents * d.w) AS s
+      FROM graftdml.bench_mvj_f f JOIN graftdml.bench_mvj_d d
+      ON f.dk = d.dk GROUP BY d.grp""")
+    spark.sql("UPDATE graftdml.bench_mvj_f SET cents = cents + 100 " +
+      "WHERE user_id % 7 = 0")
+    spark.sql("DELETE FROM graftdml.bench_mvj_f WHERE cents < 500")
+    spark.sql("INSERT INTO graftdml.bench_mvj_f " +
+      "SELECT -1 - id, id * 3, id % 997 FROM range(0, 5000)")
+    val mode = spark.sql("CALL graftdml.refresh_mv(view => 'bench_mvj')")
+      .head().getString(1)
+    require(mode == "incremental", s"bench_mvj refresh ran '$mode'")
+    spark.sql("SELECT g, n, s FROM graftdml.bench_mvj")
+  }
+
   /** Bench-only: d1's 100 TB path — the single no-Expand sketch aggregate
     * without the exact-distinct verification side the d1/d1_sketch_profile
     * gates carry. Same rationale as a3SketchOnly: measure the operator a
@@ -202,7 +245,8 @@ object Bench {
         ("d1_sketch_only" -> (d1SketchOnly _)) :+
         ("s26_mor_dml_only" -> (morDmlOnly _)) :+
         ("s30_plan_metadata_only" -> (planMetadataOnly _)) :+
-        ("s39_mv_refresh_only" -> (mvRefreshOnly _))
+        ("s39_mv_refresh_only" -> (mvRefreshOnly _)) :+
+        ("s39b_mv_join_only" -> (mvJoinRefreshOnly _))
     // local-iteration filter (the driver never sets it): run only the
     // named rows — total then covers the subset, so compare per-row only
     val benched = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
