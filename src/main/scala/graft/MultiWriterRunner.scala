@@ -217,7 +217,7 @@ object MultiWriterRunner {
         GraftStore.applyChanges(spark, bd,
           df.withColumn(GraftStore.OpCol,
             org.apache.spark.sql.functions.lit("I")), allInserts = true)
-        var published =
+        val published =
           try { GraftStore.fastForward(dir, bname); true }
           catch {
             case _: java.util.ConcurrentModificationException =>

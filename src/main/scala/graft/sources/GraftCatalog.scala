@@ -740,6 +740,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         s"$catalogName — tables, views and materialized views share one " +
         "namespace (DROP MATERIALIZED VIEW first)")
 
+  /** Every MV in the catalog across namespaces — the transparent-rewrite
+    * rule's candidate listing (one directory scan of `_mvs/`; the record
+    * naming scheme stays owned by this module alongside [[listMvs]]). */
+  private[sources] def listAllMvs(): Seq[Identifier] = {
+    val root = java.nio.file.Paths.get(warehouse, "_mvs")
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else GraftStore.listDir(root)(_.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map { n =>
+        val parts = n.stripSuffix(".json").split('.').toSeq
+        Identifier.of(parts.init.toArray, parts.last)
+      }.toSeq)
+  }
+
   private[sources] def listMvs(namespace: Seq[String]): Seq[Identifier] = {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
     val root = java.nio.file.Paths.get(warehouse, "_mvs")
@@ -1443,7 +1457,11 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
       .getOption("spark.graft.store.spj").exists(_.toBoolean)
     val wrap: Option[org.apache.spark.sql.connector.read.Scan =>
         org.apache.spark.sql.connector.read.Scan] =
-      if (!spj) None
+      // keyless tables bucket by whole-row hash: there is no key to
+      // group partitions by, and a zero-column bucket transform is at
+      // best meaningless to report (at worst a reference-resolution
+      // failure) — SPJ stays off for them
+      if (!spj || meta.keyCols.isEmpty) None
       else Some(scan => new org.apache.spark.sql.GraftKeyGroupedScan(scan,
         Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
           vBuckets, meta.keyCols: _*))))

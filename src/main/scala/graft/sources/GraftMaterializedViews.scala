@@ -101,8 +101,7 @@ object GraftMaterializedViews {
     GraftStore.exists(stateDir) && {
       val shape = deriveShape(analyzed)
       val sources = graftSources(analyzed)
-      val wmName =
-        if (sources.size == 1) Some(sources.head._1) else shape.map(_.srcName)
+      val wmName = watermarkSource(sources, shape).map(_._1)
       sources.nonEmpty && sources.forall { case (n, d) =>
         val cur = GraftStore.currentVersion(d)
         val refreshed =
@@ -159,6 +158,39 @@ object GraftMaterializedViews {
       Files.write(tmp, bytes)
       Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** The WATERMARK TABLE — the (name, dir) whose version space stamps the
+    * state's txn marker: the sole source of a single-source MV, else the
+    * join shape's designated fact. Every consumer (refresh, isFresh,
+    * infoRows, maintainStream) derives it HERE, so the space can never
+    * silently switch tables between them. */
+  private[sources] def watermarkSource(sources: Seq[(String, String)],
+      shape: Option[AggShape]): Option[(String, String)] =
+    if (sources.size == 1) sources.headOption
+    else shape.map(sh => (sh.srcName, sh.srcDir))
+
+  /** mtime-keyed record cache for the transparent-rewrite rule, which
+    * reads every candidate MV's record per PLANNING: repeats serve from
+    * memory so a warehouse with many MVs doesn't turn every aggregate's
+    * planning into N JSON parses. Staleness is safe by direction — a
+    * record only ever advances (sources move forward, lanes rotate), and
+    * an outdated copy makes [[isFresh]] conservative (no rewrite), never
+    * wrong. Size-capped backstop like the store's partSpecCache. */
+  private val recordCache =
+    new java.util.concurrent.ConcurrentHashMap[Path,
+      (java.nio.file.attribute.FileTime, Record)]()
+
+  def readRecordCached(path: Path): Record = {
+    val mt = Files.getLastModifiedTime(path)
+    val hit = recordCache.get(path)
+    if (hit != null && hit._1 == mt) hit._2
+    else {
+      val rec = readRecord(path)
+      if (recordCache.size > 4096) recordCache.clear()
+      recordCache.put(path, (mt, rec))
+      rec
     }
   }
 
@@ -640,9 +672,7 @@ object GraftMaterializedViews {
     // version space — the sole source of a single-source MV, or the
     // shape's designated fact for a join MV (deriveShape designates
     // deterministically, so the space never silently switches tables).
-    val wmSrc: Option[(String, String)] =
-      if (sources.size == 1) Some(sources.head)
-      else shape.map(sh => (sh.srcName, sh.srcDir))
+    val wmSrc: Option[(String, String)] = watermarkSource(sources, shape)
     // source regression (DROP + recreate at the same name): the recorded
     // high-water sits ABOVE the new table's versions — rotate the txn
     // lane so the healing recompute's overwrite isn't no-op'd by the dead
@@ -853,9 +883,7 @@ object GraftMaterializedViews {
       val analyzed = analyzeBody(spark, rec, key)
       (graftSources(analyzed), deriveShape(analyzed))
     }
-    val wmSrc =
-      if (sources.size == 1) Some(sources.head._1)
-      else shape.map(_.srcName)
+    val wmSrc = watermarkSource(sources, shape).map(_._1)
     require(wmSrc.isDefined,
       s"continuous maintenance needs a single-source or join-shape " +
         s"materialized view; $key reads ${sources.size} sources with no " +
@@ -871,7 +899,17 @@ object GraftMaterializedViews {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        refresh(spark, cat, g, id)
+        // a refresh racing this one (a manual CALL refresh_mv — exactly
+        // what a dim commit on a join MV calls for) surfaces as a
+        // conflict through the state pin; the LOSER here must not kill
+        // the long-lived maintenance stream — whatever the winner left
+        // unfolded, the retry (or the next micro-batch) folds
+        try refresh(spark, cat, g, id)
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            try refresh(spark, cat, g, id)
+            catch { case _: java.util.ConcurrentModificationException => () }
+        }
         ()
       }
       .start()
@@ -914,7 +952,7 @@ object GraftMaterializedViews {
     val single = sources.size == 1
     // the watermark table (sole source, or a join shape's fact) reports
     // its authoritative txn watermark; dims report the recorded versions
-    val wmName = if (single) Some(sources.head._1) else shape.map(_.srcName)
+    val wmName = watermarkSource(sources, shape).map(_._1)
     sources.map { case (n, d) =>
       val cur = GraftStore.currentVersion(d)
       val refreshed =

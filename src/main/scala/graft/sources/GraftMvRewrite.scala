@@ -70,29 +70,15 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     val cats = qRels.flatMap(_.catalog).collect {
       case gc: GraftCatalog => gc }.distinct
     cats.iterator.flatMap { g =>
-      listAllMvs(g).iterator.flatMap(id => matchMv(a, g, id, qRels, qNames))
+      g.listAllMvs().iterator.flatMap(id => matchMv(a, g, id, qRels, qNames))
     }.nextOption()
-  }
-
-  /** Every MV record in the catalog, across namespaces (the listing is
-    * one directory scan of `_mvs/`; per-query cost is bounded by the
-    * name-intersection prefilter below). */
-  private def listAllMvs(g: GraftCatalog): Seq[Identifier] = {
-    val root = java.nio.file.Paths.get(g.warehouseDir, "_mvs")
-    if (!java.nio.file.Files.isDirectory(root)) Nil
-    else GraftStore.listDir(root)(_.map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map { n =>
-        val parts = n.stripSuffix(".json").split('.').toSeq
-        Identifier.of(parts.init.toArray, parts.last)
-      }.toSeq)
   }
 
   private def matchMv(a: Aggregate, g: GraftCatalog, id: Identifier,
       qRels: Seq[DataSourceV2Relation], qNames: Set[String])
       : Option[LogicalPlan] = {
     val rec =
-      try GraftMaterializedViews.readRecord(g.mvPath(id))
+      try GraftMaterializedViews.readRecordCached(g.mvPath(id))
       catch { case NonFatal(_) => return None }
     // prefilter before any analysis: a never-refreshed MV (no recorded
     // sources) can't be fresh; disjoint table sets can't match
@@ -141,8 +127,14 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     }
     if (!rebased.sameResult(a)) return None
 
-    // semantics proven equal — now the state must be CURRENT
-    if (!GraftMaterializedViews.isFresh(g, id, rec, analyzed)) return None
+    // semantics proven equal — now the state must be CURRENT. Guarded
+    // like every other lookup here: a concurrent DROP of the source or
+    // state mid-probe degrades to "no rewrite", never fails the user's
+    // unrelated query
+    val fresh =
+      try GraftMaterializedViews.isFresh(g, id, rec, analyzed)
+      catch { case NonFatal(_) => false }
+    if (!fresh) return None
 
     val stateIdent = g.mvStateIdent(id)
     val stateTable =

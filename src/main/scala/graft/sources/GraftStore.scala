@@ -1767,6 +1767,18 @@ object GraftStore {
     recoverChangelog(bd)
     val fork = branchForkBase(dir, name)
     val bHead = currentVersion(bd)
+    // A fast-forward CONSUMES the branch, so a branch commit racing the
+    // publish window would be silently dropped with it — claim the
+    // BRANCH's next version for the whole operation: branch writers
+    // conflict loudly instead (and a writer already holding the claim
+    // makes THIS call the loud loser). Re-verify the head under the
+    // claim: a commit may have landed between the read and the claim.
+    val (bMarker, bToken) = claimCommit(bd, bHead + 1)
+    try {
+    if (currentVersion(bd) != bHead)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' of $dir advanced past v$bHead while fast_forward " +
+          "was starting; re-run to publish the new head")
     if (bHead == fork) { // nothing to publish: consume the branch
       dropBranch(dir, name)
       return currentVersion(dir)
@@ -1794,7 +1806,7 @@ object GraftStore {
     val claims = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
     try {
       branchVs.foreach(v => claims += claimCommit(dir, v))
-      withClaimHeartbeat(claims.map(_._1).toSeq) {
+      withClaimHeartbeat((bMarker +: claims.map(_._1)).toSeq) {
       if (currentVersion(dir) != fork)
         throw new java.util.ConcurrentModificationException(
           s"table $dir advanced past the fork point v$fork of branch " +
@@ -1847,6 +1859,9 @@ object GraftStore {
     recoverChangelog(dir) // the pointer now covers the staged slices
     dropBranch(dir, name) // a fast-forward consumes the branch
     bHead
+    // the branch claim releases in the outer finally: dropBranch removed
+    // the marker with the dir, which releaseClaim tolerates
+    } finally releaseClaim(bMarker, bToken)
   }
 
   /** Rebase branch `name` onto MAIN's current head — the recourse when
@@ -1879,6 +1894,20 @@ object GraftStore {
     recoverChangelog(bd)
     val fork = branchForkBase(dir, name)
     val bHead = currentVersion(bd)
+    // the swap at the end REPLACES the branch dir, so a branch commit
+    // racing the (long) rebase window would be silently destroyed with
+    // the displaced original — claim the branch's next version for the
+    // whole rebase: racing writers conflict loudly instead, and a writer
+    // already holding the claim makes THIS call the loud loser. The
+    // marker is heartbeated below (replay can be long) and travels into
+    // the .prerebase- dir with the swap, which releaseClaim tolerates.
+    val (bMarker, bToken) = claimCommit(bd, bHead + 1)
+    try {
+    withClaimHeartbeat(Seq(bMarker)) {
+    if (currentVersion(bd) != bHead)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' of $dir advanced past v$bHead while rebase was " +
+          "starting; re-run against the new head")
     if (readMeta(dir) != readMeta(bd))
       throw new IllegalStateException(
         s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
@@ -1970,6 +1999,8 @@ object GraftStore {
         if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
         throw e
     }
+    }
+    } finally releaseClaim(bMarker, bToken)
   }
 
   // --------------------------------------------------------------------

@@ -318,6 +318,38 @@ class BranchSpec extends SparkTestBase {
     assert(rows(s"$cat.`$t$$branch$$rbb`") === Seq((7L, 7L, 70L)))
   }
 
+  test("publish and rebase conflict with an in-flight branch writer") {
+    val t = mkTable("br_inflight")
+    val dir = s"$warehouse/$t"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
+    spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'w')")
+    spark.sql(s"INSERT INTO $cat.`$t$$branch$$w` VALUES (2, 1, 20)")
+    val bd = GraftStore.branchDir(dir, "w")
+    // simulate a branch writer mid-commit: a FRESH claim on the branch's
+    // next version. Both consuming operations must conflict loudly
+    // instead of destroying the writer's about-to-land commit with the
+    // branch (the silent-data-loss hazard the branch-head claim closes).
+    val next = GraftStore.currentVersion(bd) + 1
+    val marker = java.nio.file.Paths.get(bd, f"_commit-$next%010d")
+    Files.write(marker, "foreign-writer".getBytes("UTF-8"))
+    val eFf = intercept[java.util.ConcurrentModificationException] {
+      GraftStore.fastForward(dir, "w")
+    }
+    assert(eFf.getMessage.contains("claim"), s"got $eFf")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 2, 30)") // main moves
+    intercept[java.util.ConcurrentModificationException] {
+      GraftStore.rebaseBranch(spark, dir, "w")
+    }
+    // the branch is whole either way; once the writer finishes (claim
+    // released), rebase + publish proceed
+    assert(rows(s"$cat.`$t$$branch$$w`") === Seq((1L, 0L, 10L), (2L, 1L, 20L)))
+    Files.delete(marker)
+    GraftStore.rebaseBranch(spark, dir, "w")
+    GraftStore.fastForward(dir, "w")
+    assert(rows(s"$cat.$t") ===
+      Seq((1L, 0L, 10L), (2L, 1L, 20L), (3L, 2L, 30L)))
+  }
+
   test("ALTER on a branch blocks fast_forward loudly") {
     val t = mkTable("br_alter")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")
