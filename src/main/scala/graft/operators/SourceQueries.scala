@@ -2735,6 +2735,90 @@ object SourceQueries {
         TRUE AS stale_serves_latest, TRUE AS refreshed_rewrite_hit
       FROM a2 GROUP BY r ORDER BY r""")),
 
+    // ----- S39d: ROLLUP derivation in the transparent MV rewrite — the
+    // real warehouse matcher: a query aggregating the SAME child at a
+    // COARSER grain than a fresh MV (its groupings a subset of the MV's
+    // projected groupings, its aggregates re-aggregations of the MV's
+    // public outputs: COUNT→SUM(count col) with an empty-input coalesce,
+    // SUM→SUM, MIN/MAX→MIN/MAX — exact by associativity over the MV's
+    // disjoint finer groups) is answered by ONE Aggregate over the
+    // |view|-row state instead of a fact-table scan. One per-(r, parity)
+    // MV serves the per-r dashboard, the per-parity dashboard, AND the
+    // global total — nobody materializes the coarser views. Same
+    // freshness gate as the exact match, so never wrong; AVG and
+    // DISTINCT aggregates honestly run as written (not derivable from
+    // public sums). The gate pins the plan booleans (three coarser
+    // grains roll up from the state with the base table absent; AVG does
+    // NOT; a stale MV does NOT) and the rolled-up per-r rows hash the
+    // DuckDB closed form.
+    GraftQuery("s39d_mv_rollup", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.s39d_mv")
+      s.sql("DROP TABLE IF EXISTS graftdml.s39d_t")
+      s.sql("""CREATE TABLE graftdml.s39d_t
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s39d_rows")
+      s.sql("INSERT INTO graftdml.s39d_t SELECT * FROM s39d_rows")
+      s.sql("""CREATE MATERIALIZED VIEW graftdml.s39d_mv AS
+        SELECT r, k % 2 AS odd, COUNT(*) AS n, SUM(pop) AS s,
+          MIN(pop) AS mn, MAX(pop) AS mx
+        FROM graftdml.s39d_t GROUP BY r, k % 2""")
+      def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.queryExecution.analyzed.collect {
+          case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            rel.table.name()
+        }.toSet
+      def usesState(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val sc = scans(df)
+        sc.exists(_.contains("__mv_state_s39d_mv")) &&
+          !sc.exists(_.endsWith("s39d_t"))
+      }
+      val qr = "SELECT r, COUNT(*) AS n, SUM(pop) AS s, MIN(pop) AS mn, " +
+        "MAX(pop) AS mx FROM graftdml.s39d_t GROUP BY r"
+      val byR = s.sql(qr)
+      val byOdd = s.sql("SELECT k % 2 AS odd, SUM(pop) AS s " +
+        "FROM graftdml.s39d_t GROUP BY k % 2")
+      val global = s.sql("SELECT COUNT(*) AS n FROM graftdml.s39d_t")
+      val avg = s.sql("SELECT r, AVG(pop) AS a FROM graftdml.s39d_t GROUP BY r")
+      val rolledAll = usesState(byR) && usesState(byOdd) && usesState(global)
+      val avgDirect = !usesState(avg)
+      // value identity vs the rewrite-disabled direct evaluations
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      val rolledRows = (rows(byR), rows(byOdd), rows(global))
+      s.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val directMatch = rolledRows == ((rows(s.sql(qr)),
+        rows(s.sql("SELECT k % 2 AS odd, SUM(pop) AS s " +
+          "FROM graftdml.s39d_t GROUP BY k % 2")),
+        rows(s.sql("SELECT COUNT(*) AS n FROM graftdml.s39d_t"))))
+      s.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      // staleness kills the rollup too
+      s.sql("INSERT INTO graftdml.s39d_t VALUES (999, 0, 1)")
+      val staleDirect = !usesState(s.sql(qr))
+      s.sql("DELETE FROM graftdml.s39d_t WHERE k = 999")
+      s.sql("CALL graftdml.refresh_mv(view => 's39d_mv')")
+      s.sql(qr)
+        .withColumn("rolled_from_state", lit(rolledAll))
+        .withColumn("avg_runs_direct", lit(avgDirect))
+        .withColumn("values_match_direct", lit(directMatch))
+        .withColumn("stale_runs_direct", lit(staleDirect))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation)
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
+        CAST(MIN(pop) AS BIGINT) AS mn, CAST(MAX(pop) AS BIGINT) AS mx,
+        TRUE AS rolled_from_state, TRUE AS avg_runs_direct,
+        TRUE AS values_match_direct, TRUE AS stale_runs_direct
+      FROM src GROUP BY r ORDER BY r""")),
+
     // ----- S40: writable branches — the WAP (write-audit-publish)
     // workflow at table-format parity: `CALL create_branch` forks a
     // self-contained zero-copy clone addressable as `t$branch$<name>`

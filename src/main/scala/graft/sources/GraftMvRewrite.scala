@@ -3,7 +3,8 @@ package graft.sources
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -22,8 +23,17 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * that defeat canonical comparison by reference; sharing the leaves and
   * remapping the body's attribute ids makes `sameResult` see through
   * alias/exprId/COUNT(*)-vs-COUNT(1) noise), and the canonical plans must
-  * agree. No containment/rollup derivation — a non-match just runs the
-  * query as written.
+  * agree — PLUS the classic ROLLUP DERIVATION: when the exact match
+  * fails but the query aggregates the SAME child at a COARSER grain
+  * (every query grouping is one of the MV's projected groupings, every
+  * query aggregate re-aggregates one of the MV's public outputs —
+  * COUNT(*)/COUNT(x) → SUM(count col) with an empty-input coalesce,
+  * SUM(x) → SUM(sum col), MIN/MAX → MIN/MAX), the substitution is an
+  * Aggregate over the state instead of a projection: a per-region
+  * dashboard rolls up from the per-(region, day) MV without anyone
+  * materializing the coarser view. Anything else (DISTINCT/FILTER
+  * aggregates, AVG — not derivable from public sums, decimal re-sums
+  * that would widen the type) just runs the query as written.
   *
   * Substitution happens ONLY when the MV is fresh — the state's txn
   * watermark equals the watermark table's current version and every dim
@@ -125,12 +135,19 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     }.transformAllExpressions {
       case ar: AttributeReference => attrMap.getOrElse(ar.exprId, ar)
     }
-    if (!rebased.sameResult(a)) return None
+    val rebasedAgg = rebased match {
+      case ag: Aggregate => ag
+      case _ => return None
+    }
+    val exact = rebased.sameResult(a)
+    val colNames = rec.outputSchema.fieldNames.toSeq
+    val rollup = if (exact) None else deriveRollup(a, rebasedAgg, colNames)
+    if (!exact && rollup.isEmpty) return None
 
-    // semantics proven equal — now the state must be CURRENT. Guarded
-    // like every other lookup here: a concurrent DROP of the source or
-    // state mid-probe degrades to "no rewrite", never fails the user's
-    // unrelated query
+    // semantics proven equal (or derivable) — now the state must be
+    // CURRENT. Guarded like every other lookup here: a concurrent DROP
+    // of the source or state mid-probe degrades to "no rewrite", never
+    // fails the user's unrelated query
     val fresh =
       try GraftMaterializedViews.isFresh(g, id, rec, analyzed)
       catch { case NonFatal(_) => false }
@@ -142,17 +159,120 @@ final case class GraftMvRewriteRule(spark: SparkSession)
       catch { case NonFatal(_) => return None }
     val rel = DataSourceV2Relation.create(stateTable, Some(g),
       Some(stateIdent))
-    val fields = rec.outputSchema.fields
-    if (a.output.size != fields.length) return None
-    if (a.output.zip(fields).exists {
-        case (attr, f) => attr.dataType != f.dataType }) return None
-    val projOpt = a.output.zip(fields).map { case (attr, f) =>
-      rel.output.find(_.name == f.name)
-        .map(src => Alias(src, attr.name)(exprId = attr.exprId))
+    def stateAttr(c: String): Option[Attribute] = rel.output.find(_.name == c)
+
+    if (exact) {
+      val fields = rec.outputSchema.fields
+      if (a.output.size != fields.length) return None
+      if (a.output.zip(fields).exists {
+          case (attr, f) => attr.dataType != f.dataType }) return None
+      val projOpt = a.output.zip(fields).map { case (attr, f) =>
+        stateAttr(f.name)
+          .map(src => Alias(src, attr.name)(exprId = attr.exprId))
+      }
+      if (projOpt.exists(_.isEmpty)) return None
+      logInfo(s"rewriting aggregate over ${qNames.mkString(", ")} to " +
+        s"materialized view $key's state scan")
+      Some(Project(projOpt.flatten.toIndexedSeq, rel))
+    } else {
+      // coarser grain: re-aggregate the state — groups are a subset of
+      // the MV's, each output re-aggregates one public state column.
+      // The final type check rejects re-sums that widen (decimal).
+      val (gCols, outs) = rollup.get
+      if (gCols.exists(c => stateAttr(c).isEmpty)) return None
+      val groupExprs: Seq[Expression] = gCols.map(c => stateAttr(c).get)
+      val aliasOpt = a.output.zip(outs).map { case (attr, roll) =>
+        val built: Option[Expression] = roll match {
+          case RollGroup(c) => stateAttr(c)
+          case RollSum(c) =>
+            stateAttr(c).map(sa => Sum(sa).toAggregateExpression())
+          case RollCount(c) =>
+            // COUNT over an EMPTY input is 0, but SUM is null — the
+            // coalesce keeps the global-rollup-of-empty-state case exact
+            stateAttr(c).map(sa => Coalesce(Seq(
+              Sum(sa).toAggregateExpression(), Literal(0L))))
+          case RollMin(c) =>
+            stateAttr(c).map(sa => Min(sa).toAggregateExpression())
+          case RollMax(c) =>
+            stateAttr(c).map(sa => Max(sa).toAggregateExpression())
+        }
+        built.filter(_.dataType == attr.dataType)
+          .map(e => Alias(e, attr.name)(exprId = attr.exprId))
+      }
+      if (aliasOpt.exists(_.isEmpty)) return None
+      logInfo(s"rolling up aggregate over ${qNames.mkString(", ")} from " +
+        s"materialized view $key's state (coarser grain)")
+      Some(Aggregate(groupExprs, aliasOpt.flatten.toIndexedSeq, rel))
     }
-    if (projOpt.exists(_.isEmpty)) return None
-    logInfo(s"rewriting aggregate over ${qNames.mkString(", ")} to " +
-      s"materialized view $key's state scan")
-    Some(Project(projOpt.flatten.toIndexedSeq, rel))
+  }
+
+  private sealed trait Roll
+  private case class RollGroup(col: String) extends Roll
+  private case class RollSum(col: String) extends Roll
+  private case class RollCount(col: String) extends Roll
+  private case class RollMin(col: String) extends Roll
+  private case class RollMax(col: String) extends Roll
+
+  private def stripAlias(ne: NamedExpression): Expression = ne match {
+    case Alias(c, _) => c
+    case other => other
+  }
+
+  /** Rollup derivation: the query aggregates the SAME child (canonical
+    * plan equality below the two Aggregates) at a coarser grain. Every
+    * query grouping expression must be one of the MV's PROJECTED
+    * groupings (the state carries its column), and every query aggregate
+    * must re-aggregate one MV public output: additive COUNT/SUM re-sum,
+    * extrema re-min/max (min of group minima = the subset's min). The
+    * derivation is exact by the associativity of those aggregates over a
+    * disjoint partition of the rows — which is precisely what the MV's
+    * finer groups are. DISTINCT/FILTER/AVG (not derivable from public
+    * columns) and unmatched expressions bail to no-rewrite. */
+  private def deriveRollup(a: Aggregate, mv: Aggregate,
+      cols: Seq[String]): Option[(Seq[String], Seq[Roll])] = {
+    if (mv.aggregateExpressions.size != cols.size) return None
+    if (!a.child.sameResult(mv.child)) return None
+    val mvOuts = mv.aggregateExpressions.zip(cols)
+    val groupOuts: Seq[(Expression, String)] = mvOuts.flatMap {
+      case (ne, c) =>
+        val e = stripAlias(ne)
+        if (!e.exists(_.isInstanceOf[AggregateExpression]) &&
+            mv.groupingExpressions.exists(_.semanticEquals(e))) Some(e -> c)
+        else None
+    }
+    def groupColFor(e: Expression): Option[String] =
+      groupOuts.collectFirst { case (ge, c) if ge.semanticEquals(e) => c }
+    def derive(q: AggregateExpression): Option[Roll] = {
+      if (q.isDistinct || q.filter.nonEmpty) return None
+      mvOuts.iterator.flatMap { case (ne, c) =>
+        stripAlias(ne) match {
+          case m: AggregateExpression if !m.isDistinct && m.filter.isEmpty =>
+            (m.aggregateFunction, q.aggregateFunction) match {
+              case (Count(Seq(me)), Count(Seq(qe)))
+                  if me.semanticEquals(qe) => Some(RollCount(c))
+              case (ms: Sum, qs: Sum)
+                  if ms.child.semanticEquals(qs.child) => Some(RollSum(c))
+              case (mm: Min, qm: Min)
+                  if mm.child.semanticEquals(qm.child) => Some(RollMin(c))
+              case (mm: Max, qm: Max)
+                  if mm.child.semanticEquals(qm.child) => Some(RollMax(c))
+              case _ => None
+            }
+          case _ => None
+        }
+      }.nextOption()
+    }
+    val gCols = a.groupingExpressions.map(groupColFor)
+    if (gCols.exists(_.isEmpty)) return None
+    val outs = a.aggregateExpressions.map { ne =>
+      stripAlias(ne) match {
+        case q: AggregateExpression => derive(q)
+        case e if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+          groupColFor(e).map(RollGroup)
+        case _ => None
+      }
+    }
+    if (outs.exists(_.isEmpty)) None
+    else Some((gCols.flatten, outs.flatten))
   }
 }

@@ -136,6 +136,51 @@ class MvRewriteSpec extends SparkTestBase {
     assert(readsState(spark.sql(q), f))
   }
 
+  test("rollup derivation: coarser grains answer from the finer MV") {
+    val t = mkTable("mvr_roll")
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      "(1, 0, 10), (2, 0, 20), (3, 1, 30), (4, 1, NULL), (5, 2, 50)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_fine AS " +
+      s"SELECT grp, k % 2 AS odd, COUNT(*) AS n, SUM(amount) AS s, " +
+      s"MIN(amount) AS mn, MAX(amount) AS mx FROM $cat.$t GROUP BY grp, k % 2")
+    def check(q: String): Unit = {
+      val rolled = spark.sql(q)
+      assert(readsState(rolled, t), s"expected rollup for [$q], got ${scanned(rolled)}")
+      val direct = withConf("spark.graft.mv.rewrite.enabled" -> "false") {
+        sorted(spark.sql(q))
+      }
+      assert(sorted(rolled) === direct, s"rollup values diverge for [$q]")
+    }
+    // subset grain: group by grp alone, every derivable aggregate
+    check(s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s, MIN(amount) AS mn, " +
+      s"MAX(amount) AS mx FROM $cat.$t GROUP BY grp")
+    // the other subset: group by the projected expression
+    check(s"SELECT k % 2 AS odd, SUM(amount) AS s FROM $cat.$t GROUP BY k % 2")
+    // GLOBAL rollup (no grouping at all)
+    check(s"SELECT COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t")
+    // AVG is not derivable from public columns — runs as written
+    val avg = spark.sql(s"SELECT grp, AVG(amount) AS a FROM $cat.$t GROUP BY grp")
+    assert(!readsState(avg, t))
+    // stale MV: no rollup either
+    spark.sql(s"INSERT INTO $cat.$t VALUES (6, 0, 60)")
+    assert(!readsState(
+      spark.sql(s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp"), t))
+    spark.sql(s"CALL $cat.refresh_mv(view => 'mvr_fine')")
+    check(s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp")
+  }
+
+  test("global rollup of an EMPTY state returns 0 counts, not null") {
+    val t = mkTable("mvr_empty")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_eagg AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    val q = s"SELECT COUNT(*) AS n FROM $cat.$t"
+    val rolled = spark.sql(q)
+    assert(readsState(rolled, t), s"got ${scanned(rolled)}")
+    val row = rolled.collect()
+    assert(row.length === 1 && row(0).getLong(0) === 0L,
+      "COUNT over the empty rollup must be 0, never null")
+  }
+
   test("the MV machinery never rewrites against its own state") {
     val t = mkTable("mvr_selfref")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
