@@ -25,6 +25,32 @@ object SourceQueries {
     p.toString
   }
 
+  /** Plan booleans for the MV-rewrite gates (s39c/s39d): the analyzed
+    * plan's scanned table names, and whether the plan reads the given
+    * MV's state table with the base table absent. Shared so the two
+    * gates can never diverge on how a state scan is detected. */
+  private def mvScans(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        rel.table.name()
+    }.toSet
+
+  private def usesMvState(df: org.apache.spark.sql.DataFrame,
+      state: String, base: String): Boolean = {
+    val sc = mvScans(df)
+    sc.exists(_.contains(state)) && !sc.exists(_.endsWith(base))
+  }
+
+  /** Run `body` with the transparent rewrite off, restoring it even on
+    * failure — a throw mid-gate must not leave the SHARED driver session
+    * measuring the non-rewrite path for every later query. */
+  private def withRewriteDisabled[A](s: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    s.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try body
+    finally s.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
   /** Executes `df` and returns how many data FILES its STORE scans
     * actually planned — the measured evidence behind the bucket-pruning
     * gates (s18/s19/s21): pruning claims are pinned as file counts from
@@ -2679,16 +2705,8 @@ object SourceQueries {
         FROM graftdml.s39c_t GROUP BY r""")
       val q = "SELECT r, COUNT(*) AS n, SUM(pop) AS s " +
         "FROM graftdml.s39c_t GROUP BY r"
-      def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
-        df.queryExecution.analyzed.collect {
-          case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-            rel.table.name()
-        }.toSet
-      def usesState(df: org.apache.spark.sql.DataFrame): Boolean = {
-        val sc = scans(df)
-        sc.exists(_.contains("__mv_state_s39c_mv")) &&
-          !sc.exists(_.endsWith("s39c_t"))
-      }
+      def usesState(df: org.apache.spark.sql.DataFrame): Boolean =
+        usesMvState(df, "__mv_state_s39c_mv", "s39c_t")
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
       // fresh: the raw aggregate substitutes the state scan, values equal
@@ -2696,11 +2714,10 @@ object SourceQueries {
       val fresh = s.sql(q)
       val freshHit = usesState(fresh)
       val freshRows = rows(fresh)
-      s.conf.set("spark.graft.mv.rewrite.enabled", "false")
-      val direct = s.sql(q)
-      val directMiss = !usesState(direct)
-      val valuesMatch = freshRows == rows(direct)
-      s.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      val (directMiss, valuesMatch) = withRewriteDisabled(s) {
+        val direct = s.sql(q)
+        (!usesState(direct), freshRows == rows(direct))
+      }
       // stale: DML lands, the MV must NOT substitute and the query must
       // serve the LATEST data straight off the base table
       s.sql("UPDATE graftdml.s39c_t SET pop = pop + 1000 WHERE k % 3 = 0")
@@ -2769,16 +2786,8 @@ object SourceQueries {
         SELECT r, k % 2 AS odd, COUNT(*) AS n, SUM(pop) AS s,
           MIN(pop) AS mn, MAX(pop) AS mx
         FROM graftdml.s39d_t GROUP BY r, k % 2""")
-      def scans(df: org.apache.spark.sql.DataFrame): Set[String] =
-        df.queryExecution.analyzed.collect {
-          case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-            rel.table.name()
-        }.toSet
-      def usesState(df: org.apache.spark.sql.DataFrame): Boolean = {
-        val sc = scans(df)
-        sc.exists(_.contains("__mv_state_s39d_mv")) &&
-          !sc.exists(_.endsWith("s39d_t"))
-      }
+      def usesState(df: org.apache.spark.sql.DataFrame): Boolean =
+        usesMvState(df, "__mv_state_s39d_mv", "s39d_t")
       val qr = "SELECT r, COUNT(*) AS n, SUM(pop) AS s, MIN(pop) AS mn, " +
         "MAX(pop) AS mx FROM graftdml.s39d_t GROUP BY r"
       val byR = s.sql(qr)
@@ -2792,12 +2801,12 @@ object SourceQueries {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
       val rolledRows = (rows(byR), rows(byOdd), rows(global))
-      s.conf.set("spark.graft.mv.rewrite.enabled", "false")
-      val directMatch = rolledRows == ((rows(s.sql(qr)),
-        rows(s.sql("SELECT k % 2 AS odd, SUM(pop) AS s " +
-          "FROM graftdml.s39d_t GROUP BY k % 2")),
-        rows(s.sql("SELECT COUNT(*) AS n FROM graftdml.s39d_t"))))
-      s.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      val directMatch = withRewriteDisabled(s) {
+        rolledRows == ((rows(s.sql(qr)),
+          rows(s.sql("SELECT k % 2 AS odd, SUM(pop) AS s " +
+            "FROM graftdml.s39d_t GROUP BY k % 2")),
+          rows(s.sql("SELECT COUNT(*) AS n FROM graftdml.s39d_t"))))
+      }
       // staleness kills the rollup too
       s.sql("INSERT INTO graftdml.s39d_t VALUES (999, 0, 1)")
       val staleDirect = !usesState(s.sql(qr))

@@ -79,14 +79,27 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     val qNames = qRels.map(_.table.name()).toSet
     val cats = qRels.flatMap(_.catalog).collect {
       case gc: GraftCatalog => gc }.distinct
-    cats.iterator.flatMap { g =>
-      g.listAllMvs().iterator.flatMap(id => matchMv(a, g, id, qRels, qNames))
-    }.nextOption()
+    // an EXACT match (one projection of the state) beats a rollup
+    // (re-aggregation of a finer state) whenever both exist — the
+    // preference keeps plan quality deterministic instead of riding the
+    // _mvs directory-listing order
+    var rollupFallback: Option[LogicalPlan] = None
+    for (g <- cats; id <- g.listAllMvs()) {
+      matchMv(a, g, id, qRels, qNames) match {
+        case Some((plan, true)) => return Some(plan)
+        case Some((plan, false)) if rollupFallback.isEmpty =>
+          rollupFallback = Some(plan)
+        case _ => ()
+      }
+    }
+    rollupFallback
   }
 
+  /** The substituted plan plus whether the match was EXACT (a projection
+    * of the state) as opposed to a rollup (a re-aggregation of it). */
   private def matchMv(a: Aggregate, g: GraftCatalog, id: Identifier,
       qRels: Seq[DataSourceV2Relation], qNames: Set[String])
-      : Option[LogicalPlan] = {
+      : Option[(LogicalPlan, Boolean)] = {
     val rec =
       try GraftMaterializedViews.readRecordCached(g.mvPath(id))
       catch { case NonFatal(_) => return None }
@@ -173,7 +186,7 @@ final case class GraftMvRewriteRule(spark: SparkSession)
       if (projOpt.exists(_.isEmpty)) return None
       logInfo(s"rewriting aggregate over ${qNames.mkString(", ")} to " +
         s"materialized view $key's state scan")
-      Some(Project(projOpt.flatten.toIndexedSeq, rel))
+      Some((Project(projOpt.flatten.toIndexedSeq, rel), true))
     } else {
       // coarser grain: re-aggregate the state — groups are a subset of
       // the MV's, each output re-aggregates one public state column.
@@ -202,7 +215,7 @@ final case class GraftMvRewriteRule(spark: SparkSession)
       if (aliasOpt.exists(_.isEmpty)) return None
       logInfo(s"rolling up aggregate over ${qNames.mkString(", ")} from " +
         s"materialized view $key's state (coarser grain)")
-      Some(Aggregate(groupExprs, aliasOpt.flatten.toIndexedSeq, rel))
+      Some((Aggregate(groupExprs, aliasOpt.flatten.toIndexedSeq, rel), false))
     }
   }
 

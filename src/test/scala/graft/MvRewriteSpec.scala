@@ -169,6 +169,28 @@ class MvRewriteSpec extends SparkTestBase {
     check(s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp")
   }
 
+  test("an exact-grain MV wins over a finer MV's rollup") {
+    val t = mkTable("mvr_pref")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 0, 20), (3, 1, 30)")
+    // alphabetically the FINE one lists first — the preference must not
+    // ride the directory order
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_a_fine AS " +
+      s"SELECT grp, k % 2 AS odd, COUNT(*) AS n, SUM(amount) AS s " +
+      s"FROM $cat.$t GROUP BY grp, k % 2")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_b_exact AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    val q = spark.sql(
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    val sc = scanned(q)
+    assert(sc.exists(_.contains("__mv_state_mvr_b_exact")),
+      s"expected the exact-grain state, got $sc")
+    assert(!sc.exists(_.contains("__mv_state_mvr_a_fine")))
+    assert(sorted(q) === withConf("spark.graft.mv.rewrite.enabled" -> "false") {
+      sorted(spark.sql(s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s " +
+        s"FROM $cat.$t GROUP BY grp"))
+    })
+  }
+
   test("global rollup of an EMPTY state returns 0 counts, not null") {
     val t = mkTable("mvr_empty")
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_eagg AS " +
