@@ -27,8 +27,18 @@ object HostProbe {
     * all started together, so effective cores = threads * single / wall. */
   def cpu(threads: Int = 32): (Long, Double) = {
     spin() // JIT warm on the measuring thread
-    val t0 = System.nanoTime(); spin()
-    val singleMs = math.max(1L, (System.nanoTime() - t0) / 1000000)
+    // best-of-3 on the SINGLE side too (r15 lesson): the parallel side was
+    // already min-of-3, so one slow tick on the lone calibration run —
+    // a scheduler preemption mid-loop — inflated eff_cores past the
+    // physical core count (the r15 driver stamped 42.7 on a 32-vCPU box,
+    // which is arithmetic proof the calibration loop itself ran slow, not
+    // that the host was super-healthy). Min on both sides makes the ratio
+    // a capacity estimate whose numerator and denominator jitter the same
+    // direction.
+    val singleMs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); spin()
+      math.max(1L, (System.nanoTime() - t0) / 1000000)
+    }.min
     val sink = new java.util.concurrent.atomic.AtomicLong()
     // each thread spins 4x the single-thread unit so thread start/join
     // overhead (~ms) is amortized out of a ~100ms measurement window
