@@ -46,9 +46,13 @@ object SourceQueries {
     * measuring the non-rewrite path for every later query. */
   private def withRewriteDisabled[A](s: org.apache.spark.sql.SparkSession)(
       body: => A): A = {
-    s.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    // restore the PRIOR value, not a hardcoded "true": a session whose
+    // kill switch was deliberately off must leave the gate with it off
+    val key = "spark.graft.mv.rewrite.enabled"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "false")
     try body
-    finally s.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
   /** Executes `df` and returns how many data FILES its STORE scans

@@ -103,12 +103,18 @@ object GraftMaterializedViews {
       val sources = graftSources(analyzed)
       val wmName = watermarkSource(sources, shape).map(_._1)
       sources.nonEmpty && sources.forall { case (n, d) =>
-        val cur = GraftStore.currentVersion(d)
-        val refreshed =
-          if (wmName.contains(n))
-            GraftStore.lastTxnVersion(stateDir, rec.txnApp).filter(_ <= cur)
-          else rec.sources.get(n)
-        refreshed.contains(cur)
+        // identity first: a recorded incarnation that no longer matches
+        // means the watermark below was measured against a DIFFERENT
+        // table at this name — version comparison is meaningless then,
+        // even when the recreated table has caught up to the old numbers
+        rec.incarnations.get(n).forall(_ == GraftStore.incarnationOf(d)) && {
+          val cur = GraftStore.currentVersion(d)
+          val refreshed =
+            if (wmName.contains(n))
+              GraftStore.lastTxnVersion(stateDir, rec.txnApp).filter(_ <= cur)
+            else rec.sources.get(n)
+          refreshed.contains(cur)
+        }
       }
     }
   }
@@ -127,7 +133,17 @@ object GraftMaterializedViews {
         * healing recompute's overwrite AND mis-gate later incremental
         * folds against the dead table's version numbers — a fresh lane
         * starts the watermark clean. */
-      txnApp: String = TxnApp)
+      txnApp: String = TxnApp,
+      /** Per-source table-incarnation identity ([[GraftStore
+        * .incarnationOf]]) recorded at refresh. Version numbers alone
+        * cannot see a DROP+recreate once the new table CATCHES UP to the
+        * old watermark (regression-based lane rotation only fires while
+        * the stale watermark still EXCEEDS the new table's version) — a
+        * recorded-vs-current identity mismatch is unconditionally stale
+        * and rotates the lane regardless of where the version counters
+        * sit. Missing entries (pre-r16 records) compare as matching; the
+        * next refresh records them. */
+      incarnations: Map[String, String] = Map.empty)
 
   def writeRecord(path: Path, rec: Record, createNew: Boolean): Unit = {
     val root = mapper.createObjectNode()
@@ -144,6 +160,10 @@ object GraftMaterializedViews {
       rec.sources.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
     }
     root.put("txnApp", rec.txnApp)
+    locally {
+      val o = root.putObject("incarnations")
+      rec.incarnations.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     Files.createDirectories(path.getParent)
     if (createNew) {
@@ -159,6 +179,11 @@ object GraftMaterializedViews {
       Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     }
+    // AFTER the content is in place: a same-granule-mtime same-size
+    // overwrite would otherwise serve the pre-write copy forever from a
+    // matching stale key — dropping the entry here forces the next
+    // same-JVM read to re-parse the bytes just published
+    invalidateRecordCache(path)
   }
 
   /** The WATERMARK TABLE — the (name, dir) whose version space stamps the
@@ -171,25 +196,33 @@ object GraftMaterializedViews {
     if (sources.size == 1) sources.headOption
     else shape.map(sh => (sh.srcName, sh.srcDir))
 
-  /** mtime-keyed record cache for the transparent-rewrite rule, which
-    * reads every candidate MV's record per PLANNING: repeats serve from
-    * memory so a warehouse with many MVs doesn't turn every aggregate's
-    * planning into N JSON parses. Staleness is safe by direction — a
-    * record only ever advances (sources move forward, lanes rotate), and
-    * an outdated copy makes [[isFresh]] conservative (no rewrite), never
-    * wrong. Size-capped backstop like the store's partSpecCache. */
+  /** (mtime, size)-keyed record cache for the transparent-rewrite rule,
+    * which reads every candidate MV's record per PLANNING: repeats serve
+    * from memory so a warehouse with many MVs doesn't turn every
+    * aggregate's planning into N JSON parses. mtime alone is not a safe
+    * key on coarse-granularity filesystems (two writes in one granule
+    * would serve the first), so the size joins the key AND every
+    * same-JVM [[writeRecord]] invalidates the entry outright — the
+    * residual stale window is cross-process writes landing same-mtime
+    * same-size, where staleness is safe by direction: a record only ever
+    * advances (sources move forward, lanes rotate), and an outdated copy
+    * makes [[isFresh]] conservative (no rewrite), never wrong.
+    * Size-capped backstop like the store's partSpecCache. */
   private val recordCache =
     new java.util.concurrent.ConcurrentHashMap[Path,
-      (java.nio.file.attribute.FileTime, Record)]()
+      ((java.nio.file.attribute.FileTime, Long), Record)]()
+
+  private[sources] def invalidateRecordCache(path: Path): Unit =
+    recordCache.remove(path)
 
   def readRecordCached(path: Path): Record = {
-    val mt = Files.getLastModifiedTime(path)
+    val key = (Files.getLastModifiedTime(path), Files.size(path))
     val hit = recordCache.get(path)
-    if (hit != null && hit._1 == mt) hit._2
+    if (hit != null && hit._1 == key) hit._2
     else {
       val rec = readRecord(path)
       if (recordCache.size > 4096) recordCache.clear()
-      recordCache.put(path, (mt, rec))
+      recordCache.put(path, (key, rec))
       rec
     }
   }
@@ -206,7 +239,10 @@ object GraftMaterializedViews {
       stateTable = root.get("stateTable").asText(),
       sources = root.get("sources").properties().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap,
-      txnApp = Option(root.get("txnApp")).map(_.asText()).getOrElse(TxnApp))
+      txnApp = Option(root.get("txnApp")).map(_.asText()).getOrElse(TxnApp),
+      incarnations = Option(root.get("incarnations")).map(
+        _.properties().asScala.map(e => e.getKey -> e.getValue.asText())
+          .toMap).getOrElse(Map.empty))
   }
 
   // -------------------------------------------------------------------
@@ -677,16 +713,33 @@ object GraftMaterializedViews {
     // high-water sits ABOVE the new table's versions — rotate the txn
     // lane so the healing recompute's overwrite isn't no-op'd by the dead
     // table's watermark and later folds never mis-align against it.
+    // The version test alone has a blind spot the incarnation identity
+    // closes: once the recreated table CATCHES UP to the stale watermark
+    // the regression is invisible, the fold lane reports noop, and the
+    // rewrite serves the dead incarnation's state forever — a recorded
+    // incarnation that no longer matches rotates unconditionally.
     // Rotation persists BEFORE any write: a crash after it just means the
     // fresh lane has no watermark yet → the next refresh recomputes.
     val rec1 =
-      if (stateExists && wmSrc.exists { case (_, d) =>
+      if (stateExists && wmSrc.exists { case (n, d) =>
           GraftStore.lastTxnVersion(stateDir, rec.txnApp)
-            .exists(_ > GraftStore.currentVersion(d)) }) {
+            .exists(_ > GraftStore.currentVersion(d)) ||
+            rec.incarnations.get(n).exists(_ != GraftStore.incarnationOf(d))
+        }) {
         val rotated = rec.copy(txnApp = s"__mv_refresh_${System.nanoTime()}")
         writeRecord(g.mvPath(id), rotated, createNew = false)
         rotated
       } else rec
+    // Pin for the RECOMPUTE lane's state overwrite (the fold lane pins
+    // its own read below): two racing recomputes — maintainStream plus a
+    // manual CALL refresh_mv after a dim commit is the documented pair —
+    // could otherwise interleave as B-state, A-state, A-record, B-record,
+    // leaving B's record claiming dim versions newer than A's state
+    // content, which isFresh then certifies. Captured HERE, before any
+    // source version is observed, so the loser of the race always
+    // surfaces as a loud conflict instead of a silent regression.
+    val statePin = if (stateExists) Some(GraftStore.currentVersion(stateDir))
+                   else None
     val stateSchema =
       if (stateExists) GraftStore.readMeta(stateDir).schema
       else stateSchemaFor(rec.outputSchema, shape)
@@ -723,7 +776,11 @@ object GraftMaterializedViews {
     // record, or the record write crashed) is conservatively a mismatch.
     val dimsPinned = useShape.forall { sh =>
       sh.dims.map(d => (d._3, d._2)).distinct.forall { case (n, d) =>
-        rec1.sources.get(n).contains(GraftStore.currentVersion(d)) }
+        rec1.sources.get(n).contains(GraftStore.currentVersion(d)) &&
+          // a dim dropped+recreated back to its recorded version NUMBER is
+          // still a different table — folding against it would join the
+          // delta to content the state was never built from
+          rec1.incarnations.get(n).forall(_ == GraftStore.incarnationOf(d)) }
     }
     if (stateExists && wmSrc.isDefined && (single || dimsPinned)) {
       val srcDir = wmSrc.get._2
@@ -784,7 +841,9 @@ object GraftMaterializedViews {
                   updateSources(g, id, rec1, sources.map { case (n, d) =>
                     n -> (if (d == srcDir) cur
                           else rec1.sources.getOrElse(n,
-                            GraftStore.currentVersion(d))) }.toMap)
+                            GraftStore.currentVersion(d))) }.toMap,
+                    sources.map { case (n, d) =>
+                      n -> GraftStore.incarnationOf(d) }.toMap)
                   return (cur, "incremental")
                 } // else: fall through to the recompute lane below
               } finally changes.unpersist()
@@ -794,9 +853,12 @@ object GraftMaterializedViews {
       }
     }
     // multi-source noop: every recorded source version is still current
+    // AND still the same table incarnation it was recorded against
     if (stateExists && !single && rec.sources.nonEmpty &&
         sources.forall { case (n, d) =>
-          rec.sources.get(n).contains(GraftStore.currentVersion(d)) })
+          rec.sources.get(n).contains(GraftStore.currentVersion(d)) &&
+            rec.incarnations.get(n).forall(
+              _ == GraftStore.incarnationOf(d)) })
       return (rec.sources.values.max, "noop")
 
     // Full recompute. Shape-eligible MVs pin EVERY relation at the
@@ -849,9 +911,12 @@ object GraftMaterializedViews {
       case _ => None
     }
     GraftStore.applyChanges(spark, stateDir, computed,
-      allInserts = true, overwrite = true, txn = txn)
+      allInserts = true, overwrite = true,
+      expectedVersion = statePin, txn = txn)
     updateSources(g, id, rec1,
-      versionsBefore.map { case (n, _, v) => n -> v }.toMap)
+      versionsBefore.map { case (n, _, v) => n -> v }.toMap,
+      versionsBefore.map { case (n, d, _) =>
+        n -> GraftStore.incarnationOf(d) }.toMap)
     (wmV, "full")
   }
 
@@ -888,27 +953,46 @@ object GraftMaterializedViews {
       s"continuous maintenance needs a single-source or join-shape " +
         s"materialized view; $key reads ${sources.size} sources with no " +
         "maintainable shape — schedule CALL refresh_mv instead")
-    val parts = spark.sessionState.sqlParser
-      .parseMultipartIdentifier(wmSrc.get)
-    def quote(p: String) = "`" + p.replace("`", "``") + "`"
-    val addr = ((cat +: parts.init) :+
-      (parts.last + GraftCatalog.ChangesSuffix)).map(quote).mkString(".")
-    spark.readStream.table(addr)
-      .select(col(GraftStore.ChangeVersionCol))
+    def changesStream(name: String): DataFrame = {
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+      def quote(p: String) = "`" + p.replace("`", "``") + "`"
+      val addr = ((cat +: parts.init) :+
+        (parts.last + GraftCatalog.ChangesSuffix)).map(quote).mkString(".")
+      spark.readStream.table(addr)
+        .select(col(GraftStore.ChangeVersionCol))
+    }
+    // Trigger legs: the watermark table's changelog PLUS (r16) every
+    // DIM's. A join MV watching only its fact left a dim-only commit
+    // stale until the next fact commit — on a quiet fact, indefinitely.
+    // The dim legs are trigger-only like the fact leg (pruned to the
+    // version column; offsets just advance): the refresh itself routes a
+    // poisoned fold to the recompute lane and re-records the dim
+    // versions, so freshness flips without any fact traffic.
+    val legs = (wmSrc.get +: shape.toSeq.flatMap(_.dims.map(_._3))).distinct
+    legs.map(changesStream).reduce(_ unionByName _)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        // a refresh racing this one (a manual CALL refresh_mv — exactly
-        // what a dim commit on a join MV calls for) surfaces as a
-        // conflict through the state pin; the LOSER here must not kill
-        // the long-lived maintenance stream — whatever the winner left
-        // unfolded, the retry (or the next micro-batch) folds
-        try refresh(spark, cat, g, id)
-        catch {
-          case _: java.util.ConcurrentModificationException =>
-            try refresh(spark, cat, g, id)
-            catch { case _: java.util.ConcurrentModificationException => () }
+        // a refresh racing this one (a manual CALL refresh_mv, or another
+        // maintainStream) surfaces as a conflict through the state pin;
+        // the LOSER here retries with bounded backoff — whatever the
+        // winner folded, the retry's refresh no-ops past. Exhausting the
+        // retries RETHROWS (the r15-advised fix: swallowing the final
+        // conflict would commit this batch's offsets with the fold not
+        // done, and a quiet source would leave the MV stale indefinitely
+        // despite the always-fresh contract) — the failed batch's offsets
+        // stay uncommitted, so a stream restart replays the trigger.
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { refresh(spark, cat, g, id); done = true }
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempt += 1
+              if (attempt >= 5) throw e
+              Thread.sleep(50L * attempt)
+          }
         }
         ()
       }
@@ -929,7 +1013,8 @@ object GraftMaterializedViews {
   }
 
   private def updateSources(g: GraftCatalog, id: Identifier, rec: Record,
-      sources: Map[String, Long]): Unit = {
+      sources: Map[String, Long],
+      incarnations: Map[String, String]): Unit = {
     // a refresh racing DROP MATERIALIZED VIEW must not resurrect the
     // deleted definition from its in-memory copy — skip the metadata
     // update when the record is gone (the residual exists→write window
@@ -937,7 +1022,8 @@ object GraftMaterializedViews {
     // only costs an extra recompute; a resurrected record is a ghost)
     val p = g.mvPath(id)
     if (Files.exists(p))
-      writeRecord(p, rec.copy(sources = sources), createNew = false)
+      writeRecord(p, rec.copy(sources = sources,
+        incarnations = incarnations), createNew = false)
   }
 
   /** Freshness metadata served by `` `mv$mv` `` — one row per source. */
@@ -955,8 +1041,11 @@ object GraftMaterializedViews {
     val wmName = watermarkSource(sources, shape).map(_._1)
     sources.map { case (n, d) =>
       val cur = GraftStore.currentVersion(d)
+      val sameIncarnation =
+        rec.incarnations.get(n).forall(_ == GraftStore.incarnationOf(d))
       val refreshed =
-        if (wmName.contains(n) && GraftStore.exists(stateDir))
+        if (!sameIncarnation) None // a recreated table: watermark void
+        else if (wmName.contains(n) && GraftStore.exists(stateDir))
           GraftStore.lastTxnVersion(stateDir, rec.txnApp)
             .filter(_ <= cur) // a regressed lane is not a real watermark
         else rec.sources.get(n)

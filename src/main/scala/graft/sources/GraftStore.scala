@@ -1431,11 +1431,46 @@ object GraftStore {
   def create(dir: String, meta: GraftTableMeta): Unit = {
     invalidateDvCache(dir) // a recreated path is a NEW identity
     writeMeta(dir, meta)
+    // a fresh identity stamp per CREATE: version numbers restart at 0
+    // here, so version-based watermarks alone cannot distinguish this
+    // table from a dropped predecessor at the same path/name — consumers
+    // that cache cross-refresh state (materialized views) compare this
+    // instead of trusting version arithmetic across a drop+recreate
+    Files.write(Paths.get(dir, IncarnationName),
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
     Files.createDirectories(Paths.get(versionDir(dir, 0L)))
     writeBucketMap(versionDir(dir, 0L), Map.empty)
     writeBucketMarker(versionDir(dir, 0L), meta.buckets)
     Files.createDirectories(Paths.get(changesRoot(dir)))
     writePointer(dir, 0L)
+  }
+
+  private[sources] val IncarnationName = "_incarnation"
+
+  /** The table's incarnation identity — a UUID stamped at CREATE. Tables
+    * predating the stamp (or built through paths that assemble their dir
+    * file-by-file, e.g. clones) adopt one lazily and race-safely: the
+    * CREATE_NEW loser reads the winner's. The identity answers exactly
+    * one question for cross-refresh consumers: "is this the same table
+    * my recorded watermark was measured against?" — version numbers
+    * cannot, because a drop+recreate restarts them and a recreated table
+    * can CATCH UP to a stale watermark (the r15-advised MV staleness
+    * hole). */
+  def incarnationOf(dir: String): String = {
+    val p = Paths.get(dir, IncarnationName)
+    try new String(Files.readAllBytes(p), "UTF-8").trim
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        val fresh = java.util.UUID.randomUUID().toString
+        try {
+          Files.write(p, fresh.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          fresh
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            new String(Files.readAllBytes(p), "UTF-8").trim
+        }
+    }
   }
 
   def changesRoot(dir: String): String = s"$dir/_changes"

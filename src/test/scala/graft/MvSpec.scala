@@ -341,6 +341,31 @@ class MvSpec extends SparkTestBase {
     assert(rowsOf("mv_regen") === Seq((5L, 2L, 100L)))
   }
 
+  test("drop + recreate that CATCHES UP to the old watermark is still stale") {
+    // the r15-advised blind spot: lane rotation keyed on version
+    // regression alone stops firing once the recreated table's version
+    // counter reaches the recorded watermark — freshness then compares
+    // equal numbers from two different tables. The incarnation identity
+    // stamped at CREATE makes the recreate visible at ANY version.
+    val t = mkTable("t_mv_catchup")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)") // v1
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 1, 30)") // v2
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_catchup AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    assert(refresh("mv_catchup")._2 === "noop") // watermark = 2
+    mkTable("t_mv_catchup") // new incarnation, v0
+    spark.sql(s"INSERT INTO $cat.$t VALUES (7, 3, 70)") // v1
+    spark.sql(s"INSERT INTO $cat.$t VALUES (8, 3, 10)") // v2 == old watermark
+    // freshness metadata must report stale even though version numbers agree
+    val stale = spark.sql(s"SELECT stale FROM $cat.`mv_catchup$$mv`")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(stale === Seq(true))
+    // and the refresh must HEAL (recompute), not report noop
+    assert(refresh("mv_catchup")._2 === "full")
+    assert(rowsOf("mv_catchup") === Seq((3L, 2L, 80L)))
+    assert(refresh("mv_catchup")._2 === "noop") // re-recorded: fresh again
+  }
+
   test("a retried refresh of the same slice cannot double-fold") {
     val t = mkTable("mv_retry")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
@@ -510,6 +535,16 @@ class MvSpec extends SparkTestBase {
     spark.sql(s"UPDATE $cat.$t SET amount = 11 WHERE k = 1")
     maintainOnce()
     assert(refresh("mv_strm")._2 === "noop", "restarted stream kept folding")
+    assert(spark.sql(s"SELECT * FROM $cat.mv_strm ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === oracle())
+    // DIM-ONLY commit (r16): the maintainer watches the dims' changelogs
+    // as additional trigger legs — a slowly-changing-dim correction on a
+    // QUIET fact must flip the MV fresh without any fact commit (the
+    // refresh it triggers routes through the dim-poison recompute lane)
+    spark.sql(s"UPDATE $cat.$d SET mult = 10 WHERE dk = 0")
+    maintainOnce()
+    assert(refresh("mv_strm")._2 === "noop",
+      "dim-only commit was folded by the dim trigger leg")
     assert(spark.sql(s"SELECT * FROM $cat.mv_strm ORDER BY nm")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq === oracle())
     // a body with NO watermark table (two sources, non-maintainable
