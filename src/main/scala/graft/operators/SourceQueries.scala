@@ -2816,11 +2816,25 @@ object SourceQueries {
       val staleDirect = !usesState(s.sql(qr))
       s.sql("DELETE FROM graftdml.s39d_t WHERE k = 999")
       s.sql("CALL graftdml.refresh_mv(view => 's39d_mv')")
+      // AVG derivation (r16): an MV CO-PROJECTING SUM(pop) and COUNT(pop)
+      // serves AVG(pop) as Σsums/Σcounts — the COUNT(*)-only MV above
+      // honestly could not (avg_runs_direct pinned it); this one can
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.s39d_avgmv")
+      s.sql("""CREATE MATERIALIZED VIEW graftdml.s39d_avgmv AS
+        SELECT r, k % 2 AS odd, SUM(pop) AS s, COUNT(pop) AS nn
+        FROM graftdml.s39d_t GROUP BY r, k % 2""")
+      val qa = "SELECT r, AVG(pop) AS a FROM graftdml.s39d_t GROUP BY r"
+      val avgRolled = s.sql(qa)
+      val avgHit = usesMvState(avgRolled, "__mv_state_s39d_avgmv", "s39d_t")
+      val avgRows = rows(avgRolled)
+      val avgMatch = withRewriteDisabled(s) { avgRows == rows(s.sql(qa)) }
       s.sql(qr)
         .withColumn("rolled_from_state", lit(rolledAll))
         .withColumn("avg_runs_direct", lit(avgDirect))
         .withColumn("values_match_direct", lit(directMatch))
         .withColumn("stale_runs_direct", lit(staleDirect))
+        .withColumn("avg_rollup_hit", lit(avgHit))
+        .withColumn("avg_values_match", lit(avgMatch))
         .orderBy($"r")
     }, Some("""
       WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
@@ -2829,8 +2843,209 @@ object SourceQueries {
       SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
         CAST(MIN(pop) AS BIGINT) AS mn, CAST(MAX(pop) AS BIGINT) AS mx,
         TRUE AS rolled_from_state, TRUE AS avg_runs_direct,
-        TRUE AS values_match_direct, TRUE AS stale_runs_direct
+        TRUE AS values_match_direct, TRUE AS stale_runs_direct,
+        TRUE AS avg_rollup_hit, TRUE AS avg_values_match
       FROM src GROUP BY r ORDER BY r""")),
+
+    // ----- S39e: PREDICATE CONTAINMENT in the transparent MV rewrite —
+    // the filtered-dashboard matcher: a WHERE under the aggregate whose
+    // every base reference re-expresses over the MV's PROJECTED GROUPING
+    // expressions commutes with the aggregation (each finer group's rows
+    // pass or fail together), so the query substitutes as σ over the
+    // |view|-row state — composed with BOTH the exact matcher (same
+    // grain + filter) and the rollup matcher (coarser grain + filter).
+    // `WHERE region = 'ASIA'` over a per-(region, day) MV is the most
+    // common dashboard query there is; before this matcher it silently
+    // scanned the fact. A predicate needing a NON-grouping column (k)
+    // honestly runs direct — σ on the state cannot answer it. Same
+    // freshness gate as every other substitution. The gate pins the plan
+    // booleans (three filtered shapes hit the state with the base table
+    // absent; the non-group predicate and the stale MV do not; all
+    // values hash the rewrite-disabled evaluations) and the final
+    // filtered-rollup rows hash the DuckDB closed form.
+    GraftQuery("s39e_mv_filter_rewrite", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.s39e_mv")
+      s.sql("DROP TABLE IF EXISTS graftdml.s39e_t")
+      s.sql("""CREATE TABLE graftdml.s39e_t
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s39e_rows")
+      s.sql("INSERT INTO graftdml.s39e_t SELECT * FROM s39e_rows")
+      s.sql("""CREATE MATERIALIZED VIEW graftdml.s39e_mv AS
+        SELECT r, k % 2 AS odd, COUNT(*) AS n, SUM(pop) AS s
+        FROM graftdml.s39e_t GROUP BY r, k % 2""")
+      def usesState(df: org.apache.spark.sql.DataFrame): Boolean =
+        usesMvState(df, "__mv_state_s39e_mv", "s39e_t")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      // same grain + filter on a projected grouping column
+      val qExact = "SELECT r, k % 2 AS odd, COUNT(*) AS n, SUM(pop) AS s " +
+        "FROM graftdml.s39e_t WHERE r IN (0, 2) GROUP BY r, k % 2"
+      // filter through the grouping EXPRESSION (k % 2 — never raw k)
+      val qExpr = "SELECT r, k % 2 AS odd, SUM(pop) AS s " +
+        "FROM graftdml.s39e_t WHERE k % 2 = 1 GROUP BY r, k % 2"
+      // coarser grain + filter: σ composes with the rollup matcher
+      val qRoll = "SELECT r, COUNT(*) AS n, SUM(pop) AS s " +
+        "FROM graftdml.s39e_t WHERE r >= 1 GROUP BY r"
+      val (eDf, xDf, rDf) = (s.sql(qExact), s.sql(qExpr), s.sql(qRoll))
+      val filteredHits = usesState(eDf) && usesState(xDf) && usesState(rDf)
+      val filteredRows = (rows(eDf), rows(xDf), rows(rDf))
+      val valuesMatch = withRewriteDisabled(s) {
+        filteredRows == ((rows(s.sql(qExact)), rows(s.sql(qExpr)),
+          rows(s.sql(qRoll))))
+      }
+      // a predicate on the raw key is NOT containable — honest direct run
+      val nonGroupDirect = !usesState(s.sql(
+        "SELECT r, SUM(pop) AS s FROM graftdml.s39e_t WHERE k > 5 GROUP BY r"))
+      // staleness kills the filtered rewrite like every other shape
+      s.sql("INSERT INTO graftdml.s39e_t VALUES (999, 1, 1)")
+      val staleDirect = !usesState(s.sql(qRoll))
+      s.sql("DELETE FROM graftdml.s39e_t WHERE k = 999")
+      s.sql("CALL graftdml.refresh_mv(view => 's39e_mv')")
+      s.sql(qRoll)
+        .withColumn("filtered_rewrites_hit", lit(filteredHits))
+        .withColumn("values_match_direct", lit(valuesMatch))
+        .withColumn("nongroup_runs_direct", lit(nonGroupDirect))
+        .withColumn("stale_runs_direct", lit(staleDirect))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation)
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS s,
+        TRUE AS filtered_rewrites_hit, TRUE AS values_match_direct,
+        TRUE AS nongroup_runs_direct, TRUE AS stale_runs_direct
+      FROM src WHERE r >= 1 GROUP BY r ORDER BY r""")),
+
+    // ----- S44: cross-table atomic publish — a table-group commit over
+    // the branch machinery: stage work on a same-named branch per member,
+    // `CALL publish_group(tables => 'f,s', name => ...)` fast-forwards
+    // EVERY branch or NONE. Two-phase with one decision point: prepare
+    // adopts each branch's versions INVISIBLY (above the pointer) under
+    // the same claims fast_forward takes, a single CREATE_NEW decision
+    // file commits the whole group, completion flips the pointers. A
+    // coordinator crash BEFORE the decision publishes neither member
+    // (its claims age out and any later access aborts the group loudly);
+    // a crash AFTER the decision rolls FORWARD on the next read of any
+    // member (scan-path recovery) — the fact+summary publish a warehouse
+    // actually needs: consumers can never see the fact advance without
+    // its summary. The gate drives all three lanes with injected crashes
+    // (booleans) and hashes the final joined contents of both members
+    // against the DuckDB closed form.
+    GraftQuery("s44_multi_table_txn", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP TABLE IF EXISTS graftdml.s44_f")
+      s.sql("DROP TABLE IF EXISTS graftdml.s44_s")
+      s.sql("""CREATE TABLE graftdml.s44_f
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("""CREATE TABLE graftdml.s44_s
+        (r BIGINT NOT NULL, total BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='r', 'buckets'='2')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s44_rows")
+      s.sql("INSERT INTO graftdml.s44_f SELECT * FROM s44_rows")
+      s.sql("INSERT INTO graftdml.s44_s SELECT r, SUM(pop) FROM s44_rows " +
+        "GROUP BY r")
+      def fCnt() = s.sql("SELECT COUNT(*) FROM graftdml.s44_f")
+        .head().getLong(0)
+      def sTot() = s.sql("SELECT SUM(total) FROM graftdml.s44_s")
+        .head().getLong(0)
+      val (f0, t0) = (fCnt(), sTot())
+      // the fact+summary publish: new fact rows AND the summary's bump
+      // stage on one branch name across both tables
+      def stage(off: Long): Unit = {
+        Seq("s44_f", "s44_s").foreach(t =>
+          s.sql(s"CALL graftdml.create_branch(table => '$t', name => 'wap')"))
+        s.sql("INSERT INTO graftdml.`s44_f$branch$wap` " +
+          s"SELECT id + $off, CAST(id % 5 AS BIGINT), (id + $off) * 2 " +
+          "FROM range(5)")
+        s.sql(s"""MERGE INTO graftdml.`s44_s$$branch$$wap` t USING (
+            SELECT CAST(id % 5 AS BIGINT) AS r, (id + $off) * 2 AS add
+            FROM range(5)) c
+          ON t.r = c.r
+          WHEN MATCHED THEN UPDATE SET total = t.total + c.add
+          WHEN NOT MATCHED THEN INSERT (r, total) VALUES (c.r, c.add)""")
+      }
+      stage(1000L)
+      // lane 1: coordinator dies BEFORE the decision → NEITHER member
+      // moves, both branches stay intact
+      sys.props("graft.store.failpoint.publish_group") = "before-decision"
+      val crashed = try {
+        s.sql("CALL graftdml.publish_group(tables => 's44_f,s44_s', " +
+          "name => 'wap')")
+        false
+      } catch { case _: Exception => true }
+      finally sys.props.remove("graft.store.failpoint.publish_group")
+      val neitherMoved = crashed && fCnt() == f0 && sTot() == t0
+      // lane 2: the dead coordinator's claims age out → a retry aborts
+      // the stalled group and publishes BOTH atomically
+      val savedStale = sys.props.get("graft.store.staleClaimMillis")
+      sys.props("graft.store.staleClaimMillis") = "50"
+      val published = try {
+        Thread.sleep(120)
+        s.sql("CALL graftdml.publish_group(tables => 's44_f,s44_s', " +
+          "name => 'wap')").head().getLong(0) == 2L
+      } finally savedStale match {
+        case Some(v) => sys.props("graft.store.staleClaimMillis") = v
+        case None => sys.props.remove("graft.store.staleClaimMillis")
+      }
+      val bothMoved = published && fCnt() == f0 + 5 && sTot() > t0
+      // lane 3: crash AFTER the decision (between the two pointer flips)
+      // → a plain read of the still-old member rolls the group FORWARD
+      stage(2000L)
+      sys.props("graft.store.failpoint.publish_group") = "between-flips"
+      try s.sql("CALL graftdml.publish_group(tables => 's44_f,s44_s', " +
+        "name => 'wap')")
+      catch { case _: Exception => () }
+      finally sys.props.remove("graft.store.failpoint.publish_group")
+      val rolledForward = fCnt() == f0 + 10 && sTot() > t0 &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(
+          DmlFixture.warehouse, "s44_s", "_groupcommit"))
+      // CDC continuity: the adopted commits carry change rows on BOTH
+      val cdcBoth =
+        s.sql("SELECT COUNT(*) FROM graftdml.`s44_f$changes` " +
+          "WHERE change_op = 'I' AND k >= 1000").head().getLong(0) == 10L &&
+        s.sql("SELECT COUNT(*) FROM graftdml.`s44_s$changes` " +
+          "WHERE change_op IN ('U','I')").head().getLong(0) >= 5L
+      s.sql("""SELECT f.r, COUNT(*) AS n, SUM(f.pop) AS fact_pop,
+          MAX(s.total) AS summary_total
+        FROM graftdml.s44_f f JOIN graftdml.s44_s s ON f.r = s.r
+        GROUP BY f.r""")
+        .withColumn("crash_publishes_neither", lit(neitherMoved))
+        .withColumn("retry_publishes_both", lit(bothMoved))
+        .withColumn("decided_rolls_forward", lit(rolledForward))
+        .withColumn("cdc_on_both_members", lit(cdcBoth))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      burst AS (SELECT CAST(i + 1000 AS BIGINT) AS k, CAST(i % 5 AS BIGINT) AS r,
+                  CAST((i + 1000) * 2 AS BIGINT) AS pop
+                FROM range(5) t(i)
+                UNION ALL
+                SELECT CAST(i + 2000 AS BIGINT), CAST(i % 5 AS BIGINT),
+                  CAST((i + 2000) * 2 AS BIGINT)
+                FROM range(5) t(i)),
+      fact AS (SELECT * FROM src UNION ALL SELECT * FROM burst),
+      summ AS (SELECT r, SUM(pop) AS total FROM fact GROUP BY r)
+      SELECT f.r, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(f.pop) AS BIGINT) AS fact_pop,
+        CAST(MAX(s.total) AS BIGINT) AS summary_total,
+        TRUE AS crash_publishes_neither, TRUE AS retry_publishes_both,
+        TRUE AS decided_rolls_forward, TRUE AS cdc_on_both_members
+      FROM fact f JOIN summ s ON f.r = s.r GROUP BY f.r ORDER BY f.r""")),
 
     // ----- S40: writable branches — the WAP (write-audit-publish)
     // workflow at table-format parity: `CALL create_branch` forks a

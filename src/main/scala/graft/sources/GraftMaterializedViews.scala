@@ -653,10 +653,12 @@ object GraftMaterializedViews {
       s"state table ${g.mvStateIdent(id)} already exists")
     writeRecord(g.mvPath(id),
       rec0.copy(outputSchema = outSchema), createNew = true)
+    GraftCatalog.invalidateMvListings() // a new candidate exists
     // same write-then-verify race closure as createView (both ways:
     // createView re-checks MVs after ITS publish too)
     if (g.tableExists(id) || g.viewExists(id)) {
       Files.deleteIfExists(g.mvPath(id))
+      GraftCatalog.invalidateMvListings()
       throw new IllegalArgumentException(
         s"a TABLE or VIEW named ${mvKey(cat, id)} was created " +
           "concurrently — the materialized view was not created")
@@ -671,6 +673,7 @@ object GraftMaterializedViews {
         s"materialized view $id does not exist")
     }
     Files.deleteIfExists(g.mvPath(id)) // unpublish first: reads stop here
+    GraftCatalog.invalidateMvListings()
     val stateDir = g.mvStateDir(id)
     if (GraftStore.exists(stateDir)) GraftStore.dropTable(stateDir)
   }

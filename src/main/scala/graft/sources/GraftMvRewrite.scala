@@ -3,12 +3,13 @@ package graft.sources
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.DoubleType
 
 /** Transparent materialized-view rewrite (S39c): a resolved query whose
   * `Aggregate` is semantically the body of a FRESH materialized view is
@@ -31,9 +32,18 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * SUM(x) → SUM(sum col), MIN/MAX → MIN/MAX), the substitution is an
   * Aggregate over the state instead of a projection: a per-region
   * dashboard rolls up from the per-(region, day) MV without anyone
-  * materializing the coarser view. Anything else (DISTINCT/FILTER
-  * aggregates, AVG — not derivable from public sums, decimal re-sums
-  * that would widen the type) just runs the query as written.
+  * materializing the coarser view — with AVG(x) derived when the MV
+  * co-projects SUM(x) AND COUNT(x) (Σsums/Σcounts; COUNT(*) never
+  * stands in, it counts the nulls AVG ignores). PLUS PREDICATE
+  * CONTAINMENT (S39e): a WHERE under the aggregate whose every base
+  * reference re-expresses over PROJECTED GROUPING expressions commutes
+  * with the aggregation (each group's rows pass or fail together), so
+  * the filtered dashboard query — σ(region='ASIA') over a per-(region,
+  * day) MV — substitutes as Filter over the state scan, composing with
+  * both the exact and the rollup matchers. Anything else
+  * (DISTINCT/FILTER aggregates, predicates on non-grouping columns,
+  * decimal re-sums that would widen the type) just runs the query as
+  * written.
   *
   * Substitution happens ONLY when the MV is fresh — the state's txn
   * watermark equals the watermark table's current version and every dim
@@ -79,13 +89,29 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     val qNames = qRels.map(_.table.name()).toSet
     val cats = qRels.flatMap(_.catalog).collect {
       case gc: GraftCatalog => gc }.distinct
-    // an EXACT match (one projection of the state) beats a rollup
-    // (re-aggregation of a finer state) whenever both exist — the
-    // preference keeps plan quality deterministic instead of riding the
-    // _mvs directory-listing order
+    // PREDICATE CONTAINMENT (S39e): when the aggregate sits over a WHERE,
+    // also try the match with the filter peeled off — a predicate whose
+    // every base reference resolves to a PROJECTED GROUPING column of the
+    // MV commutes with the aggregation (a group's rows all pass or all
+    // fail together), so σ over the state answers it exactly. The
+    // unstripped match runs FIRST per MV: a body that itself contains
+    // the same WHERE must keep matching as a plain projection.
+    val stripped: Option[(Expression, Aggregate)] = a.child match {
+      case f: Filter if f.condition.deterministic &&
+          !f.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+        Some((f.condition, a.copy(child = f.child)))
+      case _ => None
+    }
+    // an EXACT match (one projection of the state, filtered or not)
+    // beats a rollup (re-aggregation of a finer state) whenever both
+    // exist — the preference keeps plan quality deterministic instead of
+    // riding the _mvs directory-listing order
     var rollupFallback: Option[LogicalPlan] = None
     for (g <- cats; id <- g.listAllMvs()) {
-      matchMv(a, g, id, qRels, qNames) match {
+      val hit = matchMv(a, None, g, id, qRels, qNames).orElse(
+        stripped.flatMap { case (cond, aCore) =>
+          matchMv(aCore, Some(cond), g, id, qRels, qNames) })
+      hit match {
         case Some((plan, true)) => return Some(plan)
         case Some((plan, false)) if rollupFallback.isEmpty =>
           rollupFallback = Some(plan)
@@ -96,8 +122,12 @@ final case class GraftMvRewriteRule(spark: SparkSession)
   }
 
   /** The substituted plan plus whether the match was EXACT (a projection
-    * of the state) as opposed to a rollup (a re-aggregation of it). */
-  private def matchMv(a: Aggregate, g: GraftCatalog, id: Identifier,
+    * of the state) as opposed to a rollup (a re-aggregation of it).
+    * `residual` is a WHERE predicate peeled off the query below the
+    * aggregate — it must re-express entirely over projected grouping
+    * columns of the MV and is applied over the state scan. */
+  private def matchMv(a: Aggregate, residual: Option[Expression],
+      g: GraftCatalog, id: Identifier,
       qRels: Seq[DataSourceV2Relation], qNames: Set[String])
       : Option[(LogicalPlan, Boolean)] = {
     val rec =
@@ -156,6 +186,27 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     val colNames = rec.outputSchema.fieldNames.toSeq
     val rollup = if (exact) None else deriveRollup(a, rebasedAgg, colNames)
     if (!exact && rollup.isEmpty) return None
+    // the peeled WHERE must re-express over the state: every MAXIMAL
+    // sub-expression matching a projected grouping expression maps to
+    // its state column (transformDown replaces largest-first, so
+    // `k % 2 = 1` maps through the `k % 2` grouping without ever
+    // needing `k` itself), and nothing else may reference the base
+    // child. Checked BEFORE the freshness probe so an unmappable
+    // predicate costs no metadata reads.
+    val groupOuts = groupOutsOf(rebasedAgg, colNames)
+    def mapResidual(cond: Expression, target: String => Option[Expression])
+        : Expression =
+      cond.transformDown {
+        case e if groupOuts.exists(_._1.semanticEquals(e)) =>
+          val c = groupOuts.collectFirst {
+            case (ge, cc) if ge.semanticEquals(e) => cc }.get
+          target(c).getOrElse(e)
+      }
+    if (residual.exists(cond => mapResidual(cond,
+        c => Some(Literal(null, groupOuts.collectFirst {
+          case (ge, cc) if cc == c => ge.dataType }.get)))
+        .references.nonEmpty))
+      return None // predicate looks at something the state doesn't carry
 
     // semantics proven equal (or derivable) — now the state must be
     // CURRENT. Guarded like every other lookup here: a concurrent DROP
@@ -174,6 +225,17 @@ final case class GraftMvRewriteRule(spark: SparkSession)
       Some(stateIdent))
     def stateAttr(c: String): Option[Attribute] = rel.output.find(_.name == c)
 
+    // σ over the state (mappability proven above; a state column missing
+    // despite the schema check degrades to no-rewrite like every other
+    // lookup here)
+    val scanBase: LogicalPlan = residual match {
+      case None => rel
+      case Some(cond) =>
+        val mapped = mapResidual(cond, c => stateAttr(c))
+        if (!mapped.references.subsetOf(rel.outputSet)) return None
+        Filter(mapped, rel)
+    }
+
     if (exact) {
       val fields = rec.outputSchema.fields
       if (a.output.size != fields.length) return None
@@ -186,7 +248,7 @@ final case class GraftMvRewriteRule(spark: SparkSession)
       if (projOpt.exists(_.isEmpty)) return None
       logInfo(s"rewriting aggregate over ${qNames.mkString(", ")} to " +
         s"materialized view $key's state scan")
-      Some((Project(projOpt.flatten.toIndexedSeq, rel), true))
+      Some((Project(projOpt.flatten.toIndexedSeq, scanBase), true))
     } else {
       // coarser grain: re-aggregate the state — groups are a subset of
       // the MV's, each output re-aggregates one public state column.
@@ -208,6 +270,21 @@ final case class GraftMvRewriteRule(spark: SparkSession)
             stateAttr(c).map(sa => Min(sa).toAggregateExpression())
           case RollMax(c) =>
             stateAttr(c).map(sa => Max(sa).toAggregateExpression())
+          case RollAvg(sc, cc) =>
+            // Σsums / Σcounts, null when no non-null operand survived —
+            // built post-analysis, so the double casts Divide requires
+            // are explicit. Decimal SUMs fall out at the type check
+            // below (a decimal AVG's output type is decimal, never the
+            // double built here).
+            for {
+              sa <- stateAttr(sc)
+              ca <- stateAttr(cc)
+            } yield {
+              val cntSum = Sum(ca).toAggregateExpression()
+              If(EqualTo(cntSum, Literal(0L)), Literal(null, DoubleType),
+                Divide(Cast(Sum(sa).toAggregateExpression(), DoubleType),
+                  Cast(cntSum, DoubleType)))
+            }
         }
         built.filter(_.dataType == attr.dataType)
           .map(e => Alias(e, attr.name)(exprId = attr.exprId))
@@ -215,7 +292,8 @@ final case class GraftMvRewriteRule(spark: SparkSession)
       if (aliasOpt.exists(_.isEmpty)) return None
       logInfo(s"rolling up aggregate over ${qNames.mkString(", ")} from " +
         s"materialized view $key's state (coarser grain)")
-      Some((Aggregate(groupExprs, aliasOpt.flatten.toIndexedSeq, rel), false))
+      Some((Aggregate(groupExprs, aliasOpt.flatten.toIndexedSeq,
+        scanBase), false))
     }
   }
 
@@ -225,11 +303,27 @@ final case class GraftMvRewriteRule(spark: SparkSession)
   private case class RollCount(col: String) extends Roll
   private case class RollMin(col: String) extends Roll
   private case class RollMax(col: String) extends Roll
+  /** AVG derived from CO-PROJECTED public SUM(x) and COUNT(x) columns:
+    * Σsums / Σcounts over the finer groups, null when the non-null
+    * operand count is zero (exactly AVG's empty/all-null semantics). */
+  private case class RollAvg(sumCol: String, cntCol: String) extends Roll
 
   private def stripAlias(ne: NamedExpression): Expression = ne match {
     case Alias(c, _) => c
     case other => other
   }
+
+  /** The MV's PROJECTED grouping outputs as (grouping expression → state
+    * column name) — the vocabulary both the rollup matcher and the
+    * residual-filter remap resolve against. */
+  private def groupOutsOf(mv: Aggregate, cols: Seq[String])
+      : Seq[(Expression, String)] =
+    mv.aggregateExpressions.zip(cols).flatMap { case (ne, c) =>
+      val e = stripAlias(ne)
+      if (!e.exists(_.isInstanceOf[AggregateExpression]) &&
+          mv.groupingExpressions.exists(_.semanticEquals(e))) Some(e -> c)
+      else None
+    }
 
   /** Rollup derivation: the query aggregates the SAME child (canonical
     * plan equality below the two Aggregates) at a coarser grain. Every
@@ -246,34 +340,44 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     if (mv.aggregateExpressions.size != cols.size) return None
     if (!a.child.sameResult(mv.child)) return None
     val mvOuts = mv.aggregateExpressions.zip(cols)
-    val groupOuts: Seq[(Expression, String)] = mvOuts.flatMap {
-      case (ne, c) =>
-        val e = stripAlias(ne)
-        if (!e.exists(_.isInstanceOf[AggregateExpression]) &&
-            mv.groupingExpressions.exists(_.semanticEquals(e))) Some(e -> c)
-        else None
-    }
+    val groupOuts = groupOutsOf(mv, cols)
     def groupColFor(e: Expression): Option[String] =
       groupOuts.collectFirst { case (ge, c) if ge.semanticEquals(e) => c }
-    def derive(q: AggregateExpression): Option[Roll] = {
-      if (q.isDistinct || q.filter.nonEmpty) return None
+    // the MV's PUBLIC aggregate outputs, unfiltered/non-distinct only
+    def publicAgg[A](f: PartialFunction[(Expression, String), A]): Option[A] =
       mvOuts.iterator.flatMap { case (ne, c) =>
         stripAlias(ne) match {
           case m: AggregateExpression if !m.isDistinct && m.filter.isEmpty =>
-            (m.aggregateFunction, q.aggregateFunction) match {
-              case (Count(Seq(me)), Count(Seq(qe)))
-                  if me.semanticEquals(qe) => Some(RollCount(c))
-              case (ms: Sum, qs: Sum)
-                  if ms.child.semanticEquals(qs.child) => Some(RollSum(c))
-              case (mm: Min, qm: Min)
-                  if mm.child.semanticEquals(qm.child) => Some(RollMin(c))
-              case (mm: Max, qm: Max)
-                  if mm.child.semanticEquals(qm.child) => Some(RollMax(c))
-              case _ => None
-            }
+            f.lift((m.aggregateFunction, c))
           case _ => None
         }
       }.nextOption()
+    def derive(q: AggregateExpression): Option[Roll] = {
+      if (q.isDistinct || q.filter.nonEmpty) return None
+      q.aggregateFunction match {
+        case qa: Average =>
+          // AVG(x) = Σ SUM(x) / Σ COUNT(x) over the finer groups — BOTH
+          // must be projected by the MV (COUNT(x) specifically: COUNT(*)
+          // counts null operands AVG ignores)
+          for {
+            s <- publicAgg { case (ms: Sum, c)
+                if ms.child.semanticEquals(qa.child) => c }
+            n <- publicAgg { case (Count(Seq(ce)), c)
+                if ce.semanticEquals(qa.child) => c }
+          } yield RollAvg(s, n)
+        case Count(Seq(qe)) => publicAgg {
+          case (Count(Seq(me)), c) if me.semanticEquals(qe) => RollCount(c) }
+        case qs: Sum => publicAgg {
+          case (ms: Sum, c) if ms.child.semanticEquals(qs.child) =>
+            RollSum(c) }
+        case qm: Min => publicAgg {
+          case (mm: Min, c) if mm.child.semanticEquals(qm.child) =>
+            RollMin(c) }
+        case qm: Max => publicAgg {
+          case (mm: Max, c) if mm.child.semanticEquals(qm.child) =>
+            RollMax(c) }
+        case _ => None
+      }
     }
     val gCols = a.groupingExpressions.map(groupColFor)
     if (gCols.exists(_.isEmpty)) return None

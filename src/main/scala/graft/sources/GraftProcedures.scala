@@ -26,6 +26,7 @@ object GraftProcedures {
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
     "analyze", "maintenance_report", "create_tag", "drop_tag",
     "refresh_mv", "create_branch", "drop_branch", "fast_forward",
+    "publish_group",
     "rebase_branch", "set_partition_spec")
 
   private[sources] val Descriptions: Map[String, String] = Map(
@@ -86,6 +87,10 @@ object GraftProcedures {
       "version dirs and changelog slices adopt by hard link, time " +
       "travel/CDC/MV refresh see the branch's individual commits, the " +
       "pointer flip is the single atomic publish, the branch is consumed"),
+    "publish_group" -> ("atomically fast_forward the SAME-NAMED branch " +
+      "on every listed table: all pointers flip or none (one decision " +
+      "file; crash recovery rolls a decided group forward on next " +
+      "access): CALL publish_group(tables => 't1,t2', name => 'wap')"),
     "set_partition_spec" -> ("evolve a time-partitioned table's GRAIN " +
       "(years/months/days/hours) for FUTURE commits as one metadata-only " +
       "commit: old dirs keep their ordinals under per-version markers, " +
@@ -144,6 +149,9 @@ object GraftProcedures {
     case "create_branch" | "drop_branch" | "fast_forward" |
         "rebase_branch" => Array(
       ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    case "publish_group" => Array(
+      ProcedureParameter.in("tables", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
     case "set_partition_spec" => Array(
       ProcedureParameter.in("table", StringType).build(),
@@ -260,6 +268,28 @@ final class GraftProcedure(procName: String, tableDir: String => String,
         return util.Collections.singletonList[Scan](new GraftResultScan(
           schema, Array(new GenericInternalRow(
             Array[Any](v, UTF8String.fromString(mode)))))).iterator()
+      }
+      if (procName == "publish_group") {
+        require(catalog != null, "publish_group needs a catalog-bound " +
+          "procedure (CALL <cat>.sys.publish_group)")
+        val tables = input.getUTF8String(0).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val branch = input.getUTF8String(1).toString
+        val dirs = tables.map { t =>
+          val d = tableDir(t)
+          require(GraftStore.exists(d), s"no such graft table: $t")
+          d
+        }
+        val groupsRoot = java.nio.file.Paths.get(
+          catalog.warehouseDir, "_txngroups")
+        val heads = GraftStore.publishGroup(groupsRoot,
+          dirs.map(d => (d, branch)))
+        val schema = StructType(Seq(
+          StructField("tables_published", LongType, nullable = false),
+          StructField("max_version", LongType, nullable = false)))
+        return util.Collections.singletonList[Scan](new GraftResultScan(
+          schema, Array(new GenericInternalRow(
+            Array[Any](heads.size.toLong, heads.max))))).iterator()
       }
       val table = input.getUTF8String(0).toString
       val dir = tableDir(table)

@@ -1490,6 +1490,14 @@ object GraftStore {
     * (crash between flip and rename) is moved into place. Called at the
     * start of every commit and read path. */
   def recoverChangelog(dir: String): Unit = {
+    // piggyback the S44 group-commit recovery on the same every-commit/
+    // every-read hook (reentrancy-guarded: completing a group member
+    // itself recovers this changelog)
+    if (!inGroupRecovery.get()) {
+      inGroupRecovery.set(true)
+      try recoverGroupCommit(dir)
+      finally inGroupRecovery.set(false)
+    }
     val root = Paths.get(changesRoot(dir))
     if (!Files.isDirectory(root)) return
     val cur = currentVersion(dir)
@@ -1856,36 +1864,8 @@ object GraftStore {
           s"branch '$name' of $dir diverged in SCHEMA/layout from main " +
             "(an ALTER landed on the branch or on main since the fork); " +
             "fast_forward aborted — re-branch and replay, or use RTAS")
-      val mainOwners = ownersOf(dir, fork)
-      val token = claims.head._2
-      branchVs.foreach { v =>
-        val dst = Paths.get(versionDir(dir, v))
-        if (!Files.isDirectory(dst)) { // a crashed retry already adopted it
-          val build = Paths.get(s"${versionDir(dir, v)}.build-$token")
-          deleteRecursively(build)
-          linkTree(Paths.get(versionDir(bd, v)), build)
-          rewriteOwnerRefs(build.toString, fork, mainOwners)
-          publishVersion(build.toString, versionDir(dir, v))
-        }
-        val srcSlice = Paths.get(s"${changesRoot(bd)}/$ChangeVersionCol=$v")
-        val dstSlice = Paths.get(s"${changesRoot(dir)}/$ChangeVersionCol=$v")
-        val stage = Paths.get(s"${changesRoot(dir)}/.staging-$v")
-        if (Files.isDirectory(srcSlice) && !Files.exists(dstSlice)) {
-          // a pre-existing staging is a crashed attempt's possibly-TORN
-          // link pass — we hold this version's claim, the branch slice is
-          // immutable: rebuild it whole rather than publish a partial one
-          deleteRecursively(stage)
-          Files.createDirectories(Paths.get(changesRoot(dir)))
-          linkTree(srcSlice, stage)
-        }
-        // expiry-promoted boundary markers on the branch follow along
-        val bm = Paths.get(changesRoot(bd), f"_boundary-$v%010d")
-        if (Files.exists(bm)) {
-          Files.createDirectories(Paths.get(changesRoot(dir)))
-          val m = Paths.get(changesRoot(dir), f"_boundary-$v%010d")
-          if (!Files.exists(m)) Files.write(m, Array.empty[Byte])
-        }
-      }
+      adoptBranchVersions(dir, bd, fork, branchVs, claims.head._2,
+        rebuild = false)
       claims.foreach { case (m, t) => verifyClaim(m, t) }
       writePointer(dir, bHead)
       invalidateDvCache(dir)
@@ -1897,6 +1877,49 @@ object GraftStore {
     // the branch claim releases in the outer finally: dropBranch removed
     // the marker with the dir, which releaseClaim tolerates
     } finally releaseClaim(bMarker, bToken)
+  }
+
+  /** Adopt a branch's version dirs, changelog slices, and boundary
+    * markers above `fork` into main — hard links only, every artifact
+    * landing ABOVE main's pointer (invisible until it flips) or under a
+    * dot-prefixed staging name. Caller holds the claims for every
+    * adopted version. `rebuild = false` skips a dst that already exists
+    * (the crashed-same-branch-retry case fast_forward relies on);
+    * `rebuild = true` deletes and relinks it (the group-publish case: an
+    * ABORTED earlier group may have left an adopted dir from a branch
+    * that no longer exists — same version number, different content). */
+  private def adoptBranchVersions(dir: String, bd: String, fork: Long,
+      branchVs: Seq[Long], token: String, rebuild: Boolean): Unit = {
+    val mainOwners = ownersOf(dir, fork)
+    branchVs.foreach { v =>
+      val dst = Paths.get(versionDir(dir, v))
+      if (rebuild && Files.isDirectory(dst)) deleteRecursively(dst)
+      if (!Files.isDirectory(dst)) { // a crashed retry already adopted it
+        val build = Paths.get(s"${versionDir(dir, v)}.build-$token")
+        deleteRecursively(build)
+        linkTree(Paths.get(versionDir(bd, v)), build)
+        rewriteOwnerRefs(build.toString, fork, mainOwners)
+        publishVersion(build.toString, versionDir(dir, v))
+      }
+      val srcSlice = Paths.get(s"${changesRoot(bd)}/$ChangeVersionCol=$v")
+      val dstSlice = Paths.get(s"${changesRoot(dir)}/$ChangeVersionCol=$v")
+      val stage = Paths.get(s"${changesRoot(dir)}/.staging-$v")
+      if (Files.isDirectory(srcSlice) && !Files.exists(dstSlice)) {
+        // a pre-existing staging is a crashed attempt's possibly-TORN
+        // link pass — we hold this version's claim, the branch slice is
+        // immutable: rebuild it whole rather than publish a partial one
+        deleteRecursively(stage)
+        Files.createDirectories(Paths.get(changesRoot(dir)))
+        linkTree(srcSlice, stage)
+      }
+      // expiry-promoted boundary markers on the branch follow along
+      val bm = Paths.get(changesRoot(bd), f"_boundary-$v%010d")
+      if (Files.exists(bm)) {
+        Files.createDirectories(Paths.get(changesRoot(dir)))
+        val m = Paths.get(changesRoot(dir), f"_boundary-$v%010d")
+        if (!Files.exists(m)) Files.write(m, Array.empty[Byte])
+      }
+    }
   }
 
   /** Rebase branch `name` onto MAIN's current head — the recourse when
@@ -2036,6 +2059,250 @@ object GraftStore {
     }
     }
     } finally releaseClaim(bMarker, bToken)
+  }
+
+  // --------------------------------------------------------------------
+  // Cross-table atomic publish (S44): a table-group commit. Each member
+  // table carries a branch with the staged work; `publishGroup` fast-
+  // forwards EVERY branch or NONE — two-phase with a single decision
+  // point and roll-FORWARD recovery:
+  //
+  //   PREPARE (per member, under the same claims fast_forward takes):
+  //     freeze the branch, verify the fork point and schema, adopt the
+  //     branch's version dirs + changelog stagings into main — all
+  //     INVISIBLE (above the pointer / dot-prefixed), then drop a
+  //     `_groupcommit` marker in the table dir pointing at the group
+  //     manifest. Main stays readable at the fork throughout (the fork+1
+  //     claim freezes writers, never readers).
+  //   DECIDE: one CREATE_NEW of `<group>.decision` = "committed" — the
+  //     single atomic action that makes the whole group's outcome. A
+  //     concurrent recovery that aborted a stalled group wins the same
+  //     CREATE_NEW with "aborted"; exactly one of the two ever exists.
+  //   COMPLETE (per member): flip the pointer to the branch head, publish
+  //     the staged slices, consume the branch, remove the marker.
+  //
+  // Crash windows: before DECIDE → no pointer moved, every reader saw
+  // (and keeps seeing) the pre-publish contents of every member; the
+  // stalled group's claims go stale and any later access aborts it
+  // loudly via the decision file. After DECIDE → `recoverGroupCommit`
+  // (piggybacked on the scan path's version resolution and every
+  // commit's recoverChangelog) rolls the remaining members FORWARD from
+  // the manifest — a reader that catches a member mid-window completes
+  // the flip itself before resolving the version. The one documented
+  // softness: a reader racing the COMPLETE phase exactly between two
+  // flips can observe member A new and member B old for the instant
+  // before B's read-path recovery fires — the same transient any
+  // catalog-external multi-table commit has without a global snapshot
+  // authority; crash-durability is all-or-nothing regardless.
+  // --------------------------------------------------------------------
+
+  private[sources] val GroupMarkerName = "_groupcommit"
+
+  private val inGroupRecovery = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Crash injection for the S44 gate/fuzz only (`graft.store.failpoint
+    * .publish_group` = before-decision | between-flips): throws at the
+    * named point WITHOUT releasing claims or markers — simulating a
+    * dead coordinator the recovery paths must then resolve. */
+  private[sources] final class InjectedGroupCrash(at: String)
+    extends RuntimeException(s"injected publish_group crash at $at")
+  private def groupFailpoint(at: String): Unit =
+    if (sys.props.get("graft.store.failpoint.publish_group").contains(at))
+      throw new InjectedGroupCrash(at)
+
+  private def groupDecisionPath(manifest: Path): Path =
+    manifest.resolveSibling(
+      manifest.getFileName.toString.stripSuffix(".json") + ".decision")
+
+  /** One member's manifest line: dir TAB branch TAB fork TAB head. */
+  private def writeGroupManifest(manifest: Path,
+      members: Seq[(String, String, Long, Long)]): Unit = {
+    Files.createDirectories(manifest.getParent)
+    val body = members.map { case (d, b, f, h) =>
+      s"${java.net.URLEncoder.encode(d, "UTF-8")}\t" +
+        s"${java.net.URLEncoder.encode(b, "UTF-8")}\t$f\t$h"
+    }.mkString("", "\n", "\n")
+    Files.write(manifest, body.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  private def readGroupManifest(manifest: Path)
+      : Seq[(String, String, Long, Long)] =
+    new String(Files.readAllBytes(manifest), "UTF-8").split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(d, b, f, h) = line.split("\t")
+        (java.net.URLDecoder.decode(d, "UTF-8"),
+          java.net.URLDecoder.decode(b, "UTF-8"), f.toLong, h.toLong)
+      }
+
+  /** Publish branch `name` on EVERY listed table atomically — all flip
+    * or none. `groupsRoot` hosts the group manifest + decision files
+    * (one dir per catalog warehouse). Returns the published head per
+    * table, in input order. */
+  def publishGroup(groupsRoot: Path, members: Seq[(String, String)])
+      : Seq[Long] = {
+    require(members.nonEmpty, "publish_group needs at least one table")
+    require(members.map(_._1).distinct.size == members.size,
+      "publish_group lists a table twice")
+    // resolve any prior group's leftovers first — a stalled PREPARED
+    // group aborts here (its claims gone stale), a decided one completes
+    members.foreach { case (d, _) => recoverGroupCommit(d) }
+    val id = java.util.UUID.randomUUID().toString
+    val manifest = groupsRoot.resolve(s"group-$id.json")
+    val decision = groupDecisionPath(manifest)
+    // (dir, bd, branch, fork, head, marker)
+    val preps = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long, Long, Path)]
+    val claims = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
+    var injected = false
+    try {
+      try {
+        // PREPARE in deterministic (sorted-dir) order: two concurrent
+        // groups over overlapping tables deadlock-free — the loser
+        // conflicts on the first shared table's claim
+        members.sortBy(_._1).foreach { case (dir, name) =>
+          require(branchExists(dir, name),
+            s"table $dir has no branch '$name' (have " +
+              s"${listBranches(dir).mkString("[", ", ", "]")})")
+          recoverChangelog(dir)
+          val bd = branchDir(dir, name)
+          recoverChangelog(bd)
+          val fork = branchForkBase(dir, name)
+          val bHead = currentVersion(bd)
+          val bc = claimCommit(bd, bHead + 1) // freeze the branch
+          claims += bc
+          if (currentVersion(bd) != bHead)
+            throw new java.util.ConcurrentModificationException(
+              s"branch '$name' of $dir advanced while publish_group was " +
+                "starting; re-run")
+          if (readMeta(dir) != readMeta(bd))
+            throw new IllegalStateException(
+              s"branch '$name' of $dir diverged in SCHEMA/layout from " +
+                "main; publish_group aborted — re-branch and replay")
+          val branchVs = listDir(Paths.get(bd))(
+            _.map(_.getFileName.toString).filter(_.matches("v\\d{10}"))
+              .map(_.drop(1).toLong).toSeq).filter(_ > fork).sorted
+          branchVs.foreach(v => claims += claimCommit(dir, v))
+          if (currentVersion(dir) != fork)
+            throw new java.util.ConcurrentModificationException(
+              s"table $dir advanced past the fork point v$fork of branch " +
+                s"'$name'; publish_group aborted — rebase and re-run")
+          if (readMeta(dir) != readMeta(bd)) // re-check under the claims
+            throw new IllegalStateException(
+              s"branch '$name' of $dir diverged in SCHEMA/layout from " +
+                "main; publish_group aborted — re-branch and replay")
+          adoptBranchVersions(dir, bd, fork, branchVs, bc._2, rebuild = true)
+          val marker = Paths.get(dir, GroupMarkerName)
+          preps += ((dir, bd, name, fork, bHead, marker))
+        }
+        writeGroupManifest(manifest, preps.toSeq.map {
+          case (d, _, b, f, h, _) => (d, b, f, h) })
+        preps.foreach { case (_, _, _, _, _, marker) =>
+          try Files.write(marker,
+            manifest.toAbsolutePath.toString.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new java.util.ConcurrentModificationException(
+                s"another table group holds ${marker.getParent}; " +
+                  "resolve it (any read recovers a decided/stalled group) " +
+                  "and re-run")
+          }
+        }
+        groupFailpoint("before-decision")
+        withClaimHeartbeat(
+            (claims.map(_._1) ++ preps.map(_._6)).toSeq) {
+          // last-instant fencing, then the single decision point
+          claims.foreach { case (m, t) => verifyClaim(m, t) }
+          try Files.write(decision, "committed".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // a recovery aborted this group while we stalled
+              throw new java.util.ConcurrentModificationException(
+                s"publish_group $id was aborted by a concurrent recovery; " +
+                  "re-run")
+          }
+          // COMPLETE every member; a crash from here on rolls forward
+          preps.zipWithIndex.foreach { case ((dir, _, _, _, _, _), i) =>
+            if (i > 0) groupFailpoint("between-flips")
+            completeGroupMember(dir)
+          }
+        }
+      } catch {
+        case e: InjectedGroupCrash => injected = true; throw e
+      }
+    } finally if (!injected)
+      claims.foreach { case (m, t) => releaseClaim(m, t) }
+    val heads = members.map { case (d, _) =>
+      d -> preps.collectFirst { case (`d`, _, _, _, h, _) => h }.get }
+    heads.map(_._2)
+  }
+
+  /** Roll a decided group forward on one member: flip the pointer to the
+    * recorded head, publish the staged changelog slices, consume the
+    * branch, drop the marker. Idempotent and safe to race — every step
+    * either tolerates or ignores an already-done state. */
+  private def completeGroupMember(dir: String): Unit = {
+    val marker = Paths.get(dir, GroupMarkerName)
+    val manifest =
+      try Paths.get(new String(Files.readAllBytes(marker), "UTF-8").trim)
+      catch { case _: java.nio.file.NoSuchFileException => return }
+    val mine = readGroupManifest(manifest).find(_._1 == dir).getOrElse(return)
+    val (_, branch, _, head) = mine
+    if (currentVersion(dir) < head) {
+      writePointer(dir, head)
+      invalidateDvCache(dir)
+    }
+    recoverChangelog(dir) // the pointer now covers the staged slices
+    if (branchExists(dir, branch))
+      try dropBranch(dir, branch)
+      catch { case _: IllegalArgumentException => () } // raced: consumed
+    Files.deleteIfExists(marker)
+  }
+
+  /** Resolve a `_groupcommit` marker found on `dir`: roll FORWARD when
+    * the group decided commit, clean up when it decided abort, ABORT it
+    * (winning the decision file) when the coordinator's claims have gone
+    * stale, and leave an in-flight young group alone. Cheap when no
+    * marker exists — one Files.exists. Called from the scan path's
+    * version resolution and from recoverChangelog (every commit/read). */
+  def recoverGroupCommit(dir: String): Unit = {
+    val marker = Paths.get(dir, GroupMarkerName)
+    if (!Files.exists(marker)) return
+    val manifest =
+      try Paths.get(new String(Files.readAllBytes(marker), "UTF-8").trim)
+      catch { case _: java.nio.file.NoSuchFileException => return }
+    val decision = groupDecisionPath(manifest)
+    val verdict =
+      try Some(new String(Files.readAllBytes(decision), "UTF-8").trim)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    verdict match {
+      case Some("committed") => completeGroupMember(dir)
+      case Some(_) => // aborted: the adopted dirs above the pointer are
+        // inert (invisible to every reader; vacuum sweeps them)
+        Files.deleteIfExists(marker)
+      case None =>
+        val age =
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(marker).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => return }
+        if (age > defaultStaleClaimMillis) {
+          // the coordinator is presumed dead (markers ride its claim
+          // heartbeat while alive): abort by WINNING the decision file —
+          // if the zombie wakes it loses its own CREATE_NEW and backs out
+          try {
+            Files.write(decision, "aborted".getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            Files.deleteIfExists(marker)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              recoverGroupCommit(dir) // decided under us — re-dispatch
+          }
+        } // else: in-flight; readers keep seeing the pre-publish contents
+    }
   }
 
   // --------------------------------------------------------------------

@@ -350,6 +350,124 @@ class BranchSpec extends SparkTestBase {
       Seq((1L, 0L, 10L), (2L, 1L, 20L), (3L, 2L, 30L)))
   }
 
+  test("publish_group flips every member or none; success is atomic") {
+    val a = mkTable("grp_a")
+    val b = mkTable("grp_b")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (5, 0, 50)")
+    Seq(a, b).foreach(t =>
+      spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'wap')"))
+    spark.sql(s"INSERT INTO $cat.`$a$$branch$$wap` VALUES (3, 0, 30)")
+    spark.sql(s"UPDATE $cat.`$a$$branch$$wap` SET amount = 11 WHERE k = 1")
+    spark.sql(s"INSERT INTO $cat.`$b$$branch$$wap` VALUES (6, 1, 60)")
+    val r = spark.sql(s"CALL $cat.publish_group(tables => '$a,$b', " +
+      "name => 'wap')").head()
+    assert(r.getLong(0) === 2L)
+    assert(rows(s"$cat.$a") === Seq((1L, 0L, 11L), (2L, 1L, 20L),
+      (3L, 0L, 30L)))
+    assert(rows(s"$cat.$b") === Seq((5L, 0L, 50L), (6L, 1L, 60L)))
+    // branches consumed; CDC present for the adopted commits on BOTH
+    assert(GraftStore.listBranches(s"$warehouse/$a").isEmpty)
+    assert(GraftStore.listBranches(s"$warehouse/$b").isEmpty)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`$a$$changes` " +
+      "WHERE change_version > 1").head().getLong(0) > 0)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.`$b$$changes` " +
+      "WHERE change_version > 1").head().getLong(0) > 0)
+  }
+
+  test("publish_group crash before the decision publishes NEITHER") {
+    val a = mkTable("grpc_a")
+    val b = mkTable("grpc_b")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (5, 0, 50)")
+    Seq(a, b).foreach(t =>
+      spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'wap')"))
+    spark.sql(s"INSERT INTO $cat.`$a$$branch$$wap` VALUES (2, 0, 20)")
+    spark.sql(s"INSERT INTO $cat.`$b$$branch$$wap` VALUES (6, 0, 60)")
+    sys.props("graft.store.failpoint.publish_group") = "before-decision"
+    try intercept[Exception] {
+      spark.sql(s"CALL $cat.publish_group(tables => '$a,$b', name => 'wap')")
+    } finally sys.props.remove("graft.store.failpoint.publish_group")
+    // the coordinator "died" with everything staged: NEITHER table moved
+    assert(rows(s"$cat.$a") === Seq((1L, 0L, 10L)))
+    assert(rows(s"$cat.$b") === Seq((5L, 0L, 50L)))
+    // both branches intact (a group consumes only on commit)
+    assert(GraftStore.branchExists(s"$warehouse/$a", "wap"))
+    assert(GraftStore.branchExists(s"$warehouse/$b", "wap"))
+    // once the dead coordinator's claims age out, a retry aborts the
+    // stalled group and publishes cleanly
+    val saved = sys.props.get("graft.store.staleClaimMillis")
+    sys.props("graft.store.staleClaimMillis") = "50"
+    try {
+      Thread.sleep(120)
+      val r = spark.sql(s"CALL $cat.publish_group(tables => '$a,$b', " +
+        "name => 'wap')").head()
+      assert(r.getLong(0) === 2L)
+    } finally saved match {
+      case Some(v) => sys.props("graft.store.staleClaimMillis") = v
+      case None => sys.props.remove("graft.store.staleClaimMillis")
+    }
+    assert(rows(s"$cat.$a") === Seq((1L, 0L, 10L), (2L, 0L, 20L)))
+    assert(rows(s"$cat.$b") === Seq((5L, 0L, 50L), (6L, 0L, 60L)))
+  }
+
+  test("publish_group crash after the decision rolls FORWARD on read") {
+    val a = mkTable("grpf_a")
+    val b = mkTable("grpf_b")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (5, 0, 50)")
+    Seq(a, b).foreach(t =>
+      spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'wap')"))
+    spark.sql(s"INSERT INTO $cat.`$a$$branch$$wap` VALUES (2, 0, 20)")
+    spark.sql(s"INSERT INTO $cat.`$b$$branch$$wap` VALUES (6, 0, 60)")
+    sys.props("graft.store.failpoint.publish_group") = "between-flips"
+    try intercept[Exception] {
+      spark.sql(s"CALL $cat.publish_group(tables => '$a,$b', name => 'wap')")
+    } finally sys.props.remove("graft.store.failpoint.publish_group")
+    // decision durable, first member flipped, coordinator "died": a plain
+    // read of EITHER member completes the group (scan-path recovery), so
+    // no reader can plan the second member's pre-publish snapshot
+    assert(rows(s"$cat.$b") === Seq((5L, 0L, 50L), (6L, 0L, 60L)))
+    assert(rows(s"$cat.$a") === Seq((1L, 0L, 10L), (2L, 0L, 20L)))
+    // markers cleaned, branches consumed by the recovery
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$warehouse/$a", "_groupcommit")))
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$warehouse/$b", "_groupcommit")))
+    assert(GraftStore.listBranches(s"$warehouse/$a").isEmpty)
+    assert(GraftStore.listBranches(s"$warehouse/$b").isEmpty)
+  }
+
+  test("publish_group conflicts when one member's main moved off its fork") {
+    val a = mkTable("grpx_a")
+    val b = mkTable("grpx_b")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (5, 0, 50)")
+    Seq(a, b).foreach(t =>
+      spark.sql(s"CALL $cat.create_branch(table => '$t', name => 'wap')"))
+    spark.sql(s"INSERT INTO $cat.`$a$$branch$$wap` VALUES (2, 0, 20)")
+    spark.sql(s"INSERT INTO $cat.`$b$$branch$$wap` VALUES (6, 0, 60)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (7, 1, 70)") // b moved off fork
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.publish_group(tables => '$a,$b', name => 'wap')")
+    }
+    assert(chain(e).exists(x => Option(x.getMessage).exists(
+      _.contains("fork point"))))
+    // NOTHING published on either member; branches intact for a rebase
+    assert(rows(s"$cat.$a") === Seq((1L, 0L, 10L)))
+    assert(rows(s"$cat.$b") === Seq((5L, 0L, 50L), (7L, 1L, 70L)))
+    assert(GraftStore.branchExists(s"$warehouse/$a", "wap"))
+    assert(GraftStore.branchExists(s"$warehouse/$b", "wap"))
+    // the standard recourse works per member: rebase b, publish the group
+    spark.sql(s"CALL $cat.rebase_branch(table => '$b', name => 'wap')")
+    val r = spark.sql(s"CALL $cat.publish_group(tables => '$a,$b', " +
+      "name => 'wap')").head()
+    assert(r.getLong(0) === 2L)
+    assert(rows(s"$cat.$a") === Seq((1L, 0L, 10L), (2L, 0L, 20L)))
+    assert(rows(s"$cat.$b") ===
+      Seq((5L, 0L, 50L), (6L, 0L, 60L), (7L, 1L, 70L)))
+  }
+
   test("ALTER on a branch blocks fast_forward loudly") {
     val t = mkTable("br_alter")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)")

@@ -95,10 +95,16 @@ class MvRewriteSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
     spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_magg AS " +
       s"SELECT grp, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
-    // extra predicate → different semantics → no substitution
+    // extra predicate on a GROUPING column → σ over the state (S39e)
     val filtered = spark.sql(
       s"SELECT grp, SUM(amount) AS s FROM $cat.$t WHERE grp = 1 GROUP BY grp")
-    assert(!readsState(filtered, t))
+    assert(readsState(filtered, t),
+      s"group-column predicate must rewrite, got ${scanned(filtered)}")
+    assert(sorted(filtered) === Seq(Seq(1L, 20L)))
+    // predicate on a NON-grouping column → different semantics → direct
+    val nonGroup = spark.sql(
+      s"SELECT grp, SUM(amount) AS s FROM $cat.$t WHERE k = 1 GROUP BY grp")
+    assert(!readsState(nonGroup, t))
     // different aggregate function
     val other = spark.sql(
       s"SELECT grp, MAX(amount) AS s FROM $cat.$t GROUP BY grp")
@@ -167,6 +173,103 @@ class MvRewriteSpec extends SparkTestBase {
       spark.sql(s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp"), t))
     spark.sql(s"CALL $cat.refresh_mv(view => 'mvr_fine')")
     check(s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp")
+  }
+
+  test("predicate containment: WHERE on grouping columns filters the state") {
+    val t = mkTable("mvr_filt")
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      "(1, 0, 10), (2, 0, 20), (3, 1, 30), (4, 1, 40), (5, 2, 50)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_filt_mv AS " +
+      s"SELECT grp, k % 2 AS odd, COUNT(*) AS n, SUM(amount) AS s " +
+      s"FROM $cat.$t GROUP BY grp, k % 2")
+    def check(q: String): Unit = {
+      val rewritten = spark.sql(q)
+      assert(readsState(rewritten, t),
+        s"expected filtered rewrite for [$q], got ${scanned(rewritten)}")
+      val direct = withConf("spark.graft.mv.rewrite.enabled" -> "false") {
+        sorted(spark.sql(q))
+      }
+      assert(sorted(rewritten) === direct, s"filtered values diverge for [$q]")
+    }
+    // exact grain + filter on a projected grouping column
+    check(s"SELECT grp, k % 2 AS odd, COUNT(*) AS n, SUM(amount) AS s " +
+      s"FROM $cat.$t WHERE grp IN (0, 2) GROUP BY grp, k % 2")
+    // filter through the grouping EXPRESSION (k % 2 = 1 never sees k)
+    check(s"SELECT grp, k % 2 AS odd, SUM(amount) AS s " +
+      s"FROM $cat.$t WHERE k % 2 = 1 GROUP BY grp, k % 2")
+    // filter + ROLLUP composition: coarser grain over the filtered state
+    check(s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s " +
+      s"FROM $cat.$t WHERE grp >= 1 GROUP BY grp")
+    // filter + GLOBAL rollup
+    check(s"SELECT COUNT(*) AS n FROM $cat.$t WHERE grp = 0")
+    // a predicate needing the raw k (not a grouping expr) → direct
+    val raw = spark.sql(s"SELECT grp, SUM(amount) AS s FROM $cat.$t " +
+      s"WHERE k > 2 GROUP BY grp")
+    assert(!readsState(raw, t))
+    // a filter that empties a group: the group must VANISH, not zero out
+    val vanish = spark.sql(s"SELECT grp, COUNT(*) AS n FROM $cat.$t " +
+      s"WHERE grp = 7 GROUP BY grp")
+    assert(readsState(vanish, t))
+    assert(vanish.collect().isEmpty)
+    // stale MV: no filtered rewrite either
+    spark.sql(s"INSERT INTO $cat.$t VALUES (6, 0, 60)")
+    assert(!readsState(spark.sql(s"SELECT grp, SUM(amount) AS s " +
+      s"FROM $cat.$t WHERE grp = 0 GROUP BY grp"), t))
+  }
+
+  test("AVG rolls up from co-projected SUM(x) and COUNT(x)") {
+    val t = mkTable("mvr_avg")
+    spark.sql(s"INSERT INTO $cat.$t VALUES " +
+      "(1, 0, 10), (2, 0, 20), (3, 1, 30), (4, 1, NULL), (5, 2, NULL)")
+    // COUNT(amount) — the non-null operand count AVG needs (COUNT(*)
+    // would silently count the NULLs AVG ignores)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_avg_mv AS " +
+      s"SELECT grp, k % 2 AS odd, SUM(amount) AS s, COUNT(amount) AS nn " +
+      s"FROM $cat.$t GROUP BY grp, k % 2")
+    def check(q: String): Unit = {
+      val rolled = spark.sql(q)
+      assert(readsState(rolled, t),
+        s"expected AVG rollup for [$q], got ${scanned(rolled)}")
+      val direct = withConf("spark.graft.mv.rewrite.enabled" -> "false") {
+        sorted(spark.sql(q))
+      }
+      assert(sorted(rolled) === direct, s"AVG rollup diverges for [$q]")
+    }
+    check(s"SELECT grp, AVG(amount) AS a FROM $cat.$t GROUP BY grp")
+    // grp=2 has only a NULL amount: its AVG must be null, not 0/0
+    check(s"SELECT grp, AVG(amount) AS a, SUM(amount) AS s FROM $cat.$t " +
+      s"GROUP BY grp")
+    check(s"SELECT AVG(amount) AS a FROM $cat.$t") // global
+    // an MV projecting COUNT(*) instead of COUNT(amount) cannot serve AVG
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.mvr_avg_mv")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_avg_mv2 AS " +
+      s"SELECT grp, SUM(amount) AS s, COUNT(*) AS n " +
+      s"FROM $cat.$t GROUP BY grp, k % 2")
+    val star = spark.sql(s"SELECT AVG(amount) AS a FROM $cat.$t")
+    assert(!readsState(star, t), "COUNT(*) must not stand in for COUNT(x)")
+  }
+
+  test("the candidate listing is cached until an MV create/drop") {
+    val t = mkTable("mvr_cachet")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_cache_mv AS " +
+      s"SELECT grp, SUM(amount) AS s FROM $cat.$t GROUP BY grp")
+    val q = s"SELECT grp, SUM(amount) AS s FROM $cat.$t GROUP BY grp"
+    assert(readsState(spark.sql(q), t)) // warm the cache
+    val scans0 = GraftCatalog.mvListingScans.get()
+    (1 to 5).foreach(_ => assert(readsState(spark.sql(q), t)))
+    assert(GraftCatalog.mvListingScans.get() === scans0,
+      "steady-state planning must not re-list _mvs/")
+    // a create invalidates: the NEW exact-grain MV becomes visible
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mvr_cache_mv2 AS " +
+      s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp")
+    val q2 = spark.sql(s"SELECT grp, COUNT(*) AS n FROM $cat.$t GROUP BY grp")
+    assert(scanned(q2).exists(_.contains("__mv_state_mvr_cache_mv2")),
+      s"create must invalidate the listing cache, got ${scanned(q2)}")
+    // a drop invalidates: the candidate disappears and the query runs direct
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.mvr_cache_mv2")
+    assert(!scanned(spark.sql(s"SELECT grp, COUNT(*) AS n FROM $cat.$t " +
+      s"GROUP BY grp")).exists(_.contains("__mv_state_mvr_cache_mv2")))
   }
 
   test("an exact-grain MV wins over a finer MV's rollup") {
