@@ -23,6 +23,101 @@ rng = random.Random(seed)
 
 NAMES = ["ada", "bob", "cyd", "dee", "eli"]
 
+
+def row_sort_key(r):
+    """Total order over (probe, k, name, amount) rows: keyless programs
+    carry duplicate (k, name) pairs, so the amount must join the key (it
+    may be None/NaN on keyed programs' evolved schemas — normalized so
+    the sort stays total)."""
+    a = r[3]
+    a_ok = a is not None and a == a  # NaN-safe
+    return (r[0], r[1], r[2] or "", a_ok, a if a_ok else 0)
+
+
+def gen_keyless(idx):
+    """Keyless APPEND-ONLY program (S43 x S39): no row identity, no
+    UPDATE/DELETE — inserts (duplicate whole rows legal), a branch leg
+    whose divergence ALWAYS rebases (appends commute), and an MV leg
+    whose refresh folds the all-I changelog. The model is a row
+    multiset; change counts are pure-I per commit, with a rebased branch
+    commit landing one version after the divergence it replays over."""
+    t = f"fz_dml_{idx}"
+    rows = []            # multiset of (k, name, amount)
+    changes = []
+    version = 0
+    stmts = [f"DROP TABLE IF EXISTS graftdml.{t}",
+             f"CREATE TABLE graftdml.{t} (k BIGINT NOT NULL, name STRING, "
+             f"amount BIGINT) USING graft TBLPROPERTIES "
+             f"('append_only'='true', 'buckets'='4')"]
+
+    def lit(nm):
+        return "NULL" if nm is None else f"'{nm}'"
+
+    def ins_values(tgt, n):
+        batch = [(rng.randint(1, 500), rng.choice(NAMES + [None]),
+                  rng.randint(0, 1000)) for _ in range(n)]
+        stmts.append(f"INSERT INTO {tgt} VALUES " + ", ".join(
+            f"({k}, {lit(nm)}, {a})" for k, nm, a in batch))
+        return batch
+
+    def commit(n):
+        nonlocal version
+        version += 1
+        changes.append((version, {"I": n}))
+
+    for _ in range(rng.randint(3, 6)):
+        b = ins_values(f"graftdml.{t}", rng.randint(1, 8))
+        rows.extend(b); commit(len(b))
+    if rng.random() < 0.5:
+        stmts.append(f"CALL graftdml.create_branch(table => '{t}', "
+                     f"name => 'fzk')")
+        bb = ins_values(f"graftdml.`{t}$branch$fzk`", rng.randint(1, 6))
+        mb = ins_values(f"graftdml.{t}", rng.randint(1, 6))
+        rows.extend(mb); commit(len(mb))
+        stmts.append(f"CALL graftdml.rebase_branch(table => '{t}', "
+                     f"name => 'fzk')")
+        stmts.append(f"CALL graftdml.fast_forward(table => '{t}', "
+                     f"name => 'fzk')")
+        rows.extend(bb); commit(len(bb))
+    mv_leg = rng.random() < 0.5
+    if mv_leg:
+        stmts.append(f"DROP MATERIALIZED VIEW IF EXISTS graftdml.mv_{t}")
+        stmts.append(f"CREATE MATERIALIZED VIEW graftdml.mv_{t} AS "
+                     f"SELECT COALESCE(name, '~') AS g, COUNT(*) AS n, "
+                     f"SUM(amount) AS s FROM graftdml.{t} "
+                     f"GROUP BY COALESCE(name, '~')")
+        for _ in range(2):
+            b = ins_values(f"graftdml.{t}", rng.randint(1, 6))
+            rows.extend(b); commit(len(b))
+        stmts.append(f"CALL graftdml.refresh_mv(view => 'mv_{t}')")
+    lo = rng.randint(0, 600); hi = lo + rng.randint(50, 500)
+    pk = rng.choice([k for k, _, _ in rows]) if rows else 1
+    mv_union = ("" if not mv_leg else
+                f" UNION ALL SELECT 'mv', n, g, s FROM graftdml.mv_{t}")
+    stmts.append(
+        f"SELECT 'full' AS probe, k, name, amount FROM graftdml.{t} "
+        f"UNION ALL SELECT 'rng', k, name, amount FROM graftdml.{t} "
+        f"WHERE amount BETWEEN {lo} AND {hi} "
+        f"UNION ALL SELECT 'key', k, name, amount FROM graftdml.{t} "
+        f"WHERE k = {pk}{mv_union} ORDER BY 1, 2")
+    mv_exp = []
+    if mv_leg:
+        groups = {}
+        for _, nm, a in rows:
+            g = nm if nm is not None else "~"
+            c, ssum = groups.get(g, (0, 0))
+            groups[g] = (c + 1, ssum + a)
+        mv_exp = [("mv", c, g, ssum) for g, (c, ssum) in groups.items()]
+    exp_rows = sorted(
+        [("full", k, nm, a) for k, nm, a in rows] +
+        [("rng", k, nm, a) for k, nm, a in rows if lo <= a <= hi] +
+        [("key", k, nm, a) for k, nm, a in rows if k == pk] + mv_exp,
+        key=row_sort_key)
+    exp_changes = sorted((v, op, c) for v, counts in changes
+                         for op, c in counts.items())
+    return stmts, exp_rows, exp_changes
+
+
 def gen_sequence(idx):
     """Returns (statements_for_spark, expected_rows, expected_change_counts)."""
     t = f"fz_dml_{idx}"
@@ -562,12 +657,14 @@ def gen_sequence(idx):
          if a is not None and lo <= a <= hi] +
         [("key", k, n, a) for k, (n, a) in state.items() if k == pk] +
         mv_exp,
-        key=lambda r: (r[0], r[1], r[2] or ""))
+        key=row_sort_key)
     exp_changes = sorted((v, op, c) for v, counts in changes
                          for op, c in counts.items())
     return stmts, exp_rows, exp_changes
 
-cases = {f"fz_dml_{i}": gen_sequence(i) for i in range(n_seq)}
+# ~1/6 of the programs run the keyless append-only lane
+cases = {f"fz_dml_{i}": (gen_keyless(i) if rng.random() < 0.17
+                         else gen_sequence(i)) for i in range(n_seq)}
 work = tempfile.mkdtemp(prefix="graft_dml_fuzz_")
 seq_path = os.path.join(work, "sequences.json")
 out_dir = os.path.join(work, "out")
@@ -588,7 +685,7 @@ for name, (stmts, exp_rows, exp_changes) in sorted(cases.items()):
         got = pd.read_parquet(f"{out_dir}/{name}")
         got_rows = sorted(map(tuple,
             got[["probe", "k", "name", "amount"]].values.tolist()),
-            key=lambda r: (r[0], r[1], r[2] or ""))
+            key=row_sort_key)
         ch = pd.read_parquet(f"{out_dir}/{name}__changes")
         got_changes = sorted(map(tuple,
             ch[["change_version", "change_op", "n"]].values.tolist()))

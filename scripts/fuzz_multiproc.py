@@ -10,7 +10,15 @@ rebucket — then runs `verify`, which checks: contiguous versions, no
 orphan claims, no duplicate keys, live contents == the union of what
 every writer recorded as committed, and changelog replay from v0 == live.
 
-Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part] [--tags] [--branches]
+Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part] [--tags] [--branches] [--group]
+
+--group forks TWO grouploop processes (S44): each round stages the
+same-named branch on the main table AND a sidecar table, then calls
+publishGroup — both flip or neither. Composes with --crash: one
+grouploop is SIGKILLed mid-publish (a REAL dead coordinator, claims and
+markers leaked), and `verifygroup` proves the cross-table atomicity
+invariant after read-path recovery: the group-key set of main equals the
+sidecar's exactly.
 
 --tags forks TWO extra `refloop` processes that race the writers and each
 other with create_tag + aggressive expire_versions churn (S36): a create
@@ -45,12 +53,14 @@ Requires `sbt -batch compile` to have populated target/scala-2.13/classes.
 import glob, os, random, signal, subprocess, sys, tempfile, time
 
 args = [a for a in sys.argv[1:]
-        if a not in ("--crash", "--mor", "--part", "--tags", "--branches")]
+        if a not in ("--crash", "--mor", "--part", "--tags", "--branches",
+                     "--group")]
 crash = "--crash" in sys.argv[1:]
 mor = "--mor" in sys.argv[1:]
 part = "--part" in sys.argv[1:]
 tags = "--tags" in sys.argv[1:]
 branches = "--branches" in sys.argv[1:]
+group = "--group" in sys.argv[1:]
 n_writers = int(args[0]) if len(args) > 0 else 3
 n_ops = int(args[1]) if len(args) > 1 else 12
 seed = int(args[2]) if len(args) > 2 else 7
@@ -80,6 +90,12 @@ r = run(["init", table] + ([spec] if spec else []))
 if "[multiwriter] init ok" not in r.stdout:
     print(r.stdout[-2000:]); print(r.stderr[-2000:])
     sys.exit("init failed")
+side = os.path.join(work, "t_side")
+if group:
+    r = run(["init", side] + ([spec] if spec else []))
+    if "[multiwriter] init ok" not in r.stdout:
+        print(r.stdout[-2000:]); print(r.stderr[-2000:])
+        sys.exit("sidecar init failed")
 
 def start_writer(w, ops):
     out = os.path.join(work, f"writer{w}.tsv")
@@ -119,7 +135,20 @@ if branches:
         branch_procs.append((j, p))
         branch_outs.append(out)
 
+group_procs = []
+group_outs = []
+if group:
+    for j in (1, 2):
+        out = os.path.join(work, f"group{j}.tsv")
+        p = subprocess.Popen(
+            java + ["grouploop", table, side, str(max(5, n_ops // 2)),
+                    str(seed * 1000 + j), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        group_procs.append((j, p))
+        group_outs.append(out)
+
 killed = set()
+killed_group = set()
 if crash:
     # let everyone get past session startup and some commits, then
     # SIGKILL a random subset mid-flight
@@ -132,6 +161,13 @@ if crash:
     # replacements hammer the same table while the dust settles
     procs += [start_writer(100 + w, max(4, n_ops // 2))
               for w in range(1, 3)]
+    # a REAL dead group coordinator: SIGKILL one grouploop mid-publish
+    if group:
+        j, p = group_procs[0]
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+            killed_group.add(j)
+            print(f"grouploop {j}: SIGKILLed mid-run")
 
 fail = False
 outs = []
@@ -171,6 +207,42 @@ if branches and not fail:
     else:
         outs.append(out)
 
+for j, p in group_procs:
+    so, se = p.communicate(timeout=900)
+    if j in killed_group:
+        continue  # killed coordinator: record unused, atomicity verified below
+    line = next((l for l in so.splitlines() if "[multiwriter]" in l), "?")
+    print(f"grouploop {j}: rc={p.returncode} {line}")
+    if p.returncode != 0 or "FAIL" in so:
+        fail = True
+        print(so[-2000:]); print(se[-3000:])
+    else:
+        outs.append(group_outs[j - 1])
+
+# quiet-phase group publish: with the writers done, one sequential round
+# must actually WIN (the live-contention loops mostly lose the fork race)
+if group and not fail:
+    out = os.path.join(work, "group_quiet.tsv")
+    r = run(["grouploop", table, side, "3", str(seed * 1000 + 9), out])
+    line = next((l for l in r.stdout.splitlines() if "[multiwriter]" in l), "?")
+    print(f"grouploop quiet: rc={r.returncode} {line}")
+    if r.returncode != 0 or "FAIL" in r.stdout or "(0 keys published)" in line:
+        fail = True
+        print(r.stdout[-2000:]); print(r.stderr[-2000:])
+    else:
+        outs.append(out)
+
+# the S44 invariant: after read-path recovery, main's group-key set must
+# equal the sidecar's — a dead coordinator costs a round, never tears one
+if group and not fail:
+    r = run(["verifygroup", table, side])
+    for l in r.stdout.splitlines():
+        if "[multiwriter]" in l:
+            print(l)
+    if r.returncode != 0 or "VERIFYGROUP OK" not in r.stdout:
+        fail = True
+        print(r.stderr[-3000:])
+
 for j, p in ref_procs:
     so, se = p.communicate(timeout=900)
     line = next((l for l in so.splitlines() if "[multiwriter]" in l), "?")
@@ -180,7 +252,7 @@ for j, p in ref_procs:
         print(so[-2000:]); print(se[-3000:])
 
 if not fail:
-    vflags = (["--partial"] if crash else []) + (
+    vflags = (["--partial"] if crash or killed_group else []) + (
         ["--expired"] if (tags or branches) else [])
     r = run(["verify", table] + vflags + outs)
     for l in r.stdout.splitlines():
@@ -194,5 +266,6 @@ print(f"multiproc fuzz: {'FAIL' if fail else 'PASS'} "
       f"(writers={n_writers} ops={n_ops} seed={seed}"
       f"{' crash-injected=' + str(sorted(killed)) if crash else ''}"
       f"{' mor' if mor else ''}{' part' if part else ''}"
-      f"{' tags' if tags else ''}{' branches' if branches else ''})")
+      f"{' tags' if tags else ''}{' branches' if branches else ''}"
+      f"{' group' if group else ''})")
 sys.exit(1 if fail else 0)

@@ -102,6 +102,10 @@ object MultiWriterRunner {
       refloop(args(1), args(2).toInt, args(3).toLong)
     case "branchloop" =>
       branchloop(args(1), args(2).toInt, args(3).toLong, args(4))
+    case "grouploop" =>
+      grouploop(args(1), args(2), args(3).toInt, args(4).toLong, args(5))
+    case "verifygroup" =>
+      verifygroup(args(1), args(2))
     case "verify" =>
       verify(args(1), args.drop(2).toSeq)
     case other => sys.error(s"unknown mode $other")
@@ -284,6 +288,150 @@ object MultiWriterRunner {
     println(s"[multiwriter] branchloop $seed ${if (ok) "ok" else "FAILED"} " +
       s"(${expected.size} keys published)")
     if (!ok) sys.exit(1)
+  }
+
+  /** Group-publish churn (S44): each round stages the SAME-NAMED branch
+    * on the main table AND a sidecar table — paired rows, same keys —
+    * and calls `publishGroup`, whose contract is that BOTH tables flip
+    * or NEITHER. Under live writer contention most rounds lose the fork
+    * point loudly and retry through the rebase lane like branchloop; the
+    * harness's crash cell SIGKILLs this process mid-publish, and
+    * [[verifygroup]] then proves the cross-table invariant survived a
+    * REAL dead coordinator (not an injected exception): after read-path
+    * recovery, the group-key set of main equals the group-key set of the
+    * sidecar, row for row. Keys live in the [800e6, 900e6) namespace so
+    * the main verify can account for them alongside the writers'. */
+  private def grouploop(dir: String, sideDir: String, nOps: Int, seed: Long,
+      outFile: String): Unit = {
+    val spark = session(s"graft-grouploop-$seed")
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val id = 800 + (seed % 90)
+    val base = id * 1000000L
+    var nextKey = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val part = GraftStore.readMeta(dir).partition.isDefined
+    val groupsRoot = Paths.get(dir).getParent.resolve("_txngroups")
+    var ok = true
+    def flushRecord(): Unit = {
+      val out = expected.toSeq.sortBy(_._1)
+        .map { case (k, (n, a)) => s"$k\t$n\t$a" }
+      val tmp = Paths.get(outFile + ".tmp")
+      Files.write(tmp, out.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(outFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    flushRecord()
+    def mkDf(rows: Seq[(Long, String, Long)], forDir: String) = {
+      val p = GraftStore.readMeta(forDir).partition.isDefined
+      if (!p) rows.toDF("k", "name", "amount")
+      else rows.map { case (k, n, a) => (k, dayOf(k, 0), n, a) }
+        .toDF("k", "day", "name", "amount")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp(date_from_unix_date(CAST(day AS int)))"))
+        .select("k", "ts", "name", "amount")
+    }
+    (0 until nOps).foreach { i =>
+      val bname = s"fzgrp-$seed-$i"
+      val created =
+        try {
+          GraftStore.createBranch(dir, bname)
+          try { GraftStore.createBranch(sideDir, bname); true }
+          catch { case _: Exception =>
+            try GraftStore.dropBranch(dir, bname)
+            catch { case _: IllegalArgumentException => () }
+            false
+          }
+        } catch {
+          case _: IllegalArgumentException => false
+          case _: IllegalStateException => false
+        }
+      if (created) {
+        val rows = (0 until 1 + rng.nextInt(3)).map { _ =>
+          nextKey += 1
+          (base + nextKey * 7 + 1, s"gr$id", rng.nextInt(1000).toLong)
+        }
+        Seq(dir, sideDir).foreach { d =>
+          GraftStore.applyChanges(spark, GraftStore.branchDir(d, bname),
+            mkDf(rows, d).withColumn(GraftStore.OpCol,
+              org.apache.spark.sql.functions.lit("I")), allInserts = true)
+        }
+        def tryPublish(): Boolean =
+          try {
+            GraftStore.publishGroup(groupsRoot,
+              Seq((dir, bname), (sideDir, bname)))
+            true
+          } catch {
+            case _: java.util.ConcurrentModificationException => false
+            case _: IllegalStateException => false
+            case _: IllegalArgumentException => false
+          }
+        val published = tryPublish() || {
+          // fork conflict under live writers: rebase whichever member
+          // moved, then one retry — a second loss is a benign lost round
+          val rebased = Seq(dir, sideDir).forall { d =>
+            GraftStore.branchForkBase(d, bname) ==
+              GraftStore.currentVersion(d) || (
+              try { GraftStore.rebaseBranch(spark, d, bname); true }
+              catch { case _: Exception => false })
+          }
+          rebased && tryPublish()
+        }
+        if (published) {
+          rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+          flushRecord()
+        } else {
+          // the lost round must leave BOTH branches whole, then clean up
+          Seq(dir, sideDir).foreach { d =>
+            if (GraftStore.branchExists(d, bname)) {
+              val bd = GraftStore.branchDir(d, bname)
+              val live = GraftStore.readVersion(spark, bd,
+                GraftStore.currentVersion(bd))
+                .select("k").collect().map(_.getLong(0)).toSet
+              rows.foreach { case (k, _, _) =>
+                if (!live.contains(k)) {
+                  ok = false
+                  println(s"[multiwriter] FAIL: lost publish_group of " +
+                    s"$bname dropped branch key $k on $d")
+                }
+              }
+              try GraftStore.dropBranch(d, bname)
+              catch { case _: IllegalArgumentException => () }
+            }
+          }
+        }
+      }
+      Thread.sleep(rng.nextInt(150).toLong)
+    }
+    println(s"[multiwriter] grouploop $seed ${if (ok) "ok" else "FAILED"} " +
+      s"(${expected.size} keys published)")
+    if (!ok) sys.exit(1)
+  }
+
+  /** The S44 atomicity invariant after the dust settles: reading both
+    * tables (which rolls any decided-but-incomplete group forward) must
+    * leave the GROUP-KEY namespace identical on main and sidecar — a
+    * SIGKILLed coordinator can cost a round, never tear one. */
+  private def verifygroup(dir: String, sideDir: String): Unit = {
+    val spark = session("graft-verifygroup")
+    def groupKeys(d: String): Set[Long] = {
+      GraftStore.recoverChangelog(d) // read-path recovery incl. groups
+      GraftStore.readVersion(spark, d, GraftStore.currentVersion(d))
+        .select("k").collect().map(_.getLong(0))
+        .filter(k => k >= 800000000L && k < 900000000L).toSet
+    }
+    val m = groupKeys(dir)
+    val s = groupKeys(sideDir)
+    if (m == s)
+      println(s"[multiwriter] VERIFYGROUP OK (${m.size} group keys, " +
+        "main == sidecar)")
+    else {
+      println(s"[multiwriter] VERIFYGROUP FAIL: main-only " +
+        s"${(m -- s).toSeq.sorted.take(10)} sidecar-only " +
+        s"${(s -- m).toSeq.sorted.take(10)}")
+      sys.exit(1)
+    }
   }
 
   /** One writer process: `nOps` operations over its own disjoint key range

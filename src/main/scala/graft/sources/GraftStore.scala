@@ -2233,6 +2233,29 @@ object GraftStore {
         }
       } catch {
         case e: InjectedGroupCrash => injected = true; throw e
+        case e: Throwable =>
+          // a LIVE coordinator backing out (claim lost, decision lost,
+          // member conflict) must not leave its markers pinning the
+          // tables for the stale window: decide ABORT if still undecided
+          // and sweep the markers it wrote. A marker whose CREATE_NEW we
+          // lost belongs to another group and stays. Never runs on the
+          // injected-crash lane — that simulates a DEAD coordinator.
+          if (Files.exists(manifest) && !Files.exists(decision))
+            try Files.write(decision, "aborted".getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          val decided =
+            try new String(Files.readAllBytes(decision), "UTF-8").trim ==
+              "committed"
+            catch { case _: java.io.IOException => false }
+          if (!decided) preps.foreach { case (_, _, _, _, _, marker) =>
+            try {
+              if (new String(Files.readAllBytes(marker), "UTF-8").trim ==
+                  manifest.toAbsolutePath.toString)
+                Files.deleteIfExists(marker)
+            } catch { case _: java.io.IOException => () }
+          }
+          throw e
       }
     } finally if (!injected)
       claims.foreach { case (m, t) => releaseClaim(m, t) }

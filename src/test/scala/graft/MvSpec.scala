@@ -562,6 +562,48 @@ class MvSpec extends SparkTestBase {
     assert(e.getMessage.contains("schedule CALL refresh_mv"))
   }
 
+  test("an MV over a keyless append-only table folds its all-I changelog") {
+    // S43 × S39/T15 composition: no row identity on the source, but the
+    // changelog is pure inserts — exactly the easiest fold (no before
+    // images) — and maintainStream drives it. Zero new machinery; this
+    // pins that none of the keyed-table plumbing silently requires keys.
+    warehouse // register the catalog (mkTable's job for keyed tables)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_mv_keyless")
+    spark.sql(s"""CREATE TABLE $cat.t_mv_keyless
+      (k BIGINT NOT NULL, grp BIGINT, amount BIGINT) USING graft
+      TBLPROPERTIES ('append_only'='true', 'buckets'='4')""")
+    val t = "t_mv_keyless"
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv_keyless AS " +
+      s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s, MAX(amount) AS mx " +
+      s"FROM $cat.$t GROUP BY grp")
+    // appends fold incrementally — MIN/MAX included (all-I slices never
+    // retract, so the extrema lane stays incremental on EVERY refresh)
+    spark.sql(s"INSERT INTO $cat.$t VALUES (3, 1, 30), (4, 2, 40)")
+    spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10)") // duplicate row: fine
+    assert(refresh("mv_keyless")._2 === "incremental")
+    def oracle(): Seq[Seq[Any]] =
+      spark.sql(s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s, " +
+          s"MAX(amount) AS mx FROM $cat.$t GROUP BY grp ORDER BY grp")
+        .collect().map(_.toSeq).toSeq
+    def state(): Seq[Seq[Any]] =
+      spark.sql(s"SELECT * FROM $cat.mv_keyless ORDER BY grp")
+        .collect().map(_.toSeq).toSeq
+    assert(state() === oracle())
+    // maintainStream drives the same fold from the all-I changelog
+    val g = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "mv_keyless")
+    spark.sql(s"INSERT INTO $cat.$t SELECT id, id % 3, id * 7 FROM range(50)")
+    val ckpt = Files.createTempDirectory("graft_mv_keyless_ckpt").toString
+    val q = GraftMaterializedViews.maintainStream(spark, cat, g, id,
+      ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(300000L), "keyless maintainer did not drain")
+    assert(refresh("mv_keyless")._2 === "noop", "stream folded everything")
+    assert(state() === oracle())
+  }
+
   test("a crashed state commit (pointer not flipped) re-folds, not no-ops") {
     val t = mkTable("mv_crash")
     spark.sql(s"INSERT INTO $cat.$t VALUES (1, 0, 10), (2, 1, 20)")
