@@ -2149,6 +2149,35 @@ object GraftStore {
     // resolve any prior group's leftovers first — a stalled PREPARED
     // group aborts here (its claims gone stale), a decided one completes
     members.foreach { case (d, _) => recoverGroupCommit(d) }
+    // retention for the groups directory: ABORTED manifests (and
+    // undecided ones a day past any plausible stale window — first
+    // decided aborted, winning or losing the CREATE_NEW race either
+    // way) are debris; COMMITTED manifests are retained indefinitely —
+    // they are the roll-forward authority for members that may not have
+    // been touched since the decision
+    if (Files.isDirectory(groupsRoot)) {
+      val now = System.currentTimeMillis()
+      listDir(groupsRoot)(_.filter(
+          _.getFileName.toString.endsWith(".json")).toList).foreach { m =>
+        val d = groupDecisionPath(m)
+        val verdict =
+          try Some(new String(Files.readAllBytes(d), "UTF-8").trim)
+          catch { case _: java.io.IOException => None }
+        val age = try now - Files.getLastModifiedTime(m).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => -1L }
+        if (verdict.isEmpty && age > 86400000L)
+          try Files.write(d, "aborted".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch { case _: java.io.IOException => () }
+        val nowAborted =
+          try new String(Files.readAllBytes(d), "UTF-8").trim == "aborted"
+          catch { case _: java.io.IOException => false }
+        if (nowAborted && age > 86400000L) {
+          Files.deleteIfExists(m)
+          Files.deleteIfExists(d)
+        }
+      }
+    }
     val id = java.util.UUID.randomUUID().toString
     val manifest = groupsRoot.resolve(s"group-$id.json")
     val decision = groupDecisionPath(manifest)
@@ -2298,6 +2327,11 @@ object GraftStore {
     val manifest =
       try Paths.get(new String(Files.readAllBytes(marker), "UTF-8").trim)
       catch { case _: java.nio.file.NoSuchFileException => return }
+    // only aborted/expired-undecided manifests are ever reclaimed
+    // (committed ones are retained indefinitely — they are the
+    // roll-forward authority), so a marker referencing a MISSING
+    // manifest is an aborted group's straggler
+    if (!Files.exists(manifest)) { Files.deleteIfExists(marker); return }
     val decision = groupDecisionPath(manifest)
     val verdict =
       try Some(new String(Files.readAllBytes(decision), "UTF-8").trim)
@@ -3775,6 +3809,13 @@ object GraftStore {
     * versions, and changelog are never touched. Returns the number of
     * entries removed. */
   def vacuum(dir: String, olderThanMillis: Long = 3600000L): Long = {
+    // resolve any group-commit marker FIRST: a DECIDED-but-incomplete
+    // group's adopted above-pointer dirs are its roll-forward payload —
+    // completing (or aborting) the group here means the sweep below can
+    // never reclaim dirs a committed group still needs (post-recovery, a
+    // committed member's pointer covers them; an aborted group's dirs
+    // are genuinely debris)
+    recoverGroupCommit(dir)
     val now = System.currentTimeMillis()
     var removed = 0L
     val stagingRoot = Paths.get(dir, "_staging")

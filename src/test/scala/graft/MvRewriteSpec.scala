@@ -206,6 +206,13 @@ class MvRewriteSpec extends SparkTestBase {
     val raw = spark.sql(s"SELECT grp, SUM(amount) AS s FROM $cat.$t " +
       s"WHERE k > 2 GROUP BY grp")
     assert(!readsState(raw, t))
+    // HAVING (a Filter ABOVE the aggregate) composes for free: the inner
+    // aggregate substitutes, the having-filter evaluates over its output
+    check(s"SELECT grp, COUNT(*) AS n, SUM(amount) AS s " +
+      s"FROM $cat.$t GROUP BY grp HAVING SUM(amount) > 25")
+    // WHERE + HAVING together: σ(state) under, HAVING over
+    check(s"SELECT grp, SUM(amount) AS s FROM $cat.$t " +
+      s"WHERE grp >= 1 GROUP BY grp HAVING COUNT(*) > 1")
     // a filter that empties a group: the group must VANISH, not zero out
     val vanish = spark.sql(s"SELECT grp, COUNT(*) AS n FROM $cat.$t " +
       s"WHERE grp = 7 GROUP BY grp")
