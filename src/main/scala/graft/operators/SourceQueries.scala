@@ -3047,6 +3047,254 @@ object SourceQueries {
         TRUE AS decided_rolls_forward, TRUE AS cdc_on_both_members
       FROM fact f JOIN summ s ON f.r = s.r GROUP BY f.r ORDER BY f.r""")),
 
+    // ----- S45: session-scoped multi-statement TRANSACTIONS —
+    // `CALL begin_txn(tables => ...)` routes every later plain-name
+    // read/write of the enrolled tables in THIS session to a hidden
+    // per-table branch (read-your-writes, repeatable reads, invisible to
+    // every other session); `CALL commit_txn()` publishes the members the
+    // txn WROTE as ONE table group (all pointers flip or none, S44
+    // machinery) and first-committer-wins refuses when main moved off a
+    // written member's fork; `CALL rollback_txn()` drops the branches.
+    // Writes to NON-enrolled graft tables are fenced at planning while
+    // the txn is active — a silently non-transactional write is the one
+    // unforgivable failure mode. The gate pins: mid-txn isolation (an
+    // independent session sees nothing), read-your-writes, the fence,
+    // atomic commit visibility, rollback hygiene, the conflict lane
+    // (outside writer advances a written member → whole commit refuses,
+    // txn intact, rollback leaves the outside write standing), and the
+    // final contents hashing the DuckDB closed form.
+    GraftQuery("s45_multi_stmt_txn", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP TABLE IF EXISTS graftdml.s45_a")
+      s.sql("DROP TABLE IF EXISTS graftdml.s45_b")
+      s.sql("DROP TABLE IF EXISTS graftdml.s45_c")
+      s.sql("""CREATE TABLE graftdml.s45_a
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("""CREATE TABLE graftdml.s45_b
+        (r BIGINT NOT NULL, total BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='r', 'buckets'='2')""")
+      s.sql("""CREATE TABLE graftdml.s45_c
+        (k BIGINT NOT NULL, v BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='2')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s45_rows")
+      s.sql("INSERT INTO graftdml.s45_a SELECT * FROM s45_rows")
+      s.sql("INSERT INTO graftdml.s45_b SELECT r, SUM(pop) FROM s45_rows " +
+        "GROUP BY r")
+      s.sql("INSERT INTO graftdml.s45_c VALUES (1, 5)")
+      // an INDEPENDENT session over the same warehouse — what every
+      // other user sees while this session's txn is open
+      val o = s.newSession()
+      DmlFixture.register(o)
+      def aCnt(ss: org.apache.spark.sql.SparkSession) =
+        ss.sql("SELECT COUNT(*) FROM graftdml.s45_a").head().getLong(0)
+      def bTot(ss: org.apache.spark.sql.SparkSession) =
+        ss.sql("SELECT SUM(total) FROM graftdml.s45_b").head().getLong(0)
+      val (a0, t0) = (aCnt(s), bTot(s))
+      def cleanup(): Unit =
+        try s.sql("CALL graftdml.rollback_txn()").collect()
+        catch { case _: Exception => () }
+      // lane 1: multi-statement txn — isolation, fence, atomic commit
+      var isolated = false; var fenced = false; var committed = false
+      try {
+        s.sql("CALL graftdml.begin_txn(tables => 's45_a,s45_b', " +
+          "name => 'tx1')")
+        s.sql("INSERT INTO graftdml.s45_a SELECT id + 1000, " +
+          "CAST(id % 5 AS BIGINT), (id + 1000) * 2 FROM range(5)")
+        s.sql("""MERGE INTO graftdml.s45_b t USING (
+            SELECT CAST(id % 5 AS BIGINT) AS r, (id + 1000) * 2 AS add
+            FROM range(5)) c
+          ON t.r = c.r
+          WHEN MATCHED THEN UPDATE SET total = t.total + c.add
+          WHEN NOT MATCHED THEN INSERT (r, total) VALUES (c.r, c.add)""")
+        // this session sees its writes; the outside session sees nothing
+        isolated = aCnt(s) == a0 + 5 && bTot(s) > t0 &&
+          aCnt(o) == a0 && bTot(o) == t0
+        // a write to the non-enrolled bystander is fenced at planning
+        fenced = try {
+          s.sql("INSERT INTO graftdml.s45_c VALUES (2, 6)"); false
+        } catch {
+          case e: Exception =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .take(8).exists(t => Option(t.getMessage)
+                .exists(_.contains("not enrolled")))
+        }
+        val done = s.sql("CALL graftdml.commit_txn()").head()
+        committed = done.getLong(0) == 2L && aCnt(o) == a0 + 5 &&
+          bTot(o) > t0
+      } finally cleanup()
+      // lane 2: rollback leaves no trace anywhere
+      var rolledBack = false
+      try {
+        s.sql("CALL graftdml.begin_txn(tables => 's45_a,s45_b')")
+        s.sql("INSERT INTO graftdml.s45_a VALUES (2000, 0, 1)")
+        s.sql("CALL graftdml.rollback_txn()")
+        rolledBack = aCnt(s) == a0 + 5 && aCnt(o) == a0 + 5
+      } finally cleanup()
+      // lane 3: first-committer-wins — an outside writer advances the
+      // written member mid-txn, the WHOLE commit refuses, the txn's
+      // staging never lands, the outside write stands
+      var conflicted = false
+      try {
+        s.sql("CALL graftdml.begin_txn(tables => 's45_a,s45_b')")
+        s.sql("UPDATE graftdml.s45_a SET pop = 0 WHERE k = 1000")
+        o.sql("INSERT INTO graftdml.s45_a VALUES (3000, 0, 77)")
+        val refused = try { s.sql("CALL graftdml.commit_txn()"); false }
+          catch { case _: Exception => true }
+        s.sql("CALL graftdml.rollback_txn()")
+        conflicted = refused &&
+          s.sql("SELECT pop FROM graftdml.s45_a WHERE k = 1000")
+            .head().getLong(0) == 2000L &&
+          s.sql("SELECT COUNT(*) FROM graftdml.s45_a WHERE k = 3000")
+            .head().getLong(0) == 1L
+      } finally cleanup()
+      s.sql("""SELECT f.r, COUNT(*) AS n, SUM(f.pop) AS fact_pop,
+          MAX(b.total) AS summary_total
+        FROM graftdml.s45_a f JOIN graftdml.s45_b b ON f.r = b.r
+        GROUP BY f.r""")
+        .withColumn("txn_isolated_and_ryw", lit(isolated))
+        .withColumn("nonenrolled_write_fenced", lit(fenced))
+        .withColumn("commit_atomic", lit(committed))
+        .withColumn("rollback_clean", lit(rolledBack))
+        .withColumn("conflict_refuses_whole_txn", lit(conflicted))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      burst AS (SELECT CAST(i + 1000 AS BIGINT) AS k, CAST(i % 5 AS BIGINT) AS r,
+                  CAST((i + 1000) * 2 AS BIGINT) AS pop
+                FROM range(5) t(i)),
+      fact AS (SELECT * FROM src UNION ALL SELECT * FROM burst
+               UNION ALL SELECT 3000, 0, 77),
+      summ AS (SELECT r, SUM(pop) AS total
+               FROM (SELECT * FROM src UNION ALL SELECT * FROM burst)
+               GROUP BY r)
+      SELECT f.r, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(f.pop) AS BIGINT) AS fact_pop,
+        CAST(MAX(s.total) AS BIGINT) AS summary_total,
+        TRUE AS txn_isolated_and_ryw, TRUE AS nonenrolled_write_fenced,
+        TRUE AS commit_atomic, TRUE AS rollback_clean,
+        TRUE AS conflict_refuses_whole_txn
+      FROM fact f JOIN summ s ON f.r = s.r GROUP BY f.r ORDER BY f.r""")),
+
+    // ----- S46: consistent cross-table snapshots — `CALL snapshot_group
+    // (tables => ...)` returns one (table, version) row per member such
+    // that no table-group publish (S44/S45) is ever observed TORN: each
+    // capture pass resolves decided groups first (after the decision
+    // file is durable every capture reads post-publish), and two
+    // consecutive equal passes prove all members landed on the same side
+    // of every concurrent decision. Lock-free, metadata-only, O(members)
+    // per pass — the reader-side closure of S44's one documented
+    // softness (the instant between two COMPLETE pointer flips). The
+    // gate pins: the invariant (fact/summary sums agree at EVERY
+    // snapshot) under a RACING publisher thread, the deterministic
+    // dead-coordinator lane (decision durable, one pointer lagging →
+    // snapshot returns POST versions for both), and the final contents
+    // hashing the DuckDB closed form.
+    GraftQuery("s46_group_snapshot", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP TABLE IF EXISTS graftdml.s46_f")
+      s.sql("DROP TABLE IF EXISTS graftdml.s46_s")
+      s.sql("""CREATE TABLE graftdml.s46_f
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("""CREATE TABLE graftdml.s46_s
+        (r BIGINT NOT NULL, total BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='r', 'buckets'='2')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s46_rows")
+      s.sql("INSERT INTO graftdml.s46_f SELECT * FROM s46_rows")
+      s.sql("INSERT INTO graftdml.s46_s SELECT r, SUM(pop) FROM s46_rows " +
+        "GROUP BY r")
+      // the group invariant every publish preserves: SUM(f.pop) ==
+      // SUM(s.total) — only a TORN observation can break it
+      def stage(off: Long): Unit = {
+        Seq("s46_f", "s46_s").foreach(t => s.sql(
+          s"CALL graftdml.create_branch(table => '$t', name => 'snap')"))
+        s.sql("INSERT INTO graftdml.`s46_f$branch$snap` " +
+          s"SELECT id + $off, CAST(id % 5 AS BIGINT), (id + $off) * 2 " +
+          "FROM range(5)")
+        s.sql(s"""MERGE INTO graftdml.`s46_s$$branch$$snap` t USING (
+            SELECT CAST(id % 5 AS BIGINT) AS r, SUM((id + $off) * 2) AS add
+            FROM range(5) GROUP BY 1) c
+          ON t.r = c.r
+          WHEN MATCHED THEN UPDATE SET total = t.total + c.add
+          WHEN NOT MATCHED THEN INSERT (r, total) VALUES (c.r, c.add)""")
+      }
+      def snap(): Map[String, Long] =
+        s.sql("CALL graftdml.snapshot_group(tables => 's46_f,s46_s')")
+          .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      def sumsAgree(m: Map[String, Long]): Boolean = {
+        val fp = s.sql(s"SELECT SUM(pop) FROM graftdml.s46_f " +
+          s"VERSION AS OF ${m("s46_f")}").head().getLong(0)
+        val st = s.sql(s"SELECT SUM(total) FROM graftdml.s46_s " +
+          s"VERSION AS OF ${m("s46_s")}").head().getLong(0)
+        fp == st
+      }
+      // racing publisher: 4 group publishes while this thread snapshots
+      @volatile var publisherOk = true
+      val publisher = new Thread(() => {
+        try (0 until 4).foreach { i =>
+          stage(1000L + i * 100)
+          s.sql("CALL graftdml.publish_group(tables => 's46_f,s46_s', " +
+            "name => 'snap')")
+        } catch { case _: Throwable => publisherOk = false }
+      })
+      publisher.start()
+      var racedConsistent = true
+      var snaps = 0
+      while (publisher.isAlive && snaps < 64) {
+        racedConsistent &= sumsAgree(snap())
+        snaps += 1
+      }
+      publisher.join()
+      racedConsistent &= publisherOk && sumsAgree(snap())
+      // deterministic lane: a dead coordinator BETWEEN the two pointer
+      // flips — the decision is durable, one pointer lags; the snapshot's
+      // captures roll the group forward and return POST for BOTH
+      val before = snap()
+      stage(9000L)
+      sys.props("graft.store.failpoint.publish_group") = "between-flips"
+      try s.sql("CALL graftdml.publish_group(tables => 's46_f,s46_s', " +
+        "name => 'snap')")
+      catch { case _: Exception => () }
+      finally sys.props.remove("graft.store.failpoint.publish_group")
+      val after = snap()
+      val rolledForward = after("s46_f") > before("s46_f") &&
+        after("s46_s") > before("s46_s") && sumsAgree(after)
+      s.sql("""SELECT f.r, COUNT(*) AS n, SUM(f.pop) AS fact_pop,
+          MAX(b.total) AS summary_total
+        FROM graftdml.s46_f f JOIN graftdml.s46_s b ON f.r = b.r
+        GROUP BY f.r""")
+        .withColumn("raced_snapshots_consistent", lit(racedConsistent))
+        .withColumn("dead_coordinator_reads_post", lit(rolledForward))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      burst AS (SELECT CAST(i + off AS BIGINT) AS k,
+                  CAST(i % 5 AS BIGINT) AS r, CAST((i + off) * 2 AS BIGINT) AS pop
+                FROM range(5) t(i)
+                CROSS JOIN (SELECT UNNEST([1000, 1100, 1200, 1300, 9000]) AS off)),
+      fact AS (SELECT * FROM src UNION ALL SELECT * FROM burst),
+      summ AS (SELECT r, SUM(pop) AS total FROM fact GROUP BY r)
+      SELECT f.r, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(f.pop) AS BIGINT) AS fact_pop,
+        CAST(MAX(s.total) AS BIGINT) AS summary_total,
+        TRUE AS raced_snapshots_consistent, TRUE AS dead_coordinator_reads_post
+      FROM fact f JOIN summ s ON f.r = s.r GROUP BY f.r ORDER BY f.r""")),
+
     // ----- S40: writable branches — the WAP (write-audit-publish)
     // workflow at table-format parity: `CALL create_branch` forks a
     // self-contained zero-copy clone addressable as `t$branch$<name>`

@@ -120,13 +120,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
 
   override def tableExists(ident: Identifier): Boolean = GraftStore.exists(tableDir(ident))
 
+  private def dottedName(ident: Identifier): String =
+    (ident.namespace().toSeq :+ ident.name()).mkString(".")
+
   /** Store dir for a plain OR branch-addressed base name: the branch
-    * infix routes to the branch's self-contained clone dir. */
+    * infix routes to the branch's self-contained clone dir. A plain name
+    * ENROLLED in the session's active transaction (S45) routes to the
+    * txn's hidden branch — reads, writes, metadata suffixes and time
+    * travel all see the staged reality until commit_txn publishes it;
+    * explicit `$branch$` addresses and MV maintenance resolution are
+    * exempt (the MV state is MAIN's). */
   private def dirOf(baseIdent: Identifier): String = {
     val n = baseIdent.name()
     val i = n.indexOf(GraftCatalog.BranchInfix)
-    if (i < 0) tableDir(baseIdent)
-    else {
+    if (i < 0) {
+      val dir = tableDir(baseIdent)
+      GraftTxn.routedBranch(catalogName, dottedName(baseIdent)) match {
+        case Some(b) if GraftStore.exists(dir) =>
+          require(GraftStore.branchExists(dir, b),
+            s"the session transaction's branch '$b' is missing on " +
+              s"${dottedName(baseIdent)} (concurrent drop_branch?) — " +
+              "CALL rollback_txn")
+          GraftStore.branchDir(dir, b)
+        case _ => dir
+      }
+    } else {
       val base = Identifier.of(baseIdent.namespace(), n.substring(0, i))
       val branch = n.substring(i + GraftCatalog.BranchInfix.length)
       val dir = tableDir(base)
@@ -197,7 +215,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     }
     val dir = dirOf(ident)
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
-    new GraftTable(ident.toString, dir, pinnedVersion = None)
+    // S45: while a session txn is active, a plain-name WRITE to a graft
+    // table the txn did not enroll is rejected at planning — it would
+    // commit to main immediately, silently outside the transaction.
+    // Reads stay open (read-committed against main), and explicit
+    // `$branch$` addresses keep full DML (the user named a branch, the
+    // intent is unambiguous).
+    val block =
+      if (ident.name().contains(GraftCatalog.BranchInfix)) None
+      else GraftTxn.writeBlock(catalogName, dottedName(ident))
+    new GraftTable(ident.toString, dir, pinnedVersion = None,
+      writeBlock = block)
   }
 
   /** `VERSION AS OF <n>` time travel: pin the scan to one committed
@@ -207,6 +235,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * namespaces can never collide). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident) // time travel works on branch addresses too
+    // inside a session txn (S45) the routed branch carries only the
+    // fork-and-later versions and no tags: a ref or version it cannot
+    // resolve falls back to MAIN — pre-txn history is immutable and
+    // identical on both sides, so the fallback never changes results
+    val plain = tableDir(Identifier.of(ident.namespace(), ident.name()))
+    if (dir != plain && ident.name().indexOf(GraftCatalog.BranchInfix) < 0)
+      try return loadTableAt(ident, dir, version)
+      catch { case scala.util.control.NonFatal(_) =>
+        return loadTableAt(ident, plain, version) }
+    loadTableAt(ident, dir, version)
+  }
+
+  private def loadTableAt(ident: Identifier, dir: String,
+      version: String): Table = {
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse {
       GraftStore.resolveRef(dir, version).getOrElse {
@@ -233,6 +275,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     * version's `_committed_at` stamp. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = dirOf(ident) // time travel works on branch addresses too
+    // same txn fallback as the version overload: a timestamp before the
+    // txn's fork resolves against MAIN's retained history
+    val plain = tableDir(Identifier.of(ident.namespace(), ident.name()))
+    if (dir != plain && ident.name().indexOf(GraftCatalog.BranchInfix) < 0)
+      try return loadTableAtTs(ident, dir, timestamp)
+      catch { case scala.util.control.NonFatal(_) =>
+        return loadTableAtTs(ident, plain, timestamp) }
+    loadTableAtTs(ident, dir, timestamp)
+  }
+
+  private def loadTableAtTs(ident: Identifier, dir: String,
+      timestamp: Long): Table = {
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     val v = GraftStore.versionAsOfTimestamp(dir, timestamp / 1000L)
       .getOrElse(throw new IllegalArgumentException(
@@ -490,6 +544,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
     *    merge-key columns cannot be dropped.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // S45: schema changes are not transactional — an ALTER staged on the
+    // txn branch would make commit_txn refuse on schema divergence, so
+    // reject it up front with the real reason (includes the auto-ALTER
+    // a `MERGE ... WITH SCHEMA EVOLUTION` would run mid-txn)
+    require(!GraftTxn.isEnrolled(catalogName, dottedName(ident)),
+      s"ALTER TABLE on ${dottedName(ident)} is blocked: the table is " +
+        "enrolled in this session's active transaction and DDL is not " +
+        "transactional — commit_txn or rollback_txn first")
     val dir = dirOf(ident) // ALTER on a branch evolves the branch only
     if (!GraftStore.exists(dir)) throw new NoSuchTableException(ident)
     // the read-fold-write below is serialized under the meta lock —
@@ -666,6 +728,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    require(!GraftTxn.isEnrolled(catalogName, dottedName(ident)),
+      s"DROP TABLE on ${dottedName(ident)} is blocked: the table is " +
+        "enrolled in this session's active transaction — commit_txn or " +
+        "rollback_txn first")
     val dir = tableDir(ident)
     if (!GraftStore.exists(dir)) false
     else { GraftStore.dropTable(dir); true }
@@ -916,6 +982,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         !newIdent.name().contains(GraftCatalog.BranchInfix),
       "table names ending in the $changes/$versions/$files/$partitions/" +
         "$mv/$branches suffixes (or containing $branch$) are reserved")
+    require(!GraftTxn.isEnrolled(catalogName, dottedName(oldIdent)) &&
+        !GraftTxn.isEnrolled(catalogName, dottedName(newIdent)),
+      "RENAME involving a table enrolled in this session's active " +
+        "transaction is blocked — commit_txn or rollback_txn first")
     if (!GraftStore.exists(tableDir(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (GraftStore.exists(tableDir(newIdent))) throw new TableAlreadyExistsException(newIdent)
     requireNoView(newIdent) // tables and views share one namespace
@@ -1419,7 +1489,8 @@ final class GraftChangesTable(tableName: String, dir: String)
 
 /** One catalog table: logical schema from `_meta.json`, data from the
   * current (or pinned) version directory. */
-final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Long])
+final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Long],
+    writeBlock: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with TruncatableTable {
 
@@ -1428,8 +1499,17 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
   private[sources] def tableDir: String = dir
   private[sources] def pinned: Option[Long] = pinnedVersion
 
+  /** S45 planning-time write fence: set when the session has an active
+    * transaction that did NOT enroll this table — the write would land
+    * on main outside the txn. Reads are never fenced. */
+  private def assertWritable(): Unit =
+    writeBlock.foreach(msg => throw new IllegalStateException(msg))
+
   /** SQL `TRUNCATE TABLE`: one claimed empty-version commit. */
-  override def truncateTable(): Boolean = { GraftStore.truncate(dir); true }
+  override def truncateTable(): Boolean = {
+    assertWritable()
+    GraftStore.truncate(dir); true
+  }
 
   private[sources] lazy val meta: GraftTableMeta = GraftStore.readMeta(dir)
 
@@ -1543,7 +1623,8 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
     * before-imaged upserts for the new), snapshot-conflict-checked like
     * any delta. The trivial always-true predicate routes to the
     * whole-table single-commit overwrite. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    assertWritable()
     new WriteBuilder with SupportsTruncate
         with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var doTruncate = false
@@ -1640,9 +1721,11 @@ final class GraftTable(tableName: String, dir: String, pinnedVersion: Option[Lon
             info.queryId(), info.options().getBoolean("upsert", false))
       }
     }
+  }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    assertWritable()
     // the clear planning-time error the append-only contract promises:
     // row-level DML has no key to target rows by
     if (meta.keyCols.isEmpty) throw new UnsupportedOperationException(

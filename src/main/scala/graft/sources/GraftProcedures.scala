@@ -26,7 +26,8 @@ object GraftProcedures {
     "expire_versions", "expire_changes", "expire_partitions", "vacuum",
     "analyze", "maintenance_report", "create_tag", "drop_tag",
     "refresh_mv", "create_branch", "drop_branch", "fast_forward",
-    "publish_group",
+    "publish_group", "begin_txn", "commit_txn", "rollback_txn",
+    "snapshot_group",
     "rebase_branch", "set_partition_spec")
 
   private[sources] val Descriptions: Map[String, String] = Map(
@@ -91,6 +92,23 @@ object GraftProcedures {
       "on every listed table: all pointers flip or none (one decision " +
       "file; crash recovery rolls a decided group forward on next " +
       "access): CALL publish_group(tables => 't1,t2', name => 'wap')"),
+    "begin_txn" -> ("start a session-scoped multi-statement TRANSACTION " +
+      "over the listed tables: every later plain-name read and write of " +
+      "an enrolled table in THIS session routes to a hidden per-table " +
+      "branch (read-your-writes, repeatable reads, invisible to every " +
+      "other session) until commit_txn or rollback_txn; writes to " +
+      "non-enrolled graft tables are rejected while the txn is active"),
+    "commit_txn" -> ("atomically publish the session transaction: one " +
+      "table-group commit over the members the txn WROTE (all pointers " +
+      "flip or none; first-committer-wins — main moved off a written " +
+      "member's fork refuses the whole commit and keeps the txn alive); " +
+      "read-only members release without publishing"),
+    "rollback_txn" -> ("abort the session transaction: drop every " +
+      "member's txn branch; nothing was ever visible outside the session"),
+    "snapshot_group" -> ("a CONSISTENT cross-table version snapshot: one " +
+      "(table, version) row per listed table such that no publish_group " +
+      "or commit_txn is observed torn — read the members with VERSION " +
+      "AS OF to get an atomic multi-table view; lock-free, metadata-only"),
     "set_partition_spec" -> ("evolve a time-partitioned table's GRAIN " +
       "(years/months/days/hours) for FUTURE commits as one metadata-only " +
       "commit: old dirs keep their ordinals under per-version markers, " +
@@ -150,6 +168,13 @@ object GraftProcedures {
         "rebase_branch" => Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
+    case "begin_txn" => Array(
+      ProcedureParameter.in("tables", StringType).build(),
+      ProcedureParameter.in("name", StringType).defaultValue("''").build())
+    case "commit_txn" | "rollback_txn" =>
+      Array.empty[ProcedureParameter]
+    case "snapshot_group" => Array(
+      ProcedureParameter.in("tables", StringType).build())
     case "publish_group" => Array(
       ProcedureParameter.in("tables", StringType).build(),
       ProcedureParameter.in("name", StringType).build())
@@ -290,6 +315,62 @@ final class GraftProcedure(procName: String, tableDir: String => String,
         return util.Collections.singletonList[Scan](new GraftResultScan(
           schema, Array(new GenericInternalRow(
             Array[Any](heads.size.toLong, heads.max))))).iterator()
+      }
+      if (procName == "begin_txn" || procName == "commit_txn" ||
+          procName == "rollback_txn" || procName == "snapshot_group") {
+        import org.apache.spark.unsafe.types.UTF8String
+        require(catalog != null, s"$procName needs a catalog-bound " +
+          s"procedure (CALL <cat>.sys.$procName)")
+        val cat = catalog.name()
+        def csvTables(ordinal: Int): Seq[String] =
+          input.getUTF8String(ordinal).toString.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty)
+        val (schema, rows): (StructType, Array[GenericInternalRow]) =
+          procName match {
+            case "begin_txn" =>
+              val tables = csvTables(0)
+              val nameArg = if (input.isNullAt(1)) ""
+                else input.getUTF8String(1).toString
+              val txn = GraftTxn.begin(spark, cat,
+                tables.map(t => (t, tableDir(t))),
+                Some(nameArg).filter(_.nonEmpty))
+              (StructType(Seq(
+                StructField("txn", StringType, nullable = false),
+                StructField("tables_enrolled", LongType, nullable = false))),
+                Array(new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(txn), tables.size.toLong))))
+            case "commit_txn" =>
+              val groupsRoot = java.nio.file.Paths.get(
+                catalog.warehouseDir, "_txngroups")
+              val (written, readOnly) =
+                GraftTxn.commit(spark, cat, tableDir, groupsRoot)
+              (StructType(Seq(
+                StructField("tables_published", LongType, nullable = false),
+                StructField("tables_read_only", LongType, nullable = false))),
+                Array(new GenericInternalRow(Array[Any](written, readOnly))))
+            case "rollback_txn" =>
+              val dropped = GraftTxn.rollback(spark, cat, tableDir)
+              (StructType(Seq(
+                StructField("branches_dropped", LongType, nullable = false))),
+                Array(new GenericInternalRow(Array[Any](dropped))))
+            case _ => // snapshot_group
+              val tables = csvTables(0)
+              val dirs = tables.map { t =>
+                val d = tableDir(t)
+                require(GraftStore.exists(d), s"no such graft table: $t")
+                d
+              }
+              val versions = GraftStore.snapshotGroup(dirs)
+              (StructType(Seq(
+                StructField("table_name", StringType, nullable = false),
+                StructField("version", LongType, nullable = false))),
+                tables.zip(versions).map { case (t, v) =>
+                  new GenericInternalRow(Array[Any](
+                    UTF8String.fromString(t), v))
+                }.toArray)
+          }
+        return util.Collections.singletonList[Scan](
+          new GraftResultScan(schema, rows.toArray[InternalRow])).iterator()
       }
       val table = input.getUTF8String(0).toString
       val dir = tableDir(table)

@@ -2362,6 +2362,39 @@ object GraftStore {
     }
   }
 
+  /** S46: a CONSISTENT cross-table version snapshot — one version per
+    * table such that no table-group publish (S44 `publish_group` /
+    * S45 `commit_txn`) is ever observed TORN: the returned cut contains
+    * a group's effects on every member or on none. Lock-free
+    * double-collect: each pass resolves any decided group first
+    * ([[recoverGroupCommit]] — after a group's decision file is durable,
+    * EVERY capture of EVERY member reads post-publish), so a member's
+    * observed state is a pure function of capture-time vs decision-time;
+    * two consecutive EQUAL passes prove each member's two captures
+    * landed on the same side of every concurrent group's decision point
+    * (pointers only advance — a flip between the passes would change the
+    * second read), and the interleaving t1 < t2 < ... < t1' < t2' < ...
+    * then places ALL captures on the same side of each decision. Cost:
+    * O(members) metadata reads per pass, no claims taken, readers and
+    * writers never blocked; bounded retries make continuous publish
+    * storms loud instead of unbounded. */
+  def snapshotGroup(dirs: Seq[String], maxPasses: Int = 200): Seq[Long] = {
+    require(dirs.nonEmpty, "snapshot_group needs at least one table")
+    def capture(): Seq[Long] =
+      dirs.map { d => recoverGroupCommit(d); currentVersion(d) }
+    var prev = capture()
+    var pass = 1
+    while (pass < maxPasses) {
+      val cur = capture()
+      if (cur == prev) return cur
+      prev = cur
+      pass += 1
+    }
+    throw new IllegalStateException(
+      s"snapshot_group could not stabilize after $maxPasses passes over " +
+        s"${dirs.size} tables — continuous publishes; retry later")
+  }
+
   // --------------------------------------------------------------------
   // Idempotent writer commits (txnAppId / txnVersion write options): a
   // batch writer stamps each write with an application id and a
