@@ -10,7 +10,18 @@ rebucket — then runs `verify`, which checks: contiguous versions, no
 orphan claims, no duplicate keys, live contents == the union of what
 every writer recorded as committed, and changelog replay from v0 == live.
 
-Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part] [--tags] [--branches] [--group]
+Usage: python3 scripts/fuzz_multiproc.py [nWriters] [nOps] [seed] [--crash] [--mor] [--part] [--tags] [--branches] [--group] [--txn]
+
+--txn forks TWO txnloop processes (S45): each round runs a
+begin_txn/INSERT x2/commit_txn multi-statement transaction over the main
+table AND the sidecar through the catalog SQL surface, racing the
+writers, each other, and (with --group) the publish_group coordinators.
+Commits that lose the fork race rebase-and-retry once, then roll back —
+a rolled-back round's keys must be NOWHERE. Composes with --crash: one
+txnloop is SIGKILLed mid-run (dead session: leaked txn branches, maybe a
+mid-publish group) and `verifygroup` proves atomicity after read-path
+recovery. Shares the sidecar and the group-key verification band with
+--group (keys offset so they never collide).
 
 --group forks TWO grouploop processes (S44): each round stages the
 same-named branch on the main table AND a sidecar table, then calls
@@ -54,13 +65,14 @@ import glob, os, random, signal, subprocess, sys, tempfile, time
 
 args = [a for a in sys.argv[1:]
         if a not in ("--crash", "--mor", "--part", "--tags", "--branches",
-                     "--group")]
+                     "--group", "--txn")]
 crash = "--crash" in sys.argv[1:]
 mor = "--mor" in sys.argv[1:]
 part = "--part" in sys.argv[1:]
 tags = "--tags" in sys.argv[1:]
 branches = "--branches" in sys.argv[1:]
 group = "--group" in sys.argv[1:]
+txn = "--txn" in sys.argv[1:]
 n_writers = int(args[0]) if len(args) > 0 else 3
 n_ops = int(args[1]) if len(args) > 1 else 12
 seed = int(args[2]) if len(args) > 2 else 7
@@ -91,7 +103,7 @@ if "[multiwriter] init ok" not in r.stdout:
     print(r.stdout[-2000:]); print(r.stderr[-2000:])
     sys.exit("init failed")
 side = os.path.join(work, "t_side")
-if group:
+if group or txn:
     r = run(["init", side] + ([spec] if spec else []))
     if "[multiwriter] init ok" not in r.stdout:
         print(r.stdout[-2000:]); print(r.stderr[-2000:])
@@ -147,8 +159,21 @@ if group:
         group_procs.append((j, p))
         group_outs.append(out)
 
+txn_procs = []
+txn_outs = []
+if txn:
+    for j in (1, 2):
+        out = os.path.join(work, f"txn{j}.tsv")
+        p = subprocess.Popen(
+            java + ["txnloop", table, side, str(max(5, n_ops // 2)),
+                    str(seed * 10000 + j), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        txn_procs.append((j, p))
+        txn_outs.append(out)
+
 killed = set()
 killed_group = set()
+killed_txn = set()
 if crash:
     # let everyone get past session startup and some commits, then
     # SIGKILL a random subset mid-flight
@@ -168,6 +193,14 @@ if crash:
             p.send_signal(signal.SIGKILL)
             killed_group.add(j)
             print(f"grouploop {j}: SIGKILLed mid-run")
+    # a dead TRANSACTION session: leaked txn branches, maybe a
+    # mid-publish group commit — recovery must keep atomicity
+    if txn:
+        j, p = txn_procs[0]
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+            killed_txn.add(j)
+            print(f"txnloop {j}: SIGKILLed mid-run")
 
 fail = False
 outs = []
@@ -219,6 +252,31 @@ for j, p in group_procs:
     else:
         outs.append(group_outs[j - 1])
 
+for j, p in txn_procs:
+    so, se = p.communicate(timeout=900)
+    if j in killed_txn:
+        continue  # dead session: record unused, atomicity verified below
+    line = next((l for l in so.splitlines() if "[multiwriter]" in l), "?")
+    print(f"txnloop {j}: rc={p.returncode} {line}")
+    if p.returncode != 0 or "FAIL" in so:
+        fail = True
+        print(so[-2000:]); print(se[-3000:])
+    else:
+        outs.append(txn_outs[j - 1])
+
+# quiet-phase transaction: with the writers done, one sequential txn
+# round must actually COMMIT (the live loops mostly lose the fork race)
+if txn and not fail:
+    out = os.path.join(work, "txn_quiet.tsv")
+    r = run(["txnloop", table, side, "3", str(seed * 10000 + 9), out])
+    line = next((l for l in r.stdout.splitlines() if "[multiwriter]" in l), "?")
+    print(f"txnloop quiet: rc={r.returncode} {line}")
+    if r.returncode != 0 or "FAIL" in r.stdout or "(0 keys published)" in line:
+        fail = True
+        print(r.stdout[-2000:]); print(r.stderr[-2000:])
+    else:
+        outs.append(out)
+
 # quiet-phase group publish: with the writers done, one sequential round
 # must actually WIN (the live-contention loops mostly lose the fork race)
 if group and not fail:
@@ -234,7 +292,7 @@ if group and not fail:
 
 # the S44 invariant: after read-path recovery, main's group-key set must
 # equal the sidecar's — a dead coordinator costs a round, never tears one
-if group and not fail:
+if (group or txn) and not fail:
     r = run(["verifygroup", table, side])
     for l in r.stdout.splitlines():
         if "[multiwriter]" in l:
@@ -242,6 +300,19 @@ if group and not fail:
     if r.returncode != 0 or "VERIFYGROUP OK" not in r.stdout:
         fail = True
         print(r.stderr[-3000:])
+
+# the leaked-branch GC (after verifygroup's read-path recovery resolved
+# any in-flight group): every loop is done, so any surviving hidden
+# txn-* branch is a dead session's leak (the SIGKILLed txnloop); expire
+# with ttl 0 must drop them all and move neither table's pointer
+if txn and not fail:
+    r = run(["expiretxn", table, side])
+    for l in r.stdout.splitlines():
+        if "[multiwriter]" in l:
+            print(l)
+    if r.returncode != 0 or "EXPIRETXN OK" not in r.stdout:
+        fail = True
+        print(r.stdout[-2000:]); print(r.stderr[-3000:])
 
 for j, p in ref_procs:
     so, se = p.communicate(timeout=900)
@@ -252,7 +323,7 @@ for j, p in ref_procs:
         print(so[-2000:]); print(se[-3000:])
 
 if not fail:
-    vflags = (["--partial"] if crash or killed_group else []) + (
+    vflags = (["--partial"] if crash or killed_group or killed_txn else []) + (
         ["--expired"] if (tags or branches) else [])
     r = run(["verify", table] + vflags + outs)
     for l in r.stdout.splitlines():
@@ -267,5 +338,5 @@ print(f"multiproc fuzz: {'FAIL' if fail else 'PASS'} "
       f"{' crash-injected=' + str(sorted(killed)) if crash else ''}"
       f"{' mor' if mor else ''}{' part' if part else ''}"
       f"{' tags' if tags else ''}{' branches' if branches else ''}"
-      f"{' group' if group else ''})")
+      f"{' group' if group else ''}{' txn' if txn else ''})")
 sys.exit(1 if fail else 0)

@@ -102,6 +102,10 @@ object MultiWriterRunner {
       refloop(args(1), args(2).toInt, args(3).toLong)
     case "branchloop" =>
       branchloop(args(1), args(2).toInt, args(3).toLong, args(4))
+    case "txnloop" =>
+      txnloop(args(1), args(2), args(3).toInt, args(4).toLong, args(5))
+    case "expiretxn" =>
+      expiretxn(args(1), args(2))
     case "grouploop" =>
       grouploop(args(1), args(2), args(3).toInt, args(4).toLong, args(5))
     case "verifygroup" =>
@@ -406,6 +410,203 @@ object MultiWriterRunner {
     }
     println(s"[multiwriter] grouploop $seed ${if (ok) "ok" else "FAILED"} " +
       s"(${expected.size} keys published)")
+    if (!ok) sys.exit(1)
+  }
+
+  /** One multi-statement-transaction coordinator (S45): each round runs
+    * begin_txn over main + sidecar THROUGH THE CATALOG SQL SURFACE,
+    * inserts the same keys into both inside the txn (asserting
+    * read-your-writes mid-txn on the MAIN table's plain name), then
+    * commit_txn. A conflict (live writers advanced a member) rebases the
+    * txn's branches and retries once; a second loss rolls back and the
+    * lost round's keys must be NOWHERE on main. Committed keys are
+    * recorded like a writer's (verify holds main's content accountable);
+    * the cross-table atomicity invariant is verifygroup's job — txn keys
+    * live in the same group band, offset +500000 / residue 2 mod 7 so
+    * they can never collide with grouploop keys. Half the rounds run the
+    * S45b savepoint leg: doomed keys staged into both members past a
+    * savepoint, rolled back to it, proven invisible to the txn's own
+    * reads, and (never being recorded) proven absent from main by
+    * verify's global content accountability. A savepoint-rolled-back
+    * round that then loses the fork race cannot rebase (the restore is
+    * a snapshot boundary) — that is a lost round by design, not a
+    * failure. */
+  private def txnloop(dir: String, sideDir: String, nOps: Int, seed: Long,
+      outFile: String): Unit = {
+    val spark = session(s"graft-txnloop-$seed")
+    import spark.implicits._
+    val parent = Paths.get(dir).getParent.toString
+    val tName = Paths.get(dir).getFileName.toString
+    val sName = Paths.get(sideDir).getFileName.toString
+    val cat = "fztxn"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", parent)
+    val rng = new scala.util.Random(seed)
+    val id = 800 + (seed % 90)
+    val base = id * 1000000L + 500000L
+    var nextKey = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val part = GraftStore.readMeta(dir).partition.isDefined
+    var ok = true
+    def flushRecord(): Unit = {
+      val out = expected.toSeq.sortBy(_._1)
+        .map { case (k, (n, a)) => s"$k\t$n\t$a" }
+      val tmp = Paths.get(outFile + ".tmp")
+      Files.write(tmp, out.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(outFile),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    flushRecord()
+    (0 until nOps).foreach { _ =>
+      val rows = (0 until 1 + rng.nextInt(3)).map { _ =>
+        nextKey += 1
+        (base + nextKey * 7 + 2, s"tx$id", rng.nextInt(1000).toLong)
+      }
+      val df0 = rows.toDF("k", "name", "amount")
+      val df = if (!part) df0
+        else rows.map { case (k, n, a) => (k, dayOf(k, 0), n, a) }
+          .toDF("k", "day", "name", "amount")
+          .withColumn("ts", expr(
+            "timestamp(date_from_unix_date(CAST(day AS int)))"))
+          .select("k", "ts", "name", "amount")
+      df.createOrReplaceTempView("txrows")
+      val began =
+        try spark.sql(s"CALL $cat.begin_txn(tables => '$tName,$sName')")
+          .head().getString(0)
+        catch { case _: Exception => null }
+      if (began != null) {
+        var committed = false
+        var doomed: Seq[Long] = Nil
+        try {
+          spark.sql(s"INSERT INTO $cat.`$tName` SELECT * FROM txrows")
+          spark.sql(s"INSERT INTO $cat.`$sName` SELECT * FROM txrows")
+          // read-your-writes: the txn session must see its staged keys
+          // through the MAIN table's plain name (this round's key range
+          // is private to this process, so the count is exact)
+          val seen = spark.sql(s"SELECT COUNT(*) FROM $cat.`$tName` " +
+            s"WHERE k BETWEEN ${rows.map(_._1).min} AND " +
+            s"${rows.map(_._1).max}").head().getLong(0)
+          if (seen != rows.size) {
+            ok = false
+            println(s"[multiwriter] FAIL: txn $began sees $seen of " +
+              s"${rows.size} of its own staged rows")
+          }
+          // savepoint leg (S45b, every other round): stage DOOMED keys
+          // into both members past a savepoint, roll back to it, and the
+          // doomed keys must vanish from the txn's own reads — and,
+          // because they are never recorded, verify's content-
+          // accountability catches them if they EVER reach main
+          doomed = if (rng.nextBoolean()) Nil else {
+            val ks = (0 until 1 + rng.nextInt(2)).map { _ =>
+              nextKey += 1
+              (base + nextKey * 7 + 2, s"tx$id-doomed", -1L)
+            }
+            spark.sql(s"CALL $cat.savepoint(name => 'sp')")
+            val ddf0 = ks.toDF("k", "name", "amount")
+            val ddf = if (!part) ddf0
+              else ks.map { case (k, n, a) => (k, dayOf(k, 0), n, a) }
+                .toDF("k", "day", "name", "amount")
+                .withColumn("ts", expr(
+                  "timestamp(date_from_unix_date(CAST(day AS int)))"))
+                .select("k", "ts", "name", "amount")
+            ddf.createOrReplaceTempView("txdoomed")
+            spark.sql(s"INSERT INTO $cat.`$tName` SELECT * FROM txdoomed")
+            spark.sql(s"INSERT INTO $cat.`$sName` SELECT * FROM txdoomed")
+            spark.sql(s"CALL $cat.rollback_to_savepoint(name => 'sp')")
+            val ghost = spark.sql(s"SELECT COUNT(*) FROM $cat.`$tName` " +
+              s"WHERE k IN (${ks.map(_._1).mkString(",")})")
+              .head().getLong(0)
+            if (ghost > 0) {
+              ok = false
+              println(s"[multiwriter] FAIL: txn $began still sees " +
+                s"$ghost rolled-back-to-savepoint rows")
+            }
+            ks.map(_._1)
+          }
+          def tryCommit(): Boolean =
+            try { spark.sql(s"CALL $cat.commit_txn()").collect(); true }
+            catch { case _: Exception => false }
+          committed = tryCommit() || {
+            // live writers moved a member off its fork: rebase the txn's
+            // branches (the txn stays active across a refused commit by
+            // contract) and retry once — a second loss is a lost round
+            val bname = graft.sources.GraftTxn.branchOf(began)
+            val rebased = Seq(dir, sideDir).forall { d =>
+              !GraftStore.branchExists(d, bname) ||
+                GraftStore.branchForkBase(d, bname) ==
+                  GraftStore.currentVersion(d) || (
+                try { GraftStore.rebaseBranch(spark, d, bname); true }
+                catch { case _: Exception => false })
+            }
+            rebased && tryCommit()
+          }
+        } finally if (!committed) {
+          try spark.sql(s"CALL $cat.rollback_txn()").collect()
+          catch { case _: Exception => () }
+        }
+        if (committed) {
+          rows.foreach { case (k, n, a) => expected(k) = (n, a) }
+          flushRecord()
+          // a committed round must still have published NONE of its
+          // savepoint-rolled-back keys (verify re-checks this globally)
+          doomed.grouped(50).foreach { ks =>
+            Seq(tName, sName).foreach { t =>
+              val leaked = spark.sql(s"SELECT COUNT(*) FROM $cat.`$t` " +
+                s"WHERE k IN (${ks.mkString(",")})").head().getLong(0)
+              if (leaked > 0) {
+                ok = false
+                println(s"[multiwriter] FAIL: committed txn $began " +
+                  s"published $leaked savepoint-rolled-back keys to $t")
+              }
+            }
+          }
+        } else Seq(tName, sName).foreach { t =>
+          // the rolled-back round's keys must be NOWHERE on main
+          val leaked = spark.sql(s"SELECT COUNT(*) FROM $cat.`$t` " +
+            s"WHERE k IN (${rows.map(_._1).mkString(",")})")
+            .head().getLong(0)
+          if (leaked > 0) {
+            ok = false
+            println(s"[multiwriter] FAIL: rolled-back txn $began leaked " +
+              s"$leaked keys into $t")
+          }
+        }
+      }
+      Thread.sleep(rng.nextInt(150).toLong)
+    }
+    println(s"[multiwriter] txnloop $seed ${if (ok) "ok" else "FAILED"} " +
+      s"(${expected.size} keys published)")
+    if (!ok) sys.exit(1)
+  }
+
+  /** The leaked-branch GC after the dust settles: every loop is done, so
+    * any surviving hidden `txn-*` branch is a dead session's leak (a
+    * SIGKILLed txnloop, or one that crashed between begin and
+    * commit/rollback). Expire with ttl 0 must drop them ALL and move
+    * nothing else — main's pointer and the user-visible branch list
+    * (there are none in this harness) are untouched. */
+  private def expiretxn(dir: String, sideDir: String): Unit = {
+    var ok = true
+    Thread.sleep(20) // ttl 0 still needs the clock to tick past the mtimes
+    Seq(dir, sideDir).foreach { d =>
+      val before = GraftStore.currentVersion(d)
+      val dropped = GraftStore.expireTxnBranches(d, 0L)
+      val leftover = GraftStore.listBranches(d).filter(_.startsWith("txn-"))
+      if (leftover.nonEmpty) {
+        ok = false
+        println(s"[multiwriter] FAIL: txn branches survive expire on " +
+          s"$d: ${leftover.mkString(", ")}")
+      }
+      if (GraftStore.currentVersion(d) != before) {
+        ok = false
+        println(s"[multiwriter] FAIL: expiretxn moved $d's pointer " +
+          s"$before -> ${GraftStore.currentVersion(d)}")
+      }
+      println(s"[multiwriter] expiretxn $d dropped $dropped")
+    }
+    println(s"[multiwriter] EXPIRETXN ${if (ok) "OK" else "FAILED"}")
     if (!ok) sys.exit(1)
   }
 

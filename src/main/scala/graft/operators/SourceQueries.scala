@@ -2167,6 +2167,7 @@ object SourceQueries {
          'CALL expire_versions(table => ..., keep_last => ...) re-sweeps'),
         ('fragmented_slots',
          'CALL optimize(table => ..., max_files_per_bucket => 4)'),
+        ('leaked_txn_branches', 'CALL vacuum(table => ...)'),
         ('live_deletes', 'CALL optimize(table => ...)'),
         ('retained_versions',
          'CALL expire_versions(table => ..., keep_last => ...)'),
@@ -3181,6 +3182,118 @@ object SourceQueries {
         TRUE AS txn_isolated_and_ryw, TRUE AS nonenrolled_write_fenced,
         TRUE AS commit_atomic, TRUE AS rollback_clean,
         TRUE AS conflict_refuses_whole_txn
+      FROM fact f JOIN summ s ON f.r = s.r GROUP BY f.r ORDER BY f.r""")),
+
+    // ----- S45b: transaction SAVEPOINTs — `CALL savepoint(name)` marks
+    // a point inside the session txn (metadata-only: every member
+    // branch's head); `CALL rollback_to_savepoint(name)` undoes just the
+    // statements after it via a per-member branch RESTORE (hard links,
+    // nothing published), leaving the txn open to keep working. The gate
+    // pins: partial rollback inside the txn (post-savepoint rows and the
+    // summary poke vanish, pre-savepoint rows stand), SQL savepoint
+    // semantics (later savepoints destroyed by the rollback, the target
+    // reusable, repeat rollback a no-op), atomic commit publishing only
+    // what survived, the restored member's publish carrying the
+    // restore's CDC snapshot boundary (consumers re-snapshot, never
+    // resurrect the undone writes), and the final fact⋈summary contents
+    // hashing the DuckDB closed form.
+    GraftQuery("s45b_txn_savepoint", (s, d) => {
+      import s.implicits._
+      DmlFixture.register(s)
+      s.sql("DROP TABLE IF EXISTS graftdml.s45b_a")
+      s.sql("DROP TABLE IF EXISTS graftdml.s45b_b")
+      s.sql("""CREATE TABLE graftdml.s45b_a
+        (k BIGINT NOT NULL, r BIGINT, pop BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+      s.sql("""CREATE TABLE graftdml.s45b_b
+        (r BIGINT NOT NULL, total BIGINT) USING graft
+        TBLPROPERTIES ('merge_key'='r', 'buckets'='2')""")
+      T.nation(s, d)
+        .select($"n_nationkey".cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          ($"n_nationkey" * 10 + 7).cast("long").as("pop"))
+        .createOrReplaceTempView("s45b_rows")
+      s.sql("INSERT INTO graftdml.s45b_a SELECT * FROM s45b_rows")
+      s.sql("INSERT INTO graftdml.s45b_b SELECT r, SUM(pop) " +
+        "FROM s45b_rows GROUP BY r")
+      val o = s.newSession()
+      DmlFixture.register(o)
+      def cleanup(): Unit =
+        try s.sql("CALL graftdml.rollback_txn()").collect()
+        catch { case _: Exception => () }
+      def deepMsg(e: Throwable)(p: String => Boolean): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(t => Option(t.getMessage).exists(p))
+      var partial = false; var laterGone = false; var repeatNoop = false
+      var committedKept = false; var boundary = false
+      try {
+        s.sql("CALL graftdml.begin_txn(tables => 's45b_a,s45b_b', " +
+          "name => 'sp1')")
+        s.sql("INSERT INTO graftdml.s45b_a SELECT id + 4000, " +
+          "CAST(id % 5 AS BIGINT), (id + 4000) * 3 FROM range(4)") // keep
+        s.sql("CALL graftdml.savepoint(name => 's1')")
+        s.sql("INSERT INTO graftdml.s45b_a SELECT id + 5000, " +
+          "CAST(id % 5 AS BIGINT), 1 FROM range(5)") // undone below
+        s.sql("UPDATE graftdml.s45b_b SET total = 0 WHERE r = 0") // undone
+        s.sql("CALL graftdml.savepoint(name => 's2')")
+        val restored = s.sql(
+          "CALL graftdml.rollback_to_savepoint(name => 's1')")
+          .head().getLong(0)
+        // post-savepoint statements vanish INSIDE the open txn; the
+        // pre-savepoint burst stands
+        partial = restored == 2L &&
+          s.sql("SELECT COUNT(*) FROM graftdml.s45b_a WHERE k >= 5000")
+            .head().getLong(0) == 0L &&
+          s.sql("SELECT COUNT(*) FROM graftdml.s45b_a WHERE k >= 4000")
+            .head().getLong(0) == 4L &&
+          s.sql("SELECT MIN(total) FROM graftdml.s45b_b")
+            .head().getLong(0) > 0L
+        // the rollback destroyed s2 (SQL semantics) but s1 is reusable —
+        // and reusing it immediately is a no-op, not another restore
+        laterGone = try {
+          s.sql("CALL graftdml.rollback_to_savepoint(name => 's2')")
+            .collect(); false
+        } catch { case e: Exception => deepMsg(e)(_.contains("no savepoint")) }
+        repeatNoop = s.sql(
+          "CALL graftdml.rollback_to_savepoint(name => 's1')")
+          .head().getLong(0) == 0L
+        s.sql("INSERT INTO graftdml.s45b_a VALUES (6000, 1, 11)")
+        s.sql("CALL graftdml.commit_txn()").collect()
+        committedKept =
+          o.sql("SELECT COUNT(*) FROM graftdml.s45b_a")
+            .head().getLong(0) == 30L &&
+          o.sql("SELECT COUNT(*) FROM graftdml.s45b_a " +
+            "WHERE k >= 5000 AND k < 6000").head().getLong(0) == 0L
+        // the restored member published the restore's snapshot boundary:
+        // its CDC consumers re-snapshot instead of folding past it
+        boundary = graft.sources.GraftStore
+          .latestBoundary(s"${DmlFixture.warehouse}/s45b_b").nonEmpty
+      } finally cleanup()
+      s.sql("""SELECT f.r, COUNT(*) AS n, SUM(f.pop) AS fact_pop,
+          MAX(b.total) AS summary_total
+        FROM graftdml.s45b_a f JOIN graftdml.s45b_b b ON f.r = b.r
+        GROUP BY f.r""")
+        .withColumn("savepoint_partial_rollback", lit(partial))
+        .withColumn("later_savepoint_destroyed", lit(laterGone))
+        .withColumn("repeat_rollback_noop", lit(repeatNoop))
+        .withColumn("commit_publishes_kept_only", lit(committedKept))
+        .withColumn("restored_member_boundary", lit(boundary))
+        .orderBy($"r")
+    }, Some("""
+      WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                     CAST(n_regionkey AS BIGINT) AS r,
+                     CAST(n_nationkey * 10 + 7 AS BIGINT) AS pop FROM nation),
+      keep AS (SELECT CAST(i + 4000 AS BIGINT) AS k, CAST(i % 5 AS BIGINT) AS r,
+                 CAST((i + 4000) * 3 AS BIGINT) AS pop FROM range(4) t(i)),
+      fact AS (SELECT * FROM src UNION ALL SELECT * FROM keep
+               UNION ALL SELECT 6000, 1, 11),
+      summ AS (SELECT r, SUM(pop) AS total FROM src GROUP BY r)
+      SELECT f.r, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(f.pop) AS BIGINT) AS fact_pop,
+        CAST(MAX(s.total) AS BIGINT) AS summary_total,
+        TRUE AS savepoint_partial_rollback, TRUE AS later_savepoint_destroyed,
+        TRUE AS repeat_rollback_noop, TRUE AS commit_publishes_kept_only,
+        TRUE AS restored_member_boundary
       FROM fact f JOIN summ s ON f.r = s.r GROUP BY f.r ORDER BY f.r""")),
 
     // ----- S46: consistent cross-table snapshots — `CALL snapshot_group

@@ -27,7 +27,7 @@ object GraftProcedures {
     "analyze", "maintenance_report", "create_tag", "drop_tag",
     "refresh_mv", "create_branch", "drop_branch", "fast_forward",
     "publish_group", "begin_txn", "commit_txn", "rollback_txn",
-    "snapshot_group",
+    "savepoint", "rollback_to_savepoint", "snapshot_group",
     "rebase_branch", "set_partition_spec")
 
   private[sources] val Descriptions: Map[String, String] = Map(
@@ -105,6 +105,14 @@ object GraftProcedures {
       "read-only members release without publishing"),
     "rollback_txn" -> ("abort the session transaction: drop every " +
       "member's txn branch; nothing was ever visible outside the session"),
+    "savepoint" -> ("mark a named point inside the session transaction " +
+      "(records every member branch's head; metadata-only) so " +
+      "rollback_to_savepoint can undo just the statements after it"),
+    "rollback_to_savepoint" -> ("undo the transaction's statements since " +
+      "the named savepoint (per-member branch RESTORE — hard links, " +
+      "nothing published); the savepoint survives for reuse, later ones " +
+      "are destroyed; a member restored here publishes a CDC snapshot " +
+      "boundary at commit_txn"),
     "snapshot_group" -> ("a CONSISTENT cross-table version snapshot: one " +
       "(table, version) row per listed table such that no publish_group " +
       "or commit_txn is observed torn — read the members with VERSION " +
@@ -173,6 +181,8 @@ object GraftProcedures {
       ProcedureParameter.in("name", StringType).defaultValue("''").build())
     case "commit_txn" | "rollback_txn" =>
       Array.empty[ProcedureParameter]
+    case "savepoint" | "rollback_to_savepoint" => Array(
+      ProcedureParameter.in("name", StringType).build())
     case "snapshot_group" => Array(
       ProcedureParameter.in("tables", StringType).build())
     case "publish_group" => Array(
@@ -236,6 +246,15 @@ object GraftProcedures {
         p.getFileName.toString.matches("v\\d{10}") && java.nio.file.Files
           .exists(p.resolve(GraftStore.ExpiredMarker))
       }.toLong)
+    // leaked transaction branches → vacuum (expireTxnBranches): hidden
+    // txn-* branches idle past the default window are dead sessions'
+    // debris, each a full hard-linked clone
+    val txnIdleMs = 3600000L
+    val now = System.currentTimeMillis()
+    val staleTxnBranches = GraftStore.listBranches(dir)
+      .filter(_.startsWith("txn-"))
+      .count(n => GraftStore.txnBranchLastActivity(dir, n)
+        .exists(now - _ > txnIdleMs)).toLong
     Array(
       row("fragmented_slots", fragmented > 0, fragmented,
         maxFilesPerSlot.toLong,
@@ -249,7 +268,9 @@ object GraftProcedures {
       row("changelog_slices", false, changeSlices, null,
         "CALL expire_changes(table => ..., keep_from_version => ...)"),
       row("expired_file_hosts", false, expiredHosts, null,
-        "CALL expire_versions(table => ..., keep_last => ...) re-sweeps"))
+        "CALL expire_versions(table => ..., keep_last => ...) re-sweeps"),
+      row("leaked_txn_branches", staleTxnBranches > 0, staleTxnBranches,
+        txnIdleMs, "CALL vacuum(table => ...)"))
   }
 
   private[sources] val MaintenanceReportSchema = StructType(Seq(
@@ -317,7 +338,9 @@ final class GraftProcedure(procName: String, tableDir: String => String,
             Array[Any](heads.size.toLong, heads.max))))).iterator()
       }
       if (procName == "begin_txn" || procName == "commit_txn" ||
-          procName == "rollback_txn" || procName == "snapshot_group") {
+          procName == "rollback_txn" || procName == "savepoint" ||
+          procName == "rollback_to_savepoint" ||
+          procName == "snapshot_group") {
         import org.apache.spark.unsafe.types.UTF8String
         require(catalog != null, s"$procName needs a catalog-bound " +
           s"procedure (CALL <cat>.sys.$procName)")
@@ -353,6 +376,18 @@ final class GraftProcedure(procName: String, tableDir: String => String,
               (StructType(Seq(
                 StructField("branches_dropped", LongType, nullable = false))),
                 Array(new GenericInternalRow(Array[Any](dropped))))
+            case "savepoint" =>
+              val marked = GraftTxn.savepoint(spark, cat, tableDir,
+                input.getUTF8String(0).toString)
+              (StructType(Seq(
+                StructField("members_marked", LongType, nullable = false))),
+                Array(new GenericInternalRow(Array[Any](marked))))
+            case "rollback_to_savepoint" =>
+              val restored = GraftTxn.rollbackToSavepoint(spark, cat,
+                tableDir, input.getUTF8String(0).toString)
+              (StructType(Seq(
+                StructField("members_restored", LongType, nullable = false))),
+                Array(new GenericInternalRow(Array[Any](restored))))
             case _ => // snapshot_group
               val tables = csvTables(0)
               val dirs = tables.map { t =>

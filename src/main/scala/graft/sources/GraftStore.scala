@@ -3976,7 +3976,49 @@ object GraftStore {
         catch { case _: java.nio.file.NoSuchFileException => -1L }
         if (age > olderThanMillis) { Files.deleteIfExists(p); removed += 1 }
       }
+    removed += expireTxnBranches(dir, olderThanMillis)
     removed
+  }
+
+  /** Reclaim hidden transaction branches (`txn-*`, [[GraftTxn]]) whose
+    * last COMMIT activity predates the retention window — the GC for
+    * branches leaked by sessions that died between begin_txn and
+    * commit/rollback (nothing else ever sweeps them; each holds a full
+    * hard-linked clone plus whatever the txn staged). Activity is
+    * commit-granular and O(2) stats per branch: the branch pointer's
+    * mtime (every branch commit rewrites it) or the fork stamp's at
+    * birth. A LIVE txn idle past the window loses its branches too —
+    * its next statement or commit_txn then refuses LOUDLY ("lost its
+    * branch") and the session can only roll back; nothing was ever
+    * published, so the failure mode is a refused commit, never a torn
+    * or silent one — the same contract as a warehouse's idle-txn
+    * timeout. User-named (S40) branches are never touched. Runs inside
+    * [[vacuum]] with its window, callable alone for a tighter one. */
+  def expireTxnBranches(dir: String, olderThanMillis: Long): Long = {
+    val now = System.currentTimeMillis()
+    var dropped = 0L
+    listBranches(dir).filter(_.startsWith("txn-")).foreach { n =>
+      if (txnBranchLastActivity(dir, n).exists(now - _ > olderThanMillis))
+        try { dropBranch(dir, n); dropped += 1 }
+        catch { // raced its own commit/rollback
+          case scala.util.control.NonFatal(_) => ()
+        }
+    }
+    dropped
+  }
+
+  /** Last commit-activity instant of a txn branch (pointer mtime, fork
+    * stamp at birth) — [[expireTxnBranches]]'s gate, exposed so
+    * maintenance_report can count leak candidates without dropping. */
+  private[sources] def txnBranchLastActivity(dir: String,
+      name: String): Option[Long] = {
+    val bd = branchDir(dir, name)
+    val stamps = Seq(pointerPath(bd), Paths.get(bd, ForkBaseName))
+      .flatMap { p =>
+        try Some(Files.getLastModifiedTime(p).toMillis)
+        catch { case _: java.io.IOException => None }
+      }
+    if (stamps.isEmpty) None else Some(stamps.max)
   }
 
   /** Changes-table schema: logical columns (all nullable — delete rows

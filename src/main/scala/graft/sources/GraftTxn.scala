@@ -60,6 +60,7 @@ object GraftTxn {
 
   private def nameKey(cat: String) = s"spark.graft.txn.$cat.name"
   private def tablesKey(cat: String) = s"spark.graft.txn.$cat.tables"
+  private def spKey(cat: String) = s"spark.graft.txn.$cat.savepoints"
 
   /** The hidden branch a txn stages on (one per enrolled table). */
   def branchOf(txn: String): String = s"txn-$txn"
@@ -202,5 +203,108 @@ object GraftTxn {
   private def clear(spark: SparkSession, cat: String): Unit = {
     spark.conf.unset(nameKey(cat))
     spark.conf.unset(tablesKey(cat))
+    spark.conf.unset(spKey(cat))
+  }
+
+  /** Ordered savepoints of the active txn: name -> per-member
+    * (branch head, fork base) at creation, member order = the enrolled
+    * list's. Conf-encoded (`n=v:f|v:f;n2=...`) so savepoints share the
+    * txn's session-scoped lifecycle for free. */
+  private def savepoints(cat: String): Seq[(String, Seq[(Long, Long)])] =
+    try SQLConf.get.getConfString(spKey(cat), "").split(";").toSeq
+      .filter(_.nonEmpty).map { s =>
+        val Array(n, vs) = s.split("=", 2)
+        n -> vs.split("\\|").toSeq.filter(_.nonEmpty).map { p =>
+          val Array(v, f) = p.split(":", 2)
+          (v.toLong, f.toLong)
+        }
+      }
+    catch { case NonFatal(_) => Nil }
+
+  private def writeSavepoints(spark: SparkSession, cat: String,
+      sps: Seq[(String, Seq[(Long, Long)])]): Unit =
+    if (sps.isEmpty) spark.conf.unset(spKey(cat))
+    else spark.conf.set(spKey(cat), sps.map { case (n, ms) =>
+      s"$n=${ms.map { case (v, f) => s"$v:$f" }.mkString("|")}"
+    }.mkString(";"))
+
+  /** `CALL savepoint(name)`: record every member branch's head (and its
+    * fork base, the rebase fence below) so a later
+    * [[rollbackToSavepoint]] can undo just the statements after it.
+    * Metadata-only — two version-file reads per member, no commit. */
+  def savepoint(spark: SparkSession, cat: String,
+      resolve: String => String, name: String): Long = {
+    val (txn, tables) = active(cat).getOrElse(throw new IllegalStateException(
+      s"no transaction is active in this session for catalog $cat — " +
+        "savepoints only exist inside begin_txn"))
+    require(name.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"invalid savepoint name '$name'")
+    val sps = savepoints(cat)
+    require(!sps.exists(_._1 == name),
+      s"savepoint '$name' already exists in transaction '$txn'")
+    val branch = branchOf(txn)
+    val marks = tables.map { t =>
+      val d = resolve(t)
+      require(GraftStore.branchExists(d, branch),
+        s"transaction '$txn' lost its branch on $t — rollback_txn")
+      (GraftStore.currentVersion(GraftStore.branchDir(d, branch)),
+        GraftStore.branchForkBase(d, branch))
+    }
+    writeSavepoints(spark, cat, sps :+ (name -> marks))
+    marks.size.toLong
+  }
+
+  /** `CALL rollback_to_savepoint(name)`: restore every member branch
+    * written since the savepoint back to its recorded head — a standard
+    * per-branch RESTORE commit (hard links, history preserved), so the
+    * rolled-back statements simply stop being part of what commit_txn
+    * publishes. The target savepoint survives for reuse; savepoints
+    * established AFTER it are destroyed (SQL semantics). Loud edges: a
+    * member whose fork base changed since the savepoint was taken means
+    * the branch was REBASED (rebase_branch replays commits under new
+    * numbers — the recorded head no longer names the savepoint's state):
+    * the whole rollback refuses and the txn stays intact — take new
+    * savepoints after a rebase. CDC cost, stated plainly: RESTORE is a
+    * snapshot boundary, so a member restored here publishes that
+    * boundary at commit_txn and its changelog consumers re-snapshot
+    * across it — correctness is never at stake (the boundary is exactly
+    * the "do not fold past this" signal), but a downstream incremental
+    * MV on that member takes the full-recompute lane once. */
+  def rollbackToSavepoint(spark: SparkSession, cat: String,
+      resolve: String => String, name: String): Long = {
+    val (txn, tables) = active(cat).getOrElse(throw new IllegalStateException(
+      s"no transaction is active in this session for catalog $cat"))
+    val sps = savepoints(cat)
+    val idx = sps.indexWhere(_._1 == name)
+    require(idx >= 0, s"transaction '$txn' has no savepoint '$name' " +
+      s"(have ${sps.map(_._1).mkString("[", ", ", "]")})")
+    val branch = branchOf(txn)
+    val members = tables.zip(sps(idx)._2).map { case (t, (v, f)) =>
+      val d = resolve(t)
+      require(GraftStore.branchExists(d, branch),
+        s"transaction '$txn' lost its branch on $t — rollback_txn")
+      require(GraftStore.branchForkBase(d, branch) == f,
+        s"savepoint '$name' predates a rebase_branch of $t's txn branch " +
+          "— replayed commits are renumbered, the savepoint no longer " +
+          "names a restorable state; take new savepoints after rebasing")
+      (d, v)
+    }
+    // validate everything BEFORE restoring anything: the rollback is
+    // per-member sequential, so refuse-all-or-restore-all up front
+    var restored = 0L
+    val remarked = members.map { case (d, v) =>
+      val bd = GraftStore.branchDir(d, branch)
+      val head = if (GraftStore.currentVersion(bd) > v) {
+        restored += 1
+        GraftStore.restore(bd, v) // the new head; content == the mark's
+      } else v
+      (head, GraftStore.branchForkBase(d, branch))
+    }
+    // the savepoint survives for reuse but re-marks at the restore
+    // commits (same content, newer numbers) so a repeat rollback_to is
+    // a no-op instead of stacking another restore each time
+    writeSavepoints(spark, cat,
+      sps.take(idx) :+ (name -> remarked))
+    restored
   }
 }

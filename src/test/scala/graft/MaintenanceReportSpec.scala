@@ -39,7 +39,7 @@ class MaintenanceReportSpec extends SparkTestBase {
     val r0 = report("t_m")
     assert(r0.keySet === Set("fragmented_slots", "live_deletes",
       "stale_column_stats", "retained_versions", "changelog_slices",
-      "expired_file_hosts"))
+      "expired_file_hosts", "leaked_txn_branches"))
     assert(!r0("fragmented_slots")._1, "one insert cannot fragment")
     assert(!r0("live_deletes")._1 && r0("live_deletes")._2 === Some(0L))
     assert(r0("stale_column_stats")._1, "never analyzed = planner is blind")

@@ -16,7 +16,12 @@ import graft.sources.{GraftCatalog, GraftStore}
   * immunity (deterministic between-flips crash lane). */
 class TxnSpec extends SparkTestBase {
 
-  private lazy val cat = "grafttxn"
+  // NOTE: must be unique across suites — the SparkSession (and so the
+  // `spark.sql.catalog.<name>` conf) is JVM-shared, and a second suite
+  // registering the same catalog name with its own warehouse makes
+  // last-writer-wins resolution point at the wrong directory mid-run
+  // (IdempotentWriteSpec already owns "grafttxn")
+  private lazy val cat = "graftmst"
   private lazy val warehouse: String = {
     val p = Files.createTempDirectory("graft_txn_spec")
     p.toFile.deleteOnExit()
@@ -274,5 +279,107 @@ class TxnSpec extends SparkTestBase {
       .contains((0L, 0L, 40L)))
     // idempotent under quiescence
     assert(snap() === after)
+  }
+
+  test("txn: savepoints undo just the statements after them") {
+    val a = mkTable("tx_sp_a")
+    val b = mkTable("tx_sp_b")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (100, 0, 1)")
+    try {
+      // savepoint outside a txn refuses
+      val e0 = intercept[Exception] {
+        spark.sql(s"CALL $cat.savepoint(name => 's1')").collect()
+      }
+      assert(chain(e0).exists(t => Option(t.getMessage)
+        .exists(_.contains("no transaction is active"))))
+
+      spark.sql(s"CALL $cat.begin_txn(tables => '$a,$b', name => 'sp')")
+      spark.sql(s"INSERT INTO $cat.$a VALUES (2, 0, 20)") // keep
+      assert(spark.sql(s"CALL $cat.savepoint(name => 's1')")
+        .head().getLong(0) === 2L)
+      // duplicate name refuses
+      val e1 = intercept[Exception] {
+        spark.sql(s"CALL $cat.savepoint(name => 's1')").collect()
+      }
+      assert(chain(e1).exists(t => Option(t.getMessage)
+        .exists(_.contains("already exists"))))
+
+      spark.sql(s"INSERT INTO $cat.$a VALUES (3, 0, 30)") // undo
+      spark.sql(s"UPDATE $cat.$b SET amount = 99 WHERE k = 100") // undo
+      spark.sql(s"CALL $cat.savepoint(name => 's2')")
+      spark.sql(s"DELETE FROM $cat.$a WHERE k = 1") // undo
+
+      // roll back to s1: statements after it vanish, the txn stays open
+      assert(spark.sql(s"CALL $cat.rollback_to_savepoint(name => 's1')")
+        .head().getLong(0) === 2L, "both members were written after s1")
+      assert(rows(spark, s"$cat.$a") === Seq((1L, 0L, 10L), (2L, 0L, 20L)))
+      assert(rows(spark, s"$cat.$b") === Seq((100L, 0L, 1L)))
+      // s2 was destroyed by the rollback (SQL semantics); s1 survives
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL $cat.rollback_to_savepoint(name => 's2')").collect()
+      }
+      assert(chain(e2).exists(t => Option(t.getMessage)
+        .exists(_.contains("no savepoint 's2'"))))
+      assert(spark.sql(s"CALL $cat.rollback_to_savepoint(name => 's1')")
+        .head().getLong(0) === 0L, "already at s1: nothing to restore")
+
+      // keep working past the rollback, then commit atomically
+      spark.sql(s"INSERT INTO $cat.$a VALUES (4, 0, 40)")
+      spark.sql(s"CALL $cat.commit_txn()").collect()
+      assert(rows(outside, s"$cat.$a") ===
+        Seq((1L, 0L, 10L), (2L, 0L, 20L), (4L, 0L, 40L)))
+      assert(rows(outside, s"$cat.$b") === Seq((100L, 0L, 1L)))
+      // the rolled-back member's publish carries the restore's CDC
+      // snapshot boundary — consumers re-snapshot, never resurrect
+      assert(GraftStore.latestBoundary(s"$warehouse/$b").nonEmpty,
+        "b's rollback_to_savepoint must publish as a snapshot boundary")
+      // and the savepoints died with the txn
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL $cat.rollback_to_savepoint(name => 's1')").collect()
+      }
+      assert(chain(e3).exists(t => Option(t.getMessage)
+        .exists(_.contains("no transaction is active"))))
+    } finally drain()
+  }
+
+  test("txn: leaked branches expire by TTL; the orphaned txn refuses loudly") {
+    val a = mkTable("tx_gc_a")
+    val b = mkTable("tx_gc_b")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (2, 0, 20)")
+    val dirA = s"$warehouse/$a"
+    val dirB = s"$warehouse/$b"
+    // a user-named (S40) branch must NEVER be swept
+    spark.sql(s"CALL $cat.create_branch(table => '$a', name => 'feature')")
+    try {
+      spark.sql(s"CALL $cat.begin_txn(tables => '$a,$b', name => 'gcx')")
+      spark.sql(s"INSERT INTO $cat.$a VALUES (7, 0, 70)")
+      // a txn inside the retention window survives the sweep untouched
+      assert(GraftStore.expireTxnBranches(dirA, 3600000L) === 0L)
+      assert(rows(spark, s"$cat.$a") ===
+        Seq((1L, 0L, 10L), (7L, 0L, 70L)), "still branch-routed")
+      // past the window (ttl 0 after a beat): vacuum drops BOTH members'
+      // txn branches — the dead-session GC — but not the user branch
+      Thread.sleep(50)
+      spark.sql(s"CALL $cat.vacuum(table => '$a', older_than_ms => 0)")
+      assert(GraftStore.expireTxnBranches(dirB, 0L) === 1L)
+      assert(GraftStore.listBranches(dirA) === Seq("feature"))
+      assert(GraftStore.listBranches(dirB).isEmpty)
+      // the orphaned session's commit refuses LOUDLY, txn intact enough
+      // to roll back; nothing it staged ever reaches main
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.commit_txn()").collect()
+      }
+      assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("lost its branch"))), s"got: $e")
+      spark.sql(s"CALL $cat.rollback_txn()").collect()
+      assert(rows(spark, s"$cat.$a") === Seq((1L, 0L, 10L)))
+      assert(rows(spark, s"$cat.$b") === Seq((2L, 0L, 20L)))
+    } finally {
+      drain()
+      try GraftStore.dropBranch(dirA, "feature")
+      catch { case _: Exception => () }
+    }
   }
 }
