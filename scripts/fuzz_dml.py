@@ -4,7 +4,12 @@
 MERGE INTO (update/delete/insert branches), UPDATE, DELETE, key-moving
 UPDATE (SET k = ...), ALTER TABLE ADD COLUMNS, and the maintenance
 surface (CALL optimize / expire_versions / expire_changes — native SQL
-stored procedures via the catalog's ProcedureCatalog leg) — run them through Spark via
+stored procedures via the catalog's ProcedureCatalog leg), plus
+multi-statement TRANSACTIONS (S45/S45b: begin_txn / staged DML /
+savepoint / rollback_to_savepoint / commit_txn-or-rollback_txn, with the
+publish modeled commit-by-commit: undone post-savepoint commits still
+publish their changelog slices, then the rollback's RESTORE follows as a
+boundary version) — run them through Spark via
 graft.DmlRunner, and diff BOTH the final table contents and the
 per-version changelog op counts against a Python state model that applies
 the same statements to a dict. Key-uniqueness discipline is maintained by
@@ -192,7 +197,8 @@ def gen_sequence(idx):
                            "rename", "rename", "drop_readd", "rebucket",
                            "merge_nmbs", "restore", "replace_where",
                            "set_mode", "rtas", "expire_partitions",
-                           "merge_evolve", "set_bloom", "tag_cycle"])
+                           "merge_evolve", "set_bloom", "tag_cycle",
+                           "txn", "txn"])
         if partitioned and kind in ("drop_readd", "rtas"):
             continue  # partition column undroppable;
                       # the generated RTAS would silently de-partition
@@ -502,6 +508,104 @@ def gen_sequence(idx):
             dv_live = False  # an overwrite carries nothing over
             version += 1  # the overwrite commit: no change rows
             history[version] = (dict(state), n_drops, buckets, dv_live)
+            continue
+        if kind == "txn":
+            # S45/S45b: a multi-statement TRANSACTION over this table —
+            # plain-name DML routes to a hidden branch; commit_txn
+            # publishes the staged commits into main COMMIT-BY-COMMIT,
+            # so version numbers, per-version changelog op counts and
+            # contents must be IDENTICAL to a direct run of the same
+            # statements; rollback_txn leaves nothing at all. A slice of
+            # the committed txns runs the savepoint leg: statements
+            # staged past the mark vanish from the publish, and the
+            # rollback's RESTORE rides along as one extra boundary
+            # commit (version bump, NO changelog slice). An empty-match
+            # staged UPDATE/DELETE still commits a version on the
+            # branch, mirroring commit([]) on the direct path.
+            pre_state = dict(state)
+            stmts.append(f"CALL graftdml.begin_txn(tables => '{t}')")
+            staged = []  # (ops, state snapshot) per staged statement
+
+            def stage_one():
+                skind = rng.choice(["ins", "ins", "upd", "del"])
+                if skind == "ins" or not state:
+                    rows_ = [(k, rng.choice(NAMES), rng.randint(0, 1000))
+                             for k in fresh_keys(rng.randint(1, 3))]
+                    vals = ", ".join(f"({k}, '{n}', {a})"
+                                     for k, n, a in rows_)
+                    stmts.append(
+                        f"INSERT INTO graftdml.{t} ({cn['k']}, "
+                        f"{cn['name']}, {cn['amount']}) VALUES {vals}")
+                    for k, n, a in rows_:
+                        state[k] = (n, a)
+                    staged.append((["I"] * len(rows_), dict(state)))
+                elif skind == "upd":
+                    bump = rng.randint(1, 50)
+                    mod_, rem_ = rng.choice([(2, 0), (3, 1), (5, 2)])
+                    stmts.append(
+                        f"UPDATE graftdml.{t} SET {cn['amount']} = "
+                        f"{cn['amount']} + {bump} "
+                        f"WHERE {cn['k']} % {mod_} = {rem_}")
+                    ops_ = []
+                    for k in list(state):
+                        if k % mod_ == rem_:
+                            n, a = state[k]
+                            state[k] = (n, a + bump); ops_.append("U")
+                    staged.append((ops_, dict(state)))
+                else:
+                    cut_ = rng.randint(200, 900)
+                    stmts.append(f"DELETE FROM graftdml.{t} "
+                                 f"WHERE {cn['amount']} > {cut_}")
+                    ops_ = []
+                    for k in list(state):
+                        if state[k][1] > cut_:
+                            del state[k]; ops_.append("D")
+                    staged.append((ops_, dict(state)))
+
+            for _ in range(rng.randint(1, 2)):
+                stage_one()
+            decide = rng.random()
+            if decide < 0.25:
+                stmts.append("CALL graftdml.rollback_txn()")
+                state.clear(); state.update(pre_state)
+                continue
+            extra_boundary = False
+            sp_len = len(staged)
+            if decide < 0.55:
+                # savepoint leg. NOTE the publish shape: fast_forward
+                # adopts EVERY branch commit, so the post-mark (undone)
+                # commits still publish with their changelog slices —
+                # then the rollback's RESTORE follows as a boundary
+                # commit that reverts the content. CDC consumers
+                # re-snapshot at the boundary; the model mirrors all of
+                # it exactly.
+                sp_state = dict(state)
+                stmts.append("CALL graftdml.savepoint(name => 'fzsp')")
+                for _ in range(rng.randint(1, 2)):
+                    stage_one()
+                stmts.append(
+                    "CALL graftdml.rollback_to_savepoint(name => 'fzsp')")
+                extra_boundary = len(staged) > sp_len
+                state.clear(); state.update(sp_state)
+            stmts.append("CALL graftdml.commit_txn()")
+            dv_mark = dv_live
+            for i, (ops_, snap) in enumerate(staged):
+                version += 1
+                counts = {}
+                for op in ops_:
+                    counts[op] = counts.get(op, 0) + 1
+                changes.append((version, counts))
+                if mode == "mor" and any(op in ("U", "D") for op in ops_):
+                    dv_live = True
+                history[version] = (dict(snap), n_drops, buckets, dv_live)
+                if i == sp_len - 1:
+                    dv_mark = dv_live  # delete-slice state AT the mark
+            if extra_boundary:
+                # the restore commit: content = the mark's, the target
+                # version's delete slices come back verbatim, NO slice
+                version += 1
+                dv_live = dv_mark
+                history[version] = (dict(state), n_drops, buckets, dv_live)
             continue
         if kind == "insert" or not state:
             rows = [(k, rng.choice(NAMES), rng.randint(0, 1000))

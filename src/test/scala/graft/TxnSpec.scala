@@ -343,6 +343,37 @@ class TxnSpec extends SparkTestBase {
     } finally drain()
   }
 
+  test("txn: a keyless append-only member always rebases past a conflict") {
+    warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.tx_kl")
+    spark.sql(s"""CREATE TABLE $cat.tx_kl
+      (k BIGINT, grp BIGINT, amount BIGINT) USING graft
+      TBLPROPERTIES ('append_only'='true', 'buckets'='2')""")
+    val b = mkTable("tx_kl_b")
+    spark.sql(s"INSERT INTO $cat.tx_kl VALUES (1, 0, 10)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (100, 0, 1)")
+    try {
+      val began = spark.sql(s"CALL $cat.begin_txn(tables => 'tx_kl,$b')")
+        .head().getString(0)
+      spark.sql(s"INSERT INTO $cat.tx_kl VALUES (2, 0, 20)")
+      spark.sql(s"UPDATE $cat.$b SET amount = 2 WHERE k = 100")
+      // an outside append advances the keyless member off the fork —
+      // first-committer-wins refuses the whole txn, intact
+      outside.sql(s"INSERT INTO $cat.tx_kl VALUES (3, 1, 30)")
+      intercept[Exception] { spark.sql(s"CALL $cat.commit_txn()").collect() }
+      // keyless appends COMMUTE, so the rebase can never key-conflict:
+      // the conflicted-txn retry on an append-only member is
+      // deterministic — rebase, recommit, done
+      spark.sql(s"CALL $cat.rebase_branch(table => 'tx_kl', " +
+        s"name => '${graft.sources.GraftTxn.branchOf(began)}')")
+      spark.sql(s"CALL $cat.commit_txn()").collect()
+      assert(rows(outside, s"$cat.tx_kl") ===
+        Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L)),
+        "both sides' appends must land")
+      assert(rows(outside, s"$cat.$b") === Seq((100L, 0L, 2L)))
+    } finally drain()
+  }
+
   test("txn: leaked branches expire by TTL; the orphaned txn refuses loudly") {
     val a = mkTable("tx_gc_a")
     val b = mkTable("tx_gc_b")
