@@ -3154,6 +3154,21 @@ object SourceQueries {
           s.sql("SELECT COUNT(*) FROM graftdml.s45_a WHERE k = 3000")
             .head().getLong(0) == 1L
       } finally cleanup()
+      // lane 4: the OCC retry — the same conflict shape but on DISJOINT
+      // keys auto-rebases under commit_txn(retry => true) and publishes
+      // main ⊎ the txn's statements; nobody loses a write
+      var autoRetried = false
+      try {
+        s.sql("CALL graftdml.begin_txn(tables => 's45_a,s45_b')")
+        s.sql("UPDATE graftdml.s45_a SET pop = 300 WHERE k = 2")
+        o.sql("INSERT INTO graftdml.s45_a VALUES (4000, 1, 88)")
+        val done = s.sql("CALL graftdml.commit_txn(retry => true)").head()
+        autoRetried = done.getLong(0) == 1L &&
+          o.sql("SELECT pop FROM graftdml.s45_a WHERE k = 2")
+            .head().getLong(0) == 300L &&
+          o.sql("SELECT COUNT(*) FROM graftdml.s45_a WHERE k = 4000")
+            .head().getLong(0) == 1L
+      } finally cleanup()
       s.sql("""SELECT f.r, COUNT(*) AS n, SUM(f.pop) AS fact_pop,
           MAX(b.total) AS summary_total
         FROM graftdml.s45_a f JOIN graftdml.s45_b b ON f.r = b.r
@@ -3163,6 +3178,7 @@ object SourceQueries {
         .withColumn("commit_atomic", lit(committed))
         .withColumn("rollback_clean", lit(rolledBack))
         .withColumn("conflict_refuses_whole_txn", lit(conflicted))
+        .withColumn("conflict_auto_retried", lit(autoRetried))
         .orderBy($"r")
     }, Some("""
       WITH src AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
@@ -3171,8 +3187,10 @@ object SourceQueries {
       burst AS (SELECT CAST(i + 1000 AS BIGINT) AS k, CAST(i % 5 AS BIGINT) AS r,
                   CAST((i + 1000) * 2 AS BIGINT) AS pop
                 FROM range(5) t(i)),
-      fact AS (SELECT * FROM src UNION ALL SELECT * FROM burst
-               UNION ALL SELECT 3000, 0, 77),
+      fact AS (SELECT k, r, CASE WHEN k = 2 THEN 300 ELSE pop END AS pop
+               FROM (SELECT * FROM src UNION ALL SELECT * FROM burst
+                     UNION ALL SELECT 3000, 0, 77
+                     UNION ALL SELECT 4000, 1, 88)),
       summ AS (SELECT r, SUM(pop) AS total
                FROM (SELECT * FROM src UNION ALL SELECT * FROM burst)
                GROUP BY r)
@@ -3181,7 +3199,7 @@ object SourceQueries {
         CAST(MAX(s.total) AS BIGINT) AS summary_total,
         TRUE AS txn_isolated_and_ryw, TRUE AS nonenrolled_write_fenced,
         TRUE AS commit_atomic, TRUE AS rollback_clean,
-        TRUE AS conflict_refuses_whole_txn
+        TRUE AS conflict_refuses_whole_txn, TRUE AS conflict_auto_retried
       FROM fact f JOIN summ s ON f.r = s.r GROUP BY f.r ORDER BY f.r""")),
 
     // ----- S45b: transaction SAVEPOINTs — `CALL savepoint(name)` marks

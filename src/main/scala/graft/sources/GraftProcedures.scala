@@ -102,7 +102,9 @@ object GraftProcedures {
       "table-group commit over the members the txn WROTE (all pointers " +
       "flip or none; first-committer-wins — main moved off a written " +
       "member's fork refuses the whole commit and keeps the txn alive); " +
-      "read-only members release without publishing"),
+      "read-only members release without publishing; retry => true " +
+      "auto-rebases fork conflicts and re-publishes (up to 3 attempts) — " +
+      "overlapping-key divergence still refuses loudly"),
     "rollback_txn" -> ("abort the session transaction: drop every " +
       "member's txn branch; nothing was ever visible outside the session"),
     "savepoint" -> ("mark a named point inside the session transaction " +
@@ -179,7 +181,11 @@ object GraftProcedures {
     case "begin_txn" => Array(
       ProcedureParameter.in("tables", StringType).build(),
       ProcedureParameter.in("name", StringType).defaultValue("''").build())
-    case "commit_txn" | "rollback_txn" =>
+    case "commit_txn" => Array(
+      ProcedureParameter.in("retry",
+        org.apache.spark.sql.types.BooleanType)
+        .defaultValue("false").build())
+    case "rollback_txn" =>
       Array.empty[ProcedureParameter]
     case "savepoint" | "rollback_to_savepoint" => Array(
       ProcedureParameter.in("name", StringType).build())
@@ -365,8 +371,9 @@ final class GraftProcedure(procName: String, tableDir: String => String,
             case "commit_txn" =>
               val groupsRoot = java.nio.file.Paths.get(
                 catalog.warehouseDir, "_txngroups")
+              val retry = !input.isNullAt(0) && input.getBoolean(0)
               val (written, readOnly) =
-                GraftTxn.commit(spark, cat, tableDir, groupsRoot)
+                GraftTxn.commit(spark, cat, tableDir, groupsRoot, retry)
               (StructType(Seq(
                 StructField("tables_published", LongType, nullable = false),
                 StructField("tables_read_only", LongType, nullable = false))),

@@ -149,10 +149,28 @@ object GraftTxn {
     * (all pointers flip or none), release the read-only members'
     * untouched branches, clear the session state. On a publish conflict
     * the txn STAYS ACTIVE — every branch intact — so the caller can
-    * rebase and retry, or roll back. Returns (written, readOnly). */
+    * rebase and retry, or roll back.
+    *
+    * `retry = true` is the warehouse OCC retry: a fork conflict on a
+    * written member (main advanced since begin_txn) auto-rebases that
+    * member's branch and re-runs the publish, up to 3 attempts. The
+    * rebase carries [[GraftStore.rebaseBranch]]'s LOGICAL conflict
+    * check wholesale — merge keys changed on both sides since the fork
+    * still refuse LOUDLY with every branch intact (overlapping-key
+    * divergence needs a human; disjoint-key and keyless divergence
+    * commute and publish both sides). The retry never weakens isolation:
+    * each rebase replays the txn's own committed changelog onto a clone
+    * of main's NEW head, so what publishes is exactly main ⊎ the txn's
+    * statements — first-committer-wins becomes first-committer-ORDERS.
+    * Savepoints taken before an auto-rebase die with the fork base (the
+    * existing fence), which is moot here: commit clears them on success
+    * and a refused commit leaves them refusing loudly as before.
+    *
+    * Returns (written, readOnly). */
   def commit(spark: SparkSession, cat: String,
       resolve: String => String,
-      groupsRoot: java.nio.file.Path): (Long, Long) = {
+      groupsRoot: java.nio.file.Path,
+      retry: Boolean = false): (Long, Long) = {
     val (txn, tables) = active(cat).getOrElse(throw new IllegalStateException(
       s"no transaction is active in this session for catalog $cat — " +
         "CALL begin_txn first"))
@@ -169,9 +187,33 @@ object GraftTxn {
       GraftStore.currentVersion(GraftStore.branchDir(d, branch)) >
         GraftStore.branchForkBase(d, branch)
     }
-    if (written.nonEmpty)
-      GraftStore.publishGroup(groupsRoot,
-        written.map { case (_, d) => (d, branch) })
+    if (written.nonEmpty) {
+      val maxAttempts = if (retry) 3 else 1
+      var attempt = 1
+      var published = false
+      while (!published) {
+        try {
+          GraftStore.publishGroup(groupsRoot,
+            written.map { case (_, d) => (d, branch) })
+          published = true
+        } catch {
+          case e: java.util.ConcurrentModificationException
+              if attempt < maxAttempts =>
+            attempt += 1
+            // rebase every written member whose main moved off the
+            // fork; a logical (overlapping-key) conflict throws from
+            // rebaseBranch and surfaces with the txn intact. Members
+            // still at their fork are left alone — the CME may have
+            // been a transient (another group's marker, a recovery
+            // abort), which the bare re-run resolves.
+            written.foreach { case (_, d) =>
+              if (GraftStore.currentVersion(d) !=
+                  GraftStore.branchForkBase(d, branch))
+                GraftStore.rebaseBranch(spark, d, branch)
+            }
+        }
+      }
+    }
     // only after the publish decided COMMIT: untouched branches release
     // and the session leaves the txn (a throw above keeps it active)
     readOnly.foreach { case (_, d) =>

@@ -343,6 +343,54 @@ class TxnSpec extends SparkTestBase {
     } finally drain()
   }
 
+  test("txn: commit_txn(retry => true) auto-rebases a disjoint-key conflict") {
+    val a = mkTable("tx_ar_a")
+    val b = mkTable("tx_ar_b")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10), (2, 1, 20)")
+    spark.sql(s"INSERT INTO $cat.$b VALUES (100, 0, 1)")
+    try {
+      spark.sql(s"CALL $cat.begin_txn(tables => '$a,$b')")
+      spark.sql(s"UPDATE $cat.$a SET amount = 99 WHERE k = 1")
+      // outside touches DIFFERENT keys on the written member — the fork
+      // conflict is physical, not logical; retry => true resolves it
+      outside.sql(s"INSERT INTO $cat.$a VALUES (3, 0, 30)")
+      outside.sql(s"UPDATE $cat.$a SET amount = 21 WHERE k = 2")
+      val done = spark.sql(s"CALL $cat.commit_txn(retry => true)").head()
+      assert(done.getLong(0) === 1L && done.getLong(1) === 1L)
+      // both sides' statements published: main ⊎ the txn's
+      assert(rows(outside, s"$cat.$a") ===
+        Seq((1L, 0L, 99L), (2L, 1L, 21L), (3L, 0L, 30L)))
+      // branches consumed, session state cleared
+      assert(GraftStore.listBranches(s"$warehouse/$a").isEmpty)
+      assert(GraftStore.listBranches(s"$warehouse/$b").isEmpty)
+      val e = intercept[Exception] { spark.sql(s"CALL $cat.commit_txn()") }
+      assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("no transaction is active"))))
+    } finally drain()
+  }
+
+  test("txn: retry => true never masks an overlapping-key conflict") {
+    val a = mkTable("tx_ar_c")
+    spark.sql(s"INSERT INTO $cat.$a VALUES (1, 0, 10)")
+    try {
+      spark.sql(s"CALL $cat.begin_txn(tables => '$a')")
+      spark.sql(s"UPDATE $cat.$a SET amount = 99 WHERE k = 1")
+      // outside changes the SAME key — logical conflict; the auto-rebase
+      // must refuse instead of silently picking a winner
+      outside.sql(s"UPDATE $cat.$a SET amount = 55 WHERE k = 1")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.commit_txn(retry => true)").collect() }
+      assert(chain(e).exists(t => Option(t.getMessage).exists(m =>
+        m.contains("rebase conflict") || m.contains("needs a human"))))
+      // txn intact (read-your-writes still routed), rollback restores
+      // the outside writer's reality
+      assert(rows(spark, s"$cat.$a") === Seq((1L, 0L, 99L)))
+      spark.sql(s"CALL $cat.rollback_txn()")
+      assert(rows(spark, s"$cat.$a") === Seq((1L, 0L, 55L)))
+      assert(rows(outside, s"$cat.$a") === Seq((1L, 0L, 55L)))
+    } finally drain()
+  }
+
   test("txn: a keyless append-only member always rebases past a conflict") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.tx_kl")
