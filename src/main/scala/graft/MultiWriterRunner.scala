@@ -528,7 +528,17 @@ object MultiWriterRunner {
           def tryCommit(): Boolean =
             try { spark.sql(s"CALL $cat.commit_txn()").collect(); true }
             catch { case _: Exception => false }
-          committed = tryCommit() || {
+          // half the rounds drive the commit-internal OCC retry surface
+          // (commit_txn(retry => true) rebases fork conflicts itself);
+          // the rest keep the manual rebase lane below exercised
+          def commitFirst(): Boolean =
+            if (rng.nextBoolean())
+              try {
+                spark.sql(s"CALL $cat.commit_txn(retry => true)").collect()
+                true
+              } catch { case _: Exception => false }
+            else tryCommit()
+          committed = commitFirst() || {
             // live writers moved a member off its fork: rebase the txn's
             // branches (the txn stays active across a refused commit by
             // contract) and retry once — a second loss is a lost round
