@@ -102,14 +102,26 @@ object Bench {
     // default 64 MB advisory size AQE's rebalance coalesces them into ONE
     // task that opens 1200 parquet writers serially — shrink the advisory
     // size for the build so writer opens fan out across the cores (the
-    // row measures plan cost, not fixture-build serialization)
+    // row measures plan cost, not fixture-build serialization).
+    // minPartitionSize must shrink WITH it: AQE's effective coalesce
+    // target is max(advisory, minPartitionSize), so the 1 KB advisory
+    // alone still coalesced the ~200 KB batch into ONE task (measured
+    // r16: 6 single-task jobs, ~6-9 s of serial writer opens; with both
+    // keys the same insert fans out across the cores)
     val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val minPartKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val savedAdvisory = spark.conf.getOption(advisoryKey)
+    val savedMinPart = spark.conf.getOption(minPartKey)
     spark.conf.set(advisoryKey, "1KB")
+    spark.conf.set(minPartKey, "1KB")
     val tIns0 = System.nanoTime()
     try spark.sql("INSERT INTO graftdml.bench_part SELECT * FROM bp_src")
-    finally savedAdvisory.fold(spark.conf.unset(advisoryKey))(
-      spark.conf.set(advisoryKey, _))
+    finally {
+      savedAdvisory.fold(spark.conf.unset(advisoryKey))(
+        spark.conf.set(advisoryKey, _))
+      savedMinPart.fold(spark.conf.unset(minPartKey))(
+        spark.conf.set(minPartKey, _))
+    }
     System.err.println(f"[bp] insert ${(System.nanoTime() - tIns0) / 1e9}%.2f s")
     val r = spark.sql("SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) " +
       "FROM graftdml.bench_part").head()

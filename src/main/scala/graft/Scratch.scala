@@ -36,6 +36,91 @@ object Scratch {
       scaleProbe(spark, d, if (args.length > 2) Some(args(2)) else None)
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "--wprobe") {
+      // isolate the committer cost of a many-slot tiny-file write: same
+      // shape as the s30 fixture insert (~360 slots × 4 files), written
+      // directly (no store), v1 vs v2 committer
+      import org.apache.spark.sql.functions._
+      val df = spark.range(0, 40000)
+        .select((col("id") % 360).as("gpart"), (col("id") % 4).as("gbucket"),
+          col("id").as("v"))
+      df.persist().count()
+      for (algo <- Seq("1", "2", "1", "2")) {
+        val out = s"/tmp/wprobe_${algo}_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        df.repartition(32, col("gpart"), col("gbucket"))
+          .write.option("mapreduce.fileoutputcommitter.algorithm.version", algo)
+          .partitionBy("gpart", "gbucket").parquet(out)
+        println(f"[wprobe] v$algo ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        } finally walk.close()
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "--partprof") {
+      // phase breakdown of the s30 bench row (many-slot fixture insert +
+      // pruned-query batch)
+      import org.apache.spark.sql.functions._
+      operators.DmlFixture.register(spark)
+      val prof = new JobProf(spark)
+      for (iter <- 1 to 2) {
+        println(s"--- iteration $iter ---")
+        prof.time("src") {
+          Tables.events(spark, d).filter(col("event_id") % 170 === 0)
+            .withColumn("__r", explode(sequence(lit(0), lit(59))))
+            .select((col("event_id") * 120 + col("__r")).as("k"),
+              (col("ts") + expr("make_interval(0,0,0,__r,0,0,0)")).as("ts"),
+              round(col("value") * 100).cast("long").as("cents"))
+            .createOrReplaceTempView("bp_src")
+          spark.sql("DROP TABLE IF EXISTS graftdml.bench_part")
+          spark.sql("""CREATE TABLE graftdml.bench_part
+            (k BIGINT NOT NULL, ts TIMESTAMP, cents BIGINT) USING graft
+            PARTITIONED BY (days(ts))
+            TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
+        }
+        val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        val saved = spark.conf.getOption(advisoryKey)
+        spark.conf.set(advisoryKey, "1KB")
+        try prof.time("INSERT") {
+          spark.sql("INSERT INTO graftdml.bench_part SELECT * FROM bp_src")
+        } finally saved.fold(spark.conf.unset(advisoryKey))(
+          spark.conf.set(advisoryKey, _))
+        val r = spark.sql("SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) " +
+          "FROM graftdml.bench_part").head()
+        val (d0, d1) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+        val span = (d1.toEpochDay - d0.toEpochDay).toInt
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+        var phases = Map.empty[String, Long].withDefaultValue(0L)
+        prof.time("24 queries") {
+          (1 to 12).foreach { i =>
+            val day = d0.plusDays(math.max(1L, i.toLong * span / 13))
+            val q1 = spark.sql(s"SELECT SUM(cents) FROM graftdml.bench_part WHERE " +
+              s"ts >= timestamp'$day 00:00:00' AND " +
+              s"ts < timestamp'${day.plusDays(1)} 00:00:00'")
+            q1.head()
+            val q2 = spark.sql(s"SELECT * FROM graftdml.bench_part WHERE k = ${i * 1207} " +
+              s"AND ts >= timestamp'$day 00:00:00' AND " +
+              s"ts < timestamp'${day.plusDays(1)} 00:00:00'")
+            q2.count()
+            Seq(q1, q2).foreach(q => q.queryExecution.tracker.phases.foreach {
+              case (ph, s) => phases += ph -> (phases(ph) + s.durationMs) })
+          }
+        }
+        phases.toSeq.sortBy(-_._2).foreach { case (ph, ms) =>
+          println(f"[prof-phase] $ph%-22s ${ms / 1e3}%6.2f s") }
+        println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+          .linesIterator.take(18).mkString("\n"))
+        prof.time("final agg") {
+          spark.sql("SELECT SUM(cents) AS s, COUNT(*) AS n " +
+            "FROM graftdml.bench_part").count()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "--dmlprof") {
       // per-statement breakdown of the s11 shape — where a store commit's
       // time goes at the bench SF (upstream agg vs each DML statement)
@@ -79,15 +164,58 @@ object Scratch {
 
   /** Time each statement of the s11 bench query separately (two
     * iterations: cold catalog + warm JVM). */
+  /** Job/stage/task profiler: quantifies how much of a statement's wall
+    * time is Spark job time (scheduling + execution) vs driver-side work
+    * between jobs (planning, commit metadata). */
+  final class JobProf(spark: SparkSession) {
+    private val jobs = new java.util.concurrent.atomic.AtomicInteger
+    private val stages = new java.util.concurrent.atomic.AtomicInteger
+    private val tasks = new java.util.concurrent.atomic.AtomicInteger
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong
+    private val jobWallMs = new java.util.concurrent.atomic.AtomicLong
+    private val jobStartTs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        jobStartTs.put(j.jobId, j.time)
+        if (sys.env.contains("GRAFT_PROF_JOBS"))
+          println(s"[prof-job] ${j.jobId} stages=${j.stageInfos.size} " +
+            j.stageInfos.map(si => s"${si.name.takeWhile(_ != '\n')}[${si.numTasks}]")
+              .mkString(" | "))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStartTs.remove(j.jobId)
+        if (t0 != 0L) jobWallMs.addAndGet(j.time - t0)
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+    })
+    def time[A](l: String)(f: => A): A = {
+      val (j0, s0, t0n, tm0, jw0) =
+        (jobs.get, stages.get, tasks.get, taskMs.get, jobWallMs.get)
+      val t0 = System.nanoTime(); val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      // settle the async listener bus before reading the counters
+      Thread.sleep(150)
+      println(f"[prof] $l%-16s $wall%6.2f s  jobs=${jobs.get - j0}%3d " +
+        f"stages=${stages.get - s0}%3d tasks=${tasks.get - t0n}%4d " +
+        f"taskTime=${(taskMs.get - tm0) / 1e3}%6.2f s " +
+        f"jobWall=${(jobWallMs.get - jw0) / 1e3}%6.2f s")
+      r
+    }
+  }
+
   def dmlProf(spark: SparkSession, d: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     import spark.implicits._
     operators.DmlFixture.register(spark)
-    def time[A](l: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[prof] $l%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
-    }
+    val prof = new JobProf(spark)
+    def time[A](l: String)(f: => A): A = prof.time(l)(f)
     val cutoff = lit("2024-01-16 00:00:00").cast(TimestampType)
     val ev = Tables.events(spark, d)
       .withColumn("cents", round($"value" * 100).cast("long"))
