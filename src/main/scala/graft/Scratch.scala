@@ -121,6 +121,59 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "--mvprof") {
+      // phase breakdown of the s39 bench row (MV lifecycle: fixture agg,
+      // CREATE MV initial materialization, DML burst, incremental refresh)
+      import org.apache.spark.sql.functions._
+      operators.DmlFixture.register(spark)
+      val prof = new JobProf(spark)
+      for (iter <- 1 to 2) {
+        println(s"--- iteration $iter ---")
+        prof.time("fixture") {
+          val ev = Tables.events(spark, d)
+            .withColumn("cents", round(col("value") * 100).cast("long"))
+          ev.groupBy(col("user_id")).agg(max_by(
+              struct(col("event_id"), col("cents")),
+              struct(col("ts"), col("event_id"))).as("r"))
+            .select(col("user_id"), col("r.event_id").as("event_id"),
+              col("r.cents").as("cents"))
+            .createOrReplaceTempView("bmv_base")
+          spark.sql("DROP MATERIALIZED VIEW IF EXISTS graftdml.bench_mv")
+          spark.sql("DROP TABLE IF EXISTS graftdml.bench_mv_t")
+          spark.sql("""CREATE TABLE graftdml.bench_mv_t
+            (user_id BIGINT NOT NULL, event_id BIGINT, cents BIGINT) USING graft
+            TBLPROPERTIES ('merge_key'='user_id', 'buckets'='8')""")
+        }
+        prof.time("INSERT") {
+          spark.sql("INSERT INTO graftdml.bench_mv_t SELECT * FROM bmv_base")
+        }
+        prof.time("CREATE MV") {
+          spark.sql("""CREATE MATERIALIZED VIEW graftdml.bench_mv AS
+            SELECT user_id % 97 AS g, COUNT(*) AS n, SUM(cents) AS s
+            FROM graftdml.bench_mv_t GROUP BY user_id % 97""")
+        }
+        prof.time("UPDATE") {
+          spark.sql("UPDATE graftdml.bench_mv_t SET cents = cents + 100 " +
+            "WHERE user_id % 7 = 0")
+        }
+        prof.time("DELETE") {
+          spark.sql("DELETE FROM graftdml.bench_mv_t WHERE cents < 500")
+        }
+        prof.time("INSERT2") {
+          spark.sql("INSERT INTO graftdml.bench_mv_t " +
+            "SELECT -1 - id, id, id * 3 FROM range(0, 5000)")
+        }
+        prof.time("refresh") {
+          val mode = spark.sql("CALL graftdml.refresh_mv(view => 'bench_mv')")
+            .head().getString(1)
+          require(mode == "incremental", s"bench_mv refresh ran '$mode'")
+        }
+        prof.time("read") {
+          spark.sql("SELECT g, n, s FROM graftdml.bench_mv").count()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "--dmlprof") {
       // per-statement breakdown of the s11 shape — where a store commit's
       // time goes at the bench SF (upstream agg vs each DML statement)
@@ -129,13 +182,14 @@ object Scratch {
     }
     if (args.length > 1 && args(1) == "--timeq") {
       // time specific queries (cold + warm), any registry entry
+      val prof = new JobProf(spark)
       args.drop(2).foreach { n =>
-        def run() = {
+        def run(l: String) = {
           val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, d).count()
+          prof.time(l)(SparkEntry.queries(n)(spark, d).count())
           (System.nanoTime() - t0) / 1e9
         }
-        val cold = run(); val warm = run()
+        val cold = run(s"$n cold"); val warm = run(s"$n warm")
         println(f"[timeq] $n%-28s cold=$cold%6.2f warm=$warm%6.2f")
       }
       spark.stop(); return

@@ -51,6 +51,15 @@ object GraphQueries {
   def coOccurrencePairs(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     import spark.implicits._
+    // Shape note (r16 audit): this reads optimal already — the dedup's
+    // exchange and the join-side exchange on l_orderkey are identical
+    // subtrees on both aliases, so ReusedExchange plans the scan, the
+    // dedup and one shuffle exactly once. An attempted "one explicit
+    // repartition(l_orderkey) serves dedup + join" rewrite measured 5×
+    // the task time: without an Exchange directly under the join there is
+    // nothing for ReusedExchange to dedup (scan + dedup ran per side) and
+    // the planner's small post-dedup estimate flipped the self-join to a
+    // broadcast of the whole pair set. Left as-is deliberately.
     val l = lineitem.select($"l_orderkey", $"l_partkey").distinct()
     l.as("a").join(l.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
@@ -220,10 +229,22 @@ object GraphQueries {
       .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
       .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
     val lower = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    val oriented = ew.select(
+    // under the broadcast plan the oriented edge list is the STREAM side
+    // of both wedge joins, so its partition count caps the parallelism of
+    // the O(Σ outdeg²) wedge-generation/closure pass — the job's dominant
+    // compute. AQE sizes the upstream exchanges by bytes and coalesces
+    // this tiny edge list onto a handful of tasks (measured sf0.1: 10-20
+    // task stages, 28 s task time on 32 cores), so spread it round-robin
+    // to 2× the cores before checkpointing; the shuffle moves only the
+    // edge list (~sqrt of the wedge stream). The shuffle path keeps AQE's
+    // byte-based sizing — its wedge stream crosses real exchanges.
+    val orientedRaw = ew.select(
       when(lower, $"u").otherwise($"v").as("src"),
       when(lower, $"v").otherwise($"u").as("dst"),
       when(lower, $"dv").otherwise($"du").as("ddst"))
+    val oriented = (if (doBroadcast)
+        orientedRaw.repartition(2 * spark.sparkContext.defaultParallelism)
+      else orientedRaw)
       .localCheckpoint(true)
     val wedges = oriented.as("x").join(bcast(oriented.as("y")),
         $"x.src" === $"y.src" &&

@@ -1218,6 +1218,25 @@ object GraftStore {
     sys.props.get("graft.store.morMaxLiveDeletes").map(_.toLong)
       .getOrElse(200000L)
 
+  /** Small-change-batch bound for the commit legs' broadcast plans. A
+    * keyed commit whose change batch is under BOTH bounds (exact row
+    * count from the touched-set job, exact cached bytes from the
+    * materialized batch's stats) runs its before-image join and its
+    * copy-on-write anti-join as BROADCASTS of the batch side — the
+    * touched-bucket base is scanned once and never shuffled (guide-§3
+    * shape: point DML over big buckets moves changed keys, not the
+    * buckets). Over either bound the legs keep their shuffle plans. The
+    * bounds are per-session confs so a cluster can size them to its
+    * executor memory; the defaults are deliberately conservative (a
+    * broadcast relation also lives on the driver). */
+  private def commitBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.commit.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1L << 20)
+  private def commitBroadcastMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.commit.broadcastMaxBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(32L << 20)
+
   /** Hard-link the previous version's still-applicable delete slices into
     * a build dir, skipping buckets this commit rewrites (their deletes are
     * APPLIED by the rewrite). Dropping a slice for a rewritten bucket is a
@@ -2823,16 +2842,28 @@ object GraftStore {
     var bucketedFor = -1
     var ch: DataFrame = null
     var touched = Set.empty[Int]
+    var smallKeyed = false
     def bucketFor(n: Int): Unit = if (bucketedFor != n) {
       if (ch != null) ch.unpersist()
       ch = changes.withColumn(BucketCol, bucketExpr(bucketColsOf(meta), n))
         .persist()
-      // ≤ `buckets` distinct ints — the one driver-side materialization.
-      // The append fast path never reads the base, so it skips this job
+      // ≤ `buckets` (bucket, count) rows — the one driver-side
+      // materialization (same single job the old distinct-collect ran,
+      // upgraded to also count rows: the count + the materialized cache's
+      // byte size decide the small-batch broadcast legs below). The
+      // append fast path never reads the base, so it skips this job
       // entirely (its "touched" set would only gate work it doesn't do).
-      touched =
-        if (allInserts) Set.empty[Int]
-        else ch.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      if (allInserts) touched = Set.empty[Int]
+      else {
+        val perBucket = ch.groupBy(col(BucketCol)).count().collect()
+        touched = perBucket.map(_.getInt(0)).toSet
+        val rows = perBucket.map(_.getLong(1)).sum
+        // post-materialization the InMemoryRelation's stats carry the
+        // exact cached byte size — a zero-job broadcast-safety bound
+        val bytes = ch.queryExecution.optimizedPlan.stats.sizeInBytes
+        smallKeyed = rows <= commitBroadcastMaxRows(spark) &&
+          bytes <= BigInt(commitBroadcastMaxBytes(spark))
+      }
       bucketedFor = n
     }
     try {
@@ -2894,7 +2925,8 @@ object GraftStore {
                 committed = cur
               } else committed = withClaimHeartbeat(marker +: buildPath +: heartbeatPaths) {
                 commitVersion(spark, dir, meta, ch, touched,
-                  cur, allInserts, overwrite, bucketedFor, marker, token, txn)
+                  cur, allInserts, overwrite, bucketedFor, marker, token, txn,
+                  smallKeyed)
               }
             } else {
               // claim won but the pointer moved first (stale pre-claim
@@ -2948,7 +2980,8 @@ object GraftStore {
       meta: GraftTableMeta, ch: DataFrame, touched: Set[Int], cur: Long,
       allInserts: Boolean, overwrite: Boolean, buckets: Int,
       marker: Path, token: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      smallKeyed: Boolean = false): Long = {
     val next = cur + 1
     val nextDir = versionDir(dir, next)
     // writer-private build dir: the final vN name appears only after the
@@ -2999,12 +3032,15 @@ object GraftStore {
       val physBefore = StructType(physicalSchema(meta.schema)
         .fields.map(_.copy(nullable = true)).toSeq)
       def writeChangelog(df: DataFrame): Unit =
-        // rebalance (no key): right-size the slice's file count to its
-        // data volume — CDC readers stream every slice, so a 32-task
-        // commit must not cost them 32 near-empty file opens
+        // right-size the slice's file count to its data volume — CDC
+        // readers stream every slice, so a 32-task commit must not cost
+        // them 32 near-empty file opens. Small keyed batches coalesce to
+        // one file with NO exchange (the broadcast plan's output is a
+        // handful of tiny cached partitions); everything else rebalances
         toPhysical(df.withColumn(ChangeBeforeCol,
             col(ChangeBeforeCol).cast(physBefore)), meta.schema)
-          .hint("rebalance")
+          .transform(d => if (smallKeyed && !allInserts) d.coalesce(1)
+            else d.hint("rebalance"))
           .write.parquet(chDir)
       val baseTouched = () => readVersion(spark, dir, cur, Some(touched))
       val changelogLeg: () => Unit = () =>
@@ -3013,9 +3049,21 @@ object GraftStore {
             .withColumnRenamed(OpCol, ChangeOpCol)
             .select((cols :+ ChangeOpCol :+ ChangeBeforeCol).map(col): _*))
         } else {
-          val beforeImages = baseTouched()
+          // small batch: semi-filter the base's before-images down to the
+          // batch's keys through a broadcast of the (bounded) key set,
+          // then broadcast the filtered images into the left-outer attach
+          // — the touched-bucket base is scanned once and never shuffled
+          // (a point UPDATE over a billion-row bucket moves its changed
+          // keys, not the bucket). Large batches keep the shuffle join.
+          val beforeImages0 = baseTouched()
             .select(struct(cols.map(col): _*).as(ChangeBeforeCol) +:
               meta.keyCols.map(col): _*)
+          val beforeImages =
+            if (smallKeyed)
+              broadcast(beforeImages0.join(
+                broadcast(ch.select(meta.keyCols.map(col): _*)),
+                meta.keyCols, "left_semi"))
+            else beforeImages0
           writeChangelog(ch.select((OpCol +: cols).map(col): _*)
             .join(beforeImages, meta.keyCols, "left_outer")
             .withColumn(ChangeBeforeCol,
@@ -3047,8 +3095,15 @@ object GraftStore {
       // (merge-on-read-applied) live rows re-materialize plainly —
       // clearing the slices.
       def cowRewrite(rewriteBuckets: Set[Int]): Set[Int] = {
-        val removes = ch.filter(col(OpCol).isin("U", "D"))
-          .select(meta.keyCols.map(col): _*).distinct()
+        // small batch: broadcast the removed keys into the anti-join —
+        // the kept base streams through unshuffled (and undistincted
+        // duplicates in the build side cannot change an anti-join's
+        // result, so the batch skips the dedup exchange too). Large
+        // batches keep the distinct + shuffle join.
+        val removes0 = ch.filter(col(OpCol).isin("U", "D"))
+          .select(meta.keyCols.map(col): _*)
+        val removes =
+          if (smallKeyed) broadcast(removes0) else removes0.distinct()
         val adds = ch.filter(col(OpCol).isin("I", "U"))
           .select((cols :+ BucketCol).map(col): _*)
         val keptBase = readVersion(spark, dir, cur, Some(rewriteBuckets))
@@ -3084,16 +3139,20 @@ object GraftStore {
           // the common path pays zero extra passes over the change batch;
           // only the rare over-cap commit discards this small staged write
           // and escalates.
-          withPartCol(toPhysical(ch.filter(col(OpCol).isin("I", "U"))
+          // both merge-on-read legs write O(batch) bytes, so a small batch
+          // (same bound as the broadcast legs) coalesces to one task with
+          // no exchange — partitionBy still splits per slot, and one task
+          // per tiny slice beats an AQE rebalance round per write
+          def sizeSlice(df: DataFrame, cols: Seq[Column]): DataFrame =
+            if (smallKeyed) df.coalesce(1) else df.hint("rebalance", cols: _*)
+          sizeSlice(withPartCol(toPhysical(ch.filter(col(OpCol).isin("I", "U"))
               .select((cols :+ BucketCol).map(col): _*), meta.schema),
-              meta, curPartSpec)
-            .hint("rebalance", layoutCols(meta).map(col): _*)
+              meta, curPartSpec), layoutCols(meta).map(col))
             .write.options(bloomOptions(meta))
             .partitionBy(layoutCols(meta): _*).parquet(buildDir)
-          toPhysical(ch.filter(col(OpCol).isin("U", "D"))
+          sizeSlice(toPhysical(ch.filter(col(OpCol).isin("U", "D"))
               .select((meta.keyCols :+ BucketCol).map(col): _*).distinct(),
-              meta.schema)
-            .hint("rebalance", col(BucketCol))
+              meta.schema), Seq(col(BucketCol)))
             .write.partitionBy(BucketCol)
             .parquet(s"$buildDir/$DvDirName/$DvSeqCol=$next")
           val newRemoveRows = dvLiveRows(buildDir)
