@@ -2845,8 +2845,14 @@ object GraftStore {
     var smallKeyed = false
     def bucketFor(n: Int): Unit = if (bucketedFor != n) {
       if (ch != null) ch.unpersist()
-      ch = changes.withColumn(BucketCol, bucketExpr(bucketColsOf(meta), n))
-        .persist()
+      // persist serves the batch's MULTIPLE consumers (touched-set job +
+      // both commit legs). An overwrite commit has exactly one — the
+      // data-leg write (no changelog, no touched set) — so caching it is
+      // a pure extra pass over the batch; for MV state overwrites the
+      // "batch" is the whole folded view, so the pass is O(|view|).
+      val bucketed = changes
+        .withColumn(BucketCol, bucketExpr(bucketColsOf(meta), n))
+      ch = if (allInserts && overwrite) bucketed else bucketed.persist()
       // ≤ `buckets` (bucket, count) rows — the one driver-side
       // materialization (same single job the old distinct-collect ran,
       // upgraded to also count rows: the count + the materialized cache's
