@@ -104,16 +104,18 @@ object Bench {
     // size for the build so writer opens fan out across the cores (the
     // row measures plan cost, not fixture-build serialization).
     // minPartitionSize must shrink WITH it: AQE's effective coalesce
-    // target is max(advisory, minPartitionSize), so the 1 KB advisory
+    // target is max(advisory, minPartitionSize), so a small advisory
     // alone still coalesced the ~200 KB batch into ONE task (measured
-    // r16: 6 single-task jobs, ~6-9 s of serial writer opens; with both
-    // keys the same insert fans out across the cores)
+    // r16: 6 single-task jobs, ~6-9 s of serial writer opens). 64 KB
+    // rather than 1 KB: the target must stay coarse enough that the
+    // task count tracks data volume gently across scale factors instead
+    // of exploding into thousands of near-empty tasks at sf0.1
     val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val minPartKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val savedAdvisory = spark.conf.getOption(advisoryKey)
     val savedMinPart = spark.conf.getOption(minPartKey)
-    spark.conf.set(advisoryKey, "1KB")
-    spark.conf.set(minPartKey, "1KB")
+    spark.conf.set(advisoryKey, "64KB")
+    spark.conf.set(minPartKey, "64KB")
     val tIns0 = System.nanoTime()
     try spark.sql("INSERT INTO graftdml.bench_part SELECT * FROM bp_src")
     finally {
