@@ -50,8 +50,8 @@ class SmallCommitSpec extends SparkTestBase {
     val d = s"$warehouse/$name"
     val v = GraftStore.currentVersion(d)
     GraftStore.readChanges(spark, d, 1, v)
-      .selectExpr("k", "name", "amount", "_change_op",
-        "_change_before.k", "_change_before.name", "_change_before.amount")
+      .selectExpr("k", "name", "amount", "change_op",
+        "change_before.k", "change_before.name", "change_before.amount")
       .collect().toSeq.map(_.toString).sorted
   }
 
