@@ -174,6 +174,59 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "--g4prof") {
+      // stage-level breakdown of the g4 pipeline: edge build vs degree/
+      // orientation vs adjacency vs intersection vs aggregate
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val prof = new JobProf(spark)
+      for (iter <- 1 to 2) {
+        println(s"--- iteration $iter ---")
+        val li = Tables.lineitem(spark, d)
+        val pairs = prof.time("pairs build") {
+          operators.GraphQueries.coOccurrencePairs(li)
+            .select($"u", $"v").localCheckpoint(true)
+        }
+        val e = pairs
+        prof.time("edge count") { e.count() }
+        val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("deg"))
+        val ew = e
+          .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
+          .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+        val lower = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+        val oriented = prof.time("orient+ckpt") {
+          ew.select(
+            when(lower, $"u").otherwise($"v").as("src"),
+            when(lower, $"v").otherwise($"u").as("dst"))
+          .repartition(2 * spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+        }
+        val adj = oriented.groupBy($"src")
+          .agg(sort_array(collect_list($"dst")).as("nbr"))
+          .localCheckpoint(true)
+        prof.time("adj build") { adj.count() }
+        val withCommon = oriented
+          .join(broadcast(adj.select($"src", $"nbr".as("au"))), Seq("src"))
+          .join(broadcast(adj.select($"src".as("dst"), $"nbr".as("av"))), Seq("dst"))
+          .select($"src".as("u"), $"dst".as("v"),
+            graft.functions.GraftFunctions.sorted_intersect($"au", $"av").as("ws"))
+          .filter(size($"ws") > 0)
+        prof.time("intersect") {
+          withCommon.select(sum(size($"ws"))).head()
+        }
+        val contrib = withCommon.select(explode(concat(
+            array(struct($"u".as("n"), size($"ws").cast("long").as("c")),
+                  struct($"v".as("n"), size($"ws").cast("long").as("c"))),
+            transform($"ws", w => struct(w.as("n"), lit(1L).as("c"))))).as("t"))
+          .select($"t.n".as("n"), $"t.c".as("c"))
+        prof.time("full agg") {
+          contrib.groupBy($"n").agg(sum($"c").as("tri")).join(deg, "n").count()
+        }
+        pairs.unpersist(); oriented.unpersist(); adj.unpersist()
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "--dmlprof") {
       // per-statement breakdown of the s11 shape — where a store commit's
       // time goes at the bench SF (upstream agg vs each DML statement)
@@ -244,6 +297,13 @@ object Scratch {
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
+        if (sys.env.contains("GRAFT_PROF_JOBS")) {
+          val m = s.stageInfo.taskMetrics
+          println(f"[prof-stage] ${s.stageInfo.stageId}%4d " +
+            f"tasks=${s.stageInfo.numTasks}%4d run=${m.executorRunTime / 1e3}%7.2f s " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.2f s " +
+            s"${s.stageInfo.name.takeWhile(_ != '\n').take(70)}")
+        }
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)

@@ -303,8 +303,45 @@ object CmsProbe {
   }
 }
 
+/** Intersection of two SORTED long arrays (strictly increasing, as
+  * produced by `sort_array` over distinct elements) — a linear merge walk,
+  * no per-row hash set. (Array, Array)→Array. The g4 triangle closure's
+  * inner kernel: per oriented edge (u,v) the common out-neighborhood
+  * N+(u) ∩ N+(v) IS the triangle set that edge closes, so the walk
+  * replaces materializing the wedge stream (41M rows at sf0.1) and
+  * hash-probing each wedge against the edge relation. */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.sortedIntersect(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sortedIntersect($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersect =
+    copy(left = l, right = r)
+}
+
 /** Static vector kernels callable from generated code. */
 object VectorOps {
+  def sortedIntersect(a: ArrayData, b: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (k == out.length) out
+        else java.util.Arrays.copyOf(out, k))
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

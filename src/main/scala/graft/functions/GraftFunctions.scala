@@ -26,6 +26,8 @@ object GraftFunctions {
   def bpe_token_count(c: Column): Column = column(BpeTokenCount(expression(c)))
   def count_min_estimate(sk: Column, term: Column): Column =
     column(CountMinEstimate(expression(sk), expression(term)))
+  def sorted_intersect(a: Column, b: Column): Column =
+    column(SortedLongIntersect(expression(a), expression(b)))
 
   /** Register the scalar functions for SQL texts. */
   def registerAll(spark: SparkSession): Unit = {

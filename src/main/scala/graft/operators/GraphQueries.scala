@@ -199,73 +199,100 @@ object GraphQueries {
   }
 
   /** Per-node triangle counts over an undirected canonical (u < v) edge
-    * set: (node, tri, deg). Degree-oriented wedge closure — see the g4
-    * query comment for the plan contract. When the oriented edge list fits
-    * [[edgeBroadcastCap]] it is broadcast for both the wedge-generation
-    * and wedge-closure joins (the wedge stream never shuffles); past the
-    * cap the identical dataflow degrades to shuffle joins instead of
-    * OOMing an executor. `broadcastEdges` pins the decision for tests.
-    * Nodes in no triangle are absent (left-join + coalesce at the call
-    * site if zeros matter). */
+    * set: (node, tri, deg). Degree-oriented adjacency intersection: with
+    * every edge oriented low-degree → high-degree, the triangles an edge
+    * (u,v) closes are exactly W = N+(u) ∩ N+(v), and each triangle is
+    * found at exactly one edge (the one between its two vertices that
+    * both point at the third). Out-neighborhoods are sorted arrays, so
+    * the intersection is a linear merge walk ([[graft.functions.VectorOps
+    * .sortedIntersect]], whole-stage-codegen'd) over ~O(√m)-bounded
+    * adjacency — the wedge stream (Σ outdeg², 41M rows at sf0.1, 34× the
+    * edge count) is never materialized and never hash-probed; the r16
+    * wedge-closure shape measured 46 s of task time at sf0.1 where this
+    * walk measures a fraction of that for identical output. Per-node
+    * attribution without per-triangle×3 rows: u and v each gain |W|, and
+    * only the |W| closing vertices explode (Σ|W| = the triangle count).
+    * When the adjacency fits [[edgeBroadcastCap]] it is broadcast into
+    * both attach joins (the edge list never shuffles); past the cap the
+    * identical dataflow degrades to shuffle joins instead of OOMing an
+    * executor. `broadcastEdges` pins the decision for tests. Nodes in no
+    * triangle are absent (left-join + coalesce at the call site if zeros
+    * matter). */
   def triangleCounts(edges: DataFrame,
       broadcastEdges: Option[Boolean] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select($"u", $"v").localCheckpoint(true)
-    // one stats job over the checkpointed edges: the count sizes the
-    // broadcast decision, the id range sizes the packed closure key
-    val stats = e.agg(
-      count(lit(1)),
-      coalesce(least(min($"u"), min($"v")), lit(0L)),
-      coalesce(greatest(max($"u"), max($"v")), lit(0L))).head()
-    val edgeCount = stats.getLong(0)
+    // the edge count rides the checkpoint's materialization job as an
+    // observed metric — it sizes the broadcast decision at zero extra
+    // passes (adjacency bytes ∝ edges: the arrays hold one long per
+    // oriented edge)
+    val obs = new org.apache.spark.sql.Observation()
+    val e = edges.select($"u", $"v")
+      .observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    val edgeCount = obs.get("n").asInstanceOf[Long]
     val cap = edgeBroadcastCap(spark)
     val doBroadcast = broadcastEdges.getOrElse(
       cap > 0 && edgeCount * OrientedEdgeBytes <= cap)
     def bcast(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
-    val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
+    // under the broadcast plan the degree table feeds THREE broadcast
+    // builds (du/dv attaches + the final per-node join), and broadcast
+    // subtrees are not deduplicated across differing projections —
+    // checkpoint the (≤ 2×edges rows) result so it aggregates once
+    val deg0 = e.select($"u".as("n")).union(e.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val deg = if (doBroadcast) deg0.localCheckpoint(true) else deg0
+    // the degree table is ≤ 2×edges rows, so the broadcast decision that
+    // covers the adjacency covers it too; without the hint the planner's
+    // unknown-size estimate for the union+groupBy subtree plans these
+    // attaches as sort-merge joins (measured sf0.1: 15 s of task time
+    // spent sorting 1.2M edges twice for a 20k-row build side)
     val ew = e
-      .join(deg.select($"n".as("u"), $"deg".as("du")), "u")
-      .join(deg.select($"n".as("v"), $"deg".as("dv")), "v")
+      .join(bcast(deg.select($"n".as("u"), $"deg".as("du"))), "u")
+      .join(bcast(deg.select($"n".as("v"), $"deg".as("dv"))), "v")
     val lower = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    // under the broadcast plan the oriented edge list is the STREAM side
-    // of both wedge joins, so its partition count caps the parallelism of
-    // the O(Σ outdeg²) wedge-generation/closure pass — the job's dominant
+    // the oriented edge list is the STREAM side of both adjacency-attach
+    // joins, so its partition count caps the parallelism of the
+    // O(Σ outdeg·(outdeg+indeg)) merge-walk pass — the job's dominant
     // compute. AQE sizes the upstream exchanges by bytes and coalesces
-    // this tiny edge list onto a handful of tasks (measured sf0.1: 10-20
-    // task stages, 28 s task time on 32 cores), so spread it round-robin
-    // to 2× the cores before checkpointing; the shuffle moves only the
-    // edge list (~sqrt of the wedge stream). The shuffle path keeps AQE's
-    // byte-based sizing — its wedge stream crosses real exchanges.
+    // this tiny edge list onto a handful of tasks, so under the broadcast
+    // plan spread it round-robin to 2× the cores before checkpointing;
+    // the shuffle path keeps AQE's byte-based sizing (its joins cross
+    // real exchanges that set their own parallelism).
     val orientedRaw = ew.select(
       when(lower, $"u").otherwise($"v").as("src"),
-      when(lower, $"v").otherwise($"u").as("dst"),
-      when(lower, $"dv").otherwise($"du").as("ddst"))
+      when(lower, $"v").otherwise($"u").as("dst"))
+    // keyed on src (not round-robin): a keyless repartition pays a local
+    // sort of its input (sortBeforeRepartition), while hash(src) is free,
+    // spreads fine (≥20k keys over 2×cores partitions, outdeg O(√m)),
+    // and the adjacency groupBy below then REUSES the partitioning — no
+    // exchange under the aggregate
     val oriented = (if (doBroadcast)
-        orientedRaw.repartition(2 * spark.sparkContext.defaultParallelism)
+        orientedRaw.repartition(2 * spark.sparkContext.defaultParallelism, $"src")
       else orientedRaw)
       .localCheckpoint(true)
-    val wedges = oriented.as("x").join(bcast(oriented.as("y")),
-        $"x.src" === $"y.src" &&
-        ($"x.ddst" < $"y.ddst" || ($"x.ddst" === $"y.ddst" && $"x.dst" < $"y.dst")))
-      .select($"x.src".as("a"), $"x.dst".as("b"), $"y.dst".as("c"))
-    // closure probe on a SINGLE packed long key when ids fit 31 bits
-    // (LongHashedRelation, ~3x faster than a composite probe); wider or
-    // negative ids fall back to the exact two-column key — packing them
-    // would alias distinct (b, c) pairs and silently overcount triangles
-    val packable = stats.getLong(1) >= 0L && stats.getLong(2) < (1L << 31)
-    val tri =
-      if (packable)
-        wedges.join(
-          bcast(oriented.select((shiftleft($"src", 31) + $"dst").as("bc"))),
-          (shiftleft($"b", 31) + $"c") === $"bc")
-      else
-        wedges.join(
-          bcast(oriented.select($"src".as("b"), $"dst".as("c"))), Seq("b", "c"))
-    tri.select(explode(array($"a", $"b", $"c")).as("n"))
-      .groupBy($"n").agg(count(lit(1)).as("tri"))
-      .join(deg, "n")
+    // sorted out-neighborhoods; degree orientation bounds |nbr| by
+    // O(√m), so no row ever collects a hub's full neighborhood. Under the
+    // broadcast plan the (tiny) result is checkpointed so the two
+    // broadcast projections below don't each recompute the aggregation —
+    // BroadcastExchange reuse can't see through the differing renames.
+    val adj0 = oriented.groupBy($"src")
+      .agg(sort_array(collect_list($"dst")).as("nbr"))
+    val adj = if (doBroadcast) adj0.localCheckpoint(true) else adj0
+    // attach N+(u) and N+(v) to each edge; a dst with no out-edges closes
+    // nothing, so the inner join dropping it is exact
+    val withCommon = oriented
+      .join(bcast(adj.select($"src", $"nbr".as("au"))), Seq("src"))
+      .join(bcast(adj.select($"src".as("dst"), $"nbr".as("av"))), Seq("dst"))
+      .select($"src".as("u"), $"dst".as("v"),
+        graft.functions.GraftFunctions.sorted_intersect($"au", $"av").as("ws"))
+      .filter(size($"ws") > 0)
+    val contrib = withCommon.select(explode(concat(
+        array(struct($"u".as("n"), size($"ws").cast("long").as("c")),
+              struct($"v".as("n"), size($"ws").cast("long").as("c"))),
+        transform($"ws", w => struct(w.as("n"), lit(1L).as("c"))))).as("t"))
+      .select($"t.n".as("n"), $"t.c".as("c"))
+    contrib.groupBy($"n").agg(sum($"c").as("tri"))
+      .join(bcast(deg), "n")
       .select($"n".as("node"), $"tri", $"deg")
   }
 
@@ -378,17 +405,21 @@ object GraphQueries {
     // (unthresholded) part co-occurrence graph. Spark runs the
     // degree-oriented algorithm (Suri & Vassilvitskii, WWW'11): each edge
     // is oriented from its lexicographically smaller (degree, id) endpoint,
-    // so wedge generation per node is bounded by out-degree = O(sqrt(m))
-    // even at a power-law hub, and every triangle is emitted exactly once
-    // (from its lowest-ordered corner). Plan shape: when the oriented edge
-    // list fits the size cap (edgeBroadcastCap — 8x autoBroadcastJoin-
-    // Threshold by default) it is BROADCAST for both the wedge-generation
-    // and the wedge-closure joins, so the O(Σ outdeg²) wedge stream never
-    // hits a shuffle — it is generated, probed, and partially aggregated
-    // inside one whole-stage-codegen pass (17 s → ~2 s at sf0.1 vs the
-    // shuffle form). Past the cap (~sf10 for this graph) the size switch
-    // in triangleCounts drops the hints and the identical dataflow runs
-    // as shuffle joins instead of OOMing an executor. The oracle counts
+    // so out-degree is bounded by O(sqrt(m)) even at a power-law hub, and
+    // every triangle is found exactly once — as the sorted-adjacency
+    // intersection N+(u) ∩ N+(v) of the one edge whose endpoints both
+    // point at the third corner (see triangleCounts: the r16 wedge-stream
+    // materialization + hash closure probe measured 46 s of task time at
+    // sf0.1; the merge walk replaces both). Plan shape: when the
+    // adjacency fits the size cap (edgeBroadcastCap — 8x
+    // autoBroadcastJoinThreshold by default) it is BROADCAST into both
+    // attach joins, so the edge list never hits a shuffle — attach,
+    // intersect, and the per-node partial aggregate run inside one
+    // whole-stage-codegen pass. Past the cap (~sf10 for this graph) the
+    // size switch in triangleCounts drops the hints and the identical
+    // dataflow runs as shuffle joins instead of OOMing an executor
+    // (adjacency rows stay O(sqrt(m)) wide, so no row outgrows a
+    // partition either way). The oracle counts
     // the same triangles naively (a<b<c triple join) —
     // orientation-independence of the per-node counts makes the hash match
     // exact. cc_ppm is the local clustering coefficient in integer

@@ -76,10 +76,13 @@ class GraphSpec extends SparkTestBase {
       "ResolvedHint".r.findAllIn(
         GraphQueries.triangleCounts(edges, broadcastEdges = b)
           .queryExecution.analyzed.toString).length
-    assert(hints(Some(true)) == 2, "broadcast branch must hint both joins")
+    // 3 hinted builds VISIBLE in the returned plan: the two adjacency
+    // attaches and the final per-node degree join (the two degree-attach
+    // hints sit behind the `oriented` checkpoint boundary)
+    assert(hints(Some(true)) == 3, "broadcast branch must hint every join")
     assert(hints(Some(false)) == 0, "fallback branch must carry no hints")
     // auto decision: 3 edges is far under any sane cap -> broadcasts...
-    assert(hints(None) == 2)
+    assert(hints(None) == 3)
     // ...and a squeezed cap flips the same input to the shuffle form
     withConf("spark.graft.graph.broadcastEdgeBytes" -> "1") {
       assert(hints(None) == 0)
