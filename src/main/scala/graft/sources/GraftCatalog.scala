@@ -347,6 +347,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
       s"column name ${GraftStore.BucketCol} is reserved")
     require(!schema0.fieldNames.contains(GraftStore.PartCol),
       s"column name ${GraftStore.PartCol} is reserved")
+    // the changelog appends these to the data columns (and all-insert
+    // commits carry them inside the data files themselves) — a data
+    // column with one of these names would alias the CDC columns
+    GraftCatalog.ChangeReserved.foreach(r =>
+      require(!schema0.fieldNames.contains(r), s"column name $r is reserved"))
     require(!ident.name().endsWith(ChangesSuffix) &&
         !ident.name().endsWith(GraftCatalog.VersionsSuffix) &&
         !ident.name().endsWith(GraftCatalog.FilesSuffix) &&
@@ -566,7 +571,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         require(add.isNullable,
           s"added column $name must be nullable (existing rows have no value)")
         require(!m.schema.fieldNames.contains(name), s"column $name already exists")
-        require(name != GraftStore.BucketCol && name != GraftStore.PartCol,
+        require(name != GraftStore.BucketCol && name != GraftStore.PartCol &&
+            !GraftCatalog.ChangeReserved.contains(name),
           s"column name $name is reserved")
         val taken = m.schema.fields.map(GraftStore.physicalName).toSet ++
           m.tombstones
@@ -599,7 +605,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with ProcedureCatal
         val to = rn.newName()
         require(m.schema.fieldNames.contains(from), s"no column $from")
         require(!m.schema.fieldNames.contains(to), s"column $to already exists")
-        require(to != GraftStore.BucketCol && to != GraftStore.PartCol,
+        require(to != GraftStore.BucketCol && to != GraftStore.PartCol &&
+            !GraftCatalog.ChangeReserved.contains(to),
           s"column name $to is reserved")
         val sch = StructType(m.schema.fields.map { f =>
           if (f.name != from) f
@@ -1074,6 +1081,11 @@ object GraftCatalog {
   /** Identifier suffix routing to a materialized view's freshness
     * metadata, e.g. `` cat.`daily_mv$mv` `` — one row per source table
     * with the refreshed-through vs current version and staleness. */
+  /** Column names the changelog claims next to the data columns; rejected
+    * as data-column names at CREATE and ALTER ADD/RENAME time. */
+  val ChangeReserved: Seq[String] = Seq(GraftStore.ChangeOpCol,
+    GraftStore.ChangeBeforeCol, GraftStore.ChangeVersionCol)
+
   val MvSuffix = "$mv"
   /** Identifier infix addressing a BRANCH of a table as a full
     * read-write table, e.g. `` cat.`orders$branch$exp1` `` — DML, MERGE,

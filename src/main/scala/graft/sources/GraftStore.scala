@@ -1262,6 +1262,29 @@ object GraftStore {
       }
     }
 
+  /** Build an all-insert commit's changelog slice by hard-linking the
+    * data leg's parquet files (which carry the constant `change_op`/
+    * `change_before` columns — see the linkChangelog note in
+    * commitVersion) into the staging slice dir. Slot subpaths flatten
+    * into the file name (slice dirs are flat; names stay unique because
+    * part-file names are task-unique within the write job). An empty
+    * batch yields an empty slice dir — same zero rows the old empty
+    * parquet write produced. */
+  private def linkChangelogSlice(buildDir: String, chDir: String): Unit = {
+    val root = Paths.get(buildDir)
+    Files.createDirectories(Paths.get(chDir))
+    localSlots(buildDir).foreach { slot =>
+      val slotDir = root.resolve(slot)
+      listDir(slotDir)(_.filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith(".") && !n.startsWith("_")
+      }.foreach { f =>
+        val flat = s"${slot.replace('/', '_')}_${f.getFileName}"
+        Files.createLink(Paths.get(chDir, flat), f)
+      })
+    }
+  }
+
   /** Every live delete slice of a version as one DataFrame: the PHYSICAL
     * key columns + [[BucketCol]] + [[DvSeqCol]] (long). None when the
     * version has no live deletes. */
@@ -3048,6 +3071,18 @@ object GraftStore {
           .transform(d => if (smallKeyed && !allInserts) d.coalesce(1)
             else d.hint("rebalance"))
           .write.parquet(chDir)
+      // All-insert commits: the data files ARE the changelog rows — the op
+      // is the constant 'I' and the before-image the constant NULL, so the
+      // data leg writes those two columns into its files (constant-encoded:
+      // a dictionary page and definition levels, ~bytes per file) and the
+      // changelog slice is built by HARD-LINKING the data files instead of
+      // running a second Spark shuffle+write over the whole batch. Appends
+      // are the dominant write shape at scale; this halves their write
+      // amplification. Data readers are unaffected (every data read
+      // projects the declared physical schema, and the changelog column
+      // names are reserved at CREATE/ALTER time); changelog readers see
+      // the exact rows+columns the old slice write produced.
+      val linkChangelog = allInserts && !overwrite
       val baseTouched = () => readVersion(spark, dir, cur, Some(touched))
       val changelogLeg: () => Unit = () =>
         if (allInserts) {
@@ -3131,6 +3166,12 @@ object GraftStore {
           withPartCol(toPhysical(
               ch.select((cols :+ BucketCol).map(col): _*), meta.schema),
               meta, curPartSpec)
+            // see linkChangelog above: the constant changelog columns ride
+            // the data files so the slice can link instead of re-write
+            .transform(d => if (linkChangelog)
+              d.withColumn(ChangeOpCol, lit("I"))
+                .withColumn(ChangeBeforeCol, lit(null).cast(physBefore))
+              else d)
             .hint("rebalance", layoutCols(meta).map(col): _*)
             .write.options(bloomOptions(meta))
             .partitionBy(layoutCols(meta): _*).parquet(buildDir)
@@ -3192,12 +3233,15 @@ object GraftStore {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         val chF =
-          if (overwrite) Future.successful(()) // overwrite: no changelog slice
+          if (overwrite || linkChangelog)
+            Future.successful(()) // no separate changelog write
           else Future(changelogLeg())(commitPool)
         val dataF = Future(dataLeg())(commitPool)
         try {
           val r = Await.result(dataF, Duration.Inf)
           Await.result(chF, Duration.Inf)
+          // link AFTER the data write: the slice is the data files
+          if (linkChangelog) linkChangelogSlice(buildDir, chDir)
           r
         } catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
@@ -4216,24 +4260,39 @@ object GraftStore {
       .filter(col("n") > 0)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      // deleteIfExists + swallowed NoSuchFile: two sweepers can race on
-      // the same debris tree (vacuum vs expireVersions' tomb sweep) and
-      // concurrent deletion of the same entry must not crash either
+  private def deleteRecursively(p: Path): Unit = {
+    // deleteIfExists + swallowed NoSuchFile: two sweepers can race on
+    // the same debris tree (vacuum vs expireVersions' tomb sweep, or two
+    // group-commit resolvers consuming the same branch) and concurrent
+    // deletion of the same entry must not crash either. Files.walk is
+    // LAZY: a subtree vanishing mid-iteration surfaces as an
+    // UncheckedIOException(NoSuchFileException) from the iterator itself
+    // — re-walk until the root is gone, so an aborted pass can never
+    // leave a partial tree squatting on the name (the tree only
+    // shrinks, so this terminates).
+    var attempts = 0
+    while (Files.exists(p) && attempts < 50) {
+      attempts += 1
       val s = try Files.walk(p)
       catch { case _: java.nio.file.NoSuchFileException => return }
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach { f =>
-          try Files.deleteIfExists(f)
-          catch {
-            case _: java.nio.file.NoSuchFileException => ()
-            // a dir whose child was re-listed by our walk but deleted by
-            // the other sweeper can briefly read non-empty; the other
-            // sweeper (or the next vacuum) finishes it
-            case _: java.nio.file.DirectoryNotEmptyException => ()
+      try {
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach { f =>
+            try Files.deleteIfExists(f)
+            catch {
+              case _: java.nio.file.NoSuchFileException => ()
+              // a dir whose child was re-listed by our walk but deleted by
+              // the other sweeper can briefly read non-empty; the re-walk
+              // (or the other sweeper) finishes it
+              case _: java.nio.file.DirectoryNotEmptyException => ()
+            }
           }
+        catch {
+          case e: java.io.UncheckedIOException
+              if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+            () // racer shredded the tree mid-walk; re-walk
         }
-      finally s.close()
+      } finally s.close()
     }
+  }
 }
