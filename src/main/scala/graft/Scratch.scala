@@ -83,12 +83,19 @@ object Scratch {
             TBLPROPERTIES ('merge_key'='k', 'buckets'='4')""")
         }
         val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        val minPartKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
         val saved = spark.conf.getOption(advisoryKey)
-        spark.conf.set(advisoryKey, "1KB")
+        val savedMin = spark.conf.getOption(minPartKey)
+        spark.conf.set(advisoryKey, "64KB") // match the bench fixture
+        spark.conf.set(minPartKey, "64KB")
         try prof.time("INSERT") {
           spark.sql("INSERT INTO graftdml.bench_part SELECT * FROM bp_src")
-        } finally saved.fold(spark.conf.unset(advisoryKey))(
-          spark.conf.set(advisoryKey, _))
+        } finally {
+          saved.fold(spark.conf.unset(advisoryKey))(
+            spark.conf.set(advisoryKey, _))
+          savedMin.fold(spark.conf.unset(minPartKey))(
+            spark.conf.set(minPartKey, _))
+        }
         val r = spark.sql("SELECT CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE) " +
           "FROM graftdml.bench_part").head()
         val (d0, d1) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
@@ -281,7 +288,7 @@ object Scratch {
     private val taskMs = new java.util.concurrent.atomic.AtomicLong
     private val jobWallMs = new java.util.concurrent.atomic.AtomicLong
     private val jobStartTs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    private val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         jobStartTs.put(j.jobId, j.time)
@@ -307,7 +314,12 @@ object Scratch {
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
+    /** Deregister the listener — repeated JobProf constructions in one
+      * JVM would otherwise accumulate stale listeners on the bus (r16
+      * ADVICE). */
+    def close(): Unit = spark.sparkContext.removeSparkListener(listener)
     def time[A](l: String)(f: => A): A = {
       val (j0, s0, t0n, tm0, jw0) =
         (jobs.get, stages.get, tasks.get, taskMs.get, jobWallMs.get)

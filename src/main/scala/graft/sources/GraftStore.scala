@@ -1228,7 +1228,14 @@ object GraftStore {
     * buckets). Over either bound the legs keep their shuffle plans. The
     * bounds are per-session confs so a cluster can size them to its
     * executor memory; the defaults are deliberately conservative (a
-    * broadcast relation also lives on the driver). */
+    * broadcast relation also lives on the driver). Note for operators
+    * sizing broadcastMaxBytes: the byte bound is checked against the
+    * batch's COMPRESSED columnar cache size AND against
+    * rows × the base schema's estimated row width (the before-image
+    * broadcast's reachable size); the in-memory row-format relation can
+    * still occupy a few times the configured bytes on the driver and
+    * each executor — derate accordingly (e.g. set it to 1/4 of what the
+    * JVMs can really spare). */
   private def commitBroadcastMaxRows(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.commit.broadcastMaxRows")
       .map(_.toLong).getOrElse(1L << 20)
@@ -2888,10 +2895,19 @@ object GraftStore {
         touched = perBucket.map(_.getInt(0)).toSet
         val rows = perBucket.map(_.getLong(1)).sum
         // post-materialization the InMemoryRelation's stats carry the
-        // exact cached byte size — a zero-job broadcast-safety bound
-        val bytes = ch.queryExecution.optimizedPlan.stats.sizeInBytes
+        // exact cached byte size — a zero-job broadcast-safety bound.
+        // The cached bytes alone UNDERSTATE the broadcast footprint: the
+        // changelog leg broadcasts up to `rows` FULL-WIDTH base
+        // before-images, while a delete batch caches only its key
+        // columns (nulls compress to ~nothing) — so also bound
+        // rows × the base schema's estimated row width, the size the
+        // before-image broadcast can actually reach (r16 ADVICE).
+        val cachedBytes = ch.queryExecution.optimizedPlan.stats.sizeInBytes
+        val rowWidth = meta.schema.fields.map(_.dataType.defaultSize).sum
+        val maxBytes = commitBroadcastMaxBytes(spark)
         smallKeyed = rows <= commitBroadcastMaxRows(spark) &&
-          bytes <= BigInt(commitBroadcastMaxBytes(spark))
+          cachedBytes <= BigInt(maxBytes) &&
+          rows * math.max(1L, rowWidth.toLong) <= maxBytes
       }
       bucketedFor = n
     }

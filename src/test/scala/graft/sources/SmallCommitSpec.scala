@@ -68,4 +68,23 @@ class SmallCommitSpec extends SparkTestBase {
       assert(changes(s"bc_$mode") == changes(s"sh_$mode"))
       assert(content(s"bc_$mode").nonEmpty)
     }
+
+  test("mor over-cap escalation under broadcast legs matches the " +
+      "shuffle path (cowRewrite over touched+DV buckets, small batch)") {
+    // a tiny delete cap forces every mor DML to escalate into the
+    // copy-on-write rewrite over (touched ∪ DV buckets) while the batch
+    // still satisfies the broadcast bounds — the r16 ADVICE gap: the
+    // undistincted broadcast removes build composed with DV-applied
+    // base reads had no coverage
+    sys.props("graft.store.morMaxLiveDeletes") = "1"
+    try {
+      run("esc_bc", "mor")
+      withConf("spark.graft.commit.broadcastMaxRows" -> "0") {
+        run("esc_sh", "mor")
+      }
+      assert(content("esc_bc") == content("esc_sh"))
+      assert(changes("esc_bc") == changes("esc_sh"))
+      assert(content("esc_bc").nonEmpty)
+    } finally sys.props.remove("graft.store.morMaxLiveDeletes")
+  }
 }
