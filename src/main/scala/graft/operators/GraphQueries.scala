@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
 /** Graph analytics over derived link graphs — the authority-ranking /
   * reachability passes a corpus pipeline runs over its domain/document link
@@ -280,16 +281,36 @@ object GraphQueries {
     val adj = if (doBroadcast) adj0.localCheckpoint(true) else adj0
     // attach N+(u) and N+(v) to each edge; a dst with no out-edges closes
     // nothing, so the inner join dropping it is exact
+    // Prune with an O(1) range-overlap test on the SORTED arrays before
+    // walking them — NOT `size(ws) > 0`, which the optimizer pushes into
+    // the join condition and thereby evaluates the intersect twice per
+    // edge (once as predicate, once as projection; seen in the physical
+    // plan). The overlap test is sound (an empty overlap range implies an
+    // empty intersection); the few false positives emit c=0 contribution
+    // rows that the exact `tri > 0` filter after the aggregate removes,
+    // keeping the output set identical (a node appears iff it closes at
+    // least one triangle).
     val withCommon = oriented
       .join(bcast(adj.select($"src", $"nbr".as("au"))), Seq("src"))
       .join(bcast(adj.select($"src".as("dst"), $"nbr".as("av"))), Seq("dst"))
+      .filter(element_at($"au", -1) >= element_at($"av", 1) &&
+        element_at($"av", -1) >= element_at($"au", 1))
       .select($"src".as("u"), $"dst".as("v"),
         graft.functions.GraftFunctions.sorted_intersect($"au", $"av").as("ws"))
-      .filter(size($"ws") > 0)
-    val contrib = withCommon.select(explode(concat(
+    // edges with an empty intersection contribute NOTHING: the CASE emits
+    // an empty array (explode drops the row) instead of a post-hoc
+    // `size(ws) > 0` Filter, which predicate pushdown would rewrite into
+    // the join condition and thereby evaluate the intersect twice per
+    // edge. `ws` stays a projected column used 3× — CollapseProject
+    // leaves it materialized, so the walk runs exactly once per edge.
+    val contrib = withCommon.select(explode(when(size($"ws") === 0,
+        array().cast(ArrayType(StructType(Seq(
+          StructField("n", LongType, nullable = false),
+          StructField("c", LongType, nullable = false))))))
+      .otherwise(concat(
         array(struct($"u".as("n"), size($"ws").cast("long").as("c")),
               struct($"v".as("n"), size($"ws").cast("long").as("c"))),
-        transform($"ws", w => struct(w.as("n"), lit(1L).as("c"))))).as("t"))
+        transform($"ws", w => struct(w.as("n"), lit(1L).as("c")))))).as("t"))
       .select($"t.n".as("n"), $"t.c".as("c"))
     contrib.groupBy($"n").agg(sum($"c").as("tri"))
       .join(bcast(deg), "n")
