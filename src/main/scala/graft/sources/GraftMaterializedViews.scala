@@ -95,6 +95,21 @@ object GraftMaterializedViews {
     * through the recorded versions. The same math `mv$mv` reports; the
     * transparent rewrite substitutes only when this holds, so it can
     * never serve data a direct evaluation wouldn't. */
+  /** Whether the MV's CURRENT state is small enough — judged from its
+    * file bytes, metadata only — that the NEXT state overwrite should
+    * write as one task (`applyChanges(smallBatchHint)`) instead of
+    * paying an AQE rebalance round: an aggregate state's size tracks
+    * |view|, which one refresh cannot grow past ~2× the prior state
+    * plus the (bounded) fold delta; halving the commit-broadcast byte
+    * bound leaves that headroom. False for the initial materialization
+    * (no prior state to judge by) — it keeps the rebalance. */
+  private def smallStateHint(spark: SparkSession, stateDir: String): Boolean =
+    GraftStore.exists(stateDir) && {
+      val v = GraftStore.currentVersion(stateDir)
+      GraftStore.versionStats(stateDir, v)._3 <=
+        GraftStore.commitBroadcastMaxBytes(spark) / 2
+    }
+
   def isFresh(g: GraftCatalog, id: Identifier, rec: Record,
       analyzed: LogicalPlan): Boolean = {
     val stateDir = g.mvStateDir(id)
@@ -838,7 +853,8 @@ object GraftMaterializedViews {
                   GraftStore.applyChanges(spark, stateDir, out,
                     allInserts = true, overwrite = true,
                     expectedVersion = Some(stateV),
-                    txn = Some((rec1.txnApp, cur)))
+                    txn = Some((rec1.txnApp, cur)),
+                    smallBatchHint = smallStateHint(spark, stateDir))
                   // dims stay at their RECORDED versions (what the fold
                   // actually joined against); only the fact advances
                   updateSources(g, id, rec1, sources.map { case (n, d) =>
@@ -915,7 +931,8 @@ object GraftMaterializedViews {
     }
     GraftStore.applyChanges(spark, stateDir, computed,
       allInserts = true, overwrite = true,
-      expectedVersion = statePin, txn = txn)
+      expectedVersion = statePin, txn = txn,
+      smallBatchHint = smallStateHint(spark, stateDir))
     updateSources(g, id, rec1,
       versionsBefore.map { case (n, _, v) => n -> v }.toMap,
       versionsBefore.map { case (n, d, _) =>

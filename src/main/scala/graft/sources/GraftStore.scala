@@ -1239,7 +1239,7 @@ object GraftStore {
   private def commitBroadcastMaxRows(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.commit.broadcastMaxRows")
       .map(_.toLong).getOrElse(1L << 20)
-  private def commitBroadcastMaxBytes(spark: SparkSession): Long =
+  private[sources] def commitBroadcastMaxBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.commit.broadcastMaxBytes")
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
       .getOrElse(32L << 20)
@@ -2833,13 +2833,22 @@ object GraftStore {
     * detectable boundary (`hasChangelog(v) == false`): a CDC consumer
     * folding past it would silently resurrect overwritten rows, so it
     * must re-snapshot instead. */
+  /** `smallBatchHint`: the caller asserts (from metadata it holds — e.g.
+    * the MV layer's prior-state byte size) that this all-insert batch is
+    * small enough for one write task. The data leg then coalesces to a
+    * single task instead of paying an AQE rebalance round — the right
+    * plan for a small rollup state over an arbitrarily large fact. Purely
+    * advisory: ignored for keyed deltas (their own measured smallKeyed
+    * bound governs), and a wrong hint costs one oversized file, never
+    * correctness. */
   def applyChanges(spark: SparkSession, dir: String, changes0: DataFrame,
       allInserts: Boolean = false, overwrite: Boolean = false,
       commutative: Boolean = false,
       expectedVersion: Option[Long] = None,
       heartbeatPaths: Seq[Path] = Nil,
       capturedMeta: Option[GraftTableMeta] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      smallBatchHint: Boolean = false): Long = {
     require(!overwrite || allInserts, "overwrite implies an all-insert batch")
     // idempotent-write fast path: an (appId, version) at or below the
     // recorded high-water is a retry of an already-applied write — no-op
@@ -2971,7 +2980,7 @@ object GraftStore {
               } else committed = withClaimHeartbeat(marker +: buildPath +: heartbeatPaths) {
                 commitVersion(spark, dir, meta, ch, touched,
                   cur, allInserts, overwrite, bucketedFor, marker, token, txn,
-                  smallKeyed)
+                  smallKeyed, smallBatchHint)
               }
             } else {
               // claim won but the pointer moved first (stale pre-claim
@@ -3026,7 +3035,8 @@ object GraftStore {
       allInserts: Boolean, overwrite: Boolean, buckets: Int,
       marker: Path, token: String,
       txn: Option[(String, Long)] = None,
-      smallKeyed: Boolean = false): Long = {
+      smallKeyed: Boolean = false,
+      smallBatchHint: Boolean = false): Long = {
     val next = cur + 1
     val nextDir = versionDir(dir, next)
     // writer-private build dir: the final vN name appears only after the
@@ -3188,7 +3198,11 @@ object GraftStore {
               d.withColumn(ChangeOpCol, lit("I"))
                 .withColumn(ChangeBeforeCol, lit(null).cast(physBefore))
               else d)
-            .hint("rebalance", layoutCols(meta).map(col): _*)
+            // smallBatchHint (caller-asserted small batch, e.g. an MV
+            // state ∝ |view|): one write task, no AQE rebalance round —
+            // partitionBy still splits one file per slot
+            .transform(d => if (smallBatchHint) d.coalesce(1)
+              else d.hint("rebalance", layoutCols(meta).map(col): _*))
             .write.options(bloomOptions(meta))
             .partitionBy(layoutCols(meta): _*).parquet(buildDir)
           Set.empty
