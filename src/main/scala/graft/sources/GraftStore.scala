@@ -2165,25 +2165,37 @@ object GraftStore {
     manifest.resolveSibling(
       manifest.getFileName.toString.stripSuffix(".json") + ".decision")
 
-  /** One member's manifest line: dir TAB branch TAB fork TAB head. */
+  /** One member's manifest line: dir TAB branch TAB fork TAB head TAB
+    * branch-dir incarnation. The incarnation pins WHICH branch the
+    * group published: a resolver completing a member (possibly from a
+    * STALE marker read) must consume only that incarnation — the same
+    * name may already be a freshly re-created branch for the next
+    * publish, and dropping it would destroy an unrelated in-flight
+    * branch (observed as a create_branch "already exists" failure after
+    * the racing publisher crashed on its vanished branch). */
   private def writeGroupManifest(manifest: Path,
-      members: Seq[(String, String, Long, Long)]): Unit = {
+      members: Seq[(String, String, Long, Long, String)]): Unit = {
     Files.createDirectories(manifest.getParent)
-    val body = members.map { case (d, b, f, h) =>
+    val body = members.map { case (d, b, f, h, inc) =>
       s"${java.net.URLEncoder.encode(d, "UTF-8")}\t" +
-        s"${java.net.URLEncoder.encode(b, "UTF-8")}\t$f\t$h"
+        s"${java.net.URLEncoder.encode(b, "UTF-8")}\t$f\t$h\t" +
+        java.net.URLEncoder.encode(inc, "UTF-8")
     }.mkString("", "\n", "\n")
     Files.write(manifest, body.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
   }
 
+  /** Incarnation is None for manifests written before the field existed
+    * (committed manifests are retained indefinitely). */
   private def readGroupManifest(manifest: Path)
-      : Seq[(String, String, Long, Long)] =
+      : Seq[(String, String, Long, Long, Option[String])] =
     new String(Files.readAllBytes(manifest), "UTF-8").split("\n").toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(d, b, f, h) = line.split("\t")
-        (java.net.URLDecoder.decode(d, "UTF-8"),
-          java.net.URLDecoder.decode(b, "UTF-8"), f.toLong, h.toLong)
+        val parts = line.split("\t")
+        (java.net.URLDecoder.decode(parts(0), "UTF-8"),
+          java.net.URLDecoder.decode(parts(1), "UTF-8"),
+          parts(2).toLong, parts(3).toLong,
+          parts.lift(4).map(java.net.URLDecoder.decode(_, "UTF-8")))
       }
 
   /** Publish branch `name` on EVERY listed table atomically — all flip
@@ -2276,7 +2288,7 @@ object GraftStore {
           preps += ((dir, bd, name, fork, bHead, marker))
         }
         writeGroupManifest(manifest, preps.toSeq.map {
-          case (d, _, b, f, h, _) => (d, b, f, h) })
+          case (d, bd, b, f, h, _) => (d, b, f, h, incarnationOf(bd)) })
         preps.foreach { case (_, _, _, _, _, marker) =>
           try Files.write(marker,
             manifest.toAbsolutePath.toString.getBytes("UTF-8"),
@@ -2352,13 +2364,18 @@ object GraftStore {
       try Paths.get(new String(Files.readAllBytes(marker), "UTF-8").trim)
       catch { case _: java.nio.file.NoSuchFileException => return }
     val mine = readGroupManifest(manifest).find(_._1 == dir).getOrElse(return)
-    val (_, branch, _, head) = mine
+    val (_, branch, _, head, inc) = mine
     if (currentVersion(dir) < head) {
       writePointer(dir, head)
       invalidateDvCache(dir)
     }
     recoverChangelog(dir) // the pointer now covers the staged slices
-    if (branchExists(dir, branch))
+    // consume ONLY the published incarnation: a resolver acting on a
+    // stale marker read can find the same NAME already re-created for
+    // the next publish — that branch is not ours to drop. A legacy
+    // manifest (no incarnation field) keeps the by-name behavior.
+    if (branchExists(dir, branch) &&
+        inc.forall(_ == incarnationOf(branchDir(dir, branch))))
       try dropBranch(dir, branch)
       catch { case _: IllegalArgumentException => () } // raced: consumed
     Files.deleteIfExists(marker)
